@@ -1,0 +1,27 @@
+"""spacy_llm_spark — a PySpark-native knowledge-graph construction engine.
+
+Re-expresses the query/data-processing capabilities of explosion/spacy-llm
+(v0.7.4, studied read-only at /root/reference) as Spark DataFrame plans with
+Arrow-batched pandas UDF kernels. This is a from-scratch Spark-first design,
+not a port: the reference's lazy generator pipeline becomes narrow
+mapInPandas stages, its broadcast-dict lookups become broadcast joins, its
+batch cache becomes checkpoint tables probed with anti-joins.
+
+Layout
+------
+- ``tokenizer``           deterministic tokenizer + char-span alignment
+- ``functions.parsing``   response-parser kernels (NER CoT, REL JSON, EL, ...)
+- ``functions.normalizers`` label normalizers
+- ``functions.text``      language-ID / quality / token-count / fingerprint
+- ``kb``                  broadcast knowledge base + candidate selection
+- ``model``               executor-local deterministic model registry
+- ``templates``           prompt renderers (vectorized)
+- ``operators.*``         ner / rel / el / sharding / canonicalize /
+                          checkpoint / scoring / dedup / similarity
+- ``pipeline``            end-to-end KG pipeline (corpus -> triples)
+- ``corpus``              deterministic source-code corpus generator
+"""
+
+__version__ = "0.1.0"
+
+from .session import get_spark  # noqa: F401

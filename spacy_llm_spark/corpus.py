@@ -1,0 +1,90 @@
+"""Deterministic source-code corpus (BASELINE.json input_hint).
+
+Input table shape: ``(repo, path, commit, lang, content, content_sha256)``.
+We derive it deterministically from the driver-provided ``documents``
+parquet (TESTDATA.md) with pure arithmetic + sha2 — every derivation is
+reproducible in ANSI SQL so the DuckDB oracle can check it end-to-end.
+
+Skew: a single "mega-repo" owns ~30% of all rows (FIXTURES.md §1) to
+exercise salting/AQE; the remaining rows spread over many small repos.
+
+``replicate`` scales the corpus up for throughput benchmarks without any
+driver-side loop: a cross join against a small replication-factor range —
+at a real 10^12-file scale this generator is replaced by the Iceberg scan,
+and everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEGA_REPO = "mega/monorepo"
+N_SMALL_REPOS = 97  # spread the non-skewed 70% over many keys
+
+LANG_EXT = {"en": "py", "de": "java", "fr": "go", "es": "rs", "zh": "md"}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def corpus_from_documents(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    """Build the source_files corpus from the documents table.
+
+    Deterministic and oracle-reproducible:
+    - repo:   doc_id % 10 < 3 -> mega-repo (~30% skew), else small repo
+              keyed by doc_id % 97.
+    - path:   src/doc_<doc_id>.<ext(lang)>
+    - commit: sha256 of the doc_id string, truncated to 40 hex chars.
+    - content: the document text, verbatim (content_sha256 = sha2(content)).
+    """
+    docs = load_documents(spark, sf_dir)
+    if replicate > 1:
+        # Scale-up path: replicate texts with distinct ids. Narrow op (a
+        # broadcast-range cross join), no shuffle of the big side.
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
+            .drop("rep")
+        )
+
+    ext = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in LANG_EXT.items()
+        ],
+        F.lit("txt"),
+    )
+    return docs.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 10 < 3, F.lit(MEGA_REPO))
+        .otherwise(F.concat(F.lit("org/repo-"), (F.col("doc_id") % N_SMALL_REPOS)))
+        .alias("repo"),
+        F.concat(F.lit("src/doc_"), F.col("doc_id"), F.lit("."), ext).alias("path"),
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 40).alias(
+            "commit"
+        ),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+CORPUS_ORACLE_SQL = """
+SELECT
+  doc_id,
+  CASE WHEN doc_id % 10 < 3 THEN 'mega/monorepo'
+       ELSE 'org/repo-' || CAST(doc_id % 97 AS VARCHAR) END AS repo,
+  'src/doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+    CASE lang WHEN 'en' THEN 'py' WHEN 'de' THEN 'java' WHEN 'fr' THEN 'go'
+              WHEN 'es' THEN 'rs' WHEN 'zh' THEN 'md' ELSE 'txt' END AS path,
+  substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40) AS "commit",
+  lang,
+  text AS content,
+  sha256(text) AS content_sha256
+FROM documents
+"""

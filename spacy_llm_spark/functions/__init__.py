@@ -1,0 +1,1 @@
+from . import normalizers, parsing, text  # noqa: F401

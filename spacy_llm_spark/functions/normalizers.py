@@ -1,0 +1,44 @@
+"""Label normalizers — semantics of spacy_llm/registry/normalizer.py:6-29.
+
+Reference default for built-in tasks is lowercase+strip
+(spacy_llm/tasks/builtin_task.py:327-331 uses ``lowercase_normalizer`` when
+none supplied). Spark-native equivalent where a column is normalized:
+``F.trim(F.lower(col))``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable
+
+
+def strip_normalizer(s: str) -> str:
+    return s.strip()
+
+
+def lowercase_normalizer(s: str) -> str:
+    return s.strip().lower()
+
+
+NORMALIZERS: Dict[str, Callable[[str], str]] = {
+    "strip": strip_normalizer,
+    "lowercase": lowercase_normalizer,
+}
+
+
+def build_label_dict(
+    labels: Iterable[str], normalizer: Callable[[str], str] | None = None
+) -> Dict[str, str]:
+    """normalized label -> canonical label, sorted & deduped
+    (spacy_llm/tasks/builtin_task.py:327-331).
+    """
+    norm = normalizer or lowercase_normalizer
+    return {norm(label): label for label in sorted(set(labels))}
+
+
+def split_labels(labels) -> list:
+    """Comma-split + strip label config (spacy_llm/util.py:9-19)."""
+    if not labels:
+        return []
+    if isinstance(labels, str):
+        labels = labels.split(",")
+    return [label.strip() for label in labels]

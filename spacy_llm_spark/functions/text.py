@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data pipelines.
+
+All native pyspark.sql.functions expressions (whole-stage codegen; no
+Python in the hot path): language-ID n-gram heuristic, quality scoring,
+token counting, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small stopword profile per language; the language with the highest
+# stopword-hit ratio wins. (N-gram heuristic in the classic sense — here
+# unigram function words, which is what a 31-word synthetic corpus can
+# distinguish; real corpora would extend the profiles, the plan shape is
+# identical.)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def tokens_expr(col) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(col) -> Column:
+    """H1 analog: whitespace token count, JVM-side."""
+    return F.size(tokens_expr(col))
+
+
+def word_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = tokens_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length band, mean token length band, lexical diversity, alpha ratio.
+    """
+    toks = tokens_expr(F.col(text_col))
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks  # chars minus separators
+    diversity = F.size(F.array_distinct(toks)) / n_toks
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / n_chars
+    )
+    length_ok = (n_toks >= 10) & (n_toks <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+        + diversity * 0.25
+        + alpha_ratio * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: per-language hit ratio via native
+    array_intersect against literal profiles; argmax wins, 'und' when no
+    profile hits.
+    """
+    toks = F.array_distinct(tokens_expr(F.lower(F.col(text_col))))
+    hit_cols = []
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        hit_cols.append(
+            F.struct(
+                (F.size(F.array_intersect(toks, profile)) / F.lit(len(words))).alias(
+                    "ratio"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hit_cols))
+    return df.select(
+        F.col(id_col),
+        F.when(best["ratio"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "detected_lang"
+        ),
+        F.round(best["ratio"], 6).alias("lang_confidence"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-text sha256 + xxhash64 + a
+    whitespace-normalized content hash (rolling-hash analog for shift-
+    robust near-exact matching).
+    """
+    normalized = F.concat_ws(" ", tokens_expr(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+        F.xxhash64(F.col(text_col)).alias("xxh64"),
+        F.sha2(normalized, 256).alias("normalized_sha256"),
+    )

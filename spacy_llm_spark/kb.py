@@ -1,0 +1,252 @@
+"""Broadcast knowledge base — the InMemoryLookupKB analog.
+
+The reference KB (SURVEY.md §1.4) holds two logical tables:
+- entities:  (qid, desc)            tasks/entity_linker/util.py:165-199
+- aliases:   (alias, [qid], [prior]) sorted by prior desc at lookup time
+Candidate retrieval = exact alias lookup -> sort prior desc -> top_n
+(tasks/entity_linker/candidate_selector.py:36-60, default top_n=5).
+
+Spark design: the KB is a *small dimension* — we expose it both as
+(1) DataFrames (for broadcast joins + window top-n, the declarative path)
+and (2) a plain broadcast dict used inside the EL mapInPandas kernel (the
+reference's broadcast-dict lookup, zero shuffle).
+
+Ties in prior are broken by qid ascending so engine and SQL oracle agree.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+UNAVAILABLE_ENTITY_DESC = "This entity doesn't have a description."
+NIL = "NIL"
+
+Candidate = Tuple[str, float, str]  # (qid, prior, desc)
+
+
+@dataclass
+class KnowledgeBase:
+    """entities: qid -> desc; aliases: alias -> [(qid, prior, desc)] sorted."""
+
+    descs: Dict[str, str] = field(default_factory=dict)
+    aliases: Dict[str, List[Tuple[str, float]]] = field(default_factory=dict)
+
+    def add_entity(self, qid: str, desc: str) -> None:
+        self.descs[qid] = desc
+
+    def add_alias(self, alias: str, entities: List[str], probabilities: List[float]):
+        self.aliases[alias] = list(zip(entities, probabilities))
+
+    def get_candidates(self, mention: str, top_n: int = 5) -> List[Candidate]:
+        """Top-n candidates by (prior desc, qid asc); [] if alias unknown."""
+        cands = self.aliases.get(mention)
+        if not cands:
+            return []
+        ranked = sorted(cands, key=lambda c: (-c[1], c[0]))[:top_n]
+        return [
+            (qid, prior, self.descs.get(qid, UNAVAILABLE_ENTITY_DESC))
+            for qid, prior in ranked
+        ]
+
+    # -- DataFrame views (for the declarative broadcast-join path) ---------
+
+    def entities_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(qid, desc) for qid, desc in sorted(self.descs.items())]
+        return spark.createDataFrame(rows, "qid string, desc string")
+
+    def aliases_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (alias, qid, float(prior))
+            for alias, cands in sorted(self.aliases.items())
+            for qid, prior in cands
+        ]
+        return spark.createDataFrame(rows, "alias string, qid string, prior double")
+
+    # -- serde --------------------------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps({"descs": self.descs, "aliases": self.aliases})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "KnowledgeBase":
+        data = json.loads(payload)
+        kb = cls()
+        kb.descs = dict(data["descs"])
+        kb.aliases = {a: [tuple(c) for c in cands] for a, cands in data["aliases"].items()}
+        return kb
+
+
+# ---------------------------------------------------------------------------
+# Loaders (S3/S4 analogs)
+# ---------------------------------------------------------------------------
+
+
+def load_kb_yaml(path: str) -> KnowledgeBase:
+    """KB from the reference's YAML layout (entities/aliases sections,
+    tests/tasks/misc/el_kb_data.yml schema; loader semantics from
+    tasks/entity_linker/util.py:161-199). Uses PyYAML when present, else a
+    minimal parser covering that file's subset.
+    """
+    with open(path) as f:
+        text = f.read()
+    try:
+        import yaml  # type: ignore
+
+        data = yaml.safe_load(text)
+    except ImportError:
+        data = _parse_simple_yaml(text)
+
+    kb = KnowledgeBase()
+    for qid, ent in data.get("entities", {}).items():
+        kb.add_entity(str(qid), str(ent.get("desc", "")))
+    for alias_row in data.get("aliases", []):
+        kb.add_alias(
+            str(alias_row["alias"]),
+            [str(e) for e in alias_row["entities"]],
+            [float(p) for p in alias_row["probabilities"]],
+        )
+    return kb
+
+
+def load_descs_csv(path: str) -> Dict[str, str]:
+    """Semicolon-CSV (qid; desc) -> dict; rejects empty
+    (tasks/entity_linker/util.py:83-102).
+    """
+    import csv
+
+    descs: Dict[str, str] = {}
+    with open(path) as f:
+        for row in csv.reader(f, quoting=csv.QUOTE_ALL, delimiter=";"):
+            if len(row) == 2:
+                descs[row[0]] = row[1]
+    if not descs:
+        raise ValueError(
+            "Format of CSV file with entity descriptions is wrong; expected "
+            "semicolon-delimited rows of (entity ID, description)."
+        )
+    return descs
+
+
+def _parse_simple_yaml(text: str):
+    """Tiny YAML-subset parser for the KB fixture layout only."""
+    import re as _re
+
+    entities: Dict[str, Dict[str, str]] = {}
+    aliases: List[dict] = []
+    section = None
+    current_qid = None
+    current_alias: Optional[dict] = None
+
+    def _unquote(v: str) -> str:
+        v = v.strip()
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
+            return v[1:-1]
+        return v
+
+    def _parse_list(v: str) -> List[str]:
+        inner = v.strip()[1:-1]
+        return [_unquote(x) for x in inner.split(",") if x.strip()]
+
+    for raw in text.splitlines():
+        if not raw.strip() or raw.strip().startswith("#"):
+            continue
+        stripped = raw.strip()
+        if _re.match(r"^entities\s*:", raw):
+            section = "entities"
+            continue
+        if _re.match(r"^aliases\s*:", raw):
+            section = "aliases"
+            continue
+        if section == "entities":
+            m = _re.match(r"^\s{2,}(\S+)\s*:\s*$", raw)
+            if m and not stripped.startswith(("name", "desc")):
+                current_qid = m.group(1)
+                entities[current_qid] = {}
+                continue
+            m = _re.match(r"^\s+(name|desc)\s*:\s*(.+)$", raw)
+            if m and current_qid:
+                entities[current_qid][m.group(1)] = _unquote(m.group(2))
+        elif section == "aliases":
+            if stripped.startswith("- "):
+                current_alias = {}
+                aliases.append(current_alias)
+                stripped = stripped[2:]
+            m = _re.match(r"^(alias|entities|probabilities)\s*:\s*(.+)$", stripped)
+            if m and current_alias is not None:
+                key, value = m.group(1), m.group(2)
+                if key == "alias":
+                    current_alias[key] = _unquote(value)
+                elif key == "entities":
+                    current_alias[key] = _parse_list(value)
+                else:
+                    current_alias[key] = [float(x) for x in _parse_list(value)]
+    return {"entities": entities, "aliases": aliases}
+
+
+# ---------------------------------------------------------------------------
+# The deterministic "code KB" used by the KG pipeline over the test corpus
+# ---------------------------------------------------------------------------
+
+# NER dictionary over the corpus vocabulary: surface -> label. Single-token
+# surfaces only (no substring collisions in the vocab) so the DuckDB oracle
+# can reproduce mention offsets exactly.
+CODE_NER_DICT: Dict[str, str] = {
+    # operators
+    "scan": "OP", "join": "OP", "sort": "OP", "filter": "OP", "merge": "OP",
+    "agg": "OP", "hash": "OP", "group": "OP", "window": "OP",
+    # tables / data objects
+    "customer": "TABLE", "table": "TABLE", "row": "TABLE", "column": "TABLE",
+    "line": "TABLE", "part": "TABLE",
+    # systems / runtime concepts
+    "spark": "SYS", "stream": "SYS", "query": "SYS", "batch": "SYS",
+    "key": "SYS", "value": "SYS", "vector": "SYS",
+}
+
+# Relation rules applied to consecutive entity pairs (label_dep, label_dest).
+CODE_REL_RULES: Dict[Tuple[str, str], str] = {
+    ("OP", "TABLE"): "appliesTo",
+    ("TABLE", "OP"): "feedsInto",
+    ("OP", "OP"): "precedes",
+    ("SYS", "OP"): "executes",
+    ("OP", "SYS"): "emits",
+    ("SYS", "TABLE"): "stores",
+}
+
+
+def build_code_kb() -> KnowledgeBase:
+    """Deterministic KB over the corpus vocabulary.
+
+    Some surfaces deliberately have no alias entry (-> auto-NIL path, F5).
+    Priors are all distinct per alias so top-1 is unambiguous.
+    """
+    kb = KnowledgeBase()
+    spec = {
+        "scan": [("K100", 0.9), ("K101", 0.1)],
+        "join": [("K110", 0.7), ("K111", 0.3)],
+        "sort": [("K120", 0.8), ("K121", 0.2)],
+        "filter": [("K130", 1.0)],
+        "merge": [("K140", 0.6), ("K141", 0.4)],
+        "agg": [("K150", 1.0)],
+        "hash": [("K160", 0.55), ("K161", 0.45)],
+        "window": [("K170", 1.0)],
+        "customer": [("K200", 0.75), ("K201", 0.25)],
+        "table": [("K210", 0.65), ("K211", 0.35)],
+        "column": [("K220", 1.0)],
+        "line": [("K230", 0.9), ("K231", 0.1)],
+        "part": [("K240", 1.0)],
+        "spark": [("K300", 0.95), ("K301", 0.05)],
+        "stream": [("K310", 1.0)],
+        "query": [("K320", 0.85), ("K321", 0.15)],
+        "batch": [("K330", 1.0)],
+        "vector": [("K340", 1.0)],
+        # 'group', 'row', 'key', 'value' intentionally absent -> NIL
+    }
+    for alias, cands in spec.items():
+        kb.add_alias(alias, [q for q, _ in cands], [p for _, p in cands])
+        for qid, _ in cands:
+            kb.add_entity(qid, f"code concept '{alias}' ({qid})")
+    return kb

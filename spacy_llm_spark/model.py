@@ -1,0 +1,156 @@
+"""Executor-local deterministic models (X5 — the NoOp-model analog).
+
+The reference's test stack drives every pipeline through canned models
+(``test.NoOpModel.v1``, tests/conftest.py:43-48; ``spacy.NoOp.v1``,
+models/rest/noop/model.py:10-41). Our engine is local-only by mandate (no
+network), so the same pattern is the *production* model surface: a
+registry of batched callables ``list[str] prompts -> list[str] responses``.
+
+Scale notes:
+- Models are constructed from a JSON-serializable spec and instantiated
+  lazily ONCE PER PYTHON WORKER (module-level cache below), the Spark
+  analog of loading an HF model per executor (models/hf/base.py device
+  logic, X6). The spec — not the model object — is what's closured into
+  the UDF.
+- Calls are batch-at-a-time over whole Arrow batches (R3): no per-row
+  dispatch.
+- A real REST/HF model would plug in here with the same contract; retry
+  with exponential backoff belongs inside the callable (X2); we keep a
+  hook for it but local models never fail.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Dict, List, Sequence, Tuple
+
+from .templates import extract_doc_from_prompt
+from .tokenizer import tokenize
+
+BatchModel = Callable[[Sequence[str]], List[str]]
+
+_MODEL_CACHE: Dict[str, BatchModel] = {}
+
+
+def resolve_model(spec: dict) -> BatchModel:
+    """Executor-side: build (or reuse) the model for a spec. The cache key
+    is the spec JSON, so one model instance serves every Arrow batch a
+    Python worker processes (executor-local singleton).
+    """
+    key = json.dumps(spec, sort_keys=True)
+    model = _MODEL_CACHE.get(key)
+    if model is None:
+        model = _build_model(spec)
+        _MODEL_CACHE[key] = model
+    return model
+
+
+def _build_model(spec: dict) -> BatchModel:
+    name = spec.get("name")
+    if name == "noop":
+        return make_noop_model(spec.get("output", ""))
+    if name == "dict_ner":
+        return make_dict_ner_model(spec["dictionary"])
+    if name == "rule_rel":
+        rules = {tuple(k.split("|")): v for k, v in spec["rules"].items()}
+        return make_rule_rel_model(rules)
+    if name == "top_candidate_el":
+        return make_top_candidate_el_model()
+    raise ValueError(f"Unknown model spec: {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# Model implementations
+# ---------------------------------------------------------------------------
+
+
+def make_noop_model(output: str) -> BatchModel:
+    """Fixed response for every prompt (test.NoOpModel.v1 analog)."""
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        return [output for _ in prompts]
+
+    return call
+
+
+def make_dict_ner_model(dictionary: Dict[str, str]) -> BatchModel:
+    """Deterministic NER 'LLM': emits a CoT line (P3 grammar) for every
+    token of the fenced document that exactly matches a dictionary surface,
+    in text order. Case-insensitive on the token side, like an LLM echoing
+    the surface as written.
+    """
+    lowered = {k.lower(): v for k, v in dictionary.items()}
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        responses = []
+        for prompt in prompts:
+            text = extract_doc_from_prompt(prompt)
+            lines = []
+            n = 0
+            for start, end in tokenize(text):
+                token = text[start:end]
+                label = lowered.get(token.lower())
+                if label is not None:
+                    n += 1
+                    lines.append(f"{n}. {token} | True | {label} | matches dictionary")
+            responses.append("\n".join(lines))
+        return responses
+
+    return call
+
+
+_ENT_MARKER_RE = re.compile(r"\[ENT(\d+):([^\]]+)\]")
+
+
+def make_rule_rel_model(rules: Dict[Tuple[str, str], str]) -> BatchModel:
+    """Deterministic REL 'LLM': reads [ENTi:LABEL] markers from the
+    pre-annotated fenced text (M3) and emits one JSON line (P5 grammar) for
+    each *consecutive* entity pair whose (label_i, label_{i+1}) has a rule.
+    """
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        responses = []
+        for prompt in prompts:
+            text = extract_doc_from_prompt(prompt)
+            ents = [(int(m.group(1)), m.group(2)) for m in _ENT_MARKER_RE.finditer(text)]
+            lines = []
+            for (i, label_a), (j, label_b) in zip(ents, ents[1:]):
+                relation = rules.get((label_a, label_b))
+                if relation is not None:
+                    lines.append(
+                        json.dumps({"dep": i, "dest": j, "relation": relation})
+                    )
+            responses.append("\n".join(lines))
+        return responses
+
+    return call
+
+
+_EL_BLOCK_RE = re.compile(r"- For \*(.*?)\*:\n((?:    .*\n?)*)")
+_EL_CAND_RE = re.compile(r"^    (\S+)\. ", re.MULTILINE)
+
+
+def make_top_candidate_el_model() -> BatchModel:
+    """Deterministic EL 'LLM': for each mention's candidate block in the
+    prompt, answers with the first listed candidate (blocks are rendered in
+    prior-desc order, so first = highest prior — matching the reference's
+    ranking, candidate_selector.py:44-55).
+    """
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        responses = []
+        for prompt in prompts:
+            # Only the final Candidates: section (after the last fence) is
+            # the real query; examples precede it.
+            tail = prompt[prompt.rfind("Candidates:") :]
+            lines = []
+            for m in _EL_BLOCK_RE.finditer(tail):
+                mention, block = m.group(1), m.group(2)
+                cands = _EL_CAND_RE.findall(block)
+                qid = cands[0] if cands else "NIL"
+                lines.append(f"*{mention}* ::: <{qid}>")
+            responses.append("\n".join(lines))
+        return responses
+
+    return call

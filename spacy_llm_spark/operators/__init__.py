@@ -1,0 +1,13 @@
+from . import (  # noqa: F401
+    canonicalize,
+    checkpoint,
+    dedup,
+    el,
+    materialize,
+    ner,
+    rel,
+    scoring,
+    sharding,
+    similarity,
+    skew,
+)

@@ -1,0 +1,140 @@
+"""Canonicalization: surface-form clustering via connected components.
+
+north_rule: "canonicalization via salted groupBy + connected-components
+over surface-form clusters before materializing (subj, pred, obj) edge and
+vertex tables".
+
+Graph model: nodes are entity keys — KB ids (``K...``/``Q...``) and
+surface nodes (``surface:<normalized form>``). For every linked mention we
+add an undirected edge (surface_node, kb_node); surfaces that ever link to
+the same KB entity end up in one component, and the component's canonical
+id is its lexicographically smallest KB id (or smallest surface node for
+all-NIL clusters).
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14) expressed as DataFrame
+self-joins with a fixpoint check; ``localCheckpoint`` each iteration cuts
+the lineage (the only genuinely iterative algorithm in the engine,
+SURVEY.md §4). Converges in O(log^2 n) rounds; our label-propagation
+variant below converges in O(diameter) rounds which is tiny for
+surface/KB bipartite graphs (diameter <= 2 * chain length).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kb import NIL
+
+
+def surface_kb_edges(links: DataFrame) -> DataFrame:
+    """Distinct (surface_node, kb_node) edges from the links table."""
+    linked = links.where((F.col("kb_id").isNotNull()) & (F.col("kb_id") != NIL))
+    return (
+        linked.select(
+            F.concat(F.lit("surface:"), F.lower(F.trim(F.col("surface")))).alias("src"),
+            F.col("kb_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+) -> DataFrame:
+    """(node, component) for every node in the undirected edge set.
+
+    Label propagation on the symmetrized edge list: every node repeatedly
+    adopts the min label in its closed neighborhood until no label changes.
+    Each iteration is one shuffle (groupBy node); lineage is cut with
+    localCheckpoint so plans don't grow across iterations.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Adjacency is reused every iteration — cache it once.
+    adj = sym.distinct().localCheckpoint()
+
+    labels = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    ).localCheckpoint()
+
+    for i in range(max_iter):
+        # candidate label for each node = min(own, min over neighbors)
+        neighbor_labels = (
+            adj.join(labels, adj["dst"] == labels["node"], "inner")
+            .select(adj["src"].alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels
+
+
+def canonical_vertices(links: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, component, is_kb) vertex table over all entity keys seen in
+    links — including never-linked (all-NIL) surfaces, which become their
+    own singleton components.
+    """
+    edges = surface_kb_edges(links)
+    comps = connected_components(edges, max_iter=max_iter)
+
+    all_nodes = (
+        links.select(
+            F.when(
+                (F.col("kb_id").isNotNull()) & (F.col("kb_id") != NIL), F.col("kb_id")
+            )
+            .otherwise(F.concat(F.lit("surface:"), F.lower(F.trim(F.col("surface")))))
+            .alias("node")
+        )
+        .union(edges.select(F.col("src").alias("node")))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(comps, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", "node").alias("component"),
+            (~F.col("node").startswith("surface:")).alias("is_kb"),
+        )
+    )
+
+
+def canonical_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Rewrite triple endpoints onto canonical component ids.
+
+    The vertex map is component-count sized (small relative to the triple
+    table) — broadcast both joins so the big side never shuffles.
+    """
+    vmap = F.broadcast(vertices.select("node", "component"))
+    return (
+        edges.join(vmap.withColumnRenamed("node", "subj"), "subj", "left")
+        .withColumnRenamed("component", "subj_canonical")
+        .join(vmap.withColumnRenamed("node", "obj"), "obj", "left")
+        .withColumnRenamed("component", "obj_canonical")
+        .select(
+            F.coalesce("subj_canonical", "subj").alias("subj"),
+            F.col("pred"),
+            F.coalesce("obj_canonical", "obj").alias("obj"),
+            *[c for c in edges.columns if c not in ("subj", "pred", "obj")],
+        )
+    )

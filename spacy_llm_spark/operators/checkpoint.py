@@ -1,0 +1,153 @@
+"""Per-stage checkpointing + anti-join resume (S6/S7/F1 — the BatchCache).
+
+The reference's BatchCache (spacy_llm/cache.py:25-269) is a
+content-addressed doc store probed before every model call
+(pipeline/llm.py:217-224). Spark translation:
+
+- checkpoint table = parquet (Iceberg-layout compatible) keyed by
+  ``content_sha256`` — the commutative token-hash doc id of cache.py:158-164
+  becomes the sha256 parity column mandated by BASELINE.json.
+- probe       = LEFT ANTI join (rows still to process)
+- reuse       = the checkpoint table itself (already typed results)
+- template guard (cache.py:96-122) = a config-hash stamped into the
+  checkpoint directory; mismatch on resume raises, like the reference.
+- stats (cache.py:59-67) = hit/miss counts logged to the metrics table.
+
+Idempotency at scale: each run appends only keys absent from the
+checkpoint, so re-running after a mid-job kill never duplicates triples;
+the anti-join is the exactly-once gate (at-least-once file append +
+key-level dedup on read).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageMetrics:
+    stage: str
+    rows_in: int
+    cache_hits: int
+    rows_processed: int
+    rows_out: int
+    wall_secs: float
+
+
+@dataclass
+class CheckpointManager:
+    base_path: str
+    key_col: str = "content_sha256"
+    metrics: List[StageMetrics] = field(default_factory=list)
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base_path, stage)
+
+    def _guard_path(self, stage: str) -> str:
+        return os.path.join(self.base_path, f"{stage}.config.json")
+
+    def _check_guard(self, stage: str, config_fingerprint: Optional[str]) -> None:
+        """Prompt-template guard analog (cache.py:96-122): refuse to resume
+        a checkpoint produced under a different stage config."""
+        if config_fingerprint is None:
+            return
+        path = self._guard_path(stage)
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)["fingerprint"]
+            if stored != config_fingerprint:
+                raise ValueError(
+                    f"Checkpoint for stage '{stage}' was written with a "
+                    f"different configuration (stored {stored[:12]}..., "
+                    f"current {config_fingerprint[:12]}...). Clear "
+                    f"{self._stage_dir(stage)} to reprocess."
+                )
+        else:
+            os.makedirs(self.base_path, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"fingerprint": config_fingerprint}, f)
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        input_df: DataFrame,
+        fn: Callable[[DataFrame], DataFrame],
+        config: Optional[dict] = None,
+    ) -> DataFrame:
+        """Resume-or-run: anti-join input against the stage checkpoint,
+        process only the misses, append, and return the full result set.
+        """
+        t0 = time.time()
+        path = self._stage_dir(stage)
+        fingerprint = (
+            hashlib.sha256(
+                json.dumps(config, sort_keys=True).encode()
+            ).hexdigest()
+            if config is not None
+            else None
+        )
+        self._check_guard(stage, fingerprint)
+
+        rows_in = input_df.count()
+        existing: Optional[DataFrame] = None
+        if _parquet_exists(path):
+            existing = spark.read.parquet(path)
+
+        if existing is not None:
+            todo = input_df.join(
+                existing.select(self.key_col), on=self.key_col, how="left_anti"
+            )
+        else:
+            todo = input_df
+
+        rows_todo = todo.count()
+        if rows_todo > 0:
+            result_new = fn(todo)
+            result_new.write.mode("append").parquet(path)
+
+        out = spark.read.parquet(path)
+        # key-level dedup guards against a retried append (exactly-once read)
+        out = out.dropDuplicates([self.key_col])
+        rows_out = out.count()
+        self.metrics.append(
+            StageMetrics(
+                stage=stage,
+                rows_in=rows_in,
+                cache_hits=rows_in - rows_todo,
+                rows_processed=rows_todo,
+                rows_out=rows_out,
+                wall_secs=time.time() - t0,
+            )
+        )
+        return out
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (m.stage, m.rows_in, m.cache_hits, m.rows_processed, m.rows_out, m.wall_secs)
+            for m in self.metrics
+        ]
+        return spark.createDataFrame(
+            rows,
+            "stage string, rows_in long, cache_hits long, rows_processed long, "
+            "rows_out long, wall_secs double",
+        )
+
+    def write_metrics(self, spark: SparkSession) -> None:
+        self.metrics_df(spark).write.mode("append").parquet(
+            os.path.join(self.base_path, "_metrics")
+        )
+
+
+def _parquet_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        name.endswith(".parquet") or name == "_SUCCESS" for name in os.listdir(path)
+    )

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its cache dedups work, not data); these are
+the first-class scale operators the task brief requires:
+
+- exact_dedup            hash-groupBy on sha256(text)
+- minhash_lsh_dup_pairs  shingle -> minhash -> band -> bucket join
+- simhash                64-bit similarity fingerprint (native exprs + agg)
+- ngram_jaccard_vs       token-set Jaccard (native array ops)
+- embedding_dup_pairs    cosine near-dup via LSH bucketing
+
+Scale notes: every pairwise method avoids the O(n^2) cross join by
+bucketing (LSH bands / simhash prefixes); candidate pairs are verified
+with an exact measure only within buckets. Signatures are computed in
+vectorized numpy inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per exact text hash. One shuffle on
+    the 64-hex digest (uniform keys — no skew by construction).
+    """
+    return (
+        df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(hash, ids, n_copies) for texts occurring more than once."""
+    return (
+        df.withColumn("text_sha", F.sha2(F.col(text_col), 256))
+        .groupBy("text_sha")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash over k-token shingles, vectorized
+    numpy per Arrow batch (narrow; no shuffle).
+    """
+    a, b = _minhash_params(n_hashes, seed)
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                toks = (text or "").split()
+                shingles = {
+                    hash(" ".join(toks[i : i + shingle_k]))
+                    for i in range(max(0, len(toks) - shingle_k + 1))
+                } or {0}
+                hv = np.fromiter(shingles, dtype=np.int64) % _MERSENNE
+                # (a * x + b) mod p for all hash fns x shingles
+                m = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+                sigs.append(m.min(axis=1).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def minhash_lsh_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature
+    Jaccard estimate >= threshold. Shuffles only on band buckets.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        shingle_k=shingle_k, seed=seed,
+    )
+
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / F.lit(n_hashes)
+    ).alias("jaccard_est")
+    return pairs.select("id_a", "id_b", est).where(F.col("jaccard_est") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash from token xxhash64s — entirely native expressions:
+    explode tokens, per-bit majority vote via two-phase agg (skew-free:
+    doc_id keys are uniform).
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    voted = hashed.groupBy(id_col).agg(*bit_votes)
+    sim_expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim_expr = bit if sim_expr is None else sim_expr.bitwiseOR(bit)
+    return voted.select(id_col, sim_expr.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (token sets, native array ops)
+# ---------------------------------------------------------------------------
+
+
+def token_set(col):
+    return F.array_distinct(F.filter(F.split(col, r"\s+"), lambda t: F.length(t) > 0))
+
+
+def jaccard_vs_probe(
+    df: DataFrame, probe_text: str, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-set Jaccard of every doc against a fixed probe text — linear,
+    fully native (array_intersect / array_union).
+    """
+    probe = F.array_distinct(F.split(F.lit(probe_text), r"\s+"))
+    inter = F.size(F.array_intersect(token_set(F.col(text_col)), probe))
+    union = F.size(F.array_union(token_set(F.col(text_col)), probe))
+    return df.select(
+        F.col(id_col),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate vector pairs: random-hyperplane LSH bucket join, then
+    exact cosine verification inside buckets only.
+    """
+    from .similarity import cosine_expr, hyperplane_signature
+
+    sigs = hyperplane_signature(df, vec_col=vec_col, n_planes=n_planes, seed=seed)
+    left = sigs.alias("l")
+    right = sigs.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.lsh_sig") == F.col("r.lsh_sig"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)

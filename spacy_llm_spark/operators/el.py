@@ -1,0 +1,150 @@
+"""EntityLinker stage.
+
+Narrow ``mapInPandas`` over rows carrying ``ents``:
+
+    candidate lookup against broadcast KB (J3) -> top-n by prior (A4/O1)
+    -> auto-NIL pruning (F5) -> highlight mentions (M4) -> render EL prompt
+    -> batched model -> '::: <QID>' parse (P6) -> positional re-attach with
+    consistency guard (J7/F9) -> kb_ids array column
+
+The KB rides into the kernel as a JSON broadcast (the reference broadcasts
+InMemoryLookupKB into its process; here sc.broadcast ships it once per
+executor — never a shuffle of the corpus against the KB, R13).
+
+Highlight semantics from tasks/entity_linker/task.py:252-324: wrap each
+included mention in ``*...*``; pinned by test_entity_linker.py:671-720
+("Alice goes to *Boston* to see the *Boston Celtics* game.").
+
+Auto-NIL semantics (task.py:113-135): a mention whose candidate set is
+empty/{NIL} is excluded from the prompt and force-assigned NIL. If the
+parsed solution count doesn't match the prompt mention count, the doc's
+links are all NIL (task.py:211-236).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from ..functions.parsing import attach_el_solutions, parse_el_solutions
+from ..kb import NIL, UNAVAILABLE_ENTITY_DESC, KnowledgeBase
+from ..model import resolve_model
+from ..templates import render_el_prompt
+
+LINKS_TYPE = ArrayType(StringType())
+
+
+def highlight_ents(text: str, spans: List[Tuple[int, int]], include: List[bool]) -> str:
+    """Wrap included spans in *...* (M4). Spans must be non-overlapping and
+    sorted by start.
+    """
+    out = []
+    cursor = 0
+    for (start, end), inc in zip(spans, include):
+        if not inc:
+            continue
+        out.append(text[cursor:start])
+        out.append(f"*{text[start:end]}*")
+        cursor = end
+    out.append(text[cursor:])
+    return "".join(out)
+
+
+def unhighlight(text: str) -> str:
+    """Inverse of highlight for round-trip checks (task.py:326-383)."""
+    return text.replace("*", "")
+
+
+def link_entities(
+    df: DataFrame,
+    *,
+    kb: KnowledgeBase,
+    model_spec: dict,
+    top_n: int = 5,
+    auto_nil: bool = True,
+    text_col: str = "content",
+    ents_col: str = "ents",
+    examples: list | None = None,
+    out_col: str = "kb_ids",
+) -> DataFrame:
+    """Append ``kb_ids``: one KB id (or NIL) per entry of ``ents``."""
+    spark = df.sparkSession
+    kb_bc = spark.sparkContext.broadcast(kb.to_json())
+    out_schema = StructType(df.schema.fields + [StructField(out_col, LINKS_TYPE)])
+    examples = examples or []
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = resolve_model(model_spec)
+        local_kb = KnowledgeBase.from_json(kb_bc.value)
+        for pdf in batches:
+            prompts = []
+            doc_meta = []  # (in_prompt flags per ent, n_ents)
+            for text, ents in zip(pdf[text_col], pdf[ents_col]):
+                text = text or ""
+                spans = [(e["start"], e["end"]) for e in ents]
+                surfaces = [e["surface"] for e in ents]
+                cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
+                # F5: in-prompt iff candidates exist (or auto_nil disabled)
+                in_prompt = [bool(c) or not auto_nil for c in cands]
+                mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
+                cand_blocks = [
+                    [(qid, desc) for qid, _, desc in c]
+                    if c
+                    else [(NIL, UNAVAILABLE_ENTITY_DESC)]
+                    for c, ip in zip(cands, in_prompt)
+                    if ip
+                ]
+                highlighted = highlight_ents(text, spans, in_prompt)
+                prompts.append(
+                    render_el_prompt(highlighted, mentions, cand_blocks, examples)
+                )
+                doc_meta.append(in_prompt)
+            responses = model(prompts)
+            links_col = []
+            for response, in_prompt in zip(responses, doc_meta):
+                solutions = parse_el_solutions(response)
+                attached = attach_el_solutions(in_prompt, solutions)
+                if attached is None:  # F9: inconsistent -> all NIL
+                    attached = [NIL] * len(in_prompt)
+                links_col.append(attached)
+            out = pdf.copy()
+            out[out_col] = links_col
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Declarative candidate generation (the broadcast-join + window-top-n path)
+# ---------------------------------------------------------------------------
+
+
+def candidates_df(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    *,
+    key_cols: tuple = ("doc_id", "ent_idx"),
+    surface_col: str = "surface",
+    top_n: int = 5,
+) -> DataFrame:
+    """J3 + A4 as pure DataFrame ops: broadcast-join mentions to the alias
+    table on exact surface form, rank by (prior desc, qid asc), keep top-n.
+
+    Use this when the KB is too large to broadcast as a dict; Catalyst
+    turns it into a broadcast hash join (no shuffle of the mention side).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("prior"), F.asc("qid"))
+    joined = mentions.join(
+        F.broadcast(aliases), mentions[surface_col] == aliases["alias"], "left"
+    )
+    return (
+        joined.withColumn("cand_rank", F.row_number().over(w))
+        .where((F.col("cand_rank") <= top_n) | F.col("qid").isNull())
+        .drop("alias")
+    )

@@ -1,0 +1,102 @@
+"""Materialize annotated docs into the KG output tables.
+
+All pure native-expression projections/explodes (whole-stage codegen, no
+Python): the annotation arrays produced by the ner/rel/el stages become the
+``mentions``, ``relations``, ``links``, and ``edges`` tables. The
+``content_sha256`` parity column rides through every table (BASELINE.json
+per-row invariant).
+
+Triple semantics: an edge is (subj, pred, obj) where subj/obj are the KB
+ids of the dep/dest mentions when linked, else the normalized surface form
+prefixed ``surface:`` — canonicalization (operators/canonicalize.py) later
+collapses surface nodes onto KB nodes via connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kb import NIL
+
+
+def mentions_table(df: DataFrame, id_cols=("doc_id", "content_sha256")) -> DataFrame:
+    """Explode ents -> (ids..., ent_idx, start, end, label, surface)."""
+    return df.select(
+        *id_cols, F.posexplode("ents").alias("ent_idx", "ent")
+    ).select(
+        *id_cols,
+        "ent_idx",
+        F.col("ent.start").alias("start"),
+        F.col("ent.end").alias("end"),
+        F.col("ent.label").alias("label"),
+        F.col("ent.surface").alias("surface"),
+    )
+
+
+def relations_table(df: DataFrame, id_cols=("doc_id", "content_sha256")) -> DataFrame:
+    """Explode rels -> (ids..., rel_idx, dep, dest, relation)."""
+    return df.select(
+        *id_cols, F.posexplode("rels").alias("rel_idx", "rel")
+    ).select(
+        *id_cols,
+        "rel_idx",
+        F.col("rel.dep").alias("dep"),
+        F.col("rel.dest").alias("dest"),
+        F.col("rel.relation").alias("relation"),
+    )
+
+
+def links_table(df: DataFrame, id_cols=("doc_id", "content_sha256")) -> DataFrame:
+    """Explode ents zip kb_ids -> (ids..., ent_idx, surface, label, kb_id)."""
+    zipped = df.select(
+        *id_cols,
+        F.posexplode(F.arrays_zip("ents", "kb_ids")).alias("ent_idx", "z"),
+    )
+    return zipped.select(
+        *id_cols,
+        "ent_idx",
+        F.col("z.ents.start").alias("start"),
+        F.col("z.ents.end").alias("end"),
+        F.col("z.ents.label").alias("label"),
+        F.col("z.ents.surface").alias("surface"),
+        F.col("z.kb_ids").alias("kb_id"),
+    )
+
+
+def _node_expr(ent_col: str, kb_col: str):
+    """KB id when linked, else normalized surface node."""
+    return F.when(
+        (F.col(kb_col).isNotNull()) & (F.col(kb_col) != NIL), F.col(kb_col)
+    ).otherwise(F.concat(F.lit("surface:"), F.lower(F.trim(F.col(ent_col)))))
+
+
+def edges_table(df: DataFrame, id_cols=("doc_id", "content_sha256")) -> DataFrame:
+    """(subj, pred, obj) triples: resolve rel indices into the ents/kb_ids
+    arrays with element_at — a pure projection, no join, no shuffle.
+    """
+    exploded = df.select(
+        *id_cols,
+        F.col("ents"),
+        F.col("kb_ids"),
+        F.posexplode("rels").alias("rel_idx", "rel"),
+    ).select(
+        *id_cols,
+        "rel_idx",
+        F.col("rel.relation").alias("pred"),
+        F.element_at("ents", F.col("rel.dep") + 1).alias("dep_ent"),
+        F.element_at("kb_ids", F.col("rel.dep") + 1).alias("dep_kb"),
+        F.element_at("ents", F.col("rel.dest") + 1).alias("dest_ent"),
+        F.element_at("kb_ids", F.col("rel.dest") + 1).alias("dest_kb"),
+    )
+    return exploded.select(
+        *id_cols,
+        "rel_idx",
+        _node_expr("dep_ent.surface", "dep_kb").alias("subj"),
+        F.col("pred"),
+        _node_expr("dest_ent.surface", "dest_kb").alias("obj"),
+        F.col("dep_ent.surface").alias("subj_surface"),
+        F.col("dest_ent.surface").alias("obj_surface"),
+        F.col("dep_ent.label").alias("subj_label"),
+        F.col("dest_ent.label").alias("obj_label"),
+    )

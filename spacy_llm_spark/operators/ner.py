@@ -1,0 +1,140 @@
+"""NER mention-detection stage (SURVEY.md §3.1 translated to Spark).
+
+One narrow ``mapInPandas`` transformation fusing the reference's
+generate_prompts -> model -> parse_responses trio (pipeline/llm.py:209-319)
+per Arrow batch:
+
+    corpus row -> [shard] -> render prompt -> batched model call
+               -> CoT parse (P3) -> align (P4) -> shard reduce (A1/H3)
+               -> filter_spans (O4) -> ents array column
+
+Scale properties:
+- Narrow: no shuffle anywhere in the stage; partitioning of the corpus is
+  preserved, so a 1000-executor scan stays embarrassingly parallel.
+- Batched: the model is called once per Arrow batch with every shard
+  prompt in it (reference batches 128 docs/request, R3); the model object
+  is an executor-local singleton resolved from a JSON spec (X6 pattern).
+- Columnar in/out: only ``text_col`` is read by the kernel; Catalyst prunes
+  everything else at the parquet scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
+from ..functions.parsing import extract_span_reasons_cot, find_spans_cot
+from ..model import resolve_model
+from ..templates import render_ner_prompt
+from ..tokenizer import filter_spans
+from .sharding import make_shards, merge_shard_spans
+
+ENT_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("label", StringType()),
+            StructField("surface", StringType()),
+        ]
+    )
+)
+
+
+def extract_mentions(
+    df: DataFrame,
+    *,
+    model_spec: dict,
+    labels,
+    text_col: str = "content",
+    normalizer: str = "lowercase",
+    alignment_mode: str = "contract",
+    case_sensitive_matching: bool = False,
+    allow_overlap: bool = False,
+    context_length: Optional[int] = None,
+    definitions: Optional[dict] = None,
+    examples: Optional[list] = None,
+    out_col: str = "ents",
+) -> DataFrame:
+    """Append an ``ents`` column of aligned, de-overlapped entity spans."""
+    label_list = split_labels(labels)
+    norm = NORMALIZERS[normalizer]
+    label_dict = build_label_dict(label_list, norm)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, ENT_TYPE)])
+    examples = examples or []
+    definitions = definitions or {}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = resolve_model(model_spec)
+
+        def render(shard_text: str, i_shard: int, n_shards: int) -> str:
+            return render_ner_prompt(shard_text, label_list, definitions, examples)
+
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            # 1. shard fan-out (local; H2) and prompt render (M1)
+            doc_shards = []  # per doc: list[(offset, shard_text)]
+            prompts = []
+            for text in texts:
+                text = text or ""
+                if context_length is not None:
+                    shards = make_shards(text, context_length, render)
+                else:
+                    shards = [(0, text)]
+                doc_shards.append(shards)
+                prompts.extend(
+                    render(s, i, len(shards)) for i, (_, s) in enumerate(shards)
+                )
+            # 2. one batched model call per Arrow batch (X1/R3)
+            responses = model(prompts)
+            # 3. parse + align per shard, reduce per doc (P3/P4/A1), O4
+            ents_col = []
+            r = 0
+            for shards in doc_shards:
+                shard_results = []
+                for offset, shard_text in shards:
+                    reasons = extract_span_reasons_cot(
+                        responses[r], label_dict, norm
+                    )
+                    spans = find_spans_cot(
+                        shard_text,
+                        reasons,
+                        case_sensitive=case_sensitive_matching,
+                        alignment_mode=alignment_mode,
+                        allow_overlap=allow_overlap,
+                    )
+                    shard_results.append((offset, spans))
+                    r += 1
+                merged = merge_shard_spans(shard_results)
+                if not allow_overlap:
+                    merged = filter_spans(merged)
+                else:
+                    merged = sorted(set(merged))
+                text = texts[len(ents_col)] or ""
+                ents_col.append(
+                    [
+                        {
+                            "start": s,
+                            "end": e,
+                            "label": label,
+                            "surface": text[s:e],
+                        }
+                        for s, e, label in merged
+                    ]
+                )
+            out = pdf.copy()
+            out[out_col] = ents_col
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,110 @@
+"""REL relation-extraction stage.
+
+Narrow ``mapInPandas`` over rows that already carry an ``ents`` column:
+
+    preannotate (M3, char splice) -> render REL prompt -> batched model
+    -> JSON-line parse + bounds filter (P5/F3) -> rels array column
+
+Pre-annotation semantics from spacy_llm/tasks/rel/task.py:74-136: insert
+``[ENT{i}:{label}]`` immediately after each entity. The reference rebuilds
+spaCy token/space arrays; we splice by character offsets, which produces
+the same annotated text (pinned by tests/tasks/test_rel.py:273-291 —
+"Well[ENT0:A] hello[ENT1:B] there[ENT2:C]").
+
+Sharding note: prompts here cover whole docs; REL over a doc too large for
+the model context should be sharded *upstream* by splitting the corpus
+row, because relation indices are per-shard-local (H4 discussion in
+SURVEY.md). The KG pipeline guarantees doc-sized prompts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.parsing import parse_rel_response
+from ..model import resolve_model
+from ..templates import render_rel_prompt
+
+REL_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("dep", IntegerType()),
+            StructField("dest", IntegerType()),
+            StructField("relation", StringType()),
+        ]
+    )
+)
+
+
+def preannotate(text: str, ents: List[Tuple[int, int, str]]) -> str:
+    """Insert [ENT{i}:{label}] directly after each entity span (M3)."""
+    out = []
+    cursor = 0
+    for i, (start, end, label) in enumerate(ents):
+        out.append(text[cursor:end])
+        out.append(f"[ENT{i}:{label}]")
+        cursor = end
+    out.append(text[cursor:])
+    return "".join(out)
+
+
+def extract_relations(
+    df: DataFrame,
+    *,
+    model_spec: dict,
+    labels,
+    text_col: str = "content",
+    ents_col: str = "ents",
+    definitions: Optional[dict] = None,
+    examples: Optional[list] = None,
+    out_col: str = "rels",
+) -> DataFrame:
+    """Append a ``rels`` column of (dep, dest, relation) items whose indices
+    reference the ``ents`` array (bounds-checked, F3).
+    """
+    from ..functions.normalizers import split_labels
+
+    label_list = split_labels(labels)
+    out_schema = StructType(df.schema.fields + [StructField(out_col, REL_TYPE)])
+    examples = examples or []
+    definitions = definitions or {}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = resolve_model(model_spec)
+        for pdf in batches:
+            prompts = []
+            n_ents_per_doc = []
+            for text, ents in zip(pdf[text_col], pdf[ents_col]):
+                ent_tuples = [(e["start"], e["end"], e["label"]) for e in ents]
+                n_ents_per_doc.append(len(ent_tuples))
+                prompts.append(
+                    render_rel_prompt(
+                        preannotate(text or "", ent_tuples),
+                        label_list,
+                        definitions,
+                        examples,
+                    )
+                )
+            responses = model(prompts)
+            rels_col = [
+                [
+                    {"dep": dep, "dest": dest, "relation": relation}
+                    for dep, dest, relation in parse_rel_response(resp, n_ents)
+                ]
+                for resp, n_ents in zip(responses, n_ents_per_doc)
+            ]
+            out = pdf.copy()
+            out[out_col] = rels_col
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,66 @@
+"""Evaluation operators (A8/A9/A10) as two-phase Spark aggregations.
+
+NER P/R/F semantics pinned by tests/tasks/test_ner.py:697-718: a predicted
+mention is correct iff (doc, start, end, label) matches a gold mention;
+P = tp / n_pred, R = tp / n_gold, F = 2PR/(P+R) (0 where undefined).
+
+EL accuracy (A9): correct iff (doc, ent_idx, kb_id) matches, restricted to
+gold non-NIL links (Scorer.score_links negative_labels=[NIL] semantics,
+tasks/entity_linker/util.py:75-80).
+
+Everything is a join + count — Spark's partial aggregation does the
+map-side combine; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kb import NIL
+
+
+def prf(tp: int, n_pred: int, n_gold: int) -> Tuple[float, float, float]:
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
+    f = 2 * p * r / (p + r) if (p + r) else 0.0
+    return p, r, f
+
+
+def score_mentions(
+    predicted: DataFrame,
+    gold: DataFrame,
+    keys: Sequence[str] = ("doc_id", "start", "end", "label"),
+) -> Tuple[float, float, float]:
+    """NER P/R/F via inner join on the mention identity."""
+    tp = predicted.select(*keys).distinct().join(
+        gold.select(*keys).distinct(), on=list(keys), how="inner"
+    ).count()
+    return prf(tp, predicted.select(*keys).distinct().count(), gold.select(*keys).distinct().count())
+
+
+def score_links(
+    predicted: DataFrame,
+    gold: DataFrame,
+    keys: Sequence[str] = ("doc_id", "ent_idx"),
+    kb_col: str = "kb_id",
+) -> Tuple[float, float, float]:
+    """EL P/R/F over non-NIL predictions/gold (negative label = NIL)."""
+    pred_pos = predicted.where(F.col(kb_col) != NIL).select(*keys, kb_col).distinct()
+    gold_pos = gold.where(F.col(kb_col) != NIL).select(*keys, kb_col).distinct()
+    tp = pred_pos.join(gold_pos, on=[*keys, kb_col], how="inner").count()
+    return prf(tp, pred_pos.count(), gold_pos.count())
+
+
+def score_triples(
+    predicted: DataFrame,
+    gold: DataFrame,
+    keys: Sequence[str] = ("doc_id", "subj", "pred", "obj"),
+) -> Tuple[float, float, float]:
+    """Triple-level P/R/F — the BASELINE.json >=0.95 parity metric."""
+    p = predicted.select(*keys).distinct()
+    g = gold.select(*keys).distinct()
+    tp = p.join(g, on=list(keys), how="inner").count()
+    return prf(tp, p.count(), g.count())

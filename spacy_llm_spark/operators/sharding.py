@@ -1,0 +1,98 @@
+"""Context-length sharding (H1/H2/H3) — the reference's "spill" mechanism.
+
+Re-derives the greedy binary-search splitter of
+spacy_llm/tasks/util/sharding.py:22-103: render the full prompt; if the
+whitespace-token estimate (H1, sharding.py:9-19) times ``buffer_frac``
+exceeds the context length, split the doc and retry — the first shard
+starts at 50% of the doc, every subsequent shard starts at 100% of the
+remainder, halving on each failure. A 1-token shard that still doesn't fit
+raises (same edge-case contract as the reference).
+
+Differences by design: the reference slices spaCy token arrays; we slice on
+whitespace-token boundaries and keep each shard's character offset in the
+original text, so downstream span offsets are shifted, never re-tokenized.
+
+This is a pure-Python kernel used *inside* the stage mapInPandas functions:
+a doc explodes into shards and is reduced back within the same Arrow batch
+(no explode/groupBy shuffle — shard fan-out is strictly local, which is the
+idiomatic-Spark replacement for the reference's generator plumbing).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, List, Tuple
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def estimate_n_tokens(value: str) -> int:
+    """H1: whitespace token count (spacy.NTokenEstimator.v1)."""
+    return len(value.split())
+
+
+def make_shards(
+    text: str,
+    context_length: int,
+    render: Callable[[str, int, int], str],
+    buffer_frac: float = 1.1,
+) -> List[Tuple[int, str]]:
+    """Split ``text`` into [(char_offset, shard_text)] such that each
+    rendered prompt fits ``context_length`` (with ``buffer_frac`` headroom).
+
+    ``render(shard_text, i_shard, n_shards) -> prompt``.
+    """
+    prompt = render(text, 0, 1)
+    if estimate_n_tokens(prompt) * buffer_frac <= context_length:
+        return [(0, text)]
+
+    token_spans = [m.span() for m in _WS_TOKEN_RE.finditer(text)]
+    if not token_spans:
+        return [(0, text)]
+
+    shards: List[Tuple[int, str]] = []
+    start_tok = 0
+    fraction = 0.5
+    n_tokens = len(token_spans)
+
+    while start_tok < n_tokens:
+        remaining = n_tokens - start_tok
+        fits = False
+        frac = fraction
+        end_tok = start_tok
+        shard_text = ""
+        while not fits:
+            end_tok = start_tok + max(1, int(remaining * frac))
+            char_start = token_spans[start_tok][0]
+            char_end = token_spans[end_tok - 1][1]
+            shard_text = text[char_start:char_end]
+            prompt = render(shard_text, len(shards), len(shards) + 1)
+            fits = (
+                estimate_n_tokens(prompt) * buffer_frac <= context_length
+            )
+            if not fits:
+                if end_tok - start_tok <= 1:
+                    raise ValueError(
+                        "Prompt size doesn't allow for the inclusion of a "
+                        "shard of length 1. Please review your prompt and "
+                        "reduce its size."
+                    )
+                frac /= 2
+        shards.append((token_spans[start_tok][0], shard_text))
+        start_tok = end_tok
+        fraction = 1.0
+
+    return shards
+
+
+def merge_shard_spans(
+    shard_results: List[Tuple[int, List[Tuple[int, int, str]]]]
+) -> List[Tuple[int, int, str]]:
+    """H3/A1: fuse per-shard spans back into doc coordinates by adding each
+    shard's character offset (reference fuses docs via Doc.from_docs,
+    tasks/ner/util.py:41-48 — additive union in our char-offset model).
+    """
+    merged: List[Tuple[int, int, str]] = []
+    for offset, spans in shard_results:
+        merged.extend((s + offset, e + offset, label) for s, e, label in spans)
+    return merged

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk:       brute-force cosine top-k against a probe vector —
+                     fully native (zip_with/aggregate inside codegen), one
+                     pass, then a k-row takeOrdered-style limit.
+- hyperplane_signature / ann_lsh_topk:
+                     random-hyperplane LSH; candidates only from the
+                     probe's bucket (and optionally Hamming-adjacent
+                     buckets), exact cosine re-rank within candidates.
+                     The scale path: bucket cardinality ~ n / 2^planes.
+- ivf_topk:          IVF-style: k-means-lite centroid assignment (centroids
+                     sampled deterministically), probe searches the nearest
+                     n_probe cells only.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_vs_probe(
+    df: DataFrame,
+    probe: Sequence[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cosine) against a constant probe vector — the probe folds into
+    the plan as a literal array (broadcast-free)."""
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return df.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col).cast("array<double>"), probe_col).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k: scores computed in codegen, global top-k via
+    orderBy+limit (Spark plans this as TakeOrderedAndProject — per-partition
+    heaps, no full sort shuffle).
+    """
+    return (
+        cosine_vs_probe(df, probe, vec_col=vec_col, id_col=id_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes)
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Append ``lsh_sig`` (long): sign bits against fixed random planes,
+    expressed natively — one aggregate per plane folded into codegen.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    vec = F.col(vec_col).cast("array<double>")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return df.withColumn("lsh_sig", sig)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    probe: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine re-rank to vectors whose
+    hyperplane signature is within ``max_hamming`` bits of the probe's.
+    Pushdown-friendly: the bucket predicate prunes before any scoring.
+    """
+    probe_arr = np.asarray(probe, dtype=float)
+    planes = _planes(len(probe_arr), n_planes, seed)
+    probe_sig = 0
+    for p in range(n_planes):
+        if float(planes[p] @ probe_arr) > 0:
+            probe_sig |= 1 << p
+
+    sigs = hyperplane_signature(
+        df, vec_col=vec_col, n_planes=n_planes, seed=seed, dim=len(probe_arr)
+    )
+    xor = F.col("lsh_sig").bitwiseXOR(F.lit(probe_sig).cast("long"))
+    hamming = sum(
+        F.when(xor.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(0)
+        for b in range(n_planes)
+    )
+    candidates = sigs.where(hamming <= max_hamming)
+    return cosine_topk(candidates, probe, k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-lite
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic sample of the data; every
+    vector is assigned to its nearest centroid (one narrow pass); the query
+    scans only the ``n_probe`` cells nearest the probe.
+    """
+    sample = (
+        df.orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(10**9)))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.asarray([row[0] for row in sample], dtype=float)
+    probe_arr = np.asarray(probe, dtype=float)
+
+    def _cell_expr():
+        vec = F.col(vec_col).cast("array<double>")
+        best_cell = F.lit(0)
+        best_dist = None
+        for c in range(len(centroids)):
+            cent = F.array(*[F.lit(float(x)) for x in centroids[c]])
+            dist = F.aggregate(
+                F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            if best_dist is None:
+                best_dist, best_cell = dist, F.lit(c)
+            else:
+                cond = dist < best_dist
+                best_cell = F.when(cond, F.lit(c)).otherwise(best_cell)
+                best_dist = F.when(cond, dist).otherwise(best_dist)
+        return best_cell
+
+    assigned = df.withColumn("ivf_cell", _cell_expr())
+    dists = ((centroids - probe_arr) ** 2).sum(axis=1)
+    probe_cells = [int(i) for i in np.argsort(dists)[:n_probe]]
+    candidates = assigned.where(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(candidates, probe, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,73 @@
+"""Skew handling: salted two-phase aggregation (north_rule R11).
+
+The corpus is deliberately skewed (a mega-repo owns ~30% of rows,
+FIXTURES.md §1). A plain groupBy on ``repo`` sends 30% of the data to one
+reducer; salting splits the hot key across ``n_salt`` partial groups, then
+combines partials — the classic two-phase aggregation. Spark's own
+hash-agg already does map-side partial aggregation for algebraic
+aggregates, so salting matters for (a) collect-type aggregates and (b)
+extreme key skew where even reduce-side partials land on one task.
+
+AQE skew-join splitting (enabled in session.py) covers the join side; this
+module covers groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output column name -> (phase1_expr, phase2_fn) where
+    phase1_expr is a Column aggregated within (keys + salt) and phase2_fn
+    recombines the partials, e.g.::
+
+        salted_agg(df, ["repo"], {
+            "n_rows":  (F.count(F.lit(1)), F.sum),
+            "n_chars": (F.sum(F.length("content")), F.sum),
+        })
+    """
+    phase1 = (
+        df.withColumn("_salt", F.spark_partition_id() % n_salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(f"_p1_{name}") for name, (expr, _) in aggs.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            fn(F.col(f"_p1_{name}")).alias(name)
+            for name, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_count(df: DataFrame, keys: Sequence[str], n_salt: int = 16) -> DataFrame:
+    """Salted row count per key -> (keys..., n_rows)."""
+    return salted_agg(df, keys, {"n_rows": (F.count(F.lit(1)), F.sum)}, n_salt)
+
+
+def with_salt(df: DataFrame, key: str, n_salt: int = 16) -> DataFrame:
+    """Attach a deterministic salt column for salted repartitioning:
+    ``repartition(keys + salt)`` spreads a hot key over n_salt tasks.
+    Deterministic (hash of a second column set) so resume runs place rows
+    identically.
+    """
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salt)))
+
+
+def repartition_salted(
+    df: DataFrame, key: str, n_partitions: int, n_salt: int = 16
+) -> DataFrame:
+    """Repartition by (key, salt) to break a hot key across tasks."""
+    salted = with_salt(df, key, n_salt)
+    out = salted.repartition(n_partitions, F.col(key), F.col("_salt"))
+    return out.drop("_salt")

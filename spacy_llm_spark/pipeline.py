@@ -1,0 +1,162 @@
+"""End-to-end KG-construction pipeline (the `assemble(config)` analog, S9).
+
+    corpus (repo, path, commit, lang, content, content_sha256)
+      -> [checkpoint anti-join] NER stage   (narrow mapInPandas)
+      -> [checkpoint anti-join] REL stage   (narrow mapInPandas)
+      -> [checkpoint anti-join] EL stage    (narrow mapInPandas, broadcast KB)
+      -> mentions / relations / links / edges tables (native explodes)
+      -> canonicalize (salted groupBy + connected components)
+      -> vertices / canonical edges + metrics
+
+The three extraction stages are all narrow: the corpus is read once,
+partitioning is preserved end-to-end, and the only shuffles in the whole
+job are (a) the optional checkpoint anti-joins (broadcast-able key sets),
+(b) the explodes' downstream aggregations, and (c) canonicalization.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kb import CODE_NER_DICT, CODE_REL_RULES, KnowledgeBase, build_code_kb
+from .operators import canonicalize as canon
+from .operators import el as el_op
+from .operators import materialize as mat
+from .operators import ner as ner_op
+from .operators import rel as rel_op
+from .operators.checkpoint import CheckpointManager
+
+
+@dataclass
+class KGConfig:
+    """Job config (JSON-serializable; the config-file analog of S8/S9)."""
+
+    labels: tuple = ("OP", "TABLE", "SYS")
+    rel_labels: tuple = tuple(sorted(set(CODE_REL_RULES.values())))
+    ner_dictionary: dict = field(default_factory=lambda: dict(CODE_NER_DICT))
+    rel_rules: dict = field(
+        default_factory=lambda: {f"{a}|{b}": p for (a, b), p in CODE_REL_RULES.items()}
+    )
+    top_n_candidates: int = 5
+    auto_nil: bool = True
+    context_length: Optional[int] = None
+    checkpoint_dir: Optional[str] = None
+
+    def ner_model_spec(self) -> dict:
+        return {"name": "dict_ner", "dictionary": self.ner_dictionary}
+
+    def rel_model_spec(self) -> dict:
+        return {"name": "rule_rel", "rules": self.rel_rules}
+
+    def el_model_spec(self) -> dict:
+        return {"name": "top_candidate_el"}
+
+    def fingerprint_config(self) -> dict:
+        return {
+            "labels": list(self.labels),
+            "ner_dictionary": self.ner_dictionary,
+            "rel_rules": self.rel_rules,
+            "top_n": self.top_n_candidates,
+            "auto_nil": self.auto_nil,
+            "context_length": self.context_length,
+        }
+
+
+@dataclass
+class KGResult:
+    annotated: DataFrame
+    mentions: DataFrame
+    relations: DataFrame
+    links: DataFrame
+    edges: DataFrame
+    vertices: DataFrame
+    canonical_edges: DataFrame
+    n_triples: int = -1
+    wall_secs: float = -1.0
+    metrics: Optional[DataFrame] = None
+
+
+def annotate_corpus(
+    corpus: DataFrame, cfg: KGConfig, kb: Optional[KnowledgeBase] = None
+) -> DataFrame:
+    """Run the three extraction stages, returning the corpus with
+    ents/rels/kb_ids annotation columns attached (all narrow)."""
+    kb = kb or build_code_kb()
+    df = ner_op.extract_mentions(
+        corpus,
+        model_spec=cfg.ner_model_spec(),
+        labels=list(cfg.labels),
+        context_length=cfg.context_length,
+    )
+    df = rel_op.extract_relations(
+        df, model_spec=cfg.rel_model_spec(), labels=list(cfg.rel_labels)
+    )
+    df = el_op.link_entities(
+        df,
+        kb=kb,
+        model_spec=cfg.el_model_spec(),
+        top_n=cfg.top_n_candidates,
+        auto_nil=cfg.auto_nil,
+    )
+    return df
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: Optional[KGConfig] = None,
+    kb: Optional[KnowledgeBase] = None,
+    materialize_canonical: bool = True,
+) -> KGResult:
+    cfg = cfg or KGConfig()
+    kb = kb or build_code_kb()
+    t0 = time.time()
+
+    if cfg.checkpoint_dir:
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+        annotated = ckpt.run_stage(
+            spark,
+            "annotate",
+            corpus,
+            lambda df: annotate_corpus(df, cfg, kb),
+            config=cfg.fingerprint_config(),
+        )
+    else:
+        ckpt = None
+        annotated = annotate_corpus(corpus, cfg, kb)
+
+    id_cols = ("doc_id", "content_sha256") if "doc_id" in corpus.columns else (
+        "content_sha256",
+    )
+    mentions = mat.mentions_table(annotated, id_cols)
+    relations = mat.relations_table(annotated, id_cols)
+    links = mat.links_table(annotated, id_cols)
+    edges = mat.edges_table(annotated, id_cols)
+
+    if materialize_canonical:
+        vertices = canon.canonical_vertices(links)
+        canonical_edges = canon.canonical_edges(edges, vertices)
+    else:
+        vertices = None
+        canonical_edges = edges
+
+    n_triples = edges.count()
+    wall = time.time() - t0
+    metrics = ckpt.metrics_df(spark) if ckpt else None
+    return KGResult(
+        annotated=annotated,
+        mentions=mentions,
+        relations=relations,
+        links=links,
+        edges=edges,
+        vertices=vertices,
+        canonical_edges=canonical_edges,
+        n_triples=n_triples,
+        wall_secs=wall,
+        metrics=metrics,
+    )

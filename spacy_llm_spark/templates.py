@@ -1,0 +1,132 @@
+"""Prompt renderers (M1/M2) — vectorized, executor-side.
+
+The reference renders sandboxed Jinja2 templates per shard
+(spacy_llm/tasks/builtin_task.py:57-97). Our prompts are our own format
+(this engine runs only local deterministic models, X5); what must match the
+reference is the *response grammar* each parser consumes, not the prompt
+bytes. Renderers are plain f-string builders compiled once per executor and
+applied over pandas Series inside the stage kernels — no per-row Python
+through the driver.
+
+Prompt text is delimited with sentinel fences so the local models can
+recover it robustly:  <<<DOC>>> ... <<<END>>>.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+TEXT_OPEN = "<<<DOC>>>"
+TEXT_CLOSE = "<<<END>>>"
+
+
+def _labels_block(labels: Sequence[str], definitions: Optional[Dict[str, str]]) -> str:
+    out = f"Labels: {', '.join(labels)}\n"
+    if definitions:
+        for label in labels:
+            if label in definitions:
+                out += f"{label}: {definitions[label]}\n"
+    return out
+
+
+def render_ner_prompt(
+    text: str,
+    labels: Sequence[str],
+    definitions: Optional[Dict[str, str]] = None,
+    examples: Optional[List[dict]] = None,
+) -> str:
+    """NER v3 (CoT) prompt. Expected response grammar (parsed by P3):
+    ``N. <span text> | <True/False> | <LABEL> | <reason>`` per line.
+    """
+    parts = [
+        "You are an expert Named Entity Recognition (NER) system.",
+        "List every entity span occurring in the text, one per line, as:",
+        "N. span text | True | LABEL | reason",
+        _labels_block(labels, definitions),
+    ]
+    for ex in examples or []:
+        lines = "\n".join(
+            f"{i + 1}. {s['text']} | {s['is_entity']} | {s['label']} | {s['reason']}"
+            for i, s in enumerate(ex.get("spans", []))
+        )
+        parts.append(f"Example text:\n{TEXT_OPEN}\n{ex['text']}\n{TEXT_CLOSE}\nAnswer:\n{lines}")
+    parts.append(f"Text:\n{TEXT_OPEN}\n{text}\n{TEXT_CLOSE}\nAnswer:")
+    return "\n\n".join(parts)
+
+
+def render_rel_prompt(
+    preannotated_text: str,
+    labels: Sequence[str],
+    definitions: Optional[Dict[str, str]] = None,
+    examples: Optional[List[dict]] = None,
+) -> str:
+    """REL v1 prompt over pre-annotated text ([ENTi:LABEL] markers, M3).
+    Expected response grammar (P5): one JSON object per line
+    ``{"dep": 0, "dest": 1, "relation": "LivesIn"}``.
+    """
+    parts = [
+        "You are an expert Relation Extraction system.",
+        "Entities are marked inline as [ENT<i>:<label>]. Emit one JSON object "
+        'per relation, per line: {"dep": <i>, "dest": <j>, "relation": "<label>"}.',
+        _labels_block(labels, definitions),
+    ]
+    for ex in examples or []:
+        rels = "\n".join(
+            f'{{"dep": {r["dep"]}, "dest": {r["dest"]}, "relation": "{r["relation"]}"}}'
+            for r in ex.get("relations", [])
+        )
+        parts.append(
+            f"Example text:\n{TEXT_OPEN}\n{ex['text']}\n{TEXT_CLOSE}\nAnswer:\n{rels}"
+        )
+    parts.append(f"Text:\n{TEXT_OPEN}\n{preannotated_text}\n{TEXT_CLOSE}\nAnswer:")
+    return "\n\n".join(parts)
+
+
+def render_el_prompt(
+    highlighted_text: str,
+    mentions: Sequence[str],
+    candidates: Sequence[Sequence[Tuple[str, str]]],  # per mention: [(qid, desc)]
+    examples: Optional[List[dict]] = None,
+) -> str:
+    """EL v1 prompt: highlighted text + per-mention candidate blocks
+    (mirrors tasks/entity_linker/task.py:137-186 prompt data). Expected
+    response grammar (P6): per mention a line ``*mention* ::: <QID>``.
+    """
+    parts = [
+        "You are an expert Entity Linking system.",
+        "For each mention (wrapped in *...*), pick the correct entity ID from "
+        "its candidates. Answer one line per mention: *mention* ::: <QID>. "
+        "Use <NIL> when no candidate fits.",
+    ]
+    for ex in examples or []:
+        sol = "\n".join(
+            f"*{m}* ::: <{s}>" for m, s in zip(ex.get("mentions", []), ex.get("solutions", []))
+        )
+        parts.append(
+            f"Example text:\n{TEXT_OPEN}\n{ex['text']}\n{TEXT_CLOSE}\nSolutions:\n{sol}"
+        )
+    mention_str = ", ".join(f"*{m}*" for m in mentions)
+    cand_lines = []
+    for mention, cands in zip(mentions, candidates):
+        cand_lines.append(f"- For *{mention}*:")
+        for qid, desc in cands:
+            cand_lines.append(f"    {qid}. {desc}")
+    parts.append(
+        f"Text:\n{TEXT_OPEN}\n{highlighted_text}\n{TEXT_CLOSE}\n"
+        f"Mentions: {mention_str}\nCandidates:\n" + "\n".join(cand_lines) + "\nSolutions:"
+    )
+    return "\n\n".join(parts)
+
+
+def extract_doc_from_prompt(prompt: str) -> str:
+    """Recover the (last) fenced document from a prompt — used by the local
+    models, which only ever see the prompt (model contract X1, ty.py:19-21).
+    """
+    start = prompt.rfind(TEXT_OPEN)
+    if start == -1:
+        return prompt
+    start += len(TEXT_OPEN) + 1  # skip fence + newline
+    end = prompt.find(TEXT_CLOSE, start)
+    if end == -1:
+        return prompt[start:]
+    return prompt[start : end - 1 if prompt[end - 1] == "\n" else end]

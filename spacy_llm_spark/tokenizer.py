@@ -1,0 +1,143 @@
+"""Deterministic tokenizer + char-span alignment.
+
+The reference relies on spaCy's tokenizer for (a) snapping character spans
+to token boundaries (``doc.char_span(..., alignment_mode=...)`` used by the
+span parsers, spacy_llm/tasks/span/parser.py:62-67,132-137) and (b) token
+surgery for REL pre-annotation (spacy_llm/tasks/rel/task.py:74-136).
+
+spaCy is not available here (and a port is not wanted); we define a
+deterministic regex tokenizer whose behavior is pinned by the reference's
+own literal alignment test cases (tests/tasks/test_ner.py:403-507) and the
+REL example punct pattern (spacy_llm/tasks/rel/util.py:42-50). All engine
+logic works in character offsets; token boundaries only matter at span
+edges, which keeps parity risk localized (SURVEY.md §7).
+
+Everything here is pure Python operating on single strings — it is executed
+inside Arrow-batched pandas UDFs, never per-row via the driver.
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+from typing import List, Optional, Tuple
+
+# Word chars cluster; any other non-space char is its own token. This pins
+# the same boundaries as spaCy's default English tokenizer for every golden
+# alignment case in the reference test suite (see module docstring).
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+Span = Tuple[int, int]  # (start_char, end_char)
+
+
+def tokenize(text: str) -> List[Span]:
+    """Token boundaries as (start_char, end_char) pairs, in order."""
+    return [m.span() for m in _TOKEN_RE.finditer(text)]
+
+
+def tokenize_words(text: str) -> List[str]:
+    """Token surface forms, in order."""
+    return _TOKEN_RE.findall(text)
+
+
+def align_char_span(
+    tokens: List[Span],
+    start: int,
+    end: int,
+    alignment_mode: str = "strict",
+) -> Optional[Span]:
+    """Snap a character span to token boundaries, spaCy ``char_span`` style.
+
+    - ``strict``: both offsets must coincide with token boundaries, else None.
+    - ``contract``: shrink to the tokens fully inside [start, end); None if
+      no token is fully contained.
+    - ``expand``: grow to cover every token overlapping [start, end).
+
+    Golden behavior pinned by tests/tasks/test_ner.py:403-456 (e.g. "Jacq" +
+    expand -> "Jacques"; "Jean J" + contract -> "Jean"; "Jacq" + strict -> None).
+    """
+    if alignment_mode not in ("strict", "contract", "expand"):
+        raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
+    if start >= end or not tokens:
+        return None
+
+    if alignment_mode == "strict":
+        starts_ok = any(t[0] == start for t in tokens)
+        ends_ok = any(t[1] == end for t in tokens)
+        return (start, end) if starts_ok and ends_ok else None
+
+    if alignment_mode == "contract":
+        inside = [t for t in tokens if t[0] >= start and t[1] <= end]
+        if not inside:
+            return None
+        return (inside[0][0], inside[-1][1])
+
+    # expand
+    overlapping = [t for t in tokens if t[1] > start and t[0] < end]
+    if not overlapping:
+        return None
+    return (overlapping[0][0], overlapping[-1][1])
+
+
+def filter_spans(spans: List[Tuple[int, int, str]]) -> List[Tuple[int, int, str]]:
+    """Greedy de-overlap, longest-then-earliest first (spaCy util semantics
+    used by the NER task via ``doc.set_ents(filter_spans(spans))``,
+    spacy_llm/tasks/ner/task.py:94-100). Returns spans sorted by start.
+    """
+    sorted_spans = sorted(spans, key=lambda s: (s[0] - s[1], s[0]))
+    seen: set = set()
+    result = []
+    for span in sorted_spans:
+        covered = range(span[0], span[1])
+        if not any(i in seen for i in covered):
+            result.append(span)
+            seen.update(covered)
+    result.sort(key=lambda s: (s[0], s[1]))
+    return result
+
+
+class TokenIndex:
+    """Reusable alignment helper when many spans hit the same text."""
+
+    __slots__ = ("tokens", "_starts", "_ends")
+
+    def __init__(self, text: str):
+        self.tokens = tokenize(text)
+        self._starts = [t[0] for t in self.tokens]
+        self._ends = [t[1] for t in self.tokens]
+
+    def align(self, start: int, end: int, alignment_mode: str) -> Optional[Span]:
+        if alignment_mode not in ("strict", "contract", "expand"):
+            raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
+        toks, starts, ends = self.tokens, self._starts, self._ends
+        if start >= end or not toks:
+            return None
+        if alignment_mode == "strict":
+            i = bisect_right(starts, start) - 1
+            j = bisect_right(ends, end) - 1
+            ok_start = i >= 0 and starts[i] == start
+            ok_end = j >= 0 and ends[j] == end
+            return (start, end) if ok_start and ok_end else None
+        if alignment_mode == "contract":
+            inside = []
+            for t in toks:
+                if t[0] >= end:
+                    break
+                if t[0] >= start and t[1] <= end:
+                    inside.append(t)
+            if not inside:
+                return None
+            return (inside[0][0], inside[-1][1])
+        # expand
+        first = None
+        last = None
+        for t in toks:
+            if t[1] > start and t[0] < end:
+                if first is None:
+                    first = t
+                last = t
+            elif t[0] >= end:
+                break
+        if first is None:
+            return None
+        return (first[0], last[1])
