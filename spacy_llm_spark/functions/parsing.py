@@ -185,6 +185,8 @@ def find_spans_cot(
     spans advance the cursor; result is sorted + deduped. Regression cases
     pinned by tests/tasks/test_ner.py:908-974 (repeated "Paris", commas).
     """
+    if alignment_mode not in ("strict", "contract", "expand"):
+        raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
     index = TokenIndex(text)
     find_after = 0
     spans: List[Tuple[int, int, str]] = []
@@ -225,7 +227,7 @@ def parse_ner_v3(
     label_dict: Dict[str, str],
     *,
     normalizer: Callable[[str], str] | None = None,
-    case_sensitive: bool = False,
+    case_sensitive_matching: bool = False,
     alignment_mode: str = "contract",
     allow_overlap: bool = False,
 ) -> List[Tuple[int, int, str]]:
@@ -234,7 +236,7 @@ def parse_ner_v3(
     return find_spans_cot(
         text,
         reasons,
-        case_sensitive=case_sensitive,
+        case_sensitive=case_sensitive_matching,
         alignment_mode=alignment_mode,
         allow_overlap=allow_overlap,
     )

@@ -182,17 +182,20 @@ def simhash(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") ->
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     ).where(F.length("tok") > 0)
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    one = F.lit(1).cast("long")
     bit_votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]
     voted = hashed.groupBy(id_col).agg(*bit_votes)
-    sim_expr = None
+    sim_expr = F.lit(0).cast("long")
     for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim_expr = bit if sim_expr is None else sim_expr.bitwiseOR(bit)
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim_expr = sim_expr.bitwiseOR(bit)
     return voted.select(id_col, sim_expr.alias("simhash"))
 
 

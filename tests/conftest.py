@@ -1,0 +1,72 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from spacy_llm_spark import get_spark
+
+    spark = get_spark(
+        app_name="spacy-llm-spark-tests",
+        master="local[4]",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": "8",
+        },
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def fixture_kb():
+    """The reference's EL test KB (tests/tasks/misc/el_kb_data.yml),
+    expressed programmatically — same entities/aliases/priors."""
+    from spacy_llm_spark.kb import KnowledgeBase
+
+    kb = KnowledgeBase()
+    entities = {
+        "Q100": "city in and state capital of Massachusetts, United States",
+        "Q131371": "NBA team based in Boston; tied with most NBA Championships",
+        "Q204289": "American rock band",
+        "Q311975": "town in Lincolnshire, England",
+        "Q671475": "airport in Boston, Massachusetts, United States",
+        "Q107723060": "The 2021-22 Boston Celtics season was the 76th season of the franchise",
+        "Q3643001": "NBA basketball team season",
+        "Q3466394": "season of National Basketball Association team the Boston Celtics",
+        "Q3642995": "NBA basketball team season",
+        "Q60": "most populous city in the United States",
+        "Q1384": "U.S. state",
+        "Q131364": "National Basketball Association team in New York City",
+        "Q14435": "nickname for New York City",
+        "Q89": "fruit of the apple tree",
+        "Q312": "American multinational technology company",
+    }
+    for qid, desc in entities.items():
+        kb.add_entity(qid, desc)
+    kb.add_alias(
+        "Boston",
+        ["Q100", "Q131371", "Q204289", "Q311975", "Q671475"],
+        [0.5, 0.2, 0.12, 0.1, 0.08],
+    )
+    kb.add_alias(
+        "Boston Celtics",
+        ["Q131371", "Q107723060", "Q3643001", "Q3466394", "Q3642995"],
+        [0.5, 0.2, 0.12, 0.1, 0.08],
+    )
+    kb.add_alias("New York", ["Q60", "Q1384"], [0.6, 0.4])
+    kb.add_alias("New York Knicks", ["Q60", "Q131364"], [0.6, 0.4])
+    kb.add_alias("Big Apple", ["Q14435", "Q89"], [0.6, 0.4])
+    kb.add_alias("Apple", ["Q89", "Q312"], [0.6, 0.4])
+    return kb

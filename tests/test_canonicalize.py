@@ -1,0 +1,72 @@
+"""Connected-components and canonicalization tests."""
+
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators.canonicalize import (
+    canonical_vertices,
+    connected_components,
+    surface_kb_edges,
+)
+
+
+def _cc_map(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    comp = _cc_map(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["a"] != comp["x"]
+
+
+def test_cc_chain_converges(spark):
+    # long chain exercises multi-iteration propagation
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)]
+    comp = _cc_map(spark, chain)
+    assert set(comp.values()) == {"n00"}
+
+
+def test_cc_cycle(spark):
+    comp = _cc_map(spark, [("p", "q"), ("q", "r"), ("r", "p")])
+    assert set(comp.values()) == {"p"}
+
+
+def test_surface_clusters_via_shared_qid(spark):
+    """Two different surfaces linking to the same KB id canonicalize into
+    one component named by the KB id (K... < surface:...)."""
+    links = spark.createDataFrame(
+        [
+            (1, "s1", 0, 0, 4, "OP", "Sort", "K120"),
+            (2, "s2", 0, 0, 7, "OP", "sorting", "K120"),
+            (3, "s3", 0, 0, 3, "OP", "foo", "NIL"),
+        ],
+        "doc_id long, content_sha256 string, ent_idx int, start int, end int, "
+        "label string, surface string, kb_id string",
+    )
+    edges = surface_kb_edges(links)
+    assert edges.count() == 2  # (surface:sort, K120), (surface:sorting, K120)
+    verts = canonical_vertices(links)
+    rows = {r.node: r.component for r in verts.collect()}
+    assert rows["surface:sort"] == "K120"
+    assert rows["surface:sorting"] == "K120"
+    assert rows["K120"] == "K120"
+    # NIL mention stays a singleton surface component
+    assert rows["surface:foo"] == "surface:foo"
+
+
+def test_salted_agg_matches_plain(spark):
+    from spacy_llm_spark.operators.skew import salted_agg
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    plain = {r.k: (r.n, r.s) for r in df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")).collect()}
+    salted = {r.k: (r.n, r.s) for r in salted_agg(
+        df, ["k"], {"n": (F.count(F.lit(1)), F.sum), "s": (F.sum("v"), F.sum)}
+    ).collect()}
+    assert plain == salted

@@ -1,0 +1,148 @@
+"""Dedup + similarity + text-analysis operator tests (numpy/duckdb oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators import dedup, similarity
+from spacy_llm_spark.functions import text as textfn
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark join customer table"),
+        (2, "spark join customer table"),          # exact dup of 1
+        (3, "spark join customer table fast"),      # near dup
+        (4, "window sort order batch stream"),
+        (5, "completely different words here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # doc 2 collapsed onto doc 1
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_duplicate_groups(docs):
+    groups = dedup.duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].ids == [1, 2]
+
+
+def test_minhash_near_dup(docs):
+    pairs = dedup.minhash_lsh_dup_pairs(
+        docs, n_hashes=64, bands=32, shingle_k=2, threshold=0.3
+    ).collect()
+    pair_ids = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 2) in pair_ids  # exact dup always survives
+    # unrelated docs never pair
+    assert not any({a, b} == {4, 5} for a, b in pair_ids)
+
+
+def test_minhash_exact_dup_estimate_is_one(docs):
+    sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_close_for_near_dups(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert out[1] == out[2]
+    assert hamming(out[1], out[3]) < hamming(out[1], out[4])
+
+
+def test_jaccard_vs_probe(docs):
+    out = {r.doc_id: r.jaccard for r in dedup.jaccard_vs_probe(
+        docs, "spark join customer table").collect()}
+    assert out[1] == 1.0
+    assert abs(out[3] - 4 / 5) < 1e-9
+    assert out[5] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    vecs[7] = vecs[0] * 2.0          # same direction as 0 -> cosine 1
+    vecs[9] = vecs[0] + rng.normal(scale=0.01, size=16)  # near dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        vecs,
+    )
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, vecs = vectors
+    probe = vecs[0]
+    got = similarity.cosine_topk(df, probe, k=5).collect()
+    sims = vecs @ probe / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(probe))
+    # same (cosine desc, id asc) tiebreak as the operator
+    expected = sorted(range(len(vecs)), key=lambda i: (-round(sims[i], 9), i))[:5]
+    assert [r.vec_id for r in got] == expected
+    assert got[0].vec_id in (0, 7)
+    assert abs(got[0].cosine - 1.0) < 1e-9
+
+
+def test_ann_lsh_topk_contains_near_dup(vectors):
+    df, vecs = vectors
+    got = similarity.ann_lsh_topk(df, vecs[0], k=5, n_planes=8, max_hamming=1)
+    ids = [r.vec_id for r in got.collect()]
+    assert 0 in ids and 7 in ids and 9 in ids
+
+
+def test_ivf_topk_contains_self(vectors):
+    df, vecs = vectors
+    ids = [r.vec_id for r in similarity.ivf_topk(df, vecs[0], k=5, n_cells=8, n_probe=3).collect()]
+    assert 0 in ids
+
+
+def test_embedding_dup_pairs(vectors):
+    df, vecs = vectors
+    pairs = dedup.embedding_dup_pairs(df, threshold=0.95, n_planes=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 7) in got
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+def test_word_stats_and_quality(docs):
+    stats = {r.doc_id: r for r in textfn.word_stats(docs).collect()}
+    assert stats[1].n_tokens == 4
+    assert stats[1].n_distinct_tokens == 4
+    q = {r.doc_id: r for r in textfn.quality_score(docs).collect()}
+    assert 0.0 <= q[1].quality_score <= 1.0
+    assert q[1].lexical_diversity == 1.0
+
+
+def test_detect_language(spark):
+    rows = [
+        (1, "the cat and the dog went to a house in the garden"),
+        (2, "der hund und die katze ist ein tier"),
+        (3, "le chat et la maison est un endroit"),
+        (4, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.detected_lang for r in textfn.detect_language(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b   c"), (2, "a b c"), (3, "a b d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textfn.fingerprint(df).collect()}
+    assert out[1].sha256 != out[2].sha256
+    assert out[1].normalized_sha256 == out[2].normalized_sha256
+    assert out[1].normalized_sha256 != out[3].normalized_sha256

@@ -1,0 +1,116 @@
+"""EL golden tests (highlight/unhighlight, candidates, auto-NIL, stage run).
+
+Expected values from tests/tasks/test_entity_linker.py:300-360 (auto-NIL),
+:671-720 (highlight round-trip) and the KB fixture priors.
+"""
+
+import pytest
+
+from spacy_llm_spark.kb import NIL, UNAVAILABLE_ENTITY_DESC
+from spacy_llm_spark.operators.el import highlight_ents, link_entities, unhighlight
+
+TEXT = "Alice goes to Boston to see the Boston Celtics game."
+# char spans: Boston (14,20), Boston Celtics (32,46)
+ENTS = [(14, 20), (32, 46)]
+
+
+def test_highlight():
+    assert (
+        highlight_ents(TEXT, ENTS, [True, True])
+        == "Alice goes to *Boston* to see the *Boston Celtics* game."
+    )
+
+
+@pytest.mark.parametrize(
+    "text,spans,include",
+    [
+        (TEXT, ENTS, [True, True]),
+        ("I went to see Boston in concert yesterday", [(14, 20), (32, 41)], [True, False]),
+    ],
+)
+def test_unhighlight_round_trip(text, spans, include):
+    assert unhighlight(highlight_ents(text, spans, include)) == text
+
+
+def test_candidates_ranked_by_prior(fixture_kb):
+    cands = fixture_kb.get_candidates("Boston", top_n=5)
+    assert [c[0] for c in cands] == ["Q100", "Q131371", "Q204289", "Q311975", "Q671475"]
+    assert fixture_kb.get_candidates("Boston", top_n=2)[1][0] == "Q131371"
+    assert fixture_kb.get_candidates("Nowhere") == []
+
+
+def test_unknown_desc_fallback(fixture_kb):
+    fixture_kb_copy = fixture_kb
+    fixture_kb_copy.add_alias("Mystery", ["Q999"], [1.0])
+    cands = fixture_kb_copy.get_candidates("Mystery")
+    assert cands[0][2] == UNAVAILABLE_ENTITY_DESC
+
+
+def test_el_stage_with_auto_nil(spark, fixture_kb):
+    """'Foo' has no KB candidates -> excluded from prompt, forced NIL;
+    Boston/Boston Celtics resolve to their top-prior entities
+    (test_entity_linker.py:316-360 behavior with the canned model)."""
+    text = "Alice goes to Foo to see the Boston Celtics game."
+    ents = [
+        {"start": 14, "end": 17, "label": "LOC", "surface": "Foo"},
+        {"start": 29, "end": 43, "label": "ORG", "surface": "Boston Celtics"},
+    ]
+    df = spark.createDataFrame(
+        [(1, text, ents)],
+        "doc_id long, content string, ents array<struct<start:int,end:int,label:string,surface:string>>",
+    )
+    out = link_entities(
+        df, kb=fixture_kb, model_spec={"name": "top_candidate_el"}
+    ).collect()[0]
+    assert out.kb_ids == [NIL, "Q131371"]
+
+
+def test_el_stage_no_auto_nil(spark, fixture_kb):
+    text = "Alice goes to Foo to see the Boston Celtics game."
+    ents = [
+        {"start": 14, "end": 17, "label": "LOC", "surface": "Foo"},
+        {"start": 29, "end": 43, "label": "ORG", "surface": "Boston Celtics"},
+    ]
+    df = spark.createDataFrame(
+        [(1, text, ents)],
+        "doc_id long, content string, ents array<struct<start:int,end:int,label:string,surface:string>>",
+    )
+    out = link_entities(
+        df, kb=fixture_kb, model_spec={"name": "top_candidate_el"}, auto_nil=False
+    ).collect()[0]
+    # Foo included in prompt with a lone NIL candidate -> model answers NIL
+    assert out.kb_ids == [NIL, "Q131371"]
+
+
+def test_kb_yaml_loader(tmp_path):
+    from spacy_llm_spark.kb import load_kb_yaml
+
+    path = tmp_path / "kb.yml"
+    path.write_text(
+        "entities:\n"
+        "  E1:\n"
+        '      name: "Alpha"\n'
+        '      desc: "first thing"\n'
+        "  E2:\n"
+        '    name: "Beta"\n'
+        '    desc: "second thing"\n'
+        "aliases:\n"
+        '  - alias: "alpha"\n'
+        '    entities: ["E1", "E2"]\n'
+        "    probabilities: [0.7, 0.3]\n"
+    )
+    kb = load_kb_yaml(str(path))
+    assert kb.descs == {"E1": "first thing", "E2": "second thing"}
+    assert [c[0] for c in kb.get_candidates("alpha")] == ["E1", "E2"]
+
+
+def test_descs_csv_loader(tmp_path):
+    from spacy_llm_spark.kb import load_descs_csv
+
+    path = tmp_path / "descs.csv"
+    path.write_text('"Q1";"first"\n"Q2";"second"\nbadline\n')
+    assert load_descs_csv(str(path)) == {"Q1": "first", "Q2": "second"}
+    empty = tmp_path / "empty.csv"
+    empty.write_text("\n")
+    with pytest.raises(ValueError):
+        load_descs_csv(str(empty))

@@ -1,0 +1,259 @@
+"""Tier-1 golden tests ported from the reference's literal expectations.
+
+Sources (expected values copied as data, logic re-derived):
+- find_substrings offsets:   tests/tasks/test_ner.py:296-328
+- NER label/normalizer matrix: test_ner.py:331-400
+- alignment-mode matrix:     test_ner.py:403-456
+- case-sensitivity matrix:   test_ner.py:465-507
+- CoT repeated-surface regression: test_ner.py:908-946
+- comma-in-entity regression: test_ner.py:949-974
+- REL bounds filter:         tests/tasks/test_rel.py:239-270
+- sentiment/lemma/textcat parses: respective parser modules
+"""
+
+import pytest
+
+from spacy_llm_spark.functions.normalizers import (
+    build_label_dict,
+    lowercase_normalizer,
+    split_labels,
+    strip_normalizer,
+)
+from spacy_llm_spark.functions.parsing import (
+    attach_el_solutions,
+    extract_span_reasons_cot,
+    find_substrings,
+    parse_el_solutions,
+    parse_lemma_response,
+    parse_ner_v3,
+    parse_rel_response,
+    parse_sentiment_response,
+    parse_textcat_response,
+)
+from spacy_llm_spark.tokenizer import filter_spans
+
+
+@pytest.mark.parametrize(
+    "text,input_strings,result_strings,result_offsets",
+    [
+        (
+            "Felipe and Jaime went to the library.",
+            ["Felipe", "Jaime", "library"],
+            ["Felipe", "Jaime", "library"],
+            [(0, 6), (11, 16), (29, 36)],
+        ),
+        (
+            "The Manila Observatory was founded in 1865 in Manila.",
+            ["Manila", "The Manila Observatory"],
+            ["Manila", "Manila", "The Manila Observatory"],
+            [(4, 10), (46, 52), (0, 22)],
+        ),
+        (
+            "Take the road from downtown and turn left at the public market.",
+            ["public market", "downtown"],
+            ["public market", "downtown"],
+            [(49, 62), (19, 27)],
+        ),
+    ],
+)
+def test_find_substrings_offsets(text, input_strings, result_strings, result_offsets):
+    offsets = find_substrings(text, input_strings)
+    assert offsets == result_offsets
+    assert [text[s:e] for s, e in offsets] == result_strings
+
+
+NER_TEXT = "Jean Jacques and Jaime went to the library."
+NER_LABELS = split_labels("PER,ORG,LOC")
+
+
+def _ents(text, response, normalizer=None, **kwargs):
+    label_dict = build_label_dict(NER_LABELS, normalizer)
+    spans = parse_ner_v3(text, response, label_dict, normalizer=normalizer, **kwargs)
+    spans = filter_spans(spans)
+    return [(text[s:e], label) for s, e, label in spans]
+
+
+@pytest.mark.parametrize(
+    "response,normalizer,gold",
+    [
+        (
+            "1. Jean Jacques | True | PER | is a person's name\n"
+            "2. Jaime | True | PER | is a person's name\n",
+            None,
+            [("Jean Jacques", "PER"), ("Jaime", "PER")],
+        ),
+        (
+            "1. Jean Jacques | True | PER | is a person's name\n"
+            "2. Jaime | True | PER | is a person's name\n",
+            strip_normalizer,
+            [("Jean Jacques", "PER"), ("Jaime", "PER")],
+        ),
+        (
+            "1. Jean Jacques | True | per | is a person's name\n"
+            "2. Jaime | True | per | is a person's name\n",
+            strip_normalizer,
+            [],
+        ),
+        (
+            "1. Jean Jacques | True | per | is a person's name\n"
+            "2. Jaime | True | per | is a person's name\n",
+            None,
+            [("Jean Jacques", "PER"), ("Jaime", "PER")],
+        ),
+        (
+            "1. Jean Jacques | True | per | is a person's name\n"
+            "2. Jaime | True | per | is a person's name\n"
+            "3. library | True | Org | is a organization\n",
+            lowercase_normalizer,
+            [("Jean Jacques", "PER"), ("Jaime", "PER"), ("library", "ORG")],
+        ),
+        (
+            "1. Jean Jacques | True | per | is a person's name\n"
+            "2. Jaime | True | per | is a person's name\n"
+            "3. Jaime | True | RANDOM | is an entity\n",
+            lowercase_normalizer,
+            [("Jean Jacques", "PER"), ("Jaime", "PER")],
+        ),
+    ],
+)
+def test_ner_labels(response, normalizer, gold):
+    assert _ents(NER_TEXT, response, normalizer) == gold
+
+
+@pytest.mark.parametrize(
+    "response,alignment_mode,gold",
+    [
+        ("1. Jacq | True | PER | is a person's name", "strict", []),
+        ("1. Jacq | True | PER | is a person's name", "contract", []),
+        ("1. Jacq | True | PER | is a person's name", "expand", [("Jacques", "PER")]),
+        ("1. Jean J | True | PER | is a person's name", "contract", [("Jean", "PER")]),
+        (
+            "1. Jean Jacques | True | PER | is a person's name",
+            "strict",
+            [("Jean Jacques", "PER")],
+        ),
+        ("1. random | True | PER | is a person's name", "expand", []),
+    ],
+)
+def test_ner_alignment(response, alignment_mode, gold):
+    assert _ents(NER_TEXT, response, alignment_mode=alignment_mode) == gold
+
+
+def test_invalid_alignment_mode():
+    with pytest.raises(ValueError, match="Unsupported alignment mode 'invalid"):
+        _ents(NER_TEXT, "1. x | True | PER | y", alignment_mode="invalid")
+
+
+@pytest.mark.parametrize(
+    "response,case_sensitive,gold",
+    [
+        ("1. Jean | True | PER | is a person's name", False, [("jean", "PER")]),
+        ("1. Jean | True | PER | is a person's name", True, [("Jean", "PER")]),
+        (
+            "1. jean | True | PER | is a person's name\n"
+            "2. Jean | True | PER | is a person's name\n"
+            "3. Jean Foundation | True | ORG | is the name of an Organization name",
+            False,
+            [("jean", "PER"), ("Jean", "PER"), ("Jean Foundation", "ORG")],
+        ),
+    ],
+)
+def test_ner_matching(response, case_sensitive, gold):
+    text = "This guy jean (or Jean) is the president of the Jean Foundation."
+    assert _ents(text, response, case_sensitive_matching=case_sensitive) == gold
+
+
+@pytest.mark.parametrize(
+    "text,response,gold",
+    [
+        (
+            "The woman Paris was walking around in Paris, talking to her friend Paris",
+            "1. Paris | True | PER | is the name of the woman\n"
+            "2. Paris | True | LOC | is a city in France\n"
+            "3. Paris | True | PER | is the name of the woman\n",
+            [("Paris", "PER"), ("Paris", "LOC"), ("Paris", "PER")],
+        ),
+        (
+            "Walking around Paris as a woman named Paris is quite a trip.",
+            "1. Paris | True | LOC | is a city in France\n"
+            "2. Paris | True | PER | is the name of the woman\n",
+            [("Paris", "LOC"), ("Paris", "PER")],
+        ),
+    ],
+)
+def test_regression_repeated_surface(text, response, gold):
+    label_dict = build_label_dict(["PER", "LOC"])
+    reasons = extract_span_reasons_cot(response, label_dict)
+    assert len(reasons) == len(gold)
+    assert _ents(text, response) == gold
+
+
+def test_regression_comma_in_entity():
+    text = "FooBar, Inc. is a large organization in the U.S."
+    response = (
+        "1. FooBar, Inc. | True | ORG | is the name of an organization\n"
+        "2. U.S. | True | LOC | is a country\n"
+    )
+    label_dict = build_label_dict(["ORG", "LOC"])
+    spans = parse_ner_v3(text, response, label_dict)
+    got = [(text[s:e], label) for s, e, label in filter_spans(spans)]
+    assert got == [("FooBar, Inc.", "ORG"), ("U.S.", "LOC")]
+
+
+# -- REL ---------------------------------------------------------------------
+
+
+def test_rel_bounds_filter():
+    # doc with 1 entity: dest index 0 kept, dest index 1 dropped
+    assert parse_rel_response('{"dep": 0, "dest": 0, "relation": "LivesIn"}', 1) == [
+        (0, 0, "LivesIn")
+    ]
+    assert parse_rel_response('{"dep": 0, "dest": 1, "relation": "LivesIn"}', 1) == []
+
+
+def test_rel_ent_prefix_and_malformed():
+    resp = '{"dep": "ENT0", "dest": "ENT1", "relation": "Visits"}\nnot json\n'
+    assert parse_rel_response(resp, 2) == [(0, 1, "Visits")]
+
+
+# -- EL ----------------------------------------------------------------------
+
+
+def test_el_solution_parse():
+    resp = "REASONING: blah\nSOLUTION:\n*Boston* ::: <Q100>\n*Boston Celtics* ::: <Q131371>\n*Foo* ::: <NIL>"
+    assert parse_el_solutions(resp) == ["Q100", "Q131371", "NIL"]
+
+
+def test_el_attach_with_auto_nil():
+    # 3 ents, middle one auto-niled (not in prompt)
+    assert attach_el_solutions([True, False, True], ["Q1", "Q2"]) == ["Q1", "NIL", "Q2"]
+    # count mismatch -> None (doc invalid, F9)
+    assert attach_el_solutions([True, True], ["Q1"]) is None
+
+
+# -- TextCat / Lemma / Sentiment ---------------------------------------------
+
+
+def test_textcat_binary():
+    ld = build_label_dict(["Recipe"])
+    assert parse_textcat_response("POS", ld, use_binary=True) == {"Recipe": 1.0}
+    assert parse_textcat_response("NEG", ld, use_binary=True) == {"Recipe": 0.0}
+
+
+def test_textcat_multilabel_and_exclusive():
+    ld = build_label_dict(["A", "B"])
+    assert parse_textcat_response("a,b", ld) == {"A": 1.0, "B": 1.0}
+    assert parse_textcat_response("a,b", ld, exclusive_classes=True) == {
+        "A": 0.0,
+        "B": 0.0,
+    }
+
+
+def test_lemma_parse():
+    resp = "Lemmatized text:\n'''\nwent: go\nup: up\nbroken line\n'''"
+    assert parse_lemma_response(resp) == [["went", "go"], ["up", "up"]]
+
+
+def test_sentiment_parse():
+    assert parse_sentiment_response("Answer: 0.75") == 0.75
+    assert parse_sentiment_response("garbage") is None

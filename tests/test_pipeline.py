@@ -1,0 +1,117 @@
+"""End-to-end KG pipeline tests: parity invariants, resume, scoring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.corpus import corpus_from_documents
+from spacy_llm_spark.operators.scoring import prf, score_mentions
+from spacy_llm_spark.pipeline import KGConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    corpus = corpus_from_documents(spark, sf_dir).limit(100).cache()
+    return corpus, run_pipeline(spark, corpus)
+
+
+def test_sha_parity(result):
+    """BASELINE.json per-row invariant: content_sha256 carried through all
+    derived tables and still matching sha2(content) of the source."""
+    corpus, res = result
+    src = corpus.select("content_sha256", F.sha2("content", 256).alias("recomputed"))
+    assert src.where(F.col("content_sha256") != F.col("recomputed")).count() == 0
+    for table in (res.mentions, res.relations, res.links, res.edges):
+        missing = table.join(
+            corpus.select("content_sha256"), "content_sha256", "left_anti"
+        )
+        assert missing.count() == 0
+
+
+def test_mention_offsets_match_content(result):
+    corpus, res = result
+    joined = res.mentions.join(corpus.select("doc_id", "content"), "doc_id")
+    bad = joined.where(
+        F.expr("substring(content, start + 1, end - start)") != F.col("surface")
+    )
+    assert bad.count() == 0
+
+
+def test_rel_indices_within_bounds(result):
+    corpus, res = result
+    n_ents = res.mentions.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    joined = res.relations.join(n_ents, "doc_id")
+    assert joined.where((F.col("dep") >= F.col("n")) | (F.col("dest") >= F.col("n"))).count() == 0
+
+
+def test_links_respect_kb(result):
+    """Every non-NIL link is the top-prior candidate for its surface."""
+    from spacy_llm_spark.kb import build_code_kb
+
+    corpus, res = result
+    kb = build_code_kb()
+    top1 = {alias: kb.get_candidates(alias, 1)[0][0] for alias in kb.aliases}
+    rows = res.links.select("surface", "kb_id").distinct().collect()
+    for row in rows:
+        expected = top1.get(row.surface, "NIL")
+        assert row.kb_id == expected, (row.surface, row.kb_id, expected)
+
+
+def test_edges_reference_canonical_nodes(result):
+    corpus, res = result
+    # canonical edges only contain component ids present in vertices
+    vnodes = {r.component for r in res.vertices.select("component").distinct().collect()}
+    enodes = {
+        r.subj for r in res.canonical_edges.select("subj").distinct().collect()
+    } | {r.obj for r in res.canonical_edges.select("obj").distinct().collect()}
+    # surface-only nodes of unlinked mentions may be absent from vertices
+    kb_like = {n for n in enodes if not n.startswith("surface:")}
+    assert kb_like <= vnodes
+
+
+def test_resume_idempotent(spark, sf_dir, tmp_path):
+    corpus = corpus_from_documents(spark, sf_dir).limit(30)
+    cfg = KGConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    r1 = run_pipeline(spark, corpus, cfg, materialize_canonical=False)
+    r2 = run_pipeline(spark, corpus, cfg, materialize_canonical=False)
+    assert r1.n_triples == r2.n_triples
+    m = {row.stage: row for row in r2.metrics.collect()}
+    assert m["annotate"].cache_hits == m["annotate"].rows_in
+    assert m["annotate"].rows_processed == 0
+
+
+def test_config_guard(spark, sf_dir, tmp_path):
+    corpus = corpus_from_documents(spark, sf_dir).limit(5)
+    cfg = KGConfig(checkpoint_dir=str(tmp_path / "ckpt2"))
+    run_pipeline(spark, corpus, cfg, materialize_canonical=False)
+    cfg2 = KGConfig(checkpoint_dir=str(tmp_path / "ckpt2"), top_n_candidates=3)
+    with pytest.raises(ValueError, match="different configuration"):
+        run_pipeline(spark, corpus, cfg2, materialize_canonical=False)
+
+
+# -- scoring golden (test_ner.py:697-718 formulas) ---------------------------
+
+
+@pytest.mark.parametrize("n_detections", [0, 1, 2])
+def test_ner_scoring_golden(spark, n_detections):
+    """Reference fixture (test_ner.py:700-718): the pipeline always
+    predicts both PER mentions per doc; gold keeps only the first
+    n_detections. Hence P = n/2, R = 1 if n else 0."""
+    gold_rows, pred_rows = [], []
+    for doc in (1, 2):
+        both = [(doc, 0, 5, "PER"), (doc, 17, 20, "PER")]
+        pred_rows += both
+        gold_rows += both[:n_detections]
+    schema = "doc_id long, start long, end long, label string"
+    gold_df = spark.createDataFrame(gold_rows, schema)
+    pred_df = spark.createDataFrame(pred_rows, schema)
+    p, r, f = score_mentions(pred_df, gold_df)
+    assert p == n_detections / 2
+    assert r == (1 if n_detections else 0)
+    if n_detections == 1:
+        assert abs(f - 0.666666666) < 1e-6
+    else:
+        assert f == n_detections / 2
+
+
+def test_prf_zero_safe():
+    assert prf(0, 0, 0) == (0.0, 0.0, 0.0)

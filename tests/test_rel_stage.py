@@ -1,0 +1,63 @@
+"""REL stage tests: preannotation golden + bounds + stage run.
+
+Preannotation expectation from tests/tasks/test_rel.py:273-291:
+3-token doc with ents A/B/C -> "Well[ENT0:A] hello[ENT1:B] there[ENT2:C]".
+"""
+
+from spacy_llm_spark.operators.rel import extract_relations, preannotate
+
+
+def test_preannotate_golden():
+    text = "Well hello there"
+    ents = [(0, 4, "A"), (5, 10, "B"), (11, 16, "C")]
+    assert preannotate(text, ents) == "Well[ENT0:A] hello[ENT1:B] there[ENT2:C]"
+
+
+def test_preannotate_no_ents():
+    assert preannotate("nothing here", []) == "nothing here"
+
+
+def test_rel_stage(spark):
+    text = "spark executes join on customer"
+    ents = [
+        {"start": 0, "end": 5, "label": "SYS", "surface": "spark"},
+        {"start": 15, "end": 19, "label": "OP", "surface": "join"},
+        {"start": 23, "end": 31, "label": "TABLE", "surface": "customer"},
+    ]
+    df = spark.createDataFrame(
+        [(1, text, ents)],
+        "doc_id long, content string, ents array<struct<start:int,end:int,label:string,surface:string>>",
+    )
+    out = extract_relations(
+        df,
+        model_spec={
+            "name": "rule_rel",
+            "rules": {"SYS|OP": "executes", "OP|TABLE": "appliesTo"},
+        },
+        labels=["executes", "appliesTo"],
+    ).collect()[0]
+    assert [(r.dep, r.dest, r.relation) for r in out.rels] == [
+        (0, 1, "executes"),
+        (1, 2, "appliesTo"),
+    ]
+
+
+def test_rel_stage_noop_model_bounds(spark):
+    """A canned response indexing a non-existent entity is dropped (F3)."""
+    ents = [{"start": 0, "end": 4, "label": "TEST", "surface": "This"}]
+    df = spark.createDataFrame(
+        [(1, "This is a test", ents)],
+        "doc_id long, content string, ents array<struct<start:int,end:int,label:string,surface:string>>",
+    )
+    keep = extract_relations(
+        df,
+        model_spec={"name": "noop", "output": '{"dep": 0, "dest": 0, "relation": "LivesIn"}'},
+        labels=["LivesIn"],
+    ).collect()[0]
+    assert len(keep.rels) == 1
+    drop = extract_relations(
+        df,
+        model_spec={"name": "noop", "output": '{"dep": 0, "dest": 1, "relation": "LivesIn"}'},
+        labels=["LivesIn"],
+    ).collect()[0]
+    assert len(drop.rels) == 0

@@ -1,0 +1,88 @@
+"""Sharding kernel tests (H1/H2/H3 semantics).
+
+The reference pins exact split points against spaCy tokens
+(tests/sharding/test_sharding.py:44-331); our splitter uses whitespace
+tokens, so we pin the *invariants* the reference asserts — every shard's
+prompt fits the context budget, shards reconstruct the doc, offsets shift
+correctly — plus our own exact split points for regression stability.
+"""
+
+import pytest
+
+from spacy_llm_spark.operators.sharding import (
+    estimate_n_tokens,
+    make_shards,
+    merge_shard_spans,
+)
+
+
+def render(shard_text, i_shard, n_shards):
+    return f"prompt prefix of six tokens here: {shard_text}"
+
+
+def test_n_token_estimator():
+    assert estimate_n_tokens("a b  c\nd") == 4
+    assert estimate_n_tokens("") == 0
+
+
+def test_no_shard_when_fits():
+    text = "one two three"
+    assert make_shards(text, 100, render) == [(0, text)]
+
+
+def test_shards_fit_and_cover():
+    words = [f"w{i}" for i in range(100)]
+    text = " ".join(words)
+    ctx = 30
+    shards = make_shards(text, ctx, render)
+    assert len(shards) > 1
+    # every shard prompt fits with the 1.1 buffer
+    for _, shard_text in shards:
+        assert estimate_n_tokens(render(shard_text, 0, 1)) * 1.1 <= ctx
+    # shards cover all tokens in order, no loss, no overlap
+    rejoined = " ".join(s for _, s in shards)
+    assert rejoined.split() == words
+    # offsets point at the true positions
+    for off, shard_text in shards:
+        assert text[off : off + len(shard_text)] == shard_text
+
+
+def test_first_shard_starts_at_half():
+    # first shard tries 50% of the doc (sharding.py fraction=0.5 start)
+    words = ["x"] * 40
+    text = " ".join(words)
+    shards = make_shards(text, 1000, lambda s, i, n: s)  # no prefix
+    assert shards == [(0, text)]
+    shards = make_shards(text, 25, lambda s, i, n: s)
+    assert estimate_n_tokens(shards[0][1]) == 20  # 50% of 40
+    # subsequent shard takes the whole remainder if it fits
+    assert estimate_n_tokens(shards[1][1]) == 20
+
+
+def test_unshardable_raises():
+    with pytest.raises(ValueError, match="shard of length 1"):
+        make_shards("word " * 50, 3, lambda s, i, n: "giant prefix " * 10 + s)
+
+
+def test_merge_shard_spans_offset_shift():
+    merged = merge_shard_spans(
+        [(0, [(0, 4, "A")]), (100, [(0, 3, "B"), (10, 14, "C")])]
+    )
+    assert merged == [(0, 4, "A"), (100, 103, "B"), (110, 114, "C")]
+
+
+def test_ner_stage_with_sharding(spark):
+    """End-to-end: a long doc forced into shards yields the same mentions
+    as the unsharded run (shard-reduce A1 invariant)."""
+    from spacy_llm_spark.operators.ner import extract_mentions
+
+    text = " ".join(["spark", "pad"] * 120)  # 240 tokens, 120 'spark' hits
+    df = spark.createDataFrame([(1, text, "sha1")], "doc_id long, content string, content_sha256 string")
+    spec = {"name": "dict_ner", "dictionary": {"spark": "SYS"}}
+
+    unsharded = extract_mentions(df, model_spec=spec, labels=["SYS"]).collect()[0]
+    sharded = extract_mentions(
+        df, model_spec=spec, labels=["SYS"], context_length=120
+    ).collect()[0]
+    assert len(unsharded.ents) == 120
+    assert [e.start for e in sharded.ents] == [e.start for e in unsharded.ents]
