@@ -1,38 +1,529 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query (corpus -> triples) at
+sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over
+the same parquet views. SQL for the KG stages is *generated from the same
+Python constants* (dictionary, KB aliases, relation rules) the engine
+uses, so engine and oracle can't drift apart silently.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spacy_llm_spark.corpus import CORPUS_ORACLE_SQL, corpus_from_documents
+from spacy_llm_spark.functions import text as textfn
+from spacy_llm_spark.kb import CODE_NER_DICT, CODE_REL_RULES, build_code_kb
+from spacy_llm_spark.operators import dedup, el, similarity
+from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
+from spacy_llm_spark.operators import materialize as mat
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (generated from engine constants)
+# ---------------------------------------------------------------------------
+
+
+def _dict_values_sql() -> str:
+    return ", ".join(
+        f"('{s}', '{l}')" for s, l in sorted(CODE_NER_DICT.items())
+    )
+
+
+def _alias_values_sql() -> str:
+    kb = build_code_kb()
+    rows = [
+        f"('{alias}', '{qid}', {prior})"
+        for alias, cands in sorted(kb.aliases.items())
+        for qid, prior in cands
+    ]
+    return ", ".join(rows)
+
+
+def _rel_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN label_a = '{a}' AND label_b = '{b}' THEN '{p}'"
+        for (a, b), p in sorted(CODE_REL_RULES.items())
+    )
+    return f"CASE {whens} END"
+
+
+# Token positions + dictionary mentions over the documents table. All the
+# KG oracles build on this CTE chain (token-level because every dictionary
+# surface is a single token of the corpus vocabulary — see kb.CODE_NER_DICT).
+_MENTIONS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents
+), pos AS (
+  SELECT doc_id, tok, ord,
+         CAST(coalesce(sum(len(tok) + 1) OVER (
+           PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM toks
+), dict(surface, label) AS (VALUES {{DICT}}),
+mentions AS (
+  SELECT p.doc_id,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.ord) - 1 AS ent_idx,
+         p.start,
+         p.start + len(p.tok) AS "end",
+         d.label,
+         p.tok AS surface
+  FROM pos p JOIN dict d ON p.tok = d.surface
+), aliases(alias, qid, prior) AS (VALUES {{ALIASES}}),
+top1 AS (
+  SELECT alias, qid FROM (
+    SELECT alias, qid,
+           row_number() OVER (PARTITION BY alias ORDER BY prior DESC, qid) AS rn
+    FROM aliases) WHERE rn = 1
+), links AS (
+  SELECT m.doc_id, m.ent_idx, m.start, m."end", m.label, m.surface,
+         coalesce(t.qid, 'NIL') AS kb_id
+  FROM mentions m LEFT JOIN top1 t ON m.surface = t.alias
+), pairs AS (
+  SELECT doc_id, ent_idx AS dep, label AS label_a,
+         lead(ent_idx) OVER w AS dest, lead(label) OVER w AS label_b
+  FROM mentions
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ent_idx)
+), rels0 AS (
+  SELECT doc_id, dep, dest, {{RELCASE}} AS relation
+  FROM pairs WHERE dest IS NOT NULL
+), rels AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dep) - 1 AS rel_idx,
+         dep, dest, relation
+  FROM rels0 WHERE relation IS NOT NULL
+)
+""".replace("{DICT}", _dict_values_sql()).replace(
+    "{ALIASES}", _alias_values_sql()
+).replace("{RELCASE}", _rel_case_sql())
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+_CFG = KGConfig()
+
+
+def _annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_from_documents(spark, sf_dir)
+    return annotate_corpus(corpus, _CFG)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _as_long(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark) + oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_corpus(spark, sf_dir):
+    return corpus_from_documents(spark, sf_dir)
+
+
+def q_kg_mentions(spark, sf_dir):
+    m = mat.mentions_table(_annotated(spark, sf_dir), ("doc_id",))
+    return _as_long(m, "ent_idx", "start", "end")
+
+
+def q_kg_links(spark, sf_dir):
+    l = mat.links_table(_annotated(spark, sf_dir), ("doc_id",))
+    return _as_long(l, "ent_idx", "start", "end").select(
+        "doc_id", "ent_idx", "start", "end", "label", "surface", "kb_id"
+    )
+
+
+def q_kg_relations(spark, sf_dir):
+    r = mat.relations_table(_annotated(spark, sf_dir), ("doc_id",))
+    return _as_long(r, "rel_idx", "dep", "dest")
+
+
+def q_kg_edges(spark, sf_dir):
+    e = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "doc_id", "rel_idx", "subj", "pred", "obj"
+    )
+    return _as_long(e, "rel_idx")
+
+
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textfn.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_distinct_tokens(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_cache_probe_anti_join(spark, sf_dir):
+    """F1: checkpoint probe — process only docs whose key is absent from
+    the (simulated) checkpoint table, via LEFT ANTI join."""
+    docs = _docs(spark, sf_dir)
+    checkpoint = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.sha2("text", 256).alias("content_sha256")
+    )
+    todo = docs.withColumn("content_sha256", F.sha2("text", 256)).join(
+        checkpoint, "content_sha256", "left_anti"
+    )
+    return todo.select("doc_id", "content_sha256")
+
+
+def q_events_hourly(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("hour").cast("long").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_substring_offsets(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    first = F.locate("spark", F.col("text")) - 1
+    n_occ = (
+        (F.length("text") - F.length(F.regexp_replace("text", "spark", "")))
+        / F.lit(5)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(first >= 0, first).otherwise(F.lit(-1)).cast("long").alias("first_offset"),
+        n_occ.alias("n_occurrences"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    out = dedup.duplicate_groups(doubled)
+    return out.select(
+        "text_sha",
+        F.element_at("ids", 1).cast("long").alias("min_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def q_lsh_dedup_verified(spark, sf_dir):
+    """MinHash LSH candidate pairs, verified by exact text equality —
+    deterministic, so the oracle is a plain text self-join."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = dedup.minhash_lsh_dup_pairs(
+        doubled, n_hashes=32, bands=8, shingle_k=3, threshold=1.0
+    )
+    texts = doubled.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    texts_b = doubled.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(texts, "id_a")
+        .join(texts_b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+
+
+def q_jaccard_vs_probe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    probe_text = (
+        docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    )
+    probe = F.array_distinct(F.split(F.lit(probe_text), r" "))
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, probe)).cast("long").alias("n_inter"),
+        F.size(F.array_union(toks, probe)).cast("long").alias("n_union"),
+    )
+
+
+def q_word_stats(spark, sf_dir):
+    out = textfn.word_stats(_docs(spark, sf_dir))
+    return _as_long(out, "n_chars", "n_tokens", "n_distinct_tokens")
+
+
+def q_salted_repo_stats(spark, sf_dir):
+    from spacy_llm_spark.operators.skew import salted_agg
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    out = salted_agg(
+        corpus,
+        ["repo"],
+        {
+            "n_files": (F.count(F.lit(1)), F.sum),
+            "n_chars": (F.sum(F.length("content")), F.sum),
+        },
+        n_salt=16,
+    )
+    return _as_long(out, "n_files", "n_chars")
+
+
+def q_el_candidates_topn(spark, sf_dir):
+    kb = build_code_kb()
+    surfaces = (
+        q_kg_mentions(spark, sf_dir).select("surface").distinct()
+        .withColumnRenamed("surface", "mention")
+    )
+    cands = el.candidates_df(
+        surfaces, kb.aliases_df(spark), key_cols=("mention",),
+        surface_col="mention", top_n=2,
+    )
+    return cands.where(F.col("qid").isNotNull()).select(
+        "mention", "qid", F.round("prior", 6).alias("prior"),
+        F.col("cand_rank").cast("long").alias("cand_rank"),
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.cosine_topk(emb, [float(x) for x in probe], k=10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ner_prf(spark, sf_dir):
+    """Scoring operator: predicted = engine mentions; gold = OP-labeled
+    dictionary tokens only -> P = |OP|/|all|, R = 1 over OP subset."""
+    pred = q_kg_mentions(spark, sf_dir).select("doc_id", "start", "end", "label")
+    gold = pred.where(F.col("label") == "OP")
+    tp = pred.join(gold, ["doc_id", "start", "end", "label"], "inner").count()
+    n_pred, n_gold = pred.count(), gold.count()
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
+    return spark.createDataFrame(
+        [(tp, n_pred, n_gold, round(p, 6), round(r, 6))],
+        "tp long, n_pred long, n_gold long, precision double, recall double",
+    )
+
+
+def q_detect_language(spark, sf_dir):
+    # no SQL oracle (profile argmax) -> driver records rows-only check
+    return textfn.detect_language(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    # no SQL oracle (bitwise majority vote) -> rows-only check
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_kg_vertices(spark, sf_dir):
+    # connected components: iterative, not single-statement SQL -> rows-only
+    from spacy_llm_spark.operators import canonicalize as canon
+
+    links = mat.links_table(_annotated(spark, sf_dir), ("doc_id",))
+    return canon.canonical_vertices(links)
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG construction (NER -> REL -> EL -> triples)
+    over the sf0.001 corpus."""
+    return q_kg_edges(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_corpus": q_kg_corpus,
+        "kg_mentions": q_kg_mentions,
+        "kg_links": q_kg_links,
+        "kg_relations": q_kg_relations,
+        "kg_edges": q_kg_edges,
+        "kg_vertices": q_kg_vertices,
+        "cache_probe_anti_join": q_cache_probe_anti_join,
+        "token_count": q_token_count,
+        "distinct_tokens": q_distinct_tokens,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "substring_offsets": q_substring_offsets,
+        "dedup_exact": q_dedup_exact,
+        "lsh_dedup_verified": q_lsh_dedup_verified,
+        "jaccard_vs_probe": q_jaccard_vs_probe,
+        "word_stats": q_word_stats,
+        "salted_repo_stats": q_salted_repo_stats,
+        "el_candidates_topn": q_el_candidates_topn,
+        "cosine_topk": q_cosine_topk,
+        "ner_prf": q_ner_prf,
+        "detect_language": q_detect_language,
+        "simhash": q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    m = _MENTIONS_CTE
+    return {
+        "kg_corpus": CORPUS_ORACLE_SQL,
+        "kg_mentions": m
+        + 'SELECT doc_id, ent_idx, start, "end", label, surface FROM mentions',
+        "kg_links": m
+        + 'SELECT doc_id, ent_idx, start, "end", label, surface, kb_id FROM links',
+        "kg_relations": m + "SELECT doc_id, rel_idx, dep, dest, relation FROM rels",
+        "kg_edges": m
+        + """
+SELECT r.doc_id, r.rel_idx,
+  CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
+       ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
+  r.relation AS pred,
+  CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
+       ELSE 'surface:' || lower(trim(lo.surface)) END AS obj
+FROM rels r
+JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+""",
+        "token_count": "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+        "distinct_tokens": (
+            "SELECT DISTINCT token FROM (SELECT unnest(string_split(text, ' ')) "
+            "AS token FROM documents) WHERE len(token) > 0"
+        ),
+        "topk_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+""",
+        "cache_probe_anti_join": """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+WHERE doc_id % 3 <> 0
+""",
+        "events_hourly": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "substring_offsets": """
+SELECT doc_id,
+       CAST(strpos(text, 'spark') - 1 AS BIGINT) AS first_offset,
+       CAST((len(text) - len(replace(text, 'spark', ''))) / 5 AS BIGINT) AS n_occurrences
+FROM documents
+""",
+        "dedup_exact": """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT sha256(text) AS text_sha, min(doc_id) AS min_id, count(*) AS n_copies
+FROM doubled GROUP BY text HAVING count(*) > 1
+""",
+        "lsh_dedup_verified": """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM doubled a JOIN doubled b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "jaccard_vs_probe": """
+WITH probe AS (
+  SELECT list_distinct(string_split(text, ' ')) AS ptoks FROM documents WHERE doc_id = 0
+)
+SELECT d.doc_id,
+  CAST(len(list_intersect(list_distinct(string_split(d.text, ' ')), p.ptoks)) AS BIGINT) AS n_inter,
+  CAST(len(list_distinct(list_concat(list_distinct(string_split(d.text, ' ')), p.ptoks))) AS BIGINT) AS n_union
+FROM documents d, probe p
+""",
+        "word_stats": """
+SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+""",
+        "salted_repo_stats": f"""
+WITH corpus AS ({CORPUS_ORACLE_SQL})
+SELECT repo, count(*) AS n_files, CAST(sum(len(content)) AS BIGINT) AS n_chars
+FROM corpus GROUP BY repo
+""",
+        "el_candidates_topn": m
+        + """
+SELECT DISTINCT msurf.surface AS mention, a.qid,
+       round(CAST(a.prior AS DOUBLE), 6) AS prior,
+       CAST(rnk AS BIGINT) AS cand_rank
+FROM (SELECT DISTINCT surface FROM mentions) msurf
+JOIN (SELECT alias, qid, prior,
+             row_number() OVER (PARTITION BY alias ORDER BY prior DESC, qid) AS rnk
+      FROM aliases) a
+ON msurf.surface = a.alias
+WHERE rnk <= 2
+""",
+        "cosine_topk": """
+WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], p) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(p, p))) AS cos
+  FROM embeddings, probe
+)
+SELECT vec_id, round(cos, 6) AS cosine FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "ner_prf": m
+        + """
+, pred AS (SELECT doc_id, start, "end", label FROM mentions),
+gold AS (SELECT * FROM pred WHERE label = 'OP'),
+counts AS (
+  SELECT (SELECT count(*) FROM pred p JOIN gold g
+            ON p.doc_id = g.doc_id AND p.start = g.start
+           AND p."end" = g."end" AND p.label = g.label) AS tp,
+         (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM gold) AS n_gold
+)
+SELECT tp, n_pred, n_gold,
+       round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
+       round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall
+FROM counts
+""",
+        # detect_language / simhash / kg_vertices: no SQL oracle
+        # (profile argmax, bitwise vote, iterative CC) -> rows-only checks.
+    }

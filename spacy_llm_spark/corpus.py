@@ -30,7 +30,10 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_from_documents(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """Build the source_files corpus from the documents table.
 
@@ -42,6 +45,13 @@ def corpus_from_documents(
     - content: the document text, verbatim (content_sha256 = sha2(content)).
     """
     docs = load_documents(spark, sf_dir)
+    # The test parquet is a single tiny file -> one input split. A real
+    # 10^12-file Iceberg scan arrives in thousands of splits; here we hash-
+    # partition by doc_id so the narrow extraction stages actually fan out
+    # across cores. (Deterministic: hash partitioning, not round-robin.)
+    n_parts = target_partitions or max(
+        docs.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
+    )
     if replicate > 1:
         # Scale-up path: replicate texts with distinct ids. Narrow op (a
         # broadcast-range cross join), no shuffle of the big side.
@@ -51,6 +61,7 @@ def corpus_from_documents(
             .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
             .drop("rep")
         )
+    docs = docs.repartition(n_parts, F.col("doc_id"))
 
     ext = F.coalesce(
         *[

@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     checkpoint,
     dedup,
     el,
+    fused,
     materialize,
     ner,
     rel,

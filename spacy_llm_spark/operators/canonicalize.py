@@ -8,16 +8,15 @@ Graph model: nodes are entity keys — KB ids (``K...``/``Q...``) and
 surface nodes (``surface:<normalized form>``). For every linked mention we
 add an undirected edge (surface_node, kb_node); surfaces that ever link to
 the same KB entity end up in one component, and the component's canonical
-id is its lexicographically smallest KB id (or smallest surface node for
-all-NIL clusters).
+id is its lexicographically smallest node (KB ids sort before surface
+nodes, so linked clusters take a KB id).
 
-Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SOCC'14) expressed as DataFrame
-self-joins with a fixpoint check; ``localCheckpoint`` each iteration cuts
-the lineage (the only genuinely iterative algorithm in the engine,
-SURVEY.md §4). Converges in O(log^2 n) rounds; our label-propagation
-variant below converges in O(diameter) rounds which is tiny for
-surface/KB bipartite graphs (diameter <= 2 * chain length).
+Scale shape: the corpus-sized ``links`` table is reduced ONCE by a
+map-side-combined distinct to the entity-scale (surface, kb_id) pair set;
+everything else (graph build, components, vertex map) runs on that tiny
+frame. The pair distinct is the only shuffle that sees corpus-scale data,
+and its map-side partial aggregation collapses each partition to at most
+|distinct surfaces x kb ids| rows before shuffling.
 """
 
 from __future__ import annotations
@@ -28,33 +27,72 @@ from pyspark.sql import functions as F
 from ..kb import NIL
 
 
-def surface_kb_edges(links: DataFrame) -> DataFrame:
-    """Distinct (surface_node, kb_node) edges from the links table."""
-    linked = links.where((F.col("kb_id").isNotNull()) & (F.col("kb_id") != NIL))
+def surface_kb_pairs(links: DataFrame) -> DataFrame:
+    """One aggregation over the links table -> distinct
+    (surface_norm, kb_id) pairs (kb_id may be NIL). Entity-scale output.
+    """
     return (
-        linked.select(
-            F.concat(F.lit("surface:"), F.lower(F.trim(F.col("surface")))).alias("src"),
-            F.col("kb_id").alias("dst"),
+        links.select(
+            F.lower(F.trim(F.col("surface"))).alias("surface_norm"),
+            F.coalesce("kb_id", F.lit(NIL)).alias("kb_id"),
         )
         .distinct()
     )
 
 
+def surface_kb_edges(links: DataFrame) -> DataFrame:
+    """Distinct (surface_node, kb_node) edges from the links table."""
+    pairs = surface_kb_pairs(links)
+    return pairs.where(F.col("kb_id") != NIL).select(
+        F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
+        F.col("kb_id").alias("dst"),
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node in the undirected edge set.
 
-    Label propagation on the symmetrized edge list: every node repeatedly
-    adopts the min label in its closed neighborhood until no label changes.
-    Each iteration is one shuffle (groupBy node); lineage is cut with
-    localCheckpoint so plans don't grow across iterations.
+    Two physical strategies, same result:
+
+    - The entity graph is KB-scale (nodes ~ |aliases| + |entities|), tiny
+      relative to the corpus. Below ``driver_threshold`` edges we collect
+      and run exact union-find on the driver — one job instead of
+      O(diameter) shuffle rounds. This mirrors the reference, which holds
+      its whole KB in memory (InMemoryLookupKB).
+    - Above the threshold: distributed label propagation — every node
+      repeatedly adopts the min label in its closed neighborhood until a
+      fixpoint. One shuffle per iteration; lineage cut with
+      localCheckpoint so plans don't grow across iterations.
     """
+    spark = edges.sparkSession
+    head = edges.select("src", "dst").distinct().limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in head:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(node, find(node)) for node in parent]
+        return spark.createDataFrame(rows, "node string, component string")
+
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # Adjacency is reused every iteration — cache it once.
-    adj = sym.distinct().localCheckpoint()
+    adj = sym.distinct().repartition(64, "src").localCheckpoint()
 
     labels = (
         adj.select(F.col("src").alias("node"))
@@ -62,12 +100,10 @@ def connected_components(
         .withColumn("component", F.col("node"))
     ).localCheckpoint()
 
-    for i in range(max_iter):
-        # candidate label for each node = min(own, min over neighbors)
-        neighbor_labels = (
-            adj.join(labels, adj["dst"] == labels["node"], "inner")
-            .select(adj["src"].alias("node"), F.col("component"))
-        )
+    for _ in range(max_iter):
+        neighbor_labels = adj.join(
+            labels, adj["dst"] == labels["node"], "inner"
+        ).select(adj["src"].alias("node"), F.col("component"))
         new_labels = (
             labels.select("node", "component")
             .union(neighbor_labels)
@@ -89,41 +125,83 @@ def connected_components(
     return labels
 
 
-def canonical_vertices(links: DataFrame, max_iter: int = 25) -> DataFrame:
+def canonical_vertices(
+    links: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """(node, component, is_kb) vertex table over all entity keys seen in
     links — including never-linked (all-NIL) surfaces, which become their
     own singleton components.
+
+    Exactly ONE corpus-scale aggregation (the map-side-combined pair
+    distinct). The resulting pair set is entity-scale; below
+    ``driver_threshold`` pairs it is collected and the whole graph —
+    union-find included — is resolved on the driver in a single job
+    (mirroring the reference's in-memory KB). Above it, the distributed
+    label-propagation CC takes over.
     """
-    edges = surface_kb_edges(links)
+    pairs = surface_kb_pairs(links)
+    head = pairs.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        nodes = set()
+        for row in head:
+            s = f"surface:{row.surface_norm}"
+            nodes.add(s)
+            if row.kb_id != NIL:
+                nodes.add(row.kb_id)
+                union(s, row.kb_id)
+        rows = [
+            (node, find(node), not node.startswith("surface:"))
+            for node in sorted(nodes)
+        ]
+        return links.sparkSession.createDataFrame(
+            rows, "node string, component string, is_kb boolean"
+        )
+
+    pairs = pairs.localCheckpoint()
+    edges = pairs.where(F.col("kb_id") != NIL).select(
+        F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
+        F.col("kb_id").alias("dst"),
+    )
     comps = connected_components(edges, max_iter=max_iter)
 
     all_nodes = (
-        links.select(
-            F.when(
-                (F.col("kb_id").isNotNull()) & (F.col("kb_id") != NIL), F.col("kb_id")
-            )
-            .otherwise(F.concat(F.lit("surface:"), F.lower(F.trim(F.col("surface")))))
+        pairs.select(
+            F.when(F.col("kb_id") != NIL, F.col("kb_id"))
+            .otherwise(F.concat(F.lit("surface:"), F.col("surface_norm")))
             .alias("node")
         )
         .union(edges.select(F.col("src").alias("node")))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    return (
-        all_nodes.join(comps, "node", "left")
-        .select(
-            "node",
-            F.coalesce("component", "node").alias("component"),
-            (~F.col("node").startswith("surface:")).alias("is_kb"),
-        )
+    return all_nodes.join(comps, "node", "left").select(
+        "node",
+        F.coalesce("component", "node").alias("component"),
+        (~F.col("node").startswith("surface:")).alias("is_kb"),
     )
 
 
 def canonical_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Rewrite triple endpoints onto canonical component ids.
 
-    The vertex map is component-count sized (small relative to the triple
-    table) — broadcast both joins so the big side never shuffles.
+    The vertex map is entity-scale — broadcast both joins so the triple
+    table never shuffles.
     """
     vmap = F.broadcast(vertices.select("node", "component"))
     return (

@@ -1,0 +1,180 @@
+"""Fused NER -> REL -> EL extraction stage.
+
+The reference pipelines generate -> model -> parse per task through lazy
+generators with zero materialization between steps (R4,
+pipeline/llm.py:235-271). The Spark analog of that pipelining is fusing
+the three task stages into ONE ``mapInPandas`` pass: the corpus crosses
+the JVM<->Python Arrow boundary once instead of three times, and each
+Arrow batch runs all three deterministic models locally.
+
+Semantically identical to chaining operators.ner/rel/el (tested against
+them); use the unfused stages when stages need independent checkpoints or
+different cluster resources (e.g. a GPU-bound EL model).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StructField, StructType
+
+from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
+from ..functions.parsing import (
+    attach_el_solutions,
+    extract_span_reasons_cot,
+    find_spans_cot,
+    parse_el_solutions,
+    parse_rel_response,
+)
+from ..kb import NIL, UNAVAILABLE_ENTITY_DESC, KnowledgeBase
+from ..model import resolve_model
+from ..templates import render_el_prompt, render_ner_prompt, render_rel_prompt
+from ..tokenizer import filter_spans
+from .el import LINKS_TYPE, highlight_ents
+from .ner import ENT_TYPE
+from .rel import REL_TYPE, preannotate
+from .sharding import make_shards, merge_shard_spans
+
+
+def annotate_fused(
+    df: DataFrame,
+    *,
+    ner_model_spec: dict,
+    rel_model_spec: dict,
+    el_model_spec: dict,
+    kb: KnowledgeBase,
+    labels,
+    rel_labels,
+    text_col: str = "content",
+    normalizer: str = "lowercase",
+    alignment_mode: str = "contract",
+    case_sensitive_matching: bool = False,
+    allow_overlap: bool = False,
+    context_length: Optional[int] = None,
+    top_n: int = 5,
+    auto_nil: bool = True,
+    drop_text: bool = True,
+) -> DataFrame:
+    """Append ents + rels + kb_ids in a single narrow pass.
+
+    ``drop_text=True`` drops ``text_col`` from the OUTPUT (it is still the
+    kernel's input): the text dominates the Arrow return payload and the
+    downstream tables never read it — they carry content_sha256 for
+    parity/joins. At 100 TB this halves the checkpoint volume.
+    """
+    label_list = split_labels(labels)
+    rel_label_list = split_labels(rel_labels)
+    norm = NORMALIZERS[normalizer]
+    label_dict = build_label_dict(label_list, norm)
+    kept_fields = [f for f in df.schema.fields if not (drop_text and f.name == text_col)]
+    out_schema = StructType(
+        kept_fields
+        + [
+            StructField("ents", ENT_TYPE),
+            StructField("rels", REL_TYPE),
+            StructField("kb_ids", LINKS_TYPE),
+        ]
+    )
+    spark = df.sparkSession
+    kb_bc = spark.sparkContext.broadcast(kb.to_json())
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ner_model = resolve_model(ner_model_spec)
+        rel_model = resolve_model(rel_model_spec)
+        el_model = resolve_model(el_model_spec)
+        local_kb = KnowledgeBase.from_json(kb_bc.value)
+
+        def render_ner(shard_text, i_shard, n_shards):
+            return render_ner_prompt(shard_text, label_list)
+
+        for pdf in batches:
+            texts = [t or "" for t in pdf[text_col]]
+
+            # ---- NER ----
+            doc_shards, prompts = [], []
+            for text in texts:
+                shards = (
+                    make_shards(text, context_length, render_ner)
+                    if context_length is not None
+                    else [(0, text)]
+                )
+                doc_shards.append(shards)
+                prompts.extend(render_ner(s, i, len(shards)) for i, (_, s) in enumerate(shards))
+            responses = ner_model(prompts)
+            ents_col = []
+            r = 0
+            for text, shards in zip(texts, doc_shards):
+                shard_results = []
+                for offset, shard_text in shards:
+                    reasons = extract_span_reasons_cot(responses[r], label_dict, norm)
+                    spans = find_spans_cot(
+                        shard_text,
+                        reasons,
+                        case_sensitive=case_sensitive_matching,
+                        alignment_mode=alignment_mode,
+                        allow_overlap=allow_overlap,
+                    )
+                    shard_results.append((offset, spans))
+                    r += 1
+                merged = merge_shard_spans(shard_results)
+                merged = (
+                    sorted(set(merged)) if allow_overlap else filter_spans(merged)
+                )
+                ents_col.append(
+                    [
+                        {"start": s, "end": e, "label": lab, "surface": text[s:e]}
+                        for s, e, lab in merged
+                    ]
+                )
+
+            # ---- REL ----
+            rel_prompts = [
+                render_rel_prompt(
+                    preannotate(text, [(e["start"], e["end"], e["label"]) for e in ents]),
+                    rel_label_list,
+                )
+                for text, ents in zip(texts, ents_col)
+            ]
+            rel_responses = rel_model(rel_prompts)
+            rels_col = [
+                [
+                    {"dep": dep, "dest": dest, "relation": relation}
+                    for dep, dest, relation in parse_rel_response(resp, len(ents))
+                ]
+                for resp, ents in zip(rel_responses, ents_col)
+            ]
+
+            # ---- EL ----
+            el_prompts, in_prompt_col = [], []
+            for text, ents in zip(texts, ents_col):
+                spans = [(e["start"], e["end"]) for e in ents]
+                surfaces = [e["surface"] for e in ents]
+                cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
+                in_prompt = [bool(c) or not auto_nil for c in cands]
+                mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
+                cand_blocks = [
+                    [(qid, desc) for qid, _, desc in c]
+                    if c
+                    else [(NIL, UNAVAILABLE_ENTITY_DESC)]
+                    for c, ip in zip(cands, in_prompt)
+                    if ip
+                ]
+                el_prompts.append(
+                    render_el_prompt(highlight_ents(text, spans, in_prompt), mentions, cand_blocks)
+                )
+                in_prompt_col.append(in_prompt)
+            el_responses = el_model(el_prompts)
+            links_col = []
+            for response, in_prompt in zip(el_responses, in_prompt_col):
+                attached = attach_el_solutions(in_prompt, parse_el_solutions(response))
+                links_col.append(attached if attached is not None else [NIL] * len(in_prompt))
+
+            out = pdf.drop(columns=[text_col]) if drop_text else pdf.copy()
+            out["ents"] = ents_col
+            out["rels"] = rels_col
+            out["kb_ids"] = links_col
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -82,11 +82,34 @@ class KGResult:
 
 
 def annotate_corpus(
-    corpus: DataFrame, cfg: KGConfig, kb: Optional[KnowledgeBase] = None
+    corpus: DataFrame,
+    cfg: KGConfig,
+    kb: Optional[KnowledgeBase] = None,
+    fused: bool = True,
 ) -> DataFrame:
     """Run the three extraction stages, returning the corpus with
-    ents/rels/kb_ids annotation columns attached (all narrow)."""
+    ents/rels/kb_ids annotation columns attached (all narrow).
+
+    ``fused=True`` (default) runs NER+REL+EL in ONE mapInPandas pass —
+    one Arrow boundary crossing instead of three (R4 pipelining).
+    ``fused=False`` chains the standalone stage operators (independent
+    checkpoints / resources per stage)."""
     kb = kb or build_code_kb()
+    if fused:
+        from .operators.fused import annotate_fused
+
+        return annotate_fused(
+            corpus,
+            ner_model_spec=cfg.ner_model_spec(),
+            rel_model_spec=cfg.rel_model_spec(),
+            el_model_spec=cfg.el_model_spec(),
+            kb=kb,
+            labels=list(cfg.labels),
+            rel_labels=list(cfg.rel_labels),
+            context_length=cfg.context_length,
+            top_n=cfg.top_n_candidates,
+            auto_nil=cfg.auto_nil,
+        )
     df = ner_op.extract_mentions(
         corpus,
         model_spec=cfg.ner_model_spec(),
@@ -128,7 +151,12 @@ def run_pipeline(
         )
     else:
         ckpt = None
-        annotated = annotate_corpus(corpus, cfg, kb)
+        # Materialize the (narrow, expensive) annotation pass once; the
+        # four output tables and the triple count all re-read it. Row-
+        # serialized blocks (localCheckpoint), NOT the columnar cache —
+        # InMemoryRelation scans of nested array<struct> columns are
+        # several times slower than recomputing (measured).
+        annotated = annotate_corpus(corpus, cfg, kb).localCheckpoint()
 
     id_cols = ("doc_id", "content_sha256") if "doc_id" in corpus.columns else (
         "content_sha256",

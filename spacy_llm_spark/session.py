@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Annotation tables explode ~30-40 rows per input row: bytes-on-disk
+        # understate downstream work by that factor, so a default 128 MB
+        # split turns a 100 MB checkpoint into ONE task. 16 MB keeps
+        # post-explode partitions core-sized (measured: the canonical-edge
+        # write went from serial to partition-parallel).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -9,10 +9,10 @@ from spacy_llm_spark.operators.canonicalize import (
 )
 
 
-def _cc_map(spark, edges):
+def _cc_map(spark, edges, **kwargs):
     df = spark.createDataFrame(edges, "src string, dst string")
     return {
-        r.node: r.component for r in connected_components(df).collect()
+        r.node: r.component for r in connected_components(df, **kwargs).collect()
     }
 
 
@@ -33,6 +33,15 @@ def test_cc_chain_converges(spark):
 def test_cc_cycle(spark):
     comp = _cc_map(spark, [("p", "q"), ("q", "r"), ("r", "p")])
     assert set(comp.values()) == {"p"}
+
+
+def test_cc_distributed_path_matches_driver(spark):
+    """Force the distributed label-propagation path (driver_threshold=0)
+    and check it produces the same components as union-find."""
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("m", "n"), ("n", "o"), ("o", "a")]
+    driver = _cc_map(spark, edges)
+    dist = _cc_map(spark, edges, driver_threshold=0)
+    assert driver == dist
 
 
 def test_surface_clusters_via_shared_qid(spark):

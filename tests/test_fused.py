@@ -1,0 +1,41 @@
+"""Fused stage must be row-identical to the chained ner/rel/el stages."""
+
+from spacy_llm_spark.corpus import corpus_from_documents
+from spacy_llm_spark.kb import build_code_kb
+from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
+
+
+def test_fused_matches_unfused(spark, sf_dir):
+    corpus = corpus_from_documents(spark, sf_dir).limit(40).cache()
+    cfg = KGConfig()
+    kb = build_code_kb()
+    fused = {
+        r.doc_id: r
+        for r in annotate_corpus(corpus, cfg, kb, fused=True).collect()
+    }
+    unfused = {
+        r.doc_id: r
+        for r in annotate_corpus(corpus, cfg, kb, fused=False).collect()
+    }
+    assert fused.keys() == unfused.keys()
+    for doc_id, f in fused.items():
+        u = unfused[doc_id]
+        assert f.ents == u.ents
+        assert f.rels == u.rels
+        assert f.kb_ids == u.kb_ids
+
+
+def test_fused_with_sharding(spark, sf_dir):
+    corpus = corpus_from_documents(spark, sf_dir).limit(20).cache()
+    cfg_sharded = KGConfig(context_length=60)
+    cfg_plain = KGConfig()
+    kb = build_code_kb()
+    sharded = {
+        r.doc_id: [e.start for e in r.ents]
+        for r in annotate_corpus(corpus, cfg_sharded, kb, fused=True).collect()
+    }
+    plain = {
+        r.doc_id: [e.start for e in r.ents]
+        for r in annotate_corpus(corpus, cfg_plain, kb, fused=True).collect()
+    }
+    assert sharded == plain
