@@ -344,6 +344,55 @@ def q_ner_prf(spark, sf_dir):
     )
 
 
+def q_textcat_binary(spark, sf_dir):
+    from spacy_llm_spark.operators import tasks
+
+    out = tasks.classify_text(
+        _docs(spark, sf_dir),
+        model_spec={"name": "keyword_textcat", "keywords": {"SparkDoc": "spark"}, "binary": True},
+        labels=["SparkDoc"],
+        text_col="text",
+    )
+    return out.select("doc_id", F.explode("cats").alias("label", "score"))
+
+
+def q_lemma_identity(spark, sf_dir):
+    from spacy_llm_spark.operators import tasks
+
+    out = tasks.lemmatize(
+        _docs(spark, sf_dir), model_spec={"name": "identity_lemma"}, text_col="text"
+    )
+    return out.select(
+        "doc_id", F.posexplode("lemmas").alias("pos", "pair")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.element_at("pair", 1).alias("token"),
+        F.element_at("pair", 2).alias("lemma"),
+    )
+
+
+def q_sentiment_lexicon(spark, sf_dir):
+    from spacy_llm_spark.operators import tasks
+
+    out = tasks.score_sentiment(
+        _docs(spark, sf_dir),
+        model_spec={"name": "lexicon_sentiment", "pos_words": ["fast"], "neg_words": ["slow"]},
+        text_col="text",
+    )
+    return out.select("doc_id", F.round("sentiment", 4).alias("sentiment"))
+
+
+def q_summary_head(spark, sf_dir):
+    from spacy_llm_spark.operators import tasks
+
+    out = tasks.summarize(
+        _docs(spark, sf_dir), model_spec={"name": "head_summary", "n_tokens": 8},
+        text_col="text",
+    )
+    return out.select("doc_id", "summary")
+
+
 def q_detect_language(spark, sf_dir):
     # no SQL oracle (profile argmax) -> driver records rows-only check
     return textfn.detect_language(_docs(spark, sf_dir))
@@ -395,6 +444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_candidates_topn": q_el_candidates_topn,
         "cosine_topk": q_cosine_topk,
         "ner_prf": q_ner_prf,
+        "textcat_binary": q_textcat_binary,
+        "lemma_identity": q_lemma_identity,
+        "sentiment_lexicon": q_sentiment_lexicon,
+        "summary_head": q_summary_head,
         "detect_language": q_detect_language,
         "simhash": q_simhash,
     }
@@ -523,6 +576,36 @@ SELECT tp, n_pred, n_gold,
        round(CAST(tp AS DOUBLE) / n_pred, 6) AS precision,
        round(CAST(tp AS DOUBLE) / n_gold, 6) AS recall
 FROM counts
+""",
+        "textcat_binary": """
+SELECT doc_id, 'SparkDoc' AS label,
+       CAST(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS score
+FROM documents
+""",
+        "lemma_identity": """
+SELECT doc_id,
+       generate_subscripts(string_split(text, ' '), 1) AS pos,
+       unnest(string_split(text, ' ')) AS token,
+       unnest(string_split(text, ' ')) AS lemma
+FROM documents
+""",
+        "sentiment_lexicon": """
+WITH counts AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), t -> t = 'fast')) AS np,
+    len(list_filter(string_split(text, ' '), t -> t = 'slow')) AS nn
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN np + nn = 0 THEN 0.5
+       ELSE round(0.5 + 0.5 * (np - nn) / (np + nn), 4) END AS sentiment
+FROM counts
+""",
+        "summary_head": """
+SELECT doc_id,
+       array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS summary
+FROM documents
 """,
         # detect_language / simhash / kg_vertices: no SQL oracle
         # (profile argmax, bitwise vote, iterative CC) -> rows-only checks.

@@ -1,0 +1,29 @@
+"""Build the --py-files artifact: zip of the spacy_llm_spark package."""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(out: str = "dist/spacy_llm_spark.zip") -> str:
+    out_path = os.path.join(ROOT, out)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pkg = os.path.join(ROOT, "spacy_llm_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    print(out_path)
+    return out_path
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "dist/spacy_llm_spark.zip")

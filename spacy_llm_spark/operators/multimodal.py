@@ -1,0 +1,165 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partition shape, Arrow batch flow, UDF
+signatures) is real and tested; the actual codec work is STUBBED —
+image/audio libraries are not installed in this container, so decode is a
+deterministic fake behind ``decode_backend='fake'`` and raises
+NotImplementedError for real backends. Swapping in a real decoder changes
+ONE function; every plan shape stays identical.
+
+Design notes for 100 TB:
+- media bytes ride a ``binary`` column next to typed metadata
+  (media_type, width/height/sample_rate/duration) so filters prune on
+  metadata parquet stats WITHOUT touching bytes (column pruning keeps the
+  binary column unread until a kernel needs it).
+- kernels are mapInPandas over Arrow batches; batch size is bounded by
+  bytes not rows (spark.sql.execution.arrow.maxRecordsPerBatch + input
+  split size), never per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def synthesize_media_table(
+    spark: SparkSession, n: int = 64, seed: int = 42
+) -> DataFrame:
+    """Deterministic fake media rows for plumbing tests."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = rng.bytes(256 + (i % 5) * 64)
+        rows.append(
+            (
+                f"m{i:05d}",
+                kind,
+                bytearray(payload),
+                64 + (i % 4) * 32 if kind != "audio" else None,
+                64 + (i % 3) * 32 if kind != "audio" else None,
+                16000 if kind == "audio" else None,
+                1 if kind == "image" else 8 + (i % 7),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_FEATURE_DIM = 16
+
+
+def _fake_decode_features(payload: bytes, dim: int = _FEATURE_DIM) -> list:
+    """Deterministic stand-in for decode + feature-extract: sha256-seeded
+    pseudo-features. Replace with a real codec backend on a real cluster."""
+    digest = hashlib.sha256(payload).digest()
+    vals = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+    return (vals.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32).tolist()
+
+
+def extract_media_features(
+    df: DataFrame,
+    *,
+    decode_backend: str = "fake",
+    payload_col: str = "payload",
+    out_col: str = "features",
+) -> DataFrame:
+    """Decode + feature-extract as a narrow Arrow-batched kernel."""
+    if decode_backend != "fake":
+        raise NotImplementedError(
+            f"decode backend '{decode_backend}' requires codec libraries not "
+            "present in this environment; plumbing is identical — plug the "
+            "decoder into _fake_decode_features's slot."
+        )
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                _fake_decode_features(bytes(p)) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    every_nth: int = 4,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame.
+
+    Fan-out happens in the kernel (local explode), mirroring the doc->shard
+    pattern; frame payloads are deterministic digests under the fake
+    backend."""
+    if decode_backend != "fake":
+        raise NotImplementedError("real video decode not available here")
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_digest", StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, kind, payload, n_frames in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["n_frames"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                for frame in range(0, int(n_frames or 0), every_nth):
+                    ids.append(mid)
+                    idxs.append(frame)
+                    digests.append(
+                        hashlib.sha256(bytes(payload) + frame.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_digest": digests}
+            )
+
+    cols = ["media_id", "media_type", "payload", "n_frames"]
+    return df.select(*cols).mapInPandas(kernel, schema=out_schema)
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — never touches the binary column (check
+    the scan's ReadSchema: payload must be absent)."""
+    return df.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("n_frames").alias("avg_frames"),
+    )

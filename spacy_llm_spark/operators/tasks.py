@@ -1,0 +1,184 @@
+"""Single-output doc tasks: TextCat, Lemma, Sentiment, Summarization,
+Translation, Raw (SURVEY.md §2.8 P7-P10 parser family as Spark stages).
+
+All share one narrow mapInPandas shape: render prompt -> batched model ->
+parse -> typed column. Each stage appends exactly one column; schemas:
+
+- textcat:   cats map<string,double>     (tasks/textcat/parser.py:9-53)
+- lemma:     lemmas array<array<string>> (tasks/lemma/parser.py:8-37)
+- sentiment: sentiment double            (tasks/sentiment/parser.py:8-29)
+- summarize: summary string              (tasks/summarization/parser.py:8-24)
+- translate: translation string
+- raw:       llm_reply string            (tasks/raw/*)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    DoubleType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
+from ..functions.parsing import (
+    parse_lemma_response,
+    parse_sentiment_response,
+    parse_summarization_response,
+    parse_textcat_response,
+)
+from ..model import resolve_model
+from ..templates import TEXT_CLOSE, TEXT_OPEN
+
+
+def _single_output_stage(
+    df: DataFrame,
+    *,
+    model_spec: dict,
+    render: Callable[[str], str],
+    parse: Callable[[str], object],
+    out_col: str,
+    out_type: DataType,
+    text_col: str = "content",
+) -> DataFrame:
+    out_schema = StructType(df.schema.fields + [StructField(out_col, out_type)])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = resolve_model(model_spec)
+        for pdf in batches:
+            prompts = [render(t or "") for t in pdf[text_col]]
+            responses = model(prompts)
+            out = pdf.copy()
+            out[out_col] = [parse(r) for r in responses]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def _fenced(instruction: str, text: str) -> str:
+    return f"{instruction}\nText:\n{TEXT_OPEN}\n{text}\n{TEXT_CLOSE}\nAnswer:"
+
+
+def classify_text(
+    df: DataFrame,
+    *,
+    model_spec: dict,
+    labels,
+    use_binary: Optional[bool] = None,
+    exclusive_classes: bool = False,
+    normalizer: str = "lowercase",
+    text_col: str = "content",
+    out_col: str = "cats",
+) -> DataFrame:
+    """TextCat v3 semantics: single label -> binary POS/NEG; multiple ->
+    comma-separated label list; exclusive violation -> all zero."""
+    label_list = split_labels(labels)
+    if use_binary is None:
+        use_binary = len(label_list) == 1
+    norm = NORMALIZERS[normalizer]
+    label_dict = build_label_dict(label_list, norm)
+    instruction = (
+        f"Classify the text. Labels: {', '.join(label_list)}. "
+        + ("Answer POS or NEG." if use_binary else "Answer with the matching labels, comma-separated.")
+    )
+    return _single_output_stage(
+        df,
+        model_spec=model_spec,
+        render=lambda t: _fenced(instruction, t),
+        parse=lambda r: parse_textcat_response(
+            r, label_dict, use_binary=use_binary,
+            exclusive_classes=exclusive_classes, normalizer=norm,
+        ),
+        out_col=out_col,
+        out_type=MapType(StringType(), DoubleType()),
+        text_col=text_col,
+    )
+
+
+def lemmatize(
+    df: DataFrame, *, model_spec: dict, text_col: str = "content",
+    out_col: str = "lemmas",
+) -> DataFrame:
+    return _single_output_stage(
+        df,
+        model_spec=model_spec,
+        render=lambda t: _fenced(
+            "Lemmatize the text, one 'token: lemma' per line.", t
+        ),
+        parse=parse_lemma_response,
+        out_col=out_col,
+        out_type=ArrayType(ArrayType(StringType())),
+        text_col=text_col,
+    )
+
+
+def score_sentiment(
+    df: DataFrame, *, model_spec: dict, text_col: str = "content",
+    out_col: str = "sentiment",
+) -> DataFrame:
+    return _single_output_stage(
+        df,
+        model_spec=model_spec,
+        render=lambda t: _fenced(
+            "Rate the sentiment between 0.0 and 1.0. Answer: <score>", t
+        ),
+        parse=parse_sentiment_response,
+        out_col=out_col,
+        out_type=DoubleType(),
+        text_col=text_col,
+    )
+
+
+def summarize(
+    df: DataFrame, *, model_spec: dict, text_col: str = "content",
+    out_col: str = "summary",
+) -> DataFrame:
+    return _single_output_stage(
+        df,
+        model_spec=model_spec,
+        render=lambda t: _fenced("Summarize the text.", t),
+        parse=parse_summarization_response,
+        out_col=out_col,
+        out_type=StringType(),
+        text_col=text_col,
+    )
+
+
+def translate(
+    df: DataFrame, *, model_spec: dict, target_lang: str = "en",
+    text_col: str = "content", out_col: str = "translation",
+) -> DataFrame:
+    return _single_output_stage(
+        df,
+        model_spec=model_spec,
+        render=lambda t: _fenced(f"Translate the text to {target_lang}.", t),
+        parse=lambda r: r.strip(),
+        out_col=out_col,
+        out_type=StringType(),
+        text_col=text_col,
+    )
+
+
+def raw_prompt(
+    df: DataFrame, *, model_spec: dict, text_col: str = "content",
+    out_col: str = "llm_reply",
+) -> DataFrame:
+    """Raw task: the doc text IS the prompt; reply stored as-is
+    (tasks/raw/task.py:45-60)."""
+    return _single_output_stage(
+        df,
+        model_spec=model_spec,
+        render=lambda t: t,
+        parse=lambda r: r,
+        out_col=out_col,
+        out_type=StringType(),
+        text_col=text_col,
+    )

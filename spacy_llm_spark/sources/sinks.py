@@ -1,0 +1,62 @@
+"""Output sinks: Iceberg when the runtime has it, identical-layout parquet
+otherwise (SURVEY.md Phase 3 decision — resolved at session build).
+
+All KG tables go through ``write_table``; the layout (partition columns,
+mode) is identical either way, so a cluster with the Iceberg runtime jar
+gets ACID tables and snapshot time-travel without any code change here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        # py4j package lookups never fail; force a real class load
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    *,
+    mode: str = "append",
+    partition_by: Optional[Sequence[str]] = None,
+    fmt: Optional[str] = None,
+) -> None:
+    """Write a KG output table.
+
+    target: an Iceberg table name (db.table) when Iceberg is available and
+    fmt='iceberg', else a filesystem path written as parquet.
+    """
+    spark = df.sparkSession
+    use_iceberg = (fmt == "iceberg") or (
+        fmt is None and "/" not in target and iceberg_available(spark)
+    )
+    if use_iceberg:
+        writer = df.writeTo(target)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target)
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if "/" not in target and iceberg_available(spark):
+        return spark.read.table(target)
+    return spark.read.parquet(target)

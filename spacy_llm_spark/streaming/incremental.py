@@ -1,0 +1,139 @@
+"""Incremental / streaming execution (SURVEY.md §2.11).
+
+The reference's streaming story is a pull-based generator pipeline with a
+persistent cache for resumability (pipeline/llm.py:195-207 + cache.py) and
+a per-batch error handler (llm.py:202-207). Spark translation:
+
+- ``run_incremental``: Structured Streaming over a corpus directory
+  (files arriving = unbounded doc stream). Each micro-batch runs the SAME
+  batch plan via ``foreachBatch`` — annotate -> explode -> append sinks —
+  with the checkpoint anti-join making processing idempotent across
+  restarts (exactly the reference's cache-probe semantics, F1).
+- error handling: a malformed doc never kills the stream — parse kernels
+  degrade to empty annotations per row (the reference's non-strict mode),
+  and whole-batch failures are caught, quarantined, and logged, like
+  ``error_handler``.
+- ``windowed_event_counts``: event-time tumbling window + watermark —
+  capabilities the reference lacks but a Spark-native engine gets for
+  free; exposed for the events stream table.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kb import KnowledgeBase, build_code_kb
+from ..pipeline import KGConfig, annotate_corpus
+from ..operators import materialize as mat
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    output_dir: str,
+    cfg: Optional[KGConfig] = None,
+    kb: Optional[KnowledgeBase] = None,
+    schema: Optional[str] = None,
+    trigger_once: bool = True,
+    source_format: str = "parquet",
+):
+    """Stream the corpus directory into KG sinks.
+
+    Sinks: {output_dir}/mentions, /links, /edges as append-only parquet;
+    {output_dir}/_checkpoint holds Spark's streaming offsets (restart-safe)
+    AND our processed-keys table (content-level idempotence: re-delivered
+    files don't produce duplicate triples).
+    """
+    cfg = cfg or KGConfig()
+    kb = kb or build_code_kb()
+    if schema is None:
+        static = getattr(spark.read, source_format)(source_dir)
+        schema = static.schema
+
+    stream = (
+        spark.readStream.format(source_format)
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+
+    processed_keys_path = os.path.join(output_dir, "_processed_keys")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            # content-level idempotence: drop rows whose sha is already in
+            # the processed-keys table (reference cache probe, F1)
+            if os.path.isdir(processed_keys_path) and any(
+                f.endswith(".parquet") or f == "_SUCCESS"
+                for f in os.listdir(processed_keys_path)
+            ):
+                seen = spark.read.parquet(processed_keys_path)
+                batch_df = batch_df.join(seen, "content_sha256", "left_anti")
+            batch_df = batch_df.localCheckpoint()
+            if batch_df.isEmpty():
+                return
+            id_cols = tuple(
+                c for c in ("doc_id", "content_sha256") if c in batch_df.columns
+            )
+            annotated = annotate_corpus(batch_df, cfg, kb).localCheckpoint()
+            mat.mentions_table(annotated, id_cols).write.mode("append").parquet(
+                os.path.join(output_dir, "mentions")
+            )
+            mat.links_table(annotated, id_cols).write.mode("append").parquet(
+                os.path.join(output_dir, "links")
+            )
+            mat.edges_table(annotated, id_cols).write.mode("append").parquet(
+                os.path.join(output_dir, "edges")
+            )
+            annotated.select("content_sha256").distinct().write.mode(
+                "append"
+            ).parquet(processed_keys_path)
+        except Exception as exc:  # noqa: BLE001 — per-batch error handler
+            # quarantine the batch, keep the stream alive (llm.py:202-207)
+            batch_df.write.mode("append").parquet(
+                os.path.join(output_dir, "_quarantine", f"batch_{batch_id}")
+            )
+            print(f"[stream] batch {batch_id} quarantined: {exc}")
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(output_dir, "_checkpoint")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling/sliding window counts with late-data handling.
+    Works on both static and streaming frames."""
+    df = events
+    if df.isStreaming:
+        # watermarks require TIMESTAMP (with tz); parquet NTZ timestamps
+        # are reinterpreted in the session tz (UTC, session.py)
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window) if slide is None else F.window(ts_col, window, slide)
+    )
+    return df.groupBy(win.alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )

@@ -1,0 +1,142 @@
+"""Tests for single-output task stages, readers, sinks, and serde."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators import tasks
+from spacy_llm_spark.sources import readers, sinks
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark join fast fast table"),
+        (2, "slow slow window merge"),
+        (3, "the quick brown fox"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string").cache()
+
+
+def test_textcat_binary_stage(spark, docs):
+    out = tasks.classify_text(
+        docs,
+        model_spec={"name": "keyword_textcat", "keywords": {"SparkDoc": "spark"}, "binary": True},
+        labels=["SparkDoc"],
+    )
+    cats = {r.doc_id: r.cats for r in out.collect()}
+    assert cats[1] == {"SparkDoc": 1.0}
+    assert cats[2] == {"SparkDoc": 0.0}
+
+
+def test_textcat_multilabel_stage(spark, docs):
+    out = tasks.classify_text(
+        docs,
+        model_spec={
+            "name": "keyword_textcat",
+            "keywords": {"HasJoin": "join", "HasMerge": "merge"},
+        },
+        labels=["HasJoin", "HasMerge"],
+        use_binary=False,
+    )
+    cats = {r.doc_id: r.cats for r in out.collect()}
+    assert cats[1] == {"HasJoin": 1.0, "HasMerge": 0.0}
+    assert cats[2] == {"HasJoin": 0.0, "HasMerge": 1.0}
+
+
+def test_lemma_stage(spark, docs):
+    out = tasks.lemmatize(docs, model_spec={"name": "identity_lemma"})
+    lem = {r.doc_id: r.lemmas for r in out.collect()}
+    assert lem[3] == [["the", "the"], ["quick", "quick"], ["brown", "brown"], ["fox", "fox"]]
+
+
+def test_sentiment_stage(spark, docs):
+    out = tasks.score_sentiment(
+        docs,
+        model_spec={"name": "lexicon_sentiment", "pos_words": ["fast"], "neg_words": ["slow"]},
+    )
+    sent = {r.doc_id: r.sentiment for r in out.collect()}
+    assert sent[1] == 1.0   # two fast, zero slow
+    assert sent[2] == 0.0   # zero fast, two slow
+    assert sent[3] == 0.5   # neither
+
+
+def test_summary_and_raw(spark, docs):
+    out = tasks.summarize(docs, model_spec={"name": "head_summary", "n_tokens": 2})
+    s = {r.doc_id: r.summary for r in out.collect()}
+    assert s[1] == "spark join"
+    raw = tasks.raw_prompt(docs, model_spec={"name": "echo"})
+    r = {x.doc_id: x.llm_reply for x in raw.collect()}
+    assert r[3] == "the quick brown fox"
+
+
+# -- readers -----------------------------------------------------------------
+
+
+def test_fewshot_reader_formats(tmp_path):
+    examples = [{"text": "a", "spans": []}, {"text": "b", "spans": []}]
+    j = tmp_path / "ex.json"
+    j.write_text(json.dumps(examples))
+    assert readers.fewshot_reader(j) == examples
+
+    jl = tmp_path / "ex.jsonl"
+    jl.write_text("\n".join(json.dumps(e) for e in examples))
+    assert readers.fewshot_reader(jl) == examples
+
+    y = tmp_path / "ex.yml"
+    y.write_text("- text: a\n  spans: []\n- text: b\n  spans: []\n")
+    assert readers.fewshot_reader(y) == examples
+
+    # format fallback: .yml file actually containing json
+    sneaky = tmp_path / "sneaky.yml"
+    sneaky.write_text(json.dumps(examples))
+    assert readers.fewshot_reader(sneaky) == examples
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("not anything: [parseable")
+    with pytest.raises(ValueError):
+        readers.fewshot_reader(bad)
+
+
+def test_load_examples_schema_filter(tmp_path):
+    path = tmp_path / "mixed.jsonl"
+    path.write_text(
+        json.dumps({"text": "ok", "ents": [], "relations": []})
+        + "\n"
+        + json.dumps({"text": "missing fields"})
+    )
+    out = readers.load_examples_for_task(path, "rel")
+    assert len(out) == 1
+
+
+def test_read_corpus_table_adds_sha(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", "hello")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    df.write.parquet(str(tmp_path / "corpus"))
+    out = readers.read_corpus_table(spark, str(tmp_path / "corpus"))
+    row = out.collect()[0]
+    import hashlib
+
+    assert row.content_sha256 == hashlib.sha256(b"hello").hexdigest()
+
+
+def test_sink_parquet_fallback(spark, tmp_path, docs):
+    assert sinks.iceberg_available(spark) is False
+    target = str(tmp_path / "out")
+    sinks.write_table(docs, target, mode="overwrite", partition_by=["doc_id"])
+    back = sinks.read_table(spark, target)
+    assert back.count() == docs.count()
+
+
+def test_kgconfig_serde(tmp_path):
+    from spacy_llm_spark.pipeline import KGConfig
+
+    cfg = KGConfig(top_n_candidates=3, context_length=512)
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg.fingerprint_config()))
+    loaded = json.loads(path.read_text())
+    assert loaded["top_n"] == 3
+    assert loaded["context_length"] == 512
