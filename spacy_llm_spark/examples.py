@@ -1,0 +1,116 @@
+"""Few-shot example utilities: label algebra + harvesting (T1/T2, A5/A6).
+
+Reference semantics:
+- T1: warn on example labels not in the task's declared label set
+  (tasks/span/util.py:16-31; CoT variant :59-88).
+- T2: prune examples down to declared labels; drop examples left with no
+  labeled content (tasks/span/util.py:33-48,90-108).
+- A5: auto-discover labels from examples when the task declares none
+  (tasks/builtin_task.py:333-374).
+- A6: harvest the first n prompt examples (-1 = all)
+  (tasks/builtin_task.py:130-148,357-374).
+
+All driver-side: examples are prompt constants, config-scale by
+definition — they broadcast into render kernels, never shuffle.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+from .functions.normalizers import lowercase_normalizer
+
+NONE_SENTINEL = "==NONE=="  # negative-span label in CoT examples
+
+
+def _example_labels(example: dict) -> List[str]:
+    if "spans" in example:  # NER/SpanCat CoT example
+        return [
+            s["label"]
+            for s in example["spans"]
+            if s.get("is_entity") and s.get("label") != NONE_SENTINEL
+        ]
+    if "entities" in example:  # span v1/v2 example: {label: [phrases]}
+        return list(example["entities"].keys())
+    if "relations" in example:  # REL example
+        return [r["relation"] for r in example["relations"]]
+    if "cats" in example:  # TextCat
+        return list(example["cats"].keys())
+    return []
+
+
+def discover_labels(
+    examples: Iterable[dict],
+    normalizer: Optional[Callable[[str], str]] = None,
+) -> List[str]:
+    """A5: sorted distinct labels present in the examples."""
+    seen = set()
+    for ex in examples:
+        seen.update(_example_labels(ex))
+    return sorted(seen)
+
+
+def check_label_consistency(
+    examples: List[dict],
+    labels: Iterable[str],
+    normalizer: Optional[Callable[[str], str]] = None,
+) -> Tuple[List[str], List[dict]]:
+    """T1 + T2: returns (unspecified_labels, pruned_examples).
+
+    Warns on labels that appear in examples but not in the task config;
+    prunes example content down to declared labels and drops examples
+    with nothing left.
+    """
+    norm = normalizer or lowercase_normalizer
+    declared = {norm(label): label for label in labels}
+    unspecified = sorted(
+        {
+            label
+            for ex in examples
+            for label in _example_labels(ex)
+            if norm(label) not in declared
+        }
+    )
+    if unspecified:
+        warnings.warn(
+            f"Examples contain labels not specified in the task config: "
+            f"{unspecified}. They will be pruned from prompt examples."
+        )
+
+    pruned: List[dict] = []
+    for ex in examples:
+        if "spans" in ex:
+            spans = [
+                s
+                for s in ex["spans"]
+                if (not s.get("is_entity"))
+                or s.get("label") == NONE_SENTINEL
+                or norm(s["label"]) in declared
+            ]
+            if any(s.get("is_entity") and s.get("label") != NONE_SENTINEL for s in spans):
+                pruned.append({**ex, "spans": spans})
+        elif "entities" in ex:
+            ents = {
+                label: phrases
+                for label, phrases in ex["entities"].items()
+                if norm(label) in declared
+            }
+            if ents:
+                pruned.append({**ex, "entities": ents})
+        elif "relations" in ex:
+            rels = [r for r in ex["relations"] if norm(r["relation"]) in declared]
+            if rels:
+                pruned.append({**ex, "relations": rels})
+        else:
+            pruned.append(ex)
+    return unspecified, pruned
+
+
+def harvest_prompt_examples(examples: List[dict], n: int = 0) -> List[dict]:
+    """A6: first n examples; -1 = all; 0 = none."""
+    if n == 0:
+        return []
+    if n < 0:
+        return list(examples)
+    return list(examples[:n])

@@ -52,6 +52,8 @@ def _build_model(spec: dict) -> BatchModel:
         return make_noop_model(spec.get("output", ""))
     if name == "dict_ner":
         return make_dict_ner_model(spec["dictionary"])
+    if name == "dict_ner_v2":
+        return make_dict_ner_v2_model(spec["dictionary"])
     if name == "rule_rel":
         rules = {tuple(k.split("|")): v for k, v in spec["rules"].items()}
         return make_rule_rel_model(rules)
@@ -107,6 +109,32 @@ def make_dict_ner_model(dictionary: Dict[str, str]) -> BatchModel:
                     n += 1
                     lines.append(f"{n}. {token} | True | {label} | matches dictionary")
             responses.append("\n".join(lines))
+        return responses
+
+    return call
+
+
+def make_dict_ner_v2_model(dictionary: Dict[str, str]) -> BatchModel:
+    """Deterministic NER 'LLM' for the v1/v2 span grammar (P2): one
+    ``LABEL: phrase, phrase`` line per label, phrases in text order."""
+    lowered = {k.lower(): v for k, v in dictionary.items()}
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        responses = []
+        for prompt in prompts:
+            text = extract_doc_from_prompt(prompt)
+            by_label: Dict[str, List[str]] = {}
+            for start, end in tokenize(text):
+                token = text[start:end]
+                label = lowered.get(token.lower())
+                if label is not None:
+                    by_label.setdefault(label, []).append(token)
+            responses.append(
+                "\n".join(
+                    f"{label}: {', '.join(phrases)}"
+                    for label, phrases in sorted(by_label.items())
+                )
+            )
         return responses
 
     return call

@@ -1,4 +1,4 @@
-"""Fused NER -> REL -> EL extraction stage.
+"""Fused NER -> REL -> EL extraction stage (shard-aware).
 
 The reference pipelines generate -> model -> parse per task through lazy
 generators with zero materialization between steps (R4,
@@ -7,14 +7,30 @@ the three task stages into ONE ``mapInPandas`` pass: the corpus crosses
 the JVM<->Python Arrow boundary once instead of three times, and each
 Arrow batch runs all three deterministic models locally.
 
-Semantically identical to chaining operators.ner/rel/el (tested against
-them); use the unfused stages when stages need independent checkpoints or
-different cluster resources (e.g. a GPU-bound EL model).
+Sharding semantics (H2/H3/H4) mirror the reference per task:
+- NER: spans parsed + de-overlapped per shard, fused with offset shift
+  (tasks/ner/task.py:94-100 per shard + ner/util.py:41-48 reduce).
+- REL: each shard is pre-annotated and prompted with ITS OWN entities
+  (indices local to the shard); parsed relations are bounds-checked
+  against the shard's entity count (F3) and re-indexed into doc
+  coordinates by the shard's cumulative entity offset on merge.
+  (Deliberate divergence: the reference's REL reducer concatenates
+  relation items without re-indexing, rel/util.py:79-102, which leaves
+  shard-local indices dangling in the fused doc; we shift them so every
+  index addresses the doc-level ents array. Cross-shard relations are
+  invisible to both engines — neither prompt contains both entities.)
+- EL: candidates are recomputed per shard (H4,
+  entity_linker/task.py:137-165), auto-NIL and the F9 consistency guard
+  apply per shard, and per-shard kb_id lists concatenate in shard order.
+
+Semantically identical to chaining operators.ner/rel/el when
+context_length is None (tested); use the unfused stages when stages need
+independent checkpoints or different cluster resources.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,6 +43,7 @@ from ..functions.parsing import (
     find_spans_cot,
     parse_el_solutions,
     parse_rel_response,
+    parse_span_response_v2,
 )
 from ..kb import NIL, UNAVAILABLE_ENTITY_DESC, KnowledgeBase
 from ..model import resolve_model
@@ -35,7 +52,7 @@ from ..tokenizer import filter_spans
 from .el import LINKS_TYPE, highlight_ents
 from .ner import ENT_TYPE
 from .rel import REL_TYPE, preannotate
-from .sharding import make_shards, merge_shard_spans
+from .sharding import make_shards
 
 
 def annotate_fused(
@@ -49,6 +66,7 @@ def annotate_fused(
     rel_labels,
     text_col: str = "content",
     normalizer: str = "lowercase",
+    span_format: str = "cot",
     alignment_mode: str = "contract",
     case_sensitive_matching: bool = False,
     allow_overlap: bool = False,
@@ -59,11 +77,16 @@ def annotate_fused(
 ) -> DataFrame:
     """Append ents + rels + kb_ids in a single narrow pass.
 
+    ``span_format``: 'cot' parses NER v3 chain-of-thought lines (P3);
+    'v2' parses ``LABEL: phrase, phrase`` lines (P2).
+
     ``drop_text=True`` drops ``text_col`` from the OUTPUT (it is still the
     kernel's input): the text dominates the Arrow return payload and the
     downstream tables never read it — they carry content_sha256 for
     parity/joins. At 100 TB this halves the checkpoint volume.
     """
+    if span_format not in ("cot", "v2"):
+        raise ValueError(f"Unknown span_format {span_format!r}")
     label_list = split_labels(labels)
     rel_label_list = split_labels(rel_labels)
     norm = NORMALIZERS[normalizer]
@@ -89,11 +112,31 @@ def annotate_fused(
         def render_ner(shard_text, i_shard, n_shards):
             return render_ner_prompt(shard_text, label_list)
 
+        def parse_spans(shard_text: str, response: str):
+            if span_format == "cot":
+                reasons = extract_span_reasons_cot(response, label_dict, norm)
+                return find_spans_cot(
+                    shard_text,
+                    reasons,
+                    case_sensitive=case_sensitive_matching,
+                    alignment_mode=alignment_mode,
+                    allow_overlap=allow_overlap,
+                )
+            return parse_span_response_v2(
+                shard_text,
+                response,
+                label_dict,
+                normalizer=norm,
+                case_sensitive=case_sensitive_matching,
+                alignment_mode=alignment_mode,
+            )
+
         for pdf in batches:
             texts = [t or "" for t in pdf[text_col]]
 
-            # ---- NER ----
-            doc_shards, prompts = [], []
+            # ---- shard fan-out (local, H2) ----
+            doc_shards: List[List[Tuple[int, str]]] = []
+            ner_prompts = []
             for text in texts:
                 shards = (
                     make_shards(text, context_length, render_ner)
@@ -101,75 +144,107 @@ def annotate_fused(
                     else [(0, text)]
                 )
                 doc_shards.append(shards)
-                prompts.extend(render_ner(s, i, len(shards)) for i, (_, s) in enumerate(shards))
-            responses = ner_model(prompts)
-            ents_col = []
+                ner_prompts.extend(
+                    render_ner(s, i, len(shards)) for i, (_, s) in enumerate(shards)
+                )
+
+            # ---- NER per shard ----
+            ner_responses = ner_model(ner_prompts)
+            # per doc: list of per-shard local spans (sorted, de-overlapped)
+            doc_shard_spans: List[List[List[Tuple[int, int, str]]]] = []
             r = 0
-            for text, shards in zip(texts, doc_shards):
-                shard_results = []
-                for offset, shard_text in shards:
-                    reasons = extract_span_reasons_cot(responses[r], label_dict, norm)
-                    spans = find_spans_cot(
-                        shard_text,
-                        reasons,
-                        case_sensitive=case_sensitive_matching,
-                        alignment_mode=alignment_mode,
-                        allow_overlap=allow_overlap,
+            for shards in doc_shards:
+                shard_spans = []
+                for _offset, shard_text in shards:
+                    spans = parse_spans(shard_text, ner_responses[r])
+                    spans = (
+                        sorted(set(spans)) if allow_overlap else filter_spans(spans)
                     )
-                    shard_results.append((offset, spans))
+                    shard_spans.append(spans)
                     r += 1
-                merged = merge_shard_spans(shard_results)
-                merged = (
-                    sorted(set(merged)) if allow_overlap else filter_spans(merged)
-                )
-                ents_col.append(
-                    [
-                        {"start": s, "end": e, "label": lab, "surface": text[s:e]}
-                        for s, e, lab in merged
-                    ]
-                )
+                doc_shard_spans.append(shard_spans)
 
-            # ---- REL ----
-            rel_prompts = [
-                render_rel_prompt(
-                    preannotate(text, [(e["start"], e["end"], e["label"]) for e in ents]),
-                    rel_label_list,
-                )
-                for text, ents in zip(texts, ents_col)
-            ]
+            # ---- REL per shard (indices local to shard, F3) ----
+            rel_prompts = []
+            for shards, shard_spans in zip(doc_shards, doc_shard_spans):
+                for (_offset, shard_text), spans in zip(shards, shard_spans):
+                    rel_prompts.append(
+                        render_rel_prompt(
+                            preannotate(shard_text, spans), rel_label_list
+                        )
+                    )
             rel_responses = rel_model(rel_prompts)
-            rels_col = [
-                [
-                    {"dep": dep, "dest": dest, "relation": relation}
-                    for dep, dest, relation in parse_rel_response(resp, len(ents))
-                ]
-                for resp, ents in zip(rel_responses, ents_col)
-            ]
 
-            # ---- EL ----
-            el_prompts, in_prompt_col = [], []
-            for text, ents in zip(texts, ents_col):
-                spans = [(e["start"], e["end"]) for e in ents]
-                surfaces = [e["surface"] for e in ents]
-                cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
-                in_prompt = [bool(c) or not auto_nil for c in cands]
-                mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
-                cand_blocks = [
-                    [(qid, desc) for qid, _, desc in c]
-                    if c
-                    else [(NIL, UNAVAILABLE_ENTITY_DESC)]
-                    for c, ip in zip(cands, in_prompt)
-                    if ip
-                ]
-                el_prompts.append(
-                    render_el_prompt(highlight_ents(text, spans, in_prompt), mentions, cand_blocks)
-                )
-                in_prompt_col.append(in_prompt)
+            # ---- EL per shard (candidate recompute per shard, H4) ----
+            el_prompts = []
+            shard_in_prompt: List[List[bool]] = []
+            for shards, shard_spans in zip(doc_shards, doc_shard_spans):
+                for (_offset, shard_text), spans in zip(shards, shard_spans):
+                    span_pos = [(s, e) for s, e, _ in spans]
+                    surfaces = [shard_text[s:e] for s, e, _ in spans]
+                    cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
+                    in_prompt = [bool(c) or not auto_nil for c in cands]
+                    mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
+                    cand_blocks = [
+                        [(qid, desc) for qid, _, desc in c]
+                        if c
+                        else [(NIL, UNAVAILABLE_ENTITY_DESC)]
+                        for c, ip in zip(cands, in_prompt)
+                        if ip
+                    ]
+                    el_prompts.append(
+                        render_el_prompt(
+                            highlight_ents(shard_text, span_pos, in_prompt),
+                            mentions,
+                            cand_blocks,
+                        )
+                    )
+                    shard_in_prompt.append(in_prompt)
             el_responses = el_model(el_prompts)
-            links_col = []
-            for response, in_prompt in zip(el_responses, in_prompt_col):
-                attached = attach_el_solutions(in_prompt, parse_el_solutions(response))
-                links_col.append(attached if attached is not None else [NIL] * len(in_prompt))
+
+            # ---- merge shards back to doc coordinates (A1/H3) ----
+            ents_col, rels_col, links_col = [], [], []
+            shard_idx = 0
+            for text, shards, shard_spans in zip(texts, doc_shards, doc_shard_spans):
+                ents: List[dict] = []
+                rels: List[dict] = []
+                kb_ids: List[str] = []
+                ent_offset = 0
+                for (offset, shard_text), spans in zip(shards, shard_spans):
+                    n_ents = len(spans)
+                    # REL: bounds vs the shard's own ents, then shift
+                    for dep, dest, relation in parse_rel_response(
+                        rel_responses[shard_idx], n_ents
+                    ):
+                        rels.append(
+                            {
+                                "dep": dep + ent_offset,
+                                "dest": dest + ent_offset,
+                                "relation": relation,
+                            }
+                        )
+                    # EL: positional re-attach within the shard (J7/F9)
+                    in_prompt = shard_in_prompt[shard_idx]
+                    solutions = parse_el_solutions(el_responses[shard_idx])
+                    attached = attach_el_solutions(in_prompt, solutions)
+                    if attached is None:
+                        attached = [NIL] * n_ents
+                    kb_ids.extend(attached)
+                    # ents: shift char offsets into doc coordinates
+                    ents.extend(
+                        {
+                            "start": s + offset,
+                            "end": e + offset,
+                            "label": label,
+                            "surface": text[s + offset : e + offset],
+                        }
+                        for s, e, label in spans
+                    )
+                    ent_offset += n_ents
+                    shard_idx += 1
+                ents_col.append(ents)
+                rels_col.append(rels)
+                links_col.append(kb_ids)
 
             out = pdf.drop(columns=[text_col]) if drop_text else pdf.copy()
             out["ents"] = ents_col

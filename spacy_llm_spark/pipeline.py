@@ -46,9 +46,12 @@ class KGConfig:
     auto_nil: bool = True
     context_length: Optional[int] = None
     checkpoint_dir: Optional[str] = None
+    span_format: str = "cot"  # 'cot' (NER v3) | 'v2' (LABEL: phrase lines)
+    allow_overlap: bool = False  # True = SpanCat semantics (overlapping spans)
 
     def ner_model_spec(self) -> dict:
-        return {"name": "dict_ner", "dictionary": self.ner_dictionary}
+        name = "dict_ner_v2" if self.span_format == "v2" else "dict_ner"
+        return {"name": name, "dictionary": self.ner_dictionary}
 
     def rel_model_spec(self) -> dict:
         return {"name": "rule_rel", "rules": self.rel_rules}
@@ -64,6 +67,8 @@ class KGConfig:
             "top_n": self.top_n_candidates,
             "auto_nil": self.auto_nil,
             "context_length": self.context_length,
+            "span_format": self.span_format,
+            "allow_overlap": self.allow_overlap,
         }
 
 
@@ -109,6 +114,8 @@ def annotate_corpus(
             context_length=cfg.context_length,
             top_n=cfg.top_n_candidates,
             auto_nil=cfg.auto_nil,
+            span_format=cfg.span_format,
+            allow_overlap=cfg.allow_overlap,
         )
     df = ner_op.extract_mentions(
         corpus,

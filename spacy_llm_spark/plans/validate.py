@@ -1,0 +1,66 @@
+"""Plan-time schema validation (X7 analog).
+
+The reference reflects over task/model signatures before running
+(validate_type_consistency, spacy_llm/ty.py:254-449) so a mis-wired
+pipeline fails at assembly, not mid-stream. Our equivalent: assert the
+DataFrame schema each stage requires BEFORE the job runs — a plan-build
+check, not a runtime one.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, StringType, StructType
+
+STAGE_REQUIREMENTS: Mapping[str, Iterable[str]] = {
+    "ner": ("content",),
+    "rel": ("content", "ents"),
+    "el": ("content", "ents"),
+    "fused": ("content",),
+    "materialize": ("ents", "rels", "kb_ids"),
+    "canonicalize": ("surface", "kb_id"),
+}
+
+
+class PlanValidationError(ValueError):
+    pass
+
+
+def require_columns(df: DataFrame, stage: str, *extra: str) -> None:
+    required = list(STAGE_REQUIREMENTS.get(stage, ())) + list(extra)
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise PlanValidationError(
+            f"Stage '{stage}' requires columns {required}; missing {missing} "
+            f"from input schema {df.columns}."
+        )
+
+
+def require_ents_schema(df: DataFrame, col: str = "ents") -> None:
+    """The ents column must be array<struct> with start/end/label/surface."""
+    field = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get(col)
+    ok = (
+        isinstance(field, ArrayType)
+        and isinstance(field.elementType, StructType)
+        and {"start", "end", "label", "surface"}
+        <= {f.name for f in field.elementType.fields}
+    )
+    if not ok:
+        raise PlanValidationError(
+            f"Column '{col}' must be array<struct<start,end,label,surface>>, "
+            f"got {field}."
+        )
+
+
+def validate_stage_chain(corpus: DataFrame) -> None:
+    """Assembly-time check for the standard KG chain over a corpus frame."""
+    require_columns(corpus, "fused")
+    if "content_sha256" not in corpus.columns:
+        raise PlanValidationError(
+            "Corpus must carry content_sha256 (per-row parity invariant); "
+            "use sources.readers.read_corpus_table to derive it at ingest."
+        )
+    if not isinstance(corpus.schema["content"].dataType, StringType):
+        raise PlanValidationError("content column must be string.")

@@ -26,16 +26,64 @@ def test_fused_matches_unfused(spark, sf_dir):
 
 
 def test_fused_with_sharding(spark, sf_dir):
+    """Sharded run must find the same mentions and links; relations are
+    those whose entity pair lies within one shard (neither engine can see
+    cross-shard pairs — reference H3 semantics)."""
     corpus = corpus_from_documents(spark, sf_dir).limit(20).cache()
-    cfg_sharded = KGConfig(context_length=60)
-    cfg_plain = KGConfig()
     kb = build_code_kb()
     sharded = {
-        r.doc_id: [e.start for e in r.ents]
-        for r in annotate_corpus(corpus, cfg_sharded, kb, fused=True).collect()
+        r.doc_id: r
+        for r in annotate_corpus(corpus, KGConfig(context_length=60), kb).collect()
     }
     plain = {
-        r.doc_id: [e.start for e in r.ents]
-        for r in annotate_corpus(corpus, cfg_plain, kb, fused=True).collect()
+        r.doc_id: r for r in annotate_corpus(corpus, KGConfig(), kb).collect()
     }
-    assert sharded == plain
+    for doc_id, p in plain.items():
+        s = sharded[doc_id]
+        assert [e.start for e in s.ents] == [e.start for e in p.ents]
+        assert s.kb_ids == p.kb_ids
+        s_rels = {(r.dep, r.dest, r.relation) for r in s.rels}
+        p_rels = {(r.dep, r.dest, r.relation) for r in p.rels}
+        assert s_rels <= p_rels
+        # every missing relation straddles a shard boundary: consecutive
+        # pair (i, i+1) missing only if i+1 starts a new shard
+        missing = p_rels - s_rels
+        if missing:
+            assert all(dest == dep + 1 for dep, dest, _ in missing)
+
+
+def test_fused_span_format_v2(spark, sf_dir):
+    """v2 span grammar ('LABEL: phrase, phrase') yields the same mentions
+    as the CoT grammar for the dictionary corpus."""
+    corpus = corpus_from_documents(spark, sf_dir).limit(20).cache()
+    kb = build_code_kb()
+    v2 = annotate_fused_with_model(spark, corpus, kb, "v2")
+    cot = annotate_fused_with_model(spark, corpus, kb, "cot")
+    assert v2 == cot
+
+
+def annotate_fused_with_model(spark, corpus, kb, fmt):
+    from spacy_llm_spark.kb import CODE_NER_DICT, CODE_REL_RULES
+    from spacy_llm_spark.operators.fused import annotate_fused
+
+    ner_spec = (
+        {"name": "dict_ner_v2", "dictionary": dict(CODE_NER_DICT)}
+        if fmt == "v2"
+        else {"name": "dict_ner", "dictionary": dict(CODE_NER_DICT)}
+    )
+    out = annotate_fused(
+        corpus,
+        ner_model_spec=ner_spec,
+        rel_model_spec={
+            "name": "rule_rel",
+            "rules": {f"{a}|{b}": p for (a, b), p in CODE_REL_RULES.items()},
+        },
+        el_model_spec={"name": "top_candidate_el"},
+        kb=kb,
+        labels=["OP", "TABLE", "SYS"],
+        rel_labels=sorted(set(CODE_REL_RULES.values())),
+        span_format=fmt,
+    )
+    return {
+        r.doc_id: ([tuple(e) for e in r.ents], r.kb_ids) for r in out.collect()
+    }

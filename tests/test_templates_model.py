@@ -1,0 +1,59 @@
+"""Prompt renderer + local-model contract tests."""
+
+from spacy_llm_spark import templates
+from spacy_llm_spark.model import resolve_model
+
+
+def test_ner_prompt_includes_fewshot_examples():
+    ex = {
+        "text": "Jack and Jill went up the hill.",
+        "spans": [
+            {"text": "Jack", "is_entity": True, "label": "PER", "reason": "is the name of a person"}
+        ],
+    }
+    prompt = templates.render_ner_prompt(
+        "Some doc", ["PER", "LOC"], {"PER": "a person"}, [ex]
+    )
+    assert "Labels: PER, LOC" in prompt
+    assert "PER: a person" in prompt
+    assert "Jack and Jill went up the hill." in prompt
+    assert "1. Jack | True | PER | is the name of a person" in prompt
+    # the doc under test is the LAST fenced block
+    assert templates.extract_doc_from_prompt(prompt) == "Some doc"
+
+
+def test_rel_prompt_and_el_prompt_round_trip():
+    rel_prompt = templates.render_rel_prompt(
+        "a[ENT0:X] b[ENT1:Y]", ["Rel"], examples=[
+            {"text": "t", "relations": [{"dep": 0, "dest": 1, "relation": "Rel"}]}
+        ],
+    )
+    assert '{"dep": 0, "dest": 1, "relation": "Rel"}' in rel_prompt
+    assert templates.extract_doc_from_prompt(rel_prompt) == "a[ENT0:X] b[ENT1:Y]"
+
+    el_prompt = templates.render_el_prompt(
+        "go to *Boston*", ["Boston"], [[("Q100", "city"), ("Q131371", "team")]],
+        examples=[{"text": "see *Boston*", "mentions": ["Boston"], "solutions": ["Q100"]}],
+    )
+    assert "- For *Boston*:" in el_prompt
+    assert "    Q100. city" in el_prompt
+    assert "*Boston* ::: <Q100>" in el_prompt  # example solution line
+
+
+def test_model_cache_is_singleton():
+    a = resolve_model({"name": "noop", "output": "x"})
+    b = resolve_model({"name": "noop", "output": "x"})
+    c = resolve_model({"name": "noop", "output": "y"})
+    assert a is b
+    assert a is not c
+
+
+def test_el_model_reads_only_final_candidates_block():
+    """Few-shot example blocks must not leak into the parsed solutions."""
+    model = resolve_model({"name": "top_candidate_el"})
+    prompt = templates.render_el_prompt(
+        "x *Boston* y", ["Boston"], [[("Q100", "city"), ("Q204289", "band")]],
+        examples=[{"text": "see *Apple*", "mentions": ["Apple"], "solutions": ["Q89"]}],
+    )
+    (resp,) = model([prompt])
+    assert resp == "*Boston* ::: <Q100>"
