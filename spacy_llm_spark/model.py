@@ -79,6 +79,38 @@ def _build_model(spec: dict) -> BatchModel:
 # ---------------------------------------------------------------------------
 
 
+def with_retry(
+    model: BatchModel,
+    *,
+    max_tries: int = 5,
+    base_interval: float = 1.0,
+    backoff: float = 2.0,
+    retry_on: tuple = (TimeoutError, ConnectionError, OSError),
+) -> BatchModel:
+    """X2: retry + exponential backoff around a batch model call.
+
+    Defaults mirror the reference's REST policy (5 tries, 1 s base
+    interval, x2 backoff — models/rest/base.py:22-25). Local deterministic
+    models never raise; this wraps remote/flaky backends. Runs inside the
+    executor kernel, so a transient model failure never costs a Spark task
+    retry (R6 — task retries re-run the whole partition)."""
+    import time as _time
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        interval = base_interval
+        for attempt in range(1, max_tries + 1):
+            try:
+                return model(prompts)
+            except retry_on:
+                if attempt == max_tries:
+                    raise
+                _time.sleep(interval)
+                interval *= backoff
+        raise RuntimeError("unreachable")
+
+    return call
+
+
 def make_noop_model(output: str) -> BatchModel:
     """Fixed response for every prompt (test.NoOpModel.v1 analog)."""
 
@@ -88,26 +120,49 @@ def make_noop_model(output: str) -> BatchModel:
     return call
 
 
+def _dict_matches(text: str, lowered: Dict[str, str], max_len: int):
+    """Greedy longest-match of dictionary surfaces over token boundaries,
+    in text order (multi-token surfaces supported)."""
+    spans = tokenize(text)
+    lower = text.lower()
+    out = []
+    i = 0
+    while i < len(spans):
+        matched = None
+        for j in range(min(i + max_len, len(spans)), i, -1):
+            candidate = lower[spans[i][0] : spans[j - 1][1]]
+            label = lowered.get(candidate)
+            if label is not None:
+                matched = (spans[i][0], spans[j - 1][1], label, j - i)
+                break
+        if matched:
+            out.append(matched[:3])
+            i += matched[3]
+        else:
+            i += 1
+    return out
+
+
 def make_dict_ner_model(dictionary: Dict[str, str]) -> BatchModel:
     """Deterministic NER 'LLM': emits a CoT line (P3 grammar) for every
-    token of the fenced document that exactly matches a dictionary surface,
-    in text order. Case-insensitive on the token side, like an LLM echoing
+    greedy longest dictionary match (multi-token surfaces supported) in
+    the fenced document, in text order. Case-insensitive matching; echoes
     the surface as written.
     """
     lowered = {k.lower(): v for k, v in dictionary.items()}
+    max_len = max((len(k.split()) for k in lowered), default=1)
 
     def call(prompts: Sequence[str]) -> List[str]:
         responses = []
         for prompt in prompts:
             text = extract_doc_from_prompt(prompt)
             lines = []
-            n = 0
-            for start, end in tokenize(text):
-                token = text[start:end]
-                label = lowered.get(token.lower())
-                if label is not None:
-                    n += 1
-                    lines.append(f"{n}. {token} | True | {label} | matches dictionary")
+            for n, (start, end, label) in enumerate(
+                _dict_matches(text, lowered, max_len), start=1
+            ):
+                lines.append(
+                    f"{n}. {text[start:end]} | True | {label} | matches dictionary"
+                )
             responses.append("\n".join(lines))
         return responses
 

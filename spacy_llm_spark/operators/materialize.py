@@ -70,6 +70,28 @@ def links_table(df: DataFrame, id_cols=("doc_id", "content_sha256")) -> DataFram
     )
 
 
+def merge_annotations(
+    new: DataFrame,
+    old: DataFrame,
+    key: str = "content_sha256",
+    annotation_cols=("ents", "rels", "kb_ids"),
+) -> DataFrame:
+    """M8: preserve non-null prior annotations when reprocessing docs —
+    the reference copies non-None custom attrs from the input doc onto the
+    freshly parsed doc (pipeline/llm.py:284-293). Spark translation:
+    left-join on the content key, coalesce(new, old) per annotation
+    column. Rows only in ``new`` keep their fresh values; prior values
+    survive where the new pass produced null."""
+    old_sel = old.select(
+        key, *[F.col(c).alias(f"_old_{c}") for c in annotation_cols if c in old.columns]
+    )
+    merged = new.join(old_sel, key, "left")
+    for c in annotation_cols:
+        if f"_old_{c}" in merged.columns:
+            merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"_old_{c}")))
+    return merged.drop(*[f"_old_{c}" for c in annotation_cols])
+
+
 def _node_expr(ent_col: str, kb_col: str):
     """KB id when linked, else normalized surface node."""
     return F.when(

@@ -59,6 +59,35 @@ class KGConfig:
     def el_model_spec(self) -> dict:
         return {"name": "top_candidate_el"}
 
+    def to_json(self) -> str:
+        """S8 serde: full config as JSON (round-trips via from_json)."""
+        import json
+
+        return json.dumps(
+            {
+                "labels": list(self.labels),
+                "rel_labels": list(self.rel_labels),
+                "ner_dictionary": self.ner_dictionary,
+                "rel_rules": self.rel_rules,
+                "top_n_candidates": self.top_n_candidates,
+                "auto_nil": self.auto_nil,
+                "context_length": self.context_length,
+                "checkpoint_dir": self.checkpoint_dir,
+                "span_format": self.span_format,
+                "allow_overlap": self.allow_overlap,
+            },
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, payload: str) -> "KGConfig":
+        import json
+
+        data = json.loads(payload)
+        data["labels"] = tuple(data["labels"])
+        data["rel_labels"] = tuple(data["rel_labels"])
+        return cls(**data)
+
     def fingerprint_config(self) -> dict:
         return {
             "labels": list(self.labels),

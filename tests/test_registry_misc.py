@@ -1,0 +1,112 @@
+"""Registry (custom tasks), retry policy, annotation merge, config serde,
+and multi-token dictionary NER."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from spacy_llm_spark import registry
+from spacy_llm_spark.model import resolve_model, with_retry
+from spacy_llm_spark.operators.materialize import merge_annotations
+from spacy_llm_spark.pipeline import KGConfig
+
+
+def test_builtin_tasks_registered():
+    names = registry.registered_tasks()
+    assert "spacy.TextCat.v3" in names
+    assert "spacy.Lemma.v1" in names
+
+
+def test_custom_task(spark):
+    """tests/tasks/test_custom.py analog: a render/parse pair becomes a
+    working stage."""
+
+    @registry.register_misc("char_count_parse")
+    def parse(response: str) -> int:
+        return int(response)
+
+    stage = registry.make_custom_task(
+        render=lambda t: t,  # raw prompt
+        parse=lambda r: len(r),
+        out_col="n_chars_llm",
+        out_type=LongType(),
+        model_spec={"name": "echo"},
+    )
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, content string")
+    row = stage(df).collect()[0]
+    assert row.n_chars_llm == 5
+    assert registry.get_misc("char_count_parse")("7") == 7
+
+
+def test_unknown_task_raises():
+    with pytest.raises(KeyError, match="Unknown task"):
+        registry.get_task("nope")
+
+
+def test_with_retry_recovers_and_exhausts():
+    calls = {"n": 0}
+
+    def flaky(prompts):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("transient")
+        return ["ok"] * len(prompts)
+
+    wrapped = with_retry(flaky, max_tries=5, base_interval=0.001)
+    assert wrapped(["p"]) == ["ok"]
+    assert calls["n"] == 3
+
+    def always_fails(prompts):
+        raise ConnectionError("down")
+
+    wrapped2 = with_retry(always_fails, max_tries=2, base_interval=0.001)
+    with pytest.raises(ConnectionError):
+        wrapped2(["p"])
+
+
+def test_merge_annotations(spark):
+    schema = (
+        "content_sha256 string, ents array<struct<start:int,end:int,label:string,surface:string>>, "
+        "rels array<struct<dep:int,dest:int,relation:string>>"
+    )
+    old = spark.createDataFrame(
+        [("a", [{"start": 0, "end": 1, "label": "X", "surface": "x"}], None)], schema
+    )
+    new = spark.createDataFrame(
+        [("a", None, [{"dep": 0, "dest": 0, "relation": "R"}]), ("b", [], [])], schema
+    )
+    merged = {r.content_sha256: r for r in merge_annotations(new, old, annotation_cols=("ents", "rels")).collect()}
+    # null new ents -> old preserved (M8); new rels win
+    assert merged["a"].ents[0].label == "X"
+    assert merged["a"].rels[0].relation == "R"
+    assert merged["b"].ents == []
+
+
+def test_kgconfig_json_round_trip():
+    cfg = KGConfig(top_n_candidates=2, span_format="v2", context_length=128)
+    back = KGConfig.from_json(cfg.to_json())
+    assert back == cfg
+
+
+def test_multi_token_dictionary_ner():
+    model = resolve_model(
+        {"name": "dict_ner", "dictionary": {"Boston": "LOC", "Boston Celtics": "ORG"}}
+    )
+    from spacy_llm_spark.templates import render_ner_prompt
+
+    text = "Alice goes to Boston to see the Boston Celtics game."
+    (resp,) = model([render_ner_prompt(text, ["LOC", "ORG"])])
+    assert resp.splitlines() == [
+        "1. Boston | True | LOC | matches dictionary",
+        "2. Boston Celtics | True | ORG | matches dictionary",
+    ]
+    # full parse path resolves both spans at the right offsets
+    from spacy_llm_spark.functions.normalizers import build_label_dict
+    from spacy_llm_spark.functions.parsing import parse_ner_v3
+
+    spans = parse_ner_v3(text, resp, build_label_dict(["LOC", "ORG"]))
+    assert [(text[s:e], l) for s, e, l in spans] == [
+        ("Boston", "LOC"),
+        ("Boston Celtics", "ORG"),
+    ]
+    assert spans == [(14, 20, "LOC"), (32, 46, "ORG")]
