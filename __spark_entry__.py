@@ -224,6 +224,21 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sliding(spark, sf_dir):
+    """Sliding event-time window (1h width, 30m hop) — each event lands in
+    two windows."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("window_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_substring_offsets(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     first = F.locate("spark", F.col("text")) - 1
@@ -435,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens": q_distinct_tokens,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
         "substring_offsets": q_substring_offsets,
         "dedup_exact": q_dedup_exact,
         "lsh_dedup_verified": q_lsh_dedup_verified,
@@ -494,6 +510,33 @@ WHERE doc_id % 3 <> 0
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH contrib AS (
+  SELECT event_type,
+         unnest([
+           epoch(date_trunc('hour', ts)) + CASE WHEN epoch(ts) - epoch(date_trunc('hour', ts)) >= 1800 THEN 1800 ELSE 0 END,
+           epoch(date_trunc('hour', ts)) + CASE WHEN epoch(ts) - epoch(date_trunc('hour', ts)) >= 1800 THEN 1800 ELSE 0 END - 1800
+         ]) AS window_epoch
+  FROM events
+)
+SELECT CAST(window_epoch AS BIGINT) AS window_epoch, event_type, count(*) AS n
+FROM contrib GROUP BY 1, 2
+""",
+        "kg_vertices": m
+        + """
+, surf AS (
+  SELECT DISTINCT lower(trim(surface)) AS s, kb_id FROM links
+), nodes AS (
+  SELECT 'surface:' || s AS node,
+         CASE WHEN kb_id <> 'NIL' THEN kb_id ELSE 'surface:' || s END AS component,
+         FALSE AS is_kb
+  FROM surf
+  UNION
+  SELECT kb_id AS node, kb_id AS component, TRUE AS is_kb
+  FROM surf WHERE kb_id <> 'NIL'
+)
+SELECT node, component, is_kb FROM nodes
 """,
         "substring_offsets": """
 SELECT doc_id,

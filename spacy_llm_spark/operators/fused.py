@@ -74,6 +74,10 @@ def annotate_fused(
     top_n: int = 5,
     auto_nil: bool = True,
     drop_text: bool = True,
+    ner_examples: Optional[list] = None,
+    rel_examples: Optional[list] = None,
+    el_examples: Optional[list] = None,
+    definitions: Optional[dict] = None,
 ) -> DataFrame:
     """Append ents + rels + kb_ids in a single narrow pass.
 
@@ -110,7 +114,9 @@ def annotate_fused(
         local_kb = KnowledgeBase.from_json(kb_bc.value)
 
         def render_ner(shard_text, i_shard, n_shards):
-            return render_ner_prompt(shard_text, label_list)
+            return render_ner_prompt(
+                shard_text, label_list, definitions, ner_examples
+            )
 
         def parse_spans(shard_text: str, response: str):
             if span_format == "cot":
@@ -170,7 +176,9 @@ def annotate_fused(
                 for (_offset, shard_text), spans in zip(shards, shard_spans):
                     rel_prompts.append(
                         render_rel_prompt(
-                            preannotate(shard_text, spans), rel_label_list
+                            preannotate(shard_text, spans),
+                            rel_label_list,
+                            examples=rel_examples,
                         )
                     )
             rel_responses = rel_model(rel_prompts)
@@ -197,6 +205,7 @@ def annotate_fused(
                             highlight_ents(shard_text, span_pos, in_prompt),
                             mentions,
                             cand_blocks,
+                            examples=el_examples,
                         )
                     )
                     shard_in_prompt.append(in_prompt)

@@ -48,6 +48,12 @@ class KGConfig:
     checkpoint_dir: Optional[str] = None
     span_format: str = "cot"  # 'cot' (NER v3) | 'v2' (LABEL: phrase lines)
     allow_overlap: bool = False  # True = SpanCat semantics (overlapping spans)
+    # few-shot prompt examples (driver-side constants, broadcast into the
+    # render kernels; load with sources.readers.fewshot_reader)
+    ner_examples: Optional[list] = None
+    rel_examples: Optional[list] = None
+    el_examples: Optional[list] = None
+    label_definitions: Optional[dict] = None
 
     def ner_model_spec(self) -> dict:
         name = "dict_ner_v2" if self.span_format == "v2" else "dict_ner"
@@ -145,6 +151,10 @@ def annotate_corpus(
             auto_nil=cfg.auto_nil,
             span_format=cfg.span_format,
             allow_overlap=cfg.allow_overlap,
+            ner_examples=cfg.ner_examples,
+            rel_examples=cfg.rel_examples,
+            el_examples=cfg.el_examples,
+            definitions=cfg.label_definitions,
         )
     df = ner_op.extract_mentions(
         corpus,
@@ -175,6 +185,10 @@ def run_pipeline(
     cfg = cfg or KGConfig()
     kb = kb or build_code_kb()
     t0 = time.time()
+
+    from .plans.validate import validate_stage_chain
+
+    validate_stage_chain(corpus)
 
     if cfg.checkpoint_dir:
         ckpt = CheckpointManager(cfg.checkpoint_dir)
