@@ -17,7 +17,7 @@ definition — they broadcast into render kernels, never shuffle.
 from __future__ import annotations
 
 import warnings
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Iterable, List, Optional, Tuple
 
 from .functions.normalizers import lowercase_normalizer
 

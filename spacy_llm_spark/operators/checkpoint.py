@@ -29,7 +29,6 @@ from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 @dataclass

@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .kb import CODE_NER_DICT, CODE_REL_RULES, KnowledgeBase, build_code_kb
 from .operators import canonicalize as canon

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, List, Union
+from typing import List, Union
 
 
 def file_reader(path: Union[str, Path]) -> str:
