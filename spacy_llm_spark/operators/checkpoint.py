@@ -81,10 +81,20 @@ class CheckpointManager:
         input_df: DataFrame,
         fn: Callable[[DataFrame], DataFrame],
         config: Optional[dict] = None,
+        micro_batches: Optional[int] = None,
     ) -> DataFrame:
         """Resume-or-run: anti-join input against the stage checkpoint,
         process only the misses, append, and return the full result set.
+
+        ``micro_batches=K`` commits work in K deterministic key buckets
+        (pmod(xxhash64(key), K)) instead of one append — the
+        "per-partition checkpoint" granularity: a job killed after bucket
+        b resumes at bucket b+1, losing at most one bucket of work. Each
+        bucket is its own Spark job; pick K so a bucket is minutes of
+        work, not seconds (commit overhead) or hours (loss window).
         """
+        from pyspark.sql import functions as F
+
         t0 = time.time()
         path = self._stage_dir(stage)
         fingerprint = (
@@ -108,10 +118,21 @@ class CheckpointManager:
         else:
             todo = input_df
 
+        # Content-addressed semantics: identical content yields identical
+        # results, so process each key once per run (real corpora are full
+        # of duplicate files — vendored deps, forks). The read-back below
+        # is keyed dedup anyway; this just avoids redundant model work.
+        todo = todo.dropDuplicates([self.key_col])
         rows_todo = todo.count()
         if rows_todo > 0:
-            result_new = fn(todo)
-            result_new.write.mode("append").parquet(path)
+            if micro_batches and micro_batches > 1:
+                bucket = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(micro_batches))
+                todo = todo.withColumn("_bucket", bucket).localCheckpoint()
+                for b in range(micro_batches):
+                    chunk = todo.where(F.col("_bucket") == b).drop("_bucket")
+                    fn(chunk).write.mode("append").parquet(path)
+            else:
+                fn(todo).write.mode("append").parquet(path)
 
         out = spark.read.parquet(path)
         # key-level dedup guards against a retried append (exactly-once read)

@@ -49,6 +49,7 @@ class KGConfig:
     allow_overlap: bool = False  # True = SpanCat semantics (overlapping spans)
     # few-shot prompt examples (driver-side constants, broadcast into the
     # render kernels; load with sources.readers.fewshot_reader)
+    micro_batches: Optional[int] = None  # per-partition checkpoint granularity
     ner_examples: Optional[list] = None
     rel_examples: Optional[list] = None
     el_examples: Optional[list] = None
@@ -197,6 +198,7 @@ def run_pipeline(
             corpus,
             lambda df: annotate_corpus(df, cfg, kb),
             config=cfg.fingerprint_config(),
+            micro_batches=cfg.micro_batches,
         )
     else:
         ckpt = None

@@ -1,0 +1,68 @@
+"""Kill-and-resume: per-partition (micro-batch) checkpoint granularity.
+
+Simulates a mid-job kill by making the stage function raise after
+committing some buckets, then resumes and verifies: full coverage, no
+duplicate keys, and that already-committed buckets were NOT reprocessed.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators.checkpoint import CheckpointManager
+
+
+def test_micro_batch_kill_resume(spark, tmp_path):
+    df = spark.range(200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("content_sha256"),
+        (F.col("id") * 2).alias("value"),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    state = {"processed_keys": [], "calls": 0, "die_after": 2}
+
+    def stage(chunk):
+        state["calls"] += 1
+        if state["die_after"] is not None and state["calls"] > state["die_after"]:
+            raise RuntimeError("simulated executor loss / job kill")
+        keys = [r.content_sha256 for r in chunk.select("content_sha256").collect()]
+        state["processed_keys"].extend(keys)
+        return chunk.withColumn("out", F.col("value") + 1)
+
+    with pytest.raises(RuntimeError, match="simulated"):
+        mgr.run_stage(spark, "s", df, stage, config={"v": 1}, micro_batches=4)
+
+    committed_after_kill = len(state["processed_keys"])
+    assert 0 < committed_after_kill < 200  # partial progress persisted
+
+    # resume: no more failures
+    state["die_after"] = None
+    first_run_keys = set(state["processed_keys"])
+    state["processed_keys"] = []
+    out = mgr.run_stage(spark, "s", df, stage, config={"v": 1}, micro_batches=4)
+
+    assert out.count() == 200
+    assert out.select("content_sha256").distinct().count() == 200
+    # committed buckets were not reprocessed
+    assert not (set(state["processed_keys"]) & first_run_keys)
+    # values intact
+    bad = out.where(F.col("out") != F.col("value") + 1)
+    assert bad.count() == 0
+
+
+def test_micro_batch_equals_single_shot(spark, tmp_path):
+    df = spark.range(50).select(
+        F.concat(F.lit("k"), F.col("id")).alias("content_sha256"),
+        F.col("id").alias("value"),
+    )
+
+    def stage(chunk):
+        return chunk.withColumn("out", F.col("value") * 10)
+
+    single = CheckpointManager(str(tmp_path / "a")).run_stage(
+        spark, "s", df, stage, micro_batches=None
+    )
+    micro = CheckpointManager(str(tmp_path / "b")).run_stage(
+        spark, "s", df, stage, micro_batches=5
+    )
+    assert sorted(r.out for r in single.collect()) == sorted(
+        r.out for r in micro.collect()
+    )
