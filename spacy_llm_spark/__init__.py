@@ -10,7 +10,7 @@ batch cache becomes checkpoint tables probed with anti-joins.
 Layout
 ------
 - ``tokenizer``           deterministic tokenizer + char-span alignment
-- ``functions.parsing``   response-parser kernels (NER CoT, REL JSON, EL, ...)
+- ``functions.response_parsers``   response-parser kernels (NER CoT, REL JSON, EL, ...)
 - ``functions.normalizers`` label normalizers
 - ``functions.text``      language-ID / quality / token-count / fingerprint
 - ``kb``                  broadcast knowledge base + candidate selection

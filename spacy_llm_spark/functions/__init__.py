@@ -1,1 +1,1 @@
-from . import normalizers, parsing, text  # noqa: F401
+from . import normalizers, response_parsers, text  # noqa: F401

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-from ..functions.parsing import attach_el_solutions, parse_el_solutions
+from ..functions.response_parsers import attach_el_solutions, parse_el_solutions
 from ..kb import NIL, UNAVAILABLE_ENTITY_DESC, KnowledgeBase
 from ..model import resolve_model
 from ..templates import render_el_prompt

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StructField, StructType
 
 from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
-from ..functions.parsing import (
+from ..functions.response_parsers import (
     attach_el_solutions,
     extract_span_reasons_cot,
     find_spans_cot,

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
-from ..functions.parsing import extract_span_reasons_cot, find_spans_cot
+from ..functions.response_parsers import extract_span_reasons_cot, find_spans_cot
 from ..model import resolve_model
 from ..templates import render_ner_prompt
 from ..tokenizer import filter_spans

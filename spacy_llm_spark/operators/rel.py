@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.parsing import parse_rel_response
+from ..functions.response_parsers import parse_rel_response
 from ..model import resolve_model
 from ..templates import render_rel_prompt
 

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
-from ..functions.parsing import (
+from ..functions.response_parsers import (
     parse_lemma_response,
     parse_sentiment_response,
     parse_summarization_response,

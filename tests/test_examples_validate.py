@@ -10,7 +10,7 @@ from spacy_llm_spark.examples import (
     discover_labels,
     harvest_prompt_examples,
 )
-from spacy_llm_spark.functions.parsing import find_spans_cot, SpanReason
+from spacy_llm_spark.functions.response_parsers import find_spans_cot, SpanReason
 from spacy_llm_spark.plans.validate import (
     PlanValidationError,
     require_columns,

@@ -19,7 +19,7 @@ from spacy_llm_spark.functions.normalizers import (
     split_labels,
     strip_normalizer,
 )
-from spacy_llm_spark.functions.parsing import (
+from spacy_llm_spark.functions.response_parsers import (
     attach_el_solutions,
     extract_span_reasons_cot,
     find_substrings,

@@ -102,7 +102,7 @@ def test_multi_token_dictionary_ner():
     ]
     # full parse path resolves both spans at the right offsets
     from spacy_llm_spark.functions.normalizers import build_label_dict
-    from spacy_llm_spark.functions.parsing import parse_ner_v3
+    from spacy_llm_spark.functions.response_parsers import parse_ner_v3
 
     spans = parse_ner_v3(text, resp, build_label_dict(["LOC", "ORG"]))
     assert [(text[s:e], l) for s, e, l in spans] == [
