@@ -408,6 +408,100 @@ def q_summary_head(spark, sf_dir):
     return out.select("doc_id", "summary")
 
 
+def q_translate_upper(spark, sf_dir):
+    from spacy_llm_spark.operators import tasks
+
+    out = tasks.translate(
+        _docs(spark, sf_dir), model_spec={"name": "upper_translate"}, text_col="text"
+    )
+    return out.select("doc_id", "translation")
+
+
+def q_raw_echo(spark, sf_dir):
+    from spacy_llm_spark.operators import tasks
+
+    out = tasks.raw_prompt(
+        _docs(spark, sf_dir), model_spec={"name": "echo"}, text_col="text"
+    )
+    return out.select("doc_id", "llm_reply")
+
+
+def q_events_sessions(spark, sf_dir):
+    """Session windows (10-minute inactivity gap) per user — the
+    streaming-grade sessionization operator, runnable on static frames."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.session_window("ts", "10 minutes").alias("win"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("long").alias("session_epoch"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: GROUPING SETS over
+    (day, hour) time buckets per event_type."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+               CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type,
+               count(*) AS n,
+               CAST(grouping_id() AS BIGINT) AS gid
+        FROM events_v
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts), event_type),
+          (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+        )
+        """
+    ).na.fill({"hour_epoch": -1})
+
+
+def q_order_revenue(spark, sf_dir):
+    """Shuffle join + agg: revenue per order priority, decimal-exact so
+    the double hash matches the oracle bit-for-bit."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_media_stats(spark, sf_dir):
+    """Multimodal metadata aggregate over the synthesized media table
+    (payload column untouched — rows-only check)."""
+    from spacy_llm_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media_table(spark, n=60)
+    return mm.media_stats(media)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane LSH buckets (rows-only:
+    signature planes are not SQL-expressible)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doubled = emb.select("vec_id", "embedding").union(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return dedup.embedding_dup_pairs(doubled, threshold=0.999, n_planes=8)
+
+
 def q_detect_language(spark, sf_dir):
     # no SQL oracle (profile argmax) -> driver records rows-only check
     return textfn.detect_language(_docs(spark, sf_dir))
@@ -464,6 +558,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lemma_identity": q_lemma_identity,
         "sentiment_lexicon": q_sentiment_lexicon,
         "summary_head": q_summary_head,
+        "translate_upper": q_translate_upper,
+        "raw_echo": q_raw_echo,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
+        "order_revenue": q_order_revenue,
+        "media_stats": q_media_stats,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "detect_language": q_detect_language,
         "simhash": q_simhash,
     }
@@ -650,6 +751,50 @@ SELECT doc_id,
        array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS summary
 FROM documents
 """,
-        # detect_language / simhash / kg_vertices: no SQL oracle
-        # (profile argmax, bitwise vote, iterative CC) -> rows-only checks.
+        "translate_upper": "SELECT doc_id, upper(text) AS translation FROM documents",
+        "raw_echo": "SELECT doc_id, text AS llm_reply FROM documents",
+        "events_sessions": """
+WITH ordered AS (
+  SELECT user_id, epoch(ts) AS e,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_e
+  FROM events
+), flagged AS (
+  SELECT user_id, e,
+         CASE WHEN prev_e IS NULL OR e - prev_e >= 600 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), sessions AS (
+  SELECT user_id, e,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY e
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT CAST(floor(min(e)) AS BIGINT) AS session_epoch, user_id, count(*) AS n
+FROM sessions GROUP BY user_id, sid
+""",
+        "events_rollup": """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       coalesce(CAST(epoch(date_trunc('hour', ts)) AS BIGINT), -1) AS hour_epoch,
+       event_type, count(*) AS n,
+       -- Spark numbers grouping_id bits by column first-appearance order:
+       -- (day, event_type, hour)
+       CAST(grouping(date_trunc('day', ts)) * 4
+          + grouping(event_type) * 2
+          + grouping(date_trunc('hour', ts)) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', ts), event_type),
+  (date_trunc('day', ts), date_trunc('hour', ts), event_type)
+)
+""",
+        "order_revenue": """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        # detect_language / simhash / kg_vertices(no longer)/media_stats /
+        # embedding_dup_pairs: no SQL oracle (profile argmax, bitwise vote,
+        # random-plane signatures, synthesized inputs) -> rows-only checks.
     }

@@ -71,6 +71,12 @@ def _build_model(spec: dict) -> BatchModel:
         return make_head_summary_model(spec.get("n_tokens", 8))
     if name == "echo":
         return make_echo_model()
+    if name == "upper_translate":
+        # deterministic 'translation': uppercase the fenced doc
+        def _upper(prompts):
+            return [extract_doc_from_prompt(p).upper() for p in prompts]
+
+        return _upper
     raise ValueError(f"Unknown model spec: {spec!r}")
 
 
