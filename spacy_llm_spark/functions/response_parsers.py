@@ -188,6 +188,9 @@ def find_spans_cot(
     if alignment_mode not in ("strict", "contract", "expand"):
         raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
     index = TokenIndex(text)
+    # case-fold once (find_substrings folds per call; this loop calls it
+    # once per mention, which dominated the kernel profile)
+    haystack = text if case_sensitive else text.lower()
     find_after = 0
     spans: List[Tuple[int, int, str]] = []
     prev_span: Optional[Tuple[int, int, str]] = None
@@ -195,17 +198,15 @@ def find_spans_cot(
     n = len(span_reasons)
     while idx < n:
         sr = span_reasons[idx]
-        offsets = find_substrings(
-            text,
-            [sr.text],
-            case_sensitive=case_sensitive,
-            single_match=True,
-            find_after=find_after,
-        )
-        if not offsets:
+        needle = sr.text if case_sensitive else sr.text.lower()
+        if not needle:
             idx += 1
             continue
-        start, end = offsets[0]
+        start = haystack.find(needle, find_after)
+        if start == -1:
+            idx += 1
+            continue
+        end = start + len(needle)
         aligned = index.align(start, end, alignment_mode)
         if aligned is None:
             idx += 1
@@ -259,14 +260,28 @@ def _clean_ent_index(value) -> Optional[int]:
         return None
 
 
+_REL_LINE_RE = re.compile(
+    r'^\{"dep": (\d+), "dest": (\d+), "relation": "([^"\\]*)"\}$'
+)
+
+
 def parse_rel_response(response: str, n_ents: int) -> List[Tuple[int, int, str]]:
     """JSON-lines -> (dep, dest, relation), keeping only in-bounds indices
     (0 <= dep, dest < n_ents; tests/tasks/test_rel.py:239-270).
+
+    Canonical-form lines take a regex fast path; anything else falls back
+    to a full JSON parse (same accepted language either way).
     """
     relations: List[Tuple[int, int, str]] = []
     for line in response.strip().split("\n"):
         line = line.strip()
         if not line:
+            continue
+        m = _REL_LINE_RE.match(line)
+        if m:
+            dep, dest = int(m.group(1)), int(m.group(2))
+            if 0 <= dep < n_ents and 0 <= dest < n_ents:
+                relations.append((dep, dest, m.group(3)))
             continue
         try:
             obj = json.loads(line)

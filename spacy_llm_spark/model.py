@@ -220,7 +220,7 @@ def make_rule_rel_model(rules: Dict[Tuple[str, str], str]) -> BatchModel:
                 relation = rules.get((label_a, label_b))
                 if relation is not None:
                     lines.append(
-                        json.dumps({"dep": i, "dest": j, "relation": relation})
+                        f'{{"dep": {i}, "dest": {j}, "relation": "{relation}"}}'
                     )
             responses.append("\n".join(lines))
         return responses

@@ -85,19 +85,19 @@ def filter_spans(spans: List[Tuple[int, int, str]]) -> List[Tuple[int, int, str]
     spacy_llm/tasks/ner/task.py:94-100). Returns spans sorted by start.
     """
     sorted_spans = sorted(spans, key=lambda s: (s[0] - s[1], s[0]))
-    seen: set = set()
-    result = []
+    kept: List[Tuple[int, int, str]] = []
     for span in sorted_spans:
-        covered = range(span[0], span[1])
-        if not any(i in seen for i in covered):
-            result.append(span)
-            seen.update(covered)
-    result.sort(key=lambda s: (s[0], s[1]))
-    return result
+        s0, s1 = span[0], span[1]
+        if not any(k0 < s1 and s0 < k1 for k0, k1, _ in kept):
+            kept.append(span)
+    kept.sort(key=lambda s: (s[0], s[1]))
+    return kept
 
 
 class TokenIndex:
-    """Reusable alignment helper when many spans hit the same text."""
+    """Reusable alignment helper when many spans hit the same text.
+    All three modes are O(log n) bisects over the sorted boundary arrays.
+    """
 
     __slots__ = ("tokens", "_starts", "_ends")
 
@@ -109,8 +109,9 @@ class TokenIndex:
     def align(self, start: int, end: int, alignment_mode: str) -> Optional[Span]:
         if alignment_mode not in ("strict", "contract", "expand"):
             raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
-        toks, starts, ends = self.tokens, self._starts, self._ends
-        if start >= end or not toks:
+        starts, ends = self._starts, self._ends
+        n = len(starts)
+        if start >= end or not n:
             return None
         if alignment_mode == "strict":
             i = bisect_right(starts, start) - 1
@@ -119,25 +120,22 @@ class TokenIndex:
             ok_end = j >= 0 and ends[j] == end
             return (start, end) if ok_start and ok_end else None
         if alignment_mode == "contract":
-            inside = []
-            for t in toks:
-                if t[0] >= end:
-                    break
-                if t[0] >= start and t[1] <= end:
-                    inside.append(t)
-            if not inside:
+            # first token with start >= span start
+            i = bisect_right(starts, start - 1)
+            while i < n and starts[i] < start:
+                i += 1
+            # last token with end <= span end
+            j = bisect_right(ends, end) - 1
+            if i >= n or j < 0 or i > j:
                 return None
-            return (inside[0][0], inside[-1][1])
-        # expand
-        first = None
-        last = None
-        for t in toks:
-            if t[1] > start and t[0] < end:
-                if first is None:
-                    first = t
-                last = t
-            elif t[0] >= end:
-                break
-        if first is None:
+            if starts[i] >= end or ends[j] < start:
+                return None
+            return (starts[i], ends[j])
+        # expand: tokens overlapping [start, end)
+        # first token whose end > start
+        i = bisect_right(ends, start)
+        # last token whose start < end
+        j = bisect_right(starts, end - 1) - 1
+        if i >= n or j < 0 or i > j:
             return None
-        return (first[0], last[1])
+        return (starts[i], ends[j])
