@@ -484,32 +484,60 @@ def q_order_revenue(spark, sf_dir):
 
 
 def q_media_stats(spark, sf_dir):
-    """Multimodal metadata aggregate over the synthesized media table
-    (payload column untouched — rows-only check)."""
+    """Multimodal metadata aggregate over the synthesized media table —
+    metadata formulas are deterministic in the row index, so the DuckDB
+    oracle regenerates them from range(n)."""
     from spacy_llm_spark.operators import multimodal as mm
 
     media = mm.synthesize_media_table(spark, n=60)
-    return mm.media_stats(media)
+    return mm.media_stats(media).select(
+        "media_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("avg_frames", 6).alias("avg_frames"),
+    )
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Embedding near-dup pairs via hyperplane LSH buckets (rows-only:
-    signature planes are not SQL-expressible)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    doubled = emb.select("vec_id", "embedding").union(
-        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    """Embedding near-dup pairs via banded hyperplane LSH (OR-construction)
+    verified by exact cosine — the oracle is the brute-force cross join, so
+    a hash match certifies recall 1.0 on this corpus. Near-dups are planted
+    by a deterministic +0.02 per-coordinate shift (cosine ~0.987-0.990 vs a
+    natural pair max of ~0.54)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return dedup.embedding_dup_pairs(doubled, threshold=0.999, n_planes=8)
+    dim = len(emb.select("embedding").head()[0])  # one-row job, once, driver-side
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    doubled = emb.union(perturbed)
+    pairs = dedup.embedding_dup_pairs(
+        doubled, threshold=0.95, bands=24, planes_per_band=12, dim=dim
+    )
+    return pairs.select("id_a", "id_b")
 
 
 def q_detect_language(spark, sf_dir):
-    # no SQL oracle (profile argmax) -> driver records rows-only check
     return textfn.detect_language(_docs(spark, sf_dir))
 
 
 def q_simhash(spark, sf_dir):
-    # no SQL oracle (bitwise majority vote) -> rows-only check
+    # sha2_60 token hash: the DuckDB oracle reproduces it bit-for-bit
     return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return textfn.quality_score(_docs(spark, sf_dir)).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    # xxh64 column omitted: not reproducible in DuckDB (engine-specific)
+    return textfn.fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "sha256", "normalized_sha256"
+    )
 
 
 def q_kg_vertices(spark, sf_dir):
@@ -567,7 +595,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "detect_language": q_detect_language,
         "simhash": q_simhash,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
     }
+
+
+def _lang_profiles_sql() -> str:
+    return ", ".join(
+        "('{}', [{}], {})".format(
+            lang, ", ".join(f"'{w}'" for w in words), len(words)
+        )
+        for lang, words in textfn.LANG_PROFILES.items()
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -794,7 +833,100 @@ SELECT o_orderpriority, count(*) AS n_items,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
-        # detect_language / simhash / kg_vertices(no longer)/media_stats /
-        # embedding_dup_pairs: no SQL oracle (profile argmax, bitwise vote,
-        # random-plane signatures, synthesized inputs) -> rows-only checks.
+        "media_stats": """
+WITH media AS (
+  SELECT i,
+         CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CASE WHEN i % 3 = 0 THEN 1 ELSE 8 + CAST(i % 7 AS INTEGER) END AS n_frames
+  FROM range(60) t(i)
+)
+SELECT media_type, count(*) AS n, round(avg(n_frames), 6) AS avg_frames
+FROM media GROUP BY media_type
+""",
+        "embedding_dup_pairs": """
+WITH doubled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM doubled a, doubled b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+""",
+        "detect_language": f"""
+WITH docs_toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   t -> len(t) > 0)) AS toks
+  FROM documents
+), profiles(lang, words, n_words) AS (VALUES {_lang_profiles_sql()}),
+scored AS (
+  SELECT d.doc_id, p.lang,
+         CAST(len(list_intersect(d.toks, p.words)) AS DOUBLE) / p.n_words AS ratio
+  FROM docs_toks d, profiles p
+), best AS (
+  SELECT doc_id, lang, ratio,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ratio DESC, lang DESC) AS rn
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS detected_lang,
+       round(ratio, 6) AS lang_confidence
+FROM best WHERE rn = 1
+""",
+        "simhash": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
+  FROM toks WHERE len(tok) > 0
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> CAST(b.bit AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hashed, range(64) b(bit) GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+        "quality_score": """
+WITH s AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_toks,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       t -> len(t) > 0))) AS n_distinct,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+), m AS (
+  SELECT doc_id, n_toks,
+         (n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE) AS mean_tok_len,
+         n_distinct / CAST(n_toks AS DOUBLE) AS diversity,
+         n_alpha / CAST(n_chars AS DOUBLE) AS alpha_ratio
+  FROM s
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(diversity, 6) AS lexical_diversity,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(CASE WHEN n_toks BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN mean_tok_len BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END
+             + diversity * 0.25 + alpha_ratio * 0.25, 6) AS quality_score
+FROM m
+""",
+        "fingerprint": """
+SELECT doc_id, sha256(text) AS sha256,
+       sha256(array_to_string(list_filter(string_split(text, ' '),
+                                          t -> len(t) > 0), ' ')) AS normalized_sha256
+FROM documents
+""",
     }

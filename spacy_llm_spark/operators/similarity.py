@@ -89,13 +89,13 @@ def hyperplane_signature(
     vec_col: str = "embedding",
     n_planes: int = 16,
     seed: int = 7,
-    dim: int | None = None,
+    dim: int,
 ) -> DataFrame:
     """Append ``lsh_sig`` (long): sign bits against fixed random planes,
     expressed natively — one aggregate per plane folded into codegen.
+    ``dim`` must come from the caller (schema/metadata/probe): discovering
+    it with a ``.first()`` would launch a whole Spark job at plan time.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     planes = _planes(dim, n_planes, seed)
     sig = F.lit(0).cast("long")
     vec = F.col(vec_col).cast("array<double>")

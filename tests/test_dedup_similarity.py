@@ -105,9 +105,84 @@ def test_ivf_topk_contains_self(vectors):
 
 def test_embedding_dup_pairs(vectors):
     df, vecs = vectors
-    pairs = dedup.embedding_dup_pairs(df, threshold=0.95, n_planes=8)
+    pairs = dedup.embedding_dup_pairs(
+        df, threshold=0.95, bands=16, planes_per_band=8, dim=16
+    )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 7) in got
+    assert (0, 9) in got  # the perturbed near-dup, not just the colinear pair
+
+
+def test_embedding_dup_pairs_full_recall_vs_bruteforce(spark):
+    """Banded OR-construction recall check against the exact answer: plant
+    n near-dup pairs at cosine ~0.98-0.99 and require every one found."""
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(150, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    rows += [
+        (1000 + i, [float(x) + 0.025 for x in base[i]]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs(
+            df, threshold=0.9, bands=24, planes_per_band=12, dim=32
+        ).collect()
+    }
+    # brute force in numpy
+    all_ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows])
+    sims = (V @ V.T) / (
+        np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :]
+    )
+    expected = {
+        (min(all_ids[i], all_ids[j]), max(all_ids[i], all_ids[j]))
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if sims[i, j] >= 0.9
+    }
+    assert len(expected) >= 150
+    assert got == expected
+
+
+def test_lsh_hot_bucket_cap_completes(spark):
+    """1000 identical docs: without a cap the band self-join is quadratic
+    (~500k pairs x 16 bands); with the cap it stays bounded."""
+    rows = [(i, "the exact same boilerplate license text here") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_dup_pairs(
+        df, n_hashes=32, bands=8, shingle_k=3, threshold=1.0, max_bucket_size=50
+    )
+    n = pairs.count()
+    # pairs only among the 50 kept representatives per bucket
+    assert 0 < n <= 50 * 49 // 2
+    # the kept ids are the lowest ones (deterministic cap)
+    ids = pairs.select("id_a").union(pairs.select("id_b")).distinct().collect()
+    assert max(r.id_a for r in ids) < 50
+
+
+def test_minhash_signatures_stable_values(spark):
+    """Signatures are pinned artifacts: stable across runs, sessions and
+    CPython versions (siphash with pandas' fixed key, not builtin hash)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    sig1 = dedup.minhash_signatures(df, n_hashes=8).collect()[0].sig
+    sig2 = dedup.minhash_signatures(df, n_hashes=8).collect()[0].sig
+    assert sig1 == sig2
+    # driver-side recomputation of the same math gives the same values
+    import pandas as pd
+
+    toks = "alpha beta gamma delta epsilon".split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(3)}
+    hv = pd.util.hash_array(np.asarray(sorted(shingles), dtype=object))
+    hv = (hv % np.uint64((1 << 61) - 1)).astype(np.uint64)
+    a, b = dedup._minhash_params(8)
+    m = (
+        a.astype(np.uint64)[:, None] * hv[None, :] + b.astype(np.uint64)[:, None]
+    ) % np.uint64((1 << 61) - 1)
+    assert m.min(axis=1).astype(np.int64).tolist() == sig1
 
 
 # -- text analysis -----------------------------------------------------------
