@@ -53,6 +53,19 @@ class CheckpointManager:
     def _guard_path(self, stage: str) -> str:
         return os.path.join(self.base_path, f"{stage}.config.json")
 
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.base_path, f"{stage}.schema.json")
+
+    def _write_manifest(self, stage: str, ann_cols: list, dropped: list) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump({"annotation_cols": ann_cols, "dropped_input_cols": dropped}, f)
+
+    def _read_manifest(self, stage: str) -> tuple:
+        with open(self._manifest_path(stage)) as f:
+            m = json.load(f)
+        return m["annotation_cols"], m["dropped_input_cols"]
+
     def _check_guard(self, stage: str, config_fingerprint: Optional[str]) -> None:
         """Prompt-template guard analog (cache.py:96-122): refuse to resume
         a checkpoint produced under a different stage config."""
@@ -84,7 +97,20 @@ class CheckpointManager:
         micro_batches: Optional[int] = None,
     ) -> DataFrame:
         """Resume-or-run: anti-join input against the stage checkpoint,
-        process only the misses, append, and return the full result set.
+        process only the misses, append, and return results for EXACTLY
+        the input rows.
+
+        The checkpoint stores only (key, annotation columns) — the
+        content-addressed annotation store; row identity (repo, path,
+        doc_id, ...) stays with the input and is re-attached by an inner
+        join on the key. This is what makes the stage correct in two
+        cases the naive "return the checkpoint table" design gets wrong:
+        (a) stale keys from earlier runs against the same dir never leak
+        into this run's output, and (b) distinct docs sharing content
+        (vendored deps, forks, replicated corpora) each keep their own
+        output row while the expensive model work still happens once per
+        distinct content hash. Mirrors the reference BatchCache, which
+        returns exactly the requested docs (spacy_llm/cache.py:216-233).
 
         ``micro_batches=K`` commits work in K deterministic key buckets
         (pmod(xxhash64(key), K)) instead of one append — the
@@ -124,19 +150,40 @@ class CheckpointManager:
         # is keyed dedup anyway; this just avoids redundant model work.
         todo = todo.dropDuplicates([self.key_col])
         rows_todo = todo.count()
+
+        def _persist(res: DataFrame) -> None:
+            # persist only key + annotation columns (manifest-recorded);
+            # identity columns are re-attached from the input on read.
+            ann_cols = [
+                c
+                for c in res.columns
+                if c == self.key_col or c not in input_df.columns
+            ]
+            dropped = [c for c in input_df.columns if c not in res.columns]
+            if not os.path.exists(self._manifest_path(stage)):
+                self._write_manifest(stage, ann_cols, dropped)
+            res.select(*ann_cols).write.mode("append").parquet(path)
+
         if rows_todo > 0:
             if micro_batches and micro_batches > 1:
                 bucket = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(micro_batches))
                 todo = todo.withColumn("_bucket", bucket).localCheckpoint()
                 for b in range(micro_batches):
                     chunk = todo.where(F.col("_bucket") == b).drop("_bucket")
-                    fn(chunk).write.mode("append").parquet(path)
+                    _persist(fn(chunk))
             else:
-                fn(todo).write.mode("append").parquet(path)
+                _persist(fn(todo))
 
-        out = spark.read.parquet(path)
-        # key-level dedup guards against a retried append (exactly-once read)
-        out = out.dropDuplicates([self.key_col])
+        if os.path.exists(self._manifest_path(stage)):
+            _, dropped_cols = self._read_manifest(stage)
+            stored = spark.read.parquet(path)
+            # key-level dedup guards against a retried append (exactly-once read)
+            stored = stored.dropDuplicates([self.key_col])
+            out = input_df.drop(*dropped_cols).join(
+                stored, on=self.key_col, how="inner"
+            )
+        else:  # empty input against a never-written checkpoint
+            out = input_df.where(F.lit(False))
         rows_out = out.count()
         self.metrics.append(
             StageMetrics(

@@ -23,7 +23,7 @@ links are all NIL (task.py:211-236).
 
 from __future__ import annotations
 
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -38,14 +38,20 @@ LINKS_TYPE = ArrayType(StringType())
 
 
 def highlight_ents(text: str, spans: List[Tuple[int, int]], include: List[bool]) -> str:
-    """Wrap included spans in *...* (M4). Spans must be non-overlapping and
-    sorted by start.
+    """Wrap included spans in *...* (M4). Spans must be sorted by start;
+    overlaps (SpanCat semantics, allow_overlap=True) are tolerated: a span
+    fully inside an already-highlighted region is skipped, a partial
+    overlap is clamped to the unhighlighted remainder — never a negative
+    slice or duplicated text segment.
     """
     out = []
     cursor = 0
     for (start, end), inc in zip(spans, include):
         if not inc:
             continue
+        if end <= cursor:  # contained in an already-highlighted region
+            continue
+        start = max(start, cursor)
         out.append(text[cursor:start])
         out.append(f"*{text[start:end]}*")
         cursor = end
@@ -69,47 +75,77 @@ def link_entities(
     ents_col: str = "ents",
     examples: list | None = None,
     out_col: str = "kb_ids",
+    context_length: Optional[int] = None,
 ) -> DataFrame:
-    """Append ``kb_ids``: one KB id (or NIL) per entry of ``ents``."""
+    """Append ``kb_ids``: one KB id (or NIL) per entry of ``ents``. With
+    ``context_length`` set, oversized docs are sub-sharded per task
+    (reference: tasks/entity_linker/task.py:137-165) with candidates
+    recomputed per sub-shard (H4); per-sub kb_id lists concatenate in
+    entity order."""
     spark = df.sparkSession
     kb_bc = spark.sparkContext.broadcast(kb.to_json())
     out_schema = StructType(df.schema.fields + [StructField(out_col, LINKS_TYPE)])
     examples = examples or []
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .sharding import shard_for_task
+
         model = resolve_model(model_spec)
         local_kb = KnowledgeBase.from_json(kb_bc.value)
+
+        def el_parts(text, span_tuples):
+            spans = [(s, e) for s, e, _ in span_tuples]
+            surfaces = [text[s:e] for s, e, _ in span_tuples]
+            cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
+            # F5: in-prompt iff candidates exist (or auto_nil disabled)
+            in_prompt = [bool(c) or not auto_nil for c in cands]
+            mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
+            cand_blocks = [
+                [(qid, desc) for qid, _, desc in c]
+                if c
+                else [(NIL, UNAVAILABLE_ENTITY_DESC)]
+                for c, ip in zip(cands, in_prompt)
+                if ip
+            ]
+            highlighted = highlight_ents(text, spans, in_prompt)
+            return (
+                render_el_prompt(highlighted, mentions, cand_blocks, examples),
+                in_prompt,
+            )
+
         for pdf in batches:
             prompts = []
-            doc_meta = []  # (in_prompt flags per ent, n_ents)
+            doc_meta = []  # per doc: list of in_prompt flags per sub-shard
             for text, ents in zip(pdf[text_col], pdf[ents_col]):
                 text = text or ""
-                spans = [(e["start"], e["end"]) for e in ents]
-                surfaces = [e["surface"] for e in ents]
-                cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
-                # F5: in-prompt iff candidates exist (or auto_nil disabled)
-                in_prompt = [bool(c) or not auto_nil for c in cands]
-                mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
-                cand_blocks = [
-                    [(qid, desc) for qid, _, desc in c]
-                    if c
-                    else [(NIL, UNAVAILABLE_ENTITY_DESC)]
-                    for c, ip in zip(cands, in_prompt)
-                    if ip
-                ]
-                highlighted = highlight_ents(text, spans, in_prompt)
-                prompts.append(
-                    render_el_prompt(highlighted, mentions, cand_blocks, examples)
+                span_tuples = [(e["start"], e["end"], e["label"]) for e in ents]
+                subs = (
+                    shard_for_task(
+                        text, span_tuples, context_length,
+                        lambda t, sp: el_parts(t, sp)[0],
+                    )
+                    if context_length is not None
+                    else [(0, text, span_tuples)]
                 )
-                doc_meta.append(in_prompt)
+                metas = []
+                for _, st, sp in subs:
+                    prompt, in_prompt = el_parts(st, sp)
+                    prompts.append(prompt)
+                    metas.append(in_prompt)
+                doc_meta.append(metas)
             responses = model(prompts)
             links_col = []
-            for response, in_prompt in zip(responses, doc_meta):
-                solutions = parse_el_solutions(response)
-                attached = attach_el_solutions(in_prompt, solutions)
-                if attached is None:  # F9: inconsistent -> all NIL
-                    attached = [NIL] * len(in_prompt)
-                links_col.append(attached)
+            r = 0
+            for metas in doc_meta:
+                attached_all: List[str] = []
+                for in_prompt in metas:
+                    solutions = parse_el_solutions(responses[r])
+                    r += 1
+                    attached = attach_el_solutions(in_prompt, solutions)
+                    if attached is None:  # F9: inconsistent -> all NIL
+                        attached = [NIL] * len(in_prompt)
+                    attached_all.extend(attached)
+                links_col.append(attached_all)
             out = pdf.copy()
             out[out_col] = links_col
             yield out

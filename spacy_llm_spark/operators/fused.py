@@ -52,7 +52,7 @@ from ..tokenizer import filter_spans
 from .el import LINKS_TYPE, highlight_ents
 from .ner import ENT_TYPE
 from .rel import REL_TYPE, preannotate
-from .sharding import make_shards
+from .sharding import make_shards, shard_for_task
 
 
 def annotate_fused(
@@ -171,49 +171,75 @@ def annotate_fused(
                 doc_shard_spans.append(shard_spans)
 
             # ---- REL per shard (indices local to shard, F3) ----
+            # REL prompts are strictly longer than NER's over the same text
+            # (preannotation markers + different instructions), so each NER
+            # shard is RE-validated against context_length and sub-sharded
+            # if needed — the reference shards every task, not just NER.
+            def rel_render(t, sp):
+                return render_rel_prompt(
+                    preannotate(t, sp), rel_label_list, examples=rel_examples
+                )
+
             rel_prompts = []
+            rel_sub_counts: List[List[int]] = []  # per shard: n_ents per sub
             for shards, shard_spans in zip(doc_shards, doc_shard_spans):
                 for (_offset, shard_text), spans in zip(shards, shard_spans):
-                    rel_prompts.append(
-                        render_rel_prompt(
-                            preannotate(shard_text, spans),
-                            rel_label_list,
-                            examples=rel_examples,
-                        )
+                    subs = (
+                        shard_for_task(shard_text, spans, context_length, rel_render)
+                        if context_length is not None
+                        else [(0, shard_text, spans)]
                     )
+                    rel_sub_counts.append([len(sub_spans) for _, _, sub_spans in subs])
+                    rel_prompts.extend(rel_render(st, sp) for _, st, sp in subs)
             rel_responses = rel_model(rel_prompts)
 
             # ---- EL per shard (candidate recompute per shard, H4) ----
+            def el_parts(shard_text, spans):
+                span_pos = [(s, e) for s, e, _ in spans]
+                surfaces = [shard_text[s:e] for s, e, _ in spans]
+                cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
+                in_prompt = [bool(c) or not auto_nil for c in cands]
+                mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
+                cand_blocks = [
+                    [(qid, desc) for qid, _, desc in c]
+                    if c
+                    else [(NIL, UNAVAILABLE_ENTITY_DESC)]
+                    for c, ip in zip(cands, in_prompt)
+                    if ip
+                ]
+                prompt = render_el_prompt(
+                    highlight_ents(shard_text, span_pos, in_prompt),
+                    mentions,
+                    cand_blocks,
+                    examples=el_examples,
+                )
+                return prompt, in_prompt
+
             el_prompts = []
-            shard_in_prompt: List[List[bool]] = []
+            el_sub_in_prompt: List[List[List[bool]]] = []  # per shard: per sub
             for shards, shard_spans in zip(doc_shards, doc_shard_spans):
                 for (_offset, shard_text), spans in zip(shards, shard_spans):
-                    span_pos = [(s, e) for s, e, _ in spans]
-                    surfaces = [shard_text[s:e] for s, e, _ in spans]
-                    cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
-                    in_prompt = [bool(c) or not auto_nil for c in cands]
-                    mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
-                    cand_blocks = [
-                        [(qid, desc) for qid, _, desc in c]
-                        if c
-                        else [(NIL, UNAVAILABLE_ENTITY_DESC)]
-                        for c, ip in zip(cands, in_prompt)
-                        if ip
-                    ]
-                    el_prompts.append(
-                        render_el_prompt(
-                            highlight_ents(shard_text, span_pos, in_prompt),
-                            mentions,
-                            cand_blocks,
-                            examples=el_examples,
+                    subs = (
+                        shard_for_task(
+                            shard_text, spans, context_length,
+                            lambda t, sp: el_parts(t, sp)[0],
                         )
+                        if context_length is not None
+                        else [(0, shard_text, spans)]
                     )
-                    shard_in_prompt.append(in_prompt)
+                    metas = []
+                    for _, st, sp in subs:
+                        prompt, in_prompt = el_parts(st, sp)
+                        el_prompts.append(prompt)
+                        metas.append(in_prompt)
+                    el_sub_in_prompt.append(metas)
             el_responses = el_model(el_prompts)
 
             # ---- merge shards back to doc coordinates (A1/H3) ----
             ents_col, rels_col, links_col = [], [], []
             shard_idx = 0
+            rel_r = 0  # running index into rel_responses (per sub-shard)
+            el_r = 0  # running index into el_responses (per sub-shard)
             for text, shards, shard_spans in zip(texts, doc_shards, doc_shard_spans):
                 ents: List[dict] = []
                 rels: List[dict] = []
@@ -221,24 +247,30 @@ def annotate_fused(
                 ent_offset = 0
                 for (offset, shard_text), spans in zip(shards, shard_spans):
                     n_ents = len(spans)
-                    # REL: bounds vs the shard's own ents, then shift
-                    for dep, dest, relation in parse_rel_response(
-                        rel_responses[shard_idx], n_ents
-                    ):
-                        rels.append(
-                            {
-                                "dep": dep + ent_offset,
-                                "dest": dest + ent_offset,
-                                "relation": relation,
-                            }
-                        )
-                    # EL: positional re-attach within the shard (J7/F9)
-                    in_prompt = shard_in_prompt[shard_idx]
-                    solutions = parse_el_solutions(el_responses[shard_idx])
-                    attached = attach_el_solutions(in_prompt, solutions)
-                    if attached is None:
-                        attached = [NIL] * n_ents
-                    kb_ids.extend(attached)
+                    # REL: bounds vs each sub-shard's own ents, then shift
+                    # by doc-level offset + preceding sub-shards' ent counts
+                    local_off = 0
+                    for n_sub in rel_sub_counts[shard_idx]:
+                        for dep, dest, relation in parse_rel_response(
+                            rel_responses[rel_r], n_sub
+                        ):
+                            rels.append(
+                                {
+                                    "dep": dep + ent_offset + local_off,
+                                    "dest": dest + ent_offset + local_off,
+                                    "relation": relation,
+                                }
+                            )
+                        local_off += n_sub
+                        rel_r += 1
+                    # EL: positional re-attach within each sub-shard (J7/F9)
+                    for in_prompt in el_sub_in_prompt[shard_idx]:
+                        solutions = parse_el_solutions(el_responses[el_r])
+                        el_r += 1
+                        attached = attach_el_solutions(in_prompt, solutions)
+                        if attached is None:
+                            attached = [NIL] * len(in_prompt)
+                        kb_ids.extend(attached)
                     # ents: shift char offsets into doc coordinates
                     ents.extend(
                         {

@@ -11,10 +11,11 @@ spaCy token/space arrays; we splice by character offsets, which produces
 the same annotated text (pinned by tests/tasks/test_rel.py:273-291 —
 "Well[ENT0:A] hello[ENT1:B] there[ENT2:C]").
 
-Sharding note: prompts here cover whole docs; REL over a doc too large for
-the model context should be sharded *upstream* by splitting the corpus
-row, because relation indices are per-shard-local (H4 discussion in
-SURVEY.md). The KG pipeline guarantees doc-sized prompts.
+Sharding: pass ``context_length`` to shard oversized docs per task
+(reference shards every task, tasks/rel/task.py + util/sharding.py) —
+the doc is split on span-safe token boundaries, each sub-shard prompted
+with its own entities, and parsed relation indices are shifted back into
+doc coordinates. Cross-shard relations are invisible to both engines.
 """
 
 from __future__ import annotations
@@ -68,11 +69,14 @@ def extract_relations(
     definitions: Optional[dict] = None,
     examples: Optional[list] = None,
     out_col: str = "rels",
+    context_length: Optional[int] = None,
 ) -> DataFrame:
     """Append a ``rels`` column of (dep, dest, relation) items whose indices
-    reference the ``ents`` array (bounds-checked, F3).
+    reference the ``ents`` array (bounds-checked, F3). With
+    ``context_length`` set, oversized docs are sub-sharded per task (H2-H4).
     """
     from ..functions.normalizers import split_labels
+    from .sharding import shard_for_task
 
     label_list = split_labels(labels)
     out_schema = StructType(df.schema.fields + [StructField(out_col, REL_TYPE)])
@@ -81,28 +85,37 @@ def extract_relations(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = resolve_model(model_spec)
+
+        def rel_render(t, sp):
+            return render_rel_prompt(preannotate(t, sp), label_list, definitions, examples)
+
         for pdf in batches:
             prompts = []
-            n_ents_per_doc = []
+            doc_sub_counts = []  # per doc: n_ents per sub-shard
             for text, ents in zip(pdf[text_col], pdf[ents_col]):
                 ent_tuples = [(e["start"], e["end"], e["label"]) for e in ents]
-                n_ents_per_doc.append(len(ent_tuples))
-                prompts.append(
-                    render_rel_prompt(
-                        preannotate(text or "", ent_tuples),
-                        label_list,
-                        definitions,
-                        examples,
-                    )
+                subs = (
+                    shard_for_task(text or "", ent_tuples, context_length, rel_render)
+                    if context_length is not None
+                    else [(0, text or "", ent_tuples)]
                 )
+                doc_sub_counts.append([len(sp) for _, _, sp in subs])
+                prompts.extend(rel_render(st, sp) for _, st, sp in subs)
             responses = model(prompts)
-            rels_col = [
-                [
-                    {"dep": dep, "dest": dest, "relation": relation}
-                    for dep, dest, relation in parse_rel_response(resp, n_ents)
-                ]
-                for resp, n_ents in zip(responses, n_ents_per_doc)
-            ]
+            rels_col = []
+            r = 0
+            for counts in doc_sub_counts:
+                rels, off = [], 0
+                for n_sub in counts:
+                    rels.extend(
+                        {"dep": dep + off, "dest": dest + off, "relation": relation}
+                        for dep, dest, relation in parse_rel_response(
+                            responses[r], n_sub
+                        )
+                    )
+                    off += n_sub
+                    r += 1
+                rels_col.append(rels)
             out = pdf.copy()
             out[out_col] = rels_col
             yield out

@@ -85,6 +85,83 @@ def make_shards(
     return shards
 
 
+def shard_for_task(
+    text: str,
+    spans: List[Tuple[int, int, str]],
+    context_length: int,
+    render: Callable[[str, List[Tuple[int, int, str]]], str],
+    buffer_frac: float = 1.1,
+) -> List[Tuple[int, str, List[Tuple[int, int, str]]]]:
+    """Per-task re-sharding (the reference shards EVERY task, e.g.
+    tasks/entity_linker/task.py:137-165): a shard sized for the NER prompt
+    can overflow for REL/EL, whose prompts add preannotation markers,
+    candidate blocks and different instructions. Given a (shard) text and
+    its spans, split into [(char_offset, sub_text, local_spans)] such that
+    ``render(sub_text, local_spans)`` fits ``context_length``.
+
+    Cuts land on token boundaries and are moved so no span is severed
+    (overlapping SpanCat spans included); if a span makes a cut
+    unavoidable the cut extends right past it, and an unfittable
+    single-span shard raises — the same contract as make_shards.
+    """
+    prompt = render(text, spans)
+    if estimate_n_tokens(prompt) * buffer_frac <= context_length:
+        return [(0, text, spans)]
+    token_spans = [m.span() for m in _WS_TOKEN_RE.finditer(text)]
+    if not token_spans:
+        return [(0, text, spans)]
+
+    n_tokens = len(token_spans)
+
+    def crosses(end_tok: int) -> bool:
+        if end_tok >= n_tokens:
+            return False
+        cut = token_spans[end_tok - 1][1]
+        return any(s < cut < e for s, e, _ in spans)
+
+    shards: List[Tuple[int, str, List[Tuple[int, int, str]]]] = []
+    start_tok = 0
+    fraction = 0.5
+    while start_tok < n_tokens:
+        remaining = n_tokens - start_tok
+        fits = False
+        frac = fraction
+        while not fits:
+            end_tok = start_tok + max(1, int(remaining * frac))
+            forced = False
+            # prefer shrinking left off a span; if pinned at 1 token,
+            # extend right so the span stays whole
+            while end_tok - start_tok > 1 and crosses(end_tok):
+                end_tok -= 1
+            if crosses(end_tok):
+                while end_tok < n_tokens and crosses(end_tok):
+                    end_tok += 1
+                forced = True
+            cs = token_spans[start_tok][0]
+            ce = token_spans[end_tok - 1][1]
+            sub_text = text[cs:ce]
+            local = [(s - cs, e - cs, l) for s, e, l in spans if s >= cs and e <= ce]
+            prompt = render(sub_text, local)
+            fits = estimate_n_tokens(prompt) * buffer_frac <= context_length
+            if not fits:
+                if end_tok - start_tok <= 1 or forced:
+                    raise ValueError(
+                        "Prompt size doesn't allow for the inclusion of a "
+                        "shard of length 1. Please review your prompt and "
+                        "reduce its size."
+                    )
+                frac /= 2
+        shards.append((cs, sub_text, local))
+        start_tok = end_tok
+        fraction = 1.0
+
+    if sum(len(s[2]) for s in shards) != len(spans):
+        raise ValueError(
+            "per-task sharding lost spans (span outside token bounds?)"
+        )
+    return shards
+
+
 def merge_shard_spans(
     shard_results: List[Tuple[int, List[Tuple[int, int, str]]]]
 ) -> List[Tuple[int, int, str]]:

@@ -163,7 +163,10 @@ def annotate_corpus(
         context_length=cfg.context_length,
     )
     df = rel_op.extract_relations(
-        df, model_spec=cfg.rel_model_spec(), labels=list(cfg.rel_labels)
+        df,
+        model_spec=cfg.rel_model_spec(),
+        labels=list(cfg.rel_labels),
+        context_length=cfg.context_length,
     )
     df = el_op.link_entities(
         df,
@@ -171,6 +174,7 @@ def annotate_corpus(
         model_spec=cfg.el_model_spec(),
         top_n=cfg.top_n_candidates,
         auto_nil=cfg.auto_nil,
+        context_length=cfg.context_length,
     )
     return df
 

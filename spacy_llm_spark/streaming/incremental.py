@@ -61,6 +61,28 @@ def run_incremental(
         .load(source_dir)
     )
 
+    process_batch = make_batch_processor(spark, output_dir, cfg, kb)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", os.path.join(output_dir, "_checkpoint")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query
+
+
+def make_batch_processor(
+    spark: SparkSession,
+    output_dir: str,
+    cfg: Optional[KGConfig] = None,
+    kb: Optional[KnowledgeBase] = None,
+):
+    """The foreachBatch body, exposed so replay semantics are testable:
+    calling it twice with the same (batch_df, batch_id) — a crash-replay —
+    must leave the sinks exactly as a single call would."""
+    cfg = cfg or KGConfig()
+    kb = kb or build_code_kb()
     processed_keys_path = os.path.join(output_dir, "_processed_keys")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -80,15 +102,22 @@ def run_incremental(
                 c for c in ("doc_id", "content_sha256") if c in batch_df.columns
             )
             annotated = annotate_corpus(batch_df, cfg, kb).localCheckpoint()
-            mat.mentions_table(annotated, id_cols).write.mode("append").parquet(
-                os.path.join(output_dir, "mentions")
-            )
-            mat.links_table(annotated, id_cols).write.mode("append").parquet(
-                os.path.join(output_dir, "links")
-            )
-            mat.edges_table(annotated, id_cols).write.mode("append").parquet(
-                os.path.join(output_dir, "edges")
-            )
+            # Exactly-once under mid-batch crashes: each sink writes into a
+            # batch_id=N subdir with OVERWRITE. foreachBatch replays a
+            # failed batch with the SAME batch_id (same offsets), so a
+            # restart after a partial commit overwrites the half-written
+            # partitions instead of double-appending. The processed-keys
+            # marker goes LAST: written only once all sinks are committed,
+            # so a crash anywhere earlier replays the whole batch (safe),
+            # and a crash after it makes the replay a no-op (anti-join).
+            for name, table in (
+                ("mentions", mat.mentions_table(annotated, id_cols)),
+                ("links", mat.links_table(annotated, id_cols)),
+                ("edges", mat.edges_table(annotated, id_cols)),
+            ):
+                table.write.mode("overwrite").parquet(
+                    os.path.join(output_dir, name, f"batch_id={batch_id}")
+                )
             annotated.select("content_sha256").distinct().write.mode(
                 "append"
             ).parquet(processed_keys_path)
@@ -99,13 +128,7 @@ def run_incremental(
             )
             print(f"[stream] batch {batch_id} quarantined: {exc}")
 
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", os.path.join(output_dir, "_checkpoint")
-    )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    return query
+    return process_batch
 
 
 def windowed_event_counts(

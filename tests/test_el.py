@@ -114,3 +114,16 @@ def test_descs_csv_loader(tmp_path):
     empty.write_text("\n")
     with pytest.raises(ValueError):
         load_descs_csv(str(empty))
+
+
+def test_highlight_overlapping_spans_not_garbled():
+    """SpanCat overlap semantics: contained spans skipped, partial overlaps
+    clamped; text is never duplicated and round-trips via unhighlight."""
+    from spacy_llm_spark.operators.el import highlight_ents, unhighlight
+
+    text = "alpha beta gamma delta"
+    # (0,10) covers 'alpha beta'; (6,16) overlaps it; (6,10) contained
+    spans = [(0, 10), (6, 10), (6, 16)]
+    got = highlight_ents(text, spans, [True, True, True])
+    assert unhighlight(got) == text
+    assert got == "*alpha beta** gamma* delta"

@@ -31,9 +31,13 @@ def test_fused_with_sharding(spark, sf_dir):
     cross-shard pairs — reference H3 semantics)."""
     corpus = corpus_from_documents(spark, sf_dir).limit(20).cache()
     kb = build_code_kb()
+    # 80 forces NER sharding AND REL/EL sub-sharding (their prompts are
+    # longer per shard), while the EL fixed overhead (~50 tokens) still
+    # fits a small sub-shard; below ~65 EL legitimately raises — the
+    # reference's contract for a prompt that can't fit a 1-token shard
     sharded = {
         r.doc_id: r
-        for r in annotate_corpus(corpus, KGConfig(context_length=60), kb).collect()
+        for r in annotate_corpus(corpus, KGConfig(context_length=80), kb).collect()
     }
     plain = {
         r.doc_id: r for r in annotate_corpus(corpus, KGConfig(), kb).collect()
@@ -87,3 +91,29 @@ def annotate_fused_with_model(spark, corpus, kb, fmt):
     return {
         r.doc_id: ([tuple(e) for e in r.ents], r.kb_ids) for r in out.collect()
     }
+
+
+def test_unfused_with_sharding(spark, sf_dir):
+    """The standalone REL/EL stages honor context_length too (per-task
+    sub-sharding): mentions and links identical to the unsharded run,
+    relations lose only shard-straddling adjacent pairs."""
+    corpus = corpus_from_documents(spark, sf_dir).limit(20).cache()
+    kb = build_code_kb()
+    sharded = {
+        r.doc_id: r
+        for r in annotate_corpus(
+            corpus, KGConfig(context_length=80), kb, fused=False
+        ).collect()
+    }
+    plain = {
+        r.doc_id: r
+        for r in annotate_corpus(corpus, KGConfig(), kb, fused=False).collect()
+    }
+    for doc_id, p in plain.items():
+        s = sharded[doc_id]
+        assert s.ents == p.ents
+        assert s.kb_ids == p.kb_ids
+        s_rels = {(r.dep, r.dest, r.relation) for r in s.rels}
+        p_rels = {(r.dep, r.dest, r.relation) for r in p.rels}
+        assert s_rels <= p_rels
+        assert all(dest == dep + 1 for dep, dest, _ in p_rels - s_rels)

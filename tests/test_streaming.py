@@ -85,3 +85,44 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     # availableNow all-but-the-latest windows close
     static_total = events.count()
     assert got is None or got <= static_total
+
+
+def test_batch_replay_is_exactly_once(spark, tmp_path):
+    """Crash-replay semantics: foreachBatch re-delivers a failed batch with
+    the SAME batch_id; re-running it must not double-append sink rows, even
+    though the first attempt committed the sinks (crash before the
+    processed-keys marker is simulated by replaying the same call)."""
+    from spacy_llm_spark.streaming.incremental import make_batch_processor
+
+    out = tmp_path / "kg_out"
+    rows = [(1, "spark join customer", "python"), (2, "window sort table", "java")]
+    df = spark.createDataFrame(rows, "doc_id long, content string, lang string").withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    process = make_batch_processor(spark, str(out))
+    process(df, 0)
+    n_mentions = spark.read.parquet(str(out / "mentions")).count()
+    n_edges = spark.read.parquet(str(out / "edges")).count()
+    assert n_mentions > 0
+
+    # replay of batch 0 (same offsets -> same batch_id): overwrite, not append
+    process(df, 0)
+    assert spark.read.parquet(str(out / "mentions")).count() == n_mentions
+    assert spark.read.parquet(str(out / "edges")).count() == n_edges
+
+    # worst case: crash AFTER the sink writes but BEFORE the processed-keys
+    # marker — simulate by removing the marker and replaying batch 0; the
+    # per-batch overwrite still keeps the sinks exactly-once
+    import shutil
+
+    shutil.rmtree(str(out / "_processed_keys"))
+    process(df, 0)
+    assert spark.read.parquet(str(out / "mentions")).count() == n_mentions
+    assert spark.read.parquet(str(out / "edges")).count() == n_edges
+
+    # a genuinely new batch with new content still lands
+    df2 = spark.createDataFrame(
+        [(3, "filter merge part", "go")], "doc_id long, content string, lang string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    process(df2, 1)
+    assert spark.read.parquet(str(out / "mentions")).count() > n_mentions
