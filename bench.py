@@ -35,7 +35,12 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         app_name="spacy-llm-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # this sandbox's disk stalls are the dominant noise source
+            # (D-state waits with idle CPUs); shuffle/spill on tmpfs
+            "spark.local.dir": "/dev/shm/spark-bench-local",
+        },
     )
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -70,7 +75,13 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     kg_secs, n_triples, n_canonical = min(runs, key=lambda r: r[0])
     timings["kg_pipeline"] = round(kg_secs, 3)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the driver test parquet is one file -> one partition; spread it so
+    # the Arrow kernels use all cores (input prep, same as the corpus)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(cpus * 2)
+        .localCheckpoint()
+    )
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dup_pairs(
         docs, n_hashes=64, bands=16, threshold=0.8).count())
     timed("dedup_simhash", lambda: dedup.simhash(docs).count())
@@ -80,6 +91,35 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         emb, [float(x) for x in probe], k=10).collect())
     timed("ann_lsh_topk", lambda: similarity.ann_lsh_topk(
         emb, [float(x) for x in probe], k=10).collect())
+
+    def embedding_lsh_run():
+        base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        doubled = base.union(
+            base.select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+            )
+        )
+        return dedup.embedding_dup_pairs(
+            doubled, threshold=0.95, bands=24, planes_per_band=12, dim=len(probe)
+        ).count()
+
+    timed("dedup_embedding_lsh", embedding_lsh_run)
+
+    def cc_distributed_run():
+        # 100 chains of length 2000 (~200k edges, diameter 2000):
+        # large-star/small-star converges in ~log2(2000) rounds where
+        # min-label propagation would need 2000
+        ids = spark.range(200_000)
+        chain = ids.where(F.col("id") % 2000 != 1999).select(
+            F.format_string("c%08d", "id").alias("src"),
+            F.format_string("c%08d", F.col("id") + 1).alias("dst"),
+        )
+        return canon.connected_components(
+            chain, max_iter=30, driver_threshold=0
+        ).count()
+
+    timed("cc_distributed_200k_edges", cc_distributed_run)
 
     spark.stop()
     total = round(sum(timings.values()), 3)

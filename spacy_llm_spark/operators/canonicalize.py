@@ -60,13 +60,20 @@ def connected_components(
 
     - The entity graph is KB-scale (nodes ~ |aliases| + |entities|), tiny
       relative to the corpus. Below ``driver_threshold`` edges we collect
-      and run exact union-find on the driver — one job instead of
-      O(diameter) shuffle rounds. This mirrors the reference, which holds
-      its whole KB in memory (InMemoryLookupKB).
-    - Above the threshold: distributed label propagation — every node
-      repeatedly adopts the min label in its closed neighborhood until a
-      fixpoint. One shuffle per iteration; lineage cut with
-      localCheckpoint so plans don't grow across iterations.
+      and run exact union-find on the driver — one job instead of log(n)
+      shuffle rounds. This mirrors the reference, which holds its whole KB
+      in memory (InMemoryLookupKB).
+    - Above the threshold: the large-star/small-star alternation of
+      Kiveris et al., "Connected Components in MapReduce and Beyond"
+      (SoCC 2014). Each round is two groupBy+join shuffles and the edge
+      set converges to per-component stars in O(log n) rounds even on
+      high-diameter graphs (a chain of length d needs ~log2(d) rounds,
+      where min-label propagation would need d). Lineage is cut per round
+      with localCheckpoint; non-convergence inside ``max_iter`` raises
+      instead of returning wrong labels.
+
+    Both strategies label every component by its lexicographically
+    smallest node, so they are interchangeable bit-for-bit.
     """
     spark = edges.sparkSession
     head = edges.select("src", "dst").distinct().limit(driver_threshold + 1).collect()
@@ -89,40 +96,72 @@ def connected_components(
         rows = [(node, find(node)) for node in parent]
         return spark.createDataFrame(rows, "node string, component string")
 
-    sym = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = sym.distinct().repartition(64, "src").localCheckpoint()
-
-    labels = (
-        adj.select(F.col("src").alias("node"))
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    all_nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
-    ).localCheckpoint()
+        .localCheckpoint()
+    )
+    e = e0.localCheckpoint()
 
+    def _signature(df: DataFrame):
+        # cheap fixpoint detector: (row count, order-insensitive hash fold)
+        return df.select(
+            F.xxhash64(F.concat_ws("|", "src", "dst")).alias("h")
+        ).agg(F.count(F.lit(1)), F.expr("bit_xor(h)")).first()
+
+    sig = _signature(e)
+    converged = False
     for _ in range(max_iter):
-        neighbor_labels = adj.join(
-            labels, adj["dst"] == labels["node"], "inner"
-        ).select(adj["src"].alias("node"), F.col("component"))
-        new_labels = (
-            labels.select("node", "component")
-            .union(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
-
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # ---- large-star: every neighbor larger than u links to the min
+        # of u's closed neighborhood ----
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
         )
-        labels = new_labels
-        if changed == 0:
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: orient (larger -> smaller), relink every small
+        # neighbor (and the center) to the minimum ----
+        oriented = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        mins2 = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            oriented.join(mins2, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("src").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        e = small.localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            converged = True
             break
+        sig = new_sig
 
-    return labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "large/small-star rounds; raise max_iter (rounds needed ~ log2 of "
+            "the largest component diameter)"
+        )
+
+    # fixpoint edge set = stars (node -> component min); roots map to self
+    star_map = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return all_nodes.join(star_map, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
 
 
 def canonical_vertices(

@@ -203,6 +203,9 @@ def minhash_lsh_dup_pairs(
     banded = _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="minhash_lsh"
     )
+    # materialize once: the self-join would otherwise run the signature
+    # kernel (and the cap shuffle) twice, once per side
+    banded = banded.localCheckpoint()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -382,9 +385,11 @@ def embedding_dup_pairs(
     collides per band at 2**-ppb — candidates stay ~linear. A single
     AND-only signature (the naive construction) has ~20% recall at 0.95;
     the banded OR is what makes this usable as a dedup primitive.
-    """
-    from .similarity import cosine_expr
 
+    The exact-cosine verify runs as a vectorized numpy kernel, not
+    zip_with/aggregate lambdas — higher-order expressions fall out of
+    whole-stage codegen and are ~30x slower per row (measured).
+    """
     sigs = hyperplane_band_buckets(
         df, vec_col=vec_col, id_col=id_col, bands=bands,
         planes_per_band=planes_per_band, seed=seed, dim=dim,
@@ -395,6 +400,9 @@ def embedding_dup_pairs(
     banded = _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="embedding_lsh"
     )
+    # materialize once: the self-join would otherwise run the signature
+    # matmul kernel (and the cap shuffle) twice, once per side
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -412,10 +420,31 @@ def embedding_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        cosine_expr(
-            F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")
-        ).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+
+    from pyspark.sql.types import DoubleType
+
+    verify_schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType),
+            StructField("id_b", df.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def verify_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+                continue
+            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            cos = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    return pairs.mapInPandas(verify_kernel, schema=verify_schema).where(
+        F.col("cosine") >= threshold
+    )

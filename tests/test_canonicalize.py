@@ -79,3 +79,44 @@ def test_salted_agg_matches_plain(spark):
         df, ["k"], {"n": (F.count(F.lit(1)), F.sum), "s": (F.sum("v"), F.sum)}
     ).collect()}
     assert plain == salted
+
+
+def test_distributed_cc_large_graph_matches_union_find(spark):
+    """Large-star/small-star at real scale: 105k+ edges of long chains
+    (diameter 30k — min-label propagation would need 30k rounds), hub
+    stars, and cross-links; must equal exact union-find bit-for-bit."""
+    edges = []
+    for c in range(3):
+        base = c * 40000
+        edges += [(f"n{base + i:07d}", f"n{base + i + 1:07d}") for i in range(30000)]
+    for s in range(10):
+        edges += [(f"hub{s}", f"leaf{s}_{i:05d}") for i in range(1500)]
+    # merge chain 0 with star 0, star 1 with chain 1
+    edges += [("n0000000", "hub0"), ("hub1", "n0040000")]
+    assert len(edges) >= 100_000
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iter=40, driver_threshold=0).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expected = {n: find(n) for n in parent}
+    assert got == expected
+    # sanity: chain0+star0, chain1+star1, chain2, and 8 free stars
+    assert len(set(expected.values())) == 3 + 8
