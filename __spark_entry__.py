@@ -540,6 +540,21 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_kg_spans(spark, sf_dir):
+    """SpanCat: overlapping spans (dictionary tokens + adjacent-pair PHRASE
+    spans) as a first-class table — doc.spans semantics, overlap kept."""
+    from spacy_llm_spark.operators import spancat
+
+    corpus = corpus_from_documents(spark, sf_dir)
+    spans = spancat.extract_spans(
+        corpus,
+        model_spec={"name": "dict_spancat", "dictionary": CODE_NER_DICT},
+        labels=("OP", "TABLE", "SYS", "PHRASE"),
+    )
+    t = spancat.spans_table(spans, ("doc_id",))
+    return _as_long(t, "span_idx", "start", "end")
+
+
 def q_kg_vertices(spark, sf_dir):
     # connected components: iterative, not single-statement SQL -> rows-only
     from spacy_llm_spark.operators import canonicalize as canon
@@ -597,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
+        "kg_spans": q_kg_spans,
     }
 
 
@@ -618,6 +634,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_links": m
         + 'SELECT doc_id, ent_idx, start, "end", label, surface, kb_id FROM links',
         "kg_relations": m + "SELECT doc_id, rel_idx, dep, dest, relation FROM rels",
+        "kg_spans": m
+        + """
+, pair_spans AS (
+  SELECT a.doc_id, a.start, b."end" AS "end", 'PHRASE' AS label,
+         a.surface || ' ' || b.surface AS surface
+  FROM mentions a JOIN mentions b
+    ON a.doc_id = b.doc_id AND b.ent_idx = a.ent_idx + 1
+   AND b.start = a."end" + 1
+), all_spans AS (
+  SELECT doc_id, start, "end", label, surface FROM mentions
+  UNION ALL SELECT * FROM pair_spans
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY start, "end", label) - 1 AS span_idx,
+       start, "end", label, surface
+FROM all_spans
+""",
         "kg_edges": m
         + """
 SELECT r.doc_id, r.rel_idx,

@@ -184,6 +184,13 @@ def find_spans_cot(
     Mirrors _find_spans_cot (span/parser.py:100-160): repeated identical
     spans advance the cursor; result is sorted + deduped. Regression cases
     pinned by tests/tasks/test_ner.py:908-974 (repeated "Paris", commas).
+
+    ``allow_overlap=True`` (SpanCat, our extension — the reference parser
+    is non-overlapping-only) uses a PER-SURFACE cursor instead of the
+    global one: the k-th response line carrying surface X resolves to the
+    k-th occurrence of X in the text, regardless of interleaved lines for
+    other (possibly overlapping) surfaces. A single global cursor cannot
+    express dense overlapping repeats ("join join join" with pair spans).
     """
     if alignment_mode not in ("strict", "contract", "expand"):
         raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
@@ -191,6 +198,24 @@ def find_spans_cot(
     # case-fold once (find_substrings folds per call; this loop calls it
     # once per mention, which dominated the kernel profile)
     haystack = text if case_sensitive else text.lower()
+
+    if allow_overlap:
+        cursors: Dict[str, int] = {}
+        overlap_spans: List[Tuple[int, int, str]] = []
+        for sr in span_reasons:
+            needle = sr.text if case_sensitive else sr.text.lower()
+            if not needle:
+                continue
+            start = haystack.find(needle, cursors.get(needle, 0))
+            if start == -1:
+                continue
+            cursors[needle] = start + 1
+            aligned = index.align(start, start + len(needle), alignment_mode)
+            if aligned is None:
+                continue
+            overlap_spans.append((aligned[0], aligned[1], sr.label))
+        return sorted(set(overlap_spans))
+
     find_after = 0
     spans: List[Tuple[int, int, str]] = []
     prev_span: Optional[Tuple[int, int, str]] = None
@@ -216,7 +241,7 @@ def find_spans_cot(
             find_after = span[1]
             continue
         spans.append(span)
-        find_after = span[0] if allow_overlap else span[1]
+        find_after = span[1]
         prev_span = span
         idx += 1
     return sorted(set(spans))

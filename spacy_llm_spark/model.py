@@ -53,7 +53,13 @@ def _build_model(spec: dict) -> BatchModel:
     if name == "dict_ner":
         return make_dict_ner_model(spec["dictionary"])
     if name == "dict_ner_v2":
-        return make_dict_ner_v2_model(spec["dictionary"])
+        return make_dict_ner_v2_model(
+            spec["dictionary"], phrases=spec.get("phrases", False)
+        )
+    if name == "dict_spancat":
+        return make_dict_spancat_model(
+            spec["dictionary"], phrase_label=spec.get("phrase_label", "PHRASE")
+        )
     if name == "rule_rel":
         rules = {tuple(k.split("|")): v for k, v in spec["rules"].items()}
         return make_rule_rel_model(rules)
@@ -175,27 +181,82 @@ def make_dict_ner_model(dictionary: Dict[str, str]) -> BatchModel:
     return call
 
 
-def make_dict_ner_v2_model(dictionary: Dict[str, str]) -> BatchModel:
+def make_dict_ner_v2_model(
+    dictionary: Dict[str, str], *, phrases: bool = False
+) -> BatchModel:
     """Deterministic NER 'LLM' for the v1/v2 span grammar (P2): one
-    ``LABEL: phrase, phrase`` line per label, phrases in text order."""
+    ``LABEL: phrase, phrase`` line per label, phrases in text order.
+
+    ``phrases=True`` switches to greedy longest dictionary matching
+    (multi-token surfaces like "hash join" emitted whole), driving the P2
+    parser's multi-word find_substrings path end-to-end — the regression
+    class of reference tests/tasks/test_ner.py:908-974.
+    """
     lowered = {k.lower(): v for k, v in dictionary.items()}
+    max_len = max((len(k.split()) for k in lowered), default=1)
 
     def call(prompts: Sequence[str]) -> List[str]:
         responses = []
         for prompt in prompts:
             text = extract_doc_from_prompt(prompt)
             by_label: Dict[str, List[str]] = {}
-            for start, end in tokenize(text):
-                token = text[start:end]
-                label = lowered.get(token.lower())
-                if label is not None:
-                    by_label.setdefault(label, []).append(token)
+            if phrases:
+                for start, end, label in _dict_matches(text, lowered, max_len):
+                    by_label.setdefault(label, []).append(text[start:end])
+            else:
+                for start, end in tokenize(text):
+                    token = text[start:end]
+                    label = lowered.get(token.lower())
+                    if label is not None:
+                        by_label.setdefault(label, []).append(token)
             responses.append(
                 "\n".join(
-                    f"{label}: {', '.join(phrases)}"
-                    for label, phrases in sorted(by_label.items())
+                    f"{label}: {', '.join(phrases_)}"
+                    for label, phrases_ in sorted(by_label.items())
                 )
             )
+        return responses
+
+    return call
+
+
+def make_dict_spancat_model(
+    dictionary: Dict[str, str], *, phrase_label: str = "PHRASE"
+) -> BatchModel:
+    """Deterministic SpanCat 'LLM' (CoT grammar): emits every dictionary
+    token AND an overlapping ``phrase_label`` span for every ADJACENT pair
+    of dictionary tokens — overlapping spans are the SpanCat contract
+    (reference tasks/spancat/task.py:82-88 writes doc.spans[key] with
+    allow_overlap). Lines are ordered uni(i), pair(i,i+1), uni(i+1) so the
+    parser's find-after cursor (reset to span START under allow_overlap)
+    resolves every occurrence.
+    """
+    lowered = {k.lower(): v for k, v in dictionary.items()}
+
+    def call(prompts: Sequence[str]) -> List[str]:
+        responses = []
+        for prompt in prompts:
+            text = extract_doc_from_prompt(prompt)
+            tok_hits = [
+                (s, e, text[s:e], lowered.get(text[s:e].lower()))
+                for s, e in tokenize(text)
+            ]
+            lines: List[str] = []
+            n = 1
+            for i, (s, e, tok, label) in enumerate(tok_hits):
+                if label is None:
+                    continue
+                lines.append(f"{n}. {tok} | True | {label} | dictionary token")
+                n += 1
+                if i + 1 < len(tok_hits):
+                    s2, e2, tok2, label2 = tok_hits[i + 1]
+                    if label2 is not None:
+                        lines.append(
+                            f"{n}. {text[s:e2]} | True | {phrase_label} "
+                            f"| adjacent dictionary pair"
+                        )
+                        n += 1
+            responses.append("\n".join(lines))
         return responses
 
     return call

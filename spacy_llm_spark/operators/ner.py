@@ -34,7 +34,11 @@ from pyspark.sql.types import (
 )
 
 from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
-from ..functions.response_parsers import extract_span_reasons_cot, find_spans_cot
+from ..functions.response_parsers import (
+    extract_span_reasons_cot,
+    find_spans_cot,
+    parse_span_response_v2,
+)
 from ..model import resolve_model
 from ..templates import render_ner_prompt
 from ..tokenizer import filter_spans
@@ -66,8 +70,15 @@ def extract_mentions(
     definitions: Optional[dict] = None,
     examples: Optional[list] = None,
     out_col: str = "ents",
+    span_format: str = "cot",
 ) -> DataFrame:
-    """Append an ``ents`` column of aligned, de-overlapped entity spans."""
+    """Append an ``ents`` column of aligned, de-overlapped entity spans.
+
+    ``span_format``: 'cot' parses NER v3 chain-of-thought lines (P3);
+    'v2' parses ``LABEL: phrase, phrase`` lines (P2), same as the fused
+    stage."""
+    if span_format not in ("cot", "v2"):
+        raise ValueError(f"Unknown span_format {span_format!r}")
     label_list = split_labels(labels)
     norm = NORMALIZERS[normalizer]
     label_dict = build_label_dict(label_list, norm)
@@ -104,16 +115,26 @@ def extract_mentions(
             for shards in doc_shards:
                 shard_results = []
                 for offset, shard_text in shards:
-                    reasons = extract_span_reasons_cot(
-                        responses[r], label_dict, norm
-                    )
-                    spans = find_spans_cot(
-                        shard_text,
-                        reasons,
-                        case_sensitive=case_sensitive_matching,
-                        alignment_mode=alignment_mode,
-                        allow_overlap=allow_overlap,
-                    )
+                    if span_format == "cot":
+                        reasons = extract_span_reasons_cot(
+                            responses[r], label_dict, norm
+                        )
+                        spans = find_spans_cot(
+                            shard_text,
+                            reasons,
+                            case_sensitive=case_sensitive_matching,
+                            alignment_mode=alignment_mode,
+                            allow_overlap=allow_overlap,
+                        )
+                    else:
+                        spans = parse_span_response_v2(
+                            shard_text,
+                            responses[r],
+                            label_dict,
+                            normalizer=norm,
+                            case_sensitive=case_sensitive_matching,
+                            alignment_mode=alignment_mode,
+                        )
                     shard_results.append((offset, spans))
                     r += 1
                 merged = merge_shard_spans(shard_results)

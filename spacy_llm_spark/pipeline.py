@@ -161,6 +161,8 @@ def annotate_corpus(
         model_spec=cfg.ner_model_spec(),
         labels=list(cfg.labels),
         context_length=cfg.context_length,
+        span_format=cfg.span_format,
+        allow_overlap=cfg.allow_overlap,
     )
     df = rel_op.extract_relations(
         df,

@@ -117,3 +117,52 @@ def test_unfused_with_sharding(spark, sf_dir):
         p_rels = {(r.dep, r.dest, r.relation) for r in p.rels}
         assert s_rels <= p_rels
         assert all(dest == dep + 1 for dep, dest, _ in p_rels - s_rels)
+
+
+def test_spancat_stage_overlapping_spans(spark):
+    """SpanCat first-class output: overlapping spans survive (doc.spans
+    semantics, reference tasks/spancat/task.py:82-88) — the PHRASE span
+    overlaps both unigram spans it covers, including repeated tokens."""
+    from spacy_llm_spark.operators import spancat
+
+    rows = [(1, "join filter join join end")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = spancat.extract_spans(
+        df,
+        model_spec={"name": "dict_spancat", "dictionary": {"join": "OP", "filter": "OP"}},
+        labels=("OP", "PHRASE"),
+    )
+    spans = [tuple(s) for s in out.collect()[0].spans]
+    assert (0, 4, "OP", "join") in spans
+    assert (5, 11, "OP", "filter") in spans
+    assert (12, 16, "OP", "join") in spans  # repeated token, 2nd occurrence
+    assert (17, 21, "OP", "join") in spans  # repeated token, 3rd occurrence
+    assert (0, 11, "PHRASE", "join filter") in spans
+    assert (5, 16, "PHRASE", "filter join") in spans
+    assert (12, 21, "PHRASE", "join join") in spans  # overlapping repeats
+    table = spancat.spans_table(out, ("doc_id",))
+    assert table.count() == len(spans)
+
+
+def test_dict_ner_v2_multi_token_phrases(spark):
+    """v2 grammar with multi-token phrases: the P2 parser's multi-word
+    find_substrings path driven end-to-end (reference regression class
+    tests/tasks/test_ner.py:908-974)."""
+    from spacy_llm_spark.operators import ner
+
+    rows = [(1, "use hash join then sort the table")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = ner.extract_mentions(
+        df,
+        model_spec={
+            "name": "dict_ner_v2",
+            "dictionary": {"hash join": "OP", "sort": "OP", "table": "TABLE"},
+            "phrases": True,
+        },
+        labels=("OP", "TABLE"),
+        span_format="v2",
+    )
+    ents = [tuple(e) for e in out.collect()[0].ents]
+    assert (4, 13, "OP", "hash join") in ents  # multi-token surface, whole
+    assert (19, 23, "OP", "sort") in ents
+    assert (28, 33, "TABLE", "table") in ents
