@@ -118,6 +118,158 @@ def render_el_prompt(
     return "\n\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Reference-template byte parity (tier-2 golden-prompt tests)
+# ---------------------------------------------------------------------------
+# The renderers below reproduce the reference's jinja templates
+# (spacy_llm/tasks/templates/{ner.v3,rel.v1,entity_linker.v1}.jinja,
+# rendered via builtin_task.py:57-97) BYTE-FOR-BYTE for the no-example
+# paths, re-derived as plain string builders — pinned by parity tests that
+# render the original jinja side-by-side. They exist for prompt-parity
+# with the reference (golden-prompt test class, reference
+# tests/tasks/test_ner.py:510-640); the engine's own fenced format above
+# remains the default because the local deterministic models recover the
+# doc from the fences.
+
+_NER_V3_HEADER = (
+    "You are an expert Named Entity Recognition (NER) system.\n"
+    "Your task is to accept Text as input and extract named entities.\n"
+    "Entities must have one of the following labels: {labels}.\n"
+    "If a span is not an entity label it: `==NONE==`.\n"
+)
+_NER_V3_DEFS_INTRO = (
+    "Below are definitions of each label to help aid you in what kinds of "
+    "named entities to extract for each label.\n"
+    "Assume these definitions are written by an expert and follow them closely.\n"
+)
+_NER_V3_BUILTIN_EXAMPLE = (
+    "Here is an example of the output format for a paragraph using different "
+    "labels than this task requires.\n"
+    "Only use this output format but use the labels provided\n"
+    "above instead of the ones defined in the example below.\n"
+    "Do not output anything besides entities in this output format.\n"
+    "Output entities in the order they occur in the input paragraph "
+    "regardless of label.\n\n"
+    "Q: Given the paragraph below, identify a list of entities, and for each "
+    "entry explain why it is or is not an entity:\n\n"
+    "Paragraph: Sriracha sauce goes really well with hoisin stir fry, but you "
+    "should add it after you use the wok.\n"
+    "Answer:\n"
+    "1. Sriracha sauce | True | INGREDIENT | is an ingredient to add to a stir fry\n"
+    "2. really well | False | ==NONE== | is a description of how well sriracha "
+    "sauce goes with hoisin stir fry\n"
+    "3. hoisin stir fry | True | DISH | is a dish with stir fry vegetables and "
+    "hoisin sauce\n"
+    "4. wok | True | EQUIPMENT | is a piece of cooking equipment used to stir "
+    "fry ingredients\n\n"
+)
+
+
+def render_ner_v3_reference(
+    text: str,
+    labels: Sequence[str],
+    description: Optional[str] = None,
+    label_definitions: Optional[Dict[str, str]] = None,
+) -> str:
+    """Byte-parity render of ner.v3.jinja (no prompt_examples path)."""
+    out = _NER_V3_HEADER.format(labels=", ".join(labels))
+    if description:
+        out += "\n\n" + description + "\n"
+        if not label_definitions:
+            out += "\n"
+    if label_definitions:
+        if not description:
+            out += "\n"
+        out += _NER_V3_DEFS_INTRO
+        for label, definition in label_definitions.items():
+            out += f"{label}: {definition}\n"
+        out += "\n\n"
+    if not description and not label_definitions:
+        out += "\n\n"
+    out += _NER_V3_BUILTIN_EXAMPLE
+    out += f"Paragraph: {text}\nAnswer:"
+    return out
+
+
+_REL_V1_HEADER = (
+    "The text below contains pre-extracted entities, denoted in the following "
+    "format within the text:\n\n"
+    "<entity text>[ENT<entity id>:<entity label>]\n\n"
+    "From the text below, extract the following relations between entities:\n\n"
+)
+_REL_V1_FORMAT = (
+    "\nThe extraction has to use the following format, with one line for each "
+    "detected relation:\n\n"
+    '{"dep": <entity id>, "dest": <entity id>, "relation": <relation label>}\n\n'
+    "Make sure that only relevant relations are listed, and that each line is "
+    "a valid JSON object.\n"
+)
+_REL_V1_DEFS_INTRO = (
+    "Below are definitions of each label to help aid you in what kinds of "
+    "relationship to extract for each label.\n"
+    "Assume these definitions are written by an expert and follow them closely.\n\n"
+)
+
+
+def render_rel_v1_reference(
+    text: str,
+    labels: Sequence[str],
+    label_definitions: Optional[Dict[str, str]] = None,
+) -> str:
+    """Byte-parity render of rel.v1.jinja (no prompt_examples path); ``text``
+    is the pre-annotated document ([ENTi:LABEL] markers)."""
+    out = _REL_V1_HEADER
+    for label in labels:
+        out += f"{label}\n"
+    out += _REL_V1_FORMAT
+    if label_definitions:
+        out += _REL_V1_DEFS_INTRO
+        for label, definition in label_definitions.items():
+            out += f"{label}: {definition}\n"
+        out += "\n"
+    out += f"Here is the text that needs labeling:\n\nText:\n'''\n{text}\n'''"
+    return out
+
+
+_EL_V1_HEADER = (
+    "For each of the MENTIONS in the TEXT, resolve the MENTION to the correct "
+    "entity listed in ENTITIES.\n"
+    "Each of the ENTITIES is prefixed by its ENTITY ID. Each of the MENTIONS "
+    "in the TEXT is surrounded by *.\n"
+    "For each of the MENTIONS appearing in the text, output the ID of the "
+    "description fitting them best.\n"
+    "This ID has to be surrounded by single <>, for example <1>. Make sure "
+    "you make a choice for each MENTION. If no\n"
+    "candidate seems plausible, respond with <NIL> instead of an ENTITY ID.\n"
+    'Output "REASONING:". Describe, step by step, which MENTION should be '
+    "linked to which ENTITY ID.\n"
+    'Output "SOLUTION:". After that, list the correct ENTITY ID (or NIL) per '
+    "MENTION. Wrap the ENTITY ID in <>. Each ENTITY ID\n"
+    'should be in a new line, prefixed by the corresponding MENTION and " ::: ".\n\n'
+)
+
+
+def render_el_v1_reference(
+    text: str,
+    mentions: Sequence[str],
+    entity_ids: Sequence[Sequence[str]],
+    entity_descriptions: Sequence[Sequence[str]],
+) -> str:
+    """Byte-parity render of entity_linker.v1.jinja (no prompt_examples
+    path); ``text`` is the highlighted document (*mention* markers),
+    ``entity_ids``/``entity_descriptions`` one list per in-prompt mention
+    (task.py:137-186 prompt data)."""
+    out = _EL_V1_HEADER
+    out += f"TEXT: \n'''\n{text}\n'''\n"
+    out += "MENTIONS: " + ", ".join(f"*{m}*" for m in mentions) + "\n"
+    out += "ENTITIES:"
+    for mention, ids, descs in zip(mentions, entity_ids, entity_descriptions):
+        out += f"\n- For *{mention}*:"
+        for qid, desc in zip(ids, descs):
+            out += f"\n    {qid}. {desc}"
+    return out
+
+
 def extract_doc_from_prompt(prompt: str) -> str:
     """Recover the (last) fenced document from a prompt — used by the local
     models, which only ever see the prompt (model contract X1, ty.py:19-21).

@@ -1,0 +1,141 @@
+"""Tier-2 golden-prompt parity: our reference-template renderers must be
+byte-identical to the reference's jinja renders (the golden-prompt test
+class of reference tests/tasks/test_ner.py:510-640 and
+test_entity_linker.py:406-582).
+
+The primary check renders the original jinja templates live (skipped when
+the reference checkout or jinja2 isn't available); sha256 goldens pinned
+from those renders keep the parity locked in standalone runs.
+"""
+
+import hashlib
+import os
+
+import pytest
+
+from spacy_llm_spark.templates import (
+    render_el_v1_reference,
+    render_ner_v3_reference,
+    render_rel_v1_reference,
+)
+
+_TDIR = "/root/reference/spacy_llm/tasks/templates"
+
+NER_CASES = [
+    dict(text="spark join table", labels=["OP", "TABLE", "SYS"]),
+    dict(text="x", labels=["OP"], description="Recognize ops."),
+    dict(text="x", labels=["A", "B"], label_definitions={"A": "a thing", "B": "b"}),
+    dict(
+        text="multi line\ntext",
+        labels=["A"],
+        description="D.",
+        label_definitions={"A": "a"},
+    ),
+]
+REL_CASES = [
+    dict(text="a[ENT0:OP] b[ENT1:OP]", labels=["precedes", "emits"]),
+    dict(text="t", labels=["a", "b"], label_definitions={"a": "da", "b": "db"}),
+]
+EL_CASES = [
+    dict(
+        text="*spark* runs",
+        mentions=["spark"],
+        entity_ids=[["K1", "K2"]],
+        entity_descriptions=[["a fast engine", "a plug"]],
+    ),
+    dict(
+        text="*a* and *b*",
+        mentions=["a", "b"],
+        entity_ids=[["K1"], ["K2", "K3"]],
+        entity_descriptions=[["d1"], ["d2", "d3"]],
+    ),
+]
+
+# sha256 of the reference jinja renders for the cases above, in order —
+# pinned so the parity holds even without the reference checkout.
+NER_GOLDEN_SHAS = [
+    "f20e741eebee4d124eb5657bafd6d6211bd8d95b002ea94b11df90836c30c8f6",
+    "bd62199b33ba3c2553e6e35ea3f8d56f410c06177b4705c856ddda9fa18dedac",
+    "f2b98f272cd239bd29821734074a976d42c4decad8bca441a2dd464c022f81b3",
+    "111599bb0824e975a0fcc44b7b4fb9a1c8df88728308747480b30fb7b06eaba8",
+]
+REL_GOLDEN_SHAS = [
+    "3fe407654f1dd0d9d26dc01437a981143791d6f6c6615bf40101b3d9f2f5c08f",
+    "8a79e0a86e4cb02358d11f747df3d6d8516eb546f9afd92656c531cdf1607a9c",
+]
+EL_GOLDEN_SHAS = [
+    "61489b373b6337063cd0fc879b8edd1dc4c2e5f0a85b01fee5332761bb6fb61b",
+    "a9a231ef1c9ba99e51d22669a31b292e9096fbca4593e7f3aa08eaffb44fe86d",
+]
+
+_have_reference = os.path.isdir(_TDIR)
+try:
+    import jinja2.sandbox  # noqa: F401
+
+    _have_jinja = True
+except ImportError:  # pragma: no cover
+    _have_jinja = False
+
+
+def _jinja_render(template_name: str, **kwargs) -> str:
+    import jinja2.sandbox
+
+    with open(os.path.join(_TDIR, template_name)) as f:
+        template = jinja2.sandbox.SandboxedEnvironment().from_string(f.read())
+    return template.render(prompt_examples=None, **kwargs)
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", NER_CASES)
+def test_ner_v3_byte_parity_live(case):
+    want = _jinja_render(
+        "ner.v3.jinja",
+        allow_overlap=False,
+        description=case.get("description"),
+        label_definitions=case.get("label_definitions"),
+        text=case["text"],
+        labels=case["labels"],
+    )
+    assert render_ner_v3_reference(**case) == want
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", REL_CASES)
+def test_rel_v1_byte_parity_live(case):
+    want = _jinja_render(
+        "rel.v1.jinja",
+        label_definitions=case.get("label_definitions"),
+        text=case["text"],
+        labels=case["labels"],
+    )
+    assert render_rel_v1_reference(**case) == want
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", EL_CASES)
+def test_el_v1_byte_parity_live(case):
+    want = _jinja_render(
+        "entity_linker.v1.jinja",
+        text=case["text"],
+        mentions=case["mentions"],
+        mentions_str=", ".join(f"*{m}*" for m in case["mentions"]),
+        entity_ids=case["entity_ids"],
+        entity_descriptions=case["entity_descriptions"],
+    )
+    assert render_el_v1_reference(**case) == want
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_golden_shas_standalone():
+    assert [_sha(render_ner_v3_reference(**c)) for c in NER_CASES] == NER_GOLDEN_SHAS
+    assert [_sha(render_rel_v1_reference(**c)) for c in REL_CASES] == REL_GOLDEN_SHAS
+    assert [_sha(render_el_v1_reference(**c)) for c in EL_CASES] == EL_GOLDEN_SHAS
