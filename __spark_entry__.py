@@ -344,6 +344,30 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN via hyperplane-LSH bucket pruning. Oracled in EXHAUSTIVE mode
+    (max_hamming = n_planes => no pruning): the hash match certifies the
+    signature plumbing + scoring + top-k exactly; pruned mode is
+    approximate by construction and benched instead."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.ann_lsh_topk(
+        emb, [float(x) for x in probe], k=10, n_planes=8, max_hamming=8
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-lite ANN. Oracled in EXHAUSTIVE mode (n_probe = n_cells): cell
+    assignment + probe-cell union + re-rank verified exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.ivf_topk(
+        emb, [float(x) for x in probe], k=10, n_cells=8, n_probe=8
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ner_prf(spark, sf_dir):
     """Scoring operator: predicted = engine mentions; gold = OP-labeled
     dictionary tokens only -> P = |OP|/|all|, R = 1 over OP subset."""
@@ -613,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "kg_spans": q_kg_spans,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -962,5 +988,30 @@ SELECT doc_id, sha256(text) AS sha256,
        sha256(array_to_string(list_filter(string_split(text, ' '),
                                           t -> len(t) > 0), ' ')) AS normalized_sha256
 FROM documents
+""",
+        # exhaustive-mode ANN == brute-force top-k (same oracle as cosine_topk)
+        "ann_lsh_topk": """
+WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], p) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(p, p))) AS cos
+  FROM embeddings, probe
+)
+SELECT vec_id, round(cos, 6) AS cosine FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "ivf_topk": """
+WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], p) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(p, p))) AS cos
+  FROM embeddings, probe
+)
+SELECT vec_id, round(cos, 6) AS cosine FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
 """,
     }
