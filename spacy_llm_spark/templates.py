@@ -165,28 +165,47 @@ _NER_V3_BUILTIN_EXAMPLE = (
 )
 
 
+_NER_V3_Q = (
+    "Q: Given the paragraph below, identify a list of entities, and for each "
+    "entry explain why it is or is not an entity:\n\n"
+)
+
+
 def render_ner_v3_reference(
     text: str,
     labels: Sequence[str],
     description: Optional[str] = None,
     label_definitions: Optional[Dict[str, str]] = None,
+    prompt_examples: Optional[List[dict]] = None,
 ) -> str:
-    """Byte-parity render of ner.v3.jinja (no prompt_examples path)."""
+    """Byte-parity render of ner.v3.jinja. ``prompt_examples``: list of
+    {"text": ..., "spans": [{"text", "is_entity", "label", "reason"}]} —
+    the span line format is the reference SpanExample.to_str()
+    (span/examples.py:60-67)."""
     out = _NER_V3_HEADER.format(labels=", ".join(labels))
     if description:
         out += "\n\n" + description + "\n"
-        if not label_definitions:
-            out += "\n"
     if label_definitions:
         if not description:
             out += "\n"
         out += _NER_V3_DEFS_INTRO
         for label, definition in label_definitions.items():
             out += f"{label}: {definition}\n"
-        out += "\n\n"
-    if not description and not label_definitions:
-        out += "\n\n"
-    out += _NER_V3_BUILTIN_EXAMPLE
+    if prompt_examples:
+        if label_definitions or not description:
+            out += "\n"
+        out += _NER_V3_Q
+        for ex in prompt_examples:
+            out += f"Paragraph: {ex['text']}\nAnswer:\n"
+            for i, sp in enumerate(ex["spans"], start=1):
+                out += (
+                    f"{i}. {sp['text']} | {sp['is_entity']} | {sp['label']} "
+                    f"| {sp['reason']}\n"
+                )
+            out += "\n"
+    else:
+        out += "\n" if (description and not label_definitions) else "\n\n"
+        out += _NER_V3_BUILTIN_EXAMPLE
     out += f"Paragraph: {text}\nAnswer:"
     return out
 
@@ -215,9 +234,14 @@ def render_rel_v1_reference(
     text: str,
     labels: Sequence[str],
     label_definitions: Optional[Dict[str, str]] = None,
+    prompt_examples: Optional[List[dict]] = None,
 ) -> str:
-    """Byte-parity render of rel.v1.jinja (no prompt_examples path); ``text``
-    is the pre-annotated document ([ENTi:LABEL] markers)."""
+    """Byte-parity render of rel.v1.jinja; ``text`` is the pre-annotated
+    document ([ENTi:LABEL] markers). ``prompt_examples``: list of
+    {"preannotated": ..., "relations": [{"dep", "dest", "relation"}]} —
+    relation lines are pydantic-v2 model_dump_json (compact separators)."""
+    import json as _json
+
     out = _REL_V1_HEADER
     for label in labels:
         out += f"{label}\n"
@@ -226,6 +250,17 @@ def render_rel_v1_reference(
         out += _REL_V1_DEFS_INTRO
         for label, definition in label_definitions.items():
             out += f"{label}: {definition}\n"
+        out += "\n"
+    if prompt_examples:
+        out += "Below are some examples (only use these as a guide):\n\n"
+        for ex in prompt_examples:
+            out += f"Text:\n'''\n{ex['preannotated']}\n'''\n"
+            for r in ex["relations"]:
+                out += "\n" + _json.dumps(
+                    {"dep": r["dep"], "dest": r["dest"], "relation": r["relation"]},
+                    separators=(",", ":"),
+                )
+            out += "\n\n"
         out += "\n"
     out += f"Here is the text that needs labeling:\n\nText:\n'''\n{text}\n'''"
     return out
@@ -249,24 +284,64 @@ _EL_V1_HEADER = (
 )
 
 
+def _el_entities_block(mentions, entity_ids, entity_descriptions) -> str:
+    out = ""
+    for mention, ids, descs in zip(mentions, entity_ids, entity_descriptions):
+        out += f"\n- For *{mention}*:"
+        for qid, desc in zip(ids, descs):
+            out += f"\n    {qid}. {desc}"
+    return out
+
+
 def render_el_v1_reference(
     text: str,
     mentions: Sequence[str],
     entity_ids: Sequence[Sequence[str]],
     entity_descriptions: Sequence[Sequence[str]],
+    prompt_examples: Optional[List[dict]] = None,
 ) -> str:
-    """Byte-parity render of entity_linker.v1.jinja (no prompt_examples
-    path); ``text`` is the highlighted document (*mention* markers),
-    ``entity_ids``/``entity_descriptions`` one list per in-prompt mention
-    (task.py:137-186 prompt data)."""
+    """Byte-parity render of entity_linker.v1.jinja; ``text`` is the
+    highlighted document (*mention* markers), ``entity_ids``/
+    ``entity_descriptions`` one list per in-prompt mention
+    (task.py:137-186 prompt data). ``prompt_examples``: list of
+    {"text", "mentions", "entity_ids", "entity_descriptions",
+    "reasons", "solutions"} — empty reasons (list or entries) fall back
+    to the template's canned sentence."""
     out = _EL_V1_HEADER
+    if prompt_examples:
+        out += "Below are some examples (only use these as a guide):\n"
+        for ex in prompt_examples:
+            out += f"\nTEXT:\n'''\n{ex['text']}\n'''\n"
+            out += "MENTIONS: " + ", ".join(f"*{m}*" for m in ex["mentions"]) + "\n"
+            out += "ENTITIES:" + _el_entities_block(
+                ex["mentions"], ex["entity_ids"], ex["entity_descriptions"]
+            )
+            out += "\nREASONING:"
+
+            def fallback(i, ex=ex):
+                return (
+                    f"- The description of the chosen entity {ex['solutions'][i]} "
+                    f"fits the presented mention *{ex['mentions'][i]}* best."
+                )
+
+            reasons = ex.get("reasons") or []
+            if reasons:
+                lines = [
+                    f"- {r}" if r else fallback(i) for i, r in enumerate(reasons)
+                ]
+                out += "\n" + "\n".join(lines) + "\n\n"
+            else:
+                for i in range(len(ex["mentions"])):
+                    out += "\n" + fallback(i)
+                out += "\n"
+            out += "SOLUTION:"
+            for i, sol in enumerate(ex["solutions"]):
+                out += f"\n*{ex['mentions'][i]}* ::: <{sol}>"
+            out += "\n"
+        out += "\n\nEnd of examples."
     out += f"TEXT: \n'''\n{text}\n'''\n"
     out += "MENTIONS: " + ", ".join(f"*{m}*" for m in mentions) + "\n"
-    out += "ENTITIES:"
-    for mention, ids, descs in zip(mentions, entity_ids, entity_descriptions):
-        out += f"\n- For *{mention}*:"
-        for qid, desc in zip(ids, descs):
-            out += f"\n    {qid}. {desc}"
+    out += "ENTITIES:" + _el_entities_block(mentions, entity_ids, entity_descriptions)
     return out
 
 

@@ -80,9 +80,10 @@ except ImportError:  # pragma: no cover
 def _jinja_render(template_name: str, **kwargs) -> str:
     import jinja2.sandbox
 
+    kwargs.setdefault("prompt_examples", None)
     with open(os.path.join(_TDIR, template_name)) as f:
         template = jinja2.sandbox.SandboxedEnvironment().from_string(f.read())
-    return template.render(prompt_examples=None, **kwargs)
+    return template.render(**kwargs)
 
 
 @pytest.mark.skipif(
@@ -139,3 +140,167 @@ def test_golden_shas_standalone():
     assert [_sha(render_ner_v3_reference(**c)) for c in NER_CASES] == NER_GOLDEN_SHAS
     assert [_sha(render_rel_v1_reference(**c)) for c in REL_CASES] == REL_GOLDEN_SHAS
     assert [_sha(render_el_v1_reference(**c)) for c in EL_CASES] == EL_GOLDEN_SHAS
+
+
+# ---- few-shot example paths -------------------------------------------------
+
+NER_EX_CASES = [
+    dict(
+        text="T",
+        labels=["OP"],
+        prompt_examples=[
+            {"text": "e1", "spans": [
+                {"text": "a", "is_entity": True, "label": "OP", "reason": "r1"}]},
+            {"text": "e2", "spans": [
+                {"text": "b", "is_entity": True, "label": "OP", "reason": "r2"},
+                {"text": "c", "is_entity": False, "label": "==NONE==", "reason": "r3"}]},
+        ],
+    ),
+    dict(
+        text="T",
+        labels=["OP"],
+        description="D.",
+        label_definitions={"A": "a"},
+        prompt_examples=[
+            {"text": "e1", "spans": [
+                {"text": "a", "is_entity": True, "label": "OP", "reason": "r1"}]},
+        ],
+    ),
+    dict(
+        text="T", labels=["OP"], description="D.",
+        prompt_examples=[{"text": "e", "spans": []}],
+    ),
+    dict(
+        text="T", labels=["OP"], label_definitions={"A": "a"},
+        prompt_examples=[{"text": "e", "spans": []}],
+    ),
+]
+REL_EX_CASES = [
+    dict(
+        text="t",
+        labels=["x", "y"],
+        prompt_examples=[
+            {"preannotated": "p1", "relations": [
+                {"dep": 0, "dest": 1, "relation": "x"},
+                {"dep": 1, "dest": 2, "relation": "y"}]},
+            {"preannotated": "p2", "relations": []},
+        ],
+    ),
+    dict(
+        text="t", labels=["x"], label_definitions={"x": "dx"},
+        prompt_examples=[{"preannotated": "p", "relations": [
+            {"dep": 0, "dest": 1, "relation": "x"}]}],
+    ),
+]
+EL_EX_CASES = [
+    dict(
+        text="*m* z", mentions=["m"], entity_ids=[["KM"]],
+        entity_descriptions=[["dm"]],
+        prompt_examples=[
+            {"text": "*a* *b*", "mentions": ["a", "b"],
+             "entity_ids": [["K1"], ["K2"]],
+             "entity_descriptions": [["d1"], ["d2"]],
+             "reasons": ["ra", ""], "solutions": ["K1", "K2"]},
+            {"text": "*c* w", "mentions": ["c"],
+             "entity_ids": [["K3", "K4"]],
+             "entity_descriptions": [["d3", "d4"]],
+             "reasons": [], "solutions": ["K4"]},
+        ],
+    ),
+]
+
+
+class _Span:
+    def __init__(self, d):
+        self.text, self.is_entity = d["text"], d["is_entity"]
+        self.label, self.reason = d["label"], d["reason"]
+
+    def to_str(self, sep="|"):
+        return f"{self.text} {sep} {self.is_entity} {sep} {self.label} {sep} {self.reason}"
+
+
+def _ner_jinja_examples(case):
+    from types import SimpleNamespace as NS
+
+    return [
+        NS(text=e["text"], spans=[_Span(s) for s in e["spans"]])
+        for e in case["prompt_examples"]
+    ]
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", NER_EX_CASES)
+def test_ner_v3_example_path_parity(case):
+    want = _jinja_render(
+        "ner.v3.jinja",
+        allow_overlap=False,
+        description=case.get("description"),
+        label_definitions=case.get("label_definitions"),
+        text=case["text"],
+        labels=case["labels"],
+        prompt_examples=_ner_jinja_examples(case),
+    )
+    assert render_ner_v3_reference(**case) == want
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", REL_EX_CASES)
+def test_rel_v1_example_path_parity(case):
+    import json
+    from types import SimpleNamespace as NS
+
+    class _R:
+        def __init__(self, d):
+            self.d = d
+
+        def model_dump_json(self):
+            return json.dumps(self.d, separators=(",", ":"))
+
+    examples = [
+        NS(preannotated=e["preannotated"], relations=[_R(r) for r in e["relations"]])
+        for e in case["prompt_examples"]
+    ]
+    want = _jinja_render(
+        "rel.v1.jinja",
+        label_definitions=case.get("label_definitions"),
+        text=case["text"],
+        labels=case["labels"],
+        prompt_examples=examples,
+        preannotate=lambda e: e.preannotated,
+    )
+    assert render_rel_v1_reference(**case) == want
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", EL_EX_CASES)
+def test_el_v1_example_path_parity(case):
+    from types import SimpleNamespace as NS
+
+    examples = [
+        NS(
+            text=e["text"],
+            mention_str=", ".join(f"*{m}*" for m in e["mentions"]),
+            mentions=e["mentions"],
+            entity_ids=e["entity_ids"],
+            entity_descriptions=e["entity_descriptions"],
+            reasons=e["reasons"],
+            solutions=e["solutions"],
+        )
+        for e in case["prompt_examples"]
+    ]
+    want = _jinja_render(
+        "entity_linker.v1.jinja",
+        text=case["text"],
+        mentions=case["mentions"],
+        mentions_str=", ".join(f"*{m}*" for m in case["mentions"]),
+        entity_ids=case["entity_ids"],
+        entity_descriptions=case["entity_descriptions"],
+        prompt_examples=examples,
+    )
+    assert render_el_v1_reference(**case) == want
