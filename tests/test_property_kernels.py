@@ -1,0 +1,172 @@
+"""Property-based invariants for the pure-Python parser/tokenizer kernels
+(hypothesis). These are the kernels every Arrow batch funnels through at
+100 TB, so the invariants are stated over arbitrary inputs, not goldens:
+offsets always slice back to the needle, alignment never leaves the
+token lattice, filter_spans output never overlaps, highlight/preannotate
+round-trip, and minhash signatures are a pure function of content.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spacy_llm_spark.functions.response_parsers import (
+    SpanReason,
+    find_spans_cot,
+    find_substrings,
+)
+from spacy_llm_spark.operators.el import highlight_ents, unhighlight
+from spacy_llm_spark.operators.rel import preannotate
+from spacy_llm_spark.tokenizer import align_char_span, filter_spans, tokenize
+
+# text made of words over a small alphabet (repeats are likely — the
+# interesting case for cursor logic), single spaces
+words = st.text(alphabet="abc", min_size=1, max_size=4)
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts, st.lists(words, min_size=0, max_size=6))
+@settings(max_examples=200)
+def test_find_substrings_offsets_slice_back(text, needles):
+    for start, end in find_substrings(text, needles):
+        assert 0 <= start < end <= len(text)
+        assert text.lower()[start:end] in {n.lower() for n in needles}
+
+
+@given(texts, st.lists(words, min_size=0, max_size=6))
+@settings(max_examples=200)
+def test_find_substrings_non_overlapping_per_needle(text, needles):
+    offsets = find_substrings(text, needles)
+    by_needle = {}
+    for start, end in offsets:
+        by_needle.setdefault(text.lower()[start:end], []).append((start, end))
+    for spans in by_needle.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 <= s2  # same-needle matches never overlap
+
+
+@given(texts, st.integers(0, 60), st.integers(0, 60))
+@settings(max_examples=300)
+def test_alignment_stays_on_token_lattice(text, a, b):
+    start, end = min(a, b), max(a, b) + 1
+    spans = tokenize(text)
+    for mode in ("strict", "contract", "expand"):
+        aligned = align_char_span(spans, start, end, mode)
+        if aligned is None:
+            continue
+        s, e = aligned
+        assert 0 <= s < e <= len(text)
+        # both endpoints sit on token boundaries
+        assert any(ts == s for ts, _ in spans)
+        assert any(te == e for _, te in spans)
+        if mode == "strict":
+            assert (s, e) == (start, end)
+        if mode == "contract":
+            # contract never grows the span
+            assert s >= start and e <= end
+        if mode == "expand":
+            # expand covers every token that overlaps [start, end)
+            for ts, te in spans:
+                if te > start and ts < end:
+                    assert s <= ts and e >= te
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(1, 10)), max_size=10))
+@settings(max_examples=200)
+def test_filter_spans_output_never_overlaps(raw):
+    spans = [(s, s + ln, "L") for s, ln in raw]
+    kept = filter_spans(spans)
+    kept_sorted = sorted(kept)
+    assert kept_sorted == kept
+    for (s1, e1, _), (s2, e2, _) in zip(kept, kept[1:]):
+        assert e1 <= s2
+    # longest-first greedy: every dropped span overlaps something kept
+    for sp in set(spans) - set(kept):
+        assert any(sp[0] < e and k_s < sp[1] for k_s, e, _ in kept)
+
+
+@given(texts)
+@settings(max_examples=100)
+def test_tokenize_spans_are_disjoint_and_cover_nonspace(text):
+    spans = tokenize(text)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2
+    covered = set()
+    for s, e in spans:
+        assert text[s:e].strip() == text[s:e]  # no leading/trailing ws in a token
+        covered.update(range(s, e))
+    for i, ch in enumerate(text):
+        if not ch.isspace():
+            assert i in covered
+
+
+@given(texts, st.data())
+@settings(max_examples=150)
+def test_highlight_round_trips_even_with_overlaps(text, data):
+    spans = tokenize(text)
+    n = min(len(spans), 4)
+    chosen = sorted(
+        data.draw(
+            st.lists(
+                st.tuples(st.integers(0, max(0, len(spans) - 1)),
+                          st.integers(0, max(0, len(spans) - 1))),
+                max_size=n,
+            )
+        )
+    )
+    pairs = sorted(
+        (spans[min(i, j)][0], spans[max(i, j)][1]) for i, j in chosen if spans
+    )
+    out = highlight_ents(text, pairs, [True] * len(pairs))
+    assert unhighlight(out) == text
+
+
+@given(texts, st.data())
+@settings(max_examples=150)
+def test_preannotate_strips_back_to_text(text, data):
+    spans = tokenize(text)
+    k = data.draw(st.integers(0, min(len(spans), 4)))
+    ents = [(s, e, "L") for s, e in sorted(spans[:k])]
+    out = preannotate(text, ents)
+    import re
+
+    assert re.sub(r"\[ENT\d+:L\]", "", out) == text
+
+
+@given(texts)
+@settings(max_examples=50)
+def test_find_spans_cot_sorted_and_in_bounds(text):
+    reasons = [
+        SpanReason(text=w, is_entity=True, label="L", reason="r")
+        for w in text.split()[:6]
+    ]
+    for overlap in (False, True):
+        spans = find_spans_cot(text, reasons, allow_overlap=overlap)
+        assert spans == sorted(set(spans))
+        for s, e, _ in spans:
+            assert 0 <= s < e <= len(text)
+
+
+def test_minhash_signature_pure_function_of_content():
+    """Same content -> same signature regardless of batch grouping; the
+    signature file is a reusable artifact across runs/sessions."""
+    import pandas as pd
+
+    from spacy_llm_spark.operators.dedup import _minhash_params, _MERSENNE
+
+    a, b = _minhash_params(16)
+    texts = ["a b c d e", "a b c d e", "x y z w v"]
+
+    def sig(t):
+        toks = t.split()
+        sh = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        hv = pd.util.hash_array(np.asarray(sh, dtype=object))
+        hv = (hv % np.uint64(_MERSENNE)).astype(np.uint64)
+        m = (
+            a.astype(np.uint64)[:, None] * hv[None, :] + b.astype(np.uint64)[:, None]
+        ) % np.uint64(_MERSENNE)
+        return m.min(axis=1).tolist()
+
+    assert sig(texts[0]) == sig(texts[1])
+    assert sig(texts[0]) != sig(texts[2])
