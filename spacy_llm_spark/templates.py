@@ -171,18 +171,29 @@ _NER_V3_Q = (
 )
 
 
+_SPANCAT_V3_HEADER = (
+    "You are an expert Entity Recognition system.\n"
+    "Your task is to accept Text as input and extract named entities.\n"
+    "The entities you extract can overlap with each other.\n\n"
+    "Entities must have one of the following labels: {labels}.\n"
+    "If a span is not an entity label it: `==NONE==`.\n"
+)
+
+
 def render_ner_v3_reference(
     text: str,
     labels: Sequence[str],
     description: Optional[str] = None,
     label_definitions: Optional[Dict[str, str]] = None,
     prompt_examples: Optional[List[dict]] = None,
+    _header: str = _NER_V3_HEADER,
+    _branch_nl: str = "",
 ) -> str:
     """Byte-parity render of ner.v3.jinja. ``prompt_examples``: list of
     {"text": ..., "spans": [{"text", "is_entity", "label", "reason"}]} —
     the span line format is the reference SpanExample.to_str()
     (span/examples.py:60-67)."""
-    out = _NER_V3_HEADER.format(labels=", ".join(labels))
+    out = _header.format(labels=", ".join(labels))
     if description:
         out += "\n\n" + description + "\n"
     if label_definitions:
@@ -194,6 +205,7 @@ def render_ner_v3_reference(
     if prompt_examples:
         if label_definitions or not description:
             out += "\n"
+        out += _branch_nl
         out += _NER_V3_Q
         for ex in prompt_examples:
             out += f"Paragraph: {ex['text']}\nAnswer:\n"
@@ -205,9 +217,31 @@ def render_ner_v3_reference(
             out += "\n"
     else:
         out += "\n" if (description and not label_definitions) else "\n\n"
+        out += _branch_nl
         out += _NER_V3_BUILTIN_EXAMPLE
     out += f"Paragraph: {text}\nAnswer:"
     return out
+
+
+def render_spancat_v3_reference(
+    text: str,
+    labels: Sequence[str],
+    description: Optional[str] = None,
+    label_definitions: Optional[Dict[str, str]] = None,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of spancat.v3.jinja — the ner.v3 layout with the
+    overlap-allowing header and one extra branch newline (the template's
+    non-whitespace-trimmed ``{% if %}``)."""
+    return render_ner_v3_reference(
+        text,
+        labels,
+        description=description,
+        label_definitions=label_definitions,
+        prompt_examples=prompt_examples,
+        _header=_SPANCAT_V3_HEADER,
+        _branch_nl="\n",
+    )
 
 
 _REL_V1_HEADER = (
@@ -342,6 +376,130 @@ def render_el_v1_reference(
     out += f"TEXT: \n'''\n{text}\n'''\n"
     out += "MENTIONS: " + ", ".join(f"*{m}*" for m in mentions) + "\n"
     out += "ENTITIES:" + _el_entities_block(mentions, entity_ids, entity_descriptions)
+    return out
+
+
+_LEMMA_V1_HEADER = (
+    "You are an expert lemmatization system. Your task is to accept Text as "
+    "input and identify the lemma for every token in the Text.\n"
+    "Consider that contractions represent multiple words. Each word in a "
+    "contraction should be annotated with its lemma separately.\n"
+    "Output each original word on a new line, followed by a colon and the "
+    "word's lemma - like this:\n'''\n"
+    "Word1: Lemma of Word1\n"
+    "Word2: Lemma of Word2\n'''\n"
+    "Include the final punctuation token in this list.\n"
+    'Prefix with your output with "Lemmatized text".\n'
+)
+_EXAMPLES_GUIDE = "Below are some examples (only use these as a guide):\n"
+
+
+def render_lemma_v1_reference(
+    text: str, prompt_examples: Optional[List[dict]] = None
+) -> str:
+    """Byte-parity render of lemma.v1.jinja. ``prompt_examples``: list of
+    {"text": ..., "lemmas": [{token: lemma}, ...]}."""
+    out = _LEMMA_V1_HEADER
+    if prompt_examples:
+        out += "\n" + _EXAMPLES_GUIDE
+        for ex in prompt_examples:
+            out += f"\nText:\n'''\n{ex['text']}\n'''\nLemmas:\n'''"
+            for lemma in ex["lemmas"]:
+                for k, v in lemma.items():
+                    out += f"\n{k}: {v}"
+            out += "\n'''\n"
+        out += "\n"
+    else:
+        out += "\n\n"
+    out += f"Here is the text that needs to be lemmatized:\n'''\n{text}\n'''"
+    return out
+
+
+def render_summarization_v1_reference(
+    text: str,
+    max_n_words: Optional[int] = None,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of summarization.v1.jinja. ``prompt_examples``:
+    list of {"text": ..., "summary": ...}."""
+    out = (
+        "You are an expert summarization system. Your task is to accept Text "
+        "as input and summarize the Text in a concise way."
+    )
+    if max_n_words:
+        out += (
+            f"\nThe summary must not, under any circumstances, contain more "
+            f"than {max_n_words} words."
+        )
+    if prompt_examples:
+        out += "\n" + _EXAMPLES_GUIDE
+        for ex in prompt_examples:
+            out += f"\nText:\n'''\n{ex['text']}\n'''\nSummary:\n'''\n{ex['summary']}\n'''\n"
+        out += "\n"
+    else:
+        out += "\n"
+    out += f"Here is the Text that needs to be summarized:\n'''\n{text}\n'''\nSummary:"
+    return out
+
+
+def render_sentiment_v1_reference(
+    text: str, prompt_examples: Optional[List[dict]] = None
+) -> str:
+    """Byte-parity render of sentiment.v1.jinja. ``prompt_examples``: list
+    of {"text": ..., "score": ...}."""
+    out = (
+        "Analyse whether the text surrounded by ''' is positive or negative. "
+        "Respond with a float value between 0 and 1. 1 represents an "
+        "exclusively positive sentiment, 0 an exclusively negative sentiment."
+    )
+    if prompt_examples:
+        out += "\n" + _EXAMPLES_GUIDE
+        for ex in prompt_examples:
+            out += f"\nText:\n'''\n{ex['text']}\n'''\nAnswer: {ex['score']}\n"
+        out += "\n"
+    else:
+        out += "\n\n"
+    out += f"Text:\n'''\n{text}\n'''\nAnswer:"
+    return out
+
+
+def render_translation_v1_reference(
+    text: str,
+    target_lang: str,
+    source_lang: Optional[str] = None,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of translation.v1.jinja. ``prompt_examples``:
+    list of {"text": ..., "translation": ...}."""
+    if source_lang:
+        out = f'Translate the text after "Text:" from {source_lang} to {target_lang}.\n\n'
+    else:
+        out = f'\nTranslate the text after "Text:" to {target_lang}.\n\n'
+    out += 'Respond after "Translation:" with nothing but the translated text.'
+    if prompt_examples:
+        out += "\n" + _EXAMPLES_GUIDE
+        for ex in prompt_examples:
+            out += f"\nText:\n{ex['text']}\nTranslation:\n{ex['translation']}\n"
+        out += "\n"
+    else:
+        out += "\n\n"
+    out += f"Text:\n{text}\nTranslation:"
+    return out
+
+
+def render_raw_v1_reference(
+    text: str, prompt_examples: Optional[List[dict]] = None
+) -> str:
+    """Byte-parity render of raw.v1.jinja. ``prompt_examples``: list of
+    {"text": ..., "reply": ...}."""
+    if prompt_examples:
+        out = _EXAMPLES_GUIDE
+        for ex in prompt_examples:
+            out += f"\nText:\n{ex['text']}\nReply:\n{ex['reply']}\n"
+        out += "\n"
+    else:
+        out = "\n"
+    out += f"Text:\n{text}\nReply:"
     return out
 
 

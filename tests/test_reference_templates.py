@@ -304,3 +304,80 @@ def test_el_v1_example_path_parity(case):
         prompt_examples=examples,
     )
     assert render_el_v1_reference(**case) == want
+
+
+# ---- small task templates (lemma/summarization/sentiment/translation/raw) ----
+
+from spacy_llm_spark.templates import (  # noqa: E402
+    render_lemma_v1_reference,
+    render_raw_v1_reference,
+    render_sentiment_v1_reference,
+    render_summarization_v1_reference,
+    render_translation_v1_reference,
+)
+
+_SMALL_CASES = [
+    ("lemma.v1.jinja", render_lemma_v1_reference, dict(text="T")),
+    ("lemma.v1.jinja", render_lemma_v1_reference,
+     dict(text="T", prompt_examples=[
+         {"text": "a b", "lemmas": [{"a": "a"}, {"b": "b"}]},
+         {"text": "c", "lemmas": [{"c": "c"}]}])),
+    ("summarization.v1.jinja", render_summarization_v1_reference,
+     dict(text="T", max_n_words=None)),
+    ("summarization.v1.jinja", render_summarization_v1_reference,
+     dict(text="T", max_n_words=8,
+          prompt_examples=[{"text": "x", "summary": "s"},
+                           {"text": "y", "summary": "t"}])),
+    ("sentiment.v1.jinja", render_sentiment_v1_reference, dict(text="T")),
+    ("sentiment.v1.jinja", render_sentiment_v1_reference,
+     dict(text="T", prompt_examples=[{"text": "x", "score": 1.0},
+                                     {"text": "y", "score": 0.25}])),
+    ("translation.v1.jinja", render_translation_v1_reference,
+     dict(text="T", target_lang="Spanish", source_lang=None)),
+    ("translation.v1.jinja", render_translation_v1_reference,
+     dict(text="T", target_lang="Spanish", source_lang="English",
+          prompt_examples=[{"text": "x", "translation": "y"}])),
+    ("raw.v1.jinja", render_raw_v1_reference, dict(text="T")),
+    ("raw.v1.jinja", render_raw_v1_reference,
+     dict(text="T", prompt_examples=[{"text": "x", "reply": "y"},
+                                     {"text": "z", "reply": "w"}])),
+]
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("tmpl,fn,case", _SMALL_CASES)
+def test_small_template_byte_parity(tmpl, fn, case):
+    from types import SimpleNamespace as NS
+
+    kwargs = {k: v for k, v in case.items() if k != "prompt_examples"}
+    examples = case.get("prompt_examples")
+    jinja_examples = (
+        [NS(**e) for e in examples] if examples else None
+    )
+    want = _jinja_render(tmpl, prompt_examples=jinja_examples, **kwargs)
+    assert fn(**case) == want
+
+
+from spacy_llm_spark.templates import render_spancat_v3_reference  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", NER_CASES + NER_EX_CASES)
+def test_spancat_v3_byte_parity(case):
+    examples = (
+        _ner_jinja_examples(case) if case.get("prompt_examples") else None
+    )
+    want = _jinja_render(
+        "spancat.v3.jinja",
+        allow_overlap=True,
+        description=case.get("description"),
+        label_definitions=case.get("label_definitions"),
+        text=case["text"],
+        labels=case["labels"],
+        prompt_examples=examples,
+    )
+    assert render_spancat_v3_reference(**case) == want
