@@ -503,6 +503,82 @@ def render_raw_v1_reference(
     return out
 
 
+def render_textcat_v3_reference(
+    text: str,
+    labels: Sequence[str],
+    exclusive_classes: bool = False,
+    allow_none: bool = False,
+    label_definitions: Optional[Dict[str, str]] = None,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of textcat.v3.jinja (binary / exclusive /
+    non-exclusive branches). ``prompt_examples``: list of
+    {"text": ..., "answer": ...}."""
+    out = (
+        "You are an expert Text Classification system. Your task is to "
+        "accept Text as input\nand provide a category for the text based on "
+        "the predefined labels.\n\n"
+    )
+    if len(labels) == 1:
+        label = labels[0]
+        out += (
+            f"Classify whether the text below belongs to the {label} "
+            f"category or not.\n"
+            f"If it is a {label}, answer `POS`. If it is not a {label}, "
+            f"answer `NEG`.\n"
+            "Do not put any other text in your answer, only one of 'POS' or "
+            "'NEG' with nothing before or after.\n"
+        )
+    else:
+        out += (
+            "Classify the text below to any of the following labels: "
+            + ", ".join(labels)
+            + "\n\n"
+        )
+        if exclusive_classes:
+            out += (
+                "The task is exclusive, so only choose one label from what I "
+                "provided.\n"
+                "Do not put any other text in your answer, only one of the "
+                "provided labels with nothing before or after.\n"
+            )
+        else:
+            out += (
+                "The task is non-exclusive, so you can provide more than one "
+                "label as long as\nthey're comma-delimited. For example: "
+                "Label1, Label2, Label3.\n"
+                "Do not put any other text in your answer, only one or more "
+                "of the provided labels with nothing before or after.\n"
+            )
+            if allow_none:
+                out += (
+                    "If the text cannot be classified into any of the "
+                    "provided labels, answer `==NONE==`.\n"
+                )
+    if label_definitions:
+        out += (
+            "\nBelow are definitions of each label to help aid you in "
+            "correctly classifying the text.\n"
+            "Assume these definitions are written by an expert and follow "
+            "them closely.\n\n"
+        )
+        for label, definition in label_definitions.items():
+            out += f"{label}: {definition}\n"
+        if not prompt_examples:
+            out += "\n"
+    if prompt_examples:
+        # the single-label branch's tighter whitespace trim puts the guide
+        # line flush against the instructions and pads after it instead
+        binary = len(labels) == 1
+        out += ("" if binary and not label_definitions else "\n") + _EXAMPLES_GUIDE
+        out += "\n" if (binary or label_definitions) else ""
+        for ex in prompt_examples:
+            out += f"\nText:\n'''\n{ex['text']}\n'''\n\n{ex['answer']}\n"
+        out += "\n"
+    out += f"\nHere is the text that needs classification\n\n\nText:\n'''\n{text}\n'''"
+    return out
+
+
 def extract_doc_from_prompt(prompt: str) -> str:
     """Recover the (last) fenced document from a prompt — used by the local
     models, which only ever see the prompt (model contract X1, ty.py:19-21).

@@ -381,3 +381,41 @@ def test_spancat_v3_byte_parity(case):
         prompt_examples=examples,
     )
     assert render_spancat_v3_reference(**case) == want
+
+
+from spacy_llm_spark.templates import render_textcat_v3_reference  # noqa: E402
+
+TEXTCAT_CASES = [
+    dict(text="T", labels=["Spam"]),
+    dict(text="T", labels=["A", "B"], exclusive_classes=True),
+    dict(text="T", labels=["A", "B"], allow_none=True),
+    dict(text="T", labels=["A", "B"], label_definitions={"A": "a"}),
+    dict(text="T", labels=["A", "B"], label_definitions={"A": "a"},
+         prompt_examples=[{"text": "x", "answer": "A"},
+                          {"text": "y", "answer": "B"}]),
+    dict(text="T", labels=["Spam"],
+         prompt_examples=[{"text": "x", "answer": "POS"}]),
+    dict(text="T", labels=["Spam"], label_definitions={"Spam": "junk"},
+         prompt_examples=[{"text": "x", "answer": "POS"}]),
+    dict(text="T", labels=["Spam"], label_definitions={"Spam": "junk"}),
+]
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", TEXTCAT_CASES)
+def test_textcat_v3_byte_parity(case):
+    from types import SimpleNamespace as NS
+
+    examples = case.get("prompt_examples")
+    want = _jinja_render(
+        "textcat.v3.jinja",
+        text=case["text"],
+        labels=case["labels"],
+        exclusive_classes=case.get("exclusive_classes", False),
+        allow_none=case.get("allow_none", False),
+        label_definitions=case.get("label_definitions"),
+        prompt_examples=[NS(**e) for e in examples] if examples else None,
+    )
+    assert render_textcat_v3_reference(**case) == want
