@@ -503,6 +503,42 @@ def render_raw_v1_reference(
     return out
 
 
+def render_ner_v2_reference(
+    text: str,
+    labels: Sequence[str],
+    label_definitions: Optional[Dict[str, str]] = None,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of ner.v2.jinja (the 'LABEL: phrase, phrase'
+    grammar our span_format='v2' stage parses). ``prompt_examples``:
+    list of {"text": ..., "entities": {label: [substring, ...]}}."""
+    out = (
+        "You are an expert Named Entity Recognition (NER) system. Your task "
+        "is to accept Text as input and extract named entities for the set "
+        "of predefined entity labels.\n"
+        "From the Text input provided, extract named entities for each label "
+        "in the following format:\n\n"
+    )
+    for label in labels:
+        out += f"{label}: <comma delimited list of strings>\n"
+    if label_definitions:
+        # v2 (unlike v3) puts a blank line between the intro and the defs
+        out += "\n" + _NER_V3_DEFS_INTRO + "\n"
+        for label, definition in label_definitions.items():
+            out += f"{label}: {definition}\n"
+    out += "\n\n"
+    if prompt_examples:
+        out += _EXAMPLES_GUIDE + "\n"
+        for ex in prompt_examples:
+            out += f"Text:\n'''\n{ex['text']}\n'''\n"
+            for label, substrings in ex["entities"].items():
+                out += f"\n{label}: {', '.join(substrings)}"
+            out += "\n\n"
+        out += "\n"
+    out += f"Here is the text that needs labeling:\n\nText:\n'''\n{text}\n'''"
+    return out
+
+
 def render_textcat_v3_reference(
     text: str,
     labels: Sequence[str],

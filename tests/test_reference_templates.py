@@ -419,3 +419,35 @@ def test_textcat_v3_byte_parity(case):
         prompt_examples=[NS(**e) for e in examples] if examples else None,
     )
     assert render_textcat_v3_reference(**case) == want
+
+
+from spacy_llm_spark.templates import render_ner_v2_reference  # noqa: E402
+
+NER_V2_CASES = [
+    dict(text="T", labels=["OP", "SYS"]),
+    dict(text="T", labels=["OP"], label_definitions={"OP": "op"}),
+    dict(text="T", labels=["OP"],
+         prompt_examples=[{"text": "x", "entities": {"OP": ["a", "b"]}}]),
+    dict(text="T", labels=["OP"], label_definitions={"OP": "op"},
+         prompt_examples=[
+             {"text": "x", "entities": {"OP": ["a", "b"], "SYS": ["c"]}},
+             {"text": "y", "entities": {}}]),
+]
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", NER_V2_CASES)
+def test_ner_v2_byte_parity(case):
+    from types import SimpleNamespace as NS
+
+    examples = case.get("prompt_examples")
+    want = _jinja_render(
+        "ner.v2.jinja",
+        text=case["text"],
+        labels=case["labels"],
+        label_definitions=case.get("label_definitions"),
+        prompt_examples=[NS(**e) for e in examples] if examples else None,
+    )
+    assert render_ner_v2_reference(**case) == want
