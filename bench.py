@@ -106,20 +106,21 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
 
     timed("dedup_embedding_lsh", embedding_lsh_run)
 
-    def cc_distributed_run():
-        # 100 chains of length 2000 (~200k edges, diameter 2000):
-        # large-star/small-star converges in ~log2(2000) rounds where
-        # min-label propagation would need 2000
-        ids = spark.range(200_000)
-        chain = ids.where(F.col("id") % 2000 != 1999).select(
-            F.format_string("c%08d", "id").alias("src"),
-            F.format_string("c%08d", F.col("id") + 1).alias("dst"),
-        )
-        return canon.connected_components(
-            chain, max_iter=30, driver_threshold=0
-        ).count()
-
-    timed("cc_distributed_200k_edges", cc_distributed_run)
+    # distributed CC is timed OUTSIDE the headline query set: its wall is
+    # dominated by per-round scheduling overhead on this box (~2s/round x
+    # log2(diameter) rounds) and would swamp the cross-round comparability
+    # of "value"; it gets its own top-level field instead.
+    t0 = time.time()
+    ids = spark.range(200_000)
+    chain = ids.where(F.col("id") % 2000 != 1999).select(
+        F.format_string("c%08d", "id").alias("src"),
+        F.format_string("c%08d", F.col("id") + 1).alias("dst"),
+    )
+    # 100 chains of length 2000 (~200k edges, diameter 2000):
+    # large-star/small-star converges in ~log2(2000) rounds where
+    # min-label propagation would need 2000
+    canon.connected_components(chain, max_iter=30, driver_threshold=0).count()
+    extras["cc_distributed_200k_edges_sec"] = round(time.time() - t0, 3)
 
     spark.stop()
     total = round(sum(timings.values()), 3)
@@ -136,6 +137,7 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
         "triples_per_sec": round(n_triples / kg_secs, 1),
         "cpus": cpus,
         "replicate": replicate,
+        **extras,
     }
 
 
