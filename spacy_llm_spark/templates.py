@@ -503,22 +503,77 @@ def render_raw_v1_reference(
     return out
 
 
+_NER_V2_HEADER = (
+    "You are an expert Named Entity Recognition (NER) system. Your task "
+    "is to accept Text as input and extract named entities for the set "
+    "of predefined entity labels.\n"
+    "From the Text input provided, extract named entities for each label "
+    "in the following format:\n\n"
+)
+_SPANCAT_V2_HEADER = (
+    "You are an expert Named Entity Recognition (NER) system. Your task "
+    "is to accept Text as input and extract named entities for the set "
+    "of predefined entity labels.\n"
+    "The entities you extract for each label can overlap with each other.\n"
+    "From the Text input provided, extract named entities for each label "
+    "in the following format:\n\n"
+)
+
+
+def render_ner_v1_reference(
+    text: str,
+    labels: Sequence[str],
+    prompt_examples: Optional[List[dict]] = None,
+    _first_line: str = (
+        "From the text below, extract the following entities in the "
+        "following format:"
+    ),
+) -> str:
+    """Byte-parity render of ner.v1.jinja. ``prompt_examples``: list of
+    {"text": ..., "entities": {label: [substring, ...]}}."""
+    out = _first_line + "\n"
+    for label in labels:
+        out += f"{label}: <comma delimited list of strings>\n"
+    if prompt_examples:
+        out += "\n" + _EXAMPLES_GUIDE + "\n"
+        for ex in prompt_examples:
+            out += f"\nText:\n'''\n{ex['text']}\n'''\n"
+            for label, substrings in ex["entities"].items():
+                out += f"{label}: {', '.join(substrings)}\n"
+            out += "\n"
+    out += f"\nHere is the text that needs labeling:\n\nText:\n'''\n{text}\n'''"
+    return out
+
+
+def render_spancat_v1_reference(
+    text: str,
+    labels: Sequence[str],
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of spancat.v1.jinja (ner.v1 with the
+    possibly-overlapping wording)."""
+    return render_ner_v1_reference(
+        text,
+        labels,
+        prompt_examples=prompt_examples,
+        _first_line=(
+            "From the text below, extract the following (possibly "
+            "overlapping) entities in the following format:"
+        ),
+    )
+
+
 def render_ner_v2_reference(
     text: str,
     labels: Sequence[str],
     label_definitions: Optional[Dict[str, str]] = None,
     prompt_examples: Optional[List[dict]] = None,
+    _header: str = _NER_V2_HEADER,
 ) -> str:
     """Byte-parity render of ner.v2.jinja (the 'LABEL: phrase, phrase'
     grammar our span_format='v2' stage parses). ``prompt_examples``:
     list of {"text": ..., "entities": {label: [substring, ...]}}."""
-    out = (
-        "You are an expert Named Entity Recognition (NER) system. Your task "
-        "is to accept Text as input and extract named entities for the set "
-        "of predefined entity labels.\n"
-        "From the Text input provided, extract named entities for each label "
-        "in the following format:\n\n"
-    )
+    out = _header
     for label in labels:
         out += f"{label}: <comma delimited list of strings>\n"
     if label_definitions:
@@ -537,6 +592,125 @@ def render_ner_v2_reference(
         out += "\n"
     out += f"Here is the text that needs labeling:\n\nText:\n'''\n{text}\n'''"
     return out
+
+
+def render_spancat_v2_reference(
+    text: str,
+    labels: Sequence[str],
+    label_definitions: Optional[Dict[str, str]] = None,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of spancat.v2.jinja (ner.v2 plus the overlap
+    sentence in the header)."""
+    return render_ner_v2_reference(
+        text,
+        labels,
+        label_definitions=label_definitions,
+        prompt_examples=prompt_examples,
+        _header=_SPANCAT_V2_HEADER,
+    )
+
+
+_TEXTCAT_SYSTEM_HEADER = (
+    "You are an expert Text Classification system. Your task is to "
+    "accept Text as input\nand provide a category for the text based on "
+    "the predefined labels.\n\n"
+)
+
+
+def _render_textcat_v12(
+    text: str,
+    labels: Sequence[str],
+    exclusive_classes: bool,
+    allow_none: bool,
+    prompt_examples: Optional[List[dict]],
+    header: str,
+    strict: bool,
+) -> str:
+    out = header
+    if len(labels) == 1:
+        label = labels[0]
+        out += (
+            f"Classify whether the text below belongs to the {label} "
+            f"category or not.\n"
+            f"If it is a {label}, answer `POS`. If it is not a {label}, "
+            f"answer `NEG`.\n"
+        )
+        if strict:
+            out += (
+                "Do not put any other text in your answer, only one of 'POS' "
+                "or 'NEG' with nothing before or after.\n"
+            )
+    else:
+        out += (
+            "Classify the text below to any of the following labels: "
+            + ", ".join(labels)
+            + "\n"
+        )
+        if not strict:  # v1 keeps a blank line the v2 trim removed
+            out += "\n"
+        if exclusive_classes:
+            out += (
+                "The task is exclusive, so only choose one label from what I "
+                "provided.\n"
+            )
+            if strict:
+                out += (
+                    "Do not put any other text in your answer, only one of "
+                    "the provided labels with nothing before or after.\n"
+                )
+        else:
+            out += (
+                "The task is non-exclusive, so you can provide more than one "
+                "label as long as\nthey're comma-delimited. For example: "
+                "Label1, Label2, Label3.\n"
+            )
+            if strict:
+                out += (
+                    "Do not put any other text in your answer, only one or "
+                    "more of the provided labels with nothing before or "
+                    "after.\n"
+                )
+            if allow_none:
+                out += (
+                    "If the text cannot be classified into any of the "
+                    "provided labels, answer `==NONE==`.\n"
+                )
+    if prompt_examples:
+        out += _EXAMPLES_GUIDE + "\n"
+        for ex in prompt_examples:
+            out += f"\nText:\n'''\n{ex['text']}\n'''\n\n{ex['answer']}\n"
+        out += "\n"
+    out += f"\nHere is the text that needs classification\n\n\nText:\n'''\n{text}\n'''"
+    return out
+
+
+def render_textcat_v1_reference(
+    text: str,
+    labels: Sequence[str],
+    exclusive_classes: bool = False,
+    allow_none: bool = False,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of textcat.v1.jinja."""
+    return _render_textcat_v12(
+        text, labels, exclusive_classes, allow_none, prompt_examples,
+        header="", strict=False,
+    )
+
+
+def render_textcat_v2_reference(
+    text: str,
+    labels: Sequence[str],
+    exclusive_classes: bool = False,
+    allow_none: bool = False,
+    prompt_examples: Optional[List[dict]] = None,
+) -> str:
+    """Byte-parity render of textcat.v2.jinja."""
+    return _render_textcat_v12(
+        text, labels, exclusive_classes, allow_none, prompt_examples,
+        header=_TEXTCAT_SYSTEM_HEADER, strict=True,
+    )
 
 
 def render_textcat_v3_reference(

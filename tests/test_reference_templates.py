@@ -451,3 +451,94 @@ def test_ner_v2_byte_parity(case):
         prompt_examples=[NS(**e) for e in examples] if examples else None,
     )
     assert render_ner_v2_reference(**case) == want
+
+
+from spacy_llm_spark.templates import (  # noqa: E402
+    render_ner_v1_reference,
+    render_spancat_v1_reference,
+    render_spancat_v2_reference,
+    render_textcat_v1_reference,
+    render_textcat_v2_reference,
+)
+
+NER_V1_CASES = [
+    dict(text="T", labels=["OP", "SYS"]),
+    dict(text="T", labels=["OP"],
+         prompt_examples=[
+             {"text": "x", "entities": {"OP": ["a", "b"]}},
+             {"text": "y", "entities": {}}]),
+]
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("tmpl,fn", [
+    ("ner.v1.jinja", render_ner_v1_reference),
+    ("spancat.v1.jinja", render_spancat_v1_reference),
+])
+@pytest.mark.parametrize("case", NER_V1_CASES)
+def test_v1_span_template_byte_parity(tmpl, fn, case):
+    from types import SimpleNamespace as NS
+
+    examples = case.get("prompt_examples")
+    want = _jinja_render(
+        tmpl,
+        text=case["text"],
+        labels=case["labels"],
+        prompt_examples=[NS(**e) for e in examples] if examples else None,
+    )
+    assert fn(**case) == want
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("case", NER_V2_CASES)
+def test_spancat_v2_byte_parity(case):
+    from types import SimpleNamespace as NS
+
+    examples = case.get("prompt_examples")
+    want = _jinja_render(
+        "spancat.v2.jinja",
+        text=case["text"],
+        labels=case["labels"],
+        label_definitions=case.get("label_definitions"),
+        prompt_examples=[NS(**e) for e in examples] if examples else None,
+    )
+    assert render_spancat_v2_reference(**case) == want
+
+
+TEXTCAT_V12_CASES = [
+    dict(text="T", labels=["Spam"]),
+    dict(text="T", labels=["A", "B"], exclusive_classes=True),
+    dict(text="T", labels=["A", "B"], allow_none=True),
+    dict(text="T", labels=["A", "B"], allow_none=True,
+         prompt_examples=[{"text": "x", "answer": "A"}]),
+    dict(text="T", labels=["Spam"],
+         prompt_examples=[{"text": "x", "answer": "POS"},
+                          {"text": "y", "answer": "NEG"}]),
+]
+
+
+@pytest.mark.skipif(
+    not (_have_reference and _have_jinja), reason="reference checkout not present"
+)
+@pytest.mark.parametrize("tmpl,fn", [
+    ("textcat.v1.jinja", render_textcat_v1_reference),
+    ("textcat.v2.jinja", render_textcat_v2_reference),
+])
+@pytest.mark.parametrize("case", TEXTCAT_V12_CASES)
+def test_textcat_v12_byte_parity(tmpl, fn, case):
+    from types import SimpleNamespace as NS
+
+    examples = case.get("prompt_examples")
+    want = _jinja_render(
+        tmpl,
+        text=case["text"],
+        labels=case["labels"],
+        exclusive_classes=case.get("exclusive_classes", False),
+        allow_none=case.get("allow_none", False),
+        prompt_examples=[NS(**e) for e in examples] if examples else None,
+    )
+    assert fn(**case) == want
