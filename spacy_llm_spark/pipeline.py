@@ -45,6 +45,7 @@ class KGConfig:
     auto_nil: bool = True
     context_length: Optional[int] = None
     checkpoint_dir: Optional[str] = None
+    fused: bool = True  # False = staged NER/REL/EL with INDEPENDENT checkpoints
     span_format: str = "cot"  # 'cot' (NER v3) | 'v2' (LABEL: phrase lines)
     allow_overlap: bool = False  # True = SpanCat semantics (overlapping spans)
     # few-shot prompt examples (driver-side constants, broadcast into the
@@ -81,6 +82,7 @@ class KGConfig:
                 "checkpoint_dir": self.checkpoint_dir,
                 "span_format": self.span_format,
                 "allow_overlap": self.allow_overlap,
+                "fused": self.fused,
             },
             sort_keys=True,
         )
@@ -196,7 +198,7 @@ def run_pipeline(
 
     validate_stage_chain(corpus)
 
-    if cfg.checkpoint_dir:
+    if cfg.checkpoint_dir and cfg.fused:
         ckpt = CheckpointManager(cfg.checkpoint_dir)
         annotated = ckpt.run_stage(
             spark,
@@ -206,6 +208,57 @@ def run_pipeline(
             config=cfg.fingerprint_config(),
             micro_batches=cfg.micro_batches,
         )
+    elif cfg.checkpoint_dir:
+        # Staged mode: each task stage owns an INDEPENDENT content-keyed
+        # checkpoint (the reference caches per pipeline component) — a
+        # kill between stages resumes with the completed stages as pure
+        # cache hits, and stages can be re-run with different cluster
+        # resources without invalidating one another.
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+        fp = cfg.fingerprint_config()
+        ner_out = ckpt.run_stage(
+            spark,
+            "ner",
+            corpus,
+            lambda df: ner_op.extract_mentions(
+                df,
+                model_spec=cfg.ner_model_spec(),
+                labels=list(cfg.labels),
+                context_length=cfg.context_length,
+                span_format=cfg.span_format,
+                allow_overlap=cfg.allow_overlap,
+            ),
+            config={**fp, "stage": "ner"},
+            micro_batches=cfg.micro_batches,
+        )
+        rel_out = ckpt.run_stage(
+            spark,
+            "rel",
+            ner_out,
+            lambda df: rel_op.extract_relations(
+                df,
+                model_spec=cfg.rel_model_spec(),
+                labels=list(cfg.rel_labels),
+                context_length=cfg.context_length,
+            ),
+            config={**fp, "stage": "rel"},
+            micro_batches=cfg.micro_batches,
+        )
+        annotated = ckpt.run_stage(
+            spark,
+            "el",
+            rel_out,
+            lambda df: el_op.link_entities(
+                df,
+                kb=kb,
+                model_spec=cfg.el_model_spec(),
+                top_n=cfg.top_n_candidates,
+                auto_nil=cfg.auto_nil,
+                context_length=cfg.context_length,
+            ),
+            config={**fp, "stage": "el"},
+            micro_batches=cfg.micro_batches,
+        )
     else:
         ckpt = None
         # Materialize the (narrow, expensive) annotation pass once; the
@@ -213,7 +266,7 @@ def run_pipeline(
         # serialized blocks (localCheckpoint), NOT the columnar cache —
         # InMemoryRelation scans of nested array<struct> columns are
         # several times slower than recomputing (measured).
-        annotated = annotate_corpus(corpus, cfg, kb).localCheckpoint()
+        annotated = annotate_corpus(corpus, cfg, kb, fused=cfg.fused).localCheckpoint()
 
     id_cols = ("doc_id", "content_sha256") if "doc_id" in corpus.columns else (
         "content_sha256",

@@ -114,3 +114,25 @@ def test_checkpoint_preserves_duplicate_content_rows(spark, tmp_path):
     assert len(seen) == 3
     # every doc kept its identity column
     assert out.select("doc_id").distinct().count() == 12
+
+
+def test_staged_pipeline_independent_checkpoints(spark, tmp_path):
+    """fused=False + checkpoint_dir: NER/REL/EL each own an independent
+    content-keyed checkpoint; results equal the fused run and a re-run is
+    a pure cache hit on all three stages."""
+    from spacy_llm_spark.corpus import corpus_from_documents
+    from spacy_llm_spark.pipeline import KGConfig, run_pipeline
+
+    corpus = corpus_from_documents(spark, "/root/testdata/sf0.001").limit(60).cache()
+    cfg = KGConfig(checkpoint_dir=str(tmp_path / "ck"), fused=False)
+    r1 = run_pipeline(spark, corpus, cfg)
+    plain = run_pipeline(spark, corpus, KGConfig())
+    assert r1.n_triples == plain.n_triples
+
+    r2 = run_pipeline(spark, corpus, cfg)
+    assert r2.n_triples == r1.n_triples
+    stages = {m.stage: m for m in r2.metrics.collect()}
+    assert set(stages) == {"ner", "rel", "el"}
+    for name, m in stages.items():
+        assert m.rows_processed == 0, name  # all three stages cache-hit
+        assert m.cache_hits == m.rows_in, name
