@@ -50,10 +50,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = tokens_expr(F.col(text_col))
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
-    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks  # chars minus separators
-    diversity = F.size(F.array_distinct(toks)) / n_toks
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) / n_chars
+    # try_divide: empty/whitespace-only docs (n_toks or n_chars = 0) yield
+    # NULL metrics instead of an ANSI DIVIDE_BY_ZERO task failure — at
+    # corpus scale empty files are routine, a crashing metric is not
+    mean_tok_len = F.try_divide(n_chars - (n_toks - 1), n_toks)
+    diversity = F.try_divide(F.size(F.array_distinct(toks)), n_toks)
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")), n_chars
     )
     length_ok = (n_toks >= 10) & (n_toks <= 100000)
     score = (

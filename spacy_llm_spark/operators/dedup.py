@@ -306,7 +306,8 @@ def jaccard_vs_probe(
     union = F.size(F.array_union(token_set(F.col(text_col)), probe))
     return df.select(
         F.col(id_col),
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        # try_divide: empty doc vs empty probe -> NULL, not an ANSI error
+        F.try_divide(inter.cast("double"), union.cast("double")).alias("jaccard"),
     )
 
 

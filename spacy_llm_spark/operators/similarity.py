@@ -35,7 +35,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero vector yields NULL cosine instead of an ANSI
+    # DIVIDE_BY_ZERO task failure (real embedding tables contain zeros)
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_vs_probe(

@@ -221,3 +221,26 @@ def test_fingerprint_normalization(spark):
     assert out[1].sha256 != out[2].sha256
     assert out[1].normalized_sha256 == out[2].normalized_sha256
     assert out[1].normalized_sha256 != out[3].normalized_sha256
+
+
+def test_degenerate_inputs_yield_nulls_not_ansi_errors(spark):
+    """ANSI mode (Spark 4 default) turns x/0 into a task failure; empty
+    docs and zero vectors are routine at corpus scale and must degrade to
+    NULL metrics instead."""
+    docs_deg = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text here")], "doc_id long, text string"
+    )
+    q = {r.doc_id: r for r in textfn.quality_score(docs_deg).collect()}
+    assert q[1].quality_score is None and q[2].quality_score is None
+    assert q[3].quality_score is not None
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.cosine for r in similarity.cosine_vs_probe(vecs, [1.0, 0.0]).collect()}
+    assert got[0] is None  # zero vector -> NULL, not a crash
+    assert abs(got[1] - 1.0) < 1e-9
+
+    jac = {r.doc_id: r.jaccard for r in dedup.jaccard_vs_probe(docs_deg, "").collect()}
+    assert jac[1] in (None, 0.0)  # degenerate probe never raises
