@@ -170,3 +170,57 @@ def test_minhash_signature_pure_function_of_content():
 
     assert sig(texts[0]) == sig(texts[1])
     assert sig(texts[0]) != sig(texts[2])
+
+
+# ---- response parsers on arbitrary (malformed) model output ----------------
+
+json_ish = st.text(alphabet='{}":,0123456789abdeprst \n', min_size=0, max_size=120)
+
+
+@given(json_ish, st.integers(0, 5))
+@settings(max_examples=300)
+def test_parse_rel_response_indices_always_in_bounds(resp, n_ents):
+    from spacy_llm_spark.functions.response_parsers import parse_rel_response
+
+    for dep, dest, relation in parse_rel_response(resp, n_ents):
+        assert 0 <= dep < n_ents
+        assert 0 <= dest < n_ents
+        assert isinstance(relation, str)
+
+
+@given(st.lists(st.booleans(), max_size=8),
+       st.text(alphabet="*<>:NIL KQ123abc\n", max_size=120))
+@settings(max_examples=300)
+def test_attach_el_solutions_total_or_none(flags, resp):
+    from spacy_llm_spark.functions.response_parsers import (
+        attach_el_solutions,
+        parse_el_solutions,
+    )
+
+    attached = attach_el_solutions(flags, parse_el_solutions(resp))
+    assert attached is None or len(attached) == len(flags)
+    if attached is not None:
+        # auto-niled entities always come back NIL
+        for flag, sol in zip(flags, attached):
+            if not flag:
+                assert sol == "NIL"
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200)
+def test_parsers_never_raise_on_garbage(resp):
+    from spacy_llm_spark.functions.response_parsers import (
+        parse_el_solutions,
+        parse_rel_response,
+    )
+    from spacy_llm_spark.functions.normalizers import (
+        build_label_dict,
+        lowercase_normalizer,
+    )
+    from spacy_llm_spark.functions.response_parsers import extract_span_reasons_cot
+
+    parse_rel_response(resp, 3)
+    parse_el_solutions(resp)
+    extract_span_reasons_cot(
+        resp, build_label_dict(["OP"], lowercase_normalizer), lowercase_normalizer
+    )
