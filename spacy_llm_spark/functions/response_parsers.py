@@ -200,16 +200,20 @@ def find_spans_cot(
     haystack = text if case_sensitive else text.lower()
 
     if allow_overlap:
-        cursors: Dict[str, int] = {}
+        # keyed by (surface, label): the k-th line with surface X and
+        # label L is X's k-th occurrence — so the SAME occurrence may
+        # legitimately carry several labels (SpanCat doc.spans semantics)
+        cursors: Dict[Tuple[str, str], int] = {}
         overlap_spans: List[Tuple[int, int, str]] = []
         for sr in span_reasons:
             needle = sr.text if case_sensitive else sr.text.lower()
             if not needle:
                 continue
-            start = haystack.find(needle, cursors.get(needle, 0))
+            key = (needle, sr.label)
+            start = haystack.find(needle, cursors.get(key, 0))
             if start == -1:
                 continue
-            cursors[needle] = start + 1
+            cursors[key] = start + 1
             aligned = index.align(start, start + len(needle), alignment_mode)
             if aligned is None:
                 continue

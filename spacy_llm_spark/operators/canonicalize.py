@@ -96,13 +96,15 @@ def connected_components(
         rows = [(node, find(node)) for node in parent]
         return spark.createDataFrame(rows, "node string, component string")
 
-    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # all_nodes from the RAW edge set: a node appearing only in self-loop
+    # edges is still a (singleton) component, matching the driver path
     all_nodes = (
-        e0.select(F.col("src").alias("node"))
-        .union(e0.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e0.localCheckpoint()
 
     def _signature(df: DataFrame):

@@ -112,6 +112,14 @@ class CheckpointManager:
         distinct content hash. Mirrors the reference BatchCache, which
         returns exactly the requested docs (spacy_llm/cache.py:216-233).
 
+        Contract for ``fn``: it may APPEND annotation columns and DROP
+        input columns, but must not modify values of columns it passes
+        through — pass-through columns are re-attached from the input on
+        read-back (only key + appended columns are persisted), so in-place
+        value edits would be silently discarded. All engine stage fns
+        comply (they only append ents/rels/kb_ids and optionally drop the
+        text column).
+
         ``micro_batches=K`` commits work in K deterministic key buckets
         (pmod(xxhash64(key), K)) instead of one append — the
         "per-partition checkpoint" granularity: a job killed after bucket
@@ -182,8 +190,20 @@ class CheckpointManager:
             out = input_df.drop(*dropped_cols).join(
                 stored, on=self.key_col, how="inner"
             )
-        else:  # empty input against a never-written checkpoint
-            out = input_df.where(F.lit(False))
+        elif _parquet_exists(path):
+            # parquet without a schema manifest = a checkpoint written by a
+            # pre-manifest version (full rows, identity baked in). Refuse
+            # loudly: mixing formats would silently corrupt the read-back.
+            raise ValueError(
+                f"Checkpoint at {path} predates the manifest format "
+                f"(missing {self._manifest_path(stage)}); clear the stage "
+                "directory to reprocess."
+            )
+        else:
+            # empty input against a never-written checkpoint: still return
+            # the stage's OUTPUT schema (fn on an empty frame builds the
+            # plan only) so downstream selects don't break
+            out = fn(input_df.where(F.lit(False)))
         rows_out = out.count()
         self.metrics.append(
             StageMetrics(

@@ -64,6 +64,35 @@ def unhighlight(text: str) -> str:
     return text.replace("*", "")
 
 
+def build_el_prompt(
+    text: str,
+    span_tuples: List[Tuple[int, int, str]],
+    kb: KnowledgeBase,
+    top_n: int,
+    auto_nil: bool,
+    examples: list,
+) -> Tuple[str, List[bool]]:
+    """Candidate lookup (J3) -> in-prompt flags (F5) -> highlight (M4) ->
+    rendered EL prompt. Returns (prompt, in_prompt). THE single
+    implementation of the EL prompt-side semantics — shared by the
+    standalone stage kernel and the fused stage so auto-NIL/fallback
+    behavior can't drift between them."""
+    spans = [(s, e) for s, e, _ in span_tuples]
+    surfaces = [text[s:e] for s, e, _ in span_tuples]
+    cands = [kb.get_candidates(s, top_n) for s in surfaces]
+    in_prompt = [bool(c) or not auto_nil for c in cands]
+    mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
+    cand_blocks = [
+        [(qid, desc) for qid, _, desc in c]
+        if c
+        else [(NIL, UNAVAILABLE_ENTITY_DESC)]
+        for c, ip in zip(cands, in_prompt)
+        if ip
+    ]
+    highlighted = highlight_ents(text, spans, in_prompt)
+    return render_el_prompt(highlighted, mentions, cand_blocks, examples), in_prompt
+
+
 def link_entities(
     df: DataFrame,
     *,
@@ -92,26 +121,17 @@ def link_entities(
 
         model = resolve_model(model_spec)
         local_kb = KnowledgeBase.from_json(kb_bc.value)
+        # the render closure stashes in_prompt per (text, spans) so the
+        # prompt returned by shard_for_task is never re-rendered (and the
+        # KB candidate lookups never re-run) for accepted sub-shards
+        flag_cache: dict = {}
 
-        def el_parts(text, span_tuples):
-            spans = [(s, e) for s, e, _ in span_tuples]
-            surfaces = [text[s:e] for s, e, _ in span_tuples]
-            cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
-            # F5: in-prompt iff candidates exist (or auto_nil disabled)
-            in_prompt = [bool(c) or not auto_nil for c in cands]
-            mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
-            cand_blocks = [
-                [(qid, desc) for qid, _, desc in c]
-                if c
-                else [(NIL, UNAVAILABLE_ENTITY_DESC)]
-                for c, ip in zip(cands, in_prompt)
-                if ip
-            ]
-            highlighted = highlight_ents(text, spans, in_prompt)
-            return (
-                render_el_prompt(highlighted, mentions, cand_blocks, examples),
-                in_prompt,
+        def el_render(t, sp):
+            prompt, in_prompt = build_el_prompt(
+                t, sp, local_kb, top_n, auto_nil, examples
             )
+            flag_cache[(t, tuple(sp))] = in_prompt
+            return prompt
 
         for pdf in batches:
             prompts = []
@@ -120,18 +140,14 @@ def link_entities(
                 text = text or ""
                 span_tuples = [(e["start"], e["end"], e["label"]) for e in ents]
                 subs = (
-                    shard_for_task(
-                        text, span_tuples, context_length,
-                        lambda t, sp: el_parts(t, sp)[0],
-                    )
+                    shard_for_task(text, span_tuples, context_length, el_render)
                     if context_length is not None
-                    else [(0, text, span_tuples)]
+                    else [(0, text, span_tuples, el_render(text, span_tuples))]
                 )
                 metas = []
-                for _, st, sp in subs:
-                    prompt, in_prompt = el_parts(st, sp)
+                for _offset, st, sp, prompt in subs:
                     prompts.append(prompt)
-                    metas.append(in_prompt)
+                    metas.append(flag_cache[(st, tuple(sp))])
                 doc_meta.append(metas)
             responses = model(prompts)
             links_col = []

@@ -49,7 +49,7 @@ from ..kb import NIL, UNAVAILABLE_ENTITY_DESC, KnowledgeBase
 from ..model import resolve_model
 from ..templates import render_el_prompt, render_ner_prompt, render_rel_prompt
 from ..tokenizer import filter_spans
-from .el import LINKS_TYPE, highlight_ents
+from .el import LINKS_TYPE, build_el_prompt, highlight_ents
 from .ner import ENT_TYPE
 from .rel import REL_TYPE, preannotate
 from .sharding import make_shards, shard_for_task
@@ -91,6 +91,12 @@ def annotate_fused(
     """
     if span_format not in ("cot", "v2"):
         raise ValueError(f"Unknown span_format {span_format!r}")
+    if span_format == "v2" and allow_overlap:
+        raise ValueError(
+            "span_format='v2' cannot honor allow_overlap=True: the v2 "
+            "grammar resolves phrases with a global non-overlapping cursor. "
+            "Use the CoT grammar for SpanCat."
+        )
     label_list = split_labels(labels)
     rel_label_list = split_labels(rel_labels)
     norm = NORMALIZERS[normalizer]
@@ -187,51 +193,40 @@ def annotate_fused(
                     subs = (
                         shard_for_task(shard_text, spans, context_length, rel_render)
                         if context_length is not None
-                        else [(0, shard_text, spans)]
+                        else [(0, shard_text, spans, rel_render(shard_text, spans))]
                     )
-                    rel_sub_counts.append([len(sub_spans) for _, _, sub_spans in subs])
-                    rel_prompts.extend(rel_render(st, sp) for _, st, sp in subs)
+                    rel_sub_counts.append(
+                        [len(sub_spans) for _, _, sub_spans, _ in subs]
+                    )
+                    rel_prompts.extend(p for _, _, _, p in subs)
             rel_responses = rel_model(rel_prompts)
 
             # ---- EL per shard (candidate recompute per shard, H4) ----
-            def el_parts(shard_text, spans):
-                span_pos = [(s, e) for s, e, _ in spans]
-                surfaces = [shard_text[s:e] for s, e, _ in spans]
-                cands = [local_kb.get_candidates(s, top_n) for s in surfaces]
-                in_prompt = [bool(c) or not auto_nil for c in cands]
-                mentions = [s for s, ip in zip(surfaces, in_prompt) if ip]
-                cand_blocks = [
-                    [(qid, desc) for qid, _, desc in c]
-                    if c
-                    else [(NIL, UNAVAILABLE_ENTITY_DESC)]
-                    for c, ip in zip(cands, in_prompt)
-                    if ip
-                ]
-                prompt = render_el_prompt(
-                    highlight_ents(shard_text, span_pos, in_prompt),
-                    mentions,
-                    cand_blocks,
-                    examples=el_examples,
+            # build_el_prompt is THE shared EL prompt-side implementation
+            # (operators/el.py); the cache keeps accepted sub-shard prompts
+            # and candidate lookups from running twice
+            el_flag_cache: dict = {}
+
+            def el_render(t, sp):
+                prompt, in_prompt = build_el_prompt(
+                    t, sp, local_kb, top_n, auto_nil, el_examples or []
                 )
-                return prompt, in_prompt
+                el_flag_cache[(t, tuple(sp))] = in_prompt
+                return prompt
 
             el_prompts = []
             el_sub_in_prompt: List[List[List[bool]]] = []  # per shard: per sub
             for shards, shard_spans in zip(doc_shards, doc_shard_spans):
                 for (_offset, shard_text), spans in zip(shards, shard_spans):
                     subs = (
-                        shard_for_task(
-                            shard_text, spans, context_length,
-                            lambda t, sp: el_parts(t, sp)[0],
-                        )
+                        shard_for_task(shard_text, spans, context_length, el_render)
                         if context_length is not None
-                        else [(0, shard_text, spans)]
+                        else [(0, shard_text, spans, el_render(shard_text, spans))]
                     )
                     metas = []
-                    for _, st, sp in subs:
-                        prompt, in_prompt = el_parts(st, sp)
+                    for _off, st, sp, prompt in subs:
                         el_prompts.append(prompt)
-                        metas.append(in_prompt)
+                        metas.append(el_flag_cache[(st, tuple(sp))])
                     el_sub_in_prompt.append(metas)
             el_responses = el_model(el_prompts)
 

@@ -79,6 +79,13 @@ def extract_mentions(
     stage."""
     if span_format not in ("cot", "v2"):
         raise ValueError(f"Unknown span_format {span_format!r}")
+    if span_format == "v2" and allow_overlap:
+        raise ValueError(
+            "span_format='v2' cannot honor allow_overlap=True: the v2 "
+            "grammar resolves phrases with a global non-overlapping cursor "
+            "(reference find_substrings semantics). Use the CoT grammar "
+            "for SpanCat."
+        )
     label_list = split_labels(labels)
     norm = NORMALIZERS[normalizer]
     label_dict = build_label_dict(label_list, norm)

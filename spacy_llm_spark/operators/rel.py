@@ -97,10 +97,12 @@ def extract_relations(
                 subs = (
                     shard_for_task(text or "", ent_tuples, context_length, rel_render)
                     if context_length is not None
-                    else [(0, text or "", ent_tuples)]
+                    else [
+                        (0, text or "", ent_tuples, rel_render(text or "", ent_tuples))
+                    ]
                 )
-                doc_sub_counts.append([len(sp) for _, _, sp in subs])
-                prompts.extend(rel_render(st, sp) for _, st, sp in subs)
+                doc_sub_counts.append([len(sp) for _, _, sp, _ in subs])
+                prompts.extend(p for _, _, _, p in subs)
             responses = model(prompts)
             rels_col = []
             r = 0

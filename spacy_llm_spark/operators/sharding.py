@@ -91,13 +91,15 @@ def shard_for_task(
     context_length: int,
     render: Callable[[str, List[Tuple[int, int, str]]], str],
     buffer_frac: float = 1.1,
-) -> List[Tuple[int, str, List[Tuple[int, int, str]]]]:
+) -> List[Tuple[int, str, List[Tuple[int, int, str]], str]]:
     """Per-task re-sharding (the reference shards EVERY task, e.g.
     tasks/entity_linker/task.py:137-165): a shard sized for the NER prompt
     can overflow for REL/EL, whose prompts add preannotation markers,
     candidate blocks and different instructions. Given a (shard) text and
-    its spans, split into [(char_offset, sub_text, local_spans)] such that
-    ``render(sub_text, local_spans)`` fits ``context_length``.
+    its spans, split into [(char_offset, sub_text, local_spans, prompt)]
+    such that each ``prompt = render(sub_text, local_spans)`` fits
+    ``context_length``. The accepted prompt is RETURNED so callers don't
+    render (and, for EL, run candidate lookups) a second time.
 
     Cuts land on token boundaries and are moved so no span is severed
     (overlapping SpanCat spans included); if a span makes a cut
@@ -106,10 +108,10 @@ def shard_for_task(
     """
     prompt = render(text, spans)
     if estimate_n_tokens(prompt) * buffer_frac <= context_length:
-        return [(0, text, spans)]
+        return [(0, text, spans, prompt)]
     token_spans = [m.span() for m in _WS_TOKEN_RE.finditer(text)]
     if not token_spans:
-        return [(0, text, spans)]
+        return [(0, text, spans, prompt)]
 
     n_tokens = len(token_spans)
 
@@ -119,7 +121,7 @@ def shard_for_task(
         cut = token_spans[end_tok - 1][1]
         return any(s < cut < e for s, e, _ in spans)
 
-    shards: List[Tuple[int, str, List[Tuple[int, int, str]]]] = []
+    shards: List[Tuple[int, str, List[Tuple[int, int, str]], str]] = []
     start_tok = 0
     fraction = 0.5
     while start_tok < n_tokens:
@@ -151,7 +153,7 @@ def shard_for_task(
                         "reduce its size."
                     )
                 frac /= 2
-        shards.append((cs, sub_text, local))
+        shards.append((cs, sub_text, local, prompt))
         start_tok = end_tok
         fraction = 1.0
 

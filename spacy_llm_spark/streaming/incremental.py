@@ -43,7 +43,10 @@ def run_incremental(
 ):
     """Stream the corpus directory into KG sinks.
 
-    Sinks: {output_dir}/mentions, /links, /edges as append-only parquet;
+    Sinks: {output_dir}/mentions, /links, /edges as parquet PARTITIONED BY
+    batch_id (each micro-batch overwrites its own batch_id=N subdir —
+    that per-batch overwrite is what makes a crash-replayed batch
+    exactly-once; readers see batch_id as an extra partition column);
     {output_dir}/_checkpoint holds Spark's streaming offsets (restart-safe)
     AND our processed-keys table (content-level idempotence: re-delivered
     files don't produce duplicate triples).
@@ -101,7 +104,9 @@ def make_batch_processor(
             id_cols = tuple(
                 c for c in ("doc_id", "content_sha256") if c in batch_df.columns
             )
-            annotated = annotate_corpus(batch_df, cfg, kb).localCheckpoint()
+            annotated = annotate_corpus(
+                batch_df, cfg, kb, fused=cfg.fused
+            ).localCheckpoint()
             # Exactly-once under mid-batch crashes: each sink writes into a
             # batch_id=N subdir with OVERWRITE. foreachBatch replays a
             # failed batch with the SAME batch_id (same offsets), so a

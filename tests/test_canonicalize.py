@@ -120,3 +120,10 @@ def test_distributed_cc_large_graph_matches_union_find(spark):
     assert got == expected
     # sanity: chain0+star0, chain1+star1, chain2, and 8 free stars
     assert len(set(expected.values())) == 3 + 8
+
+
+def test_distributed_cc_keeps_self_loop_nodes(spark):
+    """A node appearing only in self-loop edges is a singleton component in
+    BOTH strategies (they must be interchangeable bit-for-bit)."""
+    edges = [("a", "a"), ("b", "c")]
+    assert _cc_map(spark, edges, driver_threshold=0) == _cc_map(spark, edges)

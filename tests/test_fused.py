@@ -195,3 +195,21 @@ def test_fused_fewshot_examples_injected_per_partition(spark, sf_dir):
 
     prompt = render_ner_prompt("t", ["OP"], None, examples)
     assert "use join here" in prompt and "1. join | True | OP | op" in prompt
+
+
+def test_v2_with_overlap_raises(spark):
+    """span_format='v2' cannot express overlapping spans — configuring both
+    must fail loudly, not silently drop SpanCat semantics."""
+    import pytest
+
+    from spacy_llm_spark.operators import ner
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, content string")
+    with pytest.raises(ValueError, match="allow_overlap"):
+        ner.extract_mentions(
+            df,
+            model_spec={"name": "dict_ner_v2", "dictionary": {}},
+            labels=("OP",),
+            span_format="v2",
+            allow_overlap=True,
+        )

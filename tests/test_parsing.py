@@ -257,3 +257,18 @@ def test_lemma_parse():
 def test_sentiment_parse():
     assert parse_sentiment_response("Answer: 0.75") == 0.75
     assert parse_sentiment_response("garbage") is None
+
+
+def test_allow_overlap_same_occurrence_multiple_labels():
+    """SpanCat doc.spans may assign several labels to ONE occurrence; the
+    per-(surface, label) cursor resolves both to the same span position."""
+    from spacy_llm_spark.functions.response_parsers import SpanReason, find_spans_cot
+
+    text = "use the wok now"
+    reasons = [
+        SpanReason(text="wok", is_entity=True, label="TOOL", reason="r"),
+        SpanReason(text="wok", is_entity=True, label="EQUIPMENT", reason="r"),
+    ]
+    spans = find_spans_cot(text, reasons, allow_overlap=True)
+    assert (8, 11, "TOOL") in spans
+    assert (8, 11, "EQUIPMENT") in spans
