@@ -86,3 +86,28 @@ def test_ner_stage_with_sharding(spark):
     ).collect()[0]
     assert len(unsharded.ents) == 120
     assert [e.start for e in sharded.ents] == [e.start for e in unsharded.ents]
+
+
+def test_giant_doc_shards_and_completes(spark):
+    """Mega-file path: one 130k-token doc (mega-repos contain generated
+    files this size) must shard into hundreds of per-task prompts and
+    come back with aligned ents/kb_ids — no quadratic blowup, no loss."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from spacy_llm_spark.kb import build_code_kb
+    from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
+
+    unit = "the quick spark join runs over customer table rows and sort merge happens "
+    text = unit * 10000  # ~130k tokens
+    df = spark.createDataFrame(
+        [("r", "p", "c", "py", text, 0)],
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    t0 = time.time()
+    row = annotate_corpus(df, KGConfig(context_length=500), build_code_kb()).collect()[0]
+    assert len(row.ents) == 6 * 10000  # every dictionary token found
+    assert len(row.kb_ids) == len(row.ents)
+    assert len(row.rels) > 40000
+    assert time.time() - t0 < 120  # linear in shards, not quadratic
