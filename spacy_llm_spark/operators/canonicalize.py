@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..fs import cut_lineage
 from ..kb import NIL
 
 
@@ -69,7 +70,8 @@ def connected_components(
       set converges to per-component stars in O(log n) rounds even on
       high-diameter graphs (a chain of length d needs ~log2(d) rounds,
       where min-label propagation would need d). Lineage is cut per round
-      with localCheckpoint; non-convergence inside ``max_iter`` raises
+      via ``cut_lineage`` (localCheckpoint, or reliable ``checkpoint`` when
+      ``fs.configure_lineage(reliable=True)``); non-convergence raises
       instead of returning wrong labels.
 
     Both strategies label every component by its lexicographically
@@ -102,10 +104,10 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    all_nodes = cut_lineage(all_nodes)
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    e = e0.localCheckpoint()
+    e = cut_lineage(e0)
 
     def _signature(df: DataFrame):
         # cheap fixpoint detector: (row count, order-insensitive hash fold)
@@ -145,7 +147,7 @@ def connected_components(
             .distinct()
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
-        e = small.localCheckpoint()
+        e = cut_lineage(small)
         new_sig = _signature(e)
         if new_sig == sig:
             converged = True
@@ -214,7 +216,7 @@ def canonical_vertices(
             rows, "node string, component string, is_kb boolean"
         )
 
-    pairs = pairs.localCheckpoint()
+    pairs = cut_lineage(pairs)
     edges = pairs.where(F.col("kb_id") != NIL).select(
         F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
         F.col("kb_id").alias("dst"),

@@ -11,7 +11,13 @@ content-addressed doc store probed before every model call
 - reuse       = the checkpoint table itself (already typed results)
 - template guard (cache.py:96-122) = a config-hash stamped into the
   checkpoint directory; mismatch on resume raises, like the reference.
-- stats (cache.py:59-67) = hit/miss counts logged to the metrics table.
+- stats (cache.py:59-67) = hit/miss counts via ``df.observe`` piggybacked
+  on the jobs the stage already runs — zero extra scans (A7).
+
+All metadata side-files (guard, schema manifest, existence probes) go
+through the Hadoop FileSystem API (``..fs``), NOT driver-local POSIX I/O,
+so ``base_path`` may be any registered scheme (file:, hdfs:, s3a:, ...)
+and resumability works wherever the parquet goes.
 
 Idempotency at scale: each run appends only keys absent from the
 checkpoint, so re-running after a mid-job kill never duplicates triples;
@@ -23,22 +29,101 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 import time
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql.types import StructType
+
+from .. import fs
 
 
-@dataclass
+def _obs_rows(obs: Observation) -> Optional[int]:
+    """Non-blocking read of an Observation's ``rows`` metric; ``None`` when
+    unavailable.
+
+    Unavailable covers two cases: (a) no action has touched the observed
+    plan yet, and (b) the metrics were lost — Spark 4.1's AQE drops
+    CollectMetrics results that end up inside an already-materialized query
+    stage and then completes the observation with a schema-less empty row,
+    which makes ``getOrEmpty`` itself NPE. Callers fall back to a count in
+    both cases, so metrics stay correct at the cost of (at most) one extra
+    job per stage — vs. the three unconditional count() scans this design
+    replaced. Observations are therefore attached ONLY at plan roots
+    (``todo``, ``out``), where the stage's own write job reports them
+    reliably."""
+    jo = obs._jo  # noqa: SLF001 — scala Observation (classic mode)
+    if jo is None:
+        return None
+    try:
+        jmap = jo.getOrEmpty()
+    except Exception:  # noqa: BLE001 — py4j NPE on unfired/lost observation
+        return None
+    if jmap.isEmpty():
+        return None
+    it = jmap.iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == "rows":
+            return int(kv._2())
+    return None
+
+
 class StageMetrics:
-    stage: str
-    rows_in: int
-    cache_hits: int
-    rows_processed: int
-    rows_out: int
-    wall_secs: float
+    """Lazily-resolved per-stage counters (A7, reference cache.py:59-67).
+
+    ``rows_processed`` is observed on the todo frame — populated by the
+    persist job the stage already runs (zero extra actions).
+    ``rows_out`` is observed on the returned frame and resolves when the
+    caller consumes it; ``rows_in == rows_out`` by construction (the
+    read-back is an inner key-join against a store that, post-persist,
+    covers every input key exactly once), so no third observation is
+    needed. Reading a metric whose observation hasn't fired (or was lost
+    to the AQE metric-drop quirk — see ``_obs_rows``) triggers one count()
+    and caches the result."""
+
+    def __init__(
+        self,
+        stage: str,
+        obs_todo: Observation,
+        obs_out: Observation,
+        todo_df: DataFrame,
+        out_df: DataFrame,
+        wall_secs: float,
+    ):
+        self.stage = stage
+        self._obs_todo = obs_todo
+        self._obs_out = obs_out
+        self._todo_df = todo_df
+        self._out_df = out_df
+        self._resolved: dict = {}
+        self.wall_secs = wall_secs
+
+    def _resolve(self, name: str, obs: Observation, df: DataFrame) -> int:
+        if name not in self._resolved:
+            value = _obs_rows(obs)
+            if value is None:
+                value = df.count()
+            self._resolved[name] = value
+        return self._resolved[name]
+
+    @property
+    def rows_in(self) -> int:
+        return self.rows_out
+
+    @property
+    def rows_processed(self) -> int:
+        return self._resolve("todo", self._obs_todo, self._todo_df)
+
+    @property
+    def cache_hits(self) -> int:
+        return self.rows_in - self.rows_processed
+
+    @property
+    def rows_out(self) -> int:
+        return self._resolve("out", self._obs_out, self._out_df)
 
 
 @dataclass
@@ -48,33 +133,44 @@ class CheckpointManager:
     metrics: List[StageMetrics] = field(default_factory=list)
 
     def _stage_dir(self, stage: str) -> str:
-        return os.path.join(self.base_path, stage)
+        return posixpath.join(self.base_path, stage)
 
     def _guard_path(self, stage: str) -> str:
-        return os.path.join(self.base_path, f"{stage}.config.json")
+        return posixpath.join(self.base_path, f"{stage}.config.json")
 
     def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self.base_path, f"{stage}.schema.json")
+        return posixpath.join(self.base_path, f"{stage}.schema.json")
 
-    def _write_manifest(self, stage: str, ann_cols: list, dropped: list) -> None:
-        os.makedirs(self.base_path, exist_ok=True)
-        with open(self._manifest_path(stage), "w") as f:
-            json.dump({"annotation_cols": ann_cols, "dropped_input_cols": dropped}, f)
+    def _write_manifest(
+        self, spark: SparkSession, stage: str, ann_cols: list, dropped: list,
+        schema_json: str,
+    ) -> None:
+        fs.mkdirs(spark, self.base_path)
+        fs.write_text(
+            spark,
+            self._manifest_path(stage),
+            json.dumps(
+                {
+                    "annotation_cols": ann_cols,
+                    "dropped_input_cols": dropped,
+                    "schema": schema_json,
+                }
+            ),
+        )
 
-    def _read_manifest(self, stage: str) -> tuple:
-        with open(self._manifest_path(stage)) as f:
-            m = json.load(f)
-        return m["annotation_cols"], m["dropped_input_cols"]
+    def _read_manifest(self, spark: SparkSession, stage: str) -> dict:
+        return json.loads(fs.read_text(spark, self._manifest_path(stage)))
 
-    def _check_guard(self, stage: str, config_fingerprint: Optional[str]) -> None:
+    def _check_guard(
+        self, spark: SparkSession, stage: str, config_fingerprint: Optional[str]
+    ) -> None:
         """Prompt-template guard analog (cache.py:96-122): refuse to resume
         a checkpoint produced under a different stage config."""
         if config_fingerprint is None:
             return
         path = self._guard_path(stage)
-        if os.path.exists(path):
-            with open(path) as f:
-                stored = json.load(f)["fingerprint"]
+        if fs.exists(spark, path):
+            stored = json.loads(fs.read_text(spark, path))["fingerprint"]
             if stored != config_fingerprint:
                 raise ValueError(
                     f"Checkpoint for stage '{stage}' was written with a "
@@ -83,9 +179,8 @@ class CheckpointManager:
                     f"{self._stage_dir(stage)} to reprocess."
                 )
         else:
-            os.makedirs(self.base_path, exist_ok=True)
-            with open(path, "w") as f:
-                json.dump({"fingerprint": config_fingerprint}, f)
+            fs.mkdirs(spark, self.base_path)
+            fs.write_text(spark, path, json.dumps({"fingerprint": config_fingerprint}))
 
     def run_stage(
         self,
@@ -138,16 +233,42 @@ class CheckpointManager:
             if config is not None
             else None
         )
-        self._check_guard(stage, fingerprint)
+        self._check_guard(spark, stage, fingerprint)
 
-        rows_in = input_df.count()
-        existing: Optional[DataFrame] = None
-        if _parquet_exists(path):
-            existing = spark.read.parquet(path)
+        has_ckpt = fs.parquet_exists(spark, path)
+        has_manifest = fs.exists(spark, self._manifest_path(stage))
+        if has_ckpt and not has_manifest:
+            # parquet without a schema manifest = a checkpoint written by a
+            # pre-manifest version (full rows, identity baked in). Refuse
+            # BEFORE doing any work: appending ann-only rows next to
+            # full-row files would mix two schemas in one directory and
+            # the read-back would silently pick one footer's schema.
+            raise ValueError(
+                f"Checkpoint at {path} predates the manifest format "
+                f"(missing {self._manifest_path(stage)}); clear the stage "
+                "directory to reprocess."
+            )
+        manifest = self._read_manifest(spark, stage) if has_manifest else None
 
-        if existing is not None:
+        obs_todo = Observation()
+        obs_out = Observation()
+
+        def _read_stored() -> DataFrame:
+            # explicit schema from the manifest: no footer-inference job,
+            # and a checkpoint holding only _SUCCESS (a committed empty
+            # write) still reads back with the right columns
+            reader = spark.read
+            if manifest is not None and manifest.get("schema"):
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(manifest["schema"]))
+                )
+            return reader.parquet(path)
+
+        if has_ckpt:
             todo = input_df.join(
-                existing.select(self.key_col), on=self.key_col, how="left_anti"
+                _read_stored().select(self.key_col),
+                on=self.key_col,
+                how="left_anti",
             )
         else:
             todo = input_df
@@ -156,10 +277,12 @@ class CheckpointManager:
         # results, so process each key once per run (real corpora are full
         # of duplicate files — vendored deps, forks). The read-back below
         # is keyed dedup anyway; this just avoids redundant model work.
-        todo = todo.dropDuplicates([self.key_col])
-        rows_todo = todo.count()
+        todo = todo.dropDuplicates([self.key_col]).observe(
+            obs_todo, F.count(F.lit(1)).alias("rows")
+        )
 
         def _persist(res: DataFrame) -> None:
+            nonlocal manifest
             # persist only key + annotation columns (manifest-recorded);
             # identity columns are re-attached from the input on read.
             ann_cols = [
@@ -168,50 +291,53 @@ class CheckpointManager:
                 if c == self.key_col or c not in input_df.columns
             ]
             dropped = [c for c in input_df.columns if c not in res.columns]
-            if not os.path.exists(self._manifest_path(stage)):
-                self._write_manifest(stage, ann_cols, dropped)
-            res.select(*ann_cols).write.mode("append").parquet(path)
+            selected = res.select(*ann_cols)
+            if manifest is None:
+                self._write_manifest(
+                    spark, stage, ann_cols, dropped, selected.schema.json()
+                )
+                manifest = self._read_manifest(spark, stage)
+            selected.write.mode("append").parquet(path)
 
-        if rows_todo > 0:
-            if micro_batches and micro_batches > 1:
-                bucket = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(micro_batches))
-                todo = todo.withColumn("_bucket", bucket).localCheckpoint()
+        todo_for_metrics = todo
+        if micro_batches and micro_batches > 1:
+            from ..fs import cut_lineage
+
+            bucket = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(micro_batches))
+            todo_mat = cut_lineage(todo.withColumn("_bucket", bucket))
+            todo_for_metrics = todo_mat
+            # the eager lineage cut may or may not report the observation
+            # (RDD-level action) — counting the materialized blocks is cheap
+            n_todo = _obs_rows(obs_todo)
+            if n_todo is None:
+                n_todo = todo_mat.count()
+            if n_todo > 0:
                 for b in range(micro_batches):
-                    chunk = todo.where(F.col("_bucket") == b).drop("_bucket")
+                    chunk = todo_mat.where(F.col("_bucket") == b).drop("_bucket")
                     _persist(fn(chunk))
-            else:
-                _persist(fn(todo))
-
-        if os.path.exists(self._manifest_path(stage)):
-            _, dropped_cols = self._read_manifest(stage)
-            stored = spark.read.parquet(path)
-            # key-level dedup guards against a retried append (exactly-once read)
-            stored = stored.dropDuplicates([self.key_col])
-            out = input_df.drop(*dropped_cols).join(
-                stored, on=self.key_col, how="inner"
-            )
-        elif _parquet_exists(path):
-            # parquet without a schema manifest = a checkpoint written by a
-            # pre-manifest version (full rows, identity baked in). Refuse
-            # loudly: mixing formats would silently corrupt the read-back.
-            raise ValueError(
-                f"Checkpoint at {path} predates the manifest format "
-                f"(missing {self._manifest_path(stage)}); clear the stage "
-                "directory to reprocess."
-            )
+            elif manifest is None:
+                # nothing to do but the manifest must exist for read-back
+                _persist(fn(todo_mat.where(F.lit(False)).drop("_bucket")))
         else:
-            # empty input against a never-written checkpoint: still return
-            # the stage's OUTPUT schema (fn on an empty frame builds the
-            # plan only) so downstream selects don't break
-            out = fn(input_df.where(F.lit(False)))
-        rows_out = out.count()
+            # Always run the persist job — an all-cached rerun appends an
+            # empty commit, and that single job is what populates
+            # rows_in/rows_processed (no separate count() scans).
+            _persist(fn(todo))
+
+        dropped_cols = manifest["dropped_input_cols"]
+        # key-level dedup guards against a retried append (exactly-once read)
+        stored = _read_stored().dropDuplicates([self.key_col])
+        out = input_df.drop(*dropped_cols).join(
+            stored, on=self.key_col, how="inner"
+        )
+        out = out.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         self.metrics.append(
             StageMetrics(
                 stage=stage,
-                rows_in=rows_in,
-                cache_hits=rows_in - rows_todo,
-                rows_processed=rows_todo,
-                rows_out=rows_out,
+                obs_todo=obs_todo,
+                obs_out=obs_out,
+                todo_df=todo_for_metrics,
+                out_df=out,
                 wall_secs=time.time() - t0,
             )
         )
@@ -230,11 +356,5 @@ class CheckpointManager:
 
     def write_metrics(self, spark: SparkSession) -> None:
         self.metrics_df(spark).write.mode("append").parquet(
-            os.path.join(self.base_path, "_metrics")
+            posixpath.join(self.base_path, "_metrics")
         )
-
-
-def _parquet_exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        name.endswith(".parquet") or name == "_SUCCESS" for name in os.listdir(path)
-    )

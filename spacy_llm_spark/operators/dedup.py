@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..fs import cut_lineage
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 logger = logging.getLogger(__name__)
@@ -205,7 +207,7 @@ def minhash_lsh_dup_pairs(
     )
     # materialize once: the self-join would otherwise run the signature
     # kernel (and the cap shuffle) twice, once per side
-    banded = banded.localCheckpoint()
+    banded = cut_lineage(banded)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -403,7 +405,7 @@ def embedding_dup_pairs(
     )
     # materialize once: the self-join would otherwise run the signature
     # matmul kernel (and the cap shuffle) twice, once per side
-    banded = banded.localCheckpoint()
+    banded = cut_lineage(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

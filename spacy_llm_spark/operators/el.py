@@ -123,7 +123,10 @@ def link_entities(
         local_kb = KnowledgeBase.from_json(kb_bc.value)
         # the render closure stashes in_prompt per (text, spans) so the
         # prompt returned by shard_for_task is never re-rendered (and the
-        # KB candidate lookups never re-run) for accepted sub-shards
+        # KB candidate lookups never re-run) for accepted sub-shards.
+        # Scoped PER BATCH (reset below, matching fused.py): keys hold the
+        # full document text, so a task-lifetime cache would pin every doc
+        # of the partition in executor memory.
         flag_cache: dict = {}
 
         def el_render(t, sp):
@@ -134,6 +137,7 @@ def link_entities(
             return prompt
 
         for pdf in batches:
+            flag_cache.clear()
             prompts = []
             doc_meta = []  # per doc: list of in_prompt flags per sub-shard
             for text, ents in zip(pdf[text_col], pdf[ents_col]):

@@ -28,6 +28,7 @@ from .operators import el as el_op
 from .operators import materialize as mat
 from .operators import ner as ner_op
 from .operators import rel as rel_op
+from .fs import cut_lineage
 from .operators.checkpoint import CheckpointManager
 
 
@@ -266,7 +267,7 @@ def run_pipeline(
         # serialized blocks (localCheckpoint), NOT the columnar cache —
         # InMemoryRelation scans of nested array<struct> columns are
         # several times slower than recomputing (measured).
-        annotated = annotate_corpus(corpus, cfg, kb, fused=cfg.fused).localCheckpoint()
+        annotated = cut_lineage(annotate_corpus(corpus, cfg, kb, fused=cfg.fused))
 
     id_cols = ("doc_id", "content_sha256") if "doc_id" in corpus.columns else (
         "content_sha256",

@@ -20,12 +20,14 @@ a per-batch error handler (llm.py:202-207). Spark translation:
 
 from __future__ import annotations
 
-import os
+import posixpath
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs
+from ..fs import cut_lineage
 from ..kb import KnowledgeBase, build_code_kb
 from ..pipeline import KGConfig, annotate_corpus
 from ..operators import materialize as mat
@@ -67,7 +69,7 @@ def run_incremental(
     process_batch = make_batch_processor(spark, output_dir, cfg, kb)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", os.path.join(output_dir, "_checkpoint")
+        "checkpointLocation", posixpath.join(output_dir, "_checkpoint")
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
@@ -86,27 +88,31 @@ def make_batch_processor(
     must leave the sinks exactly as a single call would."""
     cfg = cfg or KGConfig()
     kb = kb or build_code_kb()
-    processed_keys_path = os.path.join(output_dir, "_processed_keys")
+    processed_keys_path = posixpath.join(output_dir, "_processed_keys")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
             # content-level idempotence: drop rows whose sha is already in
-            # the processed-keys table (reference cache probe, F1)
-            if os.path.isdir(processed_keys_path) and any(
-                f.endswith(".parquet") or f == "_SUCCESS"
-                for f in os.listdir(processed_keys_path)
-            ):
-                seen = spark.read.parquet(processed_keys_path)
+            # the processed-keys table (reference cache probe, F1). Only
+            # COMMITTED key batches count — a crash mid-write of a keys
+            # subdir leaves no _SUCCESS, so its keys are NOT treated as
+            # processed and the replay regenerates the whole batch instead
+            # of silently erasing the partially-claimed docs' sink rows.
+            # Probes go through the Hadoop FS API: output_dir may be any
+            # scheme (file:, hdfs:, s3a:, ...).
+            committed = fs.committed_subdirs(spark, processed_keys_path)
+            if committed:
+                seen = spark.read.parquet(*committed).select("content_sha256")
                 batch_df = batch_df.join(seen, "content_sha256", "left_anti")
-            batch_df = batch_df.localCheckpoint()
+            batch_df = cut_lineage(batch_df)
             if batch_df.isEmpty():
                 return
             id_cols = tuple(
                 c for c in ("doc_id", "content_sha256") if c in batch_df.columns
             )
-            annotated = annotate_corpus(
-                batch_df, cfg, kb, fused=cfg.fused
-            ).localCheckpoint()
+            annotated = cut_lineage(
+                annotate_corpus(batch_df, cfg, kb, fused=cfg.fused)
+            )
             # Exactly-once under mid-batch crashes: each sink writes into a
             # batch_id=N subdir with OVERWRITE. foreachBatch replays a
             # failed batch with the SAME batch_id (same offsets), so a
@@ -115,21 +121,26 @@ def make_batch_processor(
             # marker goes LAST: written only once all sinks are committed,
             # so a crash anywhere earlier replays the whole batch (safe),
             # and a crash after it makes the replay a no-op (anti-join).
+            # Keys also land in a per-batch_id subdir with OVERWRITE (not a
+            # shared append dir): a replayed keys write can never leave a
+            # mixed old/new state.
             for name, table in (
                 ("mentions", mat.mentions_table(annotated, id_cols)),
                 ("links", mat.links_table(annotated, id_cols)),
                 ("edges", mat.edges_table(annotated, id_cols)),
             ):
                 table.write.mode("overwrite").parquet(
-                    os.path.join(output_dir, name, f"batch_id={batch_id}")
+                    posixpath.join(output_dir, name, f"batch_id={batch_id}")
                 )
             annotated.select("content_sha256").distinct().write.mode(
-                "append"
-            ).parquet(processed_keys_path)
+                "overwrite"
+            ).parquet(
+                posixpath.join(processed_keys_path, f"batch_id={batch_id}")
+            )
         except Exception as exc:  # noqa: BLE001 — per-batch error handler
             # quarantine the batch, keep the stream alive (llm.py:202-207)
             batch_df.write.mode("append").parquet(
-                os.path.join(output_dir, "_quarantine", f"batch_{batch_id}")
+                posixpath.join(output_dir, "_quarantine", f"batch_{batch_id}")
             )
             print(f"[stream] batch {batch_id} quarantined: {exc}")
 
