@@ -178,6 +178,7 @@ def find_spans_cot(
     case_sensitive: bool = False,
     alignment_mode: str = "contract",
     allow_overlap: bool = False,
+    overlap_mode: str = "per_surface",
 ) -> List[Tuple[int, int, str]]:
     """Incremental left-to-right span resolution with a find_after cursor.
 
@@ -185,21 +186,32 @@ def find_spans_cot(
     spans advance the cursor; result is sorted + deduped. Regression cases
     pinned by tests/tasks/test_ner.py:908-974 (repeated "Paris", commas).
 
-    ``allow_overlap=True`` (SpanCat, our extension — the reference parser
-    is non-overlapping-only) uses a PER-SURFACE cursor instead of the
-    global one: the k-th response line carrying surface X resolves to the
-    k-th occurrence of X in the text, regardless of interleaved lines for
-    other (possibly overlapping) surfaces. A single global cursor cannot
-    express dense overlapping repeats ("join join join" with pair spans).
+    ``allow_overlap=True`` (SpanCat) has two cursor disciplines:
+
+    - ``overlap_mode='per_surface'`` (default — an INTENTIONAL divergence
+      from the reference, excluded from the parity matrix): the k-th
+      response line carrying surface X resolves to the k-th occurrence of
+      X, regardless of interleaved lines for other (possibly overlapping)
+      surfaces. A single global cursor cannot express dense overlapping
+      repeats ("join join join" with pair spans), and it silently drops
+      spans when the LLM emits lines out of text order.
+    - ``overlap_mode='reference'``: byte-parity with the reference's
+      global cursor, which on append rewinds only to ``span.start_char``
+      (span/parser.py:152, ``find_after = span.start_char if
+      task.allow_overlap else span.end_char``). Out-of-order responses
+      (e.g. lines ['c', 'a'] over text 'a b c') drop the earlier span,
+      exactly as the reference does.
     """
     if alignment_mode not in ("strict", "contract", "expand"):
         raise ValueError(f"Unsupported alignment mode '{alignment_mode}'.")
+    if overlap_mode not in ("per_surface", "reference"):
+        raise ValueError(f"Unsupported overlap mode '{overlap_mode}'.")
     index = TokenIndex(text)
     # case-fold once (find_substrings folds per call; this loop calls it
     # once per mention, which dominated the kernel profile)
     haystack = text if case_sensitive else text.lower()
 
-    if allow_overlap:
+    if allow_overlap and overlap_mode == "per_surface":
         # keyed by (surface, label): the k-th line with surface X and
         # label L is X's k-th occurrence — so the SAME occurrence may
         # legitimately carry several labels (SpanCat doc.spans semantics)
@@ -245,7 +257,9 @@ def find_spans_cot(
             find_after = span[1]
             continue
         spans.append(span)
-        find_after = span[1]
+        # reference overlap semantics rewind the cursor to the span START
+        # so the next line may overlap this one (span/parser.py:152)
+        find_after = span[0] if allow_overlap else span[1]
         prev_span = span
         idx += 1
     return sorted(set(spans))
@@ -260,6 +274,7 @@ def parse_ner_v3(
     case_sensitive_matching: bool = False,
     alignment_mode: str = "contract",
     allow_overlap: bool = False,
+    overlap_mode: str = "per_surface",
 ) -> List[Tuple[int, int, str]]:
     """Full NER v3 parse: CoT extract -> incremental find -> aligned spans."""
     reasons = extract_span_reasons_cot(response, label_dict, normalizer)
@@ -269,6 +284,7 @@ def parse_ner_v3(
         case_sensitive=case_sensitive_matching,
         alignment_mode=alignment_mode,
         allow_overlap=allow_overlap,
+        overlap_mode=overlap_mode,
     )
 
 

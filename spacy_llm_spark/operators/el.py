@@ -33,6 +33,7 @@ from ..functions.response_parsers import attach_el_solutions, parse_el_solutions
 from ..kb import NIL, UNAVAILABLE_ENTITY_DESC, KnowledgeBase
 from ..model import resolve_model
 from ..templates import render_el_prompt
+from .ner import IO_TYPE
 
 LINKS_TYPE = ArrayType(StringType())
 
@@ -105,6 +106,7 @@ def link_entities(
     examples: list | None = None,
     out_col: str = "kb_ids",
     context_length: Optional[int] = None,
+    save_io: bool = False,
 ) -> DataFrame:
     """Append ``kb_ids``: one KB id (or NIL) per entry of ``ents``. With
     ``context_length`` set, oversized docs are sub-sharded per task
@@ -113,7 +115,10 @@ def link_entities(
     entity order."""
     spark = df.sparkSession
     kb_bc = spark.sparkContext.broadcast(kb.to_json())
-    out_schema = StructType(df.schema.fields + [StructField(out_col, LINKS_TYPE)])
+    out_fields = df.schema.fields + [StructField(out_col, LINKS_TYPE)]
+    if save_io:
+        out_fields.append(StructField("el_io", IO_TYPE))
+    out_schema = StructType(out_fields)
     examples = examples or []
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -140,6 +145,7 @@ def link_entities(
             flag_cache.clear()
             prompts = []
             doc_meta = []  # per doc: list of in_prompt flags per sub-shard
+            prompt_bounds = []  # per doc: (start, end) slice into prompts
             for text, ents in zip(pdf[text_col], pdf[ents_col]):
                 text = text or ""
                 span_tuples = [(e["start"], e["end"], e["label"]) for e in ents]
@@ -149,10 +155,12 @@ def link_entities(
                     else [(0, text, span_tuples, el_render(text, span_tuples))]
                 )
                 metas = []
+                p0 = len(prompts)
                 for _offset, st, sp, prompt in subs:
                     prompts.append(prompt)
                     metas.append(flag_cache[(st, tuple(sp))])
                 doc_meta.append(metas)
+                prompt_bounds.append((p0, len(prompts)))
             responses = model(prompts)
             links_col = []
             r = 0
@@ -168,6 +176,11 @@ def link_entities(
                 links_col.append(attached_all)
             out = pdf.copy()
             out[out_col] = links_col
+            if save_io:
+                out["el_io"] = [
+                    {"prompts": prompts[a:b], "responses": responses[a:b]}
+                    for a, b in prompt_bounds
+                ]
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)

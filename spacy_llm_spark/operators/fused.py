@@ -34,7 +34,7 @@ from typing import Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import MapType, StringType, StructField, StructType
 
 from ..functions.normalizers import NORMALIZERS, build_label_dict, split_labels
 from ..functions.response_parsers import (
@@ -50,7 +50,7 @@ from ..model import resolve_model
 from ..templates import render_el_prompt, render_ner_prompt, render_rel_prompt
 from ..tokenizer import filter_spans
 from .el import LINKS_TYPE, build_el_prompt, highlight_ents
-from .ner import ENT_TYPE
+from .ner import ENT_TYPE, IO_TYPE
 from .rel import REL_TYPE, preannotate
 from .sharding import make_shards, shard_for_task
 
@@ -78,6 +78,7 @@ def annotate_fused(
     rel_examples: Optional[list] = None,
     el_examples: Optional[list] = None,
     definitions: Optional[dict] = None,
+    save_io: bool = False,
 ) -> DataFrame:
     """Append ents + rels + kb_ids in a single narrow pass.
 
@@ -88,6 +89,12 @@ def annotate_fused(
     kernel's input): the text dominates the Arrow return payload and the
     downstream tables never read it — they carry content_sha256 for
     parity/joins. At 100 TB this halves the checkpoint volume.
+
+    ``save_io=True`` appends ``llm_io``: map task-name -> per-(sub-)shard
+    raw prompt/response string lists, the Spark shape of the reference's
+    ``doc.user_data["llm_io"][component]`` retention option
+    (pipeline/llm.py:295-314). Off by default — the strings dominate the
+    payload and exist only for production debugging/audit.
     """
     if span_format not in ("cot", "v2"):
         raise ValueError(f"Unknown span_format {span_format!r}")
@@ -102,14 +109,14 @@ def annotate_fused(
     norm = NORMALIZERS[normalizer]
     label_dict = build_label_dict(label_list, norm)
     kept_fields = [f for f in df.schema.fields if not (drop_text and f.name == text_col)]
-    out_schema = StructType(
-        kept_fields
-        + [
-            StructField("ents", ENT_TYPE),
-            StructField("rels", REL_TYPE),
-            StructField("kb_ids", LINKS_TYPE),
-        ]
-    )
+    out_fields = kept_fields + [
+        StructField("ents", ENT_TYPE),
+        StructField("rels", REL_TYPE),
+        StructField("kb_ids", LINKS_TYPE),
+    ]
+    if save_io:
+        out_fields.append(StructField("llm_io", MapType(StringType(), IO_TYPE)))
+    out_schema = StructType(out_fields)
     spark = df.sparkSession
     kb_bc = spark.sparkContext.broadcast(kb.to_json())
 
@@ -149,6 +156,7 @@ def annotate_fused(
             # ---- shard fan-out (local, H2) ----
             doc_shards: List[List[Tuple[int, str]]] = []
             ner_prompts = []
+            ner_bounds = []  # per doc: (start, end) slice into ner_prompts
             for text in texts:
                 shards = (
                     make_shards(text, context_length, render_ner)
@@ -156,9 +164,11 @@ def annotate_fused(
                     else [(0, text)]
                 )
                 doc_shards.append(shards)
+                p0 = len(ner_prompts)
                 ner_prompts.extend(
                     render_ner(s, i, len(shards)) for i, (_, s) in enumerate(shards)
                 )
+                ner_bounds.append((p0, len(ner_prompts)))
 
             # ---- NER per shard ----
             ner_responses = ner_model(ner_prompts)
@@ -188,7 +198,9 @@ def annotate_fused(
 
             rel_prompts = []
             rel_sub_counts: List[List[int]] = []  # per shard: n_ents per sub
+            rel_bounds = []  # per doc: (start, end) slice into rel_prompts
             for shards, shard_spans in zip(doc_shards, doc_shard_spans):
+                p0 = len(rel_prompts)
                 for (_offset, shard_text), spans in zip(shards, shard_spans):
                     subs = (
                         shard_for_task(shard_text, spans, context_length, rel_render)
@@ -199,6 +211,7 @@ def annotate_fused(
                         [len(sub_spans) for _, _, sub_spans, _ in subs]
                     )
                     rel_prompts.extend(p for _, _, _, p in subs)
+                rel_bounds.append((p0, len(rel_prompts)))
             rel_responses = rel_model(rel_prompts)
 
             # ---- EL per shard (candidate recompute per shard, H4) ----
@@ -216,7 +229,9 @@ def annotate_fused(
 
             el_prompts = []
             el_sub_in_prompt: List[List[List[bool]]] = []  # per shard: per sub
+            el_bounds = []  # per doc: (start, end) slice into el_prompts
             for shards, shard_spans in zip(doc_shards, doc_shard_spans):
+                p0 = len(el_prompts)
                 for (_offset, shard_text), spans in zip(shards, shard_spans):
                     subs = (
                         shard_for_task(shard_text, spans, context_length, el_render)
@@ -228,6 +243,7 @@ def annotate_fused(
                         el_prompts.append(prompt)
                         metas.append(el_flag_cache[(st, tuple(sp))])
                     el_sub_in_prompt.append(metas)
+                el_bounds.append((p0, len(el_prompts)))
             el_responses = el_model(el_prompts)
 
             # ---- merge shards back to doc coordinates (A1/H3) ----
@@ -286,6 +302,26 @@ def annotate_fused(
             out["ents"] = ents_col
             out["rels"] = rels_col
             out["kb_ids"] = links_col
+            if save_io:
+                out["llm_io"] = [
+                    {
+                        "ner": {
+                            "prompts": ner_prompts[na:nb],
+                            "responses": ner_responses[na:nb],
+                        },
+                        "rel": {
+                            "prompts": rel_prompts[ra:rb],
+                            "responses": rel_responses[ra:rb],
+                        },
+                        "el": {
+                            "prompts": el_prompts[ea:eb],
+                            "responses": el_responses[ea:eb],
+                        },
+                    }
+                    for (na, nb), (ra, rb), (ea, eb) in zip(
+                        ner_bounds, rel_bounds, el_bounds
+                    )
+                ]
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)

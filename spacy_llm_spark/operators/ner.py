@@ -55,6 +55,15 @@ ENT_TYPE = ArrayType(
     )
 )
 
+# save_io payload (reference pipeline/llm.py:295-314: user_data["llm_io"]
+# holds per-shard prompt/response string lists per component)
+IO_TYPE = StructType(
+    [
+        StructField("prompts", ArrayType(StringType())),
+        StructField("responses", ArrayType(StringType())),
+    ]
+)
+
 
 def extract_mentions(
     df: DataFrame,
@@ -66,17 +75,24 @@ def extract_mentions(
     alignment_mode: str = "contract",
     case_sensitive_matching: bool = False,
     allow_overlap: bool = False,
+    overlap_mode: str = "per_surface",
     context_length: Optional[int] = None,
     definitions: Optional[dict] = None,
     examples: Optional[list] = None,
     out_col: str = "ents",
     span_format: str = "cot",
+    save_io: bool = False,
 ) -> DataFrame:
     """Append an ``ents`` column of aligned, de-overlapped entity spans.
 
     ``span_format``: 'cot' parses NER v3 chain-of-thought lines (P3);
     'v2' parses ``LABEL: phrase, phrase`` lines (P2), same as the fused
-    stage."""
+    stage.
+
+    ``save_io=True`` additionally appends ``ner_io`` — the raw per-shard
+    prompt/response strings (the reference's save_io option,
+    pipeline/llm.py:295-314) for production debugging; off by default
+    because the strings dominate the output payload."""
     if span_format not in ("cot", "v2"):
         raise ValueError(f"Unknown span_format {span_format!r}")
     if span_format == "v2" and allow_overlap:
@@ -89,7 +105,10 @@ def extract_mentions(
     label_list = split_labels(labels)
     norm = NORMALIZERS[normalizer]
     label_dict = build_label_dict(label_list, norm)
-    out_schema = StructType(df.schema.fields + [StructField(out_col, ENT_TYPE)])
+    out_fields = df.schema.fields + [StructField(out_col, ENT_TYPE)]
+    if save_io:
+        out_fields.append(StructField("ner_io", IO_TYPE))
+    out_schema = StructType(out_fields)
     examples = examples or []
     definitions = definitions or {}
 
@@ -104,6 +123,7 @@ def extract_mentions(
             # 1. shard fan-out (local; H2) and prompt render (M1)
             doc_shards = []  # per doc: list[(offset, shard_text)]
             prompts = []
+            prompt_bounds = []  # per doc: (start, end) slice into prompts
             for text in texts:
                 text = text or ""
                 if context_length is not None:
@@ -111,9 +131,11 @@ def extract_mentions(
                 else:
                     shards = [(0, text)]
                 doc_shards.append(shards)
+                p0 = len(prompts)
                 prompts.extend(
                     render(s, i, len(shards)) for i, (_, s) in enumerate(shards)
                 )
+                prompt_bounds.append((p0, len(prompts)))
             # 2. one batched model call per Arrow batch (X1/R3)
             responses = model(prompts)
             # 3. parse + align per shard, reduce per doc (P3/P4/A1), O4
@@ -132,6 +154,7 @@ def extract_mentions(
                             case_sensitive=case_sensitive_matching,
                             alignment_mode=alignment_mode,
                             allow_overlap=allow_overlap,
+                            overlap_mode=overlap_mode,
                         )
                     else:
                         spans = parse_span_response_v2(
@@ -163,6 +186,11 @@ def extract_mentions(
                 )
             out = pdf.copy()
             out[out_col] = ents_col
+            if save_io:
+                out["ner_io"] = [
+                    {"prompts": prompts[a:b], "responses": responses[a:b]}
+                    for a, b in prompt_bounds
+                ]
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 from ..functions.response_parsers import parse_rel_response
 from ..model import resolve_model
 from ..templates import render_rel_prompt
+from .ner import IO_TYPE
 
 REL_TYPE = ArrayType(
     StructType(
@@ -70,6 +71,7 @@ def extract_relations(
     examples: Optional[list] = None,
     out_col: str = "rels",
     context_length: Optional[int] = None,
+    save_io: bool = False,
 ) -> DataFrame:
     """Append a ``rels`` column of (dep, dest, relation) items whose indices
     reference the ``ents`` array (bounds-checked, F3). With
@@ -79,7 +81,10 @@ def extract_relations(
     from .sharding import shard_for_task
 
     label_list = split_labels(labels)
-    out_schema = StructType(df.schema.fields + [StructField(out_col, REL_TYPE)])
+    out_fields = df.schema.fields + [StructField(out_col, REL_TYPE)]
+    if save_io:
+        out_fields.append(StructField("rel_io", IO_TYPE))
+    out_schema = StructType(out_fields)
     examples = examples or []
     definitions = definitions or {}
 
@@ -92,6 +97,7 @@ def extract_relations(
         for pdf in batches:
             prompts = []
             doc_sub_counts = []  # per doc: n_ents per sub-shard
+            prompt_bounds = []  # per doc: (start, end) slice into prompts
             for text, ents in zip(pdf[text_col], pdf[ents_col]):
                 ent_tuples = [(e["start"], e["end"], e["label"]) for e in ents]
                 subs = (
@@ -102,7 +108,9 @@ def extract_relations(
                     ]
                 )
                 doc_sub_counts.append([len(sp) for _, _, sp, _ in subs])
+                p0 = len(prompts)
                 prompts.extend(p for _, _, _, p in subs)
+                prompt_bounds.append((p0, len(prompts)))
             responses = model(prompts)
             rels_col = []
             r = 0
@@ -120,6 +128,11 @@ def extract_relations(
                 rels_col.append(rels)
             out = pdf.copy()
             out[out_col] = rels_col
+            if save_io:
+                out["rel_io"] = [
+                    {"prompts": prompts[a:b], "responses": responses[a:b]}
+                    for a, b in prompt_bounds
+                ]
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)

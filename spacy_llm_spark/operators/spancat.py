@@ -33,9 +33,15 @@ def extract_spans(
     definitions: Optional[dict] = None,
     examples: Optional[list] = None,
     out_col: str = "spans",
+    overlap_mode: str = "per_surface",
 ) -> DataFrame:
     """Append a ``spans`` column of aligned, possibly-overlapping spans
-    (sorted by (start, end, label), exact duplicates removed)."""
+    (sorted by (start, end, label), exact duplicates removed).
+
+    ``overlap_mode``: 'per_surface' (default; our more-robust cursor
+    discipline — intentional divergence, documented in find_spans_cot) or
+    'reference' (byte-parity with the reference's global start-rewind
+    cursor, span/parser.py:152)."""
     return extract_mentions(
         df,
         model_spec=model_spec,
@@ -45,6 +51,7 @@ def extract_spans(
         alignment_mode=alignment_mode,
         case_sensitive_matching=case_sensitive_matching,
         allow_overlap=True,
+        overlap_mode=overlap_mode,
         context_length=context_length,
         definitions=definitions,
         examples=examples,

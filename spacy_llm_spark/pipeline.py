@@ -52,6 +52,7 @@ class KGConfig:
     # few-shot prompt examples (driver-side constants, broadcast into the
     # render kernels; load with sources.readers.fewshot_reader)
     micro_batches: Optional[int] = None  # per-partition checkpoint granularity
+    save_io: bool = False  # retain raw prompt/response columns (llm_io)
     ner_examples: Optional[list] = None
     rel_examples: Optional[list] = None
     el_examples: Optional[list] = None
@@ -84,6 +85,7 @@ class KGConfig:
                 "span_format": self.span_format,
                 "allow_overlap": self.allow_overlap,
                 "fused": self.fused,
+                "save_io": self.save_io,
             },
             sort_keys=True,
         )
@@ -107,6 +109,9 @@ class KGConfig:
             "context_length": self.context_length,
             "span_format": self.span_format,
             "allow_overlap": self.allow_overlap,
+            # save_io changes the persisted annotation schema, so it is
+            # part of the checkpoint identity
+            "save_io": self.save_io,
         }
 
 
@@ -158,6 +163,7 @@ def annotate_corpus(
             rel_examples=cfg.rel_examples,
             el_examples=cfg.el_examples,
             definitions=cfg.label_definitions,
+            save_io=cfg.save_io,
         )
     df = ner_op.extract_mentions(
         corpus,
@@ -166,12 +172,14 @@ def annotate_corpus(
         context_length=cfg.context_length,
         span_format=cfg.span_format,
         allow_overlap=cfg.allow_overlap,
+        save_io=cfg.save_io,
     )
     df = rel_op.extract_relations(
         df,
         model_spec=cfg.rel_model_spec(),
         labels=list(cfg.rel_labels),
         context_length=cfg.context_length,
+        save_io=cfg.save_io,
     )
     df = el_op.link_entities(
         df,
@@ -180,6 +188,7 @@ def annotate_corpus(
         top_n=cfg.top_n_candidates,
         auto_nil=cfg.auto_nil,
         context_length=cfg.context_length,
+        save_io=cfg.save_io,
     )
     return df
 
@@ -228,6 +237,7 @@ def run_pipeline(
                 context_length=cfg.context_length,
                 span_format=cfg.span_format,
                 allow_overlap=cfg.allow_overlap,
+                save_io=cfg.save_io,
             ),
             config={**fp, "stage": "ner"},
             micro_batches=cfg.micro_batches,
@@ -241,6 +251,7 @@ def run_pipeline(
                 model_spec=cfg.rel_model_spec(),
                 labels=list(cfg.rel_labels),
                 context_length=cfg.context_length,
+                save_io=cfg.save_io,
             ),
             config={**fp, "stage": "rel"},
             micro_batches=cfg.micro_batches,
@@ -256,6 +267,7 @@ def run_pipeline(
                 top_n=cfg.top_n_candidates,
                 auto_nil=cfg.auto_nil,
                 context_length=cfg.context_length,
+                save_io=cfg.save_io,
             ),
             config={**fp, "stage": "el"},
             micro_batches=cfg.micro_batches,

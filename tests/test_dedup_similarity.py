@@ -103,6 +103,43 @@ def test_ivf_topk_contains_self(vectors):
     assert 0 in ids
 
 
+def test_ivf_exhaustive_matches_bruteforce_at_256_cells(spark):
+    """The numpy cell-assignment kernel must scale past codegen limits:
+    n_cells=256, exhaustive probe (n_probe=n_cells) == brute-force top-k."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(400, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    probe = [float(x) for x in vecs[5]]
+    exact = [r.vec_id for r in similarity.cosine_topk(df, probe, k=10).collect()]
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            df, probe, k=10, n_cells=256, n_probe=256
+        ).collect()
+    ]
+    assert ivf == exact
+
+
+def test_assign_ivf_cells_argmin_ties_to_lowest_index(spark):
+    import numpy as np
+
+    centroids = np.asarray([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.ivf_cell
+        for r in similarity.assign_ivf_cells(df, centroids).collect()
+    }
+    assert got == {0: 0, 1: 2, 2: 0}  # tie between cells 0/1 -> 0
+
+
 def test_embedding_dup_pairs(vectors):
     df, vecs = vectors
     pairs = dedup.embedding_dup_pairs(

@@ -272,3 +272,54 @@ def test_allow_overlap_same_occurrence_multiple_labels():
     spans = find_spans_cot(text, reasons, allow_overlap=True)
     assert (8, 11, "TOOL") in spans
     assert (8, 11, "EQUIPMENT") in spans
+
+
+# --------------------------------------------------------------------------
+# SpanCat overlap cursor disciplines (ADVICE r2: reference-parity mode)
+# --------------------------------------------------------------------------
+
+
+def _reasons(lines, label="X"):
+    from spacy_llm_spark.functions.response_parsers import SpanReason
+
+    return [SpanReason(text=t, is_entity=True, label=label, reason="r") for t in lines]
+
+
+def test_overlap_reference_mode_matches_reference_cursor():
+    """Reference semantics (span/parser.py:152): after appending a span the
+    cursor rewinds to span.start_char, so overlapping in-order lines all
+    resolve, but an out-of-order earlier span is dropped."""
+    from spacy_llm_spark.functions.response_parsers import find_spans_cot
+
+    text = "a b c"
+    # out-of-order: 'c' first, then 'a' -> reference drops 'a'
+    got = find_spans_cot(
+        text, _reasons(["c", "a"]), allow_overlap=True, overlap_mode="reference"
+    )
+    assert got == [(4, 5, "X")]
+    # per-surface keeps both (intentional divergence)
+    got = find_spans_cot(
+        text, _reasons(["c", "a"]), allow_overlap=True, overlap_mode="per_surface"
+    )
+    assert got == [(0, 1, "X"), (4, 5, "X")]
+
+
+def test_overlap_reference_mode_resolves_nested_in_order():
+    from spacy_llm_spark.functions.response_parsers import find_spans_cot
+
+    text = "new york city hall"
+    reasons = _reasons(["new york city hall", "new york city", "new york"])
+    got = find_spans_cot(
+        text, reasons, allow_overlap=True, overlap_mode="reference"
+    )
+    # cursor rewinds to start each time -> all nested spans found
+    assert got == [(0, 8, "X"), (0, 13, "X"), (0, 18, "X")]
+
+
+def test_overlap_mode_validation():
+    import pytest
+
+    from spacy_llm_spark.functions.response_parsers import find_spans_cot
+
+    with pytest.raises(ValueError, match="overlap mode"):
+        find_spans_cot("a", [], allow_overlap=True, overlap_mode="bogus")

@@ -224,3 +224,81 @@ def test_parsers_never_raise_on_garbage(resp):
     extract_span_reasons_cot(
         resp, build_label_dict(["OP"], lowercase_normalizer), lowercase_normalizer
     )
+
+
+# --------------------------------------------------------------------------
+# shard_for_task invariants (H4): span conservation, local-offset
+# correctness, prompt-fits, overlapping SpanCat spans included
+# --------------------------------------------------------------------------
+
+from spacy_llm_spark.operators.sharding import (  # noqa: E402
+    estimate_n_tokens,
+    shard_for_task,
+)
+
+# documents long enough to force splitting, words with repeats
+_doc_words = st.lists(
+    st.text(alphabet="xyz", min_size=1, max_size=5), min_size=1, max_size=60
+)
+
+
+@st.composite
+def _doc_with_spans(draw):
+    words = draw(_doc_words)
+    text = " ".join(words)
+    n_spans = draw(st.integers(min_value=0, max_value=8))
+    spans = []
+    for _ in range(n_spans):
+        if not text.strip():
+            break
+        a = draw(st.integers(min_value=0, max_value=max(0, len(text) - 1)))
+        b = draw(st.integers(min_value=a + 1, max_value=len(text)))
+        # snap to non-space chars so spans denote real surfaces (the
+        # engine's spans always come from token-aligned parses)
+        seg = text[a:b]
+        if seg.strip():
+            lead = len(seg) - len(seg.lstrip())
+            trail = len(seg) - len(seg.rstrip())
+            spans.append((a + lead, b - trail, draw(st.sampled_from("AB"))))
+    # overlaps allowed and likely; sort like SpanCat output
+    return text, sorted(set(spans))
+
+
+def _render(t, sp):
+    # prompt grows with both text and span count, like REL/EL renders
+    return "HDR " + t + " " + " ".join(f"[{s}:{e}:{l}]" for s, e, l in sp)
+
+
+@given(_doc_with_spans(), st.integers(min_value=12, max_value=60))
+@settings(max_examples=300, deadline=None)
+def test_shard_for_task_invariants(doc_spans, context_length):
+    text, spans = doc_spans
+    try:
+        shards = shard_for_task(text, spans, context_length, _render)
+    except ValueError:
+        # legitimate raises: a single-token/single-span shard that cannot
+        # fit, or a span outside token bounds — the documented contract
+        return
+
+    # 1. span conservation: every span lands in exactly one shard
+    assert sum(len(s[2]) for s in shards) == len(spans)
+    reassembled = sorted(
+        (ls + off, le + off, lab) for off, _, local, _ in shards for ls, le, lab in local
+    )
+    assert reassembled == sorted(spans)
+
+    # 2. local offsets slice to the same surface as doc offsets
+    for off, sub_text, local, _prompt in shards:
+        assert text[off : off + len(sub_text)] == sub_text
+        for ls, le, lab in local:
+            assert 0 <= ls < le <= len(sub_text)
+            assert sub_text[ls:le] == text[ls + off : le + off]
+
+    # 3. every accepted prompt fits (same buffer_frac the splitter used)
+    for _off, sub_text, local, prompt in shards:
+        assert prompt == _render(sub_text, local)
+        assert estimate_n_tokens(prompt) * 1.1 <= context_length
+
+    # 4. shards cover the text left-to-right without reordering
+    offsets = [off for off, *_ in shards]
+    assert offsets == sorted(offsets)

@@ -1,0 +1,88 @@
+"""save_io: optional raw prompt/response retention (reference
+pipeline/llm.py:295-314, ``doc.user_data["llm_io"]``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.pipeline import KGConfig, annotate_corpus, run_pipeline
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "spark join customer then filter orders", "py"),
+        (2, "window sort table", "java"),
+        (3, "", "txt"),  # degenerate doc still gets (empty) io lists
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, content string, lang string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+
+
+def test_fused_save_io_columns(spark, corpus):
+    out = annotate_corpus(corpus, KGConfig(save_io=True))
+    assert "llm_io" in out.columns
+    row = out.where(F.col("doc_id") == 1).first()
+    io = row.llm_io
+    assert sorted(io.keys()) == ["el", "ner", "rel"]
+    # one prompt/response pair per (sub-)shard — unsharded: exactly one
+    assert len(io["ner"].prompts) == len(io["ner"].responses) == 1
+    assert "join" in io["ner"].prompts[0]  # the doc text made it in
+    assert io["ner"].responses[0]  # deterministic model produced a response
+    assert len(io["rel"].prompts) == 1 and len(io["el"].prompts) == 1
+    # REL prompt carries the preannotation markers
+    assert "[ENT0:" in io["rel"].prompts[0]
+
+
+def test_fused_default_has_no_io_columns(spark, corpus):
+    out = annotate_corpus(corpus, KGConfig())
+    assert "llm_io" not in out.columns
+
+
+def test_unfused_save_io_columns(spark, corpus):
+    out = annotate_corpus(corpus, KGConfig(save_io=True), fused=False)
+    for col in ("ner_io", "rel_io", "el_io"):
+        assert col in out.columns
+    row = out.where(F.col("doc_id") == 1).first()
+    assert len(row.ner_io.prompts) == len(row.ner_io.responses) == 1
+    assert "[ENT0:" in row.rel_io.prompts[0]
+    # fused and unfused retain the SAME strings
+    fused_row = (
+        annotate_corpus(corpus, KGConfig(save_io=True))
+        .where(F.col("doc_id") == 1)
+        .first()
+    )
+    assert fused_row.llm_io["ner"].prompts == list(row.ner_io.prompts)
+    assert fused_row.llm_io["rel"].responses == list(row.rel_io.responses)
+    assert fused_row.llm_io["el"].prompts == list(row.el_io.prompts)
+
+
+def test_save_io_roundtrips_through_checkpoint(spark, corpus, tmp_path):
+    cfg = KGConfig(save_io=True, checkpoint_dir=str(tmp_path / "ck"))
+    r1 = run_pipeline(spark, corpus, cfg)
+    assert "llm_io" in r1.annotated.columns
+    io1 = {r.doc_id: r.llm_io for r in r1.annotated.select("doc_id", "llm_io").collect()}
+    # resumed run: pure cache hits, identical retained io
+    r2 = run_pipeline(spark, corpus, cfg)
+    m = {row.stage: row for row in r2.metrics.collect()}
+    assert m["annotate"].rows_processed == 0
+    io2 = {r.doc_id: r.llm_io for r in r2.annotated.select("doc_id", "llm_io").collect()}
+    assert io1 == io2
+    assert io1[1]["ner"].prompts and io1[1]["ner"].responses
+    # flipping save_io off is a different checkpoint identity (schema guard)
+    with pytest.raises(ValueError, match="different configuration"):
+        run_pipeline(
+            spark, corpus, KGConfig(save_io=False, checkpoint_dir=str(tmp_path / "ck"))
+        )
+
+
+def test_save_io_sharded_doc_has_one_pair_per_shard(spark):
+    long_doc = " ".join(f"tok{i} join customer" for i in range(80))
+    corpus = spark.createDataFrame(
+        [(1, long_doc, "py")], "doc_id long, content string, lang string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    out = annotate_corpus(corpus, KGConfig(save_io=True, context_length=120))
+    io = out.first().llm_io
+    assert len(io["ner"].prompts) > 1  # the doc actually sharded
+    assert len(io["ner"].prompts) == len(io["ner"].responses)
+    assert len(io["rel"].prompts) == len(io["rel"].responses) >= len(io["ner"].prompts)
