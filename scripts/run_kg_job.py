@@ -41,6 +41,13 @@ def main(argv=None) -> int:
                         help="deterministic corpus scale-up factor (testdata source only)")
     parser.add_argument("--source-format", default="auto",
                         choices=["auto", "parquet", "iceberg", "testdata"])
+    parser.add_argument("--save-io", action="store_true",
+                        help="retain raw prompt/response columns (llm_io) "
+                             "for debugging/audit — large payload")
+    parser.add_argument("--reliable-checkpoints", action="store_true",
+                        help="cut lineage with fault-tolerant df.checkpoint() "
+                             "into <output>/_lineage (survives executor loss) "
+                             "instead of executor-local blocks")
     args = parser.parse_args(argv)
 
     spark = SparkSession.builder.appName("spacy-llm-spark-kg").getOrCreate()
@@ -71,7 +78,15 @@ def main(argv=None) -> int:
         cfg_kwargs.setdefault(
             "checkpoint_dir", os.path.join(args.output, "_checkpoints")
         )
+    if args.save_io:
+        cfg_kwargs["save_io"] = True
     cfg = KGConfig(**cfg_kwargs)
+    if args.reliable_checkpoints:
+        from spacy_llm_spark.fs import configure_lineage
+
+        configure_lineage(
+            True, spark=spark, checkpoint_dir=os.path.join(args.output, "_lineage")
+        )
 
     fmt = args.source_format
     if fmt == "auto":

@@ -8,14 +8,19 @@
                      probe's bucket (and optionally Hamming-adjacent
                      buckets), exact cosine re-rank within candidates.
                      The scale path: bucket cardinality ~ n / 2^planes.
-- ivf_topk:          IVF-style: k-means-lite centroid assignment (centroids
-                     sampled deterministically), probe searches the nearest
-                     n_probe cells only.
+- ivf_topk:          IVF-style: centroid assignment (sampled init, or
+                     train_ivf_centroids' distributed Lloyd refinement),
+                     probe searches the nearest n_probe cells only.
+- train_ivf_centroids: k-means over the corpus — one narrow matmul pass
+                     per iteration, centroid-scale partials to the driver,
+                     no shuffle; optional deterministic sample_fraction.
+- ann_recall:        recall@k of any approximate result vs brute force —
+                     the transparency metric for the pruned modes.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -159,18 +164,15 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 11,
+    centroids: Optional[np.ndarray] = None,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of the data; every
-    vector is assigned to its nearest centroid (one narrow pass); the query
-    scans only the ``n_probe`` cells nearest the probe.
+    """IVF-style ANN: centroids = deterministic sample of the data (or
+    pass ``centroids`` from ``train_ivf_centroids`` for balanced cells);
+    every vector is assigned to its nearest centroid (one narrow pass);
+    the query scans only the ``n_probe`` cells nearest the probe.
     """
-    sample = (
-        df.orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(10**9)))
-        .limit(n_cells)
-        .select(vec_col)
-        .collect()
-    )
-    centroids = np.asarray([row[0] for row in sample], dtype=float)
+    if centroids is None:
+        centroids = sample_centroids(df, n_cells, vec_col=vec_col, id_col=id_col)
     probe_arr = np.asarray(probe, dtype=float)
 
     assigned = assign_ivf_cells(df, centroids, vec_col=vec_col)
@@ -215,3 +217,111 @@ def assign_ivf_cells(
             yield pdf
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_centroids(
+    df: DataFrame,
+    n_cells: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic hash-ordered sample of ``n_cells`` data vectors —
+    the zero-training IVF initialization (and the k-means init)."""
+    sample = (
+        df.orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(10**9)))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    return np.asarray([row[0] for row in sample], dtype=float)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+    sample_fraction: Optional[float] = None,
+) -> np.ndarray:
+    """Lloyd k-means refinement of the sampled centroids, distributed.
+
+    Each iteration is ONE narrow job: a mapInPandas kernel assigns every
+    vector to its nearest centroid with the same matmul as
+    ``assign_ivf_cells`` and emits per-partition partial (cell, count,
+    sum-vector) rows; partials (n_partitions x n_cells rows — centroid-
+    scale, never corpus-scale) are collected and reduced on the driver.
+    No shuffle anywhere; the corpus is scanned ``n_iter`` times.
+    ``sample_fraction`` trains on a deterministic subset (pass e.g. 0.05
+    at 100 TB — k-means quality saturates long before full-corpus scans).
+    Empty cells keep their previous centroid (standard Lloyd fallback).
+    """
+    import pandas as pd
+
+    train = df.select(id_col, vec_col)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        denom = 1_000_000
+        train = train.where(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(denom))
+            < int(denom * sample_fraction)
+        )
+    centroids = sample_centroids(train, n_cells, vec_col=vec_col, id_col=id_col)
+    dim = centroids.shape[1]
+    partial_schema = (
+        "cell int, n long, vsum array<double>"
+    )
+
+    for _ in range(n_iter):
+        cents = np.ascontiguousarray(centroids, dtype=np.float64)
+        cn = (cents * cents).sum(axis=1)
+
+        def partials(batches):
+            acc_n = np.zeros(len(cents), dtype=np.int64)
+            acc_sum = np.zeros_like(cents)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                cells = np.argmin(cn[None, :] - 2.0 * (V @ cents.T), axis=1)
+                np.add.at(acc_n, cells, 1)
+                np.add.at(acc_sum, cells, V)
+            hit = np.nonzero(acc_n)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype("int32"),
+                    "n": acc_n[hit],
+                    "vsum": [acc_sum[i] for i in hit],
+                }
+            )
+
+        rows = train.mapInPandas(partials, schema=partial_schema).collect()
+        new_n = np.zeros(len(cents), dtype=np.int64)
+        new_sum = np.zeros_like(cents)
+        for row in rows:
+            new_n[row.cell] += row.n
+            new_sum[row.cell] += np.asarray(row.vsum)
+        nonempty = new_n > 0
+        centroids = cents.copy()
+        centroids[nonempty] = new_sum[nonempty] / new_n[nonempty, None]
+
+    return centroids
+
+
+def ann_recall(
+    df: DataFrame,
+    probe: Sequence[float],
+    approx_ids: Sequence,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Recall@k of an approximate result against the brute-force top-k —
+    the transparency metric for the pruned ANN modes (LSH bucket / IVF
+    n_probe), which are approximate by construction."""
+    exact = {r[0] for r in cosine_topk(df, probe, k, vec_col=vec_col, id_col=id_col).collect()}
+    return len(exact & set(approx_ids)) / max(1, len(exact))

@@ -281,3 +281,50 @@ def test_degenerate_inputs_yield_nulls_not_ansi_errors(spark):
 
     jac = {r.doc_id: r.jaccard for r in dedup.jaccard_vs_probe(docs_deg, "").collect()}
     assert jac[1] in (None, 0.0)  # degenerate probe never raises
+
+
+def test_train_ivf_centroids_recovers_clusters(spark):
+    """Distributed Lloyd refinement: on two well-separated blobs the
+    trained centroids land on the blob means, and a 1-probe query then
+    achieves full recall (the sampled-init cells need not)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    blob_a = rng.normal(loc=(10.0, 0.0), scale=0.3, size=(100, 2))
+    blob_b = rng.normal(loc=(0.0, 10.0), scale=0.3, size=(100, 2))
+    vecs = np.vstack([blob_a, blob_b])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+
+    cents = similarity.train_ivf_centroids(df, n_cells=2, n_iter=4)
+    means = sorted(
+        (tuple(np.round(c, 1)) for c in cents), key=lambda t: t[0]
+    )
+    assert abs(means[0][0] - 0.0) < 0.5 and abs(means[0][1] - 10.0) < 0.5
+    assert abs(means[1][0] - 10.0) < 0.5 and abs(means[1][1] - 0.0) < 0.5
+
+    probe = [10.0, 0.0]
+    approx = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            df, probe, k=10, n_probe=1, centroids=cents
+        ).collect()
+    ]
+    assert similarity.ann_recall(df, probe, approx, k=10) == 1.0
+
+
+def test_train_ivf_centroids_sample_fraction_and_empty_cells(spark):
+    import numpy as np
+
+    vecs = np.eye(4, dtype=float)  # 4 vectors, some cells will go empty
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.train_ivf_centroids(
+        df, n_cells=3, n_iter=2, sample_fraction=1.0
+    )
+    assert cents.shape == (3, 4)
+    assert np.isfinite(cents).all()  # empty cells kept previous centroid
