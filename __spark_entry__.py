@@ -551,6 +551,21 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    # pigeonhole-banded hamming join (never all-pairs); the oracle verifies
+    # the SAME pair set with a brute-force bit_count(xor) self-join, which
+    # is exact because hamming<=3 < 4 blocks guarantees banding recall 1.0
+    return dedup.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_cluster_reps(spark, sf_dir):
+    # near-dup pairs canonicalized to clusters via connected components;
+    # oracle computes the transitive closure with a recursive CTE
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.simhash_dup_pairs(docs, max_hamming=3)
+    return dedup.dedup_clusters(pairs, docs)
+
+
 def q_quality_score(spark, sf_dir):
     return textfn.quality_score(_docs(spark, sf_dir)).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
@@ -634,12 +649,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "detect_language": q_detect_language,
         "simhash": q_simhash,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "dedup_cluster_reps": q_dedup_cluster_reps,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "kg_spans": q_kg_spans,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
     }
+
+
+# SimHash fingerprint CTE shared by the simhash / dup-pair / cluster
+# oracles — bit-for-bit the engine's sha2_60 token-hash majority vote.
+# The cluster oracle's recursive CTE (transitive closure) needs WITH
+# RECURSIVE even though the fingerprint part is plain.
+_SIMHASH_FP_CTE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
+  FROM toks WHERE len(tok) > 0
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> CAST(b.bit AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM hashed, range(64) b(bit) GROUP BY doc_id, b.bit
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
 
 
 def _lang_profiles_sql() -> str:
@@ -939,24 +982,30 @@ SELECT doc_id,
        round(ratio, 6) AS lang_confidence
 FROM best WHERE rn = 1
 """,
-        "simhash": """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-), hashed AS (
-  SELECT doc_id,
-         CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) AS h
-  FROM toks WHERE len(tok) > 0
-), votes AS (
-  SELECT doc_id, b.bit,
-         sum(CASE WHEN (h >> CAST(b.bit AS INTEGER)) & 1 = 1
-                  THEN 1 ELSE -1 END) AS vote
-  FROM hashed, range(64) b(bit) GROUP BY doc_id, b.bit
+        "simhash": _SIMHASH_FP_CTE + """
+SELECT doc_id, simhash FROM fp
+""",
+        "simhash_dup_pairs": _SIMHASH_FP_CTE + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "dedup_cluster_reps": _SIMHASH_FP_CTE + """
+, dup_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM dup_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM dup_pairs
+), reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN vote > 0
-                     THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
-                     ELSE 0 END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY a
 """,
         "quality_score": """
 WITH s AS (

@@ -85,6 +85,18 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dup_pairs(
         docs, n_hashes=64, bands=16, threshold=0.8).count())
     timed("dedup_simhash", lambda: dedup.simhash(docs).count())
+    # simhash near-dup clustering goes in its own field (new in r3) so the
+    # headline "value" stays comparable across rounds
+    t0 = time.time()
+    _pairs = dedup.simhash_dup_pairs(docs, max_hamming=3)
+    extras["simhash_dup_clusters_sec"] = None  # placeholder, set below
+    _n_clusters = (
+        dedup.dedup_clusters(_pairs, docs)
+        .where(F.col("doc_id") == F.col("cluster_rep"))
+        .count()
+    )
+    extras["simhash_dup_clusters_sec"] = round(time.time() - t0, 3)
+    extras["simhash_n_clusters"] = _n_clusters
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     timed("cosine_topk", lambda: similarity.cosine_topk(

@@ -6,6 +6,9 @@ the first-class scale operators the task brief requires:
 - exact_dedup            hash-groupBy on sha256(text)
 - minhash_lsh_dup_pairs  shingle -> minhash -> band -> bucket join
 - simhash                64-bit similarity fingerprint (native exprs + agg)
+- simhash_dup_pairs      hamming<=k pairs via pigeonhole block banding
+                         (exact for k < n_blocks — recall 1.0, never all-pairs)
+- dedup_clusters         pairs -> connected components -> (doc, cluster_rep)
 - ngram_jaccard_vs       token-set Jaccard (native array ops)
 - embedding_dup_pairs    cosine near-dup via LSH bucketing
 
@@ -286,6 +289,138 @@ def simhash(
         )
         sim_expr = sim_expr.bitwiseOR(bit)
     return voted.select(id_col, sim_expr.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    token_hash: str = "sha2_60",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, never all-pairs.
+
+    Pigeonhole banding: split each 64-bit fingerprint into ``n_blocks``
+    equal bit-blocks; two fingerprints within ``max_hamming`` bits (for
+    ``max_hamming < n_blocks``) must agree on at least one whole block, so
+    candidates come from a (block_idx, block_value) band self-join —
+    bucket cardinality ~ n / 2^(64/n_blocks) on natural corpora — and the
+    exact ``bit_count(xor)`` verify runs only inside buckets. Same scale
+    shape as the MinHash path: capped hot buckets, lineage cut before the
+    self-join, fully native expressions (no Python in the hot path).
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    if not 0 < n_blocks <= 64 or 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            "pigeonhole banding requires max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    fp = cut_lineage(simhash(df, text_col=text_col, id_col=id_col, token_hash=token_hash))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), width * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = fp.select(
+        id_col, "simhash", F.explode(blocks).alias("bv")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.bucket").alias("bucket"),
+    )
+    banded = _cap_hot_buckets(banded, id_col, max_bucket_size, what="simhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .where(
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            )
+            <= max_hamming
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Canonicalize near-dup PAIRS into document clusters:
+    (doc_id, cluster_rep) where cluster_rep is the smallest doc id in the
+    pair-graph's connected component (transitive closure — a dups b,
+    b dups c => one cluster) and unpaired docs represent themselves.
+    Keep-one-per-cluster = ``where(doc_id == cluster_rep)``.
+
+    Runs the same CC machinery as entity canonicalization
+    (operators/canonicalize.py): driver union-find below
+    ``driver_threshold`` edges, large-star/small-star above. Numeric ids
+    are zero-padded for the lexicographic component labels, so the rep is
+    the NUMERIC minimum.
+    """
+    from .canonicalize import connected_components
+
+    numeric = dict(docs.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
+
+    def enc(c):
+        return F.format_string("%020d", c) if numeric else c.cast("string")
+
+    def dec(c):
+        return c.cast("long") if numeric else c
+
+    edges = pairs.select(
+        enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
+    )
+    comps = connected_components(
+        edges, max_iter=max_iter, driver_threshold=driver_threshold
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(
+            comps.select(
+                dec(F.col("node")).alias(id_col),
+                dec(F.col("component")).alias("cluster_rep"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

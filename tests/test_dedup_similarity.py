@@ -328,3 +328,80 @@ def test_train_ivf_centroids_sample_fraction_and_empty_cells(spark):
     )
     assert cents.shape == (3, 4)
     assert np.isfinite(cents).all()  # empty cells kept previous centroid
+
+
+def test_simhash_dup_pairs_matches_bruteforce(spark):
+    """Pigeonhole banding (4 blocks, hamming<=3) is exact by construction:
+    the banded join must return exactly the brute-force pair set."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),       # exact dup of 0
+            (2, "alpha beta gamma delta epsilon eta"),        # near dup
+            (3, "one two three four five six seven eight"),
+            (4, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    expected = sorted(
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    )
+    got = sorted(
+        (r.id_a, r.id_b) for r in dedup.simhash_dup_pairs(docs).collect()
+    )
+    assert got == expected
+    assert (0, 1) in got  # the exact dup pair is found
+
+
+def test_simhash_dup_pairs_parameter_validation(spark):
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming < n_blocks"):
+        dedup.simhash_dup_pairs(docs, max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        dedup.simhash_dup_pairs(docs, n_blocks=5)
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """a~b and b~c -> one cluster with the numeric-min rep, even when the
+    lexicographic string order disagrees (ids 2 vs 10); unpaired docs
+    represent themselves."""
+    pairs = spark.createDataFrame(
+        [(10, 2), (2, 30)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(2,), (10,), (30,), (99,)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.dedup_clusters(pairs, docs).collect()
+    }
+    assert got == {2: 2, 10: 2, 30: 2, 99: 99}
+
+
+def test_dedup_clusters_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("docB", "docA")], "id_a string, id_b string"
+    )
+    docs = spark.createDataFrame(
+        [("docA",), ("docB",), ("docC",)], "doc_id string"
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.dedup_clusters(pairs, docs).collect()
+    }
+    assert got == {"docA": "docA", "docB": "docA", "docC": "docC"}
+
+
+def test_simhash_dup_pairs_plan_has_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z") for i in range(20)], "doc_id long, text string"
+    )
+    plan = dedup.simhash_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
