@@ -1,0 +1,74 @@
+"""Measure ONE parallelism level of the scaling job, gated on a quiet
+host window.
+
+The pair script (bench_scaling.py) runs local[N] then local[4N] back to
+back; on this shared host the external load often ramps mid-session and
+crushes exactly one of the two levels (the wide one takes the collision —
+see BENCH/BASELINE.md forensics). This runner waits for host loadavg
+below a threshold, measures a single level best-of-K, and appends a line
+to BENCH/scaling_levels.jsonl; BENCH/BASELINE.md compiles per-level bests
+across sessions, so quiet-window measurements of each level combine into
+the pair evidence even when no single session gets two quiet phases.
+
+Usage: python scripts/bench_scaling_level.py <cpus> [sf_dir] [replicate]
+       [repeats] [max_load] [max_wait_secs]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+from bench_scaling import measure  # noqa: E402
+
+
+def wait_for_quiet(max_load: float, max_wait_secs: float) -> float:
+    t0 = time.time()
+    while True:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 <= max_load:
+            return load1
+        if time.time() - t0 > max_wait_secs:
+            print(f"gave up waiting for quiet window (load {load1})")
+            return load1
+        time.sleep(30)
+
+
+def main():
+    cpus = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    max_load = float(sys.argv[5]) if len(sys.argv) > 5 else 1.5
+    max_wait = float(sys.argv[6]) if len(sys.argv) > 6 else 1800
+
+    launch_load = wait_for_quiet(max_load, max_wait)
+    best, n_triples, runs = measure(cpus, sf_dir, replicate, repeats)
+    end_load = float(open("/proc/loadavg").read().split()[0])
+    rec = {
+        "stamp": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "cpus": cpus,
+        "replicate": replicate,
+        "best_wall": round(best, 2),
+        "runs": runs,
+        "n_triples": n_triples,
+        "launch_load": launch_load,
+        "end_load": end_load,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_levels.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

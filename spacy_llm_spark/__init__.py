@@ -20,8 +20,13 @@ Layout
                           checkpoint / scoring / dedup / similarity
 - ``pipeline``            end-to-end KG pipeline (corpus -> triples)
 - ``corpus``              deterministic source-code corpus generator
+- ``fs``                  Hadoop-FS metadata I/O + lineage-cut policy
+                          (``configure_lineage`` for fault-tolerant
+                          checkpoints on real clusters)
 """
 
 __version__ = "0.1.0"
 
+from . import fs  # noqa: F401
+from .fs import configure_lineage, cut_lineage  # noqa: F401
 from .session import get_spark  # noqa: F401
