@@ -566,6 +566,15 @@ def q_dedup_cluster_reps(spark, sf_dir):
     return dedup.dedup_clusters(pairs, docs)
 
 
+def q_corpus_clean(spark, sf_dir):
+    # the composed cleaning pass: quality >= 0.85 (drops ~70% of the
+    # synthetic docs, so the filter is actually exercised), any language,
+    # exact dedup keep-min-id; survivors with their audit scores
+    return textfn.clean_corpus(_docs(spark, sf_dir), min_quality=0.85).select(
+        "doc_id", "detected_lang", "quality_score"
+    )
+
+
 def q_quality_score(spark, sf_dir):
     return textfn.quality_score(_docs(spark, sf_dir)).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
@@ -652,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "quality_score": q_quality_score,
+        "corpus_clean": q_corpus_clean,
         "fingerprint": q_fingerprint,
         "kg_spans": q_kg_spans,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1007,6 +1017,59 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY a
 """,
+        "corpus_clean": """
+WITH s AS (
+  SELECT doc_id, text,
+         len(text) AS n_chars,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_toks,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       t -> len(t) > 0))) AS n_distinct,
+         len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_toks,
+         (n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE) AS mean_tok_len,
+         n_distinct / CAST(n_toks AS DOUBLE) AS diversity,
+         n_alpha / CAST(n_chars AS DOUBLE) AS alpha_ratio
+  FROM s
+), q AS (
+  SELECT doc_id, text,
+         round(CAST(CASE WHEN n_toks BETWEEN 10 AND 100000
+                         THEN 0.25 ELSE 0.0 END AS DOUBLE)
+               + CAST(CASE WHEN mean_tok_len BETWEEN 2 AND 12
+                           THEN 0.25 ELSE 0.0 END AS DOUBLE)
+               + diversity * 0.25 + alpha_ratio * 0.25, 6) AS quality_score
+  FROM m
+), docs_toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   t -> len(t) > 0)) AS toks
+  FROM documents
+), profiles(lang, words, n_words) AS (VALUES {profiles}
+), scored AS (
+  SELECT d.doc_id, p.lang,
+         len(list_intersect(d.toks, p.words)) / CAST(p.n_words AS DOUBLE) AS ratio
+  FROM docs_toks d, profiles p
+), best AS (
+  SELECT doc_id, lang, ratio,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ratio DESC, lang DESC) AS rn
+  FROM scored
+), langed AS (
+  SELECT doc_id, CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS detected_lang
+  FROM best WHERE rn = 1
+), kept AS (
+  SELECT q.doc_id, q.quality_score, l.detected_lang, d.text
+  FROM q JOIN langed l USING (doc_id) JOIN documents d USING (doc_id)
+  WHERE q.quality_score >= 0.85
+), deduped AS (
+  SELECT doc_id, detected_lang, quality_score,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS rk
+  FROM kept
+)
+SELECT doc_id, detected_lang, quality_score FROM deduped WHERE rk = 1
+""".format(profiles=_lang_profiles_sql()),
         "quality_score": """
 WITH s AS (
   SELECT doc_id,

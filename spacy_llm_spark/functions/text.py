@@ -43,10 +43,10 @@ def word_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features + a composite score in [0, 1]:
-    length band, mean token length band, lexical diversity, alpha ratio.
-    """
+def quality_exprs(text_col: str) -> dict:
+    """The quality feature expressions, shared by ``quality_score`` and
+    ``clean_corpus`` so the composed pipeline cannot drift from the
+    standalone scorer."""
     toks = tokens_expr(F.col(text_col))
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
@@ -65,21 +65,30 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + diversity * 0.25
         + alpha_ratio * 0.25
     )
+    return {
+        "n_tokens": n_toks,
+        "mean_token_len": F.round(mean_tok_len, 6),
+        "lexical_diversity": F.round(diversity, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length band, mean token length band, lexical diversity, alpha ratio.
+    """
+    q = quality_exprs(text_col)
     return df.select(
-        F.col(id_col),
-        n_toks.alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(diversity, 6).alias("lexical_diversity"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.col(id_col), *[expr.alias(name) for name, expr in q.items()]
     )
 
 
-def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-profile language ID: per-language hit ratio via native
+def language_exprs(text_col: str) -> dict:
+    """detected_lang / lang_confidence expressions (shared with
+    ``clean_corpus``): per-language stopword hit ratio via native
     array_intersect against literal profiles; argmax wins, 'und' when no
-    profile hits.
-    """
+    profile hits."""
     toks = F.array_distinct(tokens_expr(F.lower(F.col(text_col))))
     hit_cols = []
     for lang, words in LANG_PROFILES.items():
@@ -93,13 +102,60 @@ def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             )
         )
     best = F.array_max(F.array(*hit_cols))
-    return df.select(
-        F.col(id_col),
-        F.when(best["ratio"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "detected_lang"
+    return {
+        "detected_lang": F.when(best["ratio"] > 0, best["lang"]).otherwise(
+            F.lit("und")
         ),
-        F.round(best["ratio"], 6).alias("lang_confidence"),
+        "lang_confidence": F.round(best["ratio"], 6),
+    }
+
+
+def detect_language(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID (see ``language_exprs``)."""
+    lang = language_exprs(text_col)
+    return df.select(
+        F.col(id_col), *[expr.alias(name) for name, expr in lang.items()]
     )
+
+
+def clean_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages=None,
+    with_scores: bool = True,
+) -> DataFrame:
+    """The composed training-corpus cleaning pass: quality scoring +
+    language ID (ONE narrow projection — the shared expressions above,
+    no joins), threshold filters, then exact dedup keeping the lowest id
+    per text sha256.
+
+    Exactly one shuffle end-to-end (the dedup window on the uniform
+    64-hex digest); filters run before it, so rejected docs never
+    shuffle. ``languages=None`` keeps every language; ``with_scores``
+    retains the quality/lang columns on the survivors for audit.
+    """
+    from pyspark.sql import Window
+
+    q = quality_exprs(text_col)
+    lang = language_exprs(text_col)
+    scored = df.withColumn("quality_score", q["quality_score"]).withColumn(
+        "detected_lang", lang["detected_lang"]
+    )
+    kept = scored.where(F.col("quality_score") >= F.lit(float(min_quality)))
+    if languages:
+        kept = kept.where(F.col("detected_lang").isin(list(languages)))
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    out = (
+        kept.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    if not with_scores:
+        out = out.drop("quality_score", "detected_lang")
+    return out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -405,3 +405,47 @@ def test_simhash_dup_pairs_plan_has_no_cartesian(spark):
     plan = dedup.simhash_dup_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clean_corpus_filters_dedups_and_matches_components(spark):
+    """clean_corpus = quality threshold + language filter + exact dedup
+    keep-min-id in one pass; survivors' scores equal the standalone
+    scorers' values (shared expressions — no drift possible)."""
+    from spacy_llm_spark.functions import text as textfn
+
+    rows = [
+        (1, "the cat and the dog walked to the house in the garden today"),
+        (2, "the cat and the dog walked to the house in the garden today"),  # dup of 1
+        (3, "der hund und die katze ist ein gutes tier im garten heute ja"),
+        (4, "x"),                                # too short -> low quality
+        (5, "zz zz zz"),                         # too short, no diversity
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textfn.clean_corpus(df, min_quality=0.6)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 3}  # 2 deduped, 4/5 rejected
+    # audit columns agree with the standalone operators
+    q = {r.doc_id: r.quality_score for r in textfn.quality_score(df).collect()}
+    l = {r.doc_id: r.detected_lang for r in textfn.detect_language(df).collect()}
+    for d in (1, 3):
+        assert got[d].quality_score == q[d]
+        assert got[d].detected_lang == l[d]
+    # language filter
+    en_only = textfn.clean_corpus(df, min_quality=0.6, languages=["en"])
+    assert [r.doc_id for r in en_only.collect()] == [1]
+    # with_scores=False drops the audit columns
+    bare = textfn.clean_corpus(df, min_quality=0.6, with_scores=False)
+    assert set(bare.columns) == {"doc_id", "text"}
+
+
+def test_clean_corpus_single_shuffle(spark):
+    from spacy_llm_spark.functions import text as textfn
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with some words here present today") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        textfn.clean_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # only the dedup window shuffle
