@@ -89,7 +89,6 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     # headline "value" stays comparable across rounds
     t0 = time.time()
     _pairs = dedup.simhash_dup_pairs(docs, max_hamming=3)
-    extras["simhash_dup_clusters_sec"] = None  # placeholder, set below
     _n_clusters = (
         dedup.dedup_clusters(_pairs, docs)
         .where(F.col("doc_id") == F.col("cluster_rep"))

@@ -148,6 +148,19 @@ def configure_lineage(
         if spark is None:
             raise ValueError("checkpoint_dir requires the spark session")
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    if reliable and checkpoint_dir is None:
+        # fail HERE, not as an opaque SparkException deep inside the first
+        # operator that cuts lineage
+        dir_set = (
+            spark is not None
+            and spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()  # noqa: SLF001
+        )
+        if not dir_set:
+            raise ValueError(
+                "reliable=True requires a checkpoint directory: pass "
+                "checkpoint_dir= (with spark=), or set one beforehand via "
+                "SparkContext.setCheckpointDir"
+            )
     _LINEAGE["reliable"] = reliable
 
 

@@ -92,21 +92,28 @@ class StageMetrics:
         todo_df: DataFrame,
         out_df: DataFrame,
         wall_secs: float,
+        resolved: Optional[dict] = None,
     ):
         self.stage = stage
         self._obs_todo = obs_todo
         self._obs_out = obs_out
         self._todo_df = todo_df
         self._out_df = out_df
-        self._resolved: dict = {}
+        # pre-resolved values (e.g. the micro-batch path already counted
+        # todo) — avoids a duplicate count job at metrics-read time
+        self._resolved: dict = dict(resolved or {})
         self.wall_secs = wall_secs
 
-    def _resolve(self, name: str, obs: Observation, df: DataFrame) -> int:
+    def _resolve(self, name: str, obs: Observation, attr: str) -> int:
         if name not in self._resolved:
             value = _obs_rows(obs)
             if value is None:
-                value = df.count()
+                value = getattr(self, attr).count()
             self._resolved[name] = value
+        # drop the DataFrame reference once its metric is pinned: holding
+        # it would keep any lineage-cut blocks alive for the manager's
+        # lifetime (they are freed when the plan is garbage collected)
+        setattr(self, attr, None)
         return self._resolved[name]
 
     @property
@@ -115,7 +122,7 @@ class StageMetrics:
 
     @property
     def rows_processed(self) -> int:
-        return self._resolve("todo", self._obs_todo, self._todo_df)
+        return self._resolve("todo", self._obs_todo, "_todo_df")
 
     @property
     def cache_hits(self) -> int:
@@ -123,7 +130,7 @@ class StageMetrics:
 
     @property
     def rows_out(self) -> int:
-        return self._resolve("out", self._obs_out, self._out_df)
+        return self._resolve("out", self._obs_out, "_out_df")
 
 
 @dataclass
@@ -299,18 +306,18 @@ class CheckpointManager:
                 manifest = self._read_manifest(spark, stage)
             selected.write.mode("append").parquet(path)
 
-        todo_for_metrics = todo
+        pre_resolved: dict = {}
         if micro_batches and micro_batches > 1:
             from ..fs import cut_lineage
 
             bucket = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(micro_batches))
             todo_mat = cut_lineage(todo.withColumn("_bucket", bucket))
-            todo_for_metrics = todo_mat
             # the eager lineage cut may or may not report the observation
             # (RDD-level action) — counting the materialized blocks is cheap
             n_todo = _obs_rows(obs_todo)
             if n_todo is None:
                 n_todo = todo_mat.count()
+            pre_resolved["todo"] = n_todo
             if n_todo > 0:
                 for b in range(micro_batches):
                     chunk = todo_mat.where(F.col("_bucket") == b).drop("_bucket")
@@ -336,9 +343,13 @@ class CheckpointManager:
                 stage=stage,
                 obs_todo=obs_todo,
                 obs_out=obs_out,
-                todo_df=todo_for_metrics,
+                # the LAZY todo plan, never the materialized micro-batch
+                # frame (whose blocks must not be pinned by metrics); the
+                # fallback count merely re-runs the anti-join
+                todo_df=todo,
                 out_df=out,
                 wall_secs=time.time() - t0,
+                resolved=pre_resolved,
             )
         )
         return out

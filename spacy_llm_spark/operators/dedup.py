@@ -300,6 +300,7 @@ def simhash_dup_pairs(
     n_blocks: int = 4,
     token_hash: str = "sha2_60",
     max_bucket_size: int | None = 1000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, never all-pairs.
 
@@ -312,6 +313,15 @@ def simhash_dup_pairs(
     shape as the MinHash path: capped hot buckets, lineage cut before the
     self-join, fully native expressions (no Python in the hot path).
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Recall: the banding itself is EXACT (1.0) for ``max_hamming <
+    n_blocks``, but a (band, bucket) holding more than
+    ``max_bucket_size`` members is capped to the lowest ids — pairs
+    involving the dropped members are not emitted (``log_drops=True``
+    warns with counts). Duplicate-heavy corpora (boilerplate, license
+    files) should run ``exact_dedup`` first so identical texts cannot
+    overflow a bucket; pass ``max_bucket_size=None`` for guaranteed-total
+    recall when the corpus is known not to be degenerate.
     """
     if not 0 < n_blocks <= 64 or 64 % n_blocks:
         raise ValueError("n_blocks must divide 64")
@@ -342,7 +352,9 @@ def simhash_dup_pairs(
         F.col("bv.band").alias("band"),
         F.col("bv.bucket").alias("bucket"),
     )
-    banded = _cap_hot_buckets(banded, id_col, max_bucket_size, what="simhash")
+    banded = _cap_hot_buckets(
+        banded, id_col, max_bucket_size, log_drops=log_drops, what="simhash"
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -392,12 +404,33 @@ def dedup_clusters(
     from .canonicalize import connected_components
 
     numeric = dict(docs.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
+    _MIN_LONG = -9223372036854775808
 
     def enc(c):
-        return F.format_string("%020d", c) if numeric else c.cast("string")
+        if not numeric:
+            return c.cast("string")
+        # sign-split, order-preserving: "1"+%020d for id >= 0, "0"+%020d of
+        # (id - MIN_LONG) for id < 0 — lexicographic order == numeric order
+        # for the FULL signed-long range (a bare %020d renders negatives
+        # as "-00..x", which sorts wrongly). The shift is written as a
+        # SUBTRACTION of MIN_LONG: an addition chain would let Catalyst's
+        # constant reassociation fold an overflowing literal under ANSI.
+        return F.when(
+            c >= 0, F.concat(F.lit("1"), F.format_string("%020d", c))
+        ).otherwise(
+            F.concat(
+                F.lit("0"),
+                F.format_string("%020d", c - F.lit(_MIN_LONG)),
+            )
+        )
 
     def dec(c):
-        return c.cast("long") if numeric else c
+        if not numeric:
+            return c
+        body = F.substring(c, 2, 20).cast("long")
+        return F.when(F.substring(c, 1, 1) == "1", body).otherwise(
+            body + F.lit(_MIN_LONG)
+        )
 
     edges = pairs.select(
         enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")

@@ -268,10 +268,12 @@ def train_ivf_centroids(
             < int(denom * sample_fraction)
         )
     centroids = sample_centroids(train, n_cells, vec_col=vec_col, id_col=id_col)
-    dim = centroids.shape[1]
-    partial_schema = (
-        "cell int, n long, vsum array<double>"
-    )
+    if centroids.ndim != 2 or len(centroids) == 0:
+        raise ValueError(
+            "train_ivf_centroids: no training vectors "
+            "(empty input or sample_fraction too small)"
+        )
+    partial_schema = "cell int, n long, vsum array<double>"
 
     for _ in range(n_iter):
         cents = np.ascontiguousarray(centroids, dtype=np.float64)

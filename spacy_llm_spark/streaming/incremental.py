@@ -101,6 +101,12 @@ def make_batch_processor(
             # Probes go through the Hadoop FS API: output_dir may be any
             # scheme (file:, hdfs:, s3a:, ...).
             committed = fs.committed_subdirs(spark, processed_keys_path)
+            if fs.parquet_exists(spark, processed_keys_path):
+                # legacy layout: flat part files appended directly into
+                # _processed_keys by the pre-batch-subdir format — still
+                # honored on resume so an upgraded stream never reprocesses
+                # (and re-appends) its whole history
+                committed = committed + [processed_keys_path]
             if committed:
                 seen = spark.read.parquet(*committed).select("content_sha256")
                 batch_df = batch_df.join(seen, "content_sha256", "left_anti")

@@ -240,3 +240,33 @@ def test_stream_replay_and_partial_keys_crash(spark, mockfs_base):
     assert sorted(
         posixpath.basename(d) for d in fs.committed_subdirs(spark, keys_dir)
     ) == ["batch_id=0", "batch_id=1"]
+
+
+def test_configure_lineage_reliable_requires_dir(spark):
+    """reliable=True with no checkpoint dir anywhere fails loudly at
+    configure time, not as an opaque SparkException mid-operator."""
+    # note: other tests may have set a context dir; only assert the
+    # spark=None path, which can never see one
+    with pytest.raises(ValueError, match="requires a checkpoint directory"):
+        fs.configure_lineage(True)
+    assert not fs.lineage_is_reliable()
+
+
+def test_stream_resume_honors_legacy_flat_keys(spark, mockfs_base):
+    """A pre-upgrade stream wrote processed keys as flat part files in
+    _processed_keys; resume must still anti-join against them instead of
+    reprocessing (and double-appending) the whole history."""
+    from spacy_llm_spark.streaming.incremental import make_batch_processor
+
+    out_dir = posixpath.join(mockfs_base, "kg_out")
+    process = make_batch_processor(spark, out_dir)
+    batch = spark.createDataFrame(
+        [(1, "spark join customer", "py")], "doc_id long, content string, lang string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    # simulate the legacy layout: keys appended flat, no batch subdir
+    batch.select("content_sha256").write.mode("append").parquet(
+        posixpath.join(out_dir, "_processed_keys")
+    )
+    process(batch, 7)
+    # the doc was treated as already processed: no sink dirs were written
+    assert not fs.exists(spark, posixpath.join(out_dir, "edges"))

@@ -449,3 +449,38 @@ def test_clean_corpus_single_shuffle(spark):
         textfn.clean_corpus(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1  # only the dedup window shuffle
+
+
+def test_dedup_clusters_negative_ids_numeric_min(spark):
+    """Sign-split id encoding: the cluster rep is the NUMERIC minimum even
+    for negative ids (a bare %020d would sort '-…10' before '-…1')."""
+    pairs = spark.createDataFrame([(-10, -1), (-1, 5)], "id_a long, id_b long")
+    docs = spark.createDataFrame([(-10,), (-1,), (5,), (7,)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.dedup_clusters(pairs, docs).collect()
+    }
+    assert got == {-10: -10, -1: -10, 5: -10, 7: 7}
+
+
+def test_simhash_dup_pairs_bucket_cap_keeps_lowest_ids(spark):
+    """>cap identical docs: the kept (lowest-id) members still pair with
+    each other; the cap bounds the join rather than crashing or going
+    quadratic, and max_bucket_size=None restores total recall."""
+    docs = spark.createDataFrame(
+        [(i, "same exact text here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    capped = dedup.simhash_dup_pairs(docs, max_bucket_size=3)
+    got = sorted((r.id_a, r.id_b) for r in capped.collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]  # lowest 3 ids, all pairs among them
+    full = dedup.simhash_dup_pairs(docs, max_bucket_size=None)
+    assert full.count() == 8 * 7 // 2
+
+
+def test_train_ivf_centroids_empty_input_raises(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no training vectors"):
+        similarity.train_ivf_centroids(empty, n_cells=4)
