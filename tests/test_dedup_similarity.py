@@ -484,3 +484,47 @@ def test_train_ivf_centroids_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="no training vectors"):
         similarity.train_ivf_centroids(empty, n_cells=4)
+
+
+def test_id_encoding_spark_matches_python_mirror(spark):
+    """The Spark enc expression agrees with the pure-python mirror used by
+    the hypothesis order-isomorphism property (test_property_kernels)."""
+    from pyspark.sql import functions as F
+
+    ids = [-(2**63), -10, -1, 0, 1, 10, 2**63 - 1]
+    pairs = spark.createDataFrame([(a, b) for a, b in zip(ids, ids[1:])], "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs, docs).collect()}
+    # chain of pairs -> one cluster, rep = numeric min = MIN_LONG
+    assert set(got.values()) == {-(2**63)}
+
+
+def test_simhash_xxhash64_token_hash_path(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "delta eps zeta")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(docs, token_hash="xxhash64").collect()}
+    assert fp[0] == fp[1] != fp[2]
+    pairs = dedup.simhash_dup_pairs(docs, token_hash="xxhash64", max_hamming=2)
+    assert sorted((r.id_a, r.id_b) for r in pairs.collect()) == [(0, 1)]
+
+
+def test_minhash_pairs_compose_with_dedup_clusters(spark):
+    """dedup_clusters is pair-source agnostic: MinHash-LSH pairs cluster
+    the same way SimHash pairs do."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (3, "the quick brown fox jumps over the lazy dog again tonight"),
+            (4, "completely different content with other words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_dup_pairs(docs, threshold=0.6, shingle_k=2)
+    clusters = {
+        r.doc_id: r.cluster_rep for r in dedup.dedup_clusters(pairs, docs).collect()
+    }
+    assert clusters[1] == clusters[2] == 1  # exact dups cluster
+    assert clusters[4] == 4

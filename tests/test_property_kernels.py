@@ -302,3 +302,32 @@ def test_shard_for_task_invariants(doc_spans, context_length):
     # 4. shards cover the text left-to-right without reordering
     offsets = [off for off, *_ in shards]
     assert offsets == sorted(offsets)
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters sign-split id encoding: order isomorphism over the full
+# signed-long range (the property the cluster-rep semantics rest on)
+# --------------------------------------------------------------------------
+
+
+def _enc_py(v: int) -> str:
+    # mirror of the Spark expression in dedup.dedup_clusters
+    if v >= 0:
+        return "1" + format(v, "020d")
+    return "0" + format(v - (-9223372036854775808), "020d")
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=300)
+def test_id_encoding_preserves_order(ids):
+    encoded = [_enc_py(v) for v in ids]
+    assert sorted(range(len(ids)), key=lambda i: ids[i]) == sorted(
+        range(len(ids)), key=lambda i: encoded[i]
+    )
+    assert len(set(encoded)) == len(set(ids))  # injective
