@@ -1,0 +1,56 @@
+"""Physical-plan regression guards.
+
+PLANS.md captures the `.explain` evidence prose; these tests pin the
+load-bearing plan properties so a refactor cannot silently regress them:
+the fused extraction pass must stay shuffle-free, triple materialization
+must stay Generate+Project, and declarative KB candidate generation must
+broadcast the alias table (the corpus side never shuffles for the join).
+"""
+
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.kb import build_code_kb
+from spacy_llm_spark.operators import materialize as mat
+from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _corpus(spark, n=20):
+    return spark.createDataFrame(
+        [(i, f"spark join customer number {i}", "py") for i in range(n)],
+        "doc_id long, content string, lang string",
+    ).withColumn("content_sha256", F.sha2("content", 256))
+
+
+def test_fused_annotate_plan_is_narrow(spark):
+    """The expensive extraction pass: ONE mapInPandas, zero Exchange —
+    partitioning preserved scan-to-output (the 100 TB property)."""
+    plan = _plan(annotate_corpus(_corpus(spark), KGConfig(), build_code_kb()))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_mentions_table_plan_is_generate_project(spark):
+    annotated = annotate_corpus(_corpus(spark), KGConfig(), build_code_kb())
+    plan = _plan(mat.mentions_table(annotated, ("doc_id", "content_sha256")))
+    assert "Generate posexplode" in plan
+    assert "Exchange" not in plan  # explode is narrow too
+    assert "CartesianProduct" not in plan
+
+
+def test_candidates_df_broadcasts_alias_table(spark):
+    from spacy_llm_spark.operators.el import candidates_df
+
+    kb = build_code_kb()
+    mentions = spark.createDataFrame(
+        [(1, 0, "join"), (1, 1, "filter"), (2, 0, "window")],
+        "doc_id long, ent_idx int, surface string",
+    )
+    out = candidates_df(mentions, kb.aliases_df(spark))
+    out.collect()  # let AQE finalize
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the corpus side never shuffles
