@@ -237,6 +237,77 @@ def sample_centroids(
     return np.asarray([row[0] for row in sample], dtype=float)
 
 
+def maxmin_centroids(
+    df: DataFrame,
+    n_cells: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch: Optional[int] = None,
+) -> np.ndarray:
+    """Deterministic farthest-point (k-center greedy / max-min) seeding.
+
+    Starts from the hash-min vector, then repeatedly adds the ``batch``
+    globally-farthest vectors from the current seed set (squared L2 to the
+    nearest seed, numpy matmul per Arrow partition, global top via
+    TakeOrdered semantics — orderBy+limit). ceil(n_cells/batch) narrow
+    passes; deterministic (ties broken by id). Far better spread than a
+    hash sample on clustered data — a sampled init can land every seed in
+    one dense blob.
+    """
+    import pandas as pd
+
+    batch = batch or max(1, n_cells // 8)
+    first = (
+        df.orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(10**9)))
+        .limit(1)
+        .select(vec_col)
+        .collect()
+    )
+    if not first:
+        raise ValueError("maxmin_centroids: empty input")
+    seeds = [np.asarray(first[0][0], dtype=np.float64)]
+
+    while len(seeds) < n_cells:
+        cents = np.ascontiguousarray(np.stack(seeds))
+        cn = (cents * cents).sum(axis=1)
+        out_schema = f"{id_col} string, d2 double"
+
+        def kern(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                vn = (V * V).sum(axis=1)
+                d2 = (
+                    vn[:, None] - 2.0 * (V @ cents.T) + cn[None, :]
+                ).min(axis=1)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].astype(str), "d2": d2}
+                )
+
+        take = min(batch, n_cells - len(seeds))
+        far_ids = [
+            row[0]
+            for row in df.select(id_col, vec_col)
+            .mapInPandas(kern, schema=out_schema)
+            .orderBy(F.desc("d2"), F.asc(id_col))
+            .limit(take)
+            .collect()
+        ]
+        rows = (
+            df.where(F.col(id_col).cast("string").isin(far_ids))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        # deterministic order regardless of collect order
+        rows.sort(key=lambda r: str(r[0]))
+        seeds.extend(np.asarray(r[1], dtype=np.float64) for r in rows)
+    return np.stack(seeds[:n_cells])
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int,
@@ -245,6 +316,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     n_iter: int = 3,
     sample_fraction: Optional[float] = None,
+    init: str = "sample",
 ) -> np.ndarray:
     """Lloyd k-means refinement of the sampled centroids, distributed.
 
@@ -257,6 +329,10 @@ def train_ivf_centroids(
     ``sample_fraction`` trains on a deterministic subset (pass e.g. 0.05
     at 100 TB — k-means quality saturates long before full-corpus scans).
     Empty cells keep their previous centroid (standard Lloyd fallback).
+    ``init='maxmin'`` seeds with the deterministic farthest-point sweep
+    (``maxmin_centroids``) instead of the hash sample — costs
+    ceil(n_cells/batch) extra narrow passes, avoids all-seeds-in-one-blob
+    degeneracy on clustered data.
     """
     import pandas as pd
 
@@ -267,7 +343,12 @@ def train_ivf_centroids(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(denom))
             < int(denom * sample_fraction)
         )
-    centroids = sample_centroids(train, n_cells, vec_col=vec_col, id_col=id_col)
+    if init == "maxmin":
+        centroids = maxmin_centroids(train, n_cells, vec_col=vec_col, id_col=id_col)
+    elif init == "sample":
+        centroids = sample_centroids(train, n_cells, vec_col=vec_col, id_col=id_col)
+    else:
+        raise ValueError(f"unknown init {init!r}")
     if centroids.ndim != 2 or len(centroids) == 0:
         raise ValueError(
             "train_ivf_centroids: no training vectors "

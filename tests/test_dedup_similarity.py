@@ -528,3 +528,42 @@ def test_minhash_pairs_compose_with_dedup_clusters(spark):
     }
     assert clusters[1] == clusters[2] == 1  # exact dups cluster
     assert clusters[4] == 4
+
+
+def test_maxmin_init_spreads_over_blobs(spark):
+    """Farthest-point seeding places one seed per blob even when the hash
+    sample would not; k-means from it recovers the blob means."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    blobs = [
+        rng.normal(loc=c, scale=0.2, size=(60, 2))
+        for c in [(0.0, 0.0), (20.0, 0.0), (0.0, 20.0), (20.0, 20.0)]
+    ]
+    vecs = np.vstack(blobs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+
+    seeds = similarity.maxmin_centroids(df, n_cells=4)
+    # each seed belongs to a distinct blob (blob centers are 20 apart)
+    blob_of = lambda v: (round(v[0] / 20), round(v[1] / 20))
+    assert len({blob_of(sd) for sd in seeds}) == 4
+
+    cents = similarity.train_ivf_centroids(df, n_cells=4, n_iter=3, init="maxmin")
+    got = sorted(blob_of(c) for c in cents)
+    assert got == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    # determinism
+    cents2 = similarity.train_ivf_centroids(df, n_cells=4, n_iter=3, init="maxmin")
+    assert np.allclose(cents, cents2)
+
+
+def test_train_ivf_unknown_init_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="unknown init"):
+        similarity.train_ivf_centroids(df, n_cells=1, init="bogus")
