@@ -81,12 +81,12 @@ def main(argv=None) -> int:
     if args.save_io:
         cfg_kwargs["save_io"] = True
     cfg = KGConfig(**cfg_kwargs)
+    lineage_dir = None
     if args.reliable_checkpoints:
         from spacy_llm_spark.fs import configure_lineage
 
-        configure_lineage(
-            True, spark=spark, checkpoint_dir=os.path.join(args.output, "_lineage")
-        )
+        lineage_dir = os.path.join(args.output, "_lineage")
+        configure_lineage(True, spark=spark, checkpoint_dir=lineage_dir)
 
     fmt = args.source_format
     if fmt == "auto":
@@ -114,6 +114,16 @@ def main(argv=None) -> int:
     )
     if result.metrics is not None:
         write_table(result.metrics, os.path.join(args.output, "metrics"), mode="append")
+    if lineage_dir is not None:
+        # reliable checkpoints are per-round scratch; Spark's own cleaner
+        # only removes them with
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+        # context-start conf), so the job deletes its lineage dir once all
+        # sinks are committed — iterative operators would otherwise leave
+        # one full frame copy PER ROUND on HDFS/S3
+        from spacy_llm_spark import fs as _fs
+
+        _fs.delete(spark, lineage_dir)
     wall = time.time() - t0
     print(json.dumps({
         "n_triples": result.n_triples,

@@ -70,6 +70,18 @@ def list_names(spark: SparkSession, path: str) -> List[str]:
     return [status.getPath().getName() for status in fs.listStatus(p)]
 
 
+def list_files(spark: SparkSession, path: str, suffix: str = "") -> List[str]:
+    """Fully-qualified child FILE URIs ([] if path doesn't exist)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        status.getPath().toString()
+        for status in fs.listStatus(p)
+        if status.isFile() and status.getPath().getName().endswith(suffix)
+    ]
+
+
 def list_subdirs(spark: SparkSession, path: str) -> List[str]:
     """Fully-qualified child directory URIs ([] if path doesn't exist)."""
     fs, p = _fs_path(spark, path)
@@ -143,6 +155,14 @@ def configure_lineage(
     cluster — and survives executor loss; ``localCheckpoint`` blocks die
     with their executor). Pass ``checkpoint_dir`` to set the context dir
     in the same call.
+
+    Disk-lifecycle note: Spark only auto-deletes out-of-scope reliable
+    checkpoints when ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is true at SESSION BUILD (read once by ContextCleaner). Iterative
+    operators cut lineage every round, so without that conf a long CC run
+    leaves one frame copy per round in the dir — either set the conf when
+    building the session, or delete the dir after the job commits
+    (``run_kg_job.py --reliable-checkpoints`` does the latter).
     """
     if checkpoint_dir is not None:
         if spark is None:

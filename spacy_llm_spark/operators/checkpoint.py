@@ -82,7 +82,13 @@ class StageMetrics:
     covers every input key exactly once), so no third observation is
     needed. Reading a metric whose observation hasn't fired (or was lost
     to the AQE metric-drop quirk — see ``_obs_rows``) triggers one count()
-    and caches the result."""
+    and caches the result.
+
+    Caveat: ``rows_in == rows_out`` relies on the stage-fn contract (fn
+    must not drop input keys — run_stage docstring); a contract-violating
+    fn makes rows_in under-report and cache_hits go negative rather than
+    raising. The contract is the documented API; the metric does not
+    re-police it."""
 
     def __init__(
         self,
@@ -325,10 +331,18 @@ class CheckpointManager:
             elif manifest is None:
                 # nothing to do but the manifest must exist for read-back
                 _persist(fn(todo_mat.where(F.lit(False)).drop("_bucket")))
+        elif has_ckpt:
+            # Resume path: count the anti-join result FIRST (one cheap job,
+            # which also fires obs_todo) and skip the stage fn entirely when
+            # everything is cached — an all-cached rerun must not spin up
+            # model kernels over an empty frame or append empty commits on
+            # every invocation. Fresh runs (no checkpoint) skip this count:
+            # there the persist job itself populates the observations.
+            n_todo = todo.count()
+            pre_resolved["todo"] = n_todo
+            if n_todo > 0 or manifest is None:
+                _persist(fn(todo))
         else:
-            # Always run the persist job — an all-cached rerun appends an
-            # empty commit, and that single job is what populates
-            # rows_in/rows_processed (no separate count() scans).
             _persist(fn(todo))
 
         dropped_cols = manifest["dropped_input_cols"]

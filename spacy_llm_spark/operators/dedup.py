@@ -323,8 +323,11 @@ def simhash_dup_pairs(
     overflow a bucket; pass ``max_bucket_size=None`` for guaranteed-total
     recall when the corpus is known not to be degenerate.
     """
-    if not 0 < n_blocks <= 64 or 64 % n_blocks:
-        raise ValueError("n_blocks must divide 64")
+    if not 2 <= n_blocks <= 64 or 64 % n_blocks:
+        # n_blocks=1 would need a 64-bit all-ones mask (doesn't fit a
+        # signed long literal) and means hamming=0, i.e. exact fingerprint
+        # equality — use exact_dedup / fingerprint for that
+        raise ValueError("n_blocks must divide 64 and be >= 2")
     if max_hamming >= n_blocks:
         raise ValueError(
             "pigeonhole banding requires max_hamming < n_blocks "

@@ -101,14 +101,28 @@ def make_batch_processor(
             # Probes go through the Hadoop FS API: output_dir may be any
             # scheme (file:, hdfs:, s3a:, ...).
             committed = fs.committed_subdirs(spark, processed_keys_path)
-            if fs.parquet_exists(spark, processed_keys_path):
-                # legacy layout: flat part files appended directly into
-                # _processed_keys by the pre-batch-subdir format — still
-                # honored on resume so an upgraded stream never reprocesses
-                # (and re-appends) its whole history
-                committed = committed + [processed_keys_path]
+            # legacy layout: flat part files appended directly into
+            # _processed_keys by the pre-batch-subdir format — still
+            # honored on resume so an upgraded stream never reprocesses
+            # (and re-appends) its whole history. The EXPLICIT file list
+            # (never the parent dir) keeps partition discovery from
+            # descending into batch_id=N subdirs: reading the parent would
+            # either pick up an UNCOMMITTED subdir's keys or throw
+            # conflicting-directory-structures when both layouts coexist.
+            legacy = fs.list_files(spark, processed_keys_path, suffix=".parquet")
+            seen_parts = []
             if committed:
-                seen = spark.read.parquet(*committed).select("content_sha256")
+                seen_parts.append(
+                    spark.read.parquet(*committed).select("content_sha256")
+                )
+            if legacy:
+                seen_parts.append(
+                    spark.read.parquet(*legacy).select("content_sha256")
+                )
+            if seen_parts:
+                seen = seen_parts[0]
+                for part in seen_parts[1:]:
+                    seen = seen.union(part)
                 batch_df = batch_df.join(seen, "content_sha256", "left_anti")
             batch_df = cut_lineage(batch_df)
             if batch_df.isEmpty():

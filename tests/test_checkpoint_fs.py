@@ -270,3 +270,79 @@ def test_stream_resume_honors_legacy_flat_keys(spark, mockfs_base):
     process(batch, 7)
     # the doc was treated as already processed: no sink dirs were written
     assert not fs.exists(spark, posixpath.join(out_dir, "edges"))
+
+
+def test_stream_legacy_keys_coexist_with_subdirs(spark, mockfs_base):
+    """Legacy flat key files + batch_id subdirs (committed AND a crashed
+    uncommitted one) in the same _processed_keys dir: the probe must see
+    legacy + committed keys, must NOT see the uncommitted subdir's keys,
+    and must not throw conflicting-directory-structures."""
+    from spacy_llm_spark.streaming.incremental import make_batch_processor
+
+    out_dir = posixpath.join(mockfs_base, "kg_out")
+    keys_dir = posixpath.join(out_dir, "_processed_keys")
+
+    def sha_of(text):
+        import hashlib
+
+        return hashlib.sha256(text.encode()).hexdigest()
+
+    legacy_doc = "spark join customer"
+    committed_doc = "window sort table"
+    uncommitted_doc = "filter merge part"
+    # legacy flat files
+    spark.createDataFrame(
+        [(sha_of(legacy_doc),)], "content_sha256 string"
+    ).write.mode("append").parquet(keys_dir)
+    # committed batch subdir
+    spark.createDataFrame(
+        [(sha_of(committed_doc),)], "content_sha256 string"
+    ).write.parquet(posixpath.join(keys_dir, "batch_id=3"))
+    # crashed (uncommitted) batch subdir: no _SUCCESS
+    spark.createDataFrame(
+        [(sha_of(uncommitted_doc),)], "content_sha256 string"
+    ).write.parquet(posixpath.join(keys_dir, "batch_id=4"))
+    fs.delete(
+        spark, posixpath.join(keys_dir, "batch_id=4", "_SUCCESS"), recursive=False
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, legacy_doc, "py"),        # seen via legacy flat files
+            (2, committed_doc, "java"),   # seen via committed subdir
+            (3, uncommitted_doc, "go"),   # NOT seen: crashed keys write
+        ],
+        "doc_id long, content string, lang string",
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    make_batch_processor(spark, out_dir)(batch, 9)
+
+    # only the uncommitted doc was (re)processed
+    edges = spark.read.parquet(posixpath.join(out_dir, "edges"))
+    shas = {r.content_sha256 for r in edges.select("content_sha256").collect()}
+    assert shas == {sha_of(uncommitted_doc)}
+    # no quarantine happened
+    assert not fs.exists(spark, posixpath.join(out_dir, "_quarantine"))
+
+
+def test_all_cached_rerun_skips_stage_fn(spark, tmp_path):
+    """Resume with zero misses must not invoke the stage fn at all (no
+    model-kernel spin-up, no empty append per rerun)."""
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    calls = []
+
+    def stage(chunk):
+        calls.append(1)
+        return chunk.withColumn("out", F.col("value") * 2)
+
+    df = _corpus(spark)
+    mgr.run_stage(spark, "s", df, stage, config={"v": 1}).count()
+    assert calls == [1]
+    stage_dir = str(tmp_path / "ck" / "s")
+    files_before = sorted(os.listdir(stage_dir))
+
+    out = mgr.run_stage(spark, "s", df, stage, config={"v": 1})
+    assert out.count() == 20
+    assert calls == [1]  # fn not called again
+    assert sorted(os.listdir(stage_dir)) == files_before  # no empty append
+    m = mgr.metrics[-1]
+    assert (m.rows_in, m.cache_hits, m.rows_processed) == (20, 20, 0)

@@ -567,3 +567,11 @@ def test_train_ivf_unknown_init_raises(spark):
     )
     with pytest.raises(ValueError, match="unknown init"):
         similarity.train_ivf_centroids(df, n_cells=1, init="bogus")
+
+
+def test_simhash_dup_pairs_rejects_single_block(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_blocks must divide 64 and be >= 2"):
+        dedup.simhash_dup_pairs(docs, max_hamming=0, n_blocks=1)
