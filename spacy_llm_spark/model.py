@@ -142,7 +142,10 @@ def _dict_matches(text: str, lowered: Dict[str, str], max_len: int):
     while i < len(spans):
         matched = None
         for j in range(min(i + max_len, len(spans)), i, -1):
-            candidate = lower[spans[i][0] : spans[j - 1][1]]
+            # normalize internal whitespace: dictionary keys are
+            # single-spaced, but the raw slice may span newlines/double
+            # spaces ("hash\njoin" must still match "hash join")
+            candidate = " ".join(lower[spans[i][0] : spans[j - 1][1]].split())
             label = lowered.get(candidate)
             if label is not None:
                 matched = (spans[i][0], spans[j - 1][1], label, j - i)
@@ -280,8 +283,10 @@ def make_rule_rel_model(rules: Dict[Tuple[str, str], str]) -> BatchModel:
             for (i, label_a), (j, label_b) in zip(ents, ents[1:]):
                 relation = rules.get((label_a, label_b))
                 if relation is not None:
+                    # json.dumps: a relation value containing quotes or
+                    # backslashes must still produce a parseable P5 line
                     lines.append(
-                        f'{{"dep": {i}, "dest": {j}, "relation": "{relation}"}}'
+                        json.dumps({"dep": i, "dest": j, "relation": relation})
                     )
             responses.append("\n".join(lines))
         return responses

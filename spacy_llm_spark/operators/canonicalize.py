@@ -182,7 +182,11 @@ def canonical_vertices(
     (mirroring the reference's in-memory KB). Above it, the distributed
     label-propagation CC takes over.
     """
-    pairs = surface_kb_pairs(links)
+    # materialize the (single) corpus-scale aggregation BEFORE the
+    # threshold probe: probing the lazy frame would run the full distinct
+    # once for the probe and AGAIN for the distributed branch's lineage
+    # cut — the most expensive shuffle in the job, twice
+    pairs = cut_lineage(surface_kb_pairs(links))
     head = pairs.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
         parent: dict = {}
@@ -216,12 +220,13 @@ def canonical_vertices(
             rows, "node string, component string, is_kb boolean"
         )
 
-    pairs = cut_lineage(pairs)
     edges = pairs.where(F.col("kb_id") != NIL).select(
         F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
         F.col("kb_id").alias("dst"),
     )
-    comps = connected_components(edges, max_iter=max_iter)
+    comps = connected_components(
+        edges, max_iter=max_iter, driver_threshold=driver_threshold
+    )
 
     all_nodes = (
         pairs.select(

@@ -126,7 +126,7 @@ def annotate_fused(
         el_model = resolve_model(el_model_spec)
         local_kb = KnowledgeBase.from_json(kb_bc.value)
 
-        def render_ner(shard_text, i_shard, n_shards):
+        def render_ner(shard_text):
             return render_ner_prompt(
                 shard_text, label_list, definitions, ner_examples
             )
@@ -161,13 +161,11 @@ def annotate_fused(
                 shards = (
                     make_shards(text, context_length, render_ner)
                     if context_length is not None
-                    else [(0, text)]
+                    else [(0, text, render_ner(text))]
                 )
-                doc_shards.append(shards)
+                doc_shards.append([(off, st) for off, st, _ in shards])
                 p0 = len(ner_prompts)
-                ner_prompts.extend(
-                    render_ner(s, i, len(shards)) for i, (_, s) in enumerate(shards)
-                )
+                ner_prompts.extend(p for _, _, p in shards)
                 ner_bounds.append((p0, len(ner_prompts)))
 
             # ---- NER per shard ----

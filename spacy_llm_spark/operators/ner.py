@@ -115,7 +115,7 @@ def extract_mentions(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = resolve_model(model_spec)
 
-        def render(shard_text: str, i_shard: int, n_shards: int) -> str:
+        def render(shard_text: str) -> str:
             return render_ner_prompt(shard_text, label_list, definitions, examples)
 
         for pdf in batches:
@@ -129,12 +129,10 @@ def extract_mentions(
                 if context_length is not None:
                     shards = make_shards(text, context_length, render)
                 else:
-                    shards = [(0, text)]
-                doc_shards.append(shards)
+                    shards = [(0, text, render(text))]
+                doc_shards.append([(off, st) for off, st, _ in shards])
                 p0 = len(prompts)
-                prompts.extend(
-                    render(s, i, len(shards)) for i, (_, s) in enumerate(shards)
-                )
+                prompts.extend(p for _, _, p in shards)
                 prompt_bounds.append((p0, len(prompts)))
             # 2. one batched model call per Arrow batch (X1/R3)
             responses = model(prompts)

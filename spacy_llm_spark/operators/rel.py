@@ -49,13 +49,22 @@ REL_TYPE = ArrayType(
 
 
 def preannotate(text: str, ents: List[Tuple[int, int, str]]) -> str:
-    """Insert [ENT{i}:{label}] directly after each entity span (M3)."""
+    """Insert [ENT{i}:{label}] directly after each entity span (M3).
+
+    Overlapping spans (SpanCat feeding REL in the fused stage) are
+    tolerated: the cursor never moves backwards, so a nested span that
+    ends before the previous marker gets its marker AT the cursor instead
+    of duplicating the already-emitted text slice (same clamping
+    discipline as highlight_ents, el.py). Non-overlapping input —
+    the reference's only case — is byte-identical to the reference splice
+    (pinned by the golden test)."""
     out = []
     cursor = 0
     for i, (start, end, label) in enumerate(ents):
-        out.append(text[cursor:end])
+        pos = max(end, cursor)
+        out.append(text[cursor:pos])
         out.append(f"[ENT{i}:{label}]")
-        cursor = end
+        cursor = pos
     out.append(text[cursor:])
     return "".join(out)
 

@@ -34,23 +34,30 @@ def estimate_n_tokens(value: str) -> int:
 def make_shards(
     text: str,
     context_length: int,
-    render: Callable[[str, int, int], str],
+    render: Callable[[str], str],
     buffer_frac: float = 1.1,
-) -> List[Tuple[int, str]]:
-    """Split ``text`` into [(char_offset, shard_text)] such that each
-    rendered prompt fits ``context_length`` (with ``buffer_frac`` headroom).
+) -> List[Tuple[int, str, str]]:
+    """Split ``text`` into [(char_offset, shard_text, prompt)] such that
+    each rendered prompt fits ``context_length`` (with ``buffer_frac``
+    headroom).
 
-    ``render(shard_text, i_shard, n_shards) -> prompt``.
+    ``render(shard_text) -> prompt``. The ACCEPTED prompt is returned so
+    callers never render twice (rendering — examples serialization
+    included — is the dominant per-shard cost in the hot kernel). The
+    render contract deliberately takes only the text: the reference's
+    per-shard prompts carry no shard index, and a hypothetical
+    "part i of n" header could never be honestly validated here — the
+    final shard count isn't known while the splitter is still searching.
     """
-    prompt = render(text, 0, 1)
+    prompt = render(text)
     if estimate_n_tokens(prompt) * buffer_frac <= context_length:
-        return [(0, text)]
+        return [(0, text, prompt)]
 
     token_spans = [m.span() for m in _WS_TOKEN_RE.finditer(text)]
     if not token_spans:
-        return [(0, text)]
+        return [(0, text, prompt)]
 
-    shards: List[Tuple[int, str]] = []
+    shards: List[Tuple[int, str, str]] = []
     start_tok = 0
     fraction = 0.5
     n_tokens = len(token_spans)
@@ -59,14 +66,12 @@ def make_shards(
         remaining = n_tokens - start_tok
         fits = False
         frac = fraction
-        end_tok = start_tok
-        shard_text = ""
         while not fits:
             end_tok = start_tok + max(1, int(remaining * frac))
             char_start = token_spans[start_tok][0]
             char_end = token_spans[end_tok - 1][1]
             shard_text = text[char_start:char_end]
-            prompt = render(shard_text, len(shards), len(shards) + 1)
+            prompt = render(shard_text)
             fits = (
                 estimate_n_tokens(prompt) * buffer_frac <= context_length
             )
@@ -78,7 +83,7 @@ def make_shards(
                         "reduce its size."
                     )
                 frac /= 2
-        shards.append((token_spans[start_tok][0], shard_text))
+        shards.append((token_spans[start_tok][0], shard_text, prompt))
         start_tok = end_tok
         fraction = 1.0
 

@@ -61,3 +61,20 @@ def test_rel_stage_noop_model_bounds(spark):
         labels=["LivesIn"],
     ).collect()[0]
     assert len(drop.rels) == 0
+
+
+def test_preannotate_overlapping_spans_never_duplicates_text():
+    """SpanCat spans feeding REL: a nested span ending before the cursor
+    gets its marker AT the cursor; the emitted text (markers stripped) is
+    exactly the original — never a duplicated slice."""
+    import re
+
+    text = "new york city hall"
+    # sorted by (start, end): outer span first, nested shorter span later
+    ents = [(0, 18, "PLACE"), (0, 8, "CITY"), (9, 13, "X")]
+    out = preannotate(text, ents)
+    stripped = re.sub(r"\[ENT\d+:[^\]]+\]", "", out)
+    assert stripped == text
+    # markers appear in entity-index order
+    idxs = [int(m) for m in re.findall(r"\[ENT(\d+):", out)]
+    assert idxs == [0, 1, 2]

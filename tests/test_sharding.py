@@ -16,7 +16,7 @@ from spacy_llm_spark.operators.sharding import (
 )
 
 
-def render(shard_text, i_shard, n_shards):
+def render(shard_text):
     return f"prompt prefix of six tokens here: {shard_text}"
 
 
@@ -27,7 +27,7 @@ def test_n_token_estimator():
 
 def test_no_shard_when_fits():
     text = "one two three"
-    assert make_shards(text, 100, render) == [(0, text)]
+    assert make_shards(text, 100, render) == [(0, text, render(text))]
 
 
 def test_shards_fit_and_cover():
@@ -36,14 +36,16 @@ def test_shards_fit_and_cover():
     ctx = 30
     shards = make_shards(text, ctx, render)
     assert len(shards) > 1
-    # every shard prompt fits with the 1.1 buffer
-    for _, shard_text in shards:
-        assert estimate_n_tokens(render(shard_text, 0, 1)) * 1.1 <= ctx
+    # every shard prompt fits with the 1.1 buffer, and the RETURNED prompt
+    # is the accepted render (no second render needed by callers)
+    for _, shard_text, prompt in shards:
+        assert prompt == render(shard_text)
+        assert estimate_n_tokens(prompt) * 1.1 <= ctx
     # shards cover all tokens in order, no loss, no overlap
-    rejoined = " ".join(s for _, s in shards)
+    rejoined = " ".join(s for _, s, _ in shards)
     assert rejoined.split() == words
     # offsets point at the true positions
-    for off, shard_text in shards:
+    for off, shard_text, _ in shards:
         assert text[off : off + len(shard_text)] == shard_text
 
 
@@ -51,9 +53,9 @@ def test_first_shard_starts_at_half():
     # first shard tries 50% of the doc (sharding.py fraction=0.5 start)
     words = ["x"] * 40
     text = " ".join(words)
-    shards = make_shards(text, 1000, lambda s, i, n: s)  # no prefix
-    assert shards == [(0, text)]
-    shards = make_shards(text, 25, lambda s, i, n: s)
+    shards = make_shards(text, 1000, lambda s: s)  # no prefix
+    assert shards == [(0, text, text)]
+    shards = make_shards(text, 25, lambda s: s)
     assert estimate_n_tokens(shards[0][1]) == 20  # 50% of 40
     # subsequent shard takes the whole remainder if it fits
     assert estimate_n_tokens(shards[1][1]) == 20
@@ -61,7 +63,7 @@ def test_first_shard_starts_at_half():
 
 def test_unshardable_raises():
     with pytest.raises(ValueError, match="shard of length 1"):
-        make_shards("word " * 50, 3, lambda s, i, n: "giant prefix " * 10 + s)
+        make_shards("word " * 50, 3, lambda s: "giant prefix " * 10 + s)
 
 
 def test_merge_shard_spans_offset_shift():

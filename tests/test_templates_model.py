@@ -57,3 +57,35 @@ def test_el_model_reads_only_final_candidates_block():
     )
     (resp,) = model([prompt])
     assert resp == "*Boston* ::: <Q100>"
+
+
+def test_dict_ner_matches_across_irregular_whitespace(spark):
+    """Multi-token dictionary surfaces match across newlines/double
+    spaces: the candidate slice is whitespace-normalized before lookup."""
+    from spacy_llm_spark.operators.ner import extract_mentions
+
+    df = spark.createDataFrame(
+        [(1, "do a hash\njoin now"), (2, "a hash  join too"), (3, "hash join plain")],
+        "doc_id long, content string",
+    )
+    out = extract_mentions(
+        df,
+        model_spec={"name": "dict_ner", "dictionary": {"hash join": "OP"}},
+        labels=["OP"],
+    )
+    got = {r.doc_id: [e["surface"] for e in r.ents] for r in out.collect()}
+    assert got[3] == ["hash join"]
+    assert got[1] and got[2]  # irregular whitespace still matched
+
+
+def test_rule_rel_model_escapes_relation_values():
+    from spacy_llm_spark.functions.response_parsers import parse_rel_response
+    from spacy_llm_spark.model import resolve_model
+
+    model = resolve_model(
+        {"name": "rule_rel", "rules": {'A|B': 'says "no"\\maybe'}}
+    )
+    prompt = "Text:\n'''\nx[ENT0:A] y[ENT1:B]\n'''"
+    (line,) = model([prompt])
+    rels = parse_rel_response(line, 2)
+    assert rels == [(0, 1, 'says "no"\\maybe')]
