@@ -611,6 +611,150 @@ def q_kg_vertices(spark, sf_dir):
     return canon.canonical_vertices(links)
 
 
+def q_asof_latest_click(spark, sf_dir):
+    """As-of join (operators/asof.py): for each 'view' event, the same
+    user's most recent strictly-prior 'click' event. Union + running-last
+    window — ONE shuffle, no inequality join."""
+    from spacy_llm_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        views,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="cts",
+        right_cols=["click_event_id", "click_value"],
+        right_tiebreak="click_event_id",
+        strict=True,
+    )
+    return _as_long(out, "event_id", "user_id", "click_event_id").select(
+        "event_id", "user_id", "click_event_id", "click_value"
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: dup-token/dup-bigram/top-bigram
+    fractions — zero-shuffle narrow projection (functions/text.py)."""
+    return textfn.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_vocab_topk(spark, sf_dir):
+    return textfn.vocab_topk(_docs(spark, sf_dir), k=20)
+
+
+def _pii_augmented(docs):
+    """Deterministically inject PII into the synthetic corpus (doc_id %
+    4 selects the class mix) so detection/redaction is actually
+    exercised; the oracle builds the identical augmented text in SQL."""
+    sha = F.sha2(F.col("doc_id").cast("string"), 256)
+    ids = F.col("doc_id").cast("string")
+    text = F.col("text")
+    aug = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(text, F.lit(" contact dev"), ids, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                text,
+                F.lit(" see https://code.example/r/"),
+                ids,
+                F.lit(" and key AKIA"),
+                F.upper(F.substring(sha, 1, 16)),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                text,
+                F.lit(" secret "),
+                F.substring(sha, 1, 40),
+                F.lit(" at 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".25"),
+            ),
+        )
+        .otherwise(text)
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (functions/redact.py) over the deterministic
+    PII-augmented corpus; redacted text is compared by sha256."""
+    from spacy_llm_spark.functions import redact as redactfn
+
+    aug = _pii_augmented(_docs(spark, sf_dir))
+    counts = redactfn.pii_counts(aug)
+    scrubbed = redactfn.redact(aug).select(
+        "doc_id", F.sha2("text_redacted", 256).alias("redacted_sha256")
+    )
+    return counts.join(scrubbed, "doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct 3-gram overlap of every doc
+    (doc_id >= 20) against the probe set (doc_id < 20), broadcast join."""
+    from spacy_llm_spark.operators import decontaminate as decon
+
+    docs = _docs(spark, sf_dir)
+    return decon.ngram_overlap(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        n=3,
+        min_overlap=1,
+    )
+
+
+def q_kg_degree_stats(spark, sf_dir):
+    """Vertex degree profile of the raw triple multigraph (one union +
+    one groupBy on the vertex id)."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    return graph.degree_stats(edges)
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Damped PageRank (5 rounds, d=0.85) over the distinct KG edge set;
+    ranks quantized at 10 dp per round in engine AND oracle so float
+    summation order cannot flip the 6 dp comparison."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    pr = graph.pagerank(edges, iters=5, damping=0.85)
+    return pr.select("vertex", F.round("rank", 6).alias("pr"))
+
+
+def q_save_io_counts(spark, sf_dir):
+    """save_io retention (reference pipeline/llm.py:295-314 analog): with
+    save_io=True every doc carries its raw prompts/responses per task.
+    The oracle pins the invariant that each in-context-window doc yields
+    exactly one prompt/response pair per task."""
+    cfg = KGConfig(save_io=True)
+    corpus = corpus_from_documents(spark, sf_dir)
+    ann = annotate_corpus(corpus, cfg)
+    io = F.col("llm_io")
+    return ann.select(
+        "doc_id",
+        F.size(io["ner"]["prompts"]).cast("long").alias("n_ner_io"),
+        F.size(io["rel"]["prompts"]).cast("long").alias("n_rel_io"),
+        F.size(io["el"]["prompts"]).cast("long").alias("n_el_io"),
+        (F.length(io["ner"]["responses"][0]) > 0).alias("ner_response_nonempty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -666,6 +810,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spans": q_kg_spans,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "asof_latest_click": q_asof_latest_click,
+        "repetition_stats": q_repetition_stats,
+        "vocab_topk": q_vocab_topk,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "kg_degree_stats": q_kg_degree_stats,
+        "kg_pagerank": q_kg_pagerank,
+        "save_io_counts": q_save_io_counts,
     }
 
 
@@ -692,6 +844,99 @@ WITH RECURSIVE toks AS (
                        ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )
+"""
+
+
+# KG edge list as a reusable CTE tail (same node CASE as the kg_edges
+# oracle) — the graph-analytics oracles build on it.
+_EDGES_CTE = """
+, edges AS (
+  SELECT r.doc_id,
+    CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
+         ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
+    CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
+         ELSE 'surface:' || lower(trim(lo.surface)) END AS obj
+  FROM rels r
+  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+)
+"""
+
+
+def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85, q: int = 10) -> str:
+    """Chained-CTE power iteration — one CTE pair per round, quantized to
+    ``q`` dp exactly like operators/graph.pagerank."""
+    parts = [
+        _MENTIONS_CTE,
+        _EDGES_CTE,
+        """
+, de AS (SELECT DISTINCT subj AS s, obj AS t FROM edges),
+nodes AS (SELECT s AS v FROM de UNION SELECT t FROM de),
+outd AS (SELECT s, count(*) AS dg FROM de GROUP BY s),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT v, round(1.0 / nn.n, {q}) AS r FROM nodes, nn)""".format(q=q),
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            """,
+c{i} AS (SELECT e.t AS v, sum(p.r / o.dg) AS contrib
+         FROM r{p} p JOIN de e ON e.s = p.v JOIN outd o ON o.s = p.v
+         GROUP BY e.t),
+d{i} AS (SELECT coalesce(sum(p.r), 0) AS dm
+         FROM r{p} p LEFT JOIN outd o ON o.s = p.v WHERE o.s IS NULL),
+r{i} AS (SELECT n.v,
+         round((1 - {d}) / nn.n + {d} * (coalesce(c.contrib, 0) + d{i}.dm / nn.n), {q}) AS r
+         FROM nodes n LEFT JOIN c{i} c ON c.v = n.v, d{i}, nn)""".format(
+                i=i, p=i - 1, d=d, q=q
+            )
+        )
+    parts.append(
+        f"\nSELECT v AS vertex, round(r, 6) AS pr FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+def _pii_aug_sql() -> str:
+    """The PII-augmented text, byte-identical to ``_pii_augmented``."""
+    return """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN text || ' contact dev' || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN 1 THEN text || ' see https://code.example/r/' || CAST(doc_id AS VARCHAR)
+             || ' and key AKIA' || upper(substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))
+    WHEN 2 THEN text || ' secret ' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40)
+             || ' at 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.25'
+    ELSE text END AS text
+FROM documents
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """Counts + redacted sha, generated from the SAME ``PII_PATTERNS``
+    dict the engine uses (pattern text and redaction order cannot
+    drift)."""
+    from spacy_llm_spark.functions.redact import PII_PATTERNS
+
+    count_cols = ",\n  ".join(
+        "CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}".format(
+            pat=pat, name=name
+        )
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _, (pat, _) in PII_PATTERNS.items()
+    )
+    scrub = "text"
+    for _, (pat, repl) in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH aug AS ({_pii_aug_sql()})
+SELECT doc_id,
+  {count_cols},
+  CAST({total} AS BIGINT) AS pii_total,
+  sha256({scrub}) AS redacted_sha256
+FROM aug
 """
 
 
@@ -1125,5 +1370,102 @@ scored AS (
 )
 SELECT vec_id, round(cos, 6) AS cosine FROM scored
 ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        "asof_latest_click": """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT v.event_id, c.event_id AS click_event_id, c.value AS click_value,
+         row_number() OVER (PARTITION BY v.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM views v JOIN clicks c ON c.user_id = v.user_id AND c.ts < v.ts
+)
+SELECT CAST(v.event_id AS BIGINT) AS event_id,
+       CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(j.click_event_id AS BIGINT) AS click_event_id,
+       j.click_value
+FROM views v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+""",
+        "repetition_stats": """
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM ts
+), tok2 AS (SELECT * FROM tok WHERE len(tok) > 0),
+tstats AS (
+  SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS n_dtoks
+  FROM tok2 GROUP BY doc_id
+), big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+), bcounts AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+bstats AS (
+  SELECT doc_id, sum(c) AS n_bg, count(*) AS n_dbg, max(c) AS top
+  FROM bcounts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_toks AS BIGINT) AS n_tokens,
+       CAST(coalesce(b.n_bg, 0) AS BIGINT) AS n_bigrams,
+       round(1 - t.n_dtoks / CAST(t.n_toks AS DOUBLE), 6) AS dup_token_frac,
+       round(1 - b.n_dbg / CAST(b.n_bg AS DOUBLE), 6) AS dup_bigram_frac,
+       round(b.top / CAST(b.n_bg AS DOUBLE), 6) AS top_bigram_frac
+FROM tstats t LEFT JOIN bstats b USING (doc_id)
+""",
+        "vocab_topk": """
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE len(tok) > 0
+GROUP BY tok ORDER BY n DESC, token ASC LIMIT 20
+""",
+        "pii_scrub": _pii_oracle_sql(),
+        "decontaminate": """
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM ts
+), tok2 AS (SELECT * FROM tok WHERE len(tok) > 0),
+ng AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM tok2 a
+  JOIN tok2 b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN tok2 c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+), probe AS (SELECT DISTINCT g FROM ng WHERE doc_id < 20),
+cand AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id >= 20),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM cand JOIN probe USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id >= 20
+""",
+        "kg_degree_stats": m
+        + _EDGES_CTE
+        + """
+, contrib AS (
+  SELECT subj AS vertex, 1 AS o, 0 AS i FROM edges
+  UNION ALL
+  SELECT obj, 0, 1 FROM edges
+)
+SELECT vertex,
+       CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree,
+       CAST(sum(o) + sum(i) AS BIGINT) AS degree
+FROM contrib GROUP BY vertex
+""",
+        "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
+        # every sf0.01 doc fits one shard (max 553 chars, no context
+        # limit), so save_io must retain exactly one prompt/response per
+        # task per doc, with a non-empty NER response
+        "save_io_counts": """
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_ner_io,
+       CAST(1 AS BIGINT) AS n_rel_io,
+       CAST(1 AS BIGINT) AS n_el_io,
+       TRUE AS ner_response_nonempty
+FROM documents
 """,
     }

@@ -1,0 +1,64 @@
+"""PII / secret detection and redaction for code-corpus training data.
+
+A source-code corpus at 10^12-file scale routinely embeds emails, IPs,
+URLs, and credential-shaped strings; scrubbing them is a standard
+pre-training cleaning stage. Everything here is native
+``regexp_extract_all`` / ``regexp_replace`` — JVM-side, codegen'd, one
+corpus scan, zero Python.
+
+The patterns are deliberately written in the regex subset common to
+Java's engine (Spark) and RE2 (DuckDB and most scrubbing tools):
+character classes, bounded repetition, ``\\b`` word boundaries — no
+backrefs or lookaround — so the exact same pattern text drives both the
+engine and the SQL oracle.
+
+Redaction order matters and is fixed: URLs first (a URL may embed an
+email-shaped userinfo), then emails, AWS-style access keys, long hex
+secrets, and IPv4s. ``PII_PATTERNS`` preserves that order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# name -> (pattern, replacement token); insertion order = redaction order
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    "hex_secret": (r"\b[0-9a-f]{32,}\b", "<HEX_SECRET>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document match counts for every PII class + a total.
+
+    Counts are taken on the raw text independently per class (an
+    email inside a URL counts for both — detection is an audit signal,
+    not a consumed stream; redaction below resolves the overlap by
+    order)."""
+    exprs = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *exprs)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total.cast("long"))
+
+
+def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with its class token, in the fixed class
+    order; the scrubbed text lands in ``<text_col>_redacted``."""
+    scrubbed = F.col(text_col)
+    for _, (pat, repl) in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumn(f"{text_col}_redacted", scrubbed)

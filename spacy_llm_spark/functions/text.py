@@ -158,6 +158,102 @@ def clean_corpus(
     return out
 
 
+def bigrams_expr(text_col: str) -> Column:
+    """Adjacent-token bigram array, built by index over the token array —
+    a pure projection (no explode, no shuffle)."""
+    toks = tokens_expr(F.col(text_col))
+    n_minus_1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), n_minus_1),
+        F.slice(toks, F.lit(2), n_minus_1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def _top_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of ``arr`` — max run length of
+    the sorted array, via a single ``aggregate`` fold (no explode/groupBy
+    shuffle; the whole statistic is computed inside one projection)."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                F.greatest(acc["best"], acc["run"] + 1).alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                F.greatest(acc["best"], F.lit(1)).alias("best"),
+            )
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``dup_token_frac``  — 1 − distinct/total tokens
+    - ``dup_bigram_frac`` — 1 − distinct/total adjacent bigrams
+    - ``top_bigram_frac`` — occurrences of the most frequent bigram over
+      total bigrams (boilerplate / template detector)
+
+    Everything is a narrow projection over per-row arrays — zero
+    shuffles, zero Python — so the filter costs one corpus scan at any
+    scale. Docs too short for a statistic yield NULL (``try_divide``),
+    never a task failure.
+    """
+    toks = tokens_expr(F.col(text_col))
+    bgs = bigrams_expr(text_col)
+    n_toks = F.size(toks)
+    n_bgs = F.size(bgs)
+    dup_tok = F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(toks)).cast("double"), n_toks.cast("double")
+    )
+    dup_bg = F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(bgs)).cast("double"), n_bgs.cast("double")
+    )
+    top_bg = F.try_divide(_top_run_count(bgs).cast("double"), n_bgs.cast("double"))
+    return df.select(
+        F.col(id_col),
+        n_toks.cast("long").alias("n_tokens"),
+        n_bgs.cast("long").alias("n_bigrams"),
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+        F.round(top_bg, 6).alias("top_bigram_frac"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Global vocabulary head: top-k tokens by corpus frequency.
+
+    explode → groupBy(token) runs with map-side partial aggregation
+    (vocabulary-sized shuffle, not corpus-sized), then TakeOrdered for
+    the head — the standard two-phase word count, deterministic via the
+    (count DESC, token ASC) total order.
+    """
+    return (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-text sha256 + xxhash64 + a
     whitespace-normalized content hash (rolling-hash analog for shift-

@@ -1,0 +1,120 @@
+"""Distributed as-of join (time-series point lookup).
+
+For every left row, attach the latest right row of the same key whose
+time is <= (inclusive) or < (strict) the left time. Classic use: "for
+each event, the user's most recent prior click / the prevailing price /
+the last config change".
+
+Spark has no ASOF JOIN operator; the naive encodings are a range
+(inequality) join — O(|L|·|R|) per key, a non-equi BroadcastNestedLoop
+at worst — or a per-key ``collect_list`` + Python merge, which puts the
+whole key group in one row. Neither survives 100 TB.
+
+This implementation is the *union + running-last* design used by
+time-series engines: tag both sides, union them into one stream keyed by
+(key, time, side, tiebreak), and take ``last(payload, ignorenulls)``
+over an unbounded-preceding running window. Properties at scale:
+
+- exactly ONE shuffle, on the join key (the window partition); both
+  inputs shuffle once and nothing is ever joined pairwise;
+- no data amplification: |L| + |R| rows flow through the sort, each
+  carrying either a left payload or a right payload, never both sides
+  crossed;
+- whole-stage codegen end-to-end — the window's running ``last`` is a
+  single pass over each sorted partition;
+- deterministic tie handling: right rows at equal time are ordered by
+  ``right_tiebreak`` so the surviving match is the max-tiebreak row,
+  and strict vs inclusive semantics are a sort-key flip (left rows
+  sort before right rows at equal time under ``strict=True``, after
+  them otherwise).
+
+Skew note: one window partition per key — a single mega-key serializes
+onto one task (same constraint as any per-key ordered scan). For
+mega-key workloads, pre-split by time range (rangePartition on (key,
+time_bucket), carry the last right row of each bucket forward) — not
+needed at the tested scales and deliberately not auto-applied, since the
+extra pass costs more than it saves on non-degenerate keys.
+
+Reference scope note: spacy-llm has no temporal operator; this belongs
+to the training-data-pipeline surface (event/session alignment) the
+engine adds on top of the reference inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | tuple[str, ...],
+    right_tiebreak: str | None = None,
+    strict: bool = False,
+    tolerance_secs: float | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row, plus the payload of the latest
+    matching right row (NULLs when no right row precedes it).
+
+    ``right_cols`` are the right columns to attach (they must not clash
+    with left column names). ``right_tiebreak`` breaks equal-time ties
+    within the right side (max wins); defaults to the first payload
+    column. ``tolerance_secs`` voids matches older than the given
+    horizon (times must then be timestamps).
+    """
+    right_tiebreak = right_tiebreak or right_cols[0]
+    payload = F.struct(
+        F.col(right_time).alias("_rt"),
+        *[F.col(c) for c in right_cols],
+    )
+    payload_type = right.select(payload.alias("_p")).schema[0].dataType
+    left_struct = F.struct(*[F.col(c) for c in left.columns])
+    left_type = left.select(left_struct.alias("_l")).schema[0].dataType
+
+    # strict: left rows sort BEFORE right rows at equal time (a right row
+    # at t == left t must not be visible); inclusive: after them.
+    left_ord, right_ord = (0, 1) if strict else (1, 0)
+    right_u = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(right_ord).alias("_ord"),
+        F.col(right_tiebreak).alias("_tb"),
+        payload.alias("_p"),
+        F.lit(None).cast(left_type).alias("_l"),
+    )
+    left_u = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(left_ord).alias("_ord"),
+        F.lit(None).cast(right_u.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(payload_type).alias("_p"),
+        left_struct.alias("_l"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_ord").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        right_u.unionByName(left_u)
+        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .where(F.col("_l").isNotNull())
+    )
+    if tolerance_secs is not None:
+        in_horizon = (
+            F.unix_timestamp("_t") - F.unix_timestamp("_m._rt")
+        ) <= F.lit(float(tolerance_secs))
+        matched = matched.withColumn(
+            "_m", F.when(in_horizon, F.col("_m"))
+        )
+    # The matched right time rides in the payload as ``_rt``; callers who
+    # want it in the output simply list ``right_time`` in ``right_cols``.
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )

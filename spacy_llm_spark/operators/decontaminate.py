@@ -1,0 +1,100 @@
+"""Benchmark decontamination: n-gram overlap against a probe set.
+
+Pre-training hygiene (GPT-3 appendix C / PaLM style): a training
+document is contaminated when it shares at least ``min_overlap``
+distinct token n-grams with any document of a held-out benchmark
+("probe") set. At corpus scale the probe set is small (benchmarks are
+thousands of docs, the corpus is billions), so the scale shape is:
+
+- candidate side: explode per-doc DISTINCT n-grams — corpus-sized but
+  narrow (doc_id, ngram), produced by a pure projection;
+- probe side: distinct n-grams of the benchmark — tiny, broadcast;
+- one BroadcastHashJoin + a groupBy(doc_id) count. The corpus never
+  shuffles against itself; the only shuffle is the per-doc count,
+  keyed on uniform doc ids.
+
+For probe sets too big to broadcast, the same plan degrades gracefully
+to a shuffled hash join on the n-gram (still linear); Spark's AQE picks
+the strategy from the actual probe size, so no code change is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.text import tokens_expr
+
+
+def ngrams_expr(text_col: str, n: int) -> Column:
+    """Array of adjacent token n-grams — index-zipped slices of the token
+    array, a pure projection (see bigrams_expr for the n=2 case)."""
+    toks = tokens_expr(F.col(text_col))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
+    out = slices[0]
+    for s in slices[1:]:
+        out = F.zip_with(out, s, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_expr(text_col, n))).alias("ngram"),
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per corpus document: the number of distinct n-grams shared with
+    the probe set, and a ``contaminated`` flag.
+
+    Every corpus doc appears in the output (zero-overlap docs included)
+    so downstream anti-joins see a total function of the corpus."""
+    probe_ngrams = (
+        probe.select(F.explode(F.array_distinct(ngrams_expr(text_col, n))).alias("ngram"))
+        .distinct()
+    )
+    hits = (
+        _doc_ngrams(corpus, text_col, id_col, n)
+        .join(broadcast(probe_ngrams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaning form: corpus rows whose overlap stays below the
+    threshold (full original schema preserved)."""
+    flags = ngram_overlap(
+        corpus, probe, n=n, min_overlap=min_overlap,
+        text_col=text_col, id_col=id_col,
+    )
+    clean_ids = flags.where(~F.col("contaminated")).select(id_col)
+    return corpus.join(clean_ids, id_col, "left_semi")

@@ -1,0 +1,123 @@
+"""Graph analytics over the materialized KG edge table.
+
+Once triples are materialized (operators/materialize.py) and canonical
+components exist (operators/canonicalize.py), the natural next queries
+are graph-shaped: vertex degree profiles and centrality. Both are
+expressed as vanilla DataFrame aggregations/joins so Catalyst owns the
+physical strategy.
+
+Scale shapes:
+
+- ``degree_stats``: one union + one groupBy on the vertex id — a single
+  shuffle over 2·|E| narrow rows with map-side partial aggregation.
+- ``pagerank``: the standard damped power iteration. Per round: one
+  join rank⋈out-degree (co-partitioned on the vertex key), one join
+  against the edge list, one groupBy(dst) — all keyed on vertex ids, so
+  every round reuses the same hash partitioning; lineage is cut per
+  round (``fs.cut_lineage`` — reliable ``checkpoint()`` on clusters,
+  ``localCheckpoint`` locally) exactly like the connected-components
+  loop. Dangling mass (sinks) is folded back uniformly, keeping the
+  rank a probability distribution.
+
+Determinism across engines: each round quantizes ranks to 10 dp (both
+here and in the SQL oracle) so float summation order — which Spark's
+partial aggregation does not fix — cannot drift the fixed number of
+rounds apart; accumulated error per round is ~1e-16, ten orders below
+the quantum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .. import fs
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "subj", dst: str = "obj", distinct_pairs: bool = False
+) -> DataFrame:
+    """Per-vertex out/in/total degree of the (multi-)edge list.
+
+    ``distinct_pairs=True`` collapses parallel edges first (degree in the
+    simple-graph sense)."""
+    if distinct_pairs:
+        edges = edges.select(src, dst).distinct()
+    contribs = edges.select(
+        F.col(src).alias("vertex"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionByName(
+        edges.select(F.col(dst).alias("vertex"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return contribs.groupBy("vertex").agg(
+        F.sum("o").cast("long").alias("out_degree"),
+        F.sum("i").cast("long").alias("in_degree"),
+        (F.sum("o") + F.sum("i")).cast("long").alias("degree"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    damping: float = 0.85,
+    quantum: int = 10,
+) -> DataFrame:
+    """Damped PageRank over the distinct directed edge set; returns
+    (vertex, rank) after ``iters`` power-iteration rounds.
+
+    The vertex count is collected once (a single scalar — cheap at any
+    scale); the per-round dangling mass stays distributed (aggregate +
+    broadcast cross join), so no round ever collects rank rows to the
+    driver."""
+    e = fs.cut_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    )
+    nodes = fs.cut_lineage(
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .distinct()
+    )
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    d = float(damping)
+    base = (1.0 - d) / n
+
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), quantum))
+    for _ in range(iters):
+        shares = ranks.join(
+            out_deg, ranks["vertex"] == out_deg["s"], "left"
+        ).select(
+            "vertex",
+            "rank",
+            F.when(F.col("d").isNotNull(), F.col("rank") / F.col("d")).alias("share"),
+        )
+        contrib = (
+            shares.where(F.col("share").isNotNull())
+            .join(e, shares["vertex"] == e["s"])
+            .groupBy(F.col("t").alias("vertex"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = shares.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("share").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
+        )
+        ranks = fs.cut_lineage(
+            nodes.join(contrib, "vertex", "left")
+            .crossJoin(broadcast(dangling))
+            .select(
+                "vertex",
+                F.round(
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / F.lit(float(n))),
+                    quantum,
+                ).alias("rank"),
+            )
+        )
+    return ranks
