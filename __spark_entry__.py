@@ -737,6 +737,54 @@ def q_kg_pagerank(spark, sf_dir):
     return pr.select("vertex", F.round("rank", 6).alias("pr"))
 
 
+def q_events_in_windows(spark, sf_dir):
+    """Interval (range) join via bucketized equi-join (operators/
+    rangejoin.py): events against 100 synthetic 3h incident windows on a
+    7h cadence — no nested-loop join in the plan."""
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    windows = spark.range(100).select(
+        F.col("id").alias("window_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("id") * F.expr("INTERVAL 7 HOURS")
+        ).alias("ws"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("id") * F.expr("INTERVAL 7 HOURS")
+            + F.expr("INTERVAL 3 HOURS")
+        ).alias("we"),
+    )
+    out = interval_join(
+        events, windows, point_time="ts", start="ws", end="we",
+        bucket_secs=3 * 3600,
+    )
+    return _as_long(out, "event_id", "window_id").select(
+        "event_id", "window_id", "event_type"
+    )
+
+
+def q_pretoken_count(spark, sf_dir):
+    """BPE-ish pre-token counting over the PII-augmented text (which
+    actually contains punctuation, so the estimate differs from the
+    whitespace count)."""
+    aug = _pii_augmented(_docs(spark, sf_dir))
+    return aug.select(
+        "doc_id",
+        textfn.pretoken_count(F.col("text")).cast("long").alias("n_pretokens"),
+        textfn.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def q_corpus_split(spark, sf_dir):
+    """Deterministic content-hashed train/val/test split — duplicates
+    can never straddle splits; reproducible at any cluster size."""
+    return textfn.assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -818,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
         "save_io_counts": q_save_io_counts,
+        "events_in_windows": q_events_in_windows,
+        "pretoken_count": q_pretoken_count,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -1468,4 +1519,35 @@ SELECT doc_id,
        TRUE AS ner_response_nonempty
 FROM documents
 """,
+        "events_in_windows": """
+WITH win AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR
+           + INTERVAL 3 HOUR AS we
+  FROM range(100) t(i)
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(w.window_id AS BIGINT) AS window_id,
+       e.event_type
+FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
+""",
+        "pretoken_count": (
+            "WITH aug AS ({aug})\n"
+            "SELECT doc_id,\n"
+            "  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_pretokens,\n"
+            "  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
+            "FROM aug"
+        ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "corpus_split": (
+            "SELECT doc_id, CASE {ladder} END AS split FROM (\n"
+            "  SELECT doc_id, CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT)\n"
+            "         % {buckets} AS b FROM documents)"
+        ).format(
+            ladder=" ".join(
+                f"WHEN b < {upper} THEN '{name}'"
+                for name, upper in textfn.DEFAULT_SPLITS
+            ),
+            buckets=textfn.SPLIT_BUCKETS,
+        ),
     }

@@ -254,6 +254,47 @@ def vocab_topk(
     )
 
 
+# GPT-2-style pre-tokenizer simplification: letter runs, digit runs, and
+# single punctuation marks — the units a BPE tokenizer would merge from.
+# Kept to the Java/RE2-common regex subset so the SQL oracle reuses the
+# exact pattern text.
+PRETOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def pretoken_count(col) -> Column:
+    """BPE-ish pre-token count (token-budget estimator for LLM batching —
+    a sharper H1 than whitespace counting on punctuation-heavy code)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PRETOKEN_PATTERN), 0))
+
+
+# split thresholds: pmod(hash bucket of content, 1000) -> named split.
+# Content-hashed (not id-hashed) so exact duplicates always land in the
+# same split and can never leak train->test.
+SPLIT_BUCKETS = 1000
+DEFAULT_SPLITS = (("train", 800), ("val", 900), ("test", SPLIT_BUCKETS))
+
+
+def assign_split(
+    df: DataFrame,
+    splits=DEFAULT_SPLITS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    Bucket = first 8 hex chars of sha256(text) mod ``SPLIT_BUCKETS`` — a
+    pure projection (no shuffle, no RNG), reproducible across engines,
+    runs, and cluster sizes; ``splits`` is a (name, exclusive upper
+    bucket) ladder."""
+    bucket = F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(SPLIT_BUCKETS)
+    expr = None
+    for name, upper in splits:
+        cond = bucket < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-text sha256 + xxhash64 + a
     whitespace-normalized content hash (rolling-hash analog for shift-

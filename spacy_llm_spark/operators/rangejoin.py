@@ -1,0 +1,72 @@
+"""Scale-safe interval (range) join: points ⋈ time intervals.
+
+The naive encoding — ``points JOIN intervals ON t >= start AND t < end``
+— has no equi-key, so Spark plans a BroadcastNestedLoopJoin (or a
+cartesian product when neither side broadcasts): O(|P|·|I|) comparisons.
+Fine at 10k rows, fatal at 100 TB.
+
+This operator uses the standard bucketization trick: quantize time into
+fixed buckets, explode each interval into the buckets it covers, compute
+each point's single bucket, then run a plain shuffled **equi-join on the
+bucket id** followed by the exact containment filter. Costs:
+
+- interval side grows by ceil(len/bucket) rows — bounded amplification,
+  chosen via ``bucket_secs`` (pick ≈ the typical interval length so the
+  blow-up is ~2×);
+- point side is unchanged (one bucket per point — no duplicates to
+  dedupe, since the exact filter runs after a unique (interval, bucket)
+  × (point, bucket) match);
+- the join is a hash join on a uniform integer key: shuffles partition
+  cleanly, AQE handles residual skew, and an optional extra equi-key
+  (``on``) co-partitions by entity first.
+
+Bucket boundaries only affect candidate generation; correctness comes
+from the exact timestamp filter, so timezone/rounding of the bucketing
+epoch is irrelevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_secs: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Inner-join every point to the intervals containing it
+    (``start <= t < end``, end-exclusive). Output: all point columns +
+    all interval columns; callers keep the namespaces disjoint.
+
+    ``on`` adds an entity equi-key (point.on == interval.on) so the join
+    hashes on (key, bucket) instead of bucket alone."""
+    b = F.lit(int(bucket_secs))
+    pts = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(point_time)) / b)
+    )
+    # degenerate/empty intervals would make sequence() run backwards —
+    # they can match nothing, so drop them before exploding
+    ivs = intervals.where(F.col(end) > F.col(start)).withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / b),
+                # end-exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor((F.unix_timestamp(F.col(end)) - 1) / b),
+            )
+        ),
+    )
+    keys = ["_b"] if on is None else [on, "_b"]
+    return (
+        pts.join(ivs, keys)
+        .where((F.col(point_time) >= F.col(start)) & (F.col(point_time) < F.col(end)))
+        .drop("_b")
+    )

@@ -253,3 +253,109 @@ def test_pagerank_matches_reference_impl(edge_df):
 def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "subj string, obj string")
     assert graph.pagerank(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts(5)),    # inside w0
+            (2, _ts(10)),   # exactly at w0 end -> excluded (end-exclusive)
+            (3, _ts(0)),    # exactly at w0 start -> included
+            (4, _ts(35)),   # inside w1 and the overlapping w2
+            (5, _ts(59)),   # outside every window
+        ],
+        "point_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts(0), _ts(10)),
+            (1, _ts(30), _ts(40)),
+            (2, _ts(33), _ts(36)),   # overlaps w1
+            (3, _ts(50), _ts(50)),   # empty interval -> matches nothing
+        ],
+        "window_id long, ws timestamp, we timestamp",
+    )
+    return points, intervals
+
+
+def test_interval_join_semantics(interval_frames):
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    points, intervals = interval_frames
+    out = interval_join(
+        points, intervals, point_time="ts", start="ws", end="we",
+        bucket_secs=120,
+    )
+    got = sorted((r["point_id"], r["window_id"]) for r in out.collect())
+    assert got == [(1, 0), (3, 0), (4, 1), (4, 2)]
+
+
+def test_interval_join_no_nested_loop(interval_frames):
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    points, intervals = interval_frames
+    plan = interval_join(
+        points, intervals, point_time="ts", start="ws", end="we",
+        bucket_secs=120,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_bucket_size_invariance(interval_frames):
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    points, intervals = interval_frames
+    expected = None
+    for bucket in (7, 60, 3600, 86400):  # odd + tiny + huge buckets
+        got = sorted(
+            (r["point_id"], r["window_id"])
+            for r in interval_join(
+                points, intervals, point_time="ts", start="ws", end="we",
+                bucket_secs=bucket,
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"bucket_secs={bucket}"
+
+
+# ---------------------------------------------------------------------------
+# pre-token count + deterministic split
+# ---------------------------------------------------------------------------
+
+
+def test_pretoken_count(spark):
+    df = spark.createDataFrame(
+        [(0, "foo_bar(x2) != y;"), (1, "plain words only")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", textfn.pretoken_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # foo _ bar ( x 2 ) ! = y ;  -> 11 pre-tokens
+    assert got[0] == 11
+    assert got[1] == 3
+
+
+def test_assign_split_deterministic_and_duplicate_safe(spark):
+    rows = [(i, f"document body {i % 7}") for i in range(50)]  # dup texts
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["split"] for r in textfn.assign_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in textfn.assign_split(df).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    # identical texts always share a split (no train/test leakage)
+    by_text = {}
+    for i, text in rows:
+        by_text.setdefault(text, set()).add(a[i])
+    assert all(len(s) == 1 for s in by_text.values())
