@@ -117,6 +117,53 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
 
     timed("dedup_embedding_lsh", embedding_lsh_run)
 
+    # temporal operators (new in r3): as-of join + bucketized interval
+    # join over the full events table, and the zero-shuffle repetition
+    # projection over the docs frame
+    from spacy_llm_spark.functions import text as textfn
+    from spacy_llm_spark.operators.asof import asof_join
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").localCheckpoint()
+
+    def asof_run():
+        views = events.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = events.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("ts").alias("cts"),
+            F.col("value").alias("click_value"),
+        )
+        return asof_join(
+            views, clicks, on="user_id", left_time="ts", right_time="cts",
+            right_cols=["click_event_id", "click_value"], strict=True,
+        ).count()
+
+    timed("asof_join_events", asof_run)
+
+    def interval_run():
+        windows = spark.range(100).select(
+            F.col("id").alias("window_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.col("id") * F.expr("INTERVAL 7 HOURS")
+            ).alias("ws"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.col("id") * F.expr("INTERVAL 7 HOURS")
+                + F.expr("INTERVAL 3 HOURS")
+            ).alias("we"),
+        )
+        return interval_join(
+            events.select("event_id", "ts"), windows,
+            point_time="ts", start="ws", end="we", bucket_secs=3 * 3600,
+        ).count()
+
+    timed("interval_join_events", interval_run)
+    timed("repetition_stats", lambda: textfn.repetition_stats(docs).count())
+
     # distributed CC is timed OUTSIDE the headline query set: its wall is
     # dominated by per-round scheduling overhead on this box (~2s/round x
     # log2(diameter) rounds) and would swamp the cross-round comparability

@@ -150,6 +150,62 @@ def main():
         explain_str(large),
     ))
 
+    # 8. as-of join: ONE hash exchange, a running window, zero join operators
+    from spacy_llm_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("value").alias("click_value"),
+    )
+    asof = asof_join(
+        views, clicks, on="user_id", left_time="ts", right_time="cts",
+        right_cols=["click_event_id", "click_value"], strict=True,
+    )
+    sections.append((
+        "As-of join: union + running-last window, no join operator",
+        "Both sides union into one stream and a single `Exchange "
+        "hashpartitioning(_k)` feeds a running `last(payload, ignorenulls)` "
+        "window — |L|+|R| rows through one shuffle, versus the O(|L|x|R|) "
+        "BroadcastNestedLoopJoin a naive `t_right <= t_left` range predicate "
+        "would plan. There is no Join node anywhere in this plan.",
+        explain_str(asof),
+    ))
+
+    # 9. interval join: bucketized equi-join instead of a nested loop
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    windows = spark.range(100).select(
+        F.col("id").alias("window_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("id") * F.expr("INTERVAL 7 HOURS")
+        ).alias("ws"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.col("id") * F.expr("INTERVAL 7 HOURS")
+            + F.expr("INTERVAL 3 HOURS")
+        ).alias("we"),
+    )
+    ij = interval_join(
+        events.select("event_id", "ts", "event_type"), windows,
+        point_time="ts", start="ws", end="we", bucket_secs=3 * 3600,
+    )
+    sections.append((
+        "Interval (range) join: explode-to-buckets + hash equi-join",
+        "The interval side explodes into its covered time buckets and the "
+        "plan is a plain equi-join on `_b` (SortMergeJoin/ShuffledHashJoin — "
+        "AQE picks) followed by the exact containment Filter. No "
+        "BroadcastNestedLoopJoin / CartesianProduct, which is what Spark "
+        "plans for a raw `ts >= ws AND ts < we` predicate.",
+        explain_str(ij),
+    ))
+
     spark.stop()
 
     with open("PLANS.md", "w") as f:
