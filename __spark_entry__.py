@@ -785,6 +785,67 @@ def q_corpus_split(spark, sf_dir):
     return textfn.assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, fact table never broadcast, every
+    dimension broadcast explicitly (region/nation/supplier/customer) so
+    lineitem shuffles only for the lineitem⋈orders equi-join and the
+    final tiny groupBy. Decimal-exact revenue so the hash is
+    order-insensitive."""
+    from pyspark.sql.functions import broadcast
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 10 docs per source, picked by
+    content-hash order (operators/sampling.py)."""
+    from spacy_llm_spark.operators import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir), "source", 10
+    ).select("doc_id", "source")
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~20% content-hash sample — shuffle-free,
+    resume-safe (same doc always makes the same cut)."""
+    from spacy_llm_spark.operators import sampling
+
+    return sampling.hash_sample(_docs(spark, sf_dir), 0.2).select(
+        "doc_id", sampling.sample_bucket("text").alias("bucket")
+    )
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -869,6 +930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_windows": q_events_in_windows,
         "pretoken_count": q_pretoken_count,
         "corpus_split": q_corpus_split,
+        "regional_revenue": q_regional_revenue,
+        "stratified_sample": q_stratified_sample,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -1550,4 +1614,33 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             ),
             buckets=textfn.SPLIT_BUCKETS,
         ),
+        "regional_revenue": """
+SELECT n_name, count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+        "stratified_sample": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sha256(text), doc_id) AS rk
+  FROM documents) WHERE rk <= 10
+""",
+        "hash_sample": """
+SELECT doc_id,
+       CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 AS bucket
+FROM documents
+WHERE CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 < 200000
+""",
     }

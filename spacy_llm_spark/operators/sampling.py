@@ -1,0 +1,64 @@
+"""Deterministic sampling for training-corpus assembly.
+
+Two flavors, both RNG-free (reproducible across runs, engines, cluster
+sizes, and retries — a task retry that re-rolled a random sample would
+break exactly-once semantics downstream):
+
+- ``hash_sample``: keep a deterministic ~fraction of rows by content-
+  hash bucket. Pure projection+filter: no shuffle, no state, constant
+  memory; the sampling decision is a function of the row alone, so it
+  composes with checkpoint resume (the same doc always makes the same
+  cut). This is the 100 TB workhorse.
+
+- ``stratified_sample``: exactly ``n`` rows per stratum, chosen by
+  content-hash order (a deterministic stand-in for uniform sampling).
+  One shuffle on the stratum key + a per-stratum row_number — ideal for
+  bounded-cardinality strata (sources, languages, buckets). A mega-
+  stratum serializes its sort onto one task: for unbounded strata or
+  huge n, use ``hash_sample`` per stratum instead (threshold ≈
+  n/|stratum|) and accept ±noise on the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 1_000_000
+
+
+def sample_bucket(text_col: str):
+    """Deterministic uniform bucket in [0, HASH_BUCKETS): integer value
+    of the first 8 hex chars of sha256, mod the bucket count."""
+    return F.conv(F.substring(F.sha2(F.col(text_col), 256), 9, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(HASH_BUCKETS)
+
+
+def hash_sample(df: DataFrame, fraction: float, text_col: str = "text") -> DataFrame:
+    """Keep rows whose content-hash bucket falls below ``fraction`` —
+    deterministic, shuffle-free, resume-safe.
+
+    Uses hex chars 9-16 of the sha256 digest, disjoint from the chars
+    ``assign_split`` uses (1-8), so sampling and split assignment are
+    independent functions of the same digest."""
+    return df.where(sample_bucket(text_col) < F.lit(int(fraction * HASH_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    text_col: str = "text",
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), selected by content-hash order with a stable tiebreak."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.sha2(F.col(text_col), 256), F.col(tiebreak_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.lit(int(n_per_stratum)))
+        .drop("_rk")
+    )

@@ -1,0 +1,130 @@
+"""Property tests: the distributed as-of join and interval join against
+brute-force Python references over randomized small inputs.
+
+Each hypothesis example runs real Spark jobs, so example counts are kept
+small; the randomized layouts still cover equal-time ties, duplicate
+times, empty sides, keys missing from one side, and boundary-exact
+interval endpoints far better than hand-picked cases.
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators.asof import asof_join
+from spacy_llm_spark.operators.rangejoin import interval_join
+
+
+def _t(sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=int(sec))
+
+
+_keys = st.sampled_from(["k0", "k1"])
+_lefts = st.lists(
+    st.tuples(_keys, st.integers(0, 20)), min_size=0, max_size=7
+)
+_rights = st.lists(
+    st.tuples(_keys, st.integers(0, 20)), min_size=0, max_size=7
+)
+
+
+@given(_lefts, _rights, st.booleans())
+@settings(max_examples=15, deadline=None)
+def test_asof_join_matches_bruteforce(spark, lefts, rights, strict):
+    left = spark.createDataFrame(
+        [(i, k, _t(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, _t(s)) for i, (k, s) in enumerate(rights)],
+        "rid long, k string, rt timestamp",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["rid"], right_tiebreak="rid", strict=strict,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    expected = {}
+    for i, (k, s) in enumerate(lefts):
+        cands = [
+            (rs, j)
+            for j, (rk, rs) in enumerate(rights)
+            if rk == k and (rs < s if strict else rs <= s)
+        ]
+        expected[i] = max(cands)[1] if cands else None
+    assert got == expected
+
+
+_points = st.lists(st.integers(0, 40), min_size=0, max_size=8)
+_intervals = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 12)), min_size=0, max_size=6
+)
+
+
+@given(_points, _intervals, st.sampled_from([1, 3, 7, 60]))
+@settings(max_examples=15, deadline=None)
+def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
+    pts = spark.createDataFrame(
+        [(i, _t(s)) for i, s in enumerate(points)], "pid long, t timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(j, _t(s), _t(s + ln)) for j, (s, ln) in enumerate(intervals)],
+        "wid long, ws timestamp, we timestamp",
+    )
+    out = interval_join(
+        pts, ivs, point_time="t", start="ws", end="we", bucket_secs=bucket
+    )
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    expected = sorted(
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (ws, ln) in enumerate(intervals)
+        if ws <= s < ws + ln
+    )
+    assert got == expected
+
+
+def test_sampling_operators(spark):
+    from spacy_llm_spark.operators import sampling
+
+    rows = [(i, f"src{i % 4}", f"body of document number {i}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    strat = sampling.stratified_sample(df, "source", 5)
+    per = {r["source"]: r["cnt"] for r in
+           strat.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per == {f"src{i}": 5 for i in range(4)}
+    # deterministic: same pick twice
+    a = sorted(r["doc_id"] for r in strat.collect())
+    b = sorted(r["doc_id"] for r in sampling.stratified_sample(df, "source", 5).collect())
+    assert a == b
+    # small stratum: returns what exists, no error
+    tiny = sampling.stratified_sample(df.where(F.col("doc_id") < 2), "source", 5)
+    assert tiny.count() == 2
+
+    frac = sampling.hash_sample(df, 0.5)
+    n = frac.count()
+    assert 0 < n < 80
+    assert frac.count() == n  # deterministic
+    # no shuffle in the plan
+    plan = frac._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_independent_of_split(spark):
+    """sample_bucket (hex 9-16) and assign_split (hex 1-8) read disjoint
+    digest regions — sampling must not skew the split ratios."""
+    from spacy_llm_spark.functions.text import assign_split
+    from spacy_llm_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"text payload {i}") for i in range(400)], "doc_id long, text string"
+    )
+    sampled = sampling.hash_sample(assign_split(df), 0.5)
+    counts = {r["split"]: r["cnt"] for r in
+              sampled.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(counts.values())
+    assert counts.get("train", 0) / total == pytest.approx(0.8, abs=0.12)
