@@ -1503,30 +1503,40 @@ SELECT CAST(v.event_id AS BIGINT) AS event_id,
        j.click_value
 FROM views v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
 """,
+        # total over documents (LEFT JOIN from the corpus, like the
+        # engine's per-row projection) and whitespace-robust: ord2 is the
+        # contiguous rank AFTER dropping empty tokens, so runs of spaces
+        # cannot open gaps that break bigram adjacency
         "repetition_stats": """
 WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
   FROM ts
-), tok2 AS (SELECT * FROM tok WHERE len(tok) > 0),
+), tok2 AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS ord2
+  FROM tok WHERE len(tok) > 0
+),
 tstats AS (
   SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS n_dtoks
   FROM tok2 GROUP BY doc_id
 ), big AS (
   SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
-  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  FROM tok2 a JOIN tok2 b ON b.doc_id = a.doc_id AND b.ord2 = a.ord2 + 1
 ), bcounts AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
 bstats AS (
   SELECT doc_id, sum(c) AS n_bg, count(*) AS n_dbg, max(c) AS top
   FROM bcounts GROUP BY doc_id
 )
-SELECT t.doc_id,
-       CAST(t.n_toks AS BIGINT) AS n_tokens,
+SELECT d.doc_id,
+       CAST(coalesce(t.n_toks, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(b.n_bg, 0) AS BIGINT) AS n_bigrams,
        round(1 - t.n_dtoks / CAST(t.n_toks AS DOUBLE), 6) AS dup_token_frac,
        round(1 - b.n_dbg / CAST(b.n_bg AS DOUBLE), 6) AS dup_bigram_frac,
        round(b.top / CAST(b.n_bg AS DOUBLE), 6) AS top_bigram_frac
-FROM tstats t LEFT JOIN bstats b USING (doc_id)
+FROM documents d
+LEFT JOIN tstats t USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
 """,
         "vocab_topk": """
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
@@ -1540,12 +1550,16 @@ WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tok AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
   FROM ts
-), tok2 AS (SELECT * FROM tok WHERE len(tok) > 0),
+), tok2 AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS ord2
+  FROM tok WHERE len(tok) > 0
+),
 ng AS (
   SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
   FROM tok2 a
-  JOIN tok2 b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
-  JOIN tok2 c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+  JOIN tok2 b ON b.doc_id = a.doc_id AND b.ord2 = a.ord2 + 1
+  JOIN tok2 c ON c.doc_id = a.doc_id AND c.ord2 = a.ord2 + 2
 ), probe AS (SELECT DISTINCT g FROM ng WHERE doc_id < 20),
 cand AS (SELECT DISTINCT doc_id, g FROM ng WHERE doc_id >= 20),
 hits AS (

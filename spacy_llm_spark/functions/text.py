@@ -158,16 +158,32 @@ def clean_corpus(
     return out
 
 
-def bigrams_expr(text_col: str) -> Column:
-    """Adjacent-token bigram array, built by index over the token array —
-    a pure projection (no explode, no shuffle)."""
+def ngrams_expr(text_col: str, n: int) -> Column:
+    """Array of adjacent token n-grams — index-zipped slices of the token
+    array, a pure projection (no explode, no shuffle). The single source
+    for token n-grams (repetition stats, decontamination)."""
     toks = tokens_expr(F.col(text_col))
-    n_minus_1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    return F.zip_with(
-        F.slice(toks, F.lit(1), n_minus_1),
-        F.slice(toks, F.lit(2), n_minus_1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    slices = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
+    out = slices[0]
+    for s in slices[1:]:
+        out = F.zip_with(out, s, lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
+def bigrams_expr(text_col: str) -> Column:
+    """Adjacent-token bigram array (the n=2 case of ``ngrams_expr``)."""
+    return ngrams_expr(text_col, 2)
+
+
+def hash_bucket(text_col: str, hex_start: int, buckets: int) -> Column:
+    """Deterministic uniform bucket in [0, buckets): 8 hex chars of the
+    sha256 digest starting at 1-based ``hex_start``, as an integer mod
+    ``buckets``. Callers that must be mutually independent read disjoint
+    digest regions (splits: chars 1-8; sampling: chars 9-16)."""
+    return F.conv(
+        F.substring(F.sha2(F.col(text_col), 256), hex_start, 8), 16, 10
+    ).cast("long") % F.lit(int(buckets))
 
 
 def _top_run_count(arr: Column) -> Column:
@@ -285,9 +301,7 @@ def assign_split(
     pure projection (no shuffle, no RNG), reproducible across engines,
     runs, and cluster sizes; ``splits`` is a (name, exclusive upper
     bucket) ladder."""
-    bucket = F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast(
-        "long"
-    ) % F.lit(SPLIT_BUCKETS)
+    bucket = hash_bucket(text_col, 1, SPLIT_BUCKETS)
     expr = None
     for name, upper in splits:
         cond = bucket < F.lit(upper)

@@ -106,9 +106,14 @@ def asof_join(
         .where(F.col("_l").isNotNull())
     )
     if tolerance_secs is not None:
+        # microsecond arithmetic: unix_timestamp truncates sub-second
+        # precision and would mis-void/mis-keep matches near the horizon;
+        # cast first because unix_micros rejects TIMESTAMP_NTZ (both
+        # operands shift identically, so the difference is exact)
         in_horizon = (
-            F.unix_timestamp("_t") - F.unix_timestamp("_m._rt")
-        ) <= F.lit(float(tolerance_secs))
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(F.col("_m._rt").cast("timestamp"))
+        ) <= F.lit(float(tolerance_secs) * 1_000_000)
         matched = matched.withColumn(
             "_m", F.when(in_horizon, F.col("_m"))
         )

@@ -20,23 +20,11 @@ the strategy from the actual probe size, so no code change is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.text import tokens_expr
-
-
-def ngrams_expr(text_col: str, n: int) -> Column:
-    """Array of adjacent token n-grams — index-zipped slices of the token
-    array, a pure projection (see bigrams_expr for the n=2 case)."""
-    toks = tokens_expr(F.col(text_col))
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    slices = [F.slice(toks, F.lit(i + 1), m) for i in range(n)]
-    out = slices[0]
-    for s in slices[1:]:
-        out = F.zip_with(out, s, lambda a, b: F.concat_ws(" ", a, b))
-    return out
+from ..functions.text import ngrams_expr
 
 
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

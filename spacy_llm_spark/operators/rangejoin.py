@@ -27,8 +27,16 @@ epoch is irrelevant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def micros(col: str) -> Column:
+    """Microsecond epoch of a timestamp column; TIMESTAMP_NTZ is cast
+    first (unix_micros rejects it). The session-tz shift a cast applies
+    is a constant offset — bucketing and gap arithmetic only need a
+    monotone, consistent epoch, not a particular zero point."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def interval_join(
@@ -47,20 +55,22 @@ def interval_join(
 
     ``on`` adds an entity equi-key (point.on == interval.on) so the join
     hashes on (key, bucket) instead of bucket alone."""
-    b = F.lit(int(bucket_secs))
-    pts = points.withColumn(
-        "_b", F.floor(F.unix_timestamp(F.col(point_time)) / b)
-    )
+    # bucket on MICROsecond epochs (Spark timestamps are micros): a
+    # second-truncated unix_timestamp would compute the last covered
+    # bucket of an interval ending fractionally past a bucket boundary
+    # one too low and silently drop true matches in that final bucket
+    b_us = F.lit(int(bucket_secs) * 1_000_000)
+    pts = points.withColumn("_b", F.floor(micros(point_time) / b_us))
     # degenerate/empty intervals would make sequence() run backwards —
     # they can match nothing, so drop them before exploding
     ivs = intervals.where(F.col(end) > F.col(start)).withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(start)) / b),
+                F.floor(micros(start) / b_us),
                 # end-exclusive: an interval ending exactly on a bucket
                 # boundary does not reach into that bucket
-                F.floor((F.unix_timestamp(F.col(end)) - 1) / b),
+                F.floor((micros(end) - 1) / b_us),
             )
         ),
     )

@@ -24,15 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import hash_bucket
+
 HASH_BUCKETS = 1_000_000
 
 
 def sample_bucket(text_col: str):
     """Deterministic uniform bucket in [0, HASH_BUCKETS): integer value
-    of the first 8 hex chars of sha256, mod the bucket count."""
-    return F.conv(F.substring(F.sha2(F.col(text_col), 256), 9, 8), 16, 10).cast(
-        "long"
-    ) % F.lit(HASH_BUCKETS)
+    of hex chars 9-16 of the sha256 digest, mod the bucket count —
+    a digest region disjoint from the one ``assign_split`` reads
+    (chars 1-8), so sampling and split assignment stay independent."""
+    return hash_bucket(text_col, 9, HASH_BUCKETS)
 
 
 def hash_sample(df: DataFrame, fraction: float, text_col: str = "text") -> DataFrame:

@@ -308,6 +308,60 @@ def test_interval_join_no_nested_loop(interval_frames):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_join_fractional_second_end(spark):
+    """Regression: an interval end 0.5 s past a bucket boundary must not
+    lose points in that final bucket (second-truncated bucketing did)."""
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 1, 0, 200000))],
+        "point_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 0, 1, 0, 500000))],
+        "window_id long, ws timestamp, we timestamp",
+    )
+    out = interval_join(
+        pts, ivs, point_time="ts", start="ws", end="we", bucket_secs=60
+    )
+    assert [(r["point_id"], r["window_id"]) for r in out.collect()] == [(1, 0)]
+
+
+def test_asof_tolerance_subsecond_precision(spark):
+    """Regression: tolerance must be judged on microsecond gaps, not
+    second-truncated ones."""
+    left = spark.createDataFrame(
+        [
+            (1, "u1", dt.datetime(2024, 1, 1, 0, 0, 2, 900000)),  # gap 1.9s
+            (2, "u2", dt.datetime(2024, 1, 1, 0, 0, 2, 0)),       # gap 0.1s
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, "u1", dt.datetime(2024, 1, 1, 0, 0, 1, 0), 1.0),
+            (102, "u2", dt.datetime(2024, 1, 1, 0, 0, 1, 900000), 2.0),
+        ],
+        "click_id long, user_id string, cts timestamp, value double",
+    )
+    got = _rows(
+        asof_join(
+            left, right, on="user_id", left_time="ts", right_time="cts",
+            right_cols=["click_id", "value"], tolerance_secs=1.5,
+        )
+    )
+    # true gap 1.9s > 1.5 -> void; second-truncated diff (2-1=1) would keep
+    assert got[1] == (None, None)
+    got_tight = _rows(
+        asof_join(
+            left, right, on="user_id", left_time="ts", right_time="cts",
+            right_cols=["click_id", "value"], tolerance_secs=0.5,
+        )
+    )
+    # true gap 0.1s <= 0.5 -> keep; second-truncated diff (2-1=1) would void
+    assert got_tight[2] == (102, 2.0)
+
+
 def test_interval_join_bucket_size_invariance(interval_frames):
     from spacy_llm_spark.operators.rangejoin import interval_join
 
