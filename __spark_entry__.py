@@ -846,6 +846,37 @@ def q_hash_sample(spark, sf_dir):
     )
 
 
+def q_event_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type. F.percentile is the exact sort-based aggregate (matches SQL
+    quantile_cont); percentile_approx would be the 100 TB variant but is
+    engine-specific and not oracle-comparable."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def q_events_daily_pivot(spark, sf_dir):
+    """Pivoted daily activity matrix: one row per day, one column per
+    event type. Explicit pivot values keep the schema static (no
+    discovery pass over the fact table)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -933,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
+        "event_quantiles": q_event_quantiles,
+        "events_daily_pivot": q_events_daily_pivot,
     }
 
 
@@ -1656,5 +1689,21 @@ SELECT doc_id,
        CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 AS bucket
 FROM documents
 WHERE CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 < 200000
+""",
+        "event_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+        "events_daily_pivot": """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY 1
 """,
     }

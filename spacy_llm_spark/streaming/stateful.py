@@ -1,0 +1,95 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+``streaming_asof``: the unbounded-stream analog of
+``operators/asof.py`` — for every *probe* event, attach the same key's
+most recent strictly-prior *reference* event, across micro-batch
+boundaries. The batch operator sorts each key group once; a stream
+cannot, so the operator keeps exactly one reference row per key as
+Spark-managed group state:
+
+- state size is O(distinct keys), independent of stream length — the
+  minimal state an as-of needs;
+- within a micro-batch, rows are processed in event-time order
+  (references after probes at equal times, preserving the strict
+  semantics); across batches, ordering is source-arrival — the standard
+  processing-time caveat of stateful streaming (a reference that
+  arrives after a later-timestamped probe has already been emitted
+  cannot retro-match it; use the batch operator for reprocessing-grade
+  exactness);
+- state never regresses: a reference older than the stored one (late
+  arrival) is ignored rather than overwriting newer state.
+
+This is the ``applyInPandasWithState`` shape the engine uses for any
+custom per-key streaming operator: Arrow-batched pandas per group, an
+explicit state tuple, append output.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ASOF_OUTPUT_SCHEMA = (
+    "event_id long, key long, ts timestamp, matched_id long, matched_value double"
+)
+_STATE_SCHEMA = "rt long, rid long, rvalue double"
+
+
+def _asof_kernel(probe_type: str, ref_type: str, type_col: str):
+    def fn(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            rt, rid, rvalue = state.get
+        else:
+            rt, rid, rvalue = None, None, None
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order; references AFTER probes at equal time so a
+        # reference at exactly the probe time never matches (strict)
+        pdf["isref"] = (pdf[type_col] == ref_type).astype("int8")
+        pdf = pdf.sort_values(["ts", "isref", "event_id"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            t_us = row.ts.value // 1000  # pandas ns -> micros
+            if row.isref:
+                if rt is None or t_us >= rt:
+                    rt, rid, rvalue = t_us, int(row.event_id), float(row.value)
+            elif getattr(row, type_col) == probe_type:
+                out.append(
+                    (int(row.event_id), int(key[0]), row.ts, rid, rvalue)
+                )
+        if rt is not None:
+            state.update((rt, rid, rvalue))
+        yield pd.DataFrame(
+            out, columns=["event_id", "key", "ts", "matched_id", "matched_value"]
+        )
+
+    return fn
+
+
+def streaming_asof(
+    stream: DataFrame,
+    *,
+    key: str = "user_id",
+    probe_type: str = "view",
+    ref_type: str = "click",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful streaming as-of over an event stream with columns
+    (event_id, <key>, ts, <type_col>, value): every ``probe_type`` row
+    is emitted with the latest strictly-prior ``ref_type`` row of the
+    same key seen so far (NULLs before the first reference)."""
+    renamed = stream.withColumnRenamed(key, "key")
+    return renamed.groupBy("key").applyInPandasWithState(
+        _asof_kernel(probe_type, ref_type, type_col),
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

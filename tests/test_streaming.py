@@ -196,3 +196,80 @@ def test_windowed_counts_live_stream_drops_late_rows(spark, tmp_path):
         assert w13.n == 2 and w13.total_value == 11.0
     finally:
         q.stop()
+
+
+def test_streaming_asof_stateful_cross_batch(spark, tmp_path):
+    """applyInPandasWithState as-of: a probe in a later micro-batch must
+    match a reference delivered in an earlier one (state persists), and
+    probes before any reference get NULL matches."""
+    from datetime import datetime
+
+    from spacy_llm_spark.streaming.stateful import streaming_asof
+
+    src = tmp_path / "asof_src"
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def deliver(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # wave 1: view before any click (-> NULL), click, view after click
+    deliver(
+        [
+            (1, 7, datetime(2024, 1, 1, 0, 0, 1), "view", 0.0),
+            (2, 7, datetime(2024, 1, 1, 0, 0, 5), "click", 42.0),
+            (3, 7, datetime(2024, 1, 1, 0, 0, 9), "view", 0.0),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_asof(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
+                for r in spark.sql("select * from asof_live").collect()}
+        assert rows[1] == (None, None)
+        assert rows[3] == (2, 42.0)
+
+        # wave 2 (new micro-batch): view matches wave-1 click via state;
+        # a second user's click seeds state for wave 3
+        deliver(
+            [
+                (4, 7, datetime(2024, 1, 1, 0, 1, 0), "view", 0.0),
+                (5, 8, datetime(2024, 1, 1, 0, 1, 0), "click", 7.0),
+            ]
+        )
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
+                for r in spark.sql("select * from asof_live").collect()}
+        assert rows[4] == (2, 42.0)  # cross-batch state
+
+        # wave 3: strict semantics — a view at EXACTLY the stored click
+        # time of user 8 matches it (strictly prior), but a view at the
+        # same time as a same-batch click does not see that click
+        deliver(
+            [
+                (6, 8, datetime(2024, 1, 1, 0, 2, 0), "view", 0.0),
+                (7, 8, datetime(2024, 1, 1, 0, 2, 0), "click", 9.0),
+            ]
+        )
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
+                for r in spark.sql("select * from asof_live").collect()}
+        assert rows[6] == (5, 7.0)  # the equal-time click 7 is NOT visible
+    finally:
+        q.stop()
