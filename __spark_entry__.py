@@ -877,6 +877,15 @@ def q_events_daily_pivot(spark, sf_dir):
     )
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Triangle count of the undirected KG graph (ordered-wedge
+    enumeration, two equi-joins — never an all-pairs expansion)."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    return graph.triangle_count(edges)
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -966,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "event_quantiles": q_event_quantiles,
         "events_daily_pivot": q_events_daily_pivot,
+        "kg_triangles": q_kg_triangles,
     }
 
 
@@ -1619,6 +1629,18 @@ SELECT vertex,
 FROM contrib GROUP BY vertex
 """,
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
+        "kg_triangles": m
+        + _EDGES_CTE
+        + """
+, und AS (
+  SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi
+  FROM edges WHERE subj <> obj
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.lo = e1.hi
+JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
         # every sf0.01 doc fits one shard (max 553 chars, no context
         # limit), so save_io must retain exactly one prompt/response per
         # task per doc, with a non-empty NER response

@@ -56,6 +56,35 @@ def degree_stats(
     )
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Global triangle count of the undirected simple graph underlying
+    the edge list; returns a single row (n_triangles).
+
+    Standard ordered-wedge enumeration: canonicalize each edge to
+    (lo, hi) with lo < hi (drops self-loops and direction), then count
+    paths lo<mid<hi whose closing edge exists — each triangle is counted
+    exactly once. Two equi-joins on vertex ids; at scale the classic
+    refinement (orient edges by degree so wedges pivot on low-degree
+    vertices) drops in here without changing the interface."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    closing = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b")
+    return wedges.join(closing, ["a", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,

@@ -250,6 +250,28 @@ def test_pagerank_matches_reference_impl(edge_df):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
 
 
+def test_triangle_count(spark):
+    # K4 on {a,b,c,d} has 4 triangles; edges given with mixed direction,
+    # a parallel duplicate, a self-loop, and a dangling edge to e
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # parallel + reversed
+            ("a", "c"), ("a", "d"),
+            ("b", "c"), ("d", "b"),
+            ("c", "d"),
+            ("c", "c"),                       # self-loop ignored
+            ("d", "e"),                       # no triangle through e
+        ],
+        "subj string, obj string",
+    )
+    assert graph.triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+    no_tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    assert graph.triangle_count(no_tri).collect()[0]["n_triangles"] == 0
+
+
 def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "subj string, obj string")
     assert graph.pagerank(empty).count() == 0
