@@ -1,0 +1,37 @@
+"""Timezone-safe epoch arithmetic shared by the temporal operators.
+
+``micros`` maps a time column to a monotone microsecond epoch:
+
+- TIMESTAMP_NTZ: wall-clock micros since 1970-01-01 via
+  ``timestamp_diff`` on NTZ operands — no session-timezone cast, so a
+  DST-observing session timezone can neither shift the epoch by the DST
+  delta nor resolve spring-forward local times non-monotonically (a
+  cast-to-TIMESTAMP would do both);
+- TIMESTAMP: ``unix_micros`` directly;
+- anything else (DATE, coercible strings): cast to TIMESTAMP first.
+
+The single source of this logic — asof tolerance checks and range-join
+bucketing must agree on it or the two operators drift.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, TimestampNTZType, TimestampType
+
+_NTZ_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def micros(col: Column, dtype: DataType) -> Column:
+    """Microsecond epoch of ``col`` (whose type is ``dtype``), monotone
+    and timezone-independent for NTZ inputs."""
+    if isinstance(dtype, TimestampNTZType):
+        return F.timestamp_diff(
+            "MICROSECOND", F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), col
+        )
+    if isinstance(dtype, TimestampType):
+        return F.unix_micros(col)
+    return F.unix_micros(col.cast("timestamp"))

@@ -106,13 +106,16 @@ def asof_join(
         .where(F.col("_l").isNotNull())
     )
     if tolerance_secs is not None:
-        # microsecond arithmetic: unix_timestamp truncates sub-second
-        # precision and would mis-void/mis-keep matches near the horizon;
-        # cast first because unix_micros rejects TIMESTAMP_NTZ (both
-        # operands shift identically, so the difference is exact)
+        # microsecond-epoch arithmetic (functions/timeutil.py): second
+        # truncation would mis-judge gaps near the horizon, and a
+        # session-tz cast of NTZ inputs could shift the gap by a DST
+        # delta
+        from ..functions.timeutil import micros
+
+        left_dt = left.schema[left_time].dataType
+        right_dt = right.schema[right_time].dataType
         in_horizon = (
-            F.unix_micros(F.col("_t").cast("timestamp"))
-            - F.unix_micros(F.col("_m._rt").cast("timestamp"))
+            micros(F.col("_t"), left_dt) - micros(F.col("_m._rt"), right_dt)
         ) <= F.lit(float(tolerance_secs) * 1_000_000)
         matched = matched.withColumn(
             "_m", F.when(in_horizon, F.col("_m"))

@@ -27,16 +27,10 @@ epoch is irrelevant.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def micros(col: str) -> Column:
-    """Microsecond epoch of a timestamp column; TIMESTAMP_NTZ is cast
-    first (unix_micros rejects it). The session-tz shift a cast applies
-    is a constant offset — bucketing and gap arithmetic only need a
-    monotone, consistent epoch, not a particular zero point."""
-    return F.unix_micros(F.col(col).cast("timestamp"))
+from ..functions.timeutil import micros
 
 
 def interval_join(
@@ -60,17 +54,20 @@ def interval_join(
     # bucket of an interval ending fractionally past a bucket boundary
     # one too low and silently drop true matches in that final bucket
     b_us = F.lit(int(bucket_secs) * 1_000_000)
-    pts = points.withColumn("_b", F.floor(micros(point_time) / b_us))
+    pt_us = micros(F.col(point_time), points.schema[point_time].dataType)
+    start_us = micros(F.col(start), intervals.schema[start].dataType)
+    end_us = micros(F.col(end), intervals.schema[end].dataType)
+    pts = points.withColumn("_b", F.floor(pt_us / b_us))
     # degenerate/empty intervals would make sequence() run backwards —
     # they can match nothing, so drop them before exploding
     ivs = intervals.where(F.col(end) > F.col(start)).withColumn(
         "_b",
         F.explode(
             F.sequence(
-                F.floor(micros(start) / b_us),
+                F.floor(start_us / b_us),
                 # end-exclusive: an interval ending exactly on a bucket
                 # boundary does not reach into that bucket
-                F.floor((micros(end) - 1) / b_us),
+                F.floor((end_us - 1) / b_us),
             )
         ),
     )

@@ -15,7 +15,9 @@ Spark-managed group state:
   processing-time caveat of stateful streaming (a reference that
   arrives after a later-timestamped probe has already been emitted
   cannot retro-match it; use the batch operator for reprocessing-grade
-  exactness);
+  exactness). A late probe, conversely, is emitted with a NULL match:
+  the stored reference must be STRICTLY prior (rt < t), so an
+  anachronistic future reference never attaches;
 - state never regresses: a reference older than the stored one (late
   arrival) is ignored rather than overwriting newer state.
 
@@ -33,9 +35,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-ASOF_OUTPUT_SCHEMA = (
-    "event_id long, key long, ts timestamp, matched_id long, matched_value double"
-)
+def _output_schema(key_sql_type: str) -> str:
+    return (
+        f"event_id long, key {key_sql_type}, ts timestamp, "
+        "matched_id long, matched_value double"
+    )
+
+
 _STATE_SCHEMA = "rt long, rid long, rvalue double"
 
 
@@ -61,9 +67,15 @@ def _asof_kernel(probe_type: str, ref_type: str, type_col: str):
                 if rt is None or t_us >= rt:
                     rt, rid, rvalue = t_us, int(row.event_id), float(row.value)
             elif getattr(row, type_col) == probe_type:
-                out.append(
-                    (int(row.event_id), int(key[0]), row.ts, rid, rvalue)
-                )
+                # strict as-of: only a STRICTLY-prior stored reference
+                # matches; without the rt < t_us guard a late-arriving
+                # probe would match a FUTURE-timestamped reference, and
+                # an equal-time stored reference would match cross-batch
+                # while the identical in-batch data does not
+                if rt is not None and rt < t_us:
+                    out.append((int(row.event_id), key[0], row.ts, rid, rvalue))
+                else:
+                    out.append((int(row.event_id), key[0], row.ts, None, None))
         if rt is not None:
             state.update((rt, rid, rvalue))
         yield pd.DataFrame(
@@ -85,10 +97,16 @@ def streaming_asof(
     (event_id, <key>, ts, <type_col>, value): every ``probe_type`` row
     is emitted with the latest strictly-prior ``ref_type`` row of the
     same key seen so far (NULLs before the first reference)."""
+    if key != "key" and "key" in stream.columns:
+        raise ValueError(
+            "stream already has a 'key' column unrelated to the join key; "
+            "rename it first"
+        )
+    key_sql_type = stream.schema[key].dataType.simpleString()
     renamed = stream.withColumnRenamed(key, "key")
     return renamed.groupBy("key").applyInPandasWithState(
         _asof_kernel(probe_type, ref_type, type_col),
-        outputStructType=ASOF_OUTPUT_SCHEMA,
+        outputStructType=_output_schema(key_sql_type),
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

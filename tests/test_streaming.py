@@ -258,18 +258,73 @@ def test_streaming_asof_stateful_cross_batch(spark, tmp_path):
                 for r in spark.sql("select * from asof_live").collect()}
         assert rows[4] == (2, 42.0)  # cross-batch state
 
-        # wave 3: strict semantics — a view at EXACTLY the stored click
-        # time of user 8 matches it (strictly prior), but a view at the
-        # same time as a same-batch click does not see that click
+        # wave 3: strictness edge cases.
+        # - view 6 at EXACTLY user 8's stored click time (00:01:00): an
+        #   equal-time stored reference must NOT match (strictly prior),
+        #   same as the in-batch rule
+        # - view 9 at the same time as same-batch click 7: neither the
+        #   equal-time click 7 nor anything later is visible; the stored
+        #   strictly-prior click 5 matches
+        # - view 10 (user 7) is LATE: timestamped before the stored
+        #   click 2 -> NULL, never an anachronistic future reference
         deliver(
             [
-                (6, 8, datetime(2024, 1, 1, 0, 2, 0), "view", 0.0),
+                (6, 8, datetime(2024, 1, 1, 0, 1, 0), "view", 0.0),
                 (7, 8, datetime(2024, 1, 1, 0, 2, 0), "click", 9.0),
+                (9, 8, datetime(2024, 1, 1, 0, 2, 0), "view", 0.0),
+                (10, 7, datetime(2024, 1, 1, 0, 0, 2), "view", 0.0),
             ]
         )
         q.processAllAvailable()
         rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
                 for r in spark.sql("select * from asof_live").collect()}
-        assert rows[6] == (5, 7.0)  # the equal-time click 7 is NOT visible
+        assert rows[6] == (None, None)  # equal-time stored ref: no match
+        assert rows[9] == (5, 7.0)      # same-batch equal-time click invisible
+        assert rows[10] == (None, None)  # late probe: no future match
     finally:
         q.stop()
+
+
+def test_streaming_asof_string_keys(spark, tmp_path):
+    """The key column's type flows into the output schema — non-integer
+    keys must work, and a pre-existing unrelated 'key' column is
+    rejected loudly."""
+    from datetime import datetime
+
+    from spacy_llm_spark.streaming.stateful import streaming_asof
+
+    src = tmp_path / "asof_str_src"
+    schema = (
+        "event_id long, session_id string, ts timestamp, "
+        "event_type string, value double"
+    )
+    spark.createDataFrame(
+        [
+            (1, "sess-a", datetime(2024, 1, 1, 0, 0, 1), "click", 5.0),
+            (2, "sess-a", datetime(2024, 1, 1, 0, 0, 2), "view", 0.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_asof(stream, key="session_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_str")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "asof_str_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from asof_str").collect()
+        assert [(r["event_id"], r["key"], r["matched_id"]) for r in rows] == [
+            (2, "sess-a", 1)
+        ]
+    finally:
+        q.stop()
+
+    import pytest as _pytest
+
+    clash = stream.withColumnRenamed("value", "key")
+    with _pytest.raises(ValueError, match="'key' column"):
+        streaming_asof(clash, key="session_id")
