@@ -877,6 +877,23 @@ def q_events_daily_pivot(spark, sf_dir):
     )
 
 
+def q_kg_canonical_edges(spark, sf_dir):
+    """The canonical triple table: edge endpoints rewritten onto their
+    connected-component canonical ids (surface mentions collapse onto
+    the KB entity they cluster with). The vertex map is entity-scale and
+    broadcast, so the triple table never shuffles."""
+    from spacy_llm_spark.operators import canonicalize as canon
+
+    ann = _annotated(spark, sf_dir)
+    links = mat.links_table(ann, ("doc_id",))
+    edges = mat.edges_table(ann, ("doc_id",))
+    vertices = canon.canonical_vertices(links)
+    ce = canon.canonical_edges(edges, vertices)
+    return _as_long(
+        ce.select("doc_id", "rel_idx", "subj", "pred", "obj"), "rel_idx"
+    )
+
+
 def q_kg_triangles(spark, sf_dir):
     """Triangle count of the undirected KG graph (ordered-wedge
     enumeration, two equi-joins — never an all-pairs expansion)."""
@@ -976,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "events_daily_pivot": q_events_daily_pivot,
         "kg_triangles": q_kg_triangles,
+        "kg_canonical_edges": q_kg_canonical_edges,
     }
 
 
@@ -1629,6 +1647,35 @@ SELECT vertex,
 FROM contrib GROUP BY vertex
 """,
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
+        "kg_canonical_edges": m
+        + """
+, edges_full AS (
+  SELECT r.doc_id, r.rel_idx,
+    CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
+         ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
+    r.relation AS pred,
+    CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
+         ELSE 'surface:' || lower(trim(lo.surface)) END AS obj
+  FROM rels r
+  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+), surf AS (
+  SELECT DISTINCT lower(trim(surface)) AS s, kb_id FROM links
+), vmap AS (
+  SELECT 'surface:' || s AS node,
+         CASE WHEN kb_id <> 'NIL' THEN kb_id ELSE 'surface:' || s END AS component
+  FROM surf
+  UNION
+  SELECT kb_id, kb_id FROM surf WHERE kb_id <> 'NIL'
+)
+SELECT e.doc_id, e.rel_idx,
+       coalesce(vs.component, e.subj) AS subj,
+       e.pred,
+       coalesce(vo.component, e.obj) AS obj
+FROM edges_full e
+LEFT JOIN vmap vs ON vs.node = e.subj
+LEFT JOIN vmap vo ON vo.node = e.obj
+""",
         "kg_triangles": m
         + _EDGES_CTE
         + """
