@@ -85,6 +85,41 @@ def _asof_kernel(probe_type: str, ref_type: str, type_col: str):
     return fn
 
 
+DEDUP_STATE_SCHEMA = "seen int"
+
+
+def _dedup_kernel(key, pdfs, state: GroupState):
+    """Emit only the first-ever row of each key (exact streaming dedup).
+
+    State is a single int flag per content key — the minimum possible.
+    Within a key's first micro-batch the arrival-order first row wins
+    (deterministic whenever the source delivers batches
+    deterministically, e.g. file sources)."""
+    if state.exists:
+        for _ in pdfs:  # drain; everything is a duplicate
+            pass
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    state.update((1,))
+    yield pdf.head(1)
+
+
+def streaming_distinct(stream: DataFrame, key: str) -> DataFrame:
+    """Stateful streaming exact dedup: the first row per ``key`` (e.g. a
+    content sha256) passes, every later arrival — same batch or any
+    later batch — is dropped. State is O(distinct keys) single-int
+    flags, the streaming analog of the batch engine's checkpoint
+    anti-join (F1), for pipelines that need dedup BEFORE a sink rather
+    than idempotence AT the sink."""
+    return stream.groupBy(key).applyInPandasWithState(
+        _dedup_kernel,
+        outputStructType=stream.schema,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_asof(
     stream: DataFrame,
     *,

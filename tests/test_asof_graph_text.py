@@ -435,3 +435,23 @@ def test_assign_split_deterministic_and_duplicate_safe(spark):
     for i, text in rows:
         by_text.setdefault(text, set()).add(a[i])
     assert all(len(s) == 1 for s in by_text.values())
+
+
+def test_interval_join_with_entity_key(spark):
+    """The optional `on` key co-partitions by entity: a point only joins
+    intervals of the SAME key even when times overlap across keys."""
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "u1", _ts(5)), (2, "u2", _ts(5))],
+        "point_id long, user string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(0, "u1", _ts(0), _ts(10))],
+        "window_id long, user string, ws timestamp, we timestamp",
+    )
+    out = interval_join(
+        points, intervals, point_time="ts", start="ws", end="we",
+        bucket_secs=60, on="user",
+    )
+    assert [(r["point_id"], r["window_id"]) for r in out.collect()] == [(1, 0)]

@@ -328,3 +328,46 @@ def test_streaming_asof_string_keys(spark, tmp_path):
     clash = stream.withColumnRenamed("value", "key")
     with _pytest.raises(ValueError, match="'key' column"):
         streaming_asof(clash, key="session_id")
+
+
+def test_streaming_distinct_cross_batch(spark, tmp_path):
+    """Stateful exact dedup: the first row per content key passes; later
+    arrivals in the same or any later micro-batch are dropped."""
+    from spacy_llm_spark.streaming.stateful import streaming_distinct
+
+    src = tmp_path / "dedup_src"
+    schema = "doc_id long, sha string, text string"
+
+    def deliver(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    deliver([(1, "a", "x"), (2, "a", "x"), (3, "b", "y")])  # in-batch dup
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_distinct(stream, "sha")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["sha"] for r in spark.sql("select * from dedup_live").collect()}
+        assert got == {"a", "b"}
+        assert spark.sql("select * from dedup_live").count() == 2
+
+        # wave 2: a re-delivered sha and a new one
+        deliver([(4, "a", "x"), (5, "c", "z")])
+        q.processAllAvailable()
+        rows = spark.sql("select * from dedup_live").collect()
+        assert {r["sha"] for r in rows} == {"a", "b", "c"}
+        assert len(rows) == 3  # the wave-2 'a' was dropped by state
+    finally:
+        q.stop()
