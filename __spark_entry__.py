@@ -1024,10 +1024,11 @@ WITH RECURSIVE toks AS (
 
 
 # KG edge list as a reusable CTE tail (same node CASE as the kg_edges
-# oracle) — the graph-analytics oracles build on it.
+# oracle) — the graph-analytics and canonicalization oracles build on
+# it; keep the node encoding defined HERE only.
 _EDGES_CTE = """
 , edges AS (
-  SELECT r.doc_id,
+  SELECT r.doc_id, r.rel_idx, r.relation AS pred,
     CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
          ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
     CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
@@ -1647,32 +1648,33 @@ SELECT vertex,
 FROM contrib GROUP BY vertex
 """,
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
+        # NOTE: this oracle (like kg_vertices') applies the ONE-HOP
+        # surface->kb map, which equals the engine's connected components
+        # exactly when each surface links to a single kb_id — true by
+        # construction here (top-1-prior EL over CODE_NER_DICT). The
+        # min(component) aggregation makes the map single-valued even if
+        # a future corpus violated that (no silent join fan-out; the
+        # hash check would then catch any closure divergence). CC itself
+        # is separately proven against union-find in test_canonicalize.
         "kg_canonical_edges": m
+        + _EDGES_CTE
         + """
-, edges_full AS (
-  SELECT r.doc_id, r.rel_idx,
-    CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
-         ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
-    r.relation AS pred,
-    CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
-         ELSE 'surface:' || lower(trim(lo.surface)) END AS obj
-  FROM rels r
-  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
-  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
-), surf AS (
+, surf AS (
   SELECT DISTINCT lower(trim(surface)) AS s, kb_id FROM links
 ), vmap AS (
-  SELECT 'surface:' || s AS node,
-         CASE WHEN kb_id <> 'NIL' THEN kb_id ELSE 'surface:' || s END AS component
-  FROM surf
-  UNION
-  SELECT kb_id, kb_id FROM surf WHERE kb_id <> 'NIL'
+  SELECT node, min(component) AS component FROM (
+    SELECT 'surface:' || s AS node,
+           CASE WHEN kb_id <> 'NIL' THEN kb_id ELSE 'surface:' || s END AS component
+    FROM surf
+    UNION
+    SELECT kb_id, kb_id FROM surf WHERE kb_id <> 'NIL'
+  ) GROUP BY node
 )
 SELECT e.doc_id, e.rel_idx,
        coalesce(vs.component, e.subj) AS subj,
        e.pred,
        coalesce(vo.component, e.obj) AS obj
-FROM edges_full e
+FROM edges e
 LEFT JOIN vmap vs ON vs.node = e.subj
 LEFT JOIN vmap vo ON vo.node = e.obj
 """,

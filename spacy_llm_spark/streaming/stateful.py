@@ -95,13 +95,18 @@ def _dedup_kernel(key, pdfs, state: GroupState):
     Within a key's first micro-batch the arrival-order first row wins
     (deterministic whenever the source delivers batches
     deterministically, e.g. file sources)."""
-    if state.exists:
-        for _ in pdfs:  # drain; everything is a duplicate
-            pass
+    first = None
+    for chunk in pdfs:
+        if first is None and len(chunk):
+            # keep only the first non-empty Arrow chunk's head — never
+            # concatenate the whole group (a dedup-heavy key may carry
+            # millions of duplicates in one batch)
+            first = chunk.head(1)
+        # keep draining: the iterator must be consumed either way
+    if state.exists or first is None:
         return
-    pdf = pd.concat(list(pdfs), ignore_index=True)
     state.update((1,))
-    yield pdf.head(1)
+    yield first
 
 
 def streaming_distinct(stream: DataFrame, key: str) -> DataFrame:
