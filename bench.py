@@ -136,10 +136,16 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
             F.col("ts").alias("cts"),
             F.col("value").alias("click_value"),
         )
-        return asof_join(
+        out = asof_join(
             views, clicks, on="user_id", left_time="ts", right_time="cts",
             right_cols=["click_event_id", "click_value"], strict=True,
-        ).count()
+        )
+        # count(matched col), not count(*): a bare count lets Catalyst
+        # prune the unused window and the bench would time only the
+        # union+filter
+        return out.agg(
+            F.count("click_event_id"), F.count(F.lit(1))
+        ).collect()[0][1]
 
     timed("asof_join_events", asof_run)
 

@@ -28,12 +28,14 @@ over an unbounded-preceding running window. Properties at scale:
   sort before right rows at equal time under ``strict=True``, after
   them otherwise).
 
-Skew note: one window partition per key — a single mega-key serializes
-onto one task (same constraint as any per-key ordered scan). For
-mega-key workloads, pre-split by time range (rangePartition on (key,
-time_bucket), carry the last right row of each bucket forward) — not
-needed at the tested scales and deliberately not auto-applied, since the
-extra pass costs more than it saves on non-degenerate keys.
+Skew note: by default one window partition per key — a single mega-key
+serializes onto one task (same constraint as any per-key ordered scan).
+``split_bucket_secs`` activates the mega-key path: per-(key,
+time-bucket) windows seeded by a carried-forward "last reference of any
+earlier bucket", parallelizing one key across its buckets at the cost
+of one extra (tiny, bucket-scale) shuffle. Identical results either
+way; not auto-applied because the extra pass costs more than it saves
+on non-degenerate keys.
 
 Reference scope note: spacy-llm has no temporal operator; this belongs
 to the training-data-pipeline surface (event/session alignment) the
@@ -57,6 +59,7 @@ def asof_join(
     right_tiebreak: str | None = None,
     strict: bool = False,
     tolerance_secs: float | None = None,
+    split_bucket_secs: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the payload of the latest
     matching right row (NULLs when no right row precedes it).
@@ -66,6 +69,16 @@ def asof_join(
     within the right side (max wins); defaults to the first payload
     column. ``tolerance_secs`` voids matches older than the given
     horizon (times must then be timestamps).
+
+    ``split_bucket_secs`` enables the mega-key path: instead of one
+    running window per key (which serializes a dominant key onto one
+    task), rows are windowed per (key, time-bucket) and each bucket is
+    seeded with a carry-in — the last reference payload of any earlier
+    bucket, computed by a per-(key, bucket) ``max_by`` aggregate plus a
+    running window over the tiny bucket frame. A key spanning millions
+    of rows then sorts as many independent tasks as it has buckets.
+    Equal results either way (rows with equal times share a bucket, so
+    carry-ins are always strictly earlier); costs one extra shuffle.
     """
     right_tiebreak = right_tiebreak or right_cols[0]
     payload = F.struct(
@@ -95,16 +108,63 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("_p"),
         left_struct.alias("_l"),
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_ord").asc(), F.col("_tb").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        right_u.unionByName(left_u)
-        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
-        .where(F.col("_l").isNotNull())
-    )
+    u = right_u.unionByName(left_u)
+    if split_bucket_secs is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(
+                F.col("_t").asc(), F.col("_ord").asc(), F.col("_tb").asc_nulls_first()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(
+            "_m", F.last("_p", ignorenulls=True).over(w)
+        ).where(F.col("_l").isNotNull())
+    else:
+        from ..functions.timeutil import micros
+
+        t_dt = u.schema["_t"].dataType
+        b_us = F.lit(int(split_bucket_secs) * 1_000_000)
+        u = u.withColumn("_bk", F.floor(micros(F.col("_t"), t_dt) / b_us))
+        # last reference payload per (key, bucket): max by (time, tiebreak)
+        bucket_last = (
+            u.where(F.col("_p").isNotNull())
+            .groupBy("_k", "_bk")
+            .agg(
+                F.max_by("_p", F.struct(F.col("_t"), F.col("_tb"))).alias("_bl")
+            )
+        )
+        # carry-in per occupied bucket = last reference of any EARLIER
+        # bucket (strictly earlier in time: equal times share a bucket)
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy("_bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carries = (
+            u.select("_k", "_bk")
+            .distinct()
+            .join(bucket_last, ["_k", "_bk"], "left")
+            .withColumn("_carry", F.last("_bl", ignorenulls=True).over(wb))
+            .select("_k", "_bk", "_carry")
+        )
+        w2 = (
+            Window.partitionBy("_k", "_bk")
+            .orderBy(
+                F.col("_t").asc(), F.col("_ord").asc(), F.col("_tb").asc_nulls_first()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            u.join(carries, ["_k", "_bk"])
+            .withColumn(
+                "_m",
+                F.coalesce(
+                    F.last("_p", ignorenulls=True).over(w2), F.col("_carry")
+                ),
+            )
+            .where(F.col("_l").isNotNull())
+        )
     if tolerance_secs is not None:
         # microsecond-epoch arithmetic (functions/timeutil.py): second
         # truncation would mis-judge gaps near the horizon, and a

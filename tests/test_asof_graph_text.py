@@ -88,6 +88,26 @@ def test_asof_tolerance_voids_stale_matches(asof_frames):
     assert got[2] == (102, 2.0)          # 0 s gap within horizon
 
 
+def test_asof_split_bucket_mode_equivalent(asof_frames):
+    """The mega-key path (per-(key, time-bucket) windows + carry-in)
+    returns exactly the default path's rows for every bucket size,
+    including buckets smaller than the event spacing and one giant
+    bucket that degenerates to the default layout."""
+    left, right = asof_frames
+    base = None
+    for split in (None, 1, 60, 300, 86400):
+        got = _rows(
+            asof_join(
+                left, right, on="user_id", left_time="ts", right_time="cts",
+                right_cols=["click_id", "value"], right_tiebreak="click_id",
+                split_bucket_secs=split,
+            )
+        )
+        if base is None:
+            base = got
+        assert got == base, f"split_bucket_secs={split}"
+
+
 def test_asof_single_shuffle_plan(asof_frames):
     left, right = asof_frames
     plan = asof_join(

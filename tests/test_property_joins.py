@@ -30,9 +30,9 @@ _rights = st.lists(
 )
 
 
-@given(_lefts, _rights, st.booleans())
+@given(_lefts, _rights, st.booleans(), st.sampled_from([None, 1, 7, 3600]))
 @settings(max_examples=15, deadline=None)
-def test_asof_join_matches_bruteforce(spark, lefts, rights, strict):
+def test_asof_join_matches_bruteforce(spark, lefts, rights, strict, split):
     left = spark.createDataFrame(
         [(i, k, _t(s)) for i, (k, s) in enumerate(lefts)],
         "lid long, k string, lt timestamp",
@@ -44,6 +44,7 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights, strict):
     out = asof_join(
         left, right, on="k", left_time="lt", right_time="rt",
         right_cols=["rid"], right_tiebreak="rid", strict=strict,
+        split_bucket_secs=split,
     )
     got = {r["lid"]: r["rid"] for r in out.collect()}
 
