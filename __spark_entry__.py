@@ -642,6 +642,56 @@ def q_asof_latest_click(spark, sf_dir):
     )
 
 
+def _asof_click_frames(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("value").alias("click_value"),
+    )
+    return views, clicks
+
+
+def q_asof_recent_click(spark, sf_dir):
+    """As-of with a tolerance horizon: the latest strictly-prior click
+    counts only if it is at most 1 h old (equivalently: the latest click
+    within (t-1h, t) — the oracle states it that way)."""
+    from spacy_llm_spark.operators.asof import asof_join
+
+    views, clicks = _asof_click_frames(spark, sf_dir)
+    out = asof_join(
+        views, clicks, on="user_id", left_time="ts", right_time="cts",
+        right_cols=["click_event_id", "click_value"],
+        right_tiebreak="click_event_id", strict=True, tolerance_secs=3600.0,
+    )
+    return _as_long(out, "event_id", "user_id", "click_event_id").select(
+        "event_id", "user_id", "click_event_id", "click_value"
+    )
+
+
+def q_asof_latest_click_split(spark, sf_dir):
+    """The SAME semantics as asof_latest_click but through the mega-key
+    physical plan (per-(key, 6h-bucket) windows + carry-in): the shared
+    oracle certifies the split path end-to-end, not just vs the default
+    path."""
+    from spacy_llm_spark.operators.asof import asof_join
+
+    views, clicks = _asof_click_frames(spark, sf_dir)
+    out = asof_join(
+        views, clicks, on="user_id", left_time="ts", right_time="cts",
+        right_cols=["click_event_id", "click_value"],
+        right_tiebreak="click_event_id", strict=True,
+        split_bucket_secs=6 * 3600,
+    )
+    return _as_long(out, "event_id", "user_id", "click_event_id").select(
+        "event_id", "user_id", "click_event_id", "click_value"
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: dup-token/dup-bigram/top-bigram
     fractions — zero-shuffle narrow projection (functions/text.py)."""
@@ -994,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_pivot": q_events_daily_pivot,
         "kg_triangles": q_kg_triangles,
         "kg_canonical_edges": q_kg_canonical_edges,
+        "asof_recent_click": q_asof_recent_click,
+        "asof_latest_click_split": q_asof_latest_click_split,
     }
 
 
@@ -1071,6 +1123,30 @@ r{i} AS (SELECT n.v,
         f"\nSELECT v AS vertex, round(r, 6) AS pr FROM r{iters}"
     )
     return "".join(parts)
+
+
+def _asof_oracle_sql(horizon: str = "") -> str:
+    """Latest strictly-prior click per view (optionally within a
+    horizon), as a deterministic rn-window over the inequality join —
+    the quadratic form is fine at oracle scale."""
+    return f"""
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT v.event_id, c.event_id AS click_event_id, c.value AS click_value,
+         row_number() OVER (PARTITION BY v.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM views v JOIN clicks c
+    ON c.user_id = v.user_id AND c.ts < v.ts {horizon}
+)
+SELECT CAST(v.event_id AS BIGINT) AS event_id,
+       CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(j.click_event_id AS BIGINT) AS click_event_id,
+       j.click_value
+FROM views v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+"""
 
 
 def _pii_aug_sql() -> str:
@@ -1548,23 +1624,15 @@ scored AS (
 SELECT vec_id, round(cos, 6) AS cosine FROM scored
 ORDER BY cos DESC, vec_id LIMIT 10
 """,
-        "asof_latest_click": """
-WITH views AS (
-  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
-), clicks AS (
-  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
-), j AS (
-  SELECT v.event_id, c.event_id AS click_event_id, c.value AS click_value,
-         row_number() OVER (PARTITION BY v.event_id
-                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
-  FROM views v JOIN clicks c ON c.user_id = v.user_id AND c.ts < v.ts
-)
-SELECT CAST(v.event_id AS BIGINT) AS event_id,
-       CAST(v.user_id AS BIGINT) AS user_id,
-       CAST(j.click_event_id AS BIGINT) AS click_event_id,
-       j.click_value
-FROM views v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
-""",
+        "asof_latest_click": _asof_oracle_sql(),
+        # identical semantics through the split (mega-key) physical plan
+        "asof_latest_click_split": _asof_oracle_sql(),
+        # tolerance = "latest click within (t-1h, t)": the engine voids a
+        # stale latest match, and since the latest is the max, stale-max
+        # <=> no click in the horizon — the two phrasings are equivalent
+        "asof_recent_click": _asof_oracle_sql(
+            horizon="AND c.ts >= v.ts - INTERVAL 1 HOUR"
+        ),
         # total over documents (LEFT JOIN from the corpus, like the
         # engine's per-row projection) and whitespace-robust: ord2 is the
         # contiguous rank AFTER dropping empty tokens, so runs of spaces
