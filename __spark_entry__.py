@@ -617,16 +617,7 @@ def q_asof_latest_click(spark, sf_dir):
     window — ONE shuffle, no inequality join."""
     from spacy_llm_spark.operators.asof import asof_join
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    views = events.where(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = events.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_event_id"),
-        "user_id",
-        F.col("ts").alias("cts"),
-        F.col("value").alias("click_value"),
-    )
+    views, clicks = _asof_click_frames(spark, sf_dir)
     out = asof_join(
         views,
         clicks,

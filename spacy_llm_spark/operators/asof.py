@@ -32,10 +32,11 @@ Skew note: by default one window partition per key — a single mega-key
 serializes onto one task (same constraint as any per-key ordered scan).
 ``split_bucket_secs`` activates the mega-key path: per-(key,
 time-bucket) windows seeded by a carried-forward "last reference of any
-earlier bucket", parallelizing one key across its buckets at the cost
-of one extra (tiny, bucket-scale) shuffle. Identical results either
-way; not auto-applied because the extra pass costs more than it saves
-on non-degenerate keys.
+earlier bucket", parallelizing one key across its buckets at the cost of one extra
+aggregation pass over the union plus a bucket-scale carry window.
+Identical results either way (NULL keys/times included); not
+auto-applied because the extra pass costs more than it saves on
+non-degenerate keys.
 
 Reference scope note: spacy-llm has no temporal operator; this belongs
 to the training-data-pipeline surface (event/session alignment) the
@@ -74,11 +75,13 @@ def asof_join(
     running window per key (which serializes a dominant key onto one
     task), rows are windowed per (key, time-bucket) and each bucket is
     seeded with a carry-in — the last reference payload of any earlier
-    bucket, computed by a per-(key, bucket) ``max_by`` aggregate plus a
-    running window over the tiny bucket frame. A key spanning millions
-    of rows then sorts as many independent tasks as it has buckets.
-    Equal results either way (rows with equal times share a bucket, so
-    carry-ins are always strictly earlier); costs one extra shuffle.
+    bucket, computed by ONE per-(key, bucket) conditional ``max_by``
+    aggregate plus a running window over the tiny bucket frame. A key
+    spanning millions of rows then sorts as many independent tasks as
+    it has buckets. Equal results either way, NULL keys/times included
+    (rows with equal times share a bucket, so carry-ins are always
+    strictly earlier); costs one extra aggregation pass + a
+    bucket-scale window.
     """
     right_tiebreak = right_tiebreak or right_cols[0]
     payload = F.struct(
@@ -121,32 +124,43 @@ def asof_join(
             "_m", F.last("_p", ignorenulls=True).over(w)
         ).where(F.col("_l").isNotNull())
     else:
+        if int(split_bucket_secs) <= 0:
+            raise ValueError(
+                f"split_bucket_secs must be positive, got {split_bucket_secs} "
+                "(0 divides by zero; negative values would reverse bucket "
+                "order and carry references in from the FUTURE)"
+            )
         from ..functions.timeutil import micros
 
         t_dt = u.schema["_t"].dataType
         b_us = F.lit(int(split_bucket_secs) * 1_000_000)
         u = u.withColumn("_bk", F.floor(micros(F.col("_t"), t_dt) / b_us))
-        # last reference payload per (key, bucket): max by (time, tiebreak)
-        bucket_last = (
-            u.where(F.col("_p").isNotNull())
-            .groupBy("_k", "_bk")
-            .agg(
-                F.max_by("_p", F.struct(F.col("_t"), F.col("_tb"))).alias("_bl")
-            )
+        # ONE aggregation covers both occupied-bucket discovery and the
+        # last reference payload per (key, bucket): the conditional
+        # max_by yields NULL for buckets holding only left rows, and
+        # every (key, bucket) of the union appears. NULL keys/times form
+        # their own groups exactly like the default window partitioning.
+        bucket_stats = u.groupBy("_k", "_bk").agg(
+            F.max_by(
+                "_p",
+                F.when(F.col("_p").isNotNull(), F.struct(F.col("_t"), F.col("_tb"))),
+            ).alias("_bl")
         )
-        # carry-in per occupied bucket = last reference of any EARLIER
-        # bucket (strictly earlier in time: equal times share a bucket)
+        # carry-in per bucket = last reference of any EARLIER bucket
+        # (strictly earlier in time: equal times share a bucket); a NULL
+        # bucket (NULL time) sorts first, matching the default path's
+        # nulls-first time ordering
         wb = (
             Window.partitionBy("_k")
-            .orderBy("_bk")
+            .orderBy(F.col("_bk").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        carries = (
-            u.select("_k", "_bk")
-            .distinct()
-            .join(bucket_last, ["_k", "_bk"], "left")
-            .withColumn("_carry", F.last("_bl", ignorenulls=True).over(wb))
-            .select("_k", "_bk", "_carry")
+        carries = bucket_stats.withColumn(
+            "_carry", F.last("_bl", ignorenulls=True).over(wb)
+        ).select(
+            F.col("_k").alias("_ck"),
+            F.col("_bk").alias("_cbk"),
+            "_carry",
         )
         w2 = (
             Window.partitionBy("_k", "_bk")
@@ -156,7 +170,15 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = (
-            u.join(carries, ["_k", "_bk"])
+            # null-SAFE join: rows with NULL key or NULL time must
+            # survive (the default path keeps them — NULLs form window
+            # partitions), so plain equality would silently drop them
+            u.join(
+                carries,
+                F.col("_k").eqNullSafe(F.col("_ck"))
+                & F.col("_bk").eqNullSafe(F.col("_cbk")),
+            )
+            .drop("_ck", "_cbk")
             .withColumn(
                 "_m",
                 F.coalesce(

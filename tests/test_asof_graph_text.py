@@ -108,6 +108,39 @@ def test_asof_split_bucket_mode_equivalent(asof_frames):
         assert got == base, f"split_bucket_secs={split}"
 
 
+def test_asof_split_mode_null_keys_and_times(spark):
+    """Regression: the split path must keep left rows with NULL join key
+    or NULL time (the default window path does — NULLs form their own
+    partition), and reject non-positive bucket sizes loudly."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, None, _ts(10)), (3, "u1", None)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, "u1", _ts(5), 1.0)],
+        "click_id long, user_id string, cts timestamp, value double",
+    )
+    base = None
+    for split in (None, 60):
+        got = _rows(
+            asof_join(
+                left, right, on="user_id", left_time="ts", right_time="cts",
+                right_cols=["click_id", "value"], split_bucket_secs=split,
+            )
+        )
+        assert set(got) == {1, 2, 3}, f"split={split} dropped rows"
+        if base is None:
+            base = got
+        assert got == base, f"split={split}"
+
+    for bad in (0, -60):
+        with pytest.raises(ValueError, match="positive"):
+            asof_join(
+                left, right, on="user_id", left_time="ts", right_time="cts",
+                right_cols=["click_id", "value"], split_bucket_secs=bad,
+            )
+
+
 def test_asof_single_shuffle_plan(asof_frames):
     left, right = asof_frames
     plan = asof_join(
