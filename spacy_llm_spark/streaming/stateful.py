@@ -85,6 +85,108 @@ def _asof_kernel(probe_type: str, ref_type: str, type_col: str):
     return fn
 
 
+EVENTTIME_STATE_SCHEMA = (
+    "pend array<struct<pt: long, pid: long>>, "
+    "refs array<struct<rt: long, rid: long, rv: double>>"
+)
+
+
+def _eventtime_asof_kernel(probe_type: str, ref_type: str, type_col: str):
+    import bisect
+
+    def fn(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pend_rows, ref_rows = state.get
+            pend = [(int(p[0]), int(p[1])) for p in pend_rows]
+            refs = [(int(r[0]), int(r[1]), float(r[2])) for r in ref_rows]
+        else:
+            pend, refs = [], []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                t_us = row.ts.value // 1000
+                etype = getattr(row, type_col)
+                if etype == ref_type:
+                    refs.append((t_us, int(row.event_id), float(row.value)))
+                elif etype == probe_type:
+                    pend.append((t_us, int(row.event_id)))
+        refs.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # probes at or before the watermark are FINAL: the watermark
+        # contract says no ref older than it can still arrive, so their
+        # match set is complete — emit them now
+        emit = sorted(p for p in pend if p[0] <= wm_us)
+        pend = [p for p in pend if p[0] > wm_us]
+        out = []
+        for pt, pid in emit:
+            i = bisect.bisect_left(refs, (pt,)) - 1  # latest rt < pt
+            ts = pd.Timestamp(pt * 1000)
+            if i >= 0:
+                out.append((pid, key[0], ts, refs[i][1], refs[i][2]))
+            else:
+                out.append((pid, key[0], ts, None, None))
+        # prune refs: everything except the latest at-or-before the
+        # watermark is unreachable (future probes have ts > wm, and the
+        # latest such ref dominates all earlier ones)
+        cut = bisect.bisect_right(refs, (wm_us, 2**62, 0.0))
+        refs = refs[max(cut - 1, 0):]
+        if pend or refs:
+            state.update((pend, refs))
+            if pend:
+                # wake this key when the watermark reaches its oldest
+                # pending probe, even if no further data arrives
+                state.setTimeoutTimestamp(min(p[0] for p in pend) // 1000 + 1)
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            out, columns=["event_id", "key", "ts", "matched_id", "matched_value"]
+        )
+
+    return fn
+
+
+def streaming_asof_eventtime(
+    stream: DataFrame,
+    *,
+    key: str = "user_id",
+    probe_type: str = "view",
+    ref_type: str = "click",
+    type_col: str = "event_type",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time streaming as-of with bounded-lateness retro-matching.
+
+    Unlike ``streaming_asof`` (processing-time: a reference arriving
+    after a later-timestamped probe was emitted cannot match it), this
+    operator BUFFERS probes until the watermark passes their event time,
+    so any reference up to ``watermark`` late still retro-matches — the
+    emitted result equals the batch ``asof_join`` over every row the
+    watermark admitted. The price is latency (one watermark delay) and
+    state: O(probes inside the watermark horizon + 1 reference) per key,
+    pruned every batch; flushing is driven by event-time timeouts, so a
+    key whose stream goes quiet still emits once the watermark passes.
+    Late-beyond-watermark rows are dropped by Spark before the operator
+    (standard watermark semantics). Strict (<) match discipline, ties
+    broken by max event_id — identical to the batch operator."""
+    if key != "key" and "key" in stream.columns:
+        raise ValueError(
+            "stream already has a 'key' column unrelated to the join key; "
+            "rename it first"
+        )
+    key_sql_type = stream.schema[key].dataType.simpleString()
+    renamed = stream.withColumnRenamed(key, "key").withWatermark("ts", watermark)
+    return renamed.groupBy("key").applyInPandasWithState(
+        _eventtime_asof_kernel(probe_type, ref_type, type_col),
+        outputStructType=_output_schema(key_sql_type),
+        stateStructType=EVENTTIME_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 DEDUP_STATE_SCHEMA = "seen int"
 
 

@@ -371,3 +371,112 @@ def test_streaming_distinct_cross_batch(spark, tmp_path):
         assert len(rows) == 3  # the wave-2 'a' was dropped by state
     finally:
         q.stop()
+
+
+def test_streaming_asof_eventtime_retro_match(spark, tmp_path):
+    """Event-time as-of: a reference arriving LATE (in a later
+    micro-batch, but within the watermark) retro-matches a buffered
+    probe — the case the processing-time operator documents as
+    impossible. Probes emit only once the watermark passes them."""
+    from datetime import datetime
+
+    from spacy_llm_spark.streaming.stateful import streaming_asof_eventtime
+
+    src = tmp_path / "et_src"
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def deliver(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch 1: only the probe (10:05); nothing can emit yet
+    deliver([(1, 7, datetime(2024, 1, 1, 10, 5), "view", 0.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_asof_eventtime(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("et_asof")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "et_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from et_asof").count() == 0  # buffered
+
+        # batch 2: a ref timestamped BEFORE the probe arrives late
+        # (10:02 > watermark 09:55 -> admitted)
+        deliver([(2, 7, datetime(2024, 1, 1, 10, 2), "click", 42.0)])
+        q.processAllAvailable()
+        assert spark.sql("select * from et_asof").count() == 0  # still buffered
+
+        # batch 3: advance the watermark past the probe (event 10:30 ->
+        # wm 10:20); the probe flushes WITH the retro-matched ref
+        deliver([(3, 7, datetime(2024, 1, 1, 10, 30), "click", 9.0)])
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
+                for r in spark.sql("select * from et_asof").collect()}
+        assert rows == {1: (2, 42.0)}
+    finally:
+        q.stop()
+
+
+def test_streaming_asof_eventtime_timeout_flush(spark, tmp_path):
+    """A key whose stream goes quiet still flushes its buffered probes:
+    the event-time timeout fires when OTHER keys advance the global
+    watermark."""
+    from datetime import datetime
+
+    from spacy_llm_spark.streaming.stateful import streaming_asof_eventtime
+
+    src = tmp_path / "et2_src"
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def deliver(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # user 7: click then probe; user 7 then goes silent forever
+    deliver(
+        [
+            (1, 7, datetime(2024, 1, 1, 10, 0), "click", 5.0),
+            (2, 7, datetime(2024, 1, 1, 10, 5), "view", 0.0),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_asof_eventtime(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("et_asof2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "et2_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from et_asof2").count() == 0
+
+        # only user 8 traffic from here on; watermark moves to 10:20
+        deliver([(3, 8, datetime(2024, 1, 1, 10, 30), "click", 1.0)])
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
+                for r in spark.sql("select * from et_asof2").collect()}
+        assert rows == {2: (1, 5.0)}  # flushed via timeout, matched in-key
+    finally:
+        q.stop()
