@@ -91,8 +91,23 @@ EVENTTIME_STATE_SCHEMA = (
 )
 
 
-def _eventtime_asof_kernel(probe_type: str, ref_type: str, type_col: str):
+def _eventtime_asof_kernel(
+    probe_type: str, ref_type: str, type_col: str, session_tz: str
+):
     import bisect
+
+    def to_utc_us(ts: pd.Timestamp) -> int:
+        # Arrow hands kernels SESSION-LOCAL naive timestamps, but the
+        # watermark/timeout APIs speak true UTC epoch — localize before
+        # comparing or every threshold is off by the tz offset
+        return ts.tz_localize(
+            session_tz, ambiguous=True, nonexistent="shift_forward"
+        ).value // 1000
+
+    def to_local_naive(us: int) -> pd.Timestamp:
+        return (
+            pd.Timestamp(us * 1000, tz="UTC").tz_convert(session_tz).tz_localize(None)
+        )
 
     def fn(
         key: Tuple,
@@ -107,7 +122,7 @@ def _eventtime_asof_kernel(probe_type: str, ref_type: str, type_col: str):
             pend, refs = [], []
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
-                t_us = row.ts.value // 1000
+                t_us = to_utc_us(row.ts)
                 etype = getattr(row, type_col)
                 if etype == ref_type:
                     refs.append((t_us, int(row.event_id), float(row.value)))
@@ -123,7 +138,7 @@ def _eventtime_asof_kernel(probe_type: str, ref_type: str, type_col: str):
         out = []
         for pt, pid in emit:
             i = bisect.bisect_left(refs, (pt,)) - 1  # latest rt < pt
-            ts = pd.Timestamp(pt * 1000)
+            ts = to_local_naive(pt)
             if i >= 0:
                 out.append((pid, key[0], ts, refs[i][1], refs[i][2]))
             else:
@@ -165,21 +180,17 @@ def streaming_asof_eventtime(
     so any reference up to ``watermark`` late still retro-matches — the
     emitted result equals the batch ``asof_join`` over every row the
     watermark admitted. The price is latency (one watermark delay) and
-    state: O(probes inside the watermark horizon + 1 reference) per key,
-    pruned every batch; flushing is driven by event-time timeouts, so a
+    state: O(probes + references inside the watermark horizon) per key
+    (plus one reference at-or-before the watermark), pruned every batch; flushing is driven by event-time timeouts, so a
     key whose stream goes quiet still emits once the watermark passes.
     Late-beyond-watermark rows are dropped by Spark before the operator
     (standard watermark semantics). Strict (<) match discipline, ties
     broken by max event_id — identical to the batch operator."""
-    if key != "key" and "key" in stream.columns:
-        raise ValueError(
-            "stream already has a 'key' column unrelated to the join key; "
-            "rename it first"
-        )
-    key_sql_type = stream.schema[key].dataType.simpleString()
-    renamed = stream.withColumnRenamed(key, "key").withWatermark("ts", watermark)
+    renamed, key_sql_type = _prepare_keyed(stream, key)
+    renamed = renamed.withWatermark("ts", watermark)
+    session_tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
     return renamed.groupBy("key").applyInPandasWithState(
-        _eventtime_asof_kernel(probe_type, ref_type, type_col),
+        _eventtime_asof_kernel(probe_type, ref_type, type_col, session_tz),
         outputStructType=_output_schema(key_sql_type),
         stateStructType=EVENTTIME_STATE_SCHEMA,
         outputMode="append",
@@ -227,6 +238,19 @@ def streaming_distinct(stream: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _prepare_keyed(stream: DataFrame, key: str):
+    """Shared wrapper plumbing: reject a clashing pre-existing 'key'
+    column, rename the join key, and report its SQL type for the output
+    schema."""
+    if key != "key" and "key" in stream.columns:
+        raise ValueError(
+            "stream already has a 'key' column unrelated to the join key; "
+            "rename it first"
+        )
+    key_sql_type = stream.schema[key].dataType.simpleString()
+    return stream.withColumnRenamed(key, "key"), key_sql_type
+
+
 def streaming_asof(
     stream: DataFrame,
     *,
@@ -239,13 +263,7 @@ def streaming_asof(
     (event_id, <key>, ts, <type_col>, value): every ``probe_type`` row
     is emitted with the latest strictly-prior ``ref_type`` row of the
     same key seen so far (NULLs before the first reference)."""
-    if key != "key" and "key" in stream.columns:
-        raise ValueError(
-            "stream already has a 'key' column unrelated to the join key; "
-            "rename it first"
-        )
-    key_sql_type = stream.schema[key].dataType.simpleString()
-    renamed = stream.withColumnRenamed(key, "key")
+    renamed, key_sql_type = _prepare_keyed(stream, key)
     return renamed.groupBy("key").applyInPandasWithState(
         _asof_kernel(probe_type, ref_type, type_col),
         outputStructType=_output_schema(key_sql_type),

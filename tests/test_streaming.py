@@ -480,3 +480,114 @@ def test_streaming_asof_eventtime_timeout_flush(spark, tmp_path):
         assert rows == {2: (1, 5.0)}  # flushed via timeout, matched in-key
     finally:
         q.stop()
+
+
+def test_streaming_asof_eventtime_strictness_and_ties(spark, tmp_path):
+    """Batch-equivalence edges for the event-time kernel: a reference at
+    EXACTLY the probe's timestamp must not match (strict <), and equal-
+    timestamp references tie-break to the max event_id."""
+    from datetime import datetime
+
+    from spacy_llm_spark.streaming.stateful import streaming_asof_eventtime
+
+    src = tmp_path / "et3_src"
+    schema = (
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+    def deliver(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    deliver(
+        [
+            (1, 7, datetime(2024, 1, 1, 10, 0), "click", 1.0),
+            (2, 7, datetime(2024, 1, 1, 10, 0), "click", 2.0),  # tie: max id
+            (3, 7, datetime(2024, 1, 1, 10, 5), "click", 3.0),
+            (4, 7, datetime(2024, 1, 1, 10, 5), "view", 0.0),   # equal-time ref excluded
+            (5, 7, datetime(2024, 1, 1, 10, 1), "view", 0.0),   # ties at 10:00 -> id 2
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_asof_eventtime(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("et_asof3")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "et3_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark past both probes
+        deliver([(6, 8, datetime(2024, 1, 1, 10, 30), "click", 0.0)])
+        q.processAllAvailable()
+        rows = {r["event_id"]: (r["matched_id"], r["matched_value"])
+                for r in spark.sql("select * from et_asof3").collect()}
+        assert rows[5] == (2, 2.0)  # 10:00 tie -> max event_id
+        assert rows[4] == (2, 2.0)  # click 3 at exactly 10:05 NOT matched
+    finally:
+        q.stop()
+
+
+def test_streaming_asof_eventtime_non_utc_session(spark, tmp_path):
+    """Regression: the event-time kernel must localize Arrow's
+    session-local naive timestamps before comparing them with the
+    UTC-epoch watermark — on a non-UTC session an unlocalized kernel
+    emits probes hours early (or crashes setting a timeout below the
+    watermark)."""
+    from datetime import datetime
+
+    from spacy_llm_spark.streaming.stateful import streaming_asof_eventtime
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        src = tmp_path / "et4_src"
+        schema = (
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double"
+        )
+
+        def deliver(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+        deliver([(1, 7, datetime(2024, 1, 1, 10, 5), "view", 0.0)])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = streaming_asof_eventtime(stream, watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("et_asof4")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "et4_ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # probe must still be buffered (watermark has not passed it)
+            assert spark.sql("select * from et_asof4").count() == 0
+            deliver([(2, 7, datetime(2024, 1, 1, 10, 2), "click", 42.0)])
+            q.processAllAvailable()
+            deliver([(3, 7, datetime(2024, 1, 1, 10, 30), "click", 9.0)])
+            q.processAllAvailable()
+            rows = {r["event_id"]: (r["matched_id"], r["matched_value"], r["ts"])
+                    for r in spark.sql("select * from et_asof4").collect()}
+            mid, mval, ts = rows[1]
+            assert (mid, mval) == (2, 42.0)
+            assert ts == datetime(2024, 1, 1, 10, 5)  # round-trips local-naive
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
