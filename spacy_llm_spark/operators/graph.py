@@ -56,19 +56,10 @@ def degree_stats(
     )
 
 
-def triangle_count(
-    edges: DataFrame, src: str = "subj", dst: str = "obj"
-) -> DataFrame:
-    """Global triangle count of the undirected simple graph underlying
-    the edge list; returns a single row (n_triangles).
-
-    Standard ordered-wedge enumeration: canonicalize each edge to
-    (lo, hi) with lo < hi (drops self-loops and direction), then count
-    paths lo<mid<hi whose closing edge exists — each triangle is counted
-    exactly once. Two equi-joins on vertex ids; at scale the classic
-    refinement (orient edges by degree so wedges pivot on low-degree
-    vertices) drops in here without changing the interface."""
-    und = (
+def _undirected_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected simple edges as (lo, hi), lo < hi — drops
+    self-loops, direction, and parallel edges."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
@@ -76,11 +67,62 @@ def triangle_count(
         .where(F.col("lo") < F.col("hi"))
         .distinct()
     )
-    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    closing = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "b")
-    return wedges.join(closing, ["a", "c"]).agg(
+
+
+def _oriented_wedges(und: DataFrame) -> DataFrame:
+    """Degree-oriented wedge candidates (a, b): two oriented edges w→a,
+    w→b (a < b) pivoting on w, where each undirected edge is oriented
+    from its lower-(degree, id) endpoint to its higher one
+    (Suri–Vassilvitskii / Cohen orientation).
+
+    Every vertex's oriented out-degree is bounded by the graph
+    arboricity (≤ O(sqrt(|E|))), so a hub of degree d no longer emits
+    O(d²) wedges — all its edges point INTO it and it pivots nothing.
+    Each triangle has exactly one vertex with oriented edges to the
+    other two (its (degree, id)-minimum), so downstream counting stays
+    exactly-once. Exposed separately so tests can pin the fan-out
+    bound on skewed graphs."""
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionByName(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dl = deg.select(F.col("v").alias("lo"), F.col("d").alias("_dlo"))
+    dh = deg.select(F.col("v").alias("hi"), F.col("d").alias("_dhi"))
+    lo_first = (F.col("_dlo") < F.col("_dhi")) | (
+        (F.col("_dlo") == F.col("_dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        und.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("w"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("x"),
+        )
+    )
+    o1 = oriented.select("w", F.col("x").alias("a"))
+    o2 = oriented.select("w", F.col("x").alias("b"))
+    return o1.join(o2, "w").where(F.col("a") < F.col("b")).select("a", "b")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "subj", dst: str = "obj"
+) -> DataFrame:
+    """Global triangle count of the undirected simple graph underlying
+    the edge list; returns a single row (n_triangles).
+
+    Degree-oriented wedge enumeration: orient each undirected edge from
+    its lower-(degree, id) endpoint to the higher, enumerate wedges
+    pivoting on the orientation source (`_oriented_wedges` — fan-out
+    bounded by arboricity, not max degree, so a canonical-entity hub
+    cannot create a quadratic hot partition), then count wedges whose
+    closing undirected edge exists. Each triangle is counted exactly
+    once at its (degree, id)-minimum vertex. Three equi-joins on vertex
+    ids, all shuffle-partitioned — never an all-pairs expansion."""
+    und = _undirected_edges(edges, src, dst)
+    closing = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    return _oriented_wedges(und).join(closing, ["a", "b"]).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
 

@@ -325,6 +325,53 @@ def test_triangle_count(spark):
     assert graph.triangle_count(no_tri).collect()[0]["n_triangles"] == 0
 
 
+def test_triangle_count_hub_skew_wedge_bound(spark):
+    # A canonical-entity hub of degree 10_000 must NOT generate O(d^2)
+    # wedge candidates: with degree orientation every hub edge points
+    # INTO the hub, so the hub pivots zero wedges. Unoriented
+    # enumeration would emit C(10_000, 2) ~ 50M candidates here; the
+    # oriented enumeration emits only the wedges closed by the handful
+    # of leaf-leaf edges (near-linear in |E|).
+    hub = [("hub", f"leaf{i:05d}") for i in range(10_000)]
+    # four leaf-leaf edges -> four triangles, each through the hub
+    extra = [
+        ("leaf00000", "leaf00001"),
+        ("leaf00002", "leaf00003"),
+        ("leaf00004", "leaf00005"),
+        ("leaf00000", "leaf00002"),
+    ]
+    edges = spark.createDataFrame(hub + extra, "subj string, obj string")
+    und = graph._undirected_edges(edges, "subj", "obj")
+    n_wedges = graph._oriented_wedges(und).count()
+    # each leaf has degree <= 3 < 10_000, so leaves orient toward the
+    # hub and toward their (degree,id)-greater peers; total fan-out is
+    # sum over v of C(outdeg(v), 2) with outdeg bounded by leaf degree
+    assert n_wedges <= 3 * (len(hub) + len(extra))  # near-linear, not ~5e7
+    got = graph.triangle_count(edges).collect()[0]["n_triangles"]
+    assert got == 4  # one per leaf-leaf edge, closed through the hub
+
+
+def test_triangle_count_oriented_matches_bruteforce(spark):
+    # Random graph: oriented count must equal a brute-force Python count.
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    verts = [f"v{i}" for i in range(30)]
+    raw = {
+        tuple(sorted(rng.sample(verts, 2)))
+        for _ in range(120)
+    }
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(verts), 3)
+        if (a, b) in raw and (b, c) in raw and (a, c) in raw
+    )
+    edges = spark.createDataFrame(sorted(raw), "subj string, obj string")
+    got = graph.triangle_count(edges).collect()[0]["n_triangles"]
+    assert got == expected
+
+
 def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "subj string, obj string")
     assert graph.pagerank(empty).count() == 0
