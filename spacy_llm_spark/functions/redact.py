@@ -13,8 +13,11 @@ backrefs or lookaround — so the exact same pattern text drives both the
 engine and the SQL oracle.
 
 Redaction order matters and is fixed: URLs first (a URL may embed an
-email-shaped userinfo), then emails, AWS-style access keys, long hex
-secrets, and IPv4s. ``PII_PATTERNS`` preserves that order.
+email-shaped userinfo), then emails, PEM private-key blocks (whose
+base64 body would otherwise leak fragments to later classes), JWTs,
+AWS-style access keys, long hex secrets (case-insensitive — API tokens
+are routinely upper- or mixed-case), and IPv4s. ``PII_PATTERNS``
+preserves that order.
 """
 
 from __future__ import annotations
@@ -26,8 +29,20 @@ from pyspark.sql import functions as F
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "url": (r"https?://[^\s]+", "<URL>"),
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # whole PEM block: the body class excludes '-' so a greedy run can
+    # neither skip the END fence nor bridge two adjacent blocks
+    "private_key": (
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*"
+        r"-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    # three base64url segments; 'eyJ' is base64 of '{"' (JOSE header)
+    "jwt": (
+        r"\beyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+",
+        "<JWT>",
+    ),
     "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
-    "hex_secret": (r"\b[0-9a-f]{32,}\b", "<HEX_SECRET>"),
+    "hex_secret": (r"\b[0-9a-fA-F]{32,}\b", "<HEX_SECRET>"),
     "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 }
 

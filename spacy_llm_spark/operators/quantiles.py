@@ -1,0 +1,95 @@
+"""Approximate quantiles as a first-class operator.
+
+``event_quantiles`` (exact ``F.percentile``) is the oracle-comparable
+form, but an exact percentile is a full sort-based aggregate — at
+100 TB the buffer per group is O(n) and the operator becomes the
+stage's memory hazard. The scale path is Spark's
+``percentile_approx`` (Greenwald–Khanna quantile summaries): one pass,
+O(accuracy · log n) memory per group, mergeable partials, and a hard
+rank-error guarantee — the returned value's rank r satisfies
+``floor((p - 1/accuracy)·n) <= r <= ceil((p + 1/accuracy)·n)``.
+
+Approximate answers are engine-specific (DuckDB's t-digest ``approx_
+quantile`` gives different values), so cross-engine correctness is
+pinned by a *certificate*: compute approx and the exact values at the
+guarantee's rank bounds in the same aggregation (one shuffle, no extra
+pass at test scale) and emit per-group booleans asserting the approx
+value lies inside the bound. The oracle side is then the literal
+``true`` — an exact, hash-comparable contract about the approximation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: extra probability slack added to the guarantee bound in the
+#: certificate: percentile() interpolates between neighboring ranks
+#: while the guarantee speaks about element ranks, so at small n the
+#: interpolated bound can sit a fraction of one rank inside the
+#: guaranteed element — widen by ~1 rank's worth at the smallest group
+#: size the certificate is expected to run on (n >= 200).
+_INTERP_SLACK = 0.005
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: Sequence[tuple[float, str]] = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate percentiles with rank error <= 1/accuracy.
+
+    Returns one row per group with a column per (prob, name) pair.
+    Memory per group is O(accuracy·log n) regardless of group size —
+    this is the 100 TB replacement for ``F.percentile``.
+    """
+    aggs = [
+        F.percentile_approx(value_col, F.lit(p), F.lit(accuracy)).alias(name)
+        for p, name in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def approx_quantile_certificate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: Sequence[tuple[float, str]] = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group booleans certifying each approx percentile lies within
+    the exact values at the guaranteed rank bounds ``p ± 1/accuracy``
+    (plus ``_INTERP_SLACK`` for interpolation at small n).
+
+    One aggregation: approx + the two exact bound percentiles are
+    computed in the same ``groupBy``, so the certificate costs one
+    shuffle total. Intended for test/audit scale — at production scale
+    run ``approx_quantiles`` alone and certify on a sample.
+
+    Output: group cols, ``n`` (group size), and ``ok_<name>`` per prob.
+    """
+    err = 1.0 / accuracy + _INTERP_SLACK
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p, name in probs:
+        lo_p = max(0.0, p - err)
+        hi_p = min(1.0, p + err)
+        aggs += [
+            F.percentile_approx(value_col, F.lit(p), F.lit(accuracy)).alias(
+                f"_ap_{name}"
+            ),
+            F.percentile(value_col, F.lit(lo_p)).alias(f"_lo_{name}"),
+            F.percentile(value_col, F.lit(hi_p)).alias(f"_hi_{name}"),
+        ]
+    agged = df.groupBy(*group_cols).agg(*aggs)
+    oks = [
+        (
+            (F.col(f"_ap_{name}") >= F.col(f"_lo_{name}"))
+            & (F.col(f"_ap_{name}") <= F.col(f"_hi_{name}"))
+        ).alias(f"ok_{name}")
+        for _, name in probs
+    ]
+    return agged.select(*group_cols, "n", *oks)

@@ -1,0 +1,75 @@
+"""Approximate-quantile operator (operators/quantiles.py)."""
+
+import random
+
+import pytest
+
+from spacy_llm_spark.operators import quantiles as qt
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from spacy_llm_spark import get_spark
+
+    s = get_spark(
+        master="local[4]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    yield s
+
+
+def _rank_bound_holds(values, approx, p, accuracy):
+    # guarantee: returned value's rank within n/accuracy of p*n
+    s = sorted(values)
+    n = len(s)
+    err = n / accuracy
+    lo = max(0, int((p * n) - err) - 1)
+    hi = min(n - 1, int(round(p * n + err)))
+    return s[lo] <= approx <= s[hi]
+
+
+def test_approx_quantiles_rank_bound(spark):
+    rng = random.Random(11)
+    rows = [("a", rng.gauss(0, 100)) for _ in range(5_000)] + [
+        ("b", rng.uniform(0, 1)) for _ in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: r.asDict()
+        for r in qt.approx_quantiles(
+            df, "v", ["k"], accuracy=1_000
+        ).collect()
+    }
+    by_key = {"a": [v for k, v in rows if k == "a"], "b": [v for k, v in rows if k == "b"]}
+    for k, vals in by_key.items():
+        for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            assert _rank_bound_holds(vals, got[k][name], p, 1_000), (k, name)
+
+
+def test_approx_quantiles_exact_on_small_groups(spark):
+    # n << accuracy: the GK summary holds every sample, so the answer
+    # is an exact element at the target rank
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)], "k string, v double"
+    )
+    row = qt.approx_quantiles(df, "v", ["k"], accuracy=10_000).collect()[0]
+    assert row["p50"] == 50.0
+    assert row["p90"] == 90.0
+    assert row["p99"] == 99.0
+
+
+def test_certificate_all_true_and_single_shuffle(spark):
+    rng = random.Random(23)
+    rows = [(f"k{i % 3}", rng.expovariate(0.01)) for i in range(9_000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    cert = qt.approx_quantile_certificate(df, "v", ["k"], accuracy=1_000)
+    out = cert.collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n"] == 3_000
+        assert r["ok_p50"] and r["ok_p90"] and r["ok_p99"]
+    # approx + both exact bounds ride the same aggregation: exactly one
+    # Exchange in the plan, not one per metric
+    plan = cert._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert final.count("Exchange hashpartitioning") == 1, plan
