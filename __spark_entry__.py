@@ -803,14 +803,15 @@ def q_events_in_windows(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "ts", "event_type"
     )
+    # events.ts is TIMESTAMP_NTZ in the parquet; build the window bounds
+    # in the SAME flavor (interval_join refuses a NTZ/TZ mix — the two
+    # epoch bases differ by the session-tz offset)
+    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
     windows = spark.range(100).select(
         F.col("id").alias("window_id"),
+        (epoch + F.col("id") * F.expr("INTERVAL 7 HOURS")).alias("ws"),
         (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.col("id") * F.expr("INTERVAL 7 HOURS")
-        ).alias("ws"),
-        (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            epoch
             + F.col("id") * F.expr("INTERVAL 7 HOURS")
             + F.expr("INTERVAL 3 HOURS")
         ).alias("we"),
@@ -843,11 +844,17 @@ def q_corpus_split(spark, sf_dir):
 
 
 def q_regional_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: 6-table join, fact table never broadcast, every
-    dimension broadcast explicitly (region/nation/supplier/customer) so
-    lineitem shuffles only for the lineitem⋈orders equi-join and the
-    final tiny groupBy. Decimal-exact revenue so the hash is
-    order-insensitive."""
+    """TPC-H Q5 shape: 6-table join, fact table never broadcast.
+
+    Broadcast hints are applied only to the constant-size dimensions
+    (region: 5 rows, nation: 25 — fixed at every SF). supplier and
+    customer GROW with the scale factor (customer is ~15% of orders at
+    TPC-H scale and stops fitting an executor long before 100 TB), so
+    forcing them to the build side would trade a correct shuffled hash
+    join for a driver/executor OOM; their strategy is left to
+    AQE/autoBroadcastJoinThreshold, which picks broadcast at small SF
+    from actual runtime sizes and degrades to shuffle at scale.
+    Decimal-exact revenue so the hash is order-insensitive."""
     from pyspark.sql.functions import broadcast
 
     region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
@@ -867,9 +874,9 @@ def q_regional_revenue(spark, sf_dir):
     )
     return (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1817,7 +1824,7 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "WITH aug AS ({aug})\n"
             "SELECT doc_id,\n"
             "  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_pretokens,\n"
-            "  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
+            "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
         "corpus_split": (

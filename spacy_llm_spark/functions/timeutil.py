@@ -25,6 +25,25 @@ from pyspark.sql.types import DataType, TimestampNTZType, TimestampType
 _NTZ_EPOCH = _dt.datetime(1970, 1, 1)
 
 
+def check_same_flavor(**cols: DataType) -> None:
+    """Raise when the named time columns mix TIMESTAMP_NTZ with
+    TIMESTAMP: the two flavors' microsecond epochs differ by the
+    session-timezone offset, so any cross-column arithmetic (bucket
+    alignment, tolerance gaps) — and the implicit cast a UNION would
+    apply — silently misaligns by that offset. Callers must coerce to
+    one flavor explicitly; guessing a direction here would bake in a
+    timezone interpretation the caller never chose."""
+    ntz = [n for n, t in cols.items() if isinstance(t, TimestampNTZType)]
+    tz = [n for n, t in cols.items() if isinstance(t, TimestampType)]
+    if ntz and tz:
+        raise ValueError(
+            f"mixed timestamp flavors: {ntz} are TIMESTAMP_NTZ but {tz} are "
+            "TIMESTAMP — their epoch bases differ by the session-tz offset, "
+            "which would silently misalign time arithmetic; cast both sides "
+            "to one flavor first"
+        )
+
+
 def micros(col: Column, dtype: DataType) -> Column:
     """Microsecond epoch of ``col`` (whose type is ``dtype``), monotone
     and timezone-independent for NTZ inputs."""

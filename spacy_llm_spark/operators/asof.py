@@ -83,6 +83,16 @@ def asof_join(
     strictly earlier); costs one extra aggregation pass + a
     bucket-scale window.
     """
+    from ..functions.timeutil import check_same_flavor
+
+    # a NTZ/TZ mix would be coerced by the union below with a silent
+    # session-tz shift (and tolerance gaps would misalign) — refuse it
+    check_same_flavor(
+        **{
+            left_time: left.schema[left_time].dataType,
+            right_time: right.schema[right_time].dataType,
+        }
+    )
     right_tiebreak = right_tiebreak or right_cols[0]
     payload = F.struct(
         F.col(right_time).alias("_rt"),
@@ -194,10 +204,15 @@ def asof_join(
         # delta
         from ..functions.timeutil import micros
 
-        left_dt = left.schema[left_time].dataType
-        right_dt = right.schema[right_time].dataType
+        # dispatch on the POST-union types: unionByName may have
+        # widened _t (e.g. DATE left vs TIMESTAMP right), so the
+        # pre-union declared dtypes can be stale here. The payload
+        # struct rides through the union unchanged, so _rt's type is
+        # read from the struct field itself.
+        u_t_dt = matched.schema["_t"].dataType
+        rt_dt = payload_type["_rt"].dataType
         in_horizon = (
-            micros(F.col("_t"), left_dt) - micros(F.col("_m._rt"), right_dt)
+            micros(F.col("_t"), u_t_dt) - micros(F.col("_m._rt"), rt_dt)
         ) <= F.lit(float(tolerance_secs) * 1_000_000)
         matched = matched.withColumn(
             "_m", F.when(in_horizon, F.col("_m"))

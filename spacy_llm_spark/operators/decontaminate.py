@@ -14,8 +14,12 @@ thousands of docs, the corpus is billions), so the scale shape is:
   keyed on uniform doc ids.
 
 For probe sets too big to broadcast, the same plan degrades gracefully
-to a shuffled hash join on the n-gram (still linear); Spark's AQE picks
-the strategy from the actual probe size, so no code change is needed.
+to a shuffled hash join on the n-gram (still linear): by default NO
+broadcast hint is planted, so AQE / autoBroadcastJoinThreshold picks
+the strategy from the probe's actual runtime size (a hint would
+override AQE and OOM the driver on an oversized probe). Callers who
+KNOW their probe is tiny can opt in with ``broadcast_probe=True`` to
+skip the size estimation.
 """
 
 from __future__ import annotations
@@ -42,19 +46,25 @@ def ngram_overlap(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Per corpus document: the number of distinct n-grams shared with
     the probe set, and a ``contaminated`` flag.
 
     Every corpus doc appears in the output (zero-overlap docs included)
-    so downstream anti-joins see a total function of the corpus."""
+    so downstream anti-joins see a total function of the corpus.
+    ``broadcast_probe=True`` force-hints the probe to the build side —
+    opt-in only, for probes known to fit executor memory; the default
+    leaves strategy selection to AQE."""
     probe_ngrams = (
         probe.select(F.explode(F.array_distinct(ngrams_expr(text_col, n))).alias("ngram"))
         .distinct()
     )
+    if broadcast_probe:
+        probe_ngrams = broadcast(probe_ngrams)
     hits = (
         _doc_ngrams(corpus, text_col, id_col, n)
-        .join(broadcast(probe_ngrams), "ngram")
+        .join(probe_ngrams, "ngram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
@@ -77,12 +87,13 @@ def decontaminate(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """The cleaning form: corpus rows whose overlap stays below the
     threshold (full original schema preserved)."""
     flags = ngram_overlap(
         corpus, probe, n=n, min_overlap=min_overlap,
-        text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col, broadcast_probe=broadcast_probe,
     )
     clean_ids = flags.where(~F.col("contaminated")).select(id_col)
     return corpus.join(clean_ids, id_col, "left_semi")

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.timeutil import micros
+from ..functions.timeutil import check_same_flavor, micros
 
 
 def interval_join(
@@ -54,6 +54,17 @@ def interval_join(
     # bucket of an interval ending fractionally past a bucket boundary
     # one too low and silently drop true matches in that final bucket
     b_us = F.lit(int(bucket_secs) * 1_000_000)
+    # the docstring's "bucketing epoch is irrelevant" holds only when
+    # both sides bucket from the SAME epoch base: a NTZ point side vs a
+    # TZ interval side would bucket offset by the session tz and drop
+    # true matches before the exact filter ever runs — refuse the mix
+    check_same_flavor(
+        **{
+            point_time: points.schema[point_time].dataType,
+            start: intervals.schema[start].dataType,
+            end: intervals.schema[end].dataType,
+        }
+    )
     pt_us = micros(F.col(point_time), points.schema[point_time].dataType)
     start_us = micros(F.col(start), intervals.schema[start].dataType)
     end_us = micros(F.col(end), intervals.schema[end].dataType)

@@ -21,12 +21,18 @@ break exactly-once semantics downstream):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash_bucket
 
 HASH_BUCKETS = 1_000_000
+
+#: default mega-stratum guard: above this many rows a stratum's
+#: row_number sort serializes tens of GB through one task
+DEFAULT_MAX_STRATUM_ROWS = 5_000_000
 
 
 def sample_bucket(text_col: str):
@@ -53,14 +59,76 @@ def stratified_sample(
     n_per_stratum: int,
     text_col: str = "text",
     tiebreak_col: str = "doc_id",
+    max_stratum_rows: int | None = DEFAULT_MAX_STRATUM_ROWS,
+    on_oversize: str = "warn",
 ) -> DataFrame:
     """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
-    is smaller), selected by content-hash order with a stable tiebreak."""
+    is smaller), selected by content-hash order with a stable tiebreak.
+
+    Each stratum's selection is a single row_number window task, so a
+    mega-stratum serializes its whole sort onto one executor. The guard
+    counts stratum sizes first (one column-pruned aggregate; only
+    strata ABOVE the threshold are collected, so the probe itself is
+    bounded by total_rows/threshold rows on the driver) and applies
+    ``on_oversize`` to any stratum larger than ``max_stratum_rows``:
+
+    - ``"warn"`` (default): loud UserWarning naming the strata, exact
+      path still taken — for callers who know their skew.
+    - ``"error"``: raise ValueError before any shuffle.
+    - ``"fallback"``: oversized strata are sampled with a per-stratum
+      ``hash_sample`` at fraction ``n/size`` instead (shuffle-free,
+      deterministic, count approximate to ±sampling noise); the
+      remaining strata keep the exact window. Results remain
+      reproducible run-to-run for a fixed config.
+
+    Pass ``max_stratum_rows=None`` to skip the probe entirely.
+    """
     w = Window.partitionBy(strata_col).orderBy(
         F.sha2(F.col(text_col), 256), F.col(tiebreak_col)
     )
-    return (
+    exact = (
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.lit(int(n_per_stratum)))
         .drop("_rk")
     )
+    if max_stratum_rows is None:
+        return exact
+    if on_oversize not in ("warn", "error", "fallback"):
+        raise ValueError(f"on_oversize must be warn|error|fallback, got {on_oversize!r}")
+    oversized = {
+        r["_k"]: r["_sz"]
+        for r in (
+            df.groupBy(F.col(strata_col).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") > F.lit(int(max_stratum_rows)))
+            .collect()
+        )
+    }
+    if not oversized:
+        return exact
+    desc = ", ".join(f"{k!r}({v} rows)" for k, v in sorted(oversized.items())[:5])
+    msg = (
+        f"stratified_sample: {len(oversized)} stratum/strata exceed "
+        f"max_stratum_rows={max_stratum_rows} ({desc}); the exact path "
+        f"serializes each through ONE window task"
+    )
+    if on_oversize == "error":
+        raise ValueError(msg)
+    if on_oversize == "warn":
+        warnings.warn(msg + " — proceeding exactly; consider on_oversize='fallback'")
+        return exact
+    # fallback: shuffle-free approximate sampling for the mega-strata
+    big_keys = list(oversized)
+    small_exact = (
+        df.where(~F.col(strata_col).isin(big_keys))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.lit(int(n_per_stratum)))
+        .drop("_rk")
+    )
+    out = small_exact
+    for k in big_keys:
+        frac = min(1.0, n_per_stratum / oversized[k])
+        out = out.unionByName(
+            hash_sample(df.where(F.col(strata_col) == F.lit(k)), frac, text_col)
+        )
+    return out

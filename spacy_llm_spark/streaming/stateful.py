@@ -51,31 +51,58 @@ def _asof_kernel(probe_type: str, ref_type: str, type_col: str):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
             rt, rid, rvalue = state.get
         else:
             rt, rid, rvalue = None, None, None
+        # The batch's rows for this key must be fully time-sorted before
+        # the running scan (Arrow chunks arrive in arrival order, not
+        # event-time order), so per-key memory here is O(rows of this
+        # key in THIS micro-batch) — cross-batch state stays the O(1)
+        # triple, but a key dominating a micro-batch is bounded by the
+        # batch sizing (maxFilesPerTrigger etc.), not by this kernel.
+        # Only the four scalar columns the scan reads are buffered —
+        # never the full Arrow rows.
+        t_parts, ref_parts, probe_parts, id_parts, val_parts = [], [], [], [], []
+        for chunk in pdfs:
+            if not len(chunk):
+                continue
+            t_parts.append(chunk["ts"].to_numpy().astype("int64") // 1000)
+            types = chunk[type_col].to_numpy()
+            ref_parts.append(types == ref_type)
+            probe_parts.append(types == probe_type)
+            id_parts.append(chunk["event_id"].to_numpy().astype("int64"))
+            val_parts.append(chunk["value"].to_numpy().astype("float64"))
         out = []
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        # event-time order; references AFTER probes at equal time so a
-        # reference at exactly the probe time never matches (strict)
-        pdf["isref"] = (pdf[type_col] == ref_type).astype("int8")
-        pdf = pdf.sort_values(["ts", "isref", "event_id"], kind="mergesort")
-        for row in pdf.itertuples(index=False):
-            t_us = row.ts.value // 1000  # pandas ns -> micros
-            if row.isref:
-                if rt is None or t_us >= rt:
-                    rt, rid, rvalue = t_us, int(row.event_id), float(row.value)
-            elif getattr(row, type_col) == probe_type:
-                # strict as-of: only a STRICTLY-prior stored reference
-                # matches; without the rt < t_us guard a late-arriving
-                # probe would match a FUTURE-timestamped reference, and
-                # an equal-time stored reference would match cross-batch
-                # while the identical in-batch data does not
-                if rt is not None and rt < t_us:
-                    out.append((int(row.event_id), key[0], row.ts, rid, rvalue))
-                else:
-                    out.append((int(row.event_id), key[0], row.ts, None, None))
+        if t_parts:
+            t = np.concatenate(t_parts)
+            isref = np.concatenate(ref_parts)
+            isprobe = np.concatenate(probe_parts)
+            eid = np.concatenate(id_parts)
+            val = np.concatenate(val_parts)
+            # event-time order; references AFTER probes at equal time so
+            # a reference at exactly the probe time never matches
+            # (strict). lexsort keys: last is primary.
+            order = np.lexsort((eid, isref.astype(np.int8), t))
+            for i in order:
+                t_us = int(t[i])
+                if isref[i]:
+                    if rt is None or t_us >= rt:
+                        rt, rid, rvalue = t_us, int(eid[i]), float(val[i])
+                elif isprobe[i]:
+                    ts = pd.Timestamp(t_us * 1000)
+                    # strict as-of: only a STRICTLY-prior stored
+                    # reference matches; without the rt < t_us guard a
+                    # late-arriving probe would match a FUTURE-stamped
+                    # reference, and an equal-time stored reference
+                    # would match cross-batch while identical in-batch
+                    # data does not
+                    if rt is not None and rt < t_us:
+                        out.append((int(eid[i]), key[0], ts, rid, rvalue))
+                    else:
+                        out.append((int(eid[i]), key[0], ts, None, None))
         if rt is not None:
             state.update((rt, rid, rvalue))
         yield pd.DataFrame(
@@ -143,10 +170,15 @@ def _eventtime_asof_kernel(
                 out.append((pid, key[0], ts, refs[i][1], refs[i][2]))
             else:
                 out.append((pid, key[0], ts, None, None))
-        # prune refs: everything except the latest at-or-before the
-        # watermark is unreachable (future probes have ts > wm, and the
-        # latest such ref dominates all earlier ones)
-        cut = bisect.bisect_right(refs, (wm_us, 2**62, 0.0))
+        # prune refs: everything before the latest STRICTLY-pre-
+        # watermark ref is unreachable. The strictly-before cut matters:
+        # a probe with pt == wm is still admitted by Spark (only
+        # ts < watermark is late) and, under strict (<) matching, needs
+        # the latest ref with rt < pt == wm — keeping only a ref with
+        # rt == wm would hand that probe a NULL. bisect_left on the
+        # 1-tuple keys strictly-before-wm refs below the cut, so
+        # cut-1 is the newest such ref; everything at/after wm stays.
+        cut = bisect.bisect_left(refs, (wm_us,))
         refs = refs[max(cut - 1, 0):]
         if pend or refs:
             state.update((pend, refs))

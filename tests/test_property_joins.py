@@ -115,6 +115,69 @@ def test_sampling_operators(spark):
     assert "Exchange" not in plan
 
 
+def test_stratified_sample_mega_stratum_guard(spark):
+    """One dominant stratum above the threshold: warn mode stays exact
+    and loud, error mode raises before shuffling, fallback mode
+    switches just that stratum to hash_sample with count ~ n."""
+    import warnings as _w
+
+    from spacy_llm_spark.operators import sampling
+
+    rows = [(i, "mega", f"doc body {i}") for i in range(3_000)] + [
+        (10_000 + i, f"small{i % 3}", f"other body {i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        exact = sampling.stratified_sample(
+            df, "source", 20, max_stratum_rows=1_000, on_oversize="warn"
+        )
+        per = {r["source"]: r["cnt"] for r in
+               exact.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per == {"mega": 20, "small0": 20, "small1": 20, "small2": 20}
+    assert any("mega" in str(w.message) for w in caught)
+
+    with pytest.raises(ValueError, match="mega"):
+        sampling.stratified_sample(
+            df, "source", 20, max_stratum_rows=1_000, on_oversize="error"
+        )
+
+    fb = sampling.stratified_sample(
+        df, "source", 300, max_stratum_rows=1_000, on_oversize="fallback"
+    )
+    per = {r["source"]: r["cnt"] for r in
+           fb.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # small strata stay exact (all 20 rows, < n); mega is approximate
+    assert per["small0"] == per["small1"] == per["small2"] == 20
+    assert per["mega"] == pytest.approx(300, rel=0.35)  # hash_sample noise
+    # deterministic: identical picks on a second run
+    a = sorted(r["doc_id"] for r in fb.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df, "source", 300, max_stratum_rows=1_000, on_oversize="fallback"
+        ).collect()
+    )
+    assert a == b
+
+    # under the threshold the guard is a no-op and results are identical
+    # to the unguarded path
+    u = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df, "source", 20, max_stratum_rows=None
+        ).collect()
+    )
+    g = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df, "source", 20, max_stratum_rows=1_000_000
+        ).collect()
+    )
+    assert u == g
+
+
 def test_hash_sample_independent_of_split(spark):
     """sample_bucket (hex 9-16) and assign_split (hex 1-8) read disjoint
     digest regions — sampling must not skew the split ratios."""

@@ -591,3 +591,100 @@ def test_streaming_asof_eventtime_non_utc_session(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self, watermark_ms):
+        self._wm = watermark_ms
+        self._val = None
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+
+def test_eventtime_kernel_keeps_pre_watermark_ref_for_boundary_probe():
+    """A probe with pt == watermark is NOT late (Spark drops only
+    ts < watermark) and under strict (<) matching needs the latest ref
+    with rt < watermark. Pruning must therefore retain the newest
+    strictly-pre-watermark ref even when a ref sits exactly AT the
+    watermark — a bisect_right-style at-or-before cut would discard it
+    and hand the boundary probe a NULL."""
+    import pandas as pd
+
+    from spacy_llm_spark.streaming.stateful import _eventtime_asof_kernel
+
+    kernel = _eventtime_asof_kernel("view", "click", "event_type", "UTC")
+    wm_us = 200_000_000  # watermark at t=200s
+    t = lambda s: pd.Timestamp(1970, 1, 1) + pd.Timedelta(seconds=s)
+
+    # batch 1: refs at 100s and exactly 200s; watermark already at 200s
+    state = _FakeState(watermark_ms=wm_us // 1000)
+    batch1 = pd.DataFrame(
+        {"event_id": [10, 11], "key": [7, 7], "ts": [t(100), t(200)],
+         "event_type": ["click", "click"], "value": [1.0, 2.0]}
+    )
+    list(kernel((7,), iter([batch1]), state))
+    refs = [tuple(r) for r in state.get[1]]
+    assert (100_000_000, 10, 1.0) in refs  # pre-wm ref survives pruning
+    assert (200_000_000, 11, 2.0) in refs
+
+    # batch 2: boundary probe at pt == wm == 200s -> must match ref@100s
+    batch2 = pd.DataFrame(
+        {"event_id": [20], "key": [7], "ts": [t(200)],
+         "event_type": ["view"], "value": [0.0]}
+    )
+    out = pd.concat(list(kernel((7,), iter([batch2]), state)))
+    assert list(out["event_id"]) == [20]
+    assert out.iloc[0]["matched_id"] == 10
+    assert out.iloc[0]["matched_value"] == 1.0
+
+
+def test_temporal_joins_reject_mixed_timestamp_flavors(spark):
+    """NTZ vs TZ sides bucket/compare on epoch bases that differ by the
+    session-tz offset; both operators must refuse the mix loudly
+    instead of silently dropping matches."""
+    from datetime import datetime
+
+    from spacy_llm_spark.operators.asof import asof_join
+    from spacy_llm_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "k", datetime(2024, 1, 1))], "lid long, k string, lt timestamp"
+    )
+    right_ntz = spark.createDataFrame(
+        [(2, "k", datetime(2024, 1, 1))], "rid long, k string, rt timestamp_ntz"
+    )
+    with pytest.raises(ValueError, match="mixed timestamp flavors"):
+        asof_join(left, right_ntz, on="k", left_time="lt",
+                  right_time="rt", right_cols=["rid"])
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1))], "pid long, t timestamp_ntz"
+    )
+    ivs = spark.createDataFrame(
+        [(2, datetime(2024, 1, 1), datetime(2024, 1, 2))],
+        "wid long, ws timestamp, we timestamp",
+    )
+    with pytest.raises(ValueError, match="mixed timestamp flavors"):
+        interval_join(pts, ivs, point_time="t", start="ws", end="we",
+                      bucket_secs=60)
