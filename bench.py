@@ -150,14 +150,14 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     timed("asof_join_events", asof_run)
 
     def interval_run():
+        # events.ts is TIMESTAMP_NTZ — the bounds must share its flavor
+        # (interval_join refuses a mix)
+        epoch = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
         windows = spark.range(100).select(
             F.col("id").alias("window_id"),
+            (epoch + F.col("id") * F.expr("INTERVAL 7 HOURS")).alias("ws"),
             (
-                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-                + F.col("id") * F.expr("INTERVAL 7 HOURS")
-            ).alias("ws"),
-            (
-                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                epoch
                 + F.col("id") * F.expr("INTERVAL 7 HOURS")
                 + F.expr("INTERVAL 3 HOURS")
             ).alias("we"),
@@ -205,8 +205,36 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     }
 
 
+def _loadavg1() -> float:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except OSError:  # non-Linux fallback: no gate
+        return 0.0
+
+
+def _wait_for_quiet(max_load: float, max_wait_secs: float) -> float:
+    """Block until host 1-min loadavg drops below ``max_load`` (or the
+    wait budget runs out — the bench then proceeds and the recorded
+    launch_load flags the run as contention-suspect). Round-3 lesson:
+    an ungated bench run in a load~13 window mimicked a 2x regression
+    in three similarity queries that a quiet rerun disproved."""
+    t0 = time.time()
+    while True:
+        load1 = _loadavg1()
+        if load1 <= max_load or time.time() - t0 > max_wait_secs:
+            return load1
+        time.sleep(15)
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
-    print(json.dumps(run_bench(sf_dir, cpus, replicate)))
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "6"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_MAX_WAIT_SECS", "900"))
+    launch_load = _wait_for_quiet(max_load, max_wait)
+    result = run_bench(sf_dir, cpus, replicate)
+    result["launch_load"] = launch_load
+    result["end_load"] = _loadavg1()
+    result["load_gate"] = {"max_load": max_load, "max_wait_secs": max_wait}
+    print(json.dumps(result))
