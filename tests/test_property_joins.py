@@ -192,3 +192,54 @@ def test_hash_sample_independent_of_split(spark):
               sampled.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     total = sum(counts.values())
     assert counts.get("train", 0) / total == pytest.approx(0.8, abs=0.12)
+
+# ---------------------------------------------------------------------------
+# as-of mega-key split path ≡ default path (row-for-row)
+# ---------------------------------------------------------------------------
+
+_nullable_keys = st.sampled_from(["k0", "k1", None])
+# seconds drawn from a TIGHT range so equal-time ties (left-left,
+# right-right, and left==right) occur constantly
+_nullable_times = st.one_of(st.none(), st.integers(0, 5))
+_split_lefts = st.lists(
+    st.tuples(_nullable_keys, _nullable_times), min_size=0, max_size=8
+)
+_split_rights = st.lists(
+    st.tuples(_nullable_keys, _nullable_times), min_size=0, max_size=8
+)
+
+
+@given(
+    _split_lefts,
+    _split_rights,
+    st.booleans(),
+    # 1 s (one row per bucket), mid, exactly the span, far beyond the
+    # span (every row in one bucket — degenerates to the default shape)
+    st.sampled_from([1, 2, 3, 5, 6, 7, 86_400]),
+    st.sampled_from([None, 2, 3600]),
+)
+@settings(max_examples=25, deadline=None)
+def test_asof_split_path_equals_default_path(
+    spark, lefts, rights, strict, bucket, tol
+):
+    left = spark.createDataFrame(
+        [(i, k, _t(s) if s is not None else None) for i, (k, s) in enumerate(lefts)],
+        "lid long, k string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, _t(s) if s is not None else None) for i, (k, s) in enumerate(rights)],
+        "rid long, k string, rt timestamp",
+    )
+    kw = dict(
+        on="k", left_time="lt", right_time="rt", right_cols=["rid"],
+        right_tiebreak="rid", strict=strict, tolerance_secs=tol,
+    )
+    default = asof_join(left, right, **kw)
+    split = asof_join(left, right, split_bucket_secs=bucket, **kw)
+    d = sorted(
+        (r["lid"], r["k"], r["lt"], r["rid"]) for r in default.collect()
+    )
+    s = sorted(
+        (r["lid"], r["k"], r["lt"], r["rid"]) for r in split.collect()
+    )
+    assert d == s
