@@ -982,6 +982,31 @@ def q_kg_triangles(spark, sf_dir):
     return graph.triangle_count(edges)
 
 
+def q_kg_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient of the KG (operators/
+    graph.py): degree-oriented triangle enumeration with the pivot
+    retained, attributed to all three corners — a curation signal for
+    cohesive vs ambiguous canonical entities."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    return graph.clustering_coefficient(edges)
+
+
+def q_distinct_users_approx(spark, sf_dir):
+    """HyperLogLog distinct-count certificate (operators/sketches.py):
+    per event type, the exact distinct user count plus a boolean
+    asserting the HLL estimate (rsd=0.02) is within 4 sigma of it. The
+    estimate itself is engine-specific; the bound is the cross-engine
+    contract, so the oracle carries the exact count and literal TRUE."""
+    from spacy_llm_spark.operators import sketches
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.approx_distinct_certificate(
+        events, "user_id", ["event_type"], rsd=0.02
+    )
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -1073,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles_approx": q_event_quantiles_approx,
         "events_daily_pivot": q_events_daily_pivot,
         "kg_triangles": q_kg_triangles,
+        "kg_clustering_coeff": q_kg_clustering_coeff,
+        "distinct_users_approx": q_distinct_users_approx,
         "kg_canonical_edges": q_kg_canonical_edges,
         "asof_recent_click": q_asof_recent_click,
         "asof_latest_click_split": q_asof_latest_click_split,
@@ -1795,6 +1822,44 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM und e1
 JOIN und e2 ON e2.lo = e1.hi
 JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+        "kg_clustering_coeff": m
+        + _EDGES_CTE
+        + """
+, und AS (
+  SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi
+  FROM edges WHERE subj <> obj
+), deg AS (
+  SELECT v AS vertex, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY v
+), tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+), tc AS (
+  SELECT v AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY v
+)
+SELECT deg.vertex,
+       deg.degree,
+       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * coalesce(tc.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1.0))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex
+""",
+        # the HLL estimate is engine-specific; the exact count and the
+        # 4-sigma bound are the cross-engine contract
+        "distinct_users_approx": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       true AS ok
+FROM events GROUP BY event_type
 """,
         # every sf0.01 doc fits one shard (max 553 chars, no context
         # limit), so save_io must retain exactly one prompt/response per

@@ -1,0 +1,77 @@
+"""Sketch-based approximate aggregates (HyperLogLog distinct counts).
+
+Exact ``count(DISTINCT x)`` shuffles every distinct value; at 100 TB a
+high-cardinality column (user ids, content hashes) makes that shuffle
+the stage bottleneck. Spark's ``approx_count_distinct`` is a
+HyperLogLog++ sketch: fixed O(2^p) bytes per group, mergeable partials
+(map-side combine works), one narrow shuffle of sketches instead of
+values.
+
+The answer is engine-specific (HLL++ register layout and bias tables
+differ from DuckDB's approx_count_distinct), so, as with
+``operators/quantiles.py``, the cross-engine contract is a
+*certificate*: compute approx and exact in one aggregation and emit a
+boolean asserting the relative error stays inside the configured bound.
+HLL's error is probabilistic (rsd is one standard deviation), so the
+certificate uses a documented multiple of rsd; the oracle side is the
+literal ``true`` plus the exact count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: certificate slack: 4 standard deviations. HLL++'s rsd is one sigma;
+#: the per-group failure odds at 4 sigma are ~6e-5 even before HLL++'s
+#: small-range bias correction (exact below ~2.5·2^p), which is what
+#: actually kicks in at test scale.
+_SIGMA = 4.0
+
+
+def approx_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    rsd: float = 0.05,
+    alias: str = "n_distinct_approx",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct count with relative standard
+    deviation ``rsd``. The 100 TB replacement for count(DISTINCT)."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias(alias)
+    )
+
+
+def approx_distinct_certificate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group exact distinct count plus a boolean certifying the HLL
+    estimate lies within ``_SIGMA * rsd`` of it, computed in one
+    logical aggregation. The physical plan carries the cost of the
+    EXACT side: Spark plans count(DISTINCT) as a two-phase aggregate
+    (shuffle on (group, value), then on group) with the sketch's
+    partials riding along — which is precisely why production runs use
+    ``approx_distinct`` alone (single narrow sketch shuffle) and keep
+    this certificate for audit/test scale or samples.
+
+    Output: group cols, ``n_distinct`` (exact), ``ok`` (bound holds).
+    """
+    agged = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("n_distinct"),
+        F.approx_count_distinct(value_col, rsd).alias("_ap"),
+    )
+    bound = F.lit(_SIGMA * rsd) * F.col("n_distinct").cast("double")
+    return agged.select(
+        *group_cols,
+        "n_distinct",
+        (
+            F.abs(F.col("_ap").cast("double") - F.col("n_distinct").cast("double"))
+            <= bound
+        ).alias("ok"),
+    )

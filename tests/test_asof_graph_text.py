@@ -598,3 +598,68 @@ def test_interval_join_with_entity_key(spark):
         bucket_secs=60, on="user",
     )
     assert [(r["point_id"], r["window_id"]) for r in out.collect()] == [(1, 0)]
+
+
+def test_clustering_coefficient_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    verts = [f"v{i}" for i in range(20)]
+    raw = {tuple(sorted(rng.sample(verts, 2))) for _ in range(60)}
+    edges = spark.createDataFrame(sorted(raw), "subj string, obj string")
+    got = {
+        r["vertex"]: (r["degree"], r["n_triangles"], r["coeff"])
+        for r in graph.clustering_coefficient(edges).collect()
+    }
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(
+            1 for x, y in itertools.combinations(sorted(nbrs), 2)
+            if y in adj.get(x, ())
+        )
+        coeff = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[v] == (d, t, coeff), v
+    assert got.keys() == adj.keys()
+
+
+def test_clustering_coefficient_shapes(spark):
+    # triangle + pendant: a,b,c close a triangle (coeff 1.0 at degree-2
+    # corners), d hangs off c (degree 1 -> coeff 0)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subj string, obj string",
+    )
+    got = {r["vertex"]: r.asDict() for r in
+           graph.clustering_coefficient(edges).collect()}
+    assert got["a"]["coeff"] == 1.0 and got["b"]["coeff"] == 1.0
+    assert got["c"] == {"vertex": "c", "degree": 3, "n_triangles": 1,
+                        "coeff": round(2 / 6, 6)}
+    assert got["d"] == {"vertex": "d", "degree": 1, "n_triangles": 0,
+                        "coeff": 0.0}
+
+
+def test_approx_distinct_certificate(spark):
+    from spacy_llm_spark.operators import sketches
+
+    rows = [(f"g{i % 2}", i % 500) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r.asDict() for r in
+           sketches.approx_distinct_certificate(df, "v", ["g"], rsd=0.02).collect()}
+    assert out["g0"]["n_distinct"] == 250 and out["g0"]["ok"]
+    assert out["g1"]["n_distinct"] == 250 and out["g1"]["ok"]
+    # certificate = the exact distinct's two-phase plan (shuffle on
+    # (g, v) then g) with the sketch partials riding along — no THIRD
+    # exchange for the sketch; the sketch-only operator is one shuffle
+    cert = sketches.approx_distinct_certificate(df, "v", ["g"])
+    plan = cert._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2, plan
+    sk = sketches.approx_distinct(df, "v", ["g"])
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, plan
