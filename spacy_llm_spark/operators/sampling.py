@@ -117,10 +117,17 @@ def stratified_sample(
     if on_oversize == "warn":
         warnings.warn(msg + " — proceeding exactly; consider on_oversize='fallback'")
         return exact
-    # fallback: shuffle-free approximate sampling for the mega-strata
+    # fallback: shuffle-free approximate sampling for the mega-strata.
+    # NULL is a legitimate stratum (the window path keeps it), so the
+    # key tests must be null-safe: a bare ~isin() evaluates to NULL on
+    # NULL keys and would silently drop the whole NULL stratum.
     big_keys = list(oversized)
+    is_big = None
+    for k in big_keys:
+        eq = F.col(strata_col).eqNullSafe(F.lit(k))
+        is_big = eq if is_big is None else (is_big | eq)
     small_exact = (
-        df.where(~F.col(strata_col).isin(big_keys))
+        df.where(~is_big)
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= F.lit(int(n_per_stratum)))
         .drop("_rk")
@@ -129,6 +136,8 @@ def stratified_sample(
     for k in big_keys:
         frac = min(1.0, n_per_stratum / oversized[k])
         out = out.unionByName(
-            hash_sample(df.where(F.col(strata_col) == F.lit(k)), frac, text_col)
+            hash_sample(
+                df.where(F.col(strata_col).eqNullSafe(F.lit(k))), frac, text_col
+            )
         )
     return out

@@ -69,6 +69,14 @@ def _asof_kernel(probe_type: str, ref_type: str, type_col: str):
         for chunk in pdfs:
             if not len(chunk):
                 continue
+            # rows with NULL ts are undefined under as-of ordering —
+            # drop them explicitly (NaT would otherwise sort as the
+            # int64 minimum and could become a matchable "reference")
+            valid = chunk["ts"].notna().to_numpy()
+            if not valid.all():
+                chunk = chunk[valid]
+                if not len(chunk):
+                    continue
             t_parts.append(chunk["ts"].to_numpy().astype("int64") // 1000)
             types = chunk[type_col].to_numpy()
             ref_parts.append(types == ref_type)

@@ -243,3 +243,33 @@ def test_asof_split_path_equals_default_path(
         (r["lid"], r["k"], r["lt"], r["rid"]) for r in split.collect()
     )
     assert d == s
+
+def test_stratified_sample_fallback_keeps_null_stratum(spark):
+    """NULL is a legitimate stratum; the fallback's key tests must be
+    null-safe or the whole NULL stratum silently vanishes."""
+    from spacy_llm_spark.operators import sampling
+
+    rows = [(i, "mega", f"doc body {i}") for i in range(2_000)] + [
+        (10_000 + i, None, f"null body {i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    fb = sampling.stratified_sample(
+        df, "source", 10, max_stratum_rows=1_000, on_oversize="fallback"
+    )
+    per = {r["source"]: r["cnt"] for r in
+           fb.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per.get(None) == 10  # exact path, not dropped
+    assert 0 < per["mega"] < 2_000  # approximate hash_sample
+
+    # and a NULL mega-stratum takes the fallback without vanishing
+    rows2 = [(i, None, f"doc body {i}") for i in range(2_000)] + [
+        (10_000 + i, "small", f"other {i}") for i in range(40)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, text string")
+    fb2 = sampling.stratified_sample(
+        df2, "source", 100, max_stratum_rows=1_000, on_oversize="fallback"
+    )
+    per2 = {r["source"]: r["cnt"] for r in
+            fb2.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per2["small"] == 40
+    assert per2.get(None, 0) == pytest.approx(100, rel=0.5)
