@@ -183,11 +183,11 @@ def main():
     windows = spark.range(100).select(
         F.col("id").alias("window_id"),
         (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
             + F.col("id") * F.expr("INTERVAL 7 HOURS")
         ).alias("ws"),
         (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
             + F.col("id") * F.expr("INTERVAL 7 HOURS")
             + F.expr("INTERVAL 3 HOURS")
         ).alias("we"),
@@ -202,8 +202,60 @@ def main():
         "plan is a plain equi-join on `_b` (SortMergeJoin/ShuffledHashJoin — "
         "AQE picks) followed by the exact containment Filter. No "
         "BroadcastNestedLoopJoin / CartesianProduct, which is what Spark "
-        "plans for a raw `ts >= ws AND ts < we` predicate.",
+        "plans for a raw `ts >= ws AND ts < we` predicate. (Window bounds "
+        "are built TIMESTAMP_NTZ to match the events column — the operator "
+        "refuses mixed timestamp flavors.)",
         explain_str(ij),
+    ))
+
+    # 10. degree-oriented triangle counting: every join is an equi-join
+    from spacy_llm_spark.operators import graph as graph_op
+
+    edges_df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subj string, obj string",
+    )
+    tri = graph_op.triangle_count(edges_df)
+    sections.append((
+        "Degree-oriented triangle count: equi-joins only, no all-pairs",
+        "Wedges pivot on the orientation source after each undirected edge "
+        "is oriented lower-(degree,id) -> higher, so a hub's fan-out is "
+        "bounded by arboricity instead of its degree. Every operator in "
+        "the plan is a hash/sort-merge EQUI-join or aggregate on vertex "
+        "ids — no CartesianProduct, no BroadcastNestedLoopJoin, no "
+        "per-vertex quadratic expansion.",
+        explain_str(tri),
+    ))
+
+    # 11. certified approximate quantiles: ONE aggregation
+    from spacy_llm_spark.operators import quantiles as qt
+
+    cert = qt.approx_quantile_certificate(
+        events, "value", ["event_type"], accuracy=10_000
+    )
+    sections.append((
+        "Approximate-quantile certificate: approx + exact bounds in ONE aggregation",
+        "percentile_approx (GK summaries, the 100 TB path) and the exact "
+        "bound percentiles ride the same ObjectHashAggregate: a single "
+        "Exchange on the group key, not one per metric. Production runs "
+        "use `approx_quantiles` alone; this certificate is the audit form "
+        "whose booleans the oracle pins.",
+        explain_str(cert),
+    ))
+
+    # 12. HLL sketch distinct: one narrow shuffle of sketches
+    from spacy_llm_spark.operators import sketches as sk
+
+    hll = sk.approx_distinct(events, "user_id", ["event_type"], rsd=0.02)
+    sections.append((
+        "HLL approx distinct: one narrow shuffle of mergeable sketches",
+        "approx_count_distinct aggregates partial HLL++ registers "
+        "map-side and shuffles ONE fixed-size sketch per (partition, "
+        "group) — compare the exact count(DISTINCT) plan, which must "
+        "shuffle on (group, value) and again on group. This is the "
+        "count(DISTINCT) replacement for high-cardinality columns at "
+        "corpus scale.",
+        explain_str(hll),
     ))
 
     spark.stop()
