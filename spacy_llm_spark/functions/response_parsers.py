@@ -125,7 +125,7 @@ def parse_span_response_v2(
 # --------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(slots=True)
 class SpanReason:
     text: str
     is_entity: bool

@@ -35,22 +35,41 @@ class KnowledgeBase:
     descs: Dict[str, str] = field(default_factory=dict)
     aliases: Dict[str, List[Tuple[str, float]]] = field(default_factory=dict)
 
+    _cand_cache: Dict[Tuple[str, int], List[Candidate]] = field(
+        default_factory=dict, init=False, repr=False, compare=False
+    )
+
     def add_entity(self, qid: str, desc: str) -> None:
         self.descs[qid] = desc
+        self._cand_cache.clear()
 
     def add_alias(self, alias: str, entities: List[str], probabilities: List[float]):
         self.aliases[alias] = list(zip(entities, probabilities))
+        self._cand_cache.clear()
 
     def get_candidates(self, mention: str, top_n: int = 5) -> List[Candidate]:
-        """Top-n candidates by (prior desc, qid asc); [] if alias unknown."""
+        """Top-n candidates by (prior desc, qid asc); [] if alias unknown.
+
+        Memoized per (mention, top_n): extraction kernels call this once
+        per mention occurrence over a corpus whose distinct-surface count
+        is KB-scale, so the sort+join repeats millions of times otherwise.
+        Callers must not mutate the returned list. The cache clears on
+        any add_entity/add_alias.
+        """
+        cached = self._cand_cache.get((mention, top_n))
+        if cached is not None:
+            return cached
         cands = self.aliases.get(mention)
         if not cands:
-            return []
-        ranked = sorted(cands, key=lambda c: (-c[1], c[0]))[:top_n]
-        return [
-            (qid, prior, self.descs.get(qid, UNAVAILABLE_ENTITY_DESC))
-            for qid, prior in ranked
-        ]
+            out: List[Candidate] = []
+        else:
+            ranked = sorted(cands, key=lambda c: (-c[1], c[0]))[:top_n]
+            out = [
+                (qid, prior, self.descs.get(qid, UNAVAILABLE_ENTITY_DESC))
+                for qid, prior in ranked
+            ]
+        self._cand_cache[(mention, top_n)] = out
+        return out
 
     # -- DataFrame views (for the declarative broadcast-join path) ---------
 

@@ -138,6 +138,17 @@ def _dict_matches(text: str, lowered: Dict[str, str], max_len: int):
     spans = tokenize(text)
     lower = text.lower()
     out = []
+    if max_len == 1:
+        # single-token dictionary: no multi-token window, and a token can
+        # never contain whitespace (tokenize splits on it), so the
+        # whitespace re-normalization below is the identity — plain dict
+        # probes per token
+        get = lowered.get
+        for s, e in spans:
+            label = get(lower[s:e])
+            if label is not None:
+                out.append((s, e, label))
+        return out
     i = 0
     while i < len(spans):
         matched = None
@@ -274,6 +285,16 @@ def make_rule_rel_model(rules: Dict[Tuple[str, str], str]) -> BatchModel:
     each *consecutive* entity pair whose (label_i, label_{i+1}) has a rule.
     """
 
+    # json.dumps per relation VALUE, once: a relation containing quotes or
+    # backslashes must still produce a parseable P5 line, but dep/dest are
+    # plain ints — serializing only the precomputed tail keeps the hot loop
+    # at two int formats (byte-identical to json.dumps of the full dict,
+    # whose default separators are ', ' / ': ' in insertion order)
+    tails = {
+        pair: f', "relation": {json.dumps(relation)}}}'
+        for pair, relation in rules.items()
+    }
+
     def call(prompts: Sequence[str]) -> List[str]:
         responses = []
         for prompt in prompts:
@@ -281,13 +302,9 @@ def make_rule_rel_model(rules: Dict[Tuple[str, str], str]) -> BatchModel:
             ents = [(int(m.group(1)), m.group(2)) for m in _ENT_MARKER_RE.finditer(text)]
             lines = []
             for (i, label_a), (j, label_b) in zip(ents, ents[1:]):
-                relation = rules.get((label_a, label_b))
-                if relation is not None:
-                    # json.dumps: a relation value containing quotes or
-                    # backslashes must still produce a parseable P5 line
-                    lines.append(
-                        json.dumps({"dep": i, "dest": j, "relation": relation})
-                    )
+                tail = tails.get((label_a, label_b))
+                if tail is not None:
+                    lines.append(f'{{"dep": {i}, "dest": {j}{tail}')
             responses.append("\n".join(lines))
         return responses
 

@@ -83,13 +83,34 @@ def filter_spans(spans: List[Tuple[int, int, str]]) -> List[Tuple[int, int, str]
     """Greedy de-overlap, longest-then-earliest first (spaCy util semantics
     used by the NER task via ``doc.set_ents(filter_spans(spans))``,
     spacy_llm/tasks/ner/task.py:94-100). Returns spans sorted by start.
+
+    Overlap is tested against byte maps of the kept cover instead of the
+    O(kept) pairwise scan (this ran inside the per-doc NER hot loop). Two
+    maps give the exact pairwise semantics: a positive-length candidate
+    conflicts with any kept cover byte in [s0, s1); a zero-length
+    candidate conflicts only with a kept span's strict interior (s0, s1)
+    — and the sort order guarantees every positive span is decided before
+    any zero-length one, while two zero-length spans never conflict.
     """
+    if not spans:
+        return []
     sorted_spans = sorted(spans, key=lambda s: (s[0] - s[1], s[0]))
+    hi = max(s[1] for s in spans)
+    claimed = bytearray(hi)  # kept cover: [s0, s1)
+    interior = bytearray(hi)  # kept strict interior: (s0, s1)
     kept: List[Tuple[int, int, str]] = []
     for span in sorted_spans:
         s0, s1 = span[0], span[1]
-        if not any(k0 < s1 and s0 < k1 for k0, k1, _ in kept):
-            kept.append(span)
+        if s1 > s0:
+            if any(claimed[s0:s1]):
+                continue
+            n = s1 - s0
+            claimed[s0:s1] = b"\x01" * n
+            if n > 1:
+                interior[s0 + 1 : s1] = b"\x01" * (n - 1)
+        elif s0 < hi and interior[s0]:
+            continue
+        kept.append(span)
     kept.sort(key=lambda s: (s[0], s[1]))
     return kept
 
