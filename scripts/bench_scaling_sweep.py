@@ -1,0 +1,104 @@
+"""Round-robin same-phase scaling sweep (north_rule evidence, form 3).
+
+Problem with per-level sessions (bench_scaling_level.py): each level
+samples ONE host phase, and on this shared host the phase can shift in
+the minutes between levels — the drain then lands on one leg of a pair
+and biases the efficiency ratio in either direction (walls only ever
+inflate, so per-level bests are upper bounds, and the ratio of two
+upper bounds is unbounded both ways).
+
+This runner interleaves ONE measurement per parallelism level per round
+(widest first, then narrower), repeating for R rounds. Every level
+therefore samples the same sequence of host phases; the per-level
+best-of-R are drawn from a common phase population, and the per-round
+ratios bound how much of any gap is phase noise.
+
+Each measurement is a SUBPROCESS running bench_scaling_level.py with
+repeats=1 and the load gate disabled (the sweep gates once at launch):
+two SparkSessions with different local[N] masters cannot coexist in one
+process — SparkSession.builder.getOrCreate() returns the first JVM and
+silently ignores the new master, so an in-process sweep mislabels every
+level after the first (observed 2026-08-17 16:47-16:52 UTC: the "4"
+rows were 16-thread runs over an 8-partition corpus; those jsonl rows
+carry "invalid": "shared-jvm"). Subprocess isolation also means a fresh
+JVM + untimed 1/10-scale warm-up per measurement, matching the
+per-level-session protocol exactly.
+
+bench_scaling_level.py appends each measurement to
+BENCH/scaling_levels.jsonl; this runner prints a summary with per-level
+bests and the N->4N efficiencies.
+
+Usage: python scripts/bench_scaling_sweep.py [sf_dir] [replicate]
+       [rounds] [levels_csv] [max_load] [max_wait_secs]
+Defaults: /root/testdata/sf0.1 120 3 16,8,4,2 1.5 1800
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+_HERE = __file__.rsplit("/", 1)[0]
+sys.path.insert(0, _HERE)
+
+from bench_scaling_level import wait_for_quiet  # noqa: E402
+
+
+def run_level(cpus: int, sf_dir: str, replicate: int) -> float:
+    """One measurement in an isolated subprocess; returns the wall."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            f"{_HERE}/bench_scaling_level.py",
+            str(cpus),
+            sf_dir,
+            str(replicate),
+            "1",  # repeats
+            "1e18",  # max_load: sweep already gated at launch
+            "0",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    import json
+
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    print(json.dumps(rec), flush=True)
+    return rec["best_wall"]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    levels = (
+        [int(x) for x in sys.argv[4].split(",")] if len(sys.argv) > 4 else [16, 8, 4, 2]
+    )
+    max_load = float(sys.argv[5]) if len(sys.argv) > 5 else 1.5
+    max_wait = float(sys.argv[6]) if len(sys.argv) > 6 else 1800
+
+    walls: dict[int, list[float]] = {c: [] for c in levels}
+    launch_load = wait_for_quiet(max_load, max_wait)
+    t_sweep0 = time.time()
+    for _rnd in range(rounds):
+        for cpus in levels:
+            walls[cpus].append(run_level(cpus, sf_dir, replicate))
+
+    best = {c: min(w) for c, w in walls.items()}
+    print(f"\nsweep wall {time.time() - t_sweep0:.0f}s, launch_load {launch_load}")
+    for c in sorted(best):
+        runs = ", ".join(f"{w:.2f}" for w in walls[c])
+        print(f"local[{c:2d}]: best {best[c]:8.2f}  runs [{runs}]")
+    for n in sorted(best):
+        if n * 4 in best:
+            eff = best[n] / (4 * best[n * 4])
+            print(
+                f"efficiency {n:2d} -> {n * 4:2d}: "
+                f"{best[n]:.2f} / (4 x {best[n * 4]:.2f}) = {eff:.3f}"
+            )
+
+
+if __name__ == "__main__":
+    main()
