@@ -212,6 +212,39 @@ def _loadavg1() -> float:
         return 0.0
 
 
+def _parallel_worker(_arg: int) -> int:
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    return s
+
+
+def _effective_cores(cpus: int) -> dict:
+    """Measure the host's *delivered* parallel capacity with a ~2 s
+    fixed-work probe: one worker alone, then ``cpus`` workers at once.
+    effective_cores = single_wall * cpus / parallel_wall.
+
+    Guest loadavg misses hypervisor-level steal: a round-4 window showed
+    launch_load 0.07 yet only ~12 of 32 cores delivered (every bench
+    query uniformly ~2.6x slower on diff-identical code). This probe
+    makes such windows self-identifying in the artifact itself."""
+    t0 = time.perf_counter()
+    _parallel_worker(0)
+    single = time.perf_counter() - t0
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(cpus) as pool:
+        pool.map(_parallel_worker, range(cpus))
+    wide = time.perf_counter() - t0
+    eff = single * cpus / wide if wide > 0 else float(cpus)
+    return {
+        "single_wall_s": round(single, 3),
+        "parallel_wall_s": round(wide, 3),
+        "effective_cores": round(min(eff, float(cpus)), 1),
+    }
+
+
 def _wait_for_quiet(max_load: float, max_wait_secs: float) -> float:
     """Block until host 1-min loadavg drops below ``max_load`` (or the
     wait budget runs out — the bench then proceeds and the recorded
@@ -233,8 +266,11 @@ if __name__ == "__main__":
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "6"))
     max_wait = float(os.environ.get("SPARK_GRAFT_MAX_WAIT_SECS", "900"))
     launch_load = _wait_for_quiet(max_load, max_wait)
+    probe_before = _effective_cores(cpus)
     result = run_bench(sf_dir, cpus, replicate)
     result["launch_load"] = launch_load
     result["end_load"] = _loadavg1()
     result["load_gate"] = {"max_load": max_load, "max_wait_secs": max_wait}
+    result["capacity_probe"] = {"before": probe_before,
+                                "after": _effective_cores(cpus)}
     print(json.dumps(result))
