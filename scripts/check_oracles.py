@@ -38,7 +38,7 @@ def normalize(rows, cols):
     return out
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list | None = None) -> int:
     spark = get_spark(
         master="local[8]",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -51,6 +51,12 @@ def main(sf_dir: str) -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            print(f"FAIL  unknown queries: {unknown}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in set(only)}
     failures = 0
     for name, fn in queries.items():
         try:
@@ -94,4 +100,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            only=sys.argv[2:] or None,
+        )
+    )

@@ -21,7 +21,7 @@ and its map-side partial aggregation collapses each partition to at most
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..fs import cut_lineage
@@ -66,13 +66,17 @@ def connected_components(
       in memory (InMemoryLookupKB).
     - Above the threshold: the large-star/small-star alternation of
       Kiveris et al., "Connected Components in MapReduce and Beyond"
-      (SoCC 2014). Each round is two groupBy+join shuffles and the edge
-      set converges to per-component stars in O(log n) rounds even on
-      high-diameter graphs (a chain of length d needs ~log2(d) rounds,
-      where min-label propagation would need d). Lineage is cut per round
-      via ``cut_lineage`` (localCheckpoint, or reliable ``checkpoint`` when
-      ``fs.configure_lineage(reliable=True)``); non-convergence raises
-      instead of returning wrong labels.
+      (SoCC 2014). Each round is three shuffles — the two per-star
+      min-of-neighborhood passes run as window aggregates inside the
+      grouping shuffle itself (no groupBy+re-join), plus one distinct
+      that bounds the edge set — and the edge set converges to
+      per-component stars in O(log n) rounds even on high-diameter
+      graphs (a chain of length d needs ~log2(d) rounds, where min-label
+      propagation would need d). Fixpoint detection rides the eager
+      lineage cut via ``df.observe`` (zero extra scans); lineage is cut
+      per round via ``cut_lineage`` (localCheckpoint, or reliable
+      ``checkpoint`` when ``fs.configure_lineage(reliable=True)``);
+      non-convergence raises instead of returning wrong labels.
 
     Both strategies label every component by its lexicographically
     smallest node, so they are interchangeable bit-for-bit.
@@ -106,49 +110,72 @@ def connected_components(
         .distinct()
     )
     all_nodes = cut_lineage(all_nodes)
+
+    def _cut_with_signature(df: DataFrame):
+        """Lineage-cut ``df`` and return (cut_df, fixpoint signature).
+
+        The signature — (row count, order-insensitive hash fold) — is
+        collected via ``df.observe`` DURING the materialization job that
+        the eager lineage cut runs anyway, so fixpoint detection costs
+        zero extra scans per round (same df.observe trick as
+        checkpoint.run_stage)."""
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("bit_xor(xxhash64(concat_ws('|', src, dst)))").alias("hsh"),
+        )
+        cut = cut_lineage(observed)
+        got = obs.get  # blocks until the materialization job reports
+        return cut, (got["cnt"], got["hsh"])
+
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    e = cut_lineage(e0)
-
-    def _signature(df: DataFrame):
-        # cheap fixpoint detector: (row count, order-insensitive hash fold)
-        return df.select(
-            F.xxhash64(F.concat_ws("|", "src", "dst")).alias("h")
-        ).agg(F.count(F.lit(1)), F.expr("bit_xor(h)")).first()
-
-    sig = _signature(e)
+    e, sig = _cut_with_signature(e0)
     converged = False
+    # Per-round min-of-neighborhood is computed with a window aggregate in
+    # the SAME shuffle that groups the key (WindowExec's group buffer is
+    # spill-backed), replacing the groupBy+re-join pattern: 3 shuffles per
+    # round (two windows + one final distinct) instead of 7. Intermediate
+    # distincts are dropped — duplicate pairs cannot change a min, and the
+    # single post-small-star distinct is what bounds the edge set between
+    # rounds, so the round-by-round edge sets (and round count) are
+    # bit-identical to the textbook two-join formulation.
+    w = Window.partitionBy("src")
     for _ in range(max_iter):
         # ---- large-star: every neighbor larger than u links to the min
         # of u's closed neighborhood ----
         sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        mins = (
-            sym.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select("src", F.least("mn", F.col("src")).alias("m"))
-        )
         large = (
-            sym.join(mins, "src")
+            sym.select(
+                "src", "dst",
+                F.least(F.col("src"), F.min("dst").over(w)).alias("m"),
+            )
             .where(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
         )
         # ---- small-star: orient (larger -> smaller), relink every small
         # neighbor (and the center) to the minimum ----
         oriented = large.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        ).distinct()
-        mins2 = oriented.groupBy("src").agg(F.min("dst").alias("m"))
-        small = (
-            oriented.join(mins2, "src")
-            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
-            .union(mins2.select(F.col("src").alias("a"), F.col("m").alias("b")))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
-        e = cut_lineage(small)
-        new_sig = _signature(e)
+        small = (
+            oriented.select(
+                "src", "dst", F.min("dst").over(w).alias("m")
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("dst").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("src").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        e, new_sig = _cut_with_signature(small)
         if new_sig == sig:
             converged = True
             break
