@@ -195,7 +195,12 @@ def pagerank(
     The vertex count is collected once (a single scalar — cheap at any
     scale); the per-round dangling mass stays distributed (aggregate +
     broadcast cross join), so no round ever collects rank rows to the
-    driver."""
+    driver. The out-degree is folded into the materialized rank frame
+    ONCE before the loop — (vertex, out_degree, rank) — so a round is
+    one vertex-keyed join + one groupBy + one left join; the old
+    per-round ranks-to-degree join (recomputed twice per round, once
+    for contributions and once for the dangling mass) is gone, and the
+    dangling aggregate is now a plain scan of the checkpointed frame."""
     e = fs.cut_lineage(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
     )
@@ -204,38 +209,38 @@ def pagerank(
         .unionByName(e.select(F.col("t").alias("vertex")))
         .distinct()
     )
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("_outdeg"))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     d = float(damping)
     base = (1.0 - d) / n
 
-    ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), quantum))
-    for _ in range(iters):
-        shares = ranks.join(
-            out_deg, ranks["vertex"] == out_deg["s"], "left"
-        ).select(
-            "vertex",
-            "rank",
-            F.when(F.col("d").isNotNull(), F.col("rank") / F.col("d")).alias("share"),
+    ranks = fs.cut_lineage(
+        nodes.join(out_deg, nodes["vertex"] == out_deg["s"], "left").select(
+            "vertex", "_outdeg", F.round(F.lit(1.0 / n), quantum).alias("rank")
         )
+    )
+    for _ in range(iters):
         contrib = (
-            shares.where(F.col("share").isNotNull())
-            .join(e, shares["vertex"] == e["s"])
+            ranks.where(F.col("_outdeg").isNotNull())
+            .select("vertex", (F.col("rank") / F.col("_outdeg")).alias("share"))
+            .join(e, F.col("vertex") == e["s"])
             .groupBy(F.col("t").alias("vertex"))
             .agg(F.sum("share").alias("contrib"))
         )
-        dangling = shares.agg(
+        dangling = ranks.agg(
             F.coalesce(
-                F.sum(F.when(F.col("share").isNull(), F.col("rank"))), F.lit(0.0)
+                F.sum(F.when(F.col("_outdeg").isNull(), F.col("rank"))), F.lit(0.0)
             ).alias("dm")
         )
         ranks = fs.cut_lineage(
-            nodes.join(contrib, "vertex", "left")
+            ranks.select("vertex", "_outdeg")
+            .join(contrib, "vertex", "left")
             .crossJoin(broadcast(dangling))
             .select(
                 "vertex",
+                "_outdeg",
                 F.round(
                     F.lit(base)
                     + F.lit(d)
@@ -244,4 +249,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks
+    return ranks.select("vertex", "rank")
