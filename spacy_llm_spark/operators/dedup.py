@@ -227,7 +227,6 @@ def minhash_lsh_dup_pairs(
             F.col("l.sig").alias("sig_a"),
             F.col("r.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = (
         F.size(
@@ -237,7 +236,16 @@ def minhash_lsh_dup_pairs(
         )
         / F.lit(n_hashes)
     ).alias("jaccard_est")
-    return pairs.select("id_a", "id_b", est).where(F.col("jaccard_est") >= threshold)
+    # estimate + threshold BEFORE the pair distinct: the estimate is
+    # deterministic per pair (band duplicates agree), so deduping the slim
+    # (id_a, id_b, est) survivors shuffles ~24-byte rows after the
+    # threshold has discarded most candidates, instead of shuffling both
+    # 64-long signatures for every raw band collision
+    return (
+        pairs.select("id_a", "id_b", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
