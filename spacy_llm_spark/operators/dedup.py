@@ -600,7 +600,6 @@ def embedding_dup_pairs(
             F.col(f"l.{vec_col}").alias("_va"),
             F.col(f"r.{vec_col}").alias("_vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
 
     from pyspark.sql.types import DoubleType
@@ -627,6 +626,14 @@ def embedding_dup_pairs(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
             )
 
-    return pairs.mapInPandas(verify_kernel, schema=verify_schema).where(
-        F.col("cosine") >= threshold
+    # verify + threshold BEFORE the pair distinct: the cosine is
+    # bit-deterministic per pair (same vectors, same kernel), so deduping
+    # the slim (id_a, id_b, cosine) survivors shuffles ~24-byte rows after
+    # the threshold discarded most candidates, instead of shuffling both
+    # full embedding vectors for every raw band collision; band-duplicate
+    # pairs re-run the cheap numpy verify instead
+    return (
+        pairs.mapInPandas(verify_kernel, schema=verify_schema)
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
