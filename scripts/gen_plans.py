@@ -120,37 +120,24 @@ def main():
         explain_str(pairs),
     ))
 
-    # 7. one large-star CC round: the per-key min rides a window aggregate
-    # inside the grouping shuffle — no groupBy+re-join, no iteration state
-    # in the plan (lineage is cut per round with localCheckpoint)
-    from pyspark.sql import Window
-
+    # 7. one star CC round: the per-key mins ride window aggregates inside
+    # the grouping shuffles — no groupBy+re-join, no iteration state in
+    # the plan (lineage is cut per round with localCheckpoint)
     from spacy_llm_spark.operators import canonicalize as canon
 
     links = mat.links_table(annotated, ("doc_id",))
     cc_edges = canon.surface_kb_edges(links)
-    sym = cc_edges.union(
-        cc_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    wcc = Window.partitionBy("src")
-    large = (
-        sym.select(
-            "src", "dst",
-            F.least(F.col("src"), F.min("dst").over(wcc)).alias("m"),
-        )
-        .where(F.col("dst") > F.col("src"))
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-    )
+    round_df = canon._star_round(cc_edges)
     sections.append((
-        "Connected components (large-star round): window min in the grouping shuffle",
-        "One large-star step = a single `Exchange hashpartitioning(src)` whose "
-        "Window node computes min-of-neighborhood in the same pass — no "
-        "groupBy+re-join, so a round is 3 shuffles (two star windows + the "
-        "distinct that bounds the edge set) instead of 7, and the edge set "
-        "shrinks toward per-component stars in O(log n) rounds (Kiveris et "
-        "al. 2014). The corpus-scale links table is reduced to entity-scale "
-        "pairs by ONE distinct before any of this runs.",
-        explain_str(large),
+        "Connected components (large+small-star round): window mins in the grouping shuffles",
+        "One full star round (the operator's own `_star_round`) = exactly "
+        "three `Exchange hashpartitioning` — two whose Window node computes "
+        "min-of-neighborhood in the same pass (no groupBy+re-join, no Join "
+        "node anywhere) plus the distinct that bounds the edge set — and "
+        "the edge set shrinks toward per-component stars in O(log n) rounds "
+        "(Kiveris et al. 2014). The corpus-scale links table is reduced to "
+        "entity-scale pairs by ONE distinct before any of this runs.",
+        explain_str(round_df),
     ))
 
     # 8. as-of join: ONE hash exchange, a running window, zero join operators

@@ -50,6 +50,53 @@ def surface_kb_edges(links: DataFrame) -> DataFrame:
     )
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star step over edge frame (src, dst).
+
+    Per-round min-of-neighborhood is computed with a window aggregate in
+    the SAME shuffle that groups the key (WindowExec's group buffer is
+    spill-backed), replacing the groupBy+re-join pattern: 3 shuffles per
+    round (two star windows + the final distinct) instead of 7, and no
+    Join node anywhere in the round plan (pinned by
+    tests/test_plans.py). Intermediate distincts are dropped — duplicate
+    pairs cannot change a min, and the single post-small-star distinct
+    is what bounds the edge set between rounds — so the round-by-round
+    edge sets (and round count) are bit-identical to the textbook
+    two-join formulation of Kiveris et al. (2014)."""
+    w = Window.partitionBy("src")
+    # ---- large-star: every neighbor larger than u links to the min of
+    # u's closed neighborhood ----
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    large = (
+        sym.select(
+            "src", "dst",
+            F.least(F.col("src"), F.min("dst").over(w)).alias("m"),
+        )
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    # ---- small-star: orient (larger -> smaller), relink every small
+    # neighbor (and the center) to the minimum ----
+    oriented = large.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    return (
+        oriented.select("src", "dst", F.min("dst").over(w).alias("m"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("a"), F.col("m").alias("b")),
+                    F.struct(F.col("src").alias("a"), F.col("m").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -132,50 +179,8 @@ def connected_components(
     e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e, sig = _cut_with_signature(e0)
     converged = False
-    # Per-round min-of-neighborhood is computed with a window aggregate in
-    # the SAME shuffle that groups the key (WindowExec's group buffer is
-    # spill-backed), replacing the groupBy+re-join pattern: 3 shuffles per
-    # round (two windows + one final distinct) instead of 7. Intermediate
-    # distincts are dropped — duplicate pairs cannot change a min, and the
-    # single post-small-star distinct is what bounds the edge set between
-    # rounds, so the round-by-round edge sets (and round count) are
-    # bit-identical to the textbook two-join formulation.
-    w = Window.partitionBy("src")
     for _ in range(max_iter):
-        # ---- large-star: every neighbor larger than u links to the min
-        # of u's closed neighborhood ----
-        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        large = (
-            sym.select(
-                "src", "dst",
-                F.least(F.col("src"), F.min("dst").over(w)).alias("m"),
-            )
-            .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
-        )
-        # ---- small-star: orient (larger -> smaller), relink every small
-        # neighbor (and the center) to the minimum ----
-        oriented = large.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        small = (
-            oriented.select(
-                "src", "dst", F.min("dst").over(w).alias("m")
-            )
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(F.col("dst").alias("a"), F.col("m").alias("b")),
-                        F.struct(F.col("src").alias("a"), F.col("m").alias("b")),
-                    )
-                ).alias("p")
-            )
-            .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        e, new_sig = _cut_with_signature(small)
+        e, new_sig = _cut_with_signature(_star_round(e))
         if new_sig == sig:
             converged = True
             break

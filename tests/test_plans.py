@@ -54,3 +54,25 @@ def test_candidates_df_broadcasts_alias_table(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # the corpus side never shuffles
+
+
+def test_cc_star_round_plan_has_no_join(spark):
+    """One large/small-star CC round: per-key minima ride Window nodes
+    inside the grouping shuffles — no Join operator anywhere, and only
+    the three shuffles the round needs (two star windows + the distinct
+    that bounds the edge set)."""
+    from spacy_llm_spark.operators.canonicalize import _star_round
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string"
+    ).localCheckpoint()
+    out = _star_round(e)
+    out.collect()  # let AQE finalize
+    # AQE's toString appends the pre-adaptive "Initial Plan" section,
+    # which would double every node count — assert on the final plan only
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 2
+    # two window shuffles + one distinct (HashAggregate pair) shuffle
+    assert plan.count("Exchange hashpartitioning") == 3
