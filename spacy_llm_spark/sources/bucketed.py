@@ -1,0 +1,120 @@
+"""Bucketed table layout: pay the join shuffle once, at write time.
+
+At the 10^12-file design point the KG output tables (mentions, links,
+edges) are re-joined constantly — links ⋈ mentions on doc_id for audit,
+edges ⋈ vertices on canonical id for neighborhood queries, fact ⋈ fact
+for incremental reconciliation. Re-shuffling two 10-TB tables on every
+such query is the dominant cost; neither side is broadcastable and AQE
+can only pick WHICH shuffle, not remove it.
+
+Spark's bucketed tables fix the physical layout once: both sides are
+hash-partitioned into the same number of buckets on the join key when
+written, the bucket spec is recorded in the catalog, and a later
+equi-join on that key reads co-located buckets directly — the physical
+plan contains ZERO Exchange nodes (SortMergeJoin over bucket-aligned
+scans; with ``sort_by`` the per-bucket Sort disappears too). This is the
+classic warehouse trick for stable join keys and is exactly how the
+canonical KG tables should land on a real cluster.
+
+Scale notes:
+
+- ``buckets`` is a physical constant of the table (like partition count
+  of a Kafka topic): size it so one bucket of the LARGER table fits an
+  executor core's working set at full scale (e.g. 10 TB table / 4096
+  buckets ≈ 2.4 GB/bucket). Both join sides must use the same count —
+  ``bucketed_join`` refuses mismatches rather than silently shuffling.
+- Bucketing composes with date/lang partitioning: ``partition_by``
+  prunes files, buckets align the join.
+- Writing N buckets from M tasks produces M×N files in the worst case;
+  we repartition by the bucket key first so each task writes few files
+  (and the write itself is the one shuffle you ever pay for this key).
+
+The reference holds everything in one process and has no table layout
+at all (spacy_llm/cache.py is a per-doc pickle directory); this module
+is Spark-native scale infrastructure with no reference analog.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str | Sequence[str],
+    buckets: int = 8,
+    sort_by: bool = True,
+    partition_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external parquet table bucketed on ``key``.
+
+    The table is registered in the session catalog (metadata only; the
+    files live at ``path``) — Spark only honors bucket specs through the
+    catalog, never through a bare ``parquet(path)`` read.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    # One task per bucket key-range -> each task writes one file per
+    # bucket it owns instead of every task writing every bucket.
+    writer = (
+        df.repartition(buckets, *[F.col(k) for k in keys])
+        .write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(buckets, keys[0], *keys[1:])
+    )
+    if sort_by:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def _bucket_spec(spark: SparkSession, name: str) -> tuple[int, tuple[str, ...]]:
+    """(num_buckets, bucket_columns) from the catalog, via DESCRIBE."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    n = int(info.get("Num Buckets", "0") or 0)
+    cols = info.get("Bucket Columns", "")
+    names = tuple(c.strip(" `") for c in cols.strip("[]").split(",") if c.strip())
+    return n, names
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left: str,
+    right: str,
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key, shuffle-free.
+
+    Validates that both tables are bucketed on ``on`` with the SAME
+    bucket count — the precondition for Spark to elide both Exchanges.
+    A mismatch raises instead of silently planning a full shuffle, so a
+    mis-written table is caught at author time, not in a 10-TB query.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for name in (left, right):
+        n, cols = _bucket_spec(spark, name)
+        if n == 0:
+            raise ValueError(f"table {name} is not bucketed")
+        if tuple(keys) != cols:
+            raise ValueError(
+                f"table {name} is bucketed on {cols}, join needs {tuple(keys)}"
+            )
+    ln, _ = _bucket_spec(spark, left)
+    rn, _ = _bucket_spec(spark, right)
+    if ln != rn:
+        raise ValueError(
+            f"bucket-count mismatch: {left}={ln} vs {right}={rn} — "
+            "rewrite one side; a mismatched join shuffles the smaller side"
+        )
+    return spark.table(left).join(spark.table(right), on=keys, how=how)

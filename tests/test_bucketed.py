@@ -1,0 +1,81 @@
+"""Bucketed-table layout: the join shuffle is paid at write time, once.
+
+Pins the load-bearing property — a join of two tables bucketed on the
+join key plans with ZERO Exchange nodes — plus the author-time guards
+(mismatched bucket counts / keys / unbucketed inputs refuse loudly).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.sources.bucketed import bucketed_join, write_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir, tmp_path):
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    customer = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal")
+    )
+    write_bucketed(orders, "b_orders", str(tmp_path / "o"), "o_custkey", buckets=8)
+    write_bucketed(customer, "b_cust", str(tmp_path / "c"), "o_custkey", buckets=8)
+    yield orders, customer
+    for t in ("b_orders", "b_cust", "b_cust4"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_zero_exchange(spark, bucketed_pair):
+    orders, customer = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        expected = orders.join(customer, "o_custkey").count()
+        assert joined.count() == expected > 0
+        plan = _plan(joined)
+        assert "Exchange" not in plan  # both shuffles elided by layout
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_refuses_count_mismatch(spark, bucketed_pair, tmp_path):
+    _, customer = bucketed_pair
+    write_bucketed(customer, "b_cust4", str(tmp_path / "c4"), "o_custkey", buckets=4)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        bucketed_join(spark, "b_orders", "b_cust4", "o_custkey")
+
+
+def test_bucketed_join_refuses_wrong_key(spark, bucketed_pair):
+    with pytest.raises(ValueError, match="join needs"):
+        bucketed_join(spark, "b_orders", "b_cust", "o_orderkey")
+
+
+def test_bucketed_join_refuses_unbucketed(spark, bucketed_pair, tmp_path):
+    _, customer = bucketed_pair
+    customer.write.mode("overwrite").option("path", str(tmp_path / "p")).saveAsTable(
+        "plain_cust"
+    )
+    try:
+        with pytest.raises(ValueError, match="not bucketed"):
+            bucketed_join(spark, "b_orders", "plain_cust", "o_custkey")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_cust")
+
+
+def test_write_bucketed_one_file_per_bucket(spark, bucketed_pair, tmp_path):
+    """The pre-write repartition keeps file count == bucket count (not
+    tasks x buckets) — the property that keeps 4096-bucket writes sane
+    and lets sorted-bucket scans skip the per-bucket Sort."""
+    files = [
+        p for p in (tmp_path / "o").iterdir() if p.name.startswith("part-")
+    ]
+    assert len(files) <= 8
