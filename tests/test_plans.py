@@ -76,3 +76,21 @@ def test_cc_star_round_plan_has_no_join(spark):
     assert plan.count("Window") == 2
     # two window shuffles + one distinct (HashAggregate pair) shuffle
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_partitioned_sink_prunes_partitions_at_read(spark, tmp_path):
+    """KG tables land partitioned by a stable selective column (lang at
+    100 TB — the hint schema's only low-cardinality one); a filtered
+    read must prune directories (PartitionFilters), not scan-and-filter."""
+    from spacy_llm_spark.sources.sinks import read_table, write_table
+
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'py' ELSE 'go' END AS lang"
+    )
+    target = str(tmp_path / "edges_by_lang")
+    write_table(df, target, mode="overwrite", partition_by=["lang"])
+    rd = read_table(spark, target).filter(F.col("lang") == "py")
+    assert rd.count() == 50
+    plan = _plan(rd)
+    assert "PartitionFilters: [" in plan
+    assert "= py" in plan.split("PartitionFilters")[1]
