@@ -611,6 +611,46 @@ def q_kg_vertices(spark, sf_dir):
     return canon.canonical_vertices(links)
 
 
+def q_kg_vertices_incremental(spark, sf_dir):
+    """Incremental canonicalization (operators/canonicalize.py:
+    incremental_components): labels built from the first 80% of docs,
+    then the remaining docs' links merged in WITHOUT re-shuffling the
+    historical edge set — only touched components recompute. By the
+    stars-preserve-connectivity equivalence the result must be
+    bit-identical to the full-recompute kg_vertices, so this query
+    shares kg_vertices' oracle SQL verbatim."""
+    from spacy_llm_spark.kb import NIL
+    from spacy_llm_spark.operators import canonicalize as canon
+
+    links = mat.links_table(_annotated(spark, sf_dir), ("doc_id",))
+    old = canon.canonical_vertices(links.where(F.col("doc_id") % 5 != 0))
+    new_pairs = canon.surface_kb_pairs(links.where(F.col("doc_id") % 5 == 0))
+    real_edges = new_pairs.where(F.col("kb_id") != NIL).select(
+        F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
+        F.col("kb_id").alias("dst"),
+    )
+    # self-loops admit every node of the increment (incl. never-linked
+    # surfaces -> singletons), mirroring canonical_vertices' node set
+    new_nodes = (
+        new_pairs.select(
+            F.concat(F.lit("surface:"), F.col("surface_norm")).alias("n")
+        )
+        .union(new_pairs.where(F.col("kb_id") != NIL).select("kb_id"))
+        .distinct()
+    )
+    merged = canon.incremental_components(
+        old.select("node", "component"),
+        real_edges.unionByName(
+            new_nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ),
+    )
+    return merged.select(
+        "node",
+        "component",
+        (~F.col("node").startswith("surface:")).alias("is_kb"),
+    )
+
+
 def q_asof_latest_click(spark, sf_dir):
     """As-of join (operators/asof.py): for each 'view' event, the same
     user's most recent strictly-prior 'click' event. Union + running-last
@@ -1044,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": q_kg_relations,
         "kg_edges": q_kg_edges,
         "kg_vertices": q_kg_vertices,
+        "kg_vertices_incremental": q_kg_vertices_incremental,
         "cache_probe_anti_join": q_cache_probe_anti_join,
         "token_count": q_token_count,
         "distinct_tokens": q_distinct_tokens,
@@ -1269,7 +1310,7 @@ def _lang_profiles_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     m = _MENTIONS_CTE
-    return {
+    sql = {
         "kg_corpus": CORPUS_ORACLE_SQL,
         "kg_mentions": m
         + 'SELECT doc_id, ent_idx, start, "end", label, surface FROM mentions',
@@ -1354,6 +1395,8 @@ FROM contrib GROUP BY 1, 2
 )
 SELECT node, component, is_kb FROM nodes
 """,
+        # incremental maintenance must equal full recompute bit-for-bit,
+        # so it shares kg_vertices' oracle verbatim (patched in below)
         "substring_offsets": """
 SELECT doc_id,
        CAST(strpos(text, 'spark') - 1 AS BIGINT) AS first_offset,
@@ -1958,3 +2001,6 @@ SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
 FROM events GROUP BY 1
 """,
     }
+    # incremental == full recompute by construction -> same oracle text
+    sql["kg_vertices_incremental"] = sql["kg_vertices"]
+    return sql

@@ -200,6 +200,61 @@ def connected_components(
     )
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Merge a new edge batch into an existing (node, component) map
+    without recomputing over the historical edge set.
+
+    An existing label map is itself a star edge set (node -> component)
+    with exactly the connectivity of the full historical graph, so
+    ``CC(E_old ∪ E_new) == CC(stars(labels) ∪ E_new)`` — and components
+    no new edge touches cannot change at all. The maintenance step is
+    therefore sliced to the increment:
+
+    1. touched = components of any node appearing in ``new_edges``
+       (semi-join; increment-scale, so AQE broadcasts it);
+    2. recompute CC over (touched components' star edges ∪ new edges) —
+       work proportional to the affected slice, not to history;
+    3. untouched labels pass through verbatim (anti-join).
+
+    This is the daily-crawl path at the 10^12-file design point: the
+    historical EDGE set (corpus-scale) never re-enters a shuffle — only
+    the node-scale label map and the increment do. Labels stay
+    min-labeled exactly as a full recompute would produce them (the
+    recomputed slice contains every member node of every touched
+    component), so incremental-then-incremental equals
+    recompute-from-scratch bit-for-bit.
+
+    Self-loop rows (n, n) in ``new_edges`` register n as a node (new
+    singleton, or a touch of its existing component) — callers use this
+    to admit edge-less nodes such as never-linked surfaces.
+    """
+    labels = labels.select("node", "component")
+    new_edges = new_edges.select("src", "dst")
+    new_nodes = (
+        new_edges.select(F.col("src").alias("node"))
+        .union(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    touched = cut_lineage(
+        labels.join(new_nodes, "node", "left_semi").select("component").distinct()
+    )
+    sub_stars = labels.join(touched, "component", "left_semi").select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    merged = connected_components(
+        sub_stars.unionByName(new_edges),
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+    unchanged = labels.join(touched, "component", "left_anti")
+    return unchanged.unionByName(merged.select("node", "component"))
+
+
 def canonical_vertices(
     links: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
 ) -> DataFrame:

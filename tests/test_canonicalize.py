@@ -127,3 +127,81 @@ def test_distributed_cc_keeps_self_loop_nodes(spark):
     BOTH strategies (they must be interchangeable bit-for-bit)."""
     edges = [("a", "a"), ("b", "c")]
     assert _cc_map(spark, edges, driver_threshold=0) == _cc_map(spark, edges)
+
+
+def _labels_df(spark, edges, **kwargs):
+    return connected_components(
+        spark.createDataFrame(edges, "src string, dst string"), **kwargs
+    )
+
+
+def test_incremental_components_equals_full(spark):
+    """Batched maintenance == recompute-from-scratch, bit-for-bit, across
+    two successive increments (incremental-of-incremental)."""
+    from spacy_llm_spark.operators.canonicalize import incremental_components
+
+    # deterministic graph: chains that later batches splice together,
+    # plus components the increments never touch
+    batch0 = [(f"a{i:02d}", f"a{i+1:02d}") for i in range(8)] + [
+        ("u0", "u1"), ("u1", "u2"), ("iso0", "iso0"),
+    ]
+    batch1 = [(f"b{i:02d}", f"b{i+1:02d}") for i in range(6)] + [
+        ("a04", "b03"),  # splice into batch0's chain
+    ]
+    batch2 = [("b00", "c00"), ("c00", "c01"), ("z9", "z9")]
+
+    labels = _labels_df(spark, batch0)
+    labels = incremental_components(
+        labels, spark.createDataFrame(batch1, "src string, dst string")
+    )
+    labels = incremental_components(
+        labels, spark.createDataFrame(batch2, "src string, dst string")
+    )
+    got = {r.node: r.component for r in labels.collect()}
+    want = {
+        r.node: r.component
+        for r in _labels_df(spark, batch0 + batch1 + batch2).collect()
+    }
+    assert got == want
+    assert len(got) == len(labels.collect())  # no duplicate node rows
+
+
+def test_incremental_components_untouched_pass_through(spark):
+    """Components no new edge touches are emitted verbatim — the slice
+    entering the recompute is increment-scale, not history-scale."""
+    from spacy_llm_spark.operators.canonicalize import incremental_components
+
+    labels = _labels_df(spark, [("a", "b"), ("u0", "u1"), ("u1", "u2")])
+    out = incremental_components(
+        labels,
+        spark.createDataFrame([("a", "new0"), ("fresh0", "fresh1")],
+                              "src string, dst string"),
+    )
+    got = {r.node: r.component for r in out.collect()}
+    # untouched component unchanged
+    assert got["u0"] == got["u1"] == got["u2"] == "u0"
+    # touched component absorbed the new node, label stable at the min
+    assert got["a"] == got["b"] == got["new0"] == "a"
+    # brand-new component labeled by its own min
+    assert got["fresh0"] == got["fresh1"] == "fresh0"
+
+
+def test_incremental_components_distributed_path(spark):
+    """Same equivalence with the star-round CC forced (driver_threshold=0)."""
+    from spacy_llm_spark.operators.canonicalize import incremental_components
+
+    batch0 = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(6)]
+    batch1 = [("n03", "m00"), ("m00", "m01"), ("q0", "q0")]
+    labels = _labels_df(spark, batch0, driver_threshold=0)
+    out = incremental_components(
+        labels,
+        spark.createDataFrame(batch1, "src string, dst string"),
+        driver_threshold=0,
+    )
+    got = {r.node: r.component for r in out.collect()}
+    want = {
+        r.node: r.component
+        for r in _labels_df(spark, batch0 + batch1, driver_threshold=0).collect()
+    }
+    assert got == want
+    assert got["q0"] == "q0"  # self-loop admitted as a singleton
