@@ -611,18 +611,14 @@ def q_kg_vertices(spark, sf_dir):
     return canon.canonical_vertices(links)
 
 
-def q_kg_vertices_incremental(spark, sf_dir):
-    """Incremental canonicalization (operators/canonicalize.py:
-    incremental_components): labels built from the first 80% of docs,
-    then the remaining docs' links merged in WITHOUT re-shuffling the
-    historical edge set — only touched components recompute. By the
-    stars-preserve-connectivity equivalence the result must be
-    bit-identical to the full-recompute kg_vertices, so this query
-    shares kg_vertices' oracle SQL verbatim."""
+def _incremental_vertex_labels(links):
+    """(node, component) labels built from the first 80% of docs, then the
+    remaining docs' links merged via incremental_components — the
+    historical edge set never re-enters a shuffle; bit-identical to a
+    full recompute by the stars-preserve-connectivity equivalence."""
     from spacy_llm_spark.kb import NIL
     from spacy_llm_spark.operators import canonicalize as canon
 
-    links = mat.links_table(_annotated(spark, sf_dir), ("doc_id",))
     old = canon.canonical_vertices(links.where(F.col("doc_id") % 5 != 0))
     new_pairs = canon.surface_kb_pairs(links.where(F.col("doc_id") % 5 == 0))
     real_edges = new_pairs.where(F.col("kb_id") != NIL).select(
@@ -638,16 +634,48 @@ def q_kg_vertices_incremental(spark, sf_dir):
         .union(new_pairs.where(F.col("kb_id") != NIL).select("kb_id"))
         .distinct()
     )
-    merged = canon.incremental_components(
+    return canon.incremental_components(
         old.select("node", "component"),
         real_edges.unionByName(
             new_nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         ),
     )
-    return merged.select(
+
+
+def q_kg_vertices_incremental(spark, sf_dir):
+    """Incremental canonicalization (operators/canonicalize.py:
+    incremental_components): only components touched by the new batch
+    recompute; shares kg_vertices' oracle SQL verbatim."""
+    links = mat.links_table(_annotated(spark, sf_dir), ("doc_id",))
+    return _incremental_vertex_labels(links).select(
         "node",
         "component",
         (~F.col("node").startswith("surface:")).alias("is_kb"),
+    )
+
+
+def q_kg_canonical_edges_incremental(spark, sf_dir):
+    """Incremental canonical-triple maintenance (canonicalize.py:
+    incremental_canonical_edges): the stored canonical table from the
+    first 80% of docs is remapped through the updated label map (one
+    broadcast join — historical raw triples never re-read), and only the
+    increment's triples are canonicalized from scratch. Bit-identical to
+    a full rebuild, so it shares kg_canonical_edges' oracle verbatim."""
+    from spacy_llm_spark.operators import canonicalize as canon
+
+    ann = _annotated(spark, sf_dir)
+    links = mat.links_table(ann, ("doc_id",))
+    edges = mat.edges_table(ann, ("doc_id",))
+    v_old = canon.canonical_vertices(links.where(F.col("doc_id") % 5 != 0))
+    c_old = canon.canonical_edges(
+        edges.where(F.col("doc_id") % 5 != 0), v_old
+    )
+    v_new = _incremental_vertex_labels(links)
+    ce = canon.incremental_canonical_edges(
+        c_old, edges.where(F.col("doc_id") % 5 == 0), v_new
+    )
+    return _as_long(
+        ce.select("doc_id", "rel_idx", "subj", "pred", "obj"), "rel_idx"
     )
 
 
@@ -1085,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_vertices": q_kg_vertices,
         "kg_vertices_incremental": q_kg_vertices_incremental,
+        "kg_canonical_edges_incremental": q_kg_canonical_edges_incremental,
         "cache_probe_anti_join": q_cache_probe_anti_join,
         "token_count": q_token_count,
         "distinct_tokens": q_distinct_tokens,
@@ -2003,4 +2032,5 @@ FROM events GROUP BY 1
     }
     # incremental == full recompute by construction -> same oracle text
     sql["kg_vertices_incremental"] = sql["kg_vertices"]
+    sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     return sql

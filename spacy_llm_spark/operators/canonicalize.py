@@ -332,6 +332,33 @@ def canonical_vertices(
     )
 
 
+def incremental_canonical_edges(
+    canonical: DataFrame, new_edges: DataFrame, new_vertices: DataFrame
+) -> DataFrame:
+    """Maintain a materialized canonical triple table under an increment.
+
+    ``canonical`` is the previously materialized table (endpoints already
+    on OLD canonical ids), ``new_edges`` the increment's raw triples, and
+    ``new_vertices`` the updated label map (e.g. from
+    ``incremental_components``). Old canonical ids are themselves graph
+    nodes, and components only ever merge, so remapping the stored
+    canonical ids through the new label map lands every historical triple
+    on its new component — identical to re-canonicalizing the raw
+    historical edges, WITHOUT storing or re-reading them. Self-labeled
+    ids are filtered out of the remap (an unmoved canonical id maps to
+    itself via the join miss), so the pass-through is one broadcast left
+    join against the entity-scale label map — the corpus-scale triple
+    table still never shuffles, and only the increment's raw triples are
+    (re)canonicalized from scratch.
+    """
+    moved = new_vertices.where(F.col("node") != F.col("component")).select(
+        "node", "component"
+    )
+    return canonical_edges(canonical, moved).unionByName(
+        canonical_edges(new_edges, new_vertices)
+    )
+
+
 def canonical_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Rewrite triple endpoints onto canonical component ids.
 

@@ -205,3 +205,34 @@ def test_incremental_components_distributed_path(spark):
     }
     assert got == want
     assert got["q0"] == "q0"  # self-loop admitted as a singleton
+
+
+def test_incremental_canonical_edges_equals_full(spark):
+    """Remapping the stored canonical table through the updated label map
+    (+ canonicalizing only the increment's raw triples) equals rebuilding
+    the canonical table from all raw triples with the new labels."""
+    from spacy_llm_spark.operators.canonicalize import (
+        canonical_edges,
+        incremental_canonical_edges,
+        incremental_components,
+    )
+
+    ent0 = [("s:a", "K1"), ("s:b", "K2")]
+    ent1 = [("K1", "K2"), ("s:c", "K3")]  # merges K1/K2; brand-new K3 comp
+    tri0 = [("s:a", "uses", "K1", 1), ("K2", "uses", "s:b", 2)]
+    tri1 = [("s:c", "uses", "K3", 3), ("s:b", "uses", "K1", 4)]
+    tdf = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "subj string, pred string, obj string, doc_id long"
+    )
+    edf = lambda rows: spark.createDataFrame(rows, "src string, dst string")  # noqa: E731
+
+    v_old = _labels_df(spark, ent0)
+    c_old = canonical_edges(tdf(tri0), v_old)
+    v_new = incremental_components(v_old, edf(ent1))
+    got = incremental_canonical_edges(c_old, tdf(tri1), v_new)
+
+    want = canonical_edges(tdf(tri0 + tri1), _labels_df(spark, ent0 + ent1))
+    key = lambda r: (r.subj, r.pred, r.obj, r.doc_id)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    # the merged component relabeled BOTH old triples' endpoints
+    assert {r.subj for r in got.collect() if r.doc_id in (1, 2)} == {"K1"}
