@@ -236,3 +236,57 @@ def test_incremental_canonical_edges_equals_full(spark):
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
     # the merged component relabeled BOTH old triples' endpoints
     assert {r.subj for r in got.collect() if r.doc_id in (1, 2)} == {"K1"}
+
+
+def test_incremental_components_property(spark):
+    """Random edge batches: sequential incremental maintenance equals
+    full recompute for every prefix, including empty/self-loop batches.
+    Pure-python union-find is the independent oracle."""
+    from hypothesis import given, settings, strategies as st
+
+    from spacy_llm_spark.operators.canonicalize import incremental_components
+
+    nodes = [f"v{i}" for i in range(12)]
+    edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+    batches = st.lists(
+        st.lists(edge, min_size=0, max_size=6), min_size=2, max_size=3
+    )
+
+    def uf_labels(edges):
+        parent = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        return {n: find(n) for n in parent}
+
+    @given(batches)
+    @settings(max_examples=12, deadline=None)
+    def run(bs):
+        if not bs[0]:
+            bs[0] = [("v0", "v0")]  # labels need at least one node
+        labels = connected_components(
+            spark.createDataFrame(bs[0], "src string, dst string")
+        )
+        seen = list(bs[0])
+        for batch in bs[1:]:
+            if not batch:
+                continue
+            labels = incremental_components(
+                labels, spark.createDataFrame(batch, "src string, dst string")
+            )
+            seen += batch
+            got = {r.node: r.component for r in labels.collect()}
+            assert got == uf_labels(seen)
+
+    run()
