@@ -94,3 +94,23 @@ def test_partitioned_sink_prunes_partitions_at_read(spark, tmp_path):
     plan = _plan(rd)
     assert "PartitionFilters: [" in plan
     assert "= py" in plan.split("PartitionFilters")[1]
+
+
+def test_canonical_edge_remap_never_shuffles_triples(spark):
+    """canonical_edges (and therefore the incremental pass-through remap)
+    rewrites endpoints with broadcast joins only — the corpus-scale
+    triple table must not hash-shuffle."""
+    from spacy_llm_spark.operators.canonicalize import canonical_edges
+
+    triples = spark.createDataFrame(
+        [("s:a", "uses", "K1", 1), ("K2", "uses", "s:b", 2)],
+        "subj string, pred string, obj string, doc_id long",
+    )
+    vmap = spark.createDataFrame(
+        [("s:a", "K1"), ("s:b", "K2")], "node string, component string"
+    )
+    out = canonical_edges(triples, vmap)
+    out.collect()  # let AQE finalize
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
