@@ -286,6 +286,32 @@ def q_lsh_dedup_verified(spark, sf_dir):
     )
 
 
+def q_lsh_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup (operators/dedup.py:minhash_lsh_probe): the
+    original docs are the standing corpus, pre-banded once into a
+    persistable LSH index; the doubled copies arrive as a new batch and
+    probe the index — only the increment shingles/hashes. By the
+    pairs(old) ∪ probe(new) == pairs(old ∪ new) equivalence, verified
+    pairs equal the full-recompute lsh_dedup_verified, whose oracle this
+    query shares verbatim."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    kw = dict(n_hashes=32, bands=8, shingle_k=3, threshold=1.0)
+    idx = dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=3)
+    pairs = dedup.minhash_lsh_dup_pairs(docs, **kw).unionByName(
+        dedup.minhash_lsh_probe(batch, idx, **kw)
+    )
+    doubled = docs.unionByName(batch)
+    texts = doubled.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    texts_b = doubled.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(texts, "id_a")
+        .join(texts_b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+
+
 def q_jaccard_vs_probe(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     probe_text = (
@@ -1123,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_offsets": q_substring_offsets,
         "dedup_exact": q_dedup_exact,
         "lsh_dedup_verified": q_lsh_dedup_verified,
+        "lsh_dedup_incremental": q_lsh_dedup_incremental,
         "jaccard_vs_probe": q_jaccard_vs_probe,
         "word_stats": q_word_stats,
         "salted_repo_stats": q_salted_repo_stats,
@@ -2033,4 +2060,5 @@ FROM events GROUP BY 1
     # incremental == full recompute by construction -> same oracle text
     sql["kg_vertices_incremental"] = sql["kg_vertices"]
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
+    sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     return sql

@@ -169,6 +169,133 @@ def _cap_hot_buckets(
     return capped
 
 
+def minhash_lsh_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """The persistable LSH index: one (id, sig, band, bucket) row per
+    document per band. Write it out once (ideally bucketed on ``bucket``,
+    see sources/bucketed.py) and new crawl batches dedup against it via
+    ``minhash_lsh_probe`` — the corpus never re-shingles. The signature
+    rides along per band row (bands× duplication) so a probe join needs
+    no second corpus-side lookup to verify candidates; at 64 hashes ×
+    16 bands that is ~8 KB/doc of index, trivially worth the saved join.
+    """
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        shingle_k=shingle_k, seed=seed,
+    )
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    return _cap_hot_buckets(
+        banded, id_col, max_bucket_size, log_drops=log_drops, what="minhash_lsh"
+    )
+
+
+def _pair_est(pairs: DataFrame, n_hashes: int, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard_est) survivors: estimate + threshold BEFORE
+    the pair distinct (slim rows through the dedup shuffle)."""
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / F.lit(n_hashes)
+    ).alias("jaccard_est")
+    return (
+        pairs.select("id_a", "id_b", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    include_new_pairs: bool = True,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Near-dup pairs between a new batch and an existing
+    ``minhash_lsh_index`` — plus, with ``include_new_pairs``, pairs
+    within the batch itself, so that
+
+        pairs(old corpus) ∪ probe(batch vs index(old corpus))
+            == pairs(old corpus ∪ batch)
+
+    (exactly, modulo hot-bucket caps, which apply per frame). This is the
+    daily-crawl dedup path: only the increment shingles and hashes; the
+    corpus side is a pre-banded index read. Ids are normalized to
+    id_a < id_b to match ``minhash_lsh_dup_pairs``. Params must match the
+    ones the index was built with (same seed/bands/shingles, or buckets
+    won't align).
+    """
+    pb = minhash_lsh_index(
+        new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        bands=bands, shingle_k=shingle_k, seed=seed,
+        max_bucket_size=max_bucket_size, log_drops=log_drops,
+    )
+    # materialized once: joined against the index AND self-joined
+    pb = cut_lineage(pb)
+
+    l, r = pb.alias("l"), index.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    cross = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (lid != rid),
+    ).select(
+        F.least(lid, rid).alias("id_a"),
+        F.greatest(lid, rid).alias("id_b"),
+        F.when(lid < rid, F.col("l.sig")).otherwise(F.col("r.sig")).alias("sig_a"),
+        F.when(lid < rid, F.col("r.sig")).otherwise(F.col("l.sig")).alias("sig_b"),
+    )
+    if include_new_pairs:
+        nl, nr = pb.alias("nl"), pb.alias("nr")
+        new_new = nl.join(
+            nr,
+            (F.col("nl.band") == F.col("nr.band"))
+            & (F.col("nl.bucket") == F.col("nr.bucket"))
+            & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
+        ).select(
+            F.col(f"nl.{id_col}").alias("id_a"),
+            F.col(f"nr.{id_col}").alias("id_b"),
+            F.col("nl.sig").alias("sig_a"),
+            F.col("nr.sig").alias("sig_b"),
+        )
+        cross = cross.unionByName(new_new)
+    return _pair_est(cross, n_hashes, threshold)
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     *,
@@ -187,26 +314,10 @@ def minhash_lsh_dup_pairs(
     hotter than ``max_bucket_size`` are capped (lowest ids kept) so a
     degenerate corpus can't make the self-join quadratic.
     """
-    rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
-        shingle_k=shingle_k, seed=seed,
-    )
-
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
-            ).alias("bucket"),
-        )
-        for i in range(bands)
-    ]
-    banded = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
-    banded = _cap_hot_buckets(
-        banded, id_col, max_bucket_size, log_drops=log_drops, what="minhash_lsh"
+    banded = minhash_lsh_index(
+        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands,
+        shingle_k=shingle_k, seed=seed, max_bucket_size=max_bucket_size,
+        log_drops=log_drops,
     )
     # materialize once: the self-join would otherwise run the signature
     # kernel (and the cap shuffle) twice, once per side
@@ -228,24 +339,7 @@ def minhash_lsh_dup_pairs(
             F.col("r.sig").alias("sig_b"),
         )
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-            )
-        )
-        / F.lit(n_hashes)
-    ).alias("jaccard_est")
-    # estimate + threshold BEFORE the pair distinct: the estimate is
-    # deterministic per pair (band duplicates agree), so deduping the slim
-    # (id_a, id_b, est) survivors shuffles ~24-byte rows after the
-    # threshold has discarded most candidates, instead of shuffling both
-    # 64-long signatures for every raw band collision
-    return (
-        pairs.select("id_a", "id_b", est)
-        .where(F.col("jaccard_est") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _pair_est(pairs, n_hashes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -575,3 +575,64 @@ def test_simhash_dup_pairs_rejects_single_block(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_blocks must divide 64 and be >= 2"):
         dedup.simhash_dup_pairs(docs, max_hamming=0, n_blocks=1)
+
+
+def test_minhash_lsh_probe_equals_full_recompute(spark):
+    """Incremental dedup: pairs(old) ∪ probe(batch vs index(old)) must
+    equal a full recompute over old ∪ batch — cross-batch, within-batch,
+    and within-old near-dups all land exactly once, ids normalized."""
+    base = "spark shuffles hash partitions across executors for the join "
+    old_rows = [
+        (0, base + "alpha"),
+        (1, base + "alpha"),          # within-old exact dup
+        (2, "completely different text about entirely other topics"),
+    ]
+    new_rows = [
+        (10, base + "alpha"),         # cross-batch dup of 0/1
+        (11, base + "beta"),          # near-dup variant
+        (12, base + "beta"),          # within-batch dup of 11
+        (13, "yet another unrelated document body with no overlap"),
+    ]
+    kw = dict(n_hashes=32, bands=8, shingle_k=2, threshold=0.5,
+              max_bucket_size=None)
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    full = dedup.minhash_lsh_dup_pairs(old.unionByName(new), **kw)
+    idx = dedup.minhash_lsh_index(
+        old, n_hashes=32, bands=8, shingle_k=2, max_bucket_size=None
+    )
+    incr = dedup.minhash_lsh_dup_pairs(old, **kw).unionByName(
+        dedup.minhash_lsh_probe(new, idx, **kw)
+    )
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    got = sorted(
+        ((r.id_a, r.id_b, round(r.jaccard_est, 9)) for r in incr.collect())
+    )
+    want = sorted(
+        ((r.id_a, r.id_b, round(r.jaccard_est, 9)) for r in full.collect())
+    )
+    assert got == want
+    # sanity on content: the cross-batch and within-batch dups are present
+    ids = {(a, b) for a, b, _ in got}
+    assert (0, 10) in ids and (1, 10) in ids and (11, 12) in ids
+    assert (0, 1) in ids  # within-old, from the old-side pairs
+
+
+def test_minhash_lsh_probe_cross_only_mode(spark):
+    """include_new_pairs=False restricts output to batch-vs-index pairs
+    (the re-probe case where within-batch pairs were already emitted)."""
+    rows_old = [(0, "one two three four five six seven")]
+    rows_new = [
+        (10, "one two three four five six seven"),
+        (11, "one two three four five six seven"),
+    ]
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    idx = dedup.minhash_lsh_index(old, n_hashes=32, bands=8, shingle_k=2)
+    out = dedup.minhash_lsh_probe(
+        new, idx, n_hashes=32, bands=8, shingle_k=2, threshold=1.0,
+        include_new_pairs=False,
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert got == {(0, 10), (0, 11)}  # no (10, 11)
