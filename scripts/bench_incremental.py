@@ -1,0 +1,103 @@
+"""Quantify the incremental-maintenance claim: merging a small edge
+batch into an existing label map must cost a fraction of a full CC
+recompute, and the result must be identical.
+
+Graph: the same 100-chains-of-2000 shape bench.py times for distributed
+CC (200k edges, diameter 2000 — a worst case for label propagation).
+Increment: 100 extra edges (0.05%) splicing chain ends. Both runs use
+driver_threshold=0 so the distributed star-round path is what's timed.
+
+Prints one JSON line:
+  {"full_cc_sec": ..., "incremental_sec": ..., "speedup": ...,
+   "labels_match": true, "n_edges": 200000, "n_increment": 100, ...}
+
+Usage: python scripts/bench_incremental.py [n_base_edges] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spacy_llm_spark import get_spark
+from spacy_llm_spark.operators import canonicalize as canon
+
+
+def chain_edges(spark, n: int, chunk: int = 2000):
+    ids = spark.range(n)
+    return ids.where(F.col("id") % chunk != chunk - 1).select(
+        F.format_string("c%08d", "id").alias("src"),
+        F.format_string("c%08d", F.col("id") + 1).alias("dst"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "8")
+    )
+    spark = get_spark(
+        app_name="bench-incremental",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    base = chain_edges(spark, n).localCheckpoint()  # inputs pre-materialized
+    # increment: ~100 edges touching TWO of the 100 chains — one splice
+    # (chain 0 -> chain 1) plus shortcut edges inside chain 0. The touched
+    # slice is 2 components (4k nodes of 200k); everything else must pass
+    # through untouched.
+    inc_rows = [("c00001999", "c00002000")] + [
+        (f"c{i:08d}", f"c{i + 2:08d}") for i in range(0, 198, 2)
+    ]
+    inc = spark.createDataFrame(inc_rows, "src string, dst string").localCheckpoint()
+
+    t0 = time.time()
+    labels = canon.connected_components(base, max_iter=30, driver_threshold=0)
+    labels = labels.localCheckpoint()  # the standing map a real job persists
+    base_cc_sec = time.time() - t0
+
+    t0 = time.time()
+    incr = canon.incremental_components(
+        labels, inc, max_iter=30, driver_threshold=0
+    ).localCheckpoint()
+    incremental_sec = time.time() - t0
+
+    t0 = time.time()
+    full = canon.connected_components(
+        base.unionByName(inc), max_iter=30, driver_threshold=0
+    ).localCheckpoint()
+    full_cc_sec = time.time() - t0
+
+    mismatches = (
+        incr.alias("a")
+        .join(full.alias("b"), "node", "full")
+        .where(
+            F.col("a.component").isNull()
+            | F.col("b.component").isNull()
+            | (F.col("a.component") != F.col("b.component"))
+        )
+        .count()
+    )
+    spark.stop()
+    print(json.dumps({
+        "metric": "incremental_vs_full_cc",
+        "n_edges": n,
+        "n_increment": len(inc_rows),
+        "base_cc_sec": round(base_cc_sec, 3),
+        "full_cc_sec": round(full_cc_sec, 3),
+        "incremental_sec": round(incremental_sec, 3),
+        "speedup": round(full_cc_sec / incremental_sec, 2),
+        "labels_match": mismatches == 0,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()
