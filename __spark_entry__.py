@@ -568,6 +568,29 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b")
 
 
+def q_embedding_lsh_incremental(spark, sf_dir):
+    """Incremental embedding dedup (dedup.embedding_lsh_probe): the
+    original vectors are the standing corpus, pre-banded once into a
+    persistable index; the perturbed copies arrive as a new batch and
+    probe it — only the increment runs the hyperplane matmul. Equivalent
+    to the full recompute, so it shares embedding_dup_pairs' brute-force
+    oracle verbatim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.select("embedding").head()[0])
+    batch = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    kw = dict(threshold=0.95, bands=24, planes_per_band=12, dim=dim)
+    idx = dedup.embedding_lsh_index(emb, bands=24, planes_per_band=12, dim=dim)
+    pairs = dedup.embedding_dup_pairs(emb, **kw).unionByName(
+        dedup.embedding_lsh_probe(batch, idx, **kw)
+    )
+    return pairs.select("id_a", "id_b")
+
+
 def q_detect_language(spark, sf_dir):
     return textfn.detect_language(_docs(spark, sf_dir))
 
@@ -1167,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_revenue": q_order_revenue,
         "media_stats": q_media_stats,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_lsh_incremental": q_embedding_lsh_incremental,
         "detect_language": q_detect_language,
         "simhash": q_simhash,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2061,4 +2085,5 @@ FROM events GROUP BY 1
     sql["kg_vertices_incremental"] = sql["kg_vertices"]
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
+    sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
     return sql

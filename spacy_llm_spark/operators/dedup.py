@@ -666,15 +666,10 @@ def embedding_dup_pairs(
     zip_with/aggregate lambdas — higher-order expressions fall out of
     whole-stage codegen and are ~30x slower per row (measured).
     """
-    sigs = hyperplane_band_buckets(
+    banded = embedding_lsh_index(
         df, vec_col=vec_col, id_col=id_col, bands=bands,
         planes_per_band=planes_per_band, seed=seed, dim=dim,
-    )
-    banded = sigs.select(
-        F.col(id_col), F.col(vec_col), F.posexplode("buckets").alias("band", "bucket")
-    )
-    banded = _cap_hot_buckets(
-        banded, id_col, max_bucket_size, log_drops=log_drops, what="embedding_lsh"
+        max_bucket_size=max_bucket_size, log_drops=log_drops,
     )
     # materialize once: the self-join would otherwise run the signature
     # matmul kernel (and the cap shuffle) twice, once per side
@@ -696,12 +691,25 @@ def embedding_dup_pairs(
         )
     )
 
+    return _cosine_verified(pairs, df.schema[id_col].dataType, threshold)
+
+
+def _cosine_verified(pairs: DataFrame, id_type, threshold: float) -> DataFrame:
+    """Exact-cosine verify of (id_a, id_b, _va, _vb) candidate pairs.
+
+    Verify + threshold run BEFORE the pair distinct: the cosine is
+    bit-deterministic per pair (same vectors, same kernel), so deduping
+    the slim (id_a, id_b, cosine) survivors shuffles ~24-byte rows after
+    the threshold discarded most candidates, instead of shuffling both
+    full embedding vectors for every raw band collision; band-duplicate
+    pairs re-run the cheap numpy verify instead.
+    """
     from pyspark.sql.types import DoubleType
 
     verify_schema = StructType(
         [
-            StructField("id_a", df.schema[id_col].dataType),
-            StructField("id_b", df.schema[id_col].dataType),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
             StructField("cosine", DoubleType()),
         ]
     )
@@ -720,14 +728,105 @@ def embedding_dup_pairs(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
             )
 
-    # verify + threshold BEFORE the pair distinct: the cosine is
-    # bit-deterministic per pair (same vectors, same kernel), so deduping
-    # the slim (id_a, id_b, cosine) survivors shuffles ~24-byte rows after
-    # the threshold discarded most candidates, instead of shuffling both
-    # full embedding vectors for every raw band collision; band-duplicate
-    # pairs re-run the cheap numpy verify instead
     return (
         pairs.mapInPandas(verify_kernel, schema=verify_schema)
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def embedding_lsh_index(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 24,
+    planes_per_band: int = 12,
+    seed: int = 7,
+    dim: int,
+    max_bucket_size: int | None = 1000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """The persistable embedding-LSH index: one (id, vec, band, bucket)
+    row per vector per band. Write it once (ideally bucketed on
+    ``bucket``, sources/bucketed.py) and new vector batches dedup against
+    it via ``embedding_lsh_probe`` — the standing corpus never re-hashes.
+    The vector rides along per band row so candidate verification needs
+    no second corpus-side lookup.
+    """
+    sigs = hyperplane_band_buckets(
+        df, vec_col=vec_col, id_col=id_col, bands=bands,
+        planes_per_band=planes_per_band, seed=seed, dim=dim,
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col(vec_col), F.posexplode("buckets").alias("band", "bucket")
+    )
+    return _cap_hot_buckets(
+        banded, id_col, max_bucket_size, log_drops=log_drops, what="embedding_lsh"
+    )
+
+
+def embedding_lsh_probe(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 24,
+    planes_per_band: int = 12,
+    threshold: float = 0.95,
+    seed: int = 7,
+    dim: int,
+    max_bucket_size: int | None = 1000,
+    include_new_pairs: bool = True,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Near-duplicate vector pairs between a new batch and an existing
+    ``embedding_lsh_index`` — plus, with ``include_new_pairs``, pairs
+    within the batch itself, so that pairs(old) ∪ probe(batch) equals a
+    full recompute over old ∪ batch (modulo per-frame hot-bucket caps).
+    Only the increment runs the hyperplane matmul; the corpus side is a
+    pre-banded index read. Params must match the index build (same
+    seed/bands/planes, or buckets won't align). Ids are normalized to
+    id_a < id_b to match ``embedding_dup_pairs``.
+    """
+    pb = embedding_lsh_index(
+        new_vecs, vec_col=vec_col, id_col=id_col, bands=bands,
+        planes_per_band=planes_per_band, seed=seed, dim=dim,
+        max_bucket_size=max_bucket_size, log_drops=log_drops,
+    )
+    # materialized once: joined against the index AND self-joined
+    pb = cut_lineage(pb)
+
+    l, r = pb.alias("l"), index.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    cross = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (lid != rid),
+    ).select(
+        F.least(lid, rid).alias("id_a"),
+        F.greatest(lid, rid).alias("id_b"),
+        F.when(lid < rid, F.col(f"l.{vec_col}"))
+        .otherwise(F.col(f"r.{vec_col}"))
+        .alias("_va"),
+        F.when(lid < rid, F.col(f"r.{vec_col}"))
+        .otherwise(F.col(f"l.{vec_col}"))
+        .alias("_vb"),
+    )
+    if include_new_pairs:
+        nl, nr = pb.alias("nl"), pb.alias("nr")
+        new_new = nl.join(
+            nr,
+            (F.col("nl.band") == F.col("nr.band"))
+            & (F.col("nl.bucket") == F.col("nr.bucket"))
+            & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
+        ).select(
+            F.col(f"nl.{id_col}").alias("id_a"),
+            F.col(f"nr.{id_col}").alias("id_b"),
+            F.col(f"nl.{vec_col}").alias("_va"),
+            F.col(f"nr.{vec_col}").alias("_vb"),
+        )
+        cross = cross.unionByName(new_new)
+    return _cosine_verified(cross, new_vecs.schema[id_col].dataType, threshold)

@@ -636,3 +636,43 @@ def test_minhash_lsh_probe_cross_only_mode(spark):
     )
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert got == {(0, 10), (0, 11)}  # no (10, 11)
+
+
+def test_embedding_lsh_probe_equals_full_recompute(spark):
+    """Incremental embedding dedup: pairs(old) ∪ probe(batch vs
+    index(old)) equals a full recompute over old ∪ batch — cosines
+    bit-identical, ids normalized."""
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(60, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    old_rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # batch: near-dups of old vectors 0..9, plus 10 fresh ones where two
+    # are near-dups of each other (within-batch pair)
+    new_rows = [
+        (1000 + i, [float(x) + 0.02 for x in base[i]]) for i in range(10)
+    ]
+    new_rows += [(2000 + i, [float(x) for x in base[40 + i]]) for i in range(10)]
+    new_rows += [(3000, [float(x) + 0.02 for x in base[50]]),
+                 (3001, [float(x) + 0.021 for x in base[50]])]
+    kw = dict(bands=16, planes_per_band=8, threshold=0.9, dim=16,
+              max_bucket_size=None)
+    old = spark.createDataFrame(old_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+
+    full = dedup.embedding_dup_pairs(old.unionByName(new), **kw)
+    idx = dedup.embedding_lsh_index(
+        old, bands=16, planes_per_band=8, dim=16, max_bucket_size=None
+    )
+    incr = dedup.embedding_dup_pairs(old, **kw).unionByName(
+        dedup.embedding_lsh_probe(new, idx, **kw)
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 12)) for r in incr.collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, round(r.cosine, 12)) for r in full.collect()
+    )
+    assert got == want
+    ids = {(a, b) for a, b, _ in got}
+    assert (0, 1000) in ids          # cross-batch near-dup
+    assert (3000, 3001) in ids       # within-batch near-dup
