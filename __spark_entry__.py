@@ -607,6 +607,21 @@ def q_simhash_dup_pairs(spark, sf_dir):
     return dedup.simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_simhash_incremental(spark, sf_dir):
+    """Incremental SimHash dedup (dedup.simhash_lsh_probe): first 80% of
+    docs pre-banded into a persistable block index; the rest arrive as a
+    batch and probe it — only the increment fingerprints. Equals the full
+    recompute (banding recall is exactly 1.0 at hamming<=3 < 4 blocks),
+    so it shares simhash_dup_pairs' brute-force oracle verbatim."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    idx = dedup.simhash_lsh_index(old)
+    return dedup.simhash_dup_pairs(old, max_hamming=3).unionByName(
+        dedup.simhash_lsh_probe(batch, idx, max_hamming=3)
+    )
+
+
 def q_dedup_cluster_reps(spark, sf_dir):
     # near-dup pairs canonicalized to clusters via connected components;
     # oracle computes the transitive closure with a recursive CTE
@@ -1194,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_language": q_detect_language,
         "simhash": q_simhash,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "simhash_incremental": q_simhash_incremental,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "quality_score": q_quality_score,
         "corpus_clean": q_corpus_clean,
@@ -2086,4 +2102,5 @@ FROM events GROUP BY 1
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
+    sql["simhash_incremental"] = sql["simhash_dup_pairs"]
     return sql

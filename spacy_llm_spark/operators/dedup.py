@@ -393,6 +393,133 @@ def simhash(
     return voted.select(id_col, sim_expr.alias("simhash"))
 
 
+def _check_pigeonhole(max_hamming: int, n_blocks: int) -> None:
+    if not 2 <= n_blocks <= 64 or 64 % n_blocks:
+        # n_blocks=1 would need a 64-bit all-ones mask (doesn't fit a
+        # signed long literal) and means hamming=0, i.e. exact fingerprint
+        # equality — use exact_dedup / fingerprint for that
+        raise ValueError("n_blocks must divide 64 and be >= 2")
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            "pigeonhole banding requires max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks})"
+        )
+
+
+def simhash_lsh_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 4,
+    token_hash: str = "sha2_60",
+    max_bucket_size: int | None = 1000,
+    log_drops: bool = False,
+) -> DataFrame:
+    """The persistable SimHash block index: one (id, simhash, band,
+    bucket) row per document per bit-block. Write it once and new batches
+    dedup against it via ``simhash_lsh_probe`` — the standing corpus
+    never re-fingerprints. All native expressions.
+    """
+    _check_pigeonhole(0, n_blocks)
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col=text_col, id_col=id_col, token_hash=token_hash)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), width * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    banded = fp.select(
+        id_col, "simhash", F.explode(blocks).alias("bv")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.bucket").alias("bucket"),
+    )
+    return _cap_hot_buckets(
+        banded, id_col, max_bucket_size, log_drops=log_drops, what="simhash"
+    )
+
+
+def simhash_lsh_probe(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    token_hash: str = "sha2_60",
+    max_bucket_size: int | None = 1000,
+    include_new_pairs: bool = True,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Hamming near-dup pairs between a new batch and an existing
+    ``simhash_lsh_index`` — plus, with ``include_new_pairs``, pairs
+    within the batch, so pairs(old) ∪ probe(batch) equals the full
+    recompute over old ∪ batch (modulo per-frame hot-bucket caps; the
+    banding itself stays recall-1.0 for max_hamming < n_blocks). Only
+    the increment fingerprints; the corpus side is a pre-banded index
+    read. ``n_blocks``/``token_hash`` must match the index build. Ids
+    normalized to id_a < id_b to match ``simhash_dup_pairs``.
+    """
+    _check_pigeonhole(max_hamming, n_blocks)
+    pb = cut_lineage(simhash_lsh_index(
+        new_docs, text_col=text_col, id_col=id_col, n_blocks=n_blocks,
+        token_hash=token_hash, max_bucket_size=max_bucket_size,
+        log_drops=log_drops,
+    ))
+    l, r = pb.alias("l"), index.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    hamming_ok = (
+        F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+        <= max_hamming
+    )
+    cross = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (lid != rid),
+        )
+        .where(hamming_ok)
+        .select(
+            F.least(lid, rid).alias("id_a"),
+            F.greatest(lid, rid).alias("id_b"),
+        )
+    )
+    if include_new_pairs:
+        nl, nr = pb.alias("nl"), pb.alias("nr")
+        new_new = (
+            nl.join(
+                nr,
+                (F.col("nl.band") == F.col("nr.band"))
+                & (F.col("nl.bucket") == F.col("nr.bucket"))
+                & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
+            )
+            .where(
+                F.bit_count(
+                    F.col("nl.simhash").bitwiseXOR(F.col("nr.simhash"))
+                )
+                <= max_hamming
+            )
+            .select(
+                F.col(f"nl.{id_col}").alias("id_a"),
+                F.col(f"nr.{id_col}").alias("id_b"),
+            )
+        )
+        cross = cross.unionByName(new_new)
+    return cross.distinct()
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     *,
@@ -425,41 +552,12 @@ def simhash_dup_pairs(
     overflow a bucket; pass ``max_bucket_size=None`` for guaranteed-total
     recall when the corpus is known not to be degenerate.
     """
-    if not 2 <= n_blocks <= 64 or 64 % n_blocks:
-        # n_blocks=1 would need a 64-bit all-ones mask (doesn't fit a
-        # signed long literal) and means hamming=0, i.e. exact fingerprint
-        # equality — use exact_dedup / fingerprint for that
-        raise ValueError("n_blocks must divide 64 and be >= 2")
-    if max_hamming >= n_blocks:
-        raise ValueError(
-            "pigeonhole banding requires max_hamming < n_blocks "
-            f"(got {max_hamming} >= {n_blocks})"
-        )
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
-    fp = cut_lineage(simhash(df, text_col=text_col, id_col=id_col, token_hash=token_hash))
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), width * b)
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
-            )
-            for b in range(n_blocks)
-        ]
-    )
-    banded = fp.select(
-        id_col, "simhash", F.explode(blocks).alias("bv")
-    ).select(
-        id_col,
-        "simhash",
-        F.col("bv.band").alias("band"),
-        F.col("bv.bucket").alias("bucket"),
-    )
-    banded = _cap_hot_buckets(
-        banded, id_col, max_bucket_size, log_drops=log_drops, what="simhash"
-    )
+    _check_pigeonhole(max_hamming, n_blocks)
+    banded = cut_lineage(simhash_lsh_index(
+        df, text_col=text_col, id_col=id_col, n_blocks=n_blocks,
+        token_hash=token_hash, max_bucket_size=max_bucket_size,
+        log_drops=log_drops,
+    ))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -676,3 +676,34 @@ def test_embedding_lsh_probe_equals_full_recompute(spark):
     ids = {(a, b) for a, b, _ in got}
     assert (0, 1000) in ids          # cross-batch near-dup
     assert (3000, 3001) in ids       # within-batch near-dup
+
+
+def test_simhash_lsh_probe_equals_full_recompute(spark):
+    """Incremental SimHash dedup: pairs(old) ∪ probe(batch vs index(old))
+    equals the full recompute — cross-batch, within-batch, within-old."""
+    base = "spark shuffles hash partitions across executors for the join"
+    old_rows = [
+        (0, base + " alpha"),
+        (1, base + " alpha"),
+        (2, "a completely different document about other topics entirely"),
+    ]
+    new_rows = [
+        (10, base + " alpha"),
+        (11, base + " alpha beta"),
+        (12, base + " alpha beta"),
+        (13, "yet another unrelated body of text with no shared tokens"),
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    kw = dict(max_hamming=3, n_blocks=4, max_bucket_size=None)
+
+    full = dedup.simhash_dup_pairs(old.unionByName(new), **kw)
+    idx = dedup.simhash_lsh_index(old, n_blocks=4, max_bucket_size=None)
+    incr = dedup.simhash_dup_pairs(old, **kw).unionByName(
+        dedup.simhash_lsh_probe(new, idx, **kw)
+    )
+    got = sorted((r.id_a, r.id_b) for r in incr.collect())
+    want = sorted((r.id_a, r.id_b) for r in full.collect())
+    assert got == want
+    ids = set(got)
+    assert (0, 10) in ids and (0, 1) in ids and (11, 12) in ids
