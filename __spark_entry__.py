@@ -680,30 +680,11 @@ def _incremental_vertex_labels(links):
     remaining docs' links merged via incremental_components — the
     historical edge set never re-enters a shuffle; bit-identical to a
     full recompute by the stars-preserve-connectivity equivalence."""
-    from spacy_llm_spark.kb import NIL
     from spacy_llm_spark.operators import canonicalize as canon
 
     old = canon.canonical_vertices(links.where(F.col("doc_id") % 5 != 0))
-    new_pairs = canon.surface_kb_pairs(links.where(F.col("doc_id") % 5 == 0))
-    real_edges = new_pairs.where(F.col("kb_id") != NIL).select(
-        F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
-        F.col("kb_id").alias("dst"),
-    )
-    # self-loops admit every node of the increment (incl. never-linked
-    # surfaces -> singletons), mirroring canonical_vertices' node set
-    new_nodes = (
-        new_pairs.select(
-            F.concat(F.lit("surface:"), F.col("surface_norm")).alias("n")
-        )
-        .union(new_pairs.where(F.col("kb_id") != NIL).select("kb_id"))
-        .distinct()
-    )
-    return canon.incremental_components(
-        old.select("node", "component"),
-        real_edges.unionByName(
-            new_nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-        ),
-    )
+    inc = canon.links_increment_edges(links.where(F.col("doc_id") % 5 == 0))
+    return canon.incremental_components(old.select("node", "component"), inc)
 
 
 def q_kg_vertices_incremental(spark, sf_dir):

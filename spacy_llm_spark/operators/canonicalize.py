@@ -200,6 +200,30 @@ def connected_components(
     )
 
 
+def links_increment_edges(links: DataFrame) -> DataFrame:
+    """A links batch as an entity-graph increment for
+    ``incremental_components``: the distinct (surface_node, kb_node)
+    edges, PLUS one self-loop per node seen in the batch — self-loops
+    register never-linked (all-NIL) surfaces as singleton components and
+    make re-merging a replayed batch a no-op (idempotent maintenance).
+    """
+    pairs = surface_kb_pairs(links)
+    real = pairs.where(F.col("kb_id") != NIL).select(
+        F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
+        F.col("kb_id").alias("dst"),
+    )
+    nodes = (
+        pairs.select(
+            F.concat(F.lit("surface:"), F.col("surface_norm")).alias("n")
+        )
+        .union(pairs.where(F.col("kb_id") != NIL).select("kb_id"))
+        .distinct()
+    )
+    return real.unionByName(
+        nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+    )
+
+
 def incremental_components(
     labels: DataFrame,
     new_edges: DataFrame,

@@ -42,6 +42,7 @@ def run_incremental(
     schema: Optional[str] = None,
     trigger_once: bool = True,
     source_format: str = "parquet",
+    maintain_vertices: bool = False,
 ):
     """Stream the corpus directory into KG sinks.
 
@@ -66,7 +67,9 @@ def run_incremental(
         .load(source_dir)
     )
 
-    process_batch = make_batch_processor(spark, output_dir, cfg, kb)
+    process_batch = make_batch_processor(
+        spark, output_dir, cfg, kb, maintain_vertices=maintain_vertices
+    )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", posixpath.join(output_dir, "_checkpoint")
@@ -82,13 +85,29 @@ def make_batch_processor(
     output_dir: str,
     cfg: Optional[KGConfig] = None,
     kb: Optional[KnowledgeBase] = None,
+    maintain_vertices: bool = False,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
     calling it twice with the same (batch_df, batch_id) — a crash-replay —
-    must leave the sinks exactly as a single call would."""
+    must leave the sinks exactly as a single call would.
+
+    With ``maintain_vertices`` the canonical label map is maintained LIVE:
+    each batch's links become an entity-graph increment
+    (``links_increment_edges``) merged into the latest committed label
+    snapshot via ``incremental_components`` — only components the batch
+    touches recompute, never the full history — and the updated snapshot
+    lands at {output_dir}/vertices/batch_id=N. Snapshots are full maps
+    (readers take the max committed batch_id); a crash-replayed batch
+    re-merges the same edges into a snapshot that may already contain
+    them, which is a no-op (components already merged, labels already
+    minimal), so maintenance is exactly-once without coordination. The
+    snapshot write happens BEFORE the processed-keys marker: a crash
+    between them replays the batch (idempotent), never loses the update.
+    """
     cfg = cfg or KGConfig()
     kb = kb or build_code_kb()
     processed_keys_path = posixpath.join(output_dir, "_processed_keys")
+    vertices_path = posixpath.join(output_dir, "vertices")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -152,6 +171,33 @@ def make_batch_processor(
                 table.write.mode("overwrite").parquet(
                     posixpath.join(output_dir, name, f"batch_id={batch_id}")
                 )
+            if maintain_vertices:
+                from ..operators import canonicalize as canon
+
+                inc = canon.links_increment_edges(
+                    mat.links_table(annotated, id_cols)
+                )
+                prior = fs.committed_subdirs(spark, vertices_path)
+                # exclude a torn/replayed write of THIS batch id: merging
+                # from it would still be correct (idempotent), but the
+                # prior snapshot is the canonical base
+                prior = [
+                    p for p in prior
+                    if int(p.rstrip("/").rsplit("=", 1)[-1]) != batch_id
+                ]
+                if prior:
+                    latest = max(
+                        prior, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+                    )
+                    labels = canon.incremental_components(
+                        spark.read.parquet(latest).select("node", "component"),
+                        inc,
+                    )
+                else:
+                    labels = canon.connected_components(inc)
+                labels.write.mode("overwrite").parquet(
+                    posixpath.join(vertices_path, f"batch_id={batch_id}")
+                )
             annotated.select("content_sha256").distinct().write.mode(
                 "overwrite"
             ).parquet(
@@ -165,6 +211,17 @@ def make_batch_processor(
             print(f"[stream] batch {batch_id} quarantined: {exc}")
 
     return process_batch
+
+
+def latest_vertex_snapshot(spark: SparkSession, output_dir: str):
+    """The most recent committed canonical label map maintained by a
+    ``maintain_vertices`` stream, as (node, component) — or None if no
+    snapshot has committed yet."""
+    prior = fs.committed_subdirs(spark, posixpath.join(output_dir, "vertices"))
+    if not prior:
+        return None
+    latest = max(prior, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]))
+    return spark.read.parquet(latest).select("node", "component")
 
 
 def windowed_event_counts(

@@ -799,3 +799,59 @@ def test_streaming_asof_eventtime_kill_and_resume(spark, tmp_path):
     }
     assert streamed == expected
     assert streamed == {3: (5, 7.0), 4: (2, 6.0)}
+
+
+def test_incremental_vertex_maintenance_live(spark, tmp_path):
+    """maintain_vertices=True keeps the canonical label map current
+    across micro-batch deliveries: after two waves (the second both
+    extends an existing cluster and adds a new one), the latest snapshot
+    must equal a from-scratch canonical_vertices over ALL links."""
+    from spacy_llm_spark.operators import canonicalize as canon
+    from spacy_llm_spark.operators import materialize as mat
+    from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
+    from spacy_llm_spark.streaming.incremental import latest_vertex_snapshot
+
+    src = tmp_path / "incoming"
+    out = tmp_path / "kg_out"
+    schema = "doc_id long, content string, lang string"
+    rows1 = [(1, "spark join customer", "python"), (2, "window sort table", "java")]
+    rows2 = [(3, "join filter stream", "python"), (4, "merge part region", "go")]
+
+    df1 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    df1.write.mode("append").parquet(str(src))
+    q = run_incremental(
+        spark, str(src), str(out), trigger_once=True, maintain_vertices=True
+    )
+    q.awaitTermination(120)
+    snap1 = latest_vertex_snapshot(spark, str(out))
+    assert snap1 is not None and snap1.count() > 0
+
+    df2 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    df2.write.mode("append").parquet(str(src))
+    q = run_incremental(
+        spark, str(src), str(out), trigger_once=True, maintain_vertices=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.node, r.component)
+        for r in latest_vertex_snapshot(spark, str(out)).collect()
+    }
+    corpus = (
+        spark.createDataFrame(rows1 + rows2, schema)
+        .withColumn("content_sha256", F.sha2("content", 256))
+    )
+    links = mat.links_table(
+        annotate_corpus(corpus, KGConfig(), None), ("doc_id", "content_sha256")
+    )
+    want = {
+        (r.node, r.component)
+        for r in canon.canonical_vertices(links)
+        .select("node", "component")
+        .collect()
+    }
+    assert got == want
