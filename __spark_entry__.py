@@ -294,11 +294,17 @@ def q_lsh_dedup_incremental(spark, sf_dir):
     pairs(old) ∪ probe(new) == pairs(old ∪ new) equivalence, verified
     pairs equal the full-recompute lsh_dedup_verified, whose oracle this
     query shares verbatim."""
+    from spacy_llm_spark.fs import cut_lineage
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     kw = dict(n_hashes=32, bands=8, shingle_k=3, threshold=1.0)
-    idx = dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=3)
-    pairs = dedup.minhash_lsh_dup_pairs(docs, **kw).unionByName(
+    # the index is materialized ONCE and serves both the old-side pair
+    # join and the probe — the corpus-side shingle kernel runs once
+    idx = cut_lineage(
+        dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=3)
+    )
+    pairs = dedup.minhash_lsh_dup_pairs(docs, index=idx, **kw).unionByName(
         dedup.minhash_lsh_probe(batch, idx, **kw)
     )
     doubled = docs.unionByName(batch)
@@ -583,9 +589,13 @@ def q_embedding_lsh_incremental(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
     )
+    from spacy_llm_spark.fs import cut_lineage
+
     kw = dict(threshold=0.95, bands=24, planes_per_band=12, dim=dim)
-    idx = dedup.embedding_lsh_index(emb, bands=24, planes_per_band=12, dim=dim)
-    pairs = dedup.embedding_dup_pairs(emb, **kw).unionByName(
+    idx = cut_lineage(
+        dedup.embedding_lsh_index(emb, bands=24, planes_per_band=12, dim=dim)
+    )
+    pairs = dedup.embedding_dup_pairs(emb, index=idx, **kw).unionByName(
         dedup.embedding_lsh_probe(batch, idx, **kw)
     )
     return pairs.select("id_a", "id_b")
@@ -613,11 +623,13 @@ def q_simhash_incremental(spark, sf_dir):
     batch and probe it — only the increment fingerprints. Equals the full
     recompute (banding recall is exactly 1.0 at hamming<=3 < 4 blocks),
     so it shares simhash_dup_pairs' brute-force oracle verbatim."""
+    from spacy_llm_spark.fs import cut_lineage
+
     docs = _docs(spark, sf_dir)
     old = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    idx = dedup.simhash_lsh_index(old)
-    return dedup.simhash_dup_pairs(old, max_hamming=3).unionByName(
+    idx = cut_lineage(dedup.simhash_lsh_index(old))
+    return dedup.simhash_dup_pairs(old, max_hamming=3, index=idx).unionByName(
         dedup.simhash_lsh_probe(batch, idx, max_hamming=3)
     )
 

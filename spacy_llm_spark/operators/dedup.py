@@ -229,6 +229,55 @@ def _pair_est(pairs: DataFrame, n_hashes: int, threshold: float) -> DataFrame:
     )
 
 
+def _probe_candidate_pairs(
+    pb: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_a: str,
+    out_b: str,
+    include_new_pairs: bool,
+) -> DataFrame:
+    """Shared probe scaffolding for the three incremental dedup families:
+    batch-banded frame ⋈ index on (band, bucket) — plus, optionally, the
+    within-batch self-join — with ids normalized to id_a < id_b and the
+    per-side payload (signature / fingerprint / vector) carried along as
+    (out_a, out_b) in id order for the family-specific verify step.
+    """
+    l, r = pb.alias("l"), index.alias("r")
+    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    cross = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (lid != rid),
+    ).select(
+        F.least(lid, rid).alias("id_a"),
+        F.greatest(lid, rid).alias("id_b"),
+        F.when(lid < rid, F.col(f"l.{payload_col}"))
+        .otherwise(F.col(f"r.{payload_col}"))
+        .alias(out_a),
+        F.when(lid < rid, F.col(f"r.{payload_col}"))
+        .otherwise(F.col(f"l.{payload_col}"))
+        .alias(out_b),
+    )
+    if include_new_pairs:
+        nl, nr = pb.alias("nl"), pb.alias("nr")
+        new_new = nl.join(
+            nr,
+            (F.col("nl.band") == F.col("nr.band"))
+            & (F.col("nl.bucket") == F.col("nr.bucket"))
+            & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
+        ).select(
+            F.col(f"nl.{id_col}").alias("id_a"),
+            F.col(f"nr.{id_col}").alias("id_b"),
+            F.col(f"nl.{payload_col}").alias(out_a),
+            F.col(f"nr.{payload_col}").alias(out_b),
+        )
+        cross = cross.unionByName(new_new)
+    return cross
+
+
 def minhash_lsh_probe(
     new_docs: DataFrame,
     index: DataFrame,
@@ -265,34 +314,9 @@ def minhash_lsh_probe(
     )
     # materialized once: joined against the index AND self-joined
     pb = cut_lineage(pb)
-
-    l, r = pb.alias("l"), index.alias("r")
-    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
-    cross = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (lid != rid),
-    ).select(
-        F.least(lid, rid).alias("id_a"),
-        F.greatest(lid, rid).alias("id_b"),
-        F.when(lid < rid, F.col("l.sig")).otherwise(F.col("r.sig")).alias("sig_a"),
-        F.when(lid < rid, F.col("r.sig")).otherwise(F.col("l.sig")).alias("sig_b"),
+    cross = _probe_candidate_pairs(
+        pb, index, id_col, "sig", "sig_a", "sig_b", include_new_pairs
     )
-    if include_new_pairs:
-        nl, nr = pb.alias("nl"), pb.alias("nr")
-        new_new = nl.join(
-            nr,
-            (F.col("nl.band") == F.col("nr.band"))
-            & (F.col("nl.bucket") == F.col("nr.bucket"))
-            & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
-        ).select(
-            F.col(f"nl.{id_col}").alias("id_a"),
-            F.col(f"nr.{id_col}").alias("id_b"),
-            F.col("nl.sig").alias("sig_a"),
-            F.col("nr.sig").alias("sig_b"),
-        )
-        cross = cross.unionByName(new_new)
     return _pair_est(cross, n_hashes, threshold)
 
 
@@ -308,20 +332,27 @@ def minhash_lsh_dup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     log_drops: bool = False,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     Jaccard estimate >= threshold. Shuffles only on band buckets; buckets
     hotter than ``max_bucket_size`` are capped (lowest ids kept) so a
     degenerate corpus can't make the self-join quadratic.
+
+    ``index``: a prebuilt (and caller-materialized) ``minhash_lsh_index``
+    over ``df`` — pass it when the same index also serves
+    ``minhash_lsh_probe`` so the corpus-side signature kernel runs once.
     """
-    banded = minhash_lsh_index(
-        df, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands,
-        shingle_k=shingle_k, seed=seed, max_bucket_size=max_bucket_size,
-        log_drops=log_drops,
-    )
-    # materialize once: the self-join would otherwise run the signature
-    # kernel (and the cap shuffle) twice, once per side
-    banded = cut_lineage(banded)
+    if index is not None:
+        banded = index
+    else:
+        # materialize once: the self-join would otherwise run the
+        # signature kernel (and the cap shuffle) twice, once per side
+        banded = cut_lineage(minhash_lsh_index(
+            df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+            bands=bands, shingle_k=shingle_k, seed=seed,
+            max_bucket_size=max_bucket_size, log_drops=log_drops,
+        ))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -477,47 +508,16 @@ def simhash_lsh_probe(
         token_hash=token_hash, max_bucket_size=max_bucket_size,
         log_drops=log_drops,
     ))
-    l, r = pb.alias("l"), index.alias("r")
-    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
-    hamming_ok = (
-        F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-        <= max_hamming
+    cross = _probe_candidate_pairs(
+        pb, index, id_col, "simhash", "_fa", "_fb", include_new_pairs
     )
-    cross = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (lid != rid),
+    return (
+        cross.where(
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))) <= max_hamming
         )
-        .where(hamming_ok)
-        .select(
-            F.least(lid, rid).alias("id_a"),
-            F.greatest(lid, rid).alias("id_b"),
-        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    if include_new_pairs:
-        nl, nr = pb.alias("nl"), pb.alias("nr")
-        new_new = (
-            nl.join(
-                nr,
-                (F.col("nl.band") == F.col("nr.band"))
-                & (F.col("nl.bucket") == F.col("nr.bucket"))
-                & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
-            )
-            .where(
-                F.bit_count(
-                    F.col("nl.simhash").bitwiseXOR(F.col("nr.simhash"))
-                )
-                <= max_hamming
-            )
-            .select(
-                F.col(f"nl.{id_col}").alias("id_a"),
-                F.col(f"nr.{id_col}").alias("id_b"),
-            )
-        )
-        cross = cross.unionByName(new_new)
-    return cross.distinct()
 
 
 def simhash_dup_pairs(
@@ -530,8 +530,13 @@ def simhash_dup_pairs(
     token_hash: str = "sha2_60",
     max_bucket_size: int | None = 1000,
     log_drops: bool = False,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, never all-pairs.
+
+    ``index``: a prebuilt (caller-materialized) ``simhash_lsh_index``
+    over ``df`` — pass it when the same index also serves
+    ``simhash_lsh_probe`` so the corpus fingerprints once.
 
     Pigeonhole banding: split each 64-bit fingerprint into ``n_blocks``
     equal bit-blocks; two fingerprints within ``max_hamming`` bits (for
@@ -553,7 +558,7 @@ def simhash_dup_pairs(
     recall when the corpus is known not to be degenerate.
     """
     _check_pigeonhole(max_hamming, n_blocks)
-    banded = cut_lineage(simhash_lsh_index(
+    banded = index if index is not None else cut_lineage(simhash_lsh_index(
         df, text_col=text_col, id_col=id_col, n_blocks=n_blocks,
         token_hash=token_hash, max_bucket_size=max_bucket_size,
         log_drops=log_drops,
@@ -748,6 +753,7 @@ def embedding_dup_pairs(
     dim: int,
     max_bucket_size: int | None = 1000,
     log_drops: bool = False,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: banded random-hyperplane LSH (OR over
     ``bands`` independent AND-constructions of ``planes_per_band`` planes),
@@ -764,14 +770,18 @@ def embedding_dup_pairs(
     zip_with/aggregate lambdas — higher-order expressions fall out of
     whole-stage codegen and are ~30x slower per row (measured).
     """
-    banded = embedding_lsh_index(
-        df, vec_col=vec_col, id_col=id_col, bands=bands,
-        planes_per_band=planes_per_band, seed=seed, dim=dim,
-        max_bucket_size=max_bucket_size, log_drops=log_drops,
-    )
-    # materialize once: the self-join would otherwise run the signature
-    # matmul kernel (and the cap shuffle) twice, once per side
-    banded = cut_lineage(banded)
+    if index is not None:
+        # a prebuilt (caller-materialized) embedding_lsh_index over df —
+        # shared with embedding_lsh_probe so the matmul kernel runs once
+        banded = index
+    else:
+        # materialize once: the self-join would otherwise run the
+        # signature matmul kernel (and the cap shuffle) twice per side
+        banded = cut_lineage(embedding_lsh_index(
+            df, vec_col=vec_col, id_col=id_col, bands=bands,
+            planes_per_band=planes_per_band, seed=seed, dim=dim,
+            max_bucket_size=max_bucket_size, log_drops=log_drops,
+        ))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -895,36 +905,7 @@ def embedding_lsh_probe(
     )
     # materialized once: joined against the index AND self-joined
     pb = cut_lineage(pb)
-
-    l, r = pb.alias("l"), index.alias("r")
-    lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
-    cross = l.join(
-        r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (lid != rid),
-    ).select(
-        F.least(lid, rid).alias("id_a"),
-        F.greatest(lid, rid).alias("id_b"),
-        F.when(lid < rid, F.col(f"l.{vec_col}"))
-        .otherwise(F.col(f"r.{vec_col}"))
-        .alias("_va"),
-        F.when(lid < rid, F.col(f"r.{vec_col}"))
-        .otherwise(F.col(f"l.{vec_col}"))
-        .alias("_vb"),
+    cross = _probe_candidate_pairs(
+        pb, index, id_col, vec_col, "_va", "_vb", include_new_pairs
     )
-    if include_new_pairs:
-        nl, nr = pb.alias("nl"), pb.alias("nr")
-        new_new = nl.join(
-            nr,
-            (F.col("nl.band") == F.col("nr.band"))
-            & (F.col("nl.bucket") == F.col("nr.bucket"))
-            & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
-        ).select(
-            F.col(f"nl.{id_col}").alias("id_a"),
-            F.col(f"nr.{id_col}").alias("id_b"),
-            F.col(f"nl.{vec_col}").alias("_va"),
-            F.col(f"nr.{vec_col}").alias("_vb"),
-        )
-        cross = cross.unionByName(new_new)
     return _cosine_verified(cross, new_vecs.schema[id_col].dataType, threshold)

@@ -102,6 +102,7 @@ def bucketed_join(
     mis-written table is caught at author time, not in a 10-TB query.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    counts = {}
     for name in (left, right):
         n, cols = _bucket_spec(spark, name)
         if n == 0:
@@ -110,11 +111,11 @@ def bucketed_join(
             raise ValueError(
                 f"table {name} is bucketed on {cols}, join needs {tuple(keys)}"
             )
-    ln, _ = _bucket_spec(spark, left)
-    rn, _ = _bucket_spec(spark, right)
-    if ln != rn:
+        counts[name] = n
+    if counts[left] != counts[right]:
         raise ValueError(
-            f"bucket-count mismatch: {left}={ln} vs {right}={rn} — "
-            "rewrite one side; a mismatched join shuffles the smaller side"
+            f"bucket-count mismatch: {left}={counts[left]} vs "
+            f"{right}={counts[right]} — rewrite one side; a mismatched "
+            "join shuffles the smaller side"
         )
     return spark.table(left).join(spark.table(right), on=keys, how=how)

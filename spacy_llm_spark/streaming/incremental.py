@@ -11,8 +11,12 @@ a per-batch error handler (llm.py:202-207). Spark translation:
   restarts (exactly the reference's cache-probe semantics, F1).
 - error handling: a malformed doc never kills the stream — parse kernels
   degrade to empty annotations per row (the reference's non-strict mode),
-  and whole-batch failures are caught, quarantined, and logged, like
-  ``error_handler``.
+  and poison-input failures in the admit/annotate phase are caught,
+  quarantined, and logged, like ``error_handler``. Failures AFTER
+  annotation (sink/label-map/keys writes — infra, not input) propagate
+  instead: the stream fails and replays the batch, which the per-batch
+  overwrite layout makes exactly-once; quarantining those would commit
+  offsets over silently diverged sinks.
 - ``windowed_event_counts``: event-time tumbling window + watermark —
   capabilities the reference lacks but a Spark-native engine gets for
   free; exposed for the events stream table.
@@ -152,63 +156,81 @@ def make_batch_processor(
             annotated = cut_lineage(
                 annotate_corpus(batch_df, cfg, kb, fused=cfg.fused)
             )
-            # Exactly-once under mid-batch crashes: each sink writes into a
-            # batch_id=N subdir with OVERWRITE. foreachBatch replays a
-            # failed batch with the SAME batch_id (same offsets), so a
-            # restart after a partial commit overwrites the half-written
-            # partitions instead of double-appending. The processed-keys
-            # marker goes LAST: written only once all sinks are committed,
-            # so a crash anywhere earlier replays the whole batch (safe),
-            # and a crash after it makes the replay a no-op (anti-join).
-            # Keys also land in a per-batch_id subdir with OVERWRITE (not a
-            # shared append dir): a replayed keys write can never leave a
-            # mixed old/new state.
-            for name, table in (
-                ("mentions", mat.mentions_table(annotated, id_cols)),
-                ("links", mat.links_table(annotated, id_cols)),
-                ("edges", mat.edges_table(annotated, id_cols)),
-            ):
-                table.write.mode("overwrite").parquet(
-                    posixpath.join(output_dir, name, f"batch_id={batch_id}")
-                )
-            if maintain_vertices:
-                from ..operators import canonicalize as canon
-
-                inc = canon.links_increment_edges(
-                    mat.links_table(annotated, id_cols)
-                )
-                prior = fs.committed_subdirs(spark, vertices_path)
-                # exclude a torn/replayed write of THIS batch id: merging
-                # from it would still be correct (idempotent), but the
-                # prior snapshot is the canonical base
-                prior = [
-                    p for p in prior
-                    if int(p.rstrip("/").rsplit("=", 1)[-1]) != batch_id
-                ]
-                if prior:
-                    latest = max(
-                        prior, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
-                    )
-                    labels = canon.incremental_components(
-                        spark.read.parquet(latest).select("node", "component"),
-                        inc,
-                    )
-                else:
-                    labels = canon.connected_components(inc)
-                labels.write.mode("overwrite").parquet(
-                    posixpath.join(vertices_path, f"batch_id={batch_id}")
-                )
-            annotated.select("content_sha256").distinct().write.mode(
-                "overwrite"
-            ).parquet(
-                posixpath.join(processed_keys_path, f"batch_id={batch_id}")
-            )
         except Exception as exc:  # noqa: BLE001 — per-batch error handler
-            # quarantine the batch, keep the stream alive (llm.py:202-207)
+            # POISON-INPUT failures only (malformed rows crash the
+            # parse/annotate kernels, deterministically — retrying cannot
+            # help): quarantine the batch and keep the stream alive, the
+            # reference's error_handler (llm.py:202-207). Failures past
+            # this point are infra (FS, memory, non-convergence) and MUST
+            # propagate instead: quarantining them would commit the
+            # stream's offsets with sinks/label-map/keys in a silently
+            # diverged state, while failing the query replays the batch
+            # with the same batch_id — which is exactly-once by
+            # construction (per-batch overwrite subdirs; the label
+            # re-merge is a no-op).
             batch_df.write.mode("append").parquet(
                 posixpath.join(output_dir, "_quarantine", f"batch_{batch_id}")
             )
             print(f"[stream] batch {batch_id} quarantined: {exc}")
+            return
+        # Exactly-once under mid-batch crashes: each sink writes into a
+        # batch_id=N subdir with OVERWRITE. foreachBatch replays a
+        # failed batch with the SAME batch_id (same offsets), so a
+        # restart after a partial commit overwrites the half-written
+        # partitions instead of double-appending. The processed-keys
+        # marker goes LAST: written only once all sinks are committed,
+        # so a crash anywhere earlier replays the whole batch (safe),
+        # and a crash after it makes the replay a no-op (anti-join).
+        # Keys also land in a per-batch_id subdir with OVERWRITE (not a
+        # shared append dir): a replayed keys write can never leave a
+        # mixed old/new state.
+        links_df = mat.links_table(annotated, id_cols)
+        for name, table in (
+            ("mentions", mat.mentions_table(annotated, id_cols)),
+            ("links", links_df),
+            ("edges", mat.edges_table(annotated, id_cols)),
+        ):
+            table.write.mode("overwrite").parquet(
+                posixpath.join(output_dir, name, f"batch_id={batch_id}")
+            )
+        if maintain_vertices:
+            from ..operators import canonicalize as canon
+
+            # the increment reads the just-committed links sink back
+            # instead of re-running the mention-explode over `annotated`;
+            # the explicit schema keeps the read safe for an all-NIL
+            # batch whose links sink committed zero part files
+            inc = canon.links_increment_edges(
+                spark.read.schema(links_df.schema).parquet(
+                    posixpath.join(output_dir, "links", f"batch_id={batch_id}")
+                )
+            )
+            prior = fs.committed_subdirs(spark, vertices_path)
+            # exclude a torn/replayed write of THIS batch id: merging
+            # from it would still be correct (idempotent), but the
+            # prior snapshot is the canonical base
+            prior = [
+                p for p in prior
+                if int(p.rstrip("/").rsplit("=", 1)[-1]) != batch_id
+            ]
+            if prior:
+                latest = max(
+                    prior, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+                )
+                labels = canon.incremental_components(
+                    spark.read.parquet(latest).select("node", "component"),
+                    inc,
+                )
+            else:
+                labels = canon.connected_components(inc)
+            labels.write.mode("overwrite").parquet(
+                posixpath.join(vertices_path, f"batch_id={batch_id}")
+            )
+        annotated.select("content_sha256").distinct().write.mode(
+            "overwrite"
+        ).parquet(
+            posixpath.join(processed_keys_path, f"batch_id={batch_id}")
+        )
 
     return process_batch
 

@@ -883,11 +883,53 @@ def test_vertex_maintenance_replay_is_noop(spark, tmp_path):
         for r in latest_vertex_snapshot(spark, str(out)).collect()
     }
     # replay batch 1 (same batch_id, same rows — a foreachBatch crash
-    # replay; the keys anti-join empties it, but force the worst case by
-    # replaying via a fresh processor on a copy of the rows)
+    # replay). Deleting the processed-keys table forces the WORST case:
+    # the anti-join cannot empty the batch, so the full merge re-runs
+    # over a snapshot that already contains these edges — and must be a
+    # no-op. (A crash between the snapshot write and the keys marker
+    # produces exactly this state.)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
     proc(b1, 1)
     after_replay = {
         (r.node, r.component)
         for r in latest_vertex_snapshot(spark, str(out)).collect()
     }
     assert after_replay == after_once
+
+    # and the literal no-op property: re-merging a batch's edges into a
+    # snapshot that ALREADY contains them changes nothing
+    from spacy_llm_spark.operators.canonicalize import (
+        incremental_components,
+        links_increment_edges,
+    )
+
+    links1 = spark.read.parquet(str(out / "links" / "batch_id=1"))
+    remerged = {
+        (r.node, r.component)
+        for r in incremental_components(
+            latest_vertex_snapshot(spark, str(out)),
+            links_increment_edges(links1),
+        ).collect()
+    }
+    assert remerged == after_once
+
+
+def test_poison_batch_quarantines_without_killing_stream(spark, tmp_path):
+    """A batch whose rows cannot be annotated (missing content column)
+    must be quarantined by the admit/annotate phase — the processor
+    returns normally (stream stays alive) and no sink partitions land."""
+    from spacy_llm_spark import fs as _fs
+    from spacy_llm_spark.streaming.incremental import make_batch_processor
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out))
+    poison = spark.createDataFrame(
+        [(1, "not-a-content-column", "x" * 64)],
+        "doc_id long, wrong string, content_sha256 string",
+    )
+    proc(poison, 0)  # must not raise
+    assert _fs.exists(spark, str(out / "_quarantine"))
+    assert not _fs.exists(spark, str(out / "edges"))
+    assert not _fs.exists(spark, str(out / "_processed_keys"))
