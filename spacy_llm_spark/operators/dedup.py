@@ -194,11 +194,18 @@ def minhash_lsh_index(
         shingle_k=shingle_k, seed=seed,
     )
     rows_per_band = n_hashes // bands
+    # the band index is FOLDED INTO the bucket hash, so every candidate
+    # join downstream needs only the single `bucket` key — which is what
+    # lets a persisted index, written bucketed on `bucket`
+    # (sources/bucketed.py), serve probes without ever re-shuffling the
+    # index side (a (band, bucket) composite key could never co-partition
+    # with a bucketed table layout)
     band_cols = [
         F.struct(
             F.lit(i).alias("band"),
             F.xxhash64(
-                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string")
+                F.lit(i),
+                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string"),
             ).alias("bucket"),
         )
         for i in range(bands)
@@ -246,11 +253,11 @@ def _probe_candidate_pairs(
     """
     l, r = pb.alias("l"), index.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
+    # band is folded into bucket at index build -> single join key,
+    # co-partitionable with a bucket-bucketed index table
     cross = l.join(
         r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bucket") == F.col("r.bucket"))
-        & (lid != rid),
+        (F.col("l.bucket") == F.col("r.bucket")) & (lid != rid),
     ).select(
         F.least(lid, rid).alias("id_a"),
         F.greatest(lid, rid).alias("id_b"),
@@ -265,8 +272,7 @@ def _probe_candidate_pairs(
         nl, nr = pb.alias("nl"), pb.alias("nr")
         new_new = nl.join(
             nr,
-            (F.col("nl.band") == F.col("nr.band"))
-            & (F.col("nl.bucket") == F.col("nr.bucket"))
+            (F.col("nl.bucket") == F.col("nr.bucket"))
             & (F.col(f"nl.{id_col}") < F.col(f"nr.{id_col}")),
         ).select(
             F.col(f"nl.{id_col}").alias("id_a"),
@@ -359,8 +365,7 @@ def minhash_lsh_dup_pairs(
     pairs = (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
@@ -456,13 +461,18 @@ def simhash_lsh_index(
     width = 64 // n_blocks
     mask = (1 << width) - 1
     fp = simhash(df, text_col=text_col, id_col=id_col, token_hash=token_hash)
+    # the block index is FOLDED INTO the bucket value (injective: disjoint
+    # high bits) so candidate joins need only the single `bucket` key — a
+    # bucket-bucketed index table then co-partitions with probe joins
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), width * b)
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
+                (
+                    F.shiftrightunsigned(F.col("simhash"), width * b)
+                    .bitwiseAND(F.lit(mask))
+                    + F.lit(b << width).cast("long")
+                ).alias("bucket"),
             )
             for b in range(n_blocks)
         ]
@@ -569,7 +579,6 @@ def simhash_dup_pairs(
         left.join(
             right,
             on=[
-                F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
@@ -711,6 +720,9 @@ def hyperplane_band_buckets(
     """
     planes = np.random.RandomState(seed).normal(size=(bands * planes_per_band, dim))
     weights = (np.int64(1) << np.arange(planes_per_band, dtype=np.int64))
+    # band index folded into the bucket value (disjoint high bits) so
+    # candidate joins need only the single `bucket` key
+    band_offsets = np.arange(bands, dtype=np.int64) << np.int64(planes_per_band)
     schema = StructType(
         [
             df.schema[id_col],
@@ -729,7 +741,7 @@ def hyperplane_band_buckets(
             buckets = (
                 bits.reshape(len(pdf), bands, planes_per_band).astype(np.int64)
                 @ weights
-            )  # (n, bands)
+            ) + band_offsets[None, :]  # (n, bands)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -787,8 +799,7 @@ def embedding_dup_pairs(
     pairs = (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(

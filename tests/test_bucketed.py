@@ -79,3 +79,44 @@ def test_write_bucketed_one_file_per_bucket(spark, bucketed_pair, tmp_path):
         p for p in (tmp_path / "o").iterdir() if p.name.startswith("part-")
     ]
     assert len(files) <= 8
+
+
+def test_bucketed_lsh_index_probe_never_shuffles_index(spark, tmp_path):
+    """The scale-defining plan of incremental dedup: an LSH index
+    persisted bucketed on `bucket` serves probe joins via a bucketed scan
+    with NO index-side Exchange — only the (small) batch side shuffles.
+    Possible only because the band is folded into the bucket value (a
+    composite (band, bucket) key could never co-partition)."""
+    import re
+
+    from spacy_llm_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} spark join filter window {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=2)
+    write_bucketed(idx, "lsh_idx", str(tmp_path / "i"), "bucket", buckets=8,
+                   sort_by=False)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = spark.createDataFrame(
+            [(1000, "doc number 3 spark join filter window 3")],
+            "doc_id long, text string",
+        )
+        out = dedup.minhash_lsh_probe(
+            batch, spark.table("lsh_idx"), n_hashes=32, bands=8, shingle_k=2,
+            threshold=0.5, include_new_pairs=False,
+        )
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert (3, 1000) in got
+        plan = _plan(out).split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in plan  # index read through its layout
+        # exchanges: the probe side onto the bucket layout + the final
+        # pair distinct — and NONE carrying the index's sig column
+        exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        assert len(exchanges) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lsh_idx")
