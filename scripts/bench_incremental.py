@@ -29,11 +29,19 @@ from spacy_llm_spark import get_spark
 from spacy_llm_spark.operators import canonicalize as canon
 
 
-def chain_edges(spark, n: int, chunk: int = 2000):
+def chain_edges(spark, n: int, chunk: int = 2000, dup_factor: int = 1):
+    """~n raw edge rows. dup_factor > 1 keeps the node set n/dup_factor
+    small while the RAW edge set stays n — the multigraph shape a
+    corpus-derived entity graph has (every mention re-asserts its edge).
+    The full recompute must distinct all n rows every run; the
+    incremental path reads only the node-scale label map + increment."""
     ids = spark.range(n)
-    return ids.where(F.col("id") % chunk != chunk - 1).select(
-        F.format_string("c%08d", "id").alias("src"),
-        F.format_string("c%08d", F.col("id") + 1).alias("dst"),
+    base = (F.col("id") % (n // dup_factor)) if dup_factor > 1 else F.col("id")
+    return ids.select(base.alias("b")).where(
+        F.col("b") % chunk != chunk - 1
+    ).select(
+        F.format_string("c%08d", "b").alias("src"),
+        F.format_string("c%08d", F.col("b") + 1).alias("dst"),
     )
 
 
@@ -42,13 +50,14 @@ def main() -> None:
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
         os.environ.get("SPARK_GRAFT_CPUS", "8")
     )
+    dup_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_spark(
         app_name="bench-incremental",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    base = chain_edges(spark, n).localCheckpoint()  # inputs pre-materialized
+    base = chain_edges(spark, n, dup_factor=dup_factor).localCheckpoint()
     # increment: ~100 edges touching TWO of the 100 chains — one splice
     # (chain 0 -> chain 1) plus shortcut edges inside chain 0. The touched
     # slice is 2 components (4k nodes of 200k); everything else must pass
@@ -96,6 +105,7 @@ def main() -> None:
         "speedup": round(full_cc_sec / incremental_sec, 2),
         "labels_match": mismatches == 0,
         "cpus": cpus,
+        "dup_factor": dup_factor,
     }))
 
 
