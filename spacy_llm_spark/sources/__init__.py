@@ -1,1 +1,1 @@
-from . import readers, sinks  # noqa: F401
+from . import bucketed, readers, sinks  # noqa: F401
