@@ -173,10 +173,35 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = sample_centroids(df, n_cells, vec_col=vec_col, id_col=id_col)
-    probe_arr = np.asarray(probe, dtype=float)
-
     assigned = assign_ivf_cells(df, centroids, vec_col=vec_col)
-    dists = ((centroids - probe_arr) ** 2).sum(axis=1)
+    return ivf_topk_from_assigned(
+        assigned, probe, centroids, k,
+        n_probe=n_probe, vec_col=vec_col, id_col=id_col,
+    )
+
+
+def ivf_topk_from_assigned(
+    assigned: DataFrame,
+    probe: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF query over a PERSISTED cell-assignment table — the index form.
+
+    ``assign_ivf_cells`` runs once at build time; the assignment table is
+    written partitioned by ``ivf_cell`` (``write_table(...,
+    partition_by=["ivf_cell"])``) and every query filters to its
+    ``n_probe`` nearest cells. Against the partitioned layout that filter
+    is a PartitionFilter: the scan reads n_probe/n_cells of the corpus
+    FILES, not just of the rows — no per-query corpus matmul, no full
+    scan. Centroids must be the ones the table was assigned with.
+    """
+    probe_arr = np.asarray(probe, dtype=float)
+    dists = ((np.asarray(centroids, dtype=float) - probe_arr) ** 2).sum(axis=1)
     probe_cells = [int(i) for i in np.argsort(dists)[:n_probe]]
     candidates = assigned.where(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(candidates, probe, k, vec_col=vec_col, id_col=id_col)

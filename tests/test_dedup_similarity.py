@@ -707,3 +707,42 @@ def test_simhash_lsh_probe_equals_full_recompute(spark):
     assert got == want
     ids = set(got)
     assert (0, 10) in ids and (0, 1) in ids and (11, 12) in ids
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The IVF index form: assignments written partitioned by ivf_cell;
+    a query over the read-back table must (a) return exactly what the
+    direct ivf_topk returns and (b) reach the files through a
+    PartitionFilter on ivf_cell — n_probe/n_cells of the corpus FILES."""
+    from spacy_llm_spark.operators import similarity
+    from spacy_llm_spark.sources.sinks import write_table
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.train_ivf_centroids(df, 8, n_iter=3)
+    probe = [float(x) for x in vecs[7]]
+
+    want = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in similarity.ivf_topk(
+            df, probe, 5, n_probe=2, centroids=cents
+        ).collect()
+    ]
+
+    target = str(tmp_path / "ivf_index")
+    write_table(
+        similarity.assign_ivf_cells(df, cents),
+        target, mode="overwrite", partition_by=["ivf_cell"],
+    )
+    stored = spark.read.parquet(target)
+    out = similarity.ivf_topk_from_assigned(stored, probe, cents, 5, n_probe=2)
+    got = [(r.vec_id, round(r.cosine, 9)) for r in out.collect()]
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ivf_cell" in plan.split("PartitionFilters")[1][:200]
