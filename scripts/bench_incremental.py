@@ -51,6 +51,11 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_CPUS", "8")
     )
     dup_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    if n // dup_factor < 2 * 2000:
+        raise SystemExit(
+            "n/dup_factor must cover at least two 2000-node chains; the "
+            "hardcoded splice increment assumes that node space"
+        )
     spark = get_spark(
         app_name="bench-incremental",
         master=f"local[{cpus}]",

@@ -33,6 +33,22 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 logger = logging.getLogger(__name__)
 
+# Persisted-index format version. 2 = band folded into the bucket value
+# (single-key candidate joins). Bumped whenever the bucket formula
+# changes: a probe against an index built by a different formula would
+# not error — it would silently return missing pairs — so probes refuse
+# mismatched or unversioned index frames instead.
+LSH_INDEX_FORMAT = 2
+
+
+def _check_index_format(index: DataFrame, what: str) -> None:
+    if "_fmt" not in index.columns:
+        raise ValueError(
+            f"{what}: index frame has no _fmt column — it was built by an "
+            "incompatible (pre-versioning) formula; rebuild it with the "
+            "current *_lsh_index builder"
+        )
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -145,15 +161,17 @@ def _cap_hot_buckets(
     log_drops: bool = False,
     what: str = "lsh",
 ) -> DataFrame:
-    """Keep at most ``max_bucket_size`` members per (band, bucket) —
+    """Keep at most ``max_bucket_size`` members per bucket —
     deterministically the lowest ids — so one degenerate bucket (empty
     docs, license boilerplate, all-identical corpora) cannot turn the
     band self-join quadratic. Duplicate-heavy corpora should run
     ``exact_dedup`` first; the cap is the safety net, not the dedup.
+    The band lives inside the folded bucket value, so `bucket` alone is
+    the group key (the retained `band` column is observability only).
     """
     if max_bucket_size is None:
         return banded
-    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    w = Window.partitionBy("bucket").orderBy(id_col)
     capped = (
         banded.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_bucket_size)
@@ -215,7 +233,7 @@ def minhash_lsh_index(
     ).select(id_col, "sig", "bb.band", "bb.bucket")
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="minhash_lsh"
-    )
+    ).withColumn("_fmt", F.lit(LSH_INDEX_FORMAT))
 
 
 def _pair_est(pairs: DataFrame, n_hashes: int, threshold: float) -> DataFrame:
@@ -246,11 +264,15 @@ def _probe_candidate_pairs(
     include_new_pairs: bool,
 ) -> DataFrame:
     """Shared probe scaffolding for the three incremental dedup families:
-    batch-banded frame ⋈ index on (band, bucket) — plus, optionally, the
-    within-batch self-join — with ids normalized to id_a < id_b and the
-    per-side payload (signature / fingerprint / vector) carried along as
-    (out_a, out_b) in id order for the family-specific verify step.
+    batch-banded frame ⋈ index on the single folded `bucket` key (the
+    band lives in the bucket value, so a bucket-bucketed index table
+    co-partitions) — plus, optionally, the within-batch self-join — with
+    ids normalized to id_a < id_b and the per-side payload (signature /
+    fingerprint / vector) carried along as (out_a, out_b) in id order
+    for the family-specific verify step. Refuses an index frame whose
+    persisted bucket formula doesn't match this build.
     """
+    _check_index_format(index, "lsh_probe")
     l, r = pb.alias("l"), index.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     # band is folded into bucket at index build -> single join key,
@@ -350,6 +372,7 @@ def minhash_lsh_dup_pairs(
     ``minhash_lsh_probe`` so the corpus-side signature kernel runs once.
     """
     if index is not None:
+        _check_index_format(index, "minhash_lsh_dup_pairs")
         banded = index
     else:
         # materialize once: the self-join would otherwise run the
@@ -487,7 +510,7 @@ def simhash_lsh_index(
     )
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="simhash"
-    )
+    ).withColumn("_fmt", F.lit(LSH_INDEX_FORMAT))
 
 
 def simhash_lsh_probe(
@@ -568,6 +591,8 @@ def simhash_dup_pairs(
     recall when the corpus is known not to be degenerate.
     """
     _check_pigeonhole(max_hamming, n_blocks)
+    if index is not None:
+        _check_index_format(index, "simhash_dup_pairs")
     banded = index if index is not None else cut_lineage(simhash_lsh_index(
         df, text_col=text_col, id_col=id_col, n_blocks=n_blocks,
         token_hash=token_hash, max_bucket_size=max_bucket_size,
@@ -785,6 +810,7 @@ def embedding_dup_pairs(
     if index is not None:
         # a prebuilt (caller-materialized) embedding_lsh_index over df —
         # shared with embedding_lsh_probe so the matmul kernel runs once
+        _check_index_format(index, "embedding_dup_pairs")
         banded = index
     else:
         # materialize once: the self-join would otherwise run the
@@ -882,7 +908,7 @@ def embedding_lsh_index(
     )
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="embedding_lsh"
-    )
+    ).withColumn("_fmt", F.lit(LSH_INDEX_FORMAT))
 
 
 def embedding_lsh_probe(

@@ -746,3 +746,20 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_lsh_probe_refuses_unversioned_index(spark):
+    """A persisted index built by a different bucket formula would return
+    silently-missing pairs; probes and pair functions refuse any index
+    frame without the current format stamp instead."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four")], "doc_id long, text string"
+    )
+    idx = dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=2)
+    assert "_fmt" in idx.columns
+    stale = idx.drop("_fmt")
+    with pytest.raises(ValueError, match="_fmt"):
+        dedup.minhash_lsh_probe(docs, stale, n_hashes=32, bands=8, shingle_k=2)
+    with pytest.raises(ValueError, match="_fmt"):
+        dedup.minhash_lsh_dup_pairs(docs, n_hashes=32, bands=8, shingle_k=2,
+                                    index=stale)
