@@ -27,6 +27,41 @@ from pyspark.sql import functions as F
 from ..fs import cut_lineage
 from ..kb import NIL
 
+# Vertex-map broadcast gate for canonical_edges — see its docstring.
+_BROADCAST_VMAP_DEFAULT = 256 << 20  # 256 MiB
+
+
+class UnionFind:
+    """Driver-side union-find with path compression. The representative
+    of every set is its lexicographically SMALLEST member — the same
+    min-label convention the distributed large/small-star rounds
+    converge to, which is what makes the driver and distributed CC paths
+    interchangeable bit-for-bit. Shared by ``connected_components`` and
+    ``canonical_vertices`` so the two paths cannot drift.
+    """
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        parent = self.parent
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+    def items(self):
+        """(member, root) for every node ever seen, insertion order."""
+        return [(node, self.find(node)) for node in self.parent]
+
 
 def surface_kb_pairs(links: DataFrame) -> DataFrame:
     """One aggregation over the links table -> distinct
@@ -131,23 +166,12 @@ def connected_components(
     spark = edges.sparkSession
     head = edges.select("src", "dst").distinct().limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.setdefault(root, root) != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
+        uf = UnionFind()
         for row in head:
-            ra, rb = find(row[0]), find(row[1])
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        rows = [(node, find(node)) for node in parent]
-        return spark.createDataFrame(rows, "node string, component string")
+            uf.union(row[0], row[1])
+        return spark.createDataFrame(
+            uf.items(), "node string, component string"
+        )
 
     # all_nodes from the RAW edge set: a node appearing only in self-loop
     # edges is still a (singleton) component, matching the driver path
@@ -300,31 +324,16 @@ def canonical_vertices(
     pairs = cut_lineage(surface_kb_pairs(links))
     head = pairs.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.setdefault(root, root) != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        def union(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-
+        uf = UnionFind()
         nodes = set()
         for row in head:
             s = f"surface:{row.surface_norm}"
             nodes.add(s)
             if row.kb_id != NIL:
                 nodes.add(row.kb_id)
-                union(s, row.kb_id)
+                uf.union(s, row.kb_id)
         rows = [
-            (node, find(node), not node.startswith("surface:"))
+            (node, uf.find(node), not node.startswith("surface:"))
             for node in sorted(nodes)
         ]
         return links.sparkSession.createDataFrame(
@@ -357,7 +366,11 @@ def canonical_vertices(
 
 
 def incremental_canonical_edges(
-    canonical: DataFrame, new_edges: DataFrame, new_vertices: DataFrame
+    canonical: DataFrame,
+    new_edges: DataFrame,
+    new_vertices: DataFrame,
+    *,
+    broadcast_threshold: int | None = _BROADCAST_VMAP_DEFAULT,
 ) -> DataFrame:
     """Maintain a materialized canonical triple table under an increment.
 
@@ -370,26 +383,64 @@ def incremental_canonical_edges(
     on its new component — identical to re-canonicalizing the raw
     historical edges, WITHOUT storing or re-reading them. Self-labeled
     ids are filtered out of the remap (an unmoved canonical id maps to
-    itself via the join miss), so the pass-through is one broadcast left
-    join against the entity-scale label map — the corpus-scale triple
-    table still never shuffles, and only the increment's raw triples are
-    (re)canonicalized from scratch.
+    itself via the join miss), so the pass-through is one left join
+    against the entity-scale label map — broadcast when the map's
+    plan-time size estimate clears ``broadcast_threshold`` (see
+    ``canonical_edges`` for the gate), in which case the corpus-scale
+    triple table never shuffles; only the increment's raw triples are
+    (re)canonicalized from scratch either way.
     """
     moved = new_vertices.where(F.col("node") != F.col("component")).select(
         "node", "component"
     )
-    return canonical_edges(canonical, moved).unionByName(
-        canonical_edges(new_edges, new_vertices)
+    return canonical_edges(
+        canonical, moved, broadcast_threshold=broadcast_threshold
+    ).unionByName(
+        canonical_edges(
+            new_edges, new_vertices, broadcast_threshold=broadcast_threshold
+        )
     )
 
 
-def canonical_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-time size estimate — free (no job). Unknown
+    sources (e.g. lineage-cut in-memory frames) report the configured
+    default (huge), which the gate treats as 'too big to hint'."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def canonical_edges(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    broadcast_threshold: int | None = _BROADCAST_VMAP_DEFAULT,
+) -> DataFrame:
     """Rewrite triple endpoints onto canonical component ids.
 
-    The vertex map is entity-scale — broadcast both joins so the triple
-    table never shuffles.
+    The vertex map is entity-scale, so broadcasting it lets the
+    corpus-scale triple table pass through both joins without a single
+    shuffle — the 100× plan. But "entity-scale" includes one node per
+    DISTINCT NORMALIZED SURFACE FORM, which on a web-scale corpus grows
+    into the billions and stops fitting executor memory; a hard
+    broadcast hint would then force an OOM-prone build side. The hint is
+    therefore size-gated: applied only when Catalyst's plan-time
+    estimate of the map is under ``broadcast_threshold`` bytes (default
+    256 MiB — comfortably inside a multi-GiB executor after the ~3-5×
+    broadcast-hashmap expansion). Above the threshold — or when the
+    estimate is unknown, which Catalyst reports as a huge default — the
+    join is left unhinted: AQE still picks a broadcast join at runtime
+    if the map's MEASURED size turns out small, and falls back to a
+    shuffled hash join (or a bucketed co-partitioned join if the triple
+    table is laid out on subj/obj via sources/bucketed.py) otherwise.
+    ``broadcast_threshold=0`` never hints; ``None`` restores the
+    unconditional hint (tests/debug only).
     """
-    vmap = F.broadcast(vertices.select("node", "component"))
+    vmap = vertices.select("node", "component")
+    if broadcast_threshold is None or (
+        broadcast_threshold > 0
+        and _plan_size_bytes(vmap) <= broadcast_threshold
+    ):
+        vmap = F.broadcast(vmap)
     return (
         edges.join(vmap.withColumnRenamed("node", "subj"), "subj", "left")
         .withColumnRenamed("component", "subj_canonical")

@@ -38,16 +38,43 @@ logger = logging.getLogger(__name__)
 # changes: a probe against an index built by a different formula would
 # not error — it would silently return missing pairs — so probes refuse
 # mismatched or unversioned index frames instead.
+#
+# The version AND the build params (everything the bucket formula or the
+# verify step depends on: hashes/bands/shingles/seed, blocks/token-hash,
+# planes/dim) are encoded in the stamp COLUMN NAME, e.g.
+# `_fmt_v2_mh_b16_h64_k3_s42`. The check is therefore purely
+# schema-level — zero runtime cost, no row scan — and survives any
+# persistence that preserves column names (parquet, catalog tables).
+# A probe built with different params computes a different expected
+# stamp and refuses the frame instead of silently dropping pairs
+# (mismatched seed/bands -> buckets don't align; mismatched n_hashes
+# -> jaccard_est mis-scaled).
 LSH_INDEX_FORMAT = 2
 
 
-def _check_index_format(index: DataFrame, what: str) -> None:
-    if "_fmt" not in index.columns:
+def _index_stamp(family: str, **params) -> str:
+    parts = "_".join(f"{k}{params[k]}" for k in sorted(params))
+    return f"_fmt_v{LSH_INDEX_FORMAT}_{family}_{parts}"
+
+
+def _check_index_format(index: DataFrame, what: str, expected: str) -> None:
+    if expected in index.columns:
+        return
+    stamped = [c for c in index.columns if c.startswith("_fmt")]
+    if stamped:
         raise ValueError(
-            f"{what}: index frame has no _fmt column — it was built by an "
-            "incompatible (pre-versioning) formula; rebuild it with the "
-            "current *_lsh_index builder"
+            f"{what}: index stamp mismatch — the frame carries "
+            f"{stamped[0]!r} but this build expects {expected!r}. The "
+            "format version or the build params (seed/bands/hashes/"
+            "blocks/planes) differ; probing would silently return "
+            "missing pairs. Rebuild the index, or call with the params "
+            "it was built with."
         )
+    raise ValueError(
+        f"{what}: index frame has no _fmt* stamp column — it was built "
+        "by an incompatible (pre-versioning) formula; rebuild it with "
+        "the current *_lsh_index builder"
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -233,7 +260,10 @@ def minhash_lsh_index(
     ).select(id_col, "sig", "bb.band", "bb.bucket")
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="minhash_lsh"
-    ).withColumn("_fmt", F.lit(LSH_INDEX_FORMAT))
+    ).withColumn(
+        _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
+        F.lit(LSH_INDEX_FORMAT),
+    )
 
 
 def _pair_est(pairs: DataFrame, n_hashes: int, threshold: float) -> DataFrame:
@@ -262,6 +292,7 @@ def _probe_candidate_pairs(
     out_a: str,
     out_b: str,
     include_new_pairs: bool,
+    expected_stamp: str,
 ) -> DataFrame:
     """Shared probe scaffolding for the three incremental dedup families:
     batch-banded frame ⋈ index on the single folded `bucket` key (the
@@ -272,7 +303,7 @@ def _probe_candidate_pairs(
     for the family-specific verify step. Refuses an index frame whose
     persisted bucket formula doesn't match this build.
     """
-    _check_index_format(index, "lsh_probe")
+    _check_index_format(index, "lsh_probe", expected_stamp)
     l, r = pb.alias("l"), index.alias("r")
     lid, rid = F.col(f"l.{id_col}"), F.col(f"r.{id_col}")
     # band is folded into bucket at index build -> single join key,
@@ -335,6 +366,11 @@ def minhash_lsh_probe(
     ones the index was built with (same seed/bands/shingles, or buckets
     won't align).
     """
+    # refuse a mismatched index BEFORE any probe-side work runs
+    _check_index_format(
+        index, "minhash_lsh_probe",
+        _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
+    )
     pb = minhash_lsh_index(
         new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         bands=bands, shingle_k=shingle_k, seed=seed,
@@ -343,7 +379,8 @@ def minhash_lsh_probe(
     # materialized once: joined against the index AND self-joined
     pb = cut_lineage(pb)
     cross = _probe_candidate_pairs(
-        pb, index, id_col, "sig", "sig_a", "sig_b", include_new_pairs
+        pb, index, id_col, "sig", "sig_a", "sig_b", include_new_pairs,
+        _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
     )
     return _pair_est(cross, n_hashes, threshold)
 
@@ -372,7 +409,10 @@ def minhash_lsh_dup_pairs(
     ``minhash_lsh_probe`` so the corpus-side signature kernel runs once.
     """
     if index is not None:
-        _check_index_format(index, "minhash_lsh_dup_pairs")
+        _check_index_format(
+            index, "minhash_lsh_dup_pairs",
+            _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
+        )
         banded = index
     else:
         # materialize once: the self-join would otherwise run the
@@ -510,7 +550,10 @@ def simhash_lsh_index(
     )
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="simhash"
-    ).withColumn("_fmt", F.lit(LSH_INDEX_FORMAT))
+    ).withColumn(
+        _index_stamp("sh", nb=n_blocks, th=token_hash),
+        F.lit(LSH_INDEX_FORMAT),
+    )
 
 
 def simhash_lsh_probe(
@@ -536,13 +579,19 @@ def simhash_lsh_probe(
     normalized to id_a < id_b to match ``simhash_dup_pairs``.
     """
     _check_pigeonhole(max_hamming, n_blocks)
+    # refuse a mismatched index BEFORE any probe-side work runs
+    _check_index_format(
+        index, "simhash_lsh_probe",
+        _index_stamp("sh", nb=n_blocks, th=token_hash),
+    )
     pb = cut_lineage(simhash_lsh_index(
         new_docs, text_col=text_col, id_col=id_col, n_blocks=n_blocks,
         token_hash=token_hash, max_bucket_size=max_bucket_size,
         log_drops=log_drops,
     ))
     cross = _probe_candidate_pairs(
-        pb, index, id_col, "simhash", "_fa", "_fb", include_new_pairs
+        pb, index, id_col, "simhash", "_fa", "_fb", include_new_pairs,
+        _index_stamp("sh", nb=n_blocks, th=token_hash),
     )
     return (
         cross.where(
@@ -592,7 +641,10 @@ def simhash_dup_pairs(
     """
     _check_pigeonhole(max_hamming, n_blocks)
     if index is not None:
-        _check_index_format(index, "simhash_dup_pairs")
+        _check_index_format(
+            index, "simhash_dup_pairs",
+            _index_stamp("sh", nb=n_blocks, th=token_hash),
+        )
     banded = index if index is not None else cut_lineage(simhash_lsh_index(
         df, text_col=text_col, id_col=id_col, n_blocks=n_blocks,
         token_hash=token_hash, max_bucket_size=max_bucket_size,
@@ -810,7 +862,10 @@ def embedding_dup_pairs(
     if index is not None:
         # a prebuilt (caller-materialized) embedding_lsh_index over df —
         # shared with embedding_lsh_probe so the matmul kernel runs once
-        _check_index_format(index, "embedding_dup_pairs")
+        _check_index_format(
+            index, "embedding_dup_pairs",
+            _index_stamp("em", b=bands, p=planes_per_band, s=seed, d=dim),
+        )
         banded = index
     else:
         # materialize once: the self-join would otherwise run the
@@ -908,7 +963,10 @@ def embedding_lsh_index(
     )
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="embedding_lsh"
-    ).withColumn("_fmt", F.lit(LSH_INDEX_FORMAT))
+    ).withColumn(
+        _index_stamp("em", b=bands, p=planes_per_band, s=seed, d=dim),
+        F.lit(LSH_INDEX_FORMAT),
+    )
 
 
 def embedding_lsh_probe(
@@ -935,6 +993,11 @@ def embedding_lsh_probe(
     seed/bands/planes, or buckets won't align). Ids are normalized to
     id_a < id_b to match ``embedding_dup_pairs``.
     """
+    # refuse a mismatched index BEFORE any probe-side work runs
+    _check_index_format(
+        index, "embedding_lsh_probe",
+        _index_stamp("em", b=bands, p=planes_per_band, s=seed, d=dim),
+    )
     pb = embedding_lsh_index(
         new_vecs, vec_col=vec_col, id_col=id_col, bands=bands,
         planes_per_band=planes_per_band, seed=seed, dim=dim,
@@ -943,6 +1006,7 @@ def embedding_lsh_probe(
     # materialized once: joined against the index AND self-joined
     pb = cut_lineage(pb)
     cross = _probe_candidate_pairs(
-        pb, index, id_col, vec_col, "_va", "_vb", include_new_pairs
+        pb, index, id_col, vec_col, "_va", "_vb", include_new_pairs,
+        _index_stamp("em", b=bands, p=planes_per_band, s=seed, d=dim),
     )
     return _cosine_verified(cross, new_vecs.schema[id_col].dataType, threshold)

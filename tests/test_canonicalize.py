@@ -290,3 +290,91 @@ def test_incremental_components_property(spark):
             assert got == uf_labels(seen)
 
     run()
+
+
+def test_union_find_helper():
+    """The shared driver union-find: min-label reps, path compression,
+    idempotent unions — the single implementation both the CC driver
+    path and canonical_vertices now use (they must not drift)."""
+    from spacy_llm_spark.operators.canonicalize import UnionFind
+
+    uf = UnionFind()
+    uf.union("b", "c")
+    uf.union("a", "b")
+    uf.union("a", "c")  # no-op: already one set
+    assert uf.find("c") == uf.find("b") == uf.find("a") == "a"
+    uf.union("x", "y")
+    assert uf.find("y") == "x"
+    assert dict(uf.items()) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x"
+    }
+    # a never-unioned probe registers itself as a singleton
+    assert uf.find("z") == "z"
+
+
+def test_canonical_edges_broadcast_gate(spark, tmp_path):
+    """The vertex-map broadcast is size-gated on Catalyst's plan-time
+    estimate: a parquet-backed map with known small stats keeps the
+    hint; an unknown-stats source (LogicalRDD reports the huge default)
+    or broadcast_threshold=0 declines it, leaving the join to whatever
+    AQE picks from MEASURED sizes — results identical either way. This
+    is the web-scale fallback for a surface-form map that outgrows
+    executor memory."""
+    from spacy_llm_spark.operators.canonicalize import canonical_edges
+
+    triples = spark.createDataFrame(
+        [("s:a", "uses", "K1", 1), ("K2", "uses", "s:b", 2)],
+        "subj string, pred string, obj string, doc_id long",
+    )
+    vmap_mem = spark.createDataFrame(
+        [("s:a", "K1"), ("s:b", "K2")], "node string, component string"
+    )
+    vmap_mem.write.parquet(str(tmp_path / "vmap"))
+    vmap = spark.read.parquet(str(tmp_path / "vmap"))
+
+    hinted = canonical_edges(triples, vmap)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    # conservative on unknown stats: in-memory RDD-backed frames report
+    # the defaultSizeInBytes sentinel, which must NOT clear the gate
+    no_stats = canonical_edges(triples, vmap_mem)
+    assert "ResolvedHint" not in (
+        no_stats._jdf.queryExecution().analyzed().toString()
+    )
+
+    unhinted = canonical_edges(triples, vmap, broadcast_threshold=0)
+    assert "ResolvedHint" not in (
+        unhinted._jdf.queryExecution().analyzed().toString()
+    )
+
+    key = lambda r: (r.subj, r.pred, r.obj, r.doc_id)
+    want = sorted(map(key, hinted.collect()))
+    assert sorted(map(key, unhinted.collect())) == want
+    assert sorted(map(key, no_stats.collect())) == want
+
+
+def test_incremental_canonical_edges_gate_passthrough(spark):
+    """broadcast_threshold threads through incremental_canonical_edges
+    to both remap joins; result equals the hinted default."""
+    from spacy_llm_spark.operators.canonicalize import (
+        canonical_edges,
+        incremental_canonical_edges,
+    )
+
+    old = spark.createDataFrame(
+        [("K1", "uses", "K2", 1)],
+        "subj string, pred string, obj string, doc_id long",
+    )
+    new = spark.createDataFrame(
+        [("s:a", "uses", "K1", 2)],
+        "subj string, pred string, obj string, doc_id long",
+    )
+    verts = spark.createDataFrame(
+        [("s:a", "K1"), ("K1", "K1"), ("K2", "K2")],
+        "node string, component string",
+    )
+    key = lambda r: (r.subj, r.pred, r.obj, r.doc_id)
+    a = incremental_canonical_edges(old, new, verts)
+    b = incremental_canonical_edges(old, new, verts, broadcast_threshold=0)
+    assert "ResolvedHint" not in b._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))

@@ -756,10 +756,70 @@ def test_lsh_probe_refuses_unversioned_index(spark):
         [(1, "one two three four")], "doc_id long, text string"
     )
     idx = dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=2)
-    assert "_fmt" in idx.columns
-    stale = idx.drop("_fmt")
+    stamp = [c for c in idx.columns if c.startswith("_fmt")]
+    assert stamp == ["_fmt_v2_mh_b8_h32_k2_s42"]
+    stale = idx.drop(stamp[0])
     with pytest.raises(ValueError, match="_fmt"):
         dedup.minhash_lsh_probe(docs, stale, n_hashes=32, bands=8, shingle_k=2)
     with pytest.raises(ValueError, match="_fmt"):
         dedup.minhash_lsh_dup_pairs(docs, n_hashes=32, bands=8, shingle_k=2,
                                     index=stale)
+
+
+def test_lsh_probe_refuses_forged_or_mismatched_stamp(spark):
+    """The stamp encodes version AND build params in the column NAME, so
+    the check is schema-level. A legacy `_fmt` value column (pre-r5
+    format) or a stamp built with different params must raise — only an
+    exact stamp match passes. Regression for the r4 hole where any
+    `_fmt` column passed regardless of its value."""
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    idx = dedup.minhash_lsh_index(docs, n_hashes=32, bands=8, shingle_k=2)
+    stamp = [c for c in idx.columns if c.startswith("_fmt")][0]
+
+    # legacy format: a bare `_fmt` column whose VALUE is the version —
+    # the exact frame round-4 indexes persisted. Must now be refused.
+    forged_v1 = idx.drop(stamp).withColumn("_fmt", F.lit(1))
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.minhash_lsh_probe(docs, forged_v1, n_hashes=32, bands=8,
+                                shingle_k=2)
+
+    # same version, different build params: buckets would not align
+    # (different seed) or jaccard_est would mis-scale (different
+    # n_hashes); every such probe must refuse the frame.
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.minhash_lsh_probe(docs, idx, n_hashes=32, bands=8,
+                                shingle_k=2, seed=7)
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.minhash_lsh_probe(docs, idx, n_hashes=64, bands=8,
+                                shingle_k=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.minhash_lsh_dup_pairs(docs, n_hashes=32, bands=16,
+                                    shingle_k=2, index=idx)
+
+    # matching params pass and the probe behaves
+    out = dedup.minhash_lsh_probe(
+        docs.where("doc_id = 2"), idx.where("doc_id = 1"),
+        n_hashes=32, bands=8, shingle_k=2,
+    )
+    assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+    # the other two families stamp their own params
+    sidx = dedup.simhash_lsh_index(docs, n_blocks=4)
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.simhash_lsh_probe(docs, sidx, n_blocks=8, max_hamming=3)
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.simhash_dup_pairs(docs, token_hash="xxhash64", index=sidx)
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    eidx = dedup.embedding_lsh_index(vecs, bands=4, planes_per_band=4, dim=2)
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.embedding_lsh_probe(vecs, eidx, bands=4, planes_per_band=4,
+                                  dim=3)
+    with pytest.raises(ValueError, match="mismatch"):
+        dedup.embedding_dup_pairs(vecs, bands=4, planes_per_band=8, dim=2,
+                                  index=eidx)
