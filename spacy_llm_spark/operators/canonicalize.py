@@ -21,11 +21,15 @@ and its map-side partial aggregation collapses each partition to at most
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..fs import cut_lineage
 from ..kb import NIL
+
+logger = logging.getLogger(__name__)
 
 # Vertex-map broadcast gate for canonical_edges — see its docstring.
 _BROADCAST_VMAP_DEFAULT = 256 << 20  # 256 MiB
@@ -253,6 +257,7 @@ def incremental_components(
     new_edges: DataFrame,
     max_iter: int = 25,
     driver_threshold: int = 2_000_000,
+    full_recompute_fraction: float | None = 0.8,
 ) -> DataFrame:
     """Merge a new edge batch into an existing (node, component) map
     without recomputing over the historical edge set.
@@ -280,6 +285,20 @@ def incremental_components(
     Self-loop rows (n, n) in ``new_edges`` register n as a node (new
     singleton, or a touch of its existing component) — callers use this
     to admit edge-less nodes such as never-linked surfaces.
+
+    Adversarial-touch guard: the worst case for the sliced path is a
+    batch that touches (nearly) every component — e.g. one that brushes
+    a dominant giant component plus most small ones. The recomputed
+    slice is then ~the whole graph, and the semi/anti-join slicing is
+    pure overhead on top of a de-facto full recompute. When the touched
+    fraction of existing components reaches ``full_recompute_fraction``
+    (default 0.8; None disables the probe), the slicing is skipped and
+    CC runs over ALL label stars ∪ increment directly — same result
+    (the label stars carry the full historical connectivity), minus two
+    joins and a union. The probe costs one component-scale count plus
+    one distinct over the node-scale map — both tiny next to the CC
+    rounds they can save. scripts/bench_incremental.py --adversarial
+    records the measured crossover.
     """
     labels = labels.select("node", "component")
     new_edges = new_edges.select("src", "dst")
@@ -291,6 +310,25 @@ def incremental_components(
     touched = cut_lineage(
         labels.join(new_nodes, "node", "left_semi").select("component").distinct()
     )
+    if full_recompute_fraction is not None:
+        n_touched = touched.count()  # localCheckpointed, component-scale
+        if n_touched > 0:
+            n_total = labels.select("component").distinct().count()
+            if n_total > 0 and n_touched / n_total >= full_recompute_fraction:
+                logger.info(
+                    "incremental_components: batch touches %d/%d components "
+                    "(>= %.0f%%) — falling back to full recompute over label "
+                    "stars, skipping the slice joins",
+                    n_touched, n_total, full_recompute_fraction * 100,
+                )
+                all_stars = labels.select(
+                    F.col("node").alias("src"), F.col("component").alias("dst")
+                )
+                return connected_components(
+                    all_stars.unionByName(new_edges),
+                    max_iter=max_iter,
+                    driver_threshold=driver_threshold,
+                ).select("node", "component")
     sub_stars = labels.join(touched, "component", "left_semi").select(
         F.col("node").alias("src"), F.col("component").alias("dst")
     )

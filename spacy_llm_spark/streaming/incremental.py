@@ -47,6 +47,7 @@ def run_incremental(
     trigger_once: bool = True,
     source_format: str = "parquet",
     maintain_vertices: bool = False,
+    vertex_snapshot_retention: int | None = 3,
 ):
     """Stream the corpus directory into KG sinks.
 
@@ -72,7 +73,8 @@ def run_incremental(
     )
 
     process_batch = make_batch_processor(
-        spark, output_dir, cfg, kb, maintain_vertices=maintain_vertices
+        spark, output_dir, cfg, kb, maintain_vertices=maintain_vertices,
+        vertex_snapshot_retention=vertex_snapshot_retention,
     )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -90,6 +92,7 @@ def make_batch_processor(
     cfg: Optional[KGConfig] = None,
     kb: Optional[KnowledgeBase] = None,
     maintain_vertices: bool = False,
+    vertex_snapshot_retention: int | None = 3,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
     calling it twice with the same (batch_df, batch_id) — a crash-replay —
@@ -107,6 +110,15 @@ def make_batch_processor(
     minimal), so maintenance is exactly-once without coordination. The
     snapshot write happens BEFORE the processed-keys marker: a crash
     between them replays the batch (idempotent), never loses the update.
+
+    Snapshots are full (node, component) maps and only the max committed
+    batch_id is ever read, so storage would otherwise grow as
+    batches × entity-scale map. ``vertex_snapshot_retention`` keeps the
+    newest K committed snapshots and deletes older ones — AFTER the
+    processed-keys marker commits, so a crash anywhere before the prune
+    still has every snapshot a replay could need, and a crash mid-prune
+    just leaves extra old snapshots for the next batch's prune to
+    collect. ``None`` disables pruning (debug/forensics).
     """
     cfg = cfg or KGConfig()
     kb = kb or build_code_kb()
@@ -231,6 +243,25 @@ def make_batch_processor(
         ).parquet(
             posixpath.join(processed_keys_path, f"batch_id={batch_id}")
         )
+        if maintain_vertices and vertex_snapshot_retention is not None:
+            # prune LAST (after the keys marker): everything above is
+            # already durable, so deleting the stale snapshots can never
+            # strand a replay; a crash mid-prune only defers cleanup.
+            # Uncommitted (torn) dirs older than the retained set are
+            # garbage from crashed writes and go too.
+            def _bid(p: str) -> int:
+                return int(p.rstrip("/").rsplit("=", 1)[-1])
+
+            committed_v = sorted(
+                fs.committed_subdirs(spark, vertices_path), key=_bid
+            )
+            keep = committed_v[-vertex_snapshot_retention:]
+            if keep:
+                cutoff = _bid(keep[0])
+                for sub in fs.list_subdirs(spark, vertices_path):
+                    tail = sub.rstrip("/").rsplit("=", 1)[-1]
+                    if tail.isdigit() and int(tail) < cutoff:
+                        fs.delete(spark, sub)
 
     return process_batch
 

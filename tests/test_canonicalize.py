@@ -378,3 +378,56 @@ def test_incremental_canonical_edges_gate_passthrough(spark):
     b = incremental_canonical_edges(old, new, verts, broadcast_threshold=0)
     assert "ResolvedHint" not in b._jdf.queryExecution().analyzed().toString()
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_incremental_components_adversarial_fallback(spark, caplog):
+    """A batch touching >= full_recompute_fraction of the components
+    triggers the full-recompute-over-stars fallback (no slice joins);
+    results stay identical to the sliced path. Pin both the trigger and
+    the non-trigger side of the threshold."""
+    import logging
+
+    from spacy_llm_spark.operators.canonicalize import incremental_components
+
+    # 4 components: {a,b}, {c,d}, {e}, {f}
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"), ("e", "e"),
+         ("f", "f")],
+        "node string, component string",
+    )
+
+    def run(edges, frac):
+        with caplog.at_level(
+            logging.INFO, logger="spacy_llm_spark.operators.canonicalize"
+        ):
+            caplog.clear()
+            out = incremental_components(
+                labels,
+                spark.createDataFrame(edges, "src string, dst string"),
+                full_recompute_fraction=frac,
+            )
+            got = {r.node: r.component for r in out.collect()}
+            fell_back = any(
+                "falling back to full recompute" in r.message
+                for r in caplog.records
+            )
+        return got, fell_back
+
+    # touches 3/4 components (a,c,e) -> >= 0.5 triggers, >= 0.8 doesn't
+    adversarial = [("b", "c"), ("e", "e")]
+    got_fb, fb = run(adversarial, 0.5)
+    assert fb
+    got_sliced, fb2 = run(adversarial, None)
+    assert not fb2
+    assert got_fb == got_sliced == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "f"
+    }
+    _, fb3 = run(adversarial, 0.8)
+    assert not fb3  # 3/4 = 0.75 stays on the sliced path
+
+    # small touch never falls back at the default threshold
+    got_small, fb4 = run([("e", "f")], 0.8)
+    assert not fb4
+    assert got_small == {
+        "a": "a", "b": "a", "c": "c", "d": "c", "e": "e", "f": "e"
+    }

@@ -933,3 +933,56 @@ def test_poison_batch_quarantines_without_killing_stream(spark, tmp_path):
     assert _fs.exists(spark, str(out / "_quarantine"))
     assert not _fs.exists(spark, str(out / "edges"))
     assert not _fs.exists(spark, str(out / "_processed_keys"))
+
+
+def test_vertex_snapshot_retention_prunes_old_batches(spark, tmp_path):
+    """maintain_vertices snapshots are full maps and only the newest is
+    ever read — retention keeps the last K committed snapshots and
+    deletes older ones after the keys marker commits, so storage stays
+    bounded at K x map instead of batches x map. A torn (uncommitted)
+    stale dir is collected too; the retained window and the readable
+    snapshot are unaffected."""
+    from spacy_llm_spark import fs as _fs
+    from spacy_llm_spark.streaming.incremental import (
+        latest_vertex_snapshot,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(
+        spark, str(out), maintain_vertices=True, vertex_snapshot_retention=2
+    )
+    schema = "doc_id long, content string, lang string"
+    texts = [
+        "spark join customer", "join filter stream",
+        "window sort merge", "stream shuffle partition",
+    ]
+    # plant a torn stale snapshot (no _SUCCESS) that pruning must collect
+    torn = out / "vertices" / "batch_id=90"
+    torn.mkdir(parents=True)
+    (torn / "part-00000.parquet").write_bytes(b"")
+    for i, text in enumerate(texts, start=100):
+        b = spark.createDataFrame(
+            [(i, text, "python")], schema
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        proc(b, i)
+
+    kept = sorted(p.name for p in (out / "vertices").iterdir())
+    assert kept == ["batch_id=102", "batch_id=103"]
+    # the readable snapshot is the newest and still holds the full map
+    snap = latest_vertex_snapshot(spark, str(out))
+    nodes = {r.node for r in snap.collect()}
+    assert "K110" in nodes  # 'join' linked in the very first batch
+
+    # retention=None preserves everything (debug mode)
+    out2 = tmp_path / "kg_out2"
+    proc2 = make_batch_processor(
+        spark, str(out2), maintain_vertices=True,
+        vertex_snapshot_retention=None,
+    )
+    for i, text in enumerate(texts[:3], start=200):
+        b = spark.createDataFrame(
+            [(i, text, "python")], schema
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        proc2(b, i)
+    assert len(list((out2 / "vertices").iterdir())) == 3
