@@ -400,6 +400,32 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_topk_incremental(spark, sf_dir):
+    """Incremental IVF (ANN parity with the dedup families): the
+    standing 80% of the corpus is cell-assigned once — the persistable
+    index; the remaining 20% arrives as a batch assigned with the SAME
+    (now stale) centroids and appended; queries run over the union.
+    Assignment is per-row deterministic, so append-then-query in
+    exhaustive mode (n_probe = n_cells) equals brute-force top-k over
+    the full corpus — ivf_topk's oracle verbatim. Pruned-mode accuracy
+    under centroid staleness is a separate transparency metric
+    (similarity.ivf_index_drift, test-pinned)."""
+    from spacy_llm_spark.fs import cut_lineage
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    standing = emb.where(F.col("vec_id") % 5 != 1)
+    batch = emb.where(F.col("vec_id") % 5 == 1)
+    cents = similarity.sample_centroids(standing, 8)
+    index = cut_lineage(similarity.assign_ivf_cells(standing, cents))
+    appended = similarity.assign_ivf_cells(batch, cents)  # increment only
+    out = similarity.ivf_topk_from_assigned(
+        index.unionByName(appended), [float(x) for x in probe], cents,
+        k=10, n_probe=8,
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ner_prf(spark, sf_dir):
     """Scoring operator: predicted = engine mentions; gold = OP-labeled
     dictionary tokens only -> P = |OP|/|all|, R = 1 over OP subset."""
@@ -1264,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_pivot": q_events_daily_pivot,
         "asof_recent_click": q_asof_recent_click,
         "asof_latest_click_split": q_asof_latest_click_split,
+        "ivf_topk_incremental": q_ivf_topk_incremental,
     }
 
 
@@ -1841,6 +1868,20 @@ SELECT vec_id, round(cos, 6) AS cosine FROM scored
 ORDER BY cos DESC, vec_id LIMIT 10
 """,
         "ivf_topk": """
+WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], p) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(p, p))) AS cos
+  FROM embeddings, probe
+)
+SELECT vec_id, round(cos, 6) AS cosine FROM scored
+ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        # exhaustive-mode incremental IVF (stale-centroid append) is
+        # bit-equal to brute force over the full corpus — same oracle
+        "ivf_topk_incremental": """
 WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT vec_id,

@@ -84,6 +84,36 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     )
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dup_pairs(
         docs, n_hashes=64, bands=16, threshold=0.8).count())
+
+    # the persisted-index probe path, through the bucketed table layout
+    # (sources/bucketed.py) vs a plain in-memory index frame: at scale
+    # the bucketed read elides the index-side Exchange entirely (plan
+    # pinned in test_bucketed.py); these rows record the measured delta
+    # at bench SF. Probe batch = 1% of the corpus (the daily-crawl shape).
+    from spacy_llm_spark.sources.bucketed import write_bucketed
+
+    idx_kw = dict(n_hashes=64, bands=16, shingle_k=3)
+    probe_batch = docs.where(F.pmod(F.xxhash64(F.col("doc_id").cast("string")), 100) == 0)
+    probe_batch = probe_batch.select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+    ).localCheckpoint()
+    mem_idx = dedup.minhash_lsh_index(docs, **idx_kw).localCheckpoint()
+    t0 = time.time()
+    dedup.minhash_lsh_probe(
+        probe_batch, mem_idx, threshold=0.8, include_new_pairs=False, **idx_kw
+    ).count()
+    extras["lsh_probe_memory_index_sec"] = round(time.time() - t0, 3)
+    write_bucketed(
+        mem_idx, "bench_lsh_idx", "/dev/shm/spark-bench-local/lsh_idx",
+        "bucket", buckets=max(cpus // 2, 8), sort_by=False,
+    )
+    t0 = time.time()
+    dedup.minhash_lsh_probe(
+        probe_batch, spark.table("bench_lsh_idx"),
+        threshold=0.8, include_new_pairs=False, **idx_kw,
+    ).count()
+    extras["lsh_probe_bucketed_index_sec"] = round(time.time() - t0, 3)
+    spark.sql("DROP TABLE IF EXISTS bench_lsh_idx")
     timed("dedup_simhash", lambda: dedup.simhash(docs).count())
     # simhash near-dup clustering goes in its own field (new in r3) so the
     # headline "value" stays comparable across rounds

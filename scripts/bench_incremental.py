@@ -45,6 +45,182 @@ def chain_edges(spark, n: int, chunk: int = 2000, dup_factor: int = 1):
     )
 
 
+def adversarial_main() -> None:
+    """The sliced path's worst case, measured: a base graph dominated by
+    ONE giant component, then 10 successive batches that each touch the
+    giant. Every merge must recompute ~the whole graph; the question is
+    what the slice joins add on top and where the auto-fallback
+    (full_recompute_fraction) should sit. Prints one JSON line with the
+    per-batch times for (a) sliced path forced (fraction=None), (b)
+    auto-fallback (default 0.8 — always triggers here), and (c) full
+    recompute from raw edges, plus final-label equality across all three.
+
+    Usage: python scripts/bench_incremental.py --adversarial [n] [cpus]
+    """
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "8")
+    )
+    spark = get_spark(
+        app_name="bench-incremental-adversarial",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # one giant chain (diameter n) + 1000 isolated 2-cliques
+    giant = chain_edges(spark, n, chunk=n)
+    tiny = spark.range(1000).select(
+        F.format_string("t%06da", "id").alias("src"),
+        F.format_string("t%06db", "id").alias("dst"),
+    )
+    base = giant.unionByName(tiny).localCheckpoint()
+    batches = []
+    for b in range(10):
+        # each batch splices 20 new nodes INTO the giant component
+        rows = [
+            (f"c{(b * 37 + i * 991) % (n - 1):08d}", f"x{b:02d}_{i:04d}")
+            for i in range(20)
+        ]
+        batches.append(
+            spark.createDataFrame(rows, "src string, dst string").localCheckpoint()
+        )
+
+    def run_chain(fraction):
+        t0 = time.time()
+        labels = canon.connected_components(
+            base, max_iter=30, driver_threshold=0
+        ).localCheckpoint()
+        per_batch = []
+        for inc in batches:
+            t1 = time.time()
+            labels = canon.incremental_components(
+                labels, inc, max_iter=30, driver_threshold=0,
+                full_recompute_fraction=fraction,
+            ).localCheckpoint()
+            per_batch.append(round(time.time() - t1, 3))
+        return labels, per_batch, round(time.time() - t0, 3)
+
+    sliced_labels, sliced_batches, sliced_total = run_chain(None)
+    fb_labels, fb_batches, fb_total = run_chain(0.8)
+
+    t0 = time.time()
+    full_batches = []
+    edges_so_far = base
+    for inc in batches:
+        t1 = time.time()
+        edges_so_far = edges_so_far.unionByName(inc).localCheckpoint()
+        full_labels = canon.connected_components(
+            edges_so_far, max_iter=30, driver_threshold=0
+        ).localCheckpoint()
+        full_batches.append(round(time.time() - t1, 3))
+    full_total = round(time.time() - t0, 3)
+
+    def as_map(df):
+        return {r.node: r.component for r in df.collect()}
+
+    match = as_map(sliced_labels) == as_map(fb_labels) == as_map(full_labels)
+    spark.stop()
+    print(json.dumps({
+        "metric": "incremental_cc_adversarial_touch",
+        "n_base_edges": n + 1000,
+        "n_batches": len(batches),
+        "sliced_per_batch_sec": sliced_batches,
+        "fallback_per_batch_sec": fb_batches,
+        "full_recompute_per_batch_sec": full_batches,
+        "sliced_total_sec": sliced_total,
+        "fallback_total_sec": fb_total,
+        "full_total_sec": full_total,
+        "labels_match": match,
+        "cpus": cpus,
+    }))
+
+
+def stream_maintenance_main() -> None:
+    """Live label maintenance at bench scale: real KG links from the sf
+    corpus, split into N batches by doc hash. Incremental curve = chain
+    incremental_components over per-batch increments (exactly what the
+    maintain_vertices stream runs per micro-batch); full curve = rerun
+    connected_components over ALL links seen so far at every batch (what
+    a stream without maintenance would have to do). One JSON line with
+    both curves and final-label equality.
+
+    Usage: python scripts/bench_incremental.py --stream [n_batches] [cpus] [sf_dir]
+    """
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "8")
+    )
+    sf_dir = sys.argv[4] if len(sys.argv) > 4 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from spacy_llm_spark.corpus import corpus_from_documents
+    from spacy_llm_spark.kb import build_code_kb
+    from spacy_llm_spark.operators import materialize as mat
+    from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
+
+    spark = get_spark(
+        app_name="bench-incremental-stream",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    corpus = corpus_from_documents(spark, sf_dir)
+    links = mat.links_table(
+        annotate_corpus(corpus, KGConfig(), build_code_kb())
+    ).localCheckpoint()
+    link_batches = [
+        links.where(F.pmod(F.xxhash64("content_sha256"), n_batches) == b)
+        .localCheckpoint()
+        for b in range(n_batches)
+    ]
+
+    t0 = time.time()
+    inc_batches = []
+    labels = None
+    for lb in link_batches:
+        t1 = time.time()
+        inc = canon.links_increment_edges(lb)
+        if labels is None:
+            labels = canon.connected_components(inc).localCheckpoint()
+        else:
+            labels = canon.incremental_components(labels, inc).localCheckpoint()
+        inc_batches.append(round(time.time() - t1, 3))
+    incremental_total = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    full_batches = []
+    for b in range(n_batches):
+        t1 = time.time()
+        seen = link_batches[0]
+        for lb in link_batches[1:b + 1]:
+            seen = seen.unionByName(lb)
+        full_labels = canon.connected_components(
+            canon.links_increment_edges(seen)
+        ).localCheckpoint()
+        full_batches.append(round(time.time() - t1, 3))
+    full_total = round(time.time() - t0, 3)
+
+    def as_map(df):
+        return {r.node: r.component for r in df.collect()}
+
+    match = as_map(labels) == as_map(full_labels)
+    n_links = links.count()
+    spark.stop()
+    print(json.dumps({
+        "metric": "live_label_maintenance_vs_full",
+        "sf_dir": sf_dir,
+        "n_links": n_links,
+        "n_batches": n_batches,
+        "incremental_per_batch_sec": inc_batches,
+        "full_recompute_per_batch_sec": full_batches,
+        "incremental_total_sec": incremental_total,
+        "full_total_sec": full_total,
+        "speedup": round(full_total / incremental_total, 2),
+        "labels_match": match,
+        "cpus": cpus,
+    }))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
@@ -115,4 +291,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
+        adversarial_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
+        stream_maintenance_main()
+    else:
+        main()

@@ -50,8 +50,15 @@ def main():
     max_wait = float(sys.argv[6]) if len(sys.argv) > 6 else 1800
 
     launch_load = wait_for_quiet(max_load, max_wait)
+    # delivered-capacity probe (hypervisor steal is invisible to guest
+    # loadavg — see bench.py): probe the FULL 32-way width regardless of
+    # the measured level so records across levels are comparable
+    from bench import _effective_cores
+
+    probe_before = _effective_cores(32)
     best, n_triples, runs = measure(cpus, sf_dir, replicate, repeats)
     end_load = float(open("/proc/loadavg").read().split()[0])
+    probe_after = _effective_cores(32)
     rec = {
         "stamp": datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds"
@@ -63,6 +70,8 @@ def main():
         "n_triples": n_triples,
         "launch_load": launch_load,
         "end_load": end_load,
+        "effective_cores_before": probe_before["effective_cores"],
+        "effective_cores_after": probe_after["effective_cores"],
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_levels.jsonl", "a") as f:

@@ -287,17 +287,20 @@ def incremental_components(
     to admit edge-less nodes such as never-linked surfaces.
 
     Adversarial-touch guard: the worst case for the sliced path is a
-    batch that touches (nearly) every component — e.g. one that brushes
-    a dominant giant component plus most small ones. The recomputed
-    slice is then ~the whole graph, and the semi/anti-join slicing is
-    pure overhead on top of a de-facto full recompute. When the touched
-    fraction of existing components reaches ``full_recompute_fraction``
-    (default 0.8; None disables the probe), the slicing is skipped and
-    CC runs over ALL label stars ∪ increment directly — same result
-    (the label stars carry the full historical connectivity), minus two
-    joins and a union. The probe costs one component-scale count plus
-    one distinct over the node-scale map — both tiny next to the CC
-    rounds they can save. scripts/bench_incremental.py --adversarial
+    batch whose touched components cover (nearly) every NODE — the
+    canonical example being a batch that brushes a dominant giant
+    component every time. The recomputed slice is then ~the whole
+    graph, and the semi/anti-join slicing is pure overhead on top of a
+    de-facto full recompute. The guard measures the touched-NODE
+    fraction (not component count: one touched giant among thousands
+    of tiny components is a small count-fraction but ~all the work);
+    at ``full_recompute_fraction`` of label rows (default 0.8; None
+    disables the probe) the slicing is skipped and CC runs over ALL
+    label stars ∪ increment directly — same result (the label stars
+    carry the full historical connectivity), minus two joins and a
+    union. The slice count rides the lineage-cut materialization via
+    ``df.observe`` (no extra scan); the only added job is one
+    node-scale count. scripts/bench_incremental.py --adversarial
     records the measured crossover.
     """
     labels = labels.select("node", "component")
@@ -310,16 +313,22 @@ def incremental_components(
     touched = cut_lineage(
         labels.join(new_nodes, "node", "left_semi").select("component").distinct()
     )
+    obs = Observation()
+    sub_stars = cut_lineage(
+        labels.join(touched, "component", "left_semi")
+        .select(F.col("node").alias("src"), F.col("component").alias("dst"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
     if full_recompute_fraction is not None:
-        n_touched = touched.count()  # localCheckpointed, component-scale
-        if n_touched > 0:
-            n_total = labels.select("component").distinct().count()
-            if n_total > 0 and n_touched / n_total >= full_recompute_fraction:
+        n_sliced = obs.get["n"]  # free: observed during the lineage cut
+        if n_sliced > 0:
+            n_total = labels.count()
+            if n_total > 0 and n_sliced / n_total >= full_recompute_fraction:
                 logger.info(
-                    "incremental_components: batch touches %d/%d components "
+                    "incremental_components: batch touches %d/%d label rows "
                     "(>= %.0f%%) — falling back to full recompute over label "
                     "stars, skipping the slice joins",
-                    n_touched, n_total, full_recompute_fraction * 100,
+                    n_sliced, n_total, full_recompute_fraction * 100,
                 )
                 all_stars = labels.select(
                     F.col("node").alias("src"), F.col("component").alias("dst")
@@ -329,9 +338,6 @@ def incremental_components(
                     max_iter=max_iter,
                     driver_threshold=driver_threshold,
                 ).select("node", "component")
-    sub_stars = labels.join(touched, "component", "left_semi").select(
-        F.col("node").alias("src"), F.col("component").alias("dst")
-    )
     merged = connected_components(
         sub_stars.unionByName(new_edges),
         max_iter=max_iter,

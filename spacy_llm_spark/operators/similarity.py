@@ -419,6 +419,46 @@ def train_ivf_centroids(
     return centroids
 
 
+def ivf_index_drift(
+    assigned: DataFrame,
+    probe: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    *,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Recall@k of a (possibly stale) IVF index against fresh brute
+    force over the SAME corpus — the transparency metric for deferring
+    centroid re-training under incremental appends.
+
+    The incremental IVF story mirrors the dedup families: the standing
+    corpus is assigned once (``assign_ivf_cells``, persisted partitioned
+    by ``ivf_cell``); a new batch is assigned with the SAME centroids
+    and appended — assignment is per-row deterministic, so
+    append-then-query is bit-equal to a full re-assign with those
+    centroids. What appends DO degrade is how well the stale centroids
+    partition the grown corpus: vectors from a drifted distribution
+    crowd a few cells and n_probe pruning starts missing true
+    neighbors. This metric measures exactly that (1.0 = the pruned
+    query still finds the fresh brute-force top-k; at n_probe ==
+    n_cells it is 1.0 by construction). Re-train when it sags below the
+    application's floor, e.g. via ``train_ivf_centroids`` on a sample.
+    """
+    approx = [
+        r[0]
+        for r in ivf_topk_from_assigned(
+            assigned, probe, centroids, k,
+            n_probe=n_probe, vec_col=vec_col, id_col=id_col,
+        ).collect()
+    ]
+    return ann_recall(
+        assigned.select(id_col, vec_col), probe, approx, k,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
 def ann_recall(
     df: DataFrame,
     probe: Sequence[float],

@@ -78,13 +78,34 @@ def write_bucketed(
 
 
 def _bucket_spec(spark: SparkSession, name: str) -> tuple[int, tuple[str, ...]]:
-    """(num_buckets, bucket_columns) from the catalog, via DESCRIBE."""
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-    info = {r.col_name: r.data_type for r in rows}
-    n = int(info.get("Num Buckets", "0") or 0)
-    cols = info.get("Bucket Columns", "")
-    names = tuple(c.strip(" `") for c in cols.strip("[]").split(",") if c.strip())
-    return n, names
+    """(num_buckets, bucket_columns) straight from the catalog's
+    CatalogTable.bucketSpec — structured metadata, not a parse of
+    DESCRIBE's human-readable output (which is Spark-version-sensitive
+    and ambiguous for column names containing commas). (0, ()) for an
+    unbucketed table; NoSuchTableException propagates for a missing one.
+    """
+    jvm = spark._jvm  # noqa: SLF001
+    parts = [p.strip("`") for p in name.split(".")]
+    if len(parts) == 1:
+        ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(parts[0])
+    elif len(parts) == 2:
+        ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+            parts[1], jvm.scala.Some(parts[0])
+        )
+    else:
+        raise ValueError(f"expected [db.]table, got {name!r}")
+    meta = (
+        spark._jsparkSession.sessionState().catalog()  # noqa: SLF001
+        .getTableMetadata(ident)
+    )
+    spec_opt = meta.bucketSpec()
+    if spec_opt.isEmpty():
+        return 0, ()
+    spec = spec_opt.get()
+    jcols = spec.bucketColumnNames()
+    return int(spec.numBuckets()), tuple(
+        jcols.apply(i) for i in range(jcols.size())
+    )
 
 
 def bucketed_join(

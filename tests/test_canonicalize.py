@@ -381,10 +381,11 @@ def test_incremental_canonical_edges_gate_passthrough(spark):
 
 
 def test_incremental_components_adversarial_fallback(spark, caplog):
-    """A batch touching >= full_recompute_fraction of the components
-    triggers the full-recompute-over-stars fallback (no slice joins);
-    results stay identical to the sliced path. Pin both the trigger and
-    the non-trigger side of the threshold."""
+    """A batch whose touched components cover >= full_recompute_fraction
+    of the label ROWS (node fraction — so one touched giant component
+    counts as the work it actually is) triggers the
+    full-recompute-over-stars fallback; results stay identical to the
+    sliced path. Pin both the trigger and the non-trigger side."""
     import logging
 
     from spacy_llm_spark.operators.canonicalize import incremental_components
@@ -413,7 +414,8 @@ def test_incremental_components_adversarial_fallback(spark, caplog):
             )
         return got, fell_back
 
-    # touches 3/4 components (a,c,e) -> >= 0.5 triggers, >= 0.8 doesn't
+    # touches components a,c,e -> 5/6 label rows: >= 0.5 triggers,
+    # >= 0.9 doesn't (5/6 ~ 0.833)
     adversarial = [("b", "c"), ("e", "e")]
     got_fb, fb = run(adversarial, 0.5)
     assert fb
@@ -422,8 +424,8 @@ def test_incremental_components_adversarial_fallback(spark, caplog):
     assert got_fb == got_sliced == {
         "a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "f"
     }
-    _, fb3 = run(adversarial, 0.8)
-    assert not fb3  # 3/4 = 0.75 stays on the sliced path
+    _, fb3 = run(adversarial, 0.9)
+    assert not fb3  # 5/6 stays on the sliced path below 0.9
 
     # small touch never falls back at the default threshold
     got_small, fb4 = run([("e", "f")], 0.8)

@@ -96,19 +96,23 @@ def test_partitioned_sink_prunes_partitions_at_read(spark, tmp_path):
     assert "= py" in plan.split("PartitionFilters")[1]
 
 
-def test_canonical_edge_remap_never_shuffles_triples(spark):
+def test_canonical_edge_remap_never_shuffles_triples(spark, tmp_path):
     """canonical_edges (and therefore the incremental pass-through remap)
     rewrites endpoints with broadcast joins only — the corpus-scale
-    triple table must not hash-shuffle."""
+    triple table must not hash-shuffle. The vertex map is parquet-backed
+    (known plan-time stats) as it is in production, so the size gate
+    applies the hint deterministically; an unknown-stats map is left to
+    AQE's measured-size call instead (covered in test_canonicalize)."""
     from spacy_llm_spark.operators.canonicalize import canonical_edges
 
     triples = spark.createDataFrame(
         [("s:a", "uses", "K1", 1), ("K2", "uses", "s:b", 2)],
         "subj string, pred string, obj string, doc_id long",
     )
-    vmap = spark.createDataFrame(
+    spark.createDataFrame(
         [("s:a", "K1"), ("s:b", "K2")], "node string, component string"
-    )
+    ).write.parquet(str(tmp_path / "vmap"))
+    vmap = spark.read.parquet(str(tmp_path / "vmap"))
     out = canonical_edges(triples, vmap)
     out.collect()  # let AQE finalize
     plan = _plan(out).split("== Initial Plan ==")[0]
