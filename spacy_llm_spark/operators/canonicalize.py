@@ -380,9 +380,19 @@ def canonical_vertices(
             (node, uf.find(node), not node.startswith("surface:"))
             for node in sorted(nodes)
         ]
-        return links.sparkSession.createDataFrame(
+        out = links.sparkSession.createDataFrame(
             rows, "node string, component string, is_kb boolean"
         )
+        # the driver path KNOWS the map size — it just built it — while
+        # downstream consumers (canonical_edges' plan-time gate) only see
+        # a LogicalRDD with unknown stats and would conservatively
+        # decline to broadcast, paying the triple table's shuffle write
+        # before AQE converts. Attach the hint here, where the knowledge
+        # lives, for maps comfortably under the gate's byte budget
+        # (~100 B/row driver-side estimate).
+        if len(rows) * 100 <= _BROADCAST_VMAP_DEFAULT:
+            out = out.hint("broadcast")
+        return out
 
     edges = pairs.where(F.col("kb_id") != NIL).select(
         F.concat(F.lit("surface:"), F.col("surface_norm")).alias("src"),
