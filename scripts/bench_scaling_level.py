@@ -11,7 +11,12 @@ across sessions, so quiet-window measurements of each level combine into
 the pair evidence even when no single session gets two quiet phases.
 
 Usage: python scripts/bench_scaling_level.py <cpus> [sf_dir] [replicate]
-       [repeats] [max_load] [max_wait_secs]
+       [repeats] [max_load] [max_wait_secs] [min_eff_cores]
+
+min_eff_cores > 0 additionally gates on the DELIVERED 32-wide capacity
+probe (hypervisor steal is invisible to loadavg — bench.py lesson): the
+measurement starts only once the probe clears the floor, e.g. 20 for a
+local[16] leg. The shared max_wait budget bounds both gates.
 """
 
 from __future__ import annotations
@@ -49,6 +54,8 @@ def main():
     max_load = float(sys.argv[5]) if len(sys.argv) > 5 else 1.5
     max_wait = float(sys.argv[6]) if len(sys.argv) > 6 else 1800
 
+    min_eff = float(sys.argv[7]) if len(sys.argv) > 7 else 0.0
+    deadline = time.time() + max_wait
     launch_load = wait_for_quiet(max_load, max_wait)
     # delivered-capacity probe (hypervisor steal is invisible to guest
     # loadavg — see bench.py): probe the FULL 32-way width regardless of
@@ -56,6 +63,15 @@ def main():
     from bench import _effective_cores
 
     probe_before = _effective_cores(32)
+    while min_eff > 0 and probe_before["effective_cores"] < min_eff:
+        if time.time() > deadline:
+            print(
+                f"gave up waiting for capacity floor {min_eff} "
+                f"(probe {probe_before['effective_cores']})"
+            )
+            break
+        time.sleep(20)
+        probe_before = _effective_cores(32)
     best, n_triples, runs = measure(cpus, sf_dir, replicate, repeats)
     end_load = float(open("/proc/loadavg").read().split()[0])
     probe_after = _effective_cores(32)
