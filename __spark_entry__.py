@@ -945,6 +945,42 @@ def q_kg_pagerank(spark, sf_dir):
     return pr.select("vertex", F.round("rank", 6).alias("pr"))
 
 
+def q_kg_bfs_levels(spark, sf_dir):
+    """Multi-source BFS over the KG edge set: hop distance (<= 3) from
+    the seed set {vertices with a K1xx kb_id} — frontier-expansion with
+    one equi-join + one anti-join per hop (operators/graph.bfs_levels),
+    early exit via df.observe on the per-hop lineage cut."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("subj").alias("vertex"))
+        .union(edges.select(F.col("obj").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vertex").startswith("K1"))
+    return graph.bfs_levels(edges, seeds, max_hops=3)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-25 against a fixed query-term set (one rare + two common
+    terms) — corpus stats in ONE reduce, scoring as a pure projection
+    (functions/relevance.py); idf/avgdl/contribution quantized at 10 dp
+    in engine AND oracle so float order cannot flip the 6 dp compare."""
+    from spacy_llm_spark.functions.relevance import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["spark", "window", "dup"], k=25)
+
+
+def q_dup_ngram_stats(spark, sf_dir):
+    """Per-doc duplicated-span profile (Lee et al. exact-substring dedup
+    at 3-gram granularity): grams shared by >= 2 docs, one groupBy(gram)
+    + one semi-join back (operators/dedup.duplicated_ngram_stats)."""
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+
+    return duplicated_ngram_stats(_docs(spark, sf_dir), n=3, min_docs=2)
+
+
 def q_events_in_windows(spark, sf_dir):
     """Interval (range) join via bucketized equi-join (operators/
     rangejoin.py): events against 100 synthetic 3h incident windows on a
@@ -1193,9 +1229,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hold at least one representative of EVERY operator family — KG core,
     all three incremental dedup paths + both incremental KG maintenance
     paths, cache/checkpoint, exact/minhash/simhash/embedding dedup, ANN
-    (brute/LSH/IVF), graph analytics, corpus hygiene (PII/decontam/
-    clean/quality/lang-ID), sampling, quantiles+sketches, temporal
-    joins, task-parity parsers, windows/skew/agg, EL, multimodal.
+    (brute/LSH/IVF), graph analytics, graph traversal (BFS), corpus
+    hygiene (PII/decontam/clean/quality/lang-ID), relevance scoring
+    (BM25), sub-document span dedup, sampling, quantiles+sketches,
+    temporal joins, task-parity parsers, windows/skew/agg, EL,
+    multimodal.
     Variants whose family already has a stamped representative
     (alternate task parsers, extra window shapes, exact-quantile twin,
     as-of variants, base fingerprints) live AFTER position 50 — still
@@ -1229,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "dedup_cluster_reps": q_dedup_cluster_reps,
+        # --- sub-document (span) dedup ---
+        "dup_ngram_stats": q_dup_ngram_stats,
         # --- similarity search ---
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1238,9 +1278,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_clustering_coeff": q_kg_clustering_coeff,
+        # --- graph traversal (multi-source BFS) ---
+        "kg_bfs_levels": q_kg_bfs_levels,
         # --- corpus hygiene / text analysis ---
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        # --- relevance scoring (BM25) ---
+        "bm25_topk": q_bm25_topk,
         "corpus_clean": q_corpus_clean,
         "quality_score": q_quality_score,
         "detect_language": q_detect_language,
@@ -1258,18 +1302,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_offsets": q_substring_offsets,
         "ner_prf": q_ner_prf,
         "textcat_binary": q_textcat_binary,
-        "lemma_identity": q_lemma_identity,
-        "sentiment_lexicon": q_sentiment_lexicon,
         # --- windows / aggregation / skew ---
         "events_hourly": q_events_hourly,
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "salted_repo_stats": q_salted_repo_stats,
-        "regional_revenue": q_regional_revenue,
         # --- entity linking + multimodal ---
         "el_candidates_topn": q_el_candidates_topn,
         "media_stats": q_media_stats,
         # ================= position 50 boundary =================
         # family variants below — oracle-checked, not driver-stamped
+        # (lemma/sentiment are parse-family variants of textcat_binary;
+        # regional_revenue is a join-family variant of salted_repo_stats
+        # — swapped out in round 5 for the three new families above)
+        "lemma_identity": q_lemma_identity,
+        "sentiment_lexicon": q_sentiment_lexicon,
+        "regional_revenue": q_regional_revenue,
         "distinct_tokens": q_distinct_tokens,
         "events_sliding": q_events_sliding,
         "jaccard_vs_probe": q_jaccard_vs_probe,
@@ -2056,6 +2103,88 @@ SELECT deg.vertex,
                        / (deg.degree * (deg.degree - 1.0))
                   ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex
+""",
+        # BFS unrolled to the query's max_hops=3 (one frontier CTE per
+        # hop — same chained-CTE discipline as the pagerank oracle);
+        # NOT IN is null-safe here because vertices are never NULL.
+        "kg_bfs_levels": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj AS s, obj AS t FROM edges WHERE subj <> obj),
+und AS (SELECT s, t FROM de UNION SELECT t, s FROM de),
+verts AS (SELECT subj AS v FROM edges UNION SELECT obj FROM edges),
+r0 AS (SELECT v, 0 AS level FROM verts WHERE v LIKE 'K1%'),
+f1 AS (SELECT DISTINCT u.t AS v FROM und u JOIN r0 ON u.s = r0.v
+       WHERE u.t NOT IN (SELECT v FROM r0)),
+r1 AS (SELECT v, level FROM r0 UNION ALL SELECT v, 1 FROM f1),
+f2 AS (SELECT DISTINCT u.t AS v FROM und u JOIN f1 ON u.s = f1.v
+       WHERE u.t NOT IN (SELECT v FROM r1)),
+r2 AS (SELECT v, level FROM r1 UNION ALL SELECT v, 2 FROM f2),
+f3 AS (SELECT DISTINCT u.t AS v FROM und u JOIN f2 ON u.s = f2.v
+       WHERE u.t NOT IN (SELECT v FROM r2)),
+r3 AS (SELECT v, level FROM r2 UNION ALL SELECT v, 3 FROM f3)
+SELECT v AS vertex, CAST(level AS BIGINT) AS level FROM r3
+""",
+        # BM25: formula and quantization mirror functions/relevance.py
+        # line-for-line (10 dp intermediates, 6 dp final; avgdl from
+        # exact integer sums; e0 suffixes force DOUBLE literals so
+        # DuckDB can't fall into DECIMAL arithmetic).
+        "bm25_topk": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, len(tk) AS dl,
+    len(list_filter(tk, t -> t = 'dup')) AS tf_0,
+    len(list_filter(tk, t -> t = 'spark')) AS tf_1,
+    len(list_filter(tk, t -> t = 'window')) AS tf_2
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS N,
+    round(CAST(sum(dl) AS DOUBLE) / count(*), 10) AS avgdl,
+    round(ln(1e0 + (count(*) - sum(CASE WHEN tf_0>0 THEN 1 ELSE 0 END) + 0.5e0)
+                 / (sum(CASE WHEN tf_0>0 THEN 1 ELSE 0 END) + 0.5e0)), 10) AS idf_0,
+    round(ln(1e0 + (count(*) - sum(CASE WHEN tf_1>0 THEN 1 ELSE 0 END) + 0.5e0)
+                 / (sum(CASE WHEN tf_1>0 THEN 1 ELSE 0 END) + 0.5e0)), 10) AS idf_1,
+    round(ln(1e0 + (count(*) - sum(CASE WHEN tf_2>0 THEN 1 ELSE 0 END) + 0.5e0)
+                 / (sum(CASE WHEN tf_2>0 THEN 1 ELSE 0 END) + 0.5e0)), 10) AS idf_2
+  FROM base
+)
+SELECT doc_id, round(
+    round(idf_0 * (tf_0 * 2.2e0) / (tf_0 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 10)
+  + round(idf_1 * (tf_1 * 2.2e0) / (tf_1 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 10)
+  + round(idf_2 * (tf_2 * 2.2e0) / (tf_2 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 10), 6) AS score
+FROM base, stats
+ORDER BY score DESC, doc_id ASC LIMIT 25
+""",
+        # duplicated 3-gram spans: per-doc DISTINCT grams, dup = gram in
+        # >= 2 docs (count over per-doc-distinct rows IS the doc count)
+        "dup_ngram_stats": """
+WITH ts AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM ts
+), ng AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+), pg AS (SELECT DISTINCT doc_id, g FROM ng),
+dup AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+per AS (
+  SELECT pg.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM pg LEFT JOIN dup ON pg.g = dup.g GROUP BY pg.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+  round(CASE WHEN coalesce(per.n_grams, 0) > 0
+             THEN CAST(per.n_dup AS DOUBLE) / per.n_grams
+             ELSE 0e0 END, 6) AS dup_ratio
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """,
         # the HLL estimate is engine-specific; the exact count and the
         # 4-sigma bound are the cross-engine contract

@@ -8,7 +8,8 @@ uniformly ~2.6x on diff-identical code). This watcher polls
 bench._effective_cores() and launches bench.py as a subprocess only
 when delivered capacity crosses SPARK_GRAFT_MIN_EFF_CORES (default 24
 of 32). Each completed run is appended to BENCH/bench_attempts.jsonl;
-the lowest-total run is kept at BENCH/bench_r4_best.json.
+the lowest-total run is kept at BENCH/$SPARK_GRAFT_BEST_NAME
+(default bench_r5_best.json).
 
 Usage: python scripts/bench_when_quiet.py [max_runtime_secs]
 """
@@ -23,7 +24,9 @@ import bench  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ATTEMPTS = os.path.join(REPO, "BENCH", "bench_attempts.jsonl")
-BEST = os.path.join(REPO, "BENCH", "bench_r4_best.json")
+BEST = os.path.join(
+    REPO, "BENCH",
+    os.environ.get("SPARK_GRAFT_BEST_NAME", "bench_r5_best.json"))
 
 
 def main() -> None:

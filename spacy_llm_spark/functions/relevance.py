@@ -1,0 +1,143 @@
+"""BM25 relevance scoring over a document corpus.
+
+A training-data pipeline constantly ranks documents against term sets —
+seed-corpus expansion ("find docs like these quality seeds"),
+benchmark-leak triage, targeted subset mining. BM25 (Robertson et al.,
+Okapi TREC-3) is the standard lexical ranker, and it decomposes into
+exactly the aggregations Spark is good at:
+
+- corpus statistics: ``N`` (doc count) and total token count in ONE
+  aggregation over the token-length projection — a single reduce to one
+  row, broadcast back via a 1-row crossJoin (never a driver collect in
+  the plan);
+- document frequency per query term: explode is avoided — the per-doc
+  term frequency comes from ``F.aggregate`` over the token array (a
+  pure projection), and df(t) counts docs with tf > 0, an aggregation
+  over |terms| × |docs| narrow rows;
+- the score is a per-row expression over (tf, dl, idf, avgdl) — fully
+  inside whole-stage codegen.
+
+Scale shape: the corpus is touched twice (once for stats, once for
+scoring) with no corpus×corpus join anywhere; the only shuffles are the
+one-row stats reduce and the |terms|-row df reduce. Query terms are a
+literal list (tens), so the tf columns are unrolled per term — the
+classic "scoring as projection" trick that keeps 100 TB runs one pass.
+
+Determinism across engines (the DuckDB oracle mirrors this exactly):
+``avgdl`` is computed as exact-integer sum ÷ count (not a float
+``avg()``, whose partial-sum order differs per engine), idf and each
+term contribution are quantized at 10 dp, and the final score at 6 dp —
+same discipline as operators/graph.pagerank.
+
+Reference analogue: none (spacy-llm has no retrieval op); this extends
+the LLM-data-pipeline family (SURVEY.md §2 additions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .text import tokens_expr
+
+_Q = 10  # intermediate quantum (dp), matches pagerank's discipline
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BM25 score against ``query_terms``.
+
+    Returns every document (zero-score docs included — downstream
+    filters decide the cut) with columns (id_col, score), score rounded
+    to 6 dp. idf uses the non-negative variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+
+    # NB: a `lambda t, term=term:` default-arg closure would make the
+    # lambda 2-ary, which pyspark's higher-order functions interpret as
+    # (element, index) — the factory keeps it 1-ary.
+    def _eq(term: str):
+        return lambda t: t == F.lit(term)
+
+    toks = tokens_expr(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(term))).cast("long").alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+
+    # ONE reduce to a single row: N, total tokens, and per-term df.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("N"),
+        F.sum("dl").cast("double").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # avgdl from exact integer sums — bit-identical in any engine.
+    stats = stats.select(
+        "N",
+        F.round(F.col("total_dl") / F.col("N"), _Q).alias("avgdl"),
+        *[
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5))
+                ),
+                _Q,
+            ).alias(f"idf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = base.crossJoin(broadcast(stats))
+    contribs = [
+        F.round(
+            F.col(f"idf_{i}")
+            * (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+            _Q,
+        )
+        for i in range(len(terms))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return scored.select(F.col(id_col), F.round(total, 6).alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 25,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents by BM25 score, ties broken by ascending id — a
+    TakeOrderedAndProject (no global sort materializes)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    return (
+        bm25_scores(docs, query_terms, **kwargs)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1010,3 +1010,76 @@ def embedding_lsh_probe(
         _index_stamp("em", b=bands, p=planes_per_band, s=seed, d=dim),
     )
     return _cosine_verified(cross, new_vecs.schema[id_col].dataType, threshold)
+
+
+def duplicated_ngram_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span profile: how much of each document
+    is made of token n-grams that also occur in OTHER documents.
+
+    The sub-document counterpart of doc-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    substring duplication is what survives doc-level dedup and what LMs
+    memorize). A gram is "duplicated" when it appears in >= ``min_docs``
+    DISTINCT documents; the per-doc output is
+
+        (id_col, n_grams, n_dup_grams, dup_ratio)
+
+    over the doc's DISTINCT grams, dup_ratio rounded to 6 dp, zero-gram
+    docs included with ratio 0.0.
+
+    Scale shape: per-doc distinct grams are a pure projection
+    (``ngrams_expr`` + ``array_distinct``, no self-join anywhere); the
+    duplicated-gram set is ONE groupBy(gram) count over (doc, gram)
+    rows — because the rows are per-doc distinct, count(*) IS the
+    distinct-doc count, so no count_distinct buffer; the join back to
+    per-doc grams is keyed on the same gram, reusing the partitioning.
+    At 10^12-doc scale the gram-string shuffle key would be replaced by
+    ``xxhash64(gram)`` (64-bit birthday collisions only ever OVERcount
+    a handful of grams); here the raw gram is kept so the result is
+    exact and oracle-checkable. Hot grams (boilerplate) are bounded by
+    the same skew note as LSH buckets: a gram shared by every doc
+    produces |docs| narrow rows on one key — cap or salt upstream if a
+    profiling run shows one.
+    """
+    from ..functions.text import ngrams_expr
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(ngrams_expr(text_col, n))).alias("gram"),
+    )
+    dup_grams = (
+        per_doc.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    flagged = per_doc.join(dup_grams, "gram", "left_semi")
+    stats = (
+        per_doc.groupBy(id_col)
+        .agg(
+            F.sum(F.col("gram").isNotNull().cast("long")).alias("n_grams"),
+        )
+        .join(
+            flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_grams")),
+            id_col,
+            "left",
+        )
+    )
+    return stats.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.round(
+            F.when(F.col("n_grams") > 0, F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ratio"),
+    )

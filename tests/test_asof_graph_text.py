@@ -663,3 +663,123 @@ def test_approx_distinct_certificate(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------- bfs
+
+
+def test_bfs_levels_hand_case(spark):
+    """Chain a-b-c-d-e plus isolated pair x-y; self-loop must not create
+    reachability; max_hops truncates the chain tail."""
+    from spacy_llm_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"), ("e", "e")],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "vertex string")
+    got = {r["vertex"]: r["level"] for r in bfs_levels(edges, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 0, "y": 1}
+
+
+def test_bfs_levels_early_exit_and_direction(spark):
+    """Traversal is undirected (seed reaches a predecessor); loop exits
+    the moment a frontier drains (component exhausted before max_hops)."""
+    from spacy_llm_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("u", "seed"), ("seed", "v"), ("far1", "far2")],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "vertex string")
+    got = {r["vertex"]: r["level"] for r in bfs_levels(edges, seeds, max_hops=25).collect()}
+    assert got == {"seed": 0, "u": 1, "v": 1}
+
+
+def test_bfs_levels_duplicate_seeds_and_min_level(spark):
+    """A vertex reachable at two different hop counts keeps the MINIMUM
+    (the anti-join refuses re-discovery); duplicate seed rows collapse."""
+    from spacy_llm_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("s", "b")],  # b at hop 1 direct, hop 2 via a
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("s",), ("s",)], "vertex string")
+    rows = bfs_levels(edges, seeds, max_hops=5).collect()
+    got = {r["vertex"]: r["level"] for r in rows}
+    assert len(rows) == len(got) == 3
+    assert got == {"s": 0, "a": 1, "b": 1}
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the rare query term outscores a doc matching the
+    corpus-saturating term (idf ordering), and tf raises the score."""
+    from spacy_llm_spark.functions.relevance import bm25_scores
+
+    rows = [(i, "common filler words here") for i in range(20)]
+    rows += [(100, "rare common filler words"), (101, "rare rare filler words"),
+             (102, "common filler other words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(docs, ["rare", "common"]).collect()}
+    assert len(got) == 23  # every doc present, zero-score included
+    assert got[101] > got[100] > got[102] > 0.0
+    # docs without either term would score 0; all docs here have >=1 term
+    assert all(v >= 0.0 for v in got.values())
+
+
+def test_bm25_empty_terms_raise_and_topk_ties(spark):
+    from spacy_llm_spark.functions.relevance import bm25_scores, bm25_topk
+
+    docs = spark.createDataFrame(
+        [(2, "t x"), (1, "t x"), (3, "y z")], "doc_id long, text string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, [])
+    top = bm25_topk(docs, ["t"], k=2).collect()
+    # identical scores tie-break by ascending doc_id
+    assert [r["doc_id"] for r in top] == [1, 2]
+
+
+# ------------------------------------------------- duplicated n-grams
+
+
+def test_duplicated_ngram_stats_hand_case(spark):
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: "a b c", "b c d"
+            (2, "a b c x"),      # grams: "a b c", "b c x"
+            (3, "q r"),          # too short for a 3-gram
+            (4, "z z z z z"),    # repeated gram inside ONE doc only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_ratio"])
+           for r in duplicated_ngram_stats(docs, n=3).collect()}
+    # "a b c" is shared by docs 1+2; "z z z" repeats only within doc 4
+    # (per-doc distinct => not duplicated across docs)
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_duplicated_ngram_stats_min_docs_threshold(spark):
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    strict = duplicated_ngram_stats(docs, n=3, min_docs=4).collect()
+    assert all(r["n_dup_grams"] == 0 for r in strict)
+    loose = duplicated_ngram_stats(docs, n=3, min_docs=3).collect()
+    assert all(r["n_dup_grams"] == 1 and r["dup_ratio"] == 1.0 for r in loose)
