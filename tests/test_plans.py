@@ -118,3 +118,51 @@ def test_canonical_edge_remap_never_shuffles_triples(spark, tmp_path):
     plan = _plan(out).split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_bm25_plan_one_reduce_topk_no_sort(spark):
+    """BM25: corpus stats are ONE SinglePartition reduce broadcast back
+    (no driver collect in the plan); top-k is TakeOrderedAndProject —
+    a global Sort node would materialize the whole corpus ordering."""
+    from spacy_llm_spark.functions.relevance import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(bm25_topk(docs, ["alpha", "gamma"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    # exactly one shuffle: the single-row stats reduce
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_dup_ngram_stats_no_cartesian(spark):
+    """Duplicated-span profiling must stay equi-join shaped: no
+    cartesian/BNLJ anywhere, dup-gram filter applied before the
+    semi-join back."""
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(duplicated_ngram_stats(docs, n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_frontier_round_is_equi_join_shaped(spark):
+    """One BFS hop = expand equi-join + visited anti-join; no cartesian,
+    no sort-merge on an unkeyed frame."""
+    from spacy_llm_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(50)],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("v0",)], "vertex string")
+    out = bfs_levels(edges, seeds, max_hops=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
