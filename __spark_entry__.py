@@ -981,6 +981,18 @@ def q_dup_ngram_stats(spark, sf_dir):
     return duplicated_ngram_stats(_docs(spark, sf_dir), n=3, min_docs=2)
 
 
+def q_lexical_cosine_pairs(spark, sf_dir):
+    """Sparse lexical all-pairs cosine (inverted-index self-join with a
+    df cap, Bayardo et al. WWW'07) over 3-gram tf vectors — the exact
+    sparse counterpart of embedding_dup_pairs; integer dot/norms so the
+    6 dp compare is engine-exact."""
+    from spacy_llm_spark.operators.similarity import lexical_cosine_pairs
+
+    return lexical_cosine_pairs(
+        _docs(spark, sf_dir), min_sim=0.5, n=3, max_df=100
+    )
+
+
 def q_events_in_windows(spark, sf_dir):
     """Interval (range) join via bucketized equi-join (operators/
     rangejoin.py): events against 100 synthetic 3h incident windows on a
@@ -1338,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_recent_click": q_asof_recent_click,
         "asof_latest_click_split": q_asof_latest_click_split,
         "ivf_topk_incremental": q_ivf_topk_incremental,
+        "lexical_cosine_pairs": q_lexical_cosine_pairs,
     }
 
 
@@ -2185,6 +2198,38 @@ SELECT d.doc_id,
              THEN CAST(per.n_dup AS DOUBLE) / per.n_grams
              ELSE 0e0 END, 6) AS dup_ratio
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+        # sparse lexical cosine: integer dot/norms, fixed-shape IEEE
+        # final expression — bit-identical across engines, so the
+        # threshold filter and the 6 dp rounding agree exactly
+        "lexical_cosine_pairs": """
+WITH ts AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM ts
+), ng AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS term
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ng GROUP BY doc_id, term
+), dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN dfc USING (term) WHERE dfc.df <= 100),
+nrm AS (SELECT doc_id, sum(tf * tf) AS s2 FROM kept GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(dot / (sqrt(na.s2) * sqrt(nb.s2)), 6) AS sim
+FROM dots
+JOIN nrm na ON na.doc_id = dots.id_a
+JOIN nrm nb ON nb.doc_id = dots.id_b
+WHERE dot / (sqrt(na.s2) * sqrt(nb.s2)) >= 0.5e0
 """,
         # the HLL estimate is engine-specific; the exact count and the
         # 4-sigma bound are the cross-engine contract

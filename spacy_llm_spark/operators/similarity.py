@@ -473,3 +473,82 @@ def ann_recall(
     n_probe), which are approximate by construction."""
     exact = {r[0] for r in cosine_topk(df, probe, k, vec_col=vec_col, id_col=id_col).collect()}
     return len(exact & set(approx_ids)) / max(1, len(exact))
+
+
+def lexical_cosine_pairs(
+    docs: DataFrame,
+    min_sim: float = 0.5,
+    *,
+    n: int = 1,
+    max_df: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs with lexical cosine similarity >= ``min_sim``
+    over token ``n``-gram term-frequency vectors: (id_a, id_b, sim),
+    id_a < id_b, sim rounded to 6 dp.
+
+    The sparse counterpart of ``embedding_dup_pairs``: exact cosine in
+    term space, found via an inverted-index self-join — the classic
+    all-pairs-similarity shape (Bayardo et al., WWW'07 "Scaling Up All
+    Pairs Similarity Search"):
+
+    - (doc, term, tf) from ONE explode + groupBy — the only pass over
+      text;
+    - ``max_df`` prunes high-document-frequency terms BEFORE pairing
+      (df computed with one window over the same term partitioning —
+      no second shuffle). A term in k docs creates k(k-1)/2 candidate
+      rows, so stopword-grade terms are what make all-pairs quadratic;
+      capping df bounds the join fan-out at max_df²/2 per term. Norms
+      are computed AFTER the cap, so the result is EXACT cosine over
+      the df-capped vocabulary (a well-defined metric, deterministic,
+      oracle-checkable) rather than an approximation of the uncapped
+      one;
+    - candidate dot products: equi-join on the term, upper triangle
+      (id_a < id_b), groupBy(pair) sum — integer arithmetic until the
+      final sqrt/divide, so engine float order cannot drift the 6 dp
+      compare (dot and the squared norms are exact integers; the final
+      expression is a fixed-shape IEEE computation).
+
+    At 10^12-doc scale this operator is for WITHIN-CLUSTER verification
+    (post-LSH buckets, shard-local corpora) or aggressive max_df — the
+    uncapped all-pairs join is inherently quadratic in the hottest
+    term's df, which is why the cap is a first-class argument and the
+    banded LSH family is the corpus-wide path.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import ngrams_expr, tokens_expr
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    terms = (
+        ngrams_expr(text_col, n) if n > 1 else tokens_expr(F.col(text_col))
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(terms).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df is not None:
+        tf = tf.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        ).where(F.col("_df") <= max_df).drop("_df")
+    norms = tf.groupBy("_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("s2"))
+    a = tf.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("s2").alias("s2_a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("s2").alias("s2_b"))
+    sim = F.col("dot") / (F.sqrt(F.col("s2_a")) * F.sqrt(F.col("s2_b")))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(sim >= F.lit(min_sim))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )

@@ -891,3 +891,71 @@ def test_ivf_index_drift_metric(spark):
     # far away), so even n_probe=1 finds the true top-k here — the metric
     # certifies that; a scattered assignment would surface as < 1.0
     assert pruned == 1.0
+
+
+def test_lexical_cosine_pairs_matches_numpy(spark):
+    """Exact unigram cosine vs a numpy brute force on small docs."""
+    import itertools
+
+    import numpy as np
+
+    from spacy_llm_spark.operators.similarity import lexical_cosine_pairs
+
+    texts = {
+        1: "a a b c",
+        2: "a b b c",
+        3: "x y z",
+        4: "a a b c",  # exact dup of 1
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in lexical_cosine_pairs(docs, min_sim=0.1).collect()}
+
+    vocab = sorted({t for s in texts.values() for t in s.split()})
+    vecs = {i: np.array([s.split().count(t) for t in vocab], dtype=float)
+            for i, s in texts.items()}
+    want = {}
+    for i, j in itertools.combinations(sorted(texts), 2):
+        sim = float(vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])))
+        if sim >= 0.1:
+            want[(i, j)] = round(sim, 6)
+    assert got == want
+    assert got[(1, 4)] == 1.0
+
+
+def test_lexical_cosine_pairs_max_df_prunes_hot_terms(spark):
+    """A term in every doc is pruned by max_df, so docs sharing ONLY the
+    hot term lose their pair; norms are over the capped space."""
+    from spacy_llm_spark.operators.similarity import lexical_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the alpha"), (2, "the beta"), (3, "the alpha")],
+        "doc_id long, text string",
+    )
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                lexical_cosine_pairs(docs, min_sim=0.01).collect()}
+    assert uncapped == {(1, 2), (1, 3), (2, 3)}
+    capped = {(r["id_a"], r["id_b"]): r["sim"] for r in
+              lexical_cosine_pairs(docs, min_sim=0.01, max_df=2).collect()}
+    # "the" (df=3) is gone; 1 and 3 still share "alpha" at sim 1.0 in
+    # the capped space; 2 has nothing in common with either
+    assert capped == {(1, 3): 1.0}
+
+
+def test_lexical_cosine_pairs_ngram_space_and_validation(spark):
+    import pytest as _pytest
+
+    from spacy_llm_spark.operators.similarity import lexical_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError):
+        lexical_cosine_pairs(docs, n=0)
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in
+           lexical_cosine_pairs(docs, min_sim=0.1, n=3).collect()}
+    # grams: doc1 {a b c, b c d}, doc2 {a b c, b c e} -> dot 1, norms sqrt(2)
+    assert got == {(1, 2): 0.5}
