@@ -216,6 +216,37 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     canon.connected_components(chain, max_iter=30, driver_threshold=0).count()
     extras["cc_distributed_200k_edges_sec"] = round(time.time() - t0, 3)
 
+    # round-5 operator families — extras (same comparability note):
+    # multi-source BFS over the same 100-chain graph (seeds = one end of
+    # every chain; 5 hops of frontier expansion over 200k edges)
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import bfs_levels
+
+    seeds = ids.where(F.col("id") % 2000 == 0).select(
+        F.format_string("c%08d", "id").alias("vertex")
+    )
+    bfs_levels(chain, seeds, max_hops=5, src="src", dst="dst").count()
+    extras["bfs_levels_200k_edges_5hops_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+
+    duplicated_ngram_stats(docs, n=3).count()
+    extras["dup_ngram_stats_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.similarity import lexical_cosine_pairs
+
+    n_lex = lexical_cosine_pairs(docs, min_sim=0.5, n=3, max_df=2000).count()
+    extras["lexical_cosine_pairs_sec"] = round(time.time() - t0, 3)
+    extras["lexical_cosine_n_pairs"] = n_lex
+
+    t0 = time.time()
+    from spacy_llm_spark.functions.relevance import bm25_topk
+
+    bm25_topk(docs, ["spark", "window", "dup"], k=25).count()
+    extras["bm25_topk_sec"] = round(time.time() - t0, 3)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
