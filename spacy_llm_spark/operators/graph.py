@@ -294,8 +294,11 @@ def bfs_levels(
     )
     und = de.union(de.select(F.col("t").alias("s"), F.col("s").alias("t")))
 
-    visited = seeds.select(F.col(seeds.columns[0]).alias("vertex")).distinct()
-    visited = visited.withColumn("level", F.lit(0))
+    visited = fs.cut_lineage(
+        seeds.select(F.col(seeds.columns[0]).alias("vertex"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+    )
     frontier = visited.select("vertex")
     for hop in range(1, max_hops + 1):
         obs = Observation()
@@ -307,7 +310,11 @@ def bfs_levels(
             .withColumn("level", F.lit(hop))
         )
         nxt = fs.cut_lineage(nxt.observe(obs, F.count(F.lit(1)).alias("n")))
-        visited = fs.cut_lineage(visited.unionByName(nxt))
+        # visited stays a PLAIN union of already-cut hop frames — its plan
+        # is K checkpoint scans, so cutting it again each hop would add an
+        # O(|visited|) materialization per hop (O(V·hops) total) for no
+        # lineage benefit. Only the frontier (whose plan grows) is cut.
+        visited = visited.unionByName(nxt)
         if obs.get["n"] == 0:
             break
         frontier = nxt.select("vertex")
