@@ -981,6 +981,31 @@ def q_dup_ngram_stats(spark, sf_dir):
     return duplicated_ngram_stats(_docs(spark, sf_dir), n=3, min_docs=2)
 
 
+def q_dup_ngram_stats_incremental(spark, sf_dir):
+    """Incremental duplicated-span maintenance: index + stats built on
+    doc_id < 400, the rest probed as an append batch; counts are
+    monotone under append so only threshold-CROSSING grams (a subset of
+    the batch's grams) touch old stats — bit-equal to full recompute
+    (shared oracle), history never re-shingled."""
+    from spacy_llm_spark.operators.dedup import (
+        dup_ngram_counts,
+        dup_ngram_index,
+        dup_ngram_stats_probe,
+        duplicated_ngram_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    grams = dup_ngram_index(old, n=3).localCheckpoint()
+    counts = dup_ngram_counts(grams, n=3)
+    prior = duplicated_ngram_stats(old, n=3)
+    stats, _, _ = dup_ngram_stats_probe(
+        grams, counts, prior, new, n=3, min_docs=2
+    )
+    return stats
+
+
 def q_lexical_cosine_pairs(spark, sf_dir):
     """Sparse lexical all-pairs cosine (inverted-index self-join with a
     df cap, Bayardo et al. WWW'07) over 3-gram tf vectors — the exact
@@ -1351,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_click_split": q_asof_latest_click_split,
         "ivf_topk_incremental": q_ivf_topk_incremental,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
+        "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
     }
 
 
@@ -2342,4 +2368,5 @@ FROM events GROUP BY 1
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]
+    sql["dup_ngram_stats_incremental"] = sql["dup_ngram_stats"]
     return sql

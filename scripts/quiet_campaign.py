@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""One quiet-window measurement campaign: a capacity-gated bench.py run
+plus a same-phase N->4N scaling pair, back-to-back, so the pair and the
+headline share ONE host phase (the round-4/5 lesson: cross-phase pairs
+are uninterpretable — a degraded control inflates efficiency).
+
+Polls the delivered-capacity probe (loadavg misses hypervisor steal)
+and, when the floor clears, runs in sequence:
+
+  1. bench.py (1 attempt, short inner gate — the outer gate already ran)
+  2. local[16] scaling leg, replicate=120, 2 repeats
+  3. local[4]  scaling leg, replicate=120, 2 repeats
+
+then recomputes the freshest same-campaign efficiency and appends a
+summary line to BENCH/campaigns.jsonl. Loops until budget exhaustion or
+SPARK_GRAFT_CAMPAIGNS successful campaigns.
+
+Usage: python scripts/quiet_campaign.py [budget_secs]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+import bench  # noqa: E402
+
+FLOOR = float(os.environ.get("SPARK_GRAFT_MIN_EFF_CORES", "22.4"))
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(REPO, "BENCH", "campaigns.jsonl")
+
+
+def run(cmd, env_extra=None, timeout=3600):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=REPO, timeout=timeout)
+
+
+def last_jsonl_rows(path, n):
+    try:
+        with open(path) as f:
+            rows = [json.loads(x) for x in f if x.strip()]
+        return rows[-n:]
+    except FileNotFoundError:
+        return []
+
+
+def main():
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 4 * 3600.0
+    want = int(os.environ.get("SPARK_GRAFT_CAMPAIGNS", "2"))
+    t0 = time.time()
+    done = 0
+    while time.time() - t0 < budget and done < want:
+        probe = bench._effective_cores(32)
+        if probe["effective_cores"] < FLOOR:
+            print(f"[campaign] capacity {probe['effective_cores']}/32 < "
+                  f"{FLOOR}, sleeping", flush=True)
+            time.sleep(120)
+            continue
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%S+0000", time.gmtime())
+        print(f"[campaign] {stamp} capacity {probe['effective_cores']} — GO",
+              flush=True)
+        r = run([sys.executable, "bench.py"],
+                {"SPARK_GRAFT_BENCH_RUNS": "1",
+                 "SPARK_GRAFT_MAX_WAIT_SECS": "60"})
+        bench_line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        for cpus in ("16", "4"):
+            run([sys.executable, "scripts/bench_scaling_level.py",
+                 cpus, SF, "120", "2", "2.0", "600",
+                 str(FLOOR * 0.85)], timeout=5400)
+        legs = last_jsonl_rows(
+            os.path.join(REPO, "BENCH", "scaling_levels.jsonl"), 2)
+        summary = {"stamp": stamp, "probe": probe,
+                   "bench": json.loads(bench_line) if bench_line else None,
+                   "legs": legs}
+        if len(legs) == 2:
+            by = {r["cpus"]: r["best_wall"] for r in legs}
+            if 4 in by and 16 in by:
+                summary["efficiency_4_to_16"] = round(by[4] / (4 * by[16]), 3)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(summary) + "\n")
+        print(f"[campaign] done: {summary.get('efficiency_4_to_16')}",
+              flush=True)
+        done += 1
+        time.sleep(300)
+    print(f"[campaign] finished {done} campaigns", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1083,3 +1083,165 @@ def duplicated_ngram_stats(
             6,
         ).alias("dup_ratio"),
     )
+
+
+def dup_ngram_index(
+    docs: DataFrame,
+    n: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persistable duplicated-span index: per-doc DISTINCT token n-grams
+    as (id_col, gram) rows, param-stamped in the column name like every
+    persisted index in this family (``_fmt_v2_ng_n3``).
+
+    Built ONCE over the standing corpus; daily batches then maintain
+    stats through ``dup_ngram_stats_probe`` without ever re-shingling
+    history. Store it bucketed on ``gram`` (sources/bucketed.py) and the
+    count derivation + crossing joins elide their Exchanges.
+    """
+    from ..functions.text import ngrams_expr
+
+    stamp = _index_stamp("ng", n=n)
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_expr(text_col, n))).alias("gram"),
+    ).withColumn(stamp, F.lit(True))
+
+
+def dup_ngram_counts(index_grams: DataFrame, *, n: int = 3) -> DataFrame:
+    """(gram, nd): distinct-document count per gram — the aggregate half
+    of the persisted dup-ngram index (rows are per-doc distinct, so
+    count(*) IS the doc count). Same stamp as the gram index."""
+    stamp = _index_stamp("ng", n=n)
+    _check_index_format(index_grams, "dup_ngram_counts", stamp)
+    return (
+        index_grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumn(stamp, F.lit(True))
+    )
+
+
+def dup_ngram_stats_probe(
+    index_grams: DataFrame,
+    index_counts: DataFrame,
+    prior_stats: DataFrame,
+    new_docs: DataFrame,
+    *,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incrementally maintain ``duplicated_ngram_stats`` under an
+    append-only batch: returns ``(stats, new_index_grams,
+    new_index_counts)`` where ``stats`` over (old ∪ new) is bit-equal to
+    a full recompute (shared oracle) and the returned index frames feed
+    the next probe.
+
+    The monotonicity trick that makes this increment-proportional:
+    document counts only GROW under append, so a gram's duplicated-flag
+    can only flip 0→1, and it flips exactly for the "crossed" grams
+    (old nd < min_docs <= merged nd) — a subset of the BATCH's grams,
+    batch-scale by construction. An old doc's new dup-gram count is then
+    simply ``prior + #crossed grams it contains``; no old doc is ever
+    re-shingled and no old gram list is re-aggregated. Per batch:
+
+    - batch shingle + count: batch-scale;
+    - count merge: ONE outer join keyed on gram (bucket the counts
+      table on gram to elide the Exchange at scale);
+    - crossed-gram increments: the history gram table is scanned
+      narrow and joined against the batch-scale crossed set (AQE
+      broadcasts it) — the history is never shuffled;
+    - old-stat update: one join keyed on the doc id against the
+      increment slice (touched docs only).
+
+    ``min_docs`` and ``prior_stats`` must be the pair used to build the
+    prior stats — the stamp pins ``n`` (the shingle formula) but cannot
+    see what threshold produced ``prior_stats``; a mismatched threshold
+    is a caller bug the equivalence tests would catch.
+
+    Requires old/new doc ids disjoint (append-only corpus), like every
+    incremental probe in this family.
+    """
+    from ..functions.text import ngrams_expr
+
+    stamp = _index_stamp("ng", n=n)
+    _check_index_format(index_grams, "dup_ngram_stats_probe(grams)", stamp)
+    _check_index_format(index_counts, "dup_ngram_stats_probe(counts)", stamp)
+
+    new_pg = new_docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(ngrams_expr(text_col, n))).alias("gram"),
+    )
+    batch_counts = (
+        new_pg.where(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("bnd"))
+    )
+    merged = (
+        index_counts.select("gram", "nd")
+        .join(batch_counts, "gram", "full")
+        .select(
+            "gram",
+            F.coalesce("nd", F.lit(0)).alias("old_nd"),
+            (F.coalesce("nd", F.lit(0)) + F.coalesce("bnd", F.lit(0))).alias("mnd"),
+        )
+    )
+    crossed = merged.where(
+        (F.col("old_nd") < min_docs) & (F.col("mnd") >= min_docs)
+    ).select("gram")
+    increments = (
+        index_grams.select(id_col, "gram")
+        .join(crossed, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_inc"))
+    )
+    updated_old = prior_stats.join(increments, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        (F.col("n_dup_grams") + F.coalesce("_inc", F.lit(0)))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                (F.col("n_dup_grams") + F.coalesce("_inc", F.lit(0)))
+                / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_ratio"),
+    )
+    dup_set = merged.where(F.col("mnd") >= min_docs).select("gram")
+    new_flagged = (
+        new_pg.where(F.col("gram").isNotNull())
+        .join(dup_set, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    new_stats = (
+        new_pg.groupBy(id_col)
+        .agg(F.sum(F.col("gram").isNotNull().cast("long")).alias("n_grams"))
+        .join(new_flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("_nd", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("_nd", F.lit(0)) / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+    stats = updated_old.unionByName(new_stats)
+    new_index_grams = index_grams.unionByName(
+        new_pg.where(F.col("gram").isNotNull()).withColumn(stamp, F.lit(True))
+    )
+    new_index_counts = merged.select(
+        "gram", F.col("mnd").alias("nd")
+    ).withColumn(stamp, F.lit(True))
+    return stats, new_index_grams, new_index_counts

@@ -959,3 +959,72 @@ def test_lexical_cosine_pairs_ngram_space_and_validation(spark):
            lexical_cosine_pairs(docs, min_sim=0.1, n=3).collect()}
     # grams: doc1 {a b c, b c d}, doc2 {a b c, b c e} -> dot 1, norms sqrt(2)
     assert got == {(1, 2): 0.5}
+
+
+def test_dup_ngram_probe_equals_full_recompute(spark):
+    """pairs(old) maintained through an append batch == full recompute,
+    including grams pushed over the threshold BY the batch."""
+    from spacy_llm_spark.operators.dedup import (
+        dup_ngram_counts,
+        dup_ngram_index,
+        dup_ngram_stats_probe,
+        duplicated_ngram_stats,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s"), (3, "m n")],
+        "doc_id long, text string",
+    )
+    # batch doc 10 shares "a b c" with doc 1 (crossing: old nd=1 -> 2)
+    # and "p q r" with doc 2; doc 11 is all-new; doc 12 too short
+    new = spark.createDataFrame(
+        [(10, "a b c z p q r"), (11, "x y z w"), (12, "k")],
+        "doc_id long, text string",
+    )
+    grams = dup_ngram_index(old, n=3).localCheckpoint()
+    counts = dup_ngram_counts(grams, n=3)
+    prior = duplicated_ngram_stats(old, n=3)
+    stats, g2, c2 = dup_ngram_stats_probe(grams, counts, prior, new, n=3)
+    full = duplicated_ngram_stats(old.unionByName(new), n=3)
+    assert sorted(map(tuple, stats.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    got = {r["doc_id"]: (r["n_dup_grams"], r["n_grams"]) for r in stats.collect()}
+    assert got[1] == (1, 2)   # "a b c" crossed; "b c d" still unique
+    assert got[12] == (0, 0)  # too short: zero grams, present anyway
+
+    # chain a second batch through the RETURNED index frames
+    new2 = spark.createDataFrame([(20, "x y z q")], "doc_id long, text string")
+    stats2, _, _ = dup_ngram_stats_probe(
+        g2.localCheckpoint(), c2.localCheckpoint(), stats, new2, n=3
+    )
+    full2 = duplicated_ngram_stats(old.unionByName(new).unionByName(new2), n=3)
+    assert sorted(map(tuple, stats2.collect())) == sorted(
+        map(tuple, full2.collect())
+    )
+
+
+def test_dup_ngram_probe_refuses_mismatched_stamp(spark):
+    """An index built with a different n (or unstamped) is refused
+    schema-level before any probe work."""
+    import pytest as _pytest
+
+    from spacy_llm_spark.operators.dedup import (
+        dup_ngram_counts,
+        dup_ngram_index,
+        dup_ngram_stats_probe,
+        duplicated_ngram_stats,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    grams4 = dup_ngram_index(docs, n=4)
+    counts4 = dup_ngram_counts(grams4, n=4)
+    prior = duplicated_ngram_stats(docs, n=4)
+    with _pytest.raises(ValueError, match="stamp mismatch"):
+        dup_ngram_stats_probe(grams4, counts4, prior, new, n=3)
+    with _pytest.raises(ValueError, match="no _fmt"):
+        dup_ngram_stats_probe(
+            grams4.drop([c for c in grams4.columns if c.startswith("_fmt")][0]),
+            counts4, prior, new, n=4,
+        )
