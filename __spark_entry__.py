@@ -981,6 +981,23 @@ def q_dup_ngram_stats(spark, sf_dir):
     return duplicated_ngram_stats(_docs(spark, sf_dir), n=3, min_docs=2)
 
 
+def q_bm25_topk_indexed(spark, sf_dir):
+    """BM25 from the persisted inverted index (postings + doclens) —
+    the corpus text is never read at query time; the postings scan is
+    filtered to the query terms. Matches bm25_topk bit-for-bit on every
+    matching doc, so it shares that oracle (the top-25 all score > 0
+    at every test SF)."""
+    from spacy_llm_spark.functions.relevance import (
+        bm25_index,
+        bm25_query_from_index,
+    )
+
+    postings, doclens = bm25_index(_docs(spark, sf_dir))
+    return bm25_query_from_index(
+        postings, doclens, ["spark", "window", "dup"], k=25
+    )
+
+
 def q_dup_ngram_stats_incremental(spark, sf_dir):
     """Incremental duplicated-span maintenance: index + stats built on
     doc_id < 400, the rest probed as an append batch; counts are
@@ -1377,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_incremental": q_ivf_topk_incremental,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
     }
 
 
@@ -2369,4 +2387,5 @@ FROM events GROUP BY 1
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]
     sql["dup_ngram_stats_incremental"] = sql["dup_ngram_stats"]
+    sql["bm25_topk_indexed"] = sql["bm25_topk"]
     return sql

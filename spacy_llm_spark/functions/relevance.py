@@ -141,3 +141,134 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+BM25_INDEX_STAMP = "_fmt_v1_bm25"
+
+
+def bm25_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Persistable inverted index for BM25: ``(postings, doclens)``.
+
+    - postings: (term, id_col, tf) — one explode + one groupBy over the
+      corpus, built ONCE;
+    - doclens: (id_col, dl) — the document-length table.
+
+    Both carry the ``_fmt_v1_bm25`` stamp column (same versioned-index
+    discipline as the dedup family). Querying from the index
+    (``bm25_query_from_index``) touches only the query terms' postings —
+    store the postings bucketed (or partitioned coarse) on the term and
+    a query's scan prunes to |terms| slivers of a 100 TB corpus instead
+    of rescanning it.
+
+    Incremental maintenance under an append-only batch is a pure UNION
+    of the batch's postings/doclens (no merge logic: per-doc rows are
+    disjoint by the id), so the daily-crawl shape costs one batch-scale
+    shingle pass — see ``bm25_index_append``.
+    """
+    toks = tokens_expr(F.col(text_col))
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    postings = (
+        exploded.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(BM25_INDEX_STAMP, F.lit(True))
+    )
+    doclens = docs.select(
+        F.col(id_col), F.size(toks).cast("long").alias("dl")
+    ).withColumn(BM25_INDEX_STAMP, F.lit(True))
+    return postings, doclens
+
+
+def bm25_index_append(postings, doclens, new_docs, **kwargs):
+    """Union the batch's postings/doclens onto a standing index —
+    bit-equal to rebuilding over (old ∪ new) because per-doc rows are
+    disjoint under append-only ids."""
+    _check_bm25_stamp(postings, "bm25_index_append(postings)")
+    _check_bm25_stamp(doclens, "bm25_index_append(doclens)")
+    p2, d2 = bm25_index(new_docs, **kwargs)
+    return postings.unionByName(p2), doclens.unionByName(d2)
+
+
+def _check_bm25_stamp(df: DataFrame, what: str) -> None:
+    if BM25_INDEX_STAMP in df.columns:
+        return
+    stamped = [c for c in df.columns if c.startswith("_fmt")]
+    raise ValueError(
+        f"{what}: expected stamp {BM25_INDEX_STAMP!r}, frame carries "
+        f"{stamped or 'no _fmt stamp'} — built by an incompatible "
+        "formula; rebuild with bm25_index"
+    )
+
+
+def bm25_query_from_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 25,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k BM25 from the persisted index — the corpus text is never
+    read. Scores match ``bm25_scores`` bit-for-bit on every document
+    containing at least one query term (docs matching none score 0 and
+    are the one intentional difference: an inverted index never visits
+    them — standard IR semantics).
+
+    Plan shape: the postings scan is FILTERED to the query terms (with a
+    term-bucketed/partitioned layout the scan prunes instead of reading
+    the index); corpus stats (N, avgdl from exact integer sums) are one
+    reduce over the narrow doclens table; df per query term is one
+    |terms|-group aggregation over the pruned postings. The final score
+    is the same quantized expression as ``bm25_scores``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    _check_bm25_stamp(postings, "bm25_query_from_index(postings)")
+    _check_bm25_stamp(doclens, "bm25_query_from_index(doclens)")
+    terms = sorted(set(query_terms))
+
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("double").alias("N"),
+        F.sum("dl").cast("double").alias("total_dl"),
+    ).select("N", F.round(F.col("total_dl") / F.col("N"), _Q).alias("avgdl"))
+
+    hits = postings.where(F.col("term").isin(list(terms))).select(
+        id_col, "term", "tf"
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens.select(id_col, "dl"), id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        _Q,
+    )
+    contrib = F.round(
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        ),
+        _Q,
+    )
+    return (
+        scored.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

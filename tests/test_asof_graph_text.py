@@ -783,3 +783,41 @@ def test_duplicated_ngram_stats_min_docs_threshold(spark):
     assert all(r["n_dup_grams"] == 0 for r in strict)
     loose = duplicated_ngram_stats(docs, n=3, min_docs=3).collect()
     assert all(r["n_dup_grams"] == 1 and r["dup_ratio"] == 1.0 for r in loose)
+
+
+def test_bm25_index_path_matches_direct(spark):
+    """Index-path scores equal the direct path on every matching doc;
+    append maintenance equals a rebuild; stamps are enforced."""
+    import pytest as _pytest
+
+    from spacy_llm_spark.functions.relevance import (
+        bm25_index,
+        bm25_index_append,
+        bm25_query_from_index,
+        bm25_scores,
+    )
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 3)}common") for i in range(30)]
+    rows += [(100, "delta epsilon zeta")]  # matches nothing below
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["alpha", "gamma"]
+    p, d = bm25_index(docs)
+    via_index = {r["doc_id"]: r["score"]
+                 for r in bm25_query_from_index(p, d, terms, k=100).collect()}
+    direct = {r["doc_id"]: r["score"]
+              for r in bm25_scores(docs, terms).collect() if r["score"] > 0}
+    assert via_index == direct
+    assert 100 not in via_index  # no matching term -> never visited
+
+    old = docs.where("doc_id < 15")
+    new = docs.where("doc_id >= 15")
+    po, do_ = bm25_index(old)
+    pa, da = bm25_index_append(po, do_, new)
+    rebuilt = bm25_query_from_index(p, d, terms, k=100).collect()
+    appended = bm25_query_from_index(pa, da, terms, k=100).collect()
+    assert sorted(map(tuple, appended)) == sorted(map(tuple, rebuilt))
+
+    with _pytest.raises(ValueError, match="expected stamp"):
+        bm25_query_from_index(p.drop("_fmt_v1_bm25"), d, terms)
+    with _pytest.raises(ValueError):
+        bm25_query_from_index(p, d, [])
