@@ -998,6 +998,27 @@ def q_bm25_topk_indexed(spark, sf_dir):
     )
 
 
+def q_lexical_cosine_incremental(spark, sf_dir):
+    """Incremental lexical cosine: pairs(standing) ∪ probe(batch) over
+    the persisted tf index == full recompute (uncapped — a df cap would
+    let an append silently change standing-pair sims, so the probe
+    refuses it)."""
+    from spacy_llm_spark.operators.similarity import (
+        lexical_cosine_pairs,
+        lexical_cosine_probe,
+        lexical_tf_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    tf, norms = lexical_tf_index(old, n=3)
+    tf = tf.localCheckpoint()
+    old_pairs = lexical_cosine_pairs(old, min_sim=0.5, n=3)
+    probe = lexical_cosine_probe(tf, norms, new, min_sim=0.5, n=3)
+    return old_pairs.unionByName(probe)
+
+
 def q_dup_ngram_stats_incremental(spark, sf_dir):
     """Incremental duplicated-span maintenance: index + stats built on
     doc_id < 400, the rest probed as an append batch; counts are
@@ -1395,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
+        "lexical_cosine_incremental": q_lexical_cosine_incremental,
     }
 
 
@@ -2388,4 +2410,10 @@ FROM events GROUP BY 1
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]
     sql["dup_ngram_stats_incremental"] = sql["dup_ngram_stats"]
     sql["bm25_topk_indexed"] = sql["bm25_topk"]
+    # incremental lexical cosine is UNCAPPED (the probe refuses max_df:
+    # an append can push a term over a corpus-wide cap and change
+    # standing-pair sims) -> same oracle minus the df filter
+    sql["lexical_cosine_incremental"] = sql["lexical_cosine_pairs"].replace(
+        "WHERE dfc.df <= 100", ""
+    )
     return sql

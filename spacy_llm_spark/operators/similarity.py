@@ -552,3 +552,144 @@ def lexical_cosine_pairs(
         .where(sim >= F.lit(min_sim))
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
     )
+
+
+def _lexical_stamp(n: int) -> str:
+    return f"_fmt_v1_lx_n{n}"
+
+
+def _check_lexical_stamp(df: DataFrame, what: str, n: int) -> None:
+    expected = _lexical_stamp(n)
+    if expected in df.columns:
+        return
+    stamped = [c for c in df.columns if c.startswith("_fmt")]
+    raise ValueError(
+        f"{what}: expected stamp {expected!r}, frame carries "
+        f"{stamped or 'no _fmt stamp'} — the n-gram order differs or the "
+        "frame predates versioning; probing would silently return wrong "
+        "sims. Rebuild with lexical_tf_index."
+    )
+
+
+def lexical_tf_index(
+    docs: DataFrame,
+    *,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Persistable term-frequency index for incremental lexical cosine:
+    ``(tf, norms)`` frames, stamped ``_fmt_v1_lx_n{n}``.
+
+    - tf: (id_col, term, tf) over token n-grams;
+    - norms: (id_col, s2) squared norms — exact integers, so they are
+      append-FROZEN: a new batch never changes an old document's norm
+      (unlike a df-capped space, which is why the probe refuses
+      ``max_df`` — see ``lexical_cosine_probe``).
+
+    Store tf bucketed on ``term`` and the probe's cross join reads it
+    without an Exchange.
+    """
+    from ..functions.text import ngrams_expr, tokens_expr
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    stamp = _lexical_stamp(n)
+    terms = ngrams_expr(text_col, n) if n > 1 else tokens_expr(F.col(text_col))
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(terms).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(stamp, F.lit(True))
+    )
+    norms = (
+        tf.groupBy("_id")
+        .agg(F.sum(F.col("tf") * F.col("tf")).alias("s2"))
+        .withColumn(stamp, F.lit(True))
+    )
+    return tf, norms
+
+
+def lexical_cosine_probe(
+    index_tf: DataFrame,
+    index_norms: DataFrame,
+    new_docs: DataFrame,
+    min_sim: float = 0.5,
+    *,
+    n: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental form of ``lexical_cosine_pairs`` (uncapped): every
+    pair involving the new batch — cross (new×standing) and within-new —
+    at cosine >= ``min_sim``. ``pairs(standing) ∪ probe`` equals the
+    full recompute over (standing ∪ new) bit-for-bit, because uncapped
+    tf vectors and integer norms are append-frozen.
+
+    There is deliberately NO ``max_df`` here: a df cap is evaluated
+    against the WHOLE corpus, so an append can push a term over the cap
+    and silently change standing-pair sims — the one thing an
+    incremental index must never do. Cap-style pruning belongs in the
+    batch-mode operator or upstream stopword removal.
+
+    Scale shape: only the batch shingles; the standing tf index is
+    joined on the term against the batch-scale probe side (AQE
+    broadcasts it; a term-bucketed index layout removes the index-side
+    Exchange entirely), and the standing norms join only against
+    surviving candidate pairs. The history never re-aggregates.
+
+    Requires standing/new ids disjoint (append-only), like every probe
+    in this family.
+    """
+    stamp = _lexical_stamp(n)
+    _check_lexical_stamp(index_tf, "lexical_cosine_probe(tf)", n)
+    _check_lexical_stamp(index_norms, "lexical_cosine_probe(norms)", n)
+
+    from ..functions.text import ngrams_expr, tokens_expr
+
+    terms = ngrams_expr(text_col, n) if n > 1 else tokens_expr(F.col(text_col))
+    new_tf = (
+        new_docs.select(F.col(id_col).alias("_id"), F.explode(terms).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    new_norms = new_tf.groupBy("_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("s2")
+    )
+
+    old_side = index_tf.select(
+        F.col("_id").alias("id_o"), "term", F.col("tf").alias("tf_o")
+    )
+    probe_side = new_tf.select(
+        F.col("_id").alias("id_n"), "term", F.col("tf").alias("tf_n")
+    )
+    # cross pairs: ids are disjoint, so orient (min, max) AFTER the dot
+    cross = (
+        old_side.join(probe_side, "term")
+        .groupBy("id_o", "id_n")
+        .agg(F.sum(F.col("tf_o") * F.col("tf_n")).alias("dot"))
+        .select(
+            F.least("id_o", "id_n").alias("id_a"),
+            F.greatest("id_o", "id_n").alias("id_b"),
+            "dot",
+        )
+    )
+    a = new_tf.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    b = new_tf.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    within = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    dots = cross.unionByName(within)
+    all_norms = index_norms.select("_id", "s2").unionByName(new_norms)
+    na = all_norms.select(F.col("_id").alias("id_a"), F.col("s2").alias("s2_a"))
+    nb = all_norms.select(F.col("_id").alias("id_b"), F.col("s2").alias("s2_b"))
+    sim = F.col("dot") / (F.sqrt(F.col("s2_a")) * F.sqrt(F.col("s2_b")))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(sim >= F.lit(min_sim))
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )

@@ -1028,3 +1028,46 @@ def test_dup_ngram_probe_refuses_mismatched_stamp(spark):
             grams4.drop([c for c in grams4.columns if c.startswith("_fmt")][0]),
             counts4, prior, new, n=4,
         )
+
+
+def test_lexical_cosine_probe_equals_full_recompute(spark):
+    from spacy_llm_spark.operators.similarity import (
+        lexical_cosine_pairs,
+        lexical_cosine_probe,
+        lexical_tf_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b c"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "a a b c"), (11, "x y z w"), (12, "q r")],
+        "doc_id long, text string",
+    )
+    tf, norms = lexical_tf_index(old)
+    old_pairs = lexical_cosine_pairs(old, min_sim=0.1)
+    probe = lexical_cosine_probe(tf, norms, new, min_sim=0.1)
+    union = sorted(map(tuple, old_pairs.unionByName(probe).collect()))
+    full = sorted(map(tuple, lexical_cosine_pairs(
+        old.unionByName(new), min_sim=0.1).collect()))
+    assert union == full
+    got = dict(((a, b), s) for a, b, s in union)
+    assert got[(1, 10)] == 1.0  # exact dup found across the boundary
+
+
+def test_lexical_cosine_probe_refuses_mismatched_stamp(spark):
+    import pytest as _pytest
+
+    from spacy_llm_spark.operators.similarity import (
+        lexical_cosine_probe,
+        lexical_tf_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "a b")], "doc_id long, text string")
+    tf, norms = lexical_tf_index(docs, n=2)
+    with _pytest.raises(ValueError, match="expected stamp"):
+        lexical_cosine_probe(tf, norms, new, n=1)
+    with _pytest.raises(ValueError, match="expected stamp"):
+        lexical_cosine_probe(tf.drop("_fmt_v1_lx_n2"), norms, new, n=2)
