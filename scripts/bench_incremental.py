@@ -290,8 +290,77 @@ def main() -> None:
     }))
 
 
+
+
+def dupngram_main() -> None:
+    """Incremental dup-ngram maintenance vs full recompute over K append
+    batches at $SPARK_GRAFT_SF_DIR scale: the incremental curve should
+    stay ~flat per batch (batch shingle + count merge + crossed-gram
+    scan) while the full-recompute curve grows with accumulated history
+    (re-shingles everything every batch). Stats equality is asserted at
+    the final batch. Usage: bench_incremental.py --dupngram [k_batches]
+    """
+    from spacy_llm_spark.operators.dedup import (
+        dup_ngram_counts,
+        dup_ngram_index,
+        dup_ngram_stats_probe,
+        duplicated_ngram_stats,
+    )
+
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    # batch i = the same docs re-keyed into a fresh id range (append-only)
+    def batch(i):
+        return docs.select(
+            (F.col("doc_id") + i * 10 * n_docs).alias("doc_id"), "text"
+        ).repartition(cpus).localCheckpoint()
+
+    base = batch(0)
+    grams = dup_ngram_index(base, n=3).localCheckpoint()
+    counts = dup_ngram_counts(grams, n=3).localCheckpoint()
+    stats = duplicated_ngram_stats(base, n=3).localCheckpoint()
+    history = base
+    inc_secs, full_secs = [], []
+    for i in range(1, k + 1):
+        nb = batch(i)
+        t0 = time.time()
+        stats, grams, counts = dup_ngram_stats_probe(
+            grams, counts, stats, nb, n=3, min_docs=2
+        )
+        stats = stats.localCheckpoint()
+        grams = grams.localCheckpoint()
+        counts = counts.localCheckpoint()
+        inc_secs.append(round(time.time() - t0, 3))
+        history = history.unionByName(nb).localCheckpoint()
+        t0 = time.time()
+        full = duplicated_ngram_stats(history, n=3)
+        n_full = full.count()
+        full_secs.append(round(time.time() - t0, 3))
+    diff = stats.exceptAll(full).count() + full.exceptAll(stats).count()
+    print(json.dumps({
+        "metric": "incremental_vs_full_dupngram",
+        "sf_dir": sf_dir, "docs_per_batch": n_docs, "k_batches": k,
+        "incremental_per_batch_sec": inc_secs,
+        "full_recompute_per_batch_sec": full_secs,
+        "total_incremental_sec": round(sum(inc_secs), 3),
+        "total_full_sec": round(sum(full_secs), 3),
+        "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
+        "stats_match_final": diff == 0,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
+    if len(sys.argv) > 1 and sys.argv[1] == "--dupngram":
+        dupngram_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
         adversarial_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
         stream_maintenance_main()
