@@ -54,10 +54,15 @@ def main():
     t0 = time.time()
     done = 0
     while time.time() - t0 < budget and done < want:
+        # gate on BOTH signals: the capacity probe sees hypervisor steal
+        # but NOT same-host co-load (other processes slow the single-
+        # thread reference too, keeping the ratio high), while loadavg
+        # sees co-load but not steal.
+        load1 = float(open("/proc/loadavg").read().split()[0])
         probe = bench._effective_cores(32)
-        if probe["effective_cores"] < FLOOR:
-            print(f"[campaign] capacity {probe['effective_cores']}/32 < "
-                  f"{FLOOR}, sleeping", flush=True)
+        if probe["effective_cores"] < FLOOR or load1 > 1.5:
+            print(f"[campaign] capacity {probe['effective_cores']}/32 "
+                  f"(floor {FLOOR}) load {load1} — sleeping", flush=True)
             time.sleep(120)
             continue
         stamp = time.strftime("%Y-%m-%dT%H:%M:%S+0000", time.gmtime())
