@@ -300,7 +300,88 @@ def main():
         explain_str(canonical_edges(triples, vmap)),
     ))
 
+    # 15. BM25 direct path: one stats reduce, scoring projection, TakeOrdered
+    from spacy_llm_spark.functions.relevance import (
+        bm25_index,
+        bm25_query_from_index,
+        bm25_topk,
+    )
+
+    sections.append((
+        "BM25 (direct): ONE stats reduce, scoring as a projection, TakeOrdered",
+        "The corpus stats (N, avgdl, per-term df) reduce to a single row "
+        "(Exchange SinglePartition) that broadcasts back via a 1-row "
+        "IdentityBroadcast cross join; the per-doc score is a pure "
+        "whole-stage-codegen projection; top-k is TakeOrderedAndProject — "
+        "no global Sort materializes the corpus ordering. Two scans of the "
+        "text column, zero corpus-keyed shuffles.",
+        explain_str(bm25_topk(docs, ["spark", "window", "dup"], k=25)),
+    ))
+
+    # 16. BM25 from the persisted inverted index: term-filtered scan
+    postings, doclens = bm25_index(docs)
+    postings.write.mode("overwrite").parquet("/tmp/plans_bm25_postings")
+    doclens.write.mode("overwrite").parquet("/tmp/plans_bm25_doclens")
+    p2 = spark.read.parquet("/tmp/plans_bm25_postings")
+    d2 = spark.read.parquet("/tmp/plans_bm25_doclens")
+    sections.append((
+        "BM25 (indexed): the postings scan is FILTERED to the query terms",
+        "Querying from the persisted inverted index never reads the corpus "
+        "text: look for `PushedFilters: [In(term, ...)]` on the postings "
+        "scan — with a term-bucketed or term-partitioned layout this prunes "
+        "to |terms| slivers of the index. df is a |terms|-group aggregate "
+        "over the pruned scan; doclens is the only doc-scale input.",
+        explain_str(bm25_query_from_index(p2, d2, ["spark", "window", "dup"], k=25)),
+    ))
+
+    # 17. duplicated n-gram spans: projection -> one gram groupBy -> semi-join
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+
+    sections.append((
+        "Duplicated n-gram spans: per-doc distinct grams never self-join",
+        "Per-doc distinct grams are a Generate(explode)+Project over the "
+        "scan; the duplicated-gram set is ONE HashAggregate keyed on the "
+        "gram (count(*) IS the distinct-doc count because rows are per-doc "
+        "distinct); the way back is a LeftSemi join on the same gram key "
+        "plus a doc-keyed count. No CartesianProduct, no corpus x corpus "
+        "join anywhere.",
+        explain_str(duplicated_ngram_stats(docs, n=3)),
+    ))
+
+    # 18. sparse lexical all-pairs cosine: inverted-index equi-join
+    from spacy_llm_spark.operators.similarity import lexical_cosine_pairs
+
+    sections.append((
+        "Lexical all-pairs cosine: term-keyed equi-join, df-capped fan-out",
+        "The candidate generator is an equi-join of the tf table with "
+        "itself ON THE TERM (never a cross join); the df cap is a window "
+        "count over the same term partitioning applied BEFORE pairing, "
+        "bounding the per-term fan-out at max_df^2/2. Integer dot/norm "
+        "arithmetic until one final sqrt/divide projection.",
+        explain_str(lexical_cosine_pairs(docs, min_sim=0.5, n=3, max_df=100)),
+    ))
+
+    # 19. multi-source BFS hop: expand equi-join + visited anti-join
+    from spacy_llm_spark.operators.graph import bfs_levels
+
+    bfs_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subj string, obj string"
+    )
+    bfs_seeds = spark.createDataFrame([("a",)], "vertex string")
+    sections.append((
+        "BFS hop: frontier equi-join + visited anti-join (captured at 1 hop)",
+        "Each hop is one hash equi-join of the frontier against the "
+        "adjacency (AQE broadcasts small frontiers at runtime — no planted "
+        "hint) and one LeftAnti against the visited set on the same vertex "
+        "key. The visited set is a plain union of already-cut hop frames, "
+        "so no O(V) rematerialization per hop; the hop's frontier size is "
+        "observed during its own lineage-cut job (early exit costs zero "
+        "extra scans).",
+        explain_str(bfs_levels(bfs_edges, bfs_seeds, max_hops=1)),
+    ))
+
     spark.stop()
+
 
     with open("PLANS.md", "w") as f:
         f.write(
