@@ -166,3 +166,43 @@ def test_bfs_frontier_round_is_equi_join_shaped(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_indexed_pushes_term_filter_to_postings_scan(spark, tmp_path):
+    """Query-from-index must push `In(term, ...)` into the postings
+    parquet scan — the property that makes a 100 TB index queryable
+    without reading it."""
+    from spacy_llm_spark.functions.relevance import (
+        bm25_index,
+        bm25_query_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 4}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p, d = bm25_index(docs)
+    p.write.parquet(str(tmp_path / "postings"))
+    d.write.parquet(str(tmp_path / "doclens"))
+    out = bm25_query_from_index(
+        spark.read.parquet(str(tmp_path / "postings")),
+        spark.read.parquet(str(tmp_path / "doclens")),
+        ["alpha", "gamma1"],
+        k=5,
+    )
+    plan = _plan(out)
+    assert "In(term, [alpha,gamma1])" in plan
+    assert out.count() > 0
+
+
+def test_bm25_empty_corpus_degrades_gracefully(spark):
+    from spacy_llm_spark.functions.relevance import (
+        bm25_index,
+        bm25_query_from_index,
+        bm25_scores,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_scores(empty, ["x"]).collect() == []
+    p, d = bm25_index(empty)
+    assert bm25_query_from_index(p, d, ["x"]).collect() == []
