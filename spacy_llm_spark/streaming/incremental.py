@@ -48,6 +48,8 @@ def run_incremental(
     source_format: str = "parquet",
     maintain_vertices: bool = False,
     vertex_snapshot_retention: int | None = 3,
+    maintain_dupngrams: bool = False,
+    dupngram_snapshot_retention: int | None = 3,
 ):
     """Stream the corpus directory into KG sinks.
 
@@ -75,6 +77,8 @@ def run_incremental(
     process_batch = make_batch_processor(
         spark, output_dir, cfg, kb, maintain_vertices=maintain_vertices,
         vertex_snapshot_retention=vertex_snapshot_retention,
+        maintain_dupngrams=maintain_dupngrams,
+        dupngram_snapshot_retention=dupngram_snapshot_retention,
     )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -93,6 +97,10 @@ def make_batch_processor(
     kb: Optional[KnowledgeBase] = None,
     maintain_vertices: bool = False,
     vertex_snapshot_retention: int | None = 3,
+    maintain_dupngrams: bool = False,
+    dupngram_n: int = 3,
+    dupngram_min_docs: int = 2,
+    dupngram_snapshot_retention: int | None = 3,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
     calling it twice with the same (batch_df, batch_id) — a crash-replay —
@@ -124,6 +132,31 @@ def make_batch_processor(
     kb = kb or build_code_kb()
     processed_keys_path = posixpath.join(output_dir, "_processed_keys")
     vertices_path = posixpath.join(output_dir, "vertices")
+    dupngram_path = posixpath.join(output_dir, "dupngram")
+
+    def _committed_before(path: str, batch_id: int) -> list:
+        """Committed batch_id=N subdirs EXCLUDING this batch's own (a
+        torn/replayed write of batch_id would otherwise feed itself)."""
+        return [
+            p for p in fs.committed_subdirs(spark, path)
+            if int(p.rstrip("/").rsplit("=", 1)[-1]) != batch_id
+        ]
+
+    def _prune_to_newest(path: str, keep_n: int) -> None:
+        """Delete all batch_id subdirs older than the newest keep_n
+        COMMITTED ones (torn dirs below the cutoff are collected too)."""
+        def _bid(p: str) -> int:
+            return int(p.rstrip("/").rsplit("=", 1)[-1])
+
+        committed_v = sorted(fs.committed_subdirs(spark, path), key=_bid)
+        keep = committed_v[-keep_n:]
+        if not keep:
+            return
+        cutoff = _bid(keep[0])
+        for sub in fs.list_subdirs(spark, path):
+            tail = sub.rstrip("/").rsplit("=", 1)[-1]
+            if tail.isdigit() and int(tail) < cutoff:
+                fs.delete(spark, sub)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -217,14 +250,10 @@ def make_batch_processor(
                     posixpath.join(output_dir, "links", f"batch_id={batch_id}")
                 )
             )
-            prior = fs.committed_subdirs(spark, vertices_path)
             # exclude a torn/replayed write of THIS batch id: merging
             # from it would still be correct (idempotent), but the
             # prior snapshot is the canonical base
-            prior = [
-                p for p in prior
-                if int(p.rstrip("/").rsplit("=", 1)[-1]) != batch_id
-            ]
+            prior = _committed_before(vertices_path, batch_id)
             if prior:
                 latest = max(
                     prior, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
@@ -238,32 +267,111 @@ def make_batch_processor(
             labels.write.mode("overwrite").parquet(
                 posixpath.join(vertices_path, f"batch_id={batch_id}")
             )
+        if maintain_dupngrams:
+            # Live duplicated-span maintenance, same exactly-once shape
+            # as the label map: the probe is NOT idempotent (re-probing
+            # the same batch would double-count grams), but it never
+            # needs to be — the base is always the latest committed
+            # snapshot EXCLUDING this batch_id, and a replay overwrites
+            # batch_id=N with the identical result. Layout:
+            #   dupngram/grams/batch_id=N  — ONLY this batch's grams
+            #     (append-structured: the standing index is the union of
+            #     committed subdirs; never pruned — it IS the corpus
+            #     index, and the probe only scans it narrow);
+            #   dupngram/counts,stats/batch_id=N — full merged snapshots
+            #     (readers take the max committed batch_id; retention-
+            #     pruned like vertices). At 10^12 docs the counts
+            #     snapshot becomes delta + periodic compaction; at this
+            #     design point the full gram-scale rewrite is the
+            #     documented cost of a simple reader.
+            from ..operators import dedup as dd
+
+            dn_id = "doc_id" if "doc_id" in batch_df.columns else "content_sha256"
+            batch_docs = batch_df.select(dn_id, "content")
+            grams_path = posixpath.join(dupngram_path, "grams")
+            counts_path = posixpath.join(dupngram_path, "counts")
+            stats_path = posixpath.join(dupngram_path, "stats")
+            batch_grams = dd.dup_ngram_index(
+                batch_docs, n=dupngram_n, text_col="content", id_col=dn_id
+            )
+            prior_grams = _committed_before(grams_path, batch_id)
+            prior_counts = _committed_before(counts_path, batch_id)
+            prior_stats = _committed_before(stats_path, batch_id)
+            if prior_grams and prior_counts and prior_stats:
+                latest_c = max(
+                    prior_counts,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                latest_s = max(
+                    prior_stats,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                stats, _, counts = dd.dup_ngram_stats_probe(
+                    spark.read.parquet(*prior_grams),
+                    spark.read.parquet(latest_c),
+                    spark.read.parquet(latest_s),
+                    batch_docs,
+                    n=dupngram_n,
+                    min_docs=dupngram_min_docs,
+                    text_col="content",
+                    id_col=dn_id,
+                )
+            else:
+                stats = dd.duplicated_ngram_stats(
+                    batch_docs, n=dupngram_n, min_docs=dupngram_min_docs,
+                    text_col="content", id_col=dn_id,
+                )
+                counts = dd.dup_ngram_counts(batch_grams, n=dupngram_n)
+            # grams first (the other two reference nothing in it for
+            # THIS batch id), then counts, then stats — all overwrite
+            batch_grams.write.mode("overwrite").parquet(
+                posixpath.join(grams_path, f"batch_id={batch_id}")
+            )
+            counts.write.mode("overwrite").parquet(
+                posixpath.join(counts_path, f"batch_id={batch_id}")
+            )
+            stats.write.mode("overwrite").parquet(
+                posixpath.join(stats_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
             posixpath.join(processed_keys_path, f"batch_id={batch_id}")
         )
+        # prune LAST (after the keys marker): everything above is
+        # already durable, so deleting the stale snapshots can never
+        # strand a replay; a crash mid-prune only defers cleanup.
+        # Uncommitted (torn) dirs older than the retained set are
+        # garbage from crashed writes and go too. The dupngram GRAMS
+        # subdirs are deliberately NOT pruned — they are the standing
+        # index in append form, every subdir stays live.
         if maintain_vertices and vertex_snapshot_retention is not None:
-            # prune LAST (after the keys marker): everything above is
-            # already durable, so deleting the stale snapshots can never
-            # strand a replay; a crash mid-prune only defers cleanup.
-            # Uncommitted (torn) dirs older than the retained set are
-            # garbage from crashed writes and go too.
-            def _bid(p: str) -> int:
-                return int(p.rstrip("/").rsplit("=", 1)[-1])
-
-            committed_v = sorted(
-                fs.committed_subdirs(spark, vertices_path), key=_bid
+            _prune_to_newest(vertices_path, vertex_snapshot_retention)
+        if maintain_dupngrams and dupngram_snapshot_retention is not None:
+            _prune_to_newest(
+                posixpath.join(dupngram_path, "counts"),
+                dupngram_snapshot_retention,
             )
-            keep = committed_v[-vertex_snapshot_retention:]
-            if keep:
-                cutoff = _bid(keep[0])
-                for sub in fs.list_subdirs(spark, vertices_path):
-                    tail = sub.rstrip("/").rsplit("=", 1)[-1]
-                    if tail.isdigit() and int(tail) < cutoff:
-                        fs.delete(spark, sub)
+            _prune_to_newest(
+                posixpath.join(dupngram_path, "stats"),
+                dupngram_snapshot_retention,
+            )
 
     return process_batch
+
+
+def latest_dupngram_stats(spark: SparkSession, output_dir: str):
+    """The most recent committed duplicated-span stats maintained by a
+    ``maintain_dupngrams`` stream, as (id, n_grams, n_dup_grams,
+    dup_ratio) — or None if no snapshot has committed yet."""
+    path = posixpath.join(output_dir, "dupngram", "stats")
+    committed = fs.committed_subdirs(spark, path)
+    if not committed:
+        return None
+    latest = max(
+        committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+    )
+    return spark.read.parquet(latest)
 
 
 def latest_vertex_snapshot(spark: SparkSession, output_dir: str):

@@ -986,3 +986,82 @@ def test_vertex_snapshot_retention_prunes_old_batches(spark, tmp_path):
         ).withColumn("content_sha256", F.sha2("content", 256))
         proc2(b, i)
     assert len(list((out2 / "vertices").iterdir())) == 3
+
+
+def test_dupngram_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_dupngrams=True keeps the duplicated-span stats current
+    across micro-batch deliveries — the latest snapshot equals a
+    from-scratch duplicated_ngram_stats over ALL docs — and a crash
+    replay of a batch (same batch_id, keys erased: the worst case)
+    leaves the snapshot bit-identical, because the replayed probe reads
+    the prior-batch base, never its own torn output."""
+    from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
+    from spacy_llm_spark.streaming.incremental import (
+        latest_dupngram_stats,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(
+        spark, str(out), maintain_dupngrams=True, dupngram_n=3
+    )
+    schema = "doc_id long, content string, lang string"
+    rows1 = [(1, "spark join customer table", "python"),
+             (2, "window sort table", "java")]
+    rows2 = [(3, "spark join customer index", "python"),  # shares a 3-gram with 1
+             (4, "merge part region", "go")]
+    b0 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b0, 0)
+    snap0 = latest_dupngram_stats(spark, str(out))
+    assert snap0 is not None and snap0.count() == 2
+
+    b1 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b1, 1)
+    got = sorted(map(tuple, latest_dupngram_stats(spark, str(out)).collect()))
+    corpus = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(map(tuple, duplicated_ngram_stats(
+        corpus, n=3, text_col="content").collect()))
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][2] == 1 and by_id[3][2] == 1  # the shared "spark join customer"
+
+    # crash replay of batch 1 with the keys table erased (worst case —
+    # the anti-join cannot empty the batch, the probe fully re-runs)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(b1, 1)
+    replayed = sorted(map(tuple, latest_dupngram_stats(spark, str(out)).collect()))
+    assert replayed == got
+
+
+def test_dupngram_snapshot_retention_prunes(spark, tmp_path):
+    """counts/stats snapshots keep only the newest K; the grams subdirs
+    (the standing index in append form) are never pruned."""
+    import os
+
+    from spacy_llm_spark.streaming.incremental import make_batch_processor
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(
+        spark, str(out), maintain_dupngrams=True,
+        dupngram_snapshot_retention=2,
+    )
+    schema = "doc_id long, content string, lang string"
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(10 * i + 1, f"spark join customer {i}", "python")], schema
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        proc(b, i)
+    def _bids(sub):
+        p = out / "kg_out" if False else out / "dupngram" / sub
+        return sorted(
+            int(d.split("=")[1]) for d in os.listdir(p) if d.startswith("batch_id=")
+        )
+    assert _bids("stats") == [2, 3]
+    assert _bids("counts") == [2, 3]
+    assert _bids("grams") == [0, 1, 2, 3]
