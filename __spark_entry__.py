@@ -998,6 +998,18 @@ def q_bm25_topk_indexed(spark, sf_dir):
     )
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Token-distribution drift between the even- and odd-id halves of
+    the corpus (the daily-crawl monitoring shape): per-token relative
+    frequencies from exact integer counts, top-50 by drift."""
+    docs = _docs(spark, sf_dir)
+    return textfn.vocab_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        top_terms=50,
+    )
+
+
 def q_lexical_cosine_incremental(spark, sf_dir):
     """Incremental lexical cosine: pairs(standing) ∪ probe(batch) over
     the persisted tf index == full recompute (uncapped — a df cap would
@@ -1417,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "lexical_cosine_incremental": q_lexical_cosine_incremental,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -2264,6 +2277,28 @@ SELECT d.doc_id,
              THEN CAST(per.n_dup AS DOUBLE) / per.n_grams
              ELSE 0e0 END, 6) AS dup_ratio
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+        # vocab drift: relative frequencies from exact integer counts;
+        # e0/CAST force DOUBLE so DuckDB can't fall into DECIMAL division
+        "vocab_drift": """
+WITH ta AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+  FROM documents WHERE doc_id % 2 = 0
+), tb AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token
+  FROM documents WHERE doc_id % 2 = 1
+), ca AS (SELECT token, count(*) AS n_a FROM ta GROUP BY token),
+cb AS (SELECT token, count(*) AS n_b FROM tb GROUP BY token),
+tot AS (SELECT (SELECT CAST(sum(n_a) AS DOUBLE) FROM ca) AS tot_a,
+               (SELECT CAST(sum(n_b) AS DOUBLE) FROM cb) AS tot_b),
+j AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+         round(coalesce(n_a, 0) / tot.tot_a, 10) AS p_a,
+         round(coalesce(n_b, 0) / tot.tot_b, 10) AS p_b
+  FROM ca FULL JOIN cb ON ca.token = cb.token, tot
+)
+SELECT token, p_a, p_b, round(abs(p_a - p_b), 6) AS abs_diff
+FROM j ORDER BY abs_diff DESC, token ASC LIMIT 50
 """,
         # sparse lexical cosine: integer dot/norms, fixed-shape IEEE
         # final expression — bit-identical across engines, so the

@@ -321,3 +321,53 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.xxhash64(F.col(text_col)).alias("xxh64"),
         F.sha2(normalized, 256).alias("normalized_sha256"),
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_terms: int = 50,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices (yesterday's
+    crawl vs today's, train vs incoming): per-token relative frequency
+    in each slice and the absolute difference, for the ``top_terms``
+    most-drifted tokens. Row 1 of the moment a pipeline's input changes
+    under it — the monitoring op a standing 100 TB ingest needs.
+
+    Output: (token, p_a, p_b, abs_diff), each frequency rounded 10 dp
+    and the diff 6 dp; ordered by drift. Total-variation distance is
+    ``0.5 * sum(abs_diff)`` over the UNTRUNCATED output (compute it by
+    passing top_terms large enough, or summing before the limit).
+
+    Scale shape: one explode + groupBy per slice (map-side partial
+    aggregation; token-vocabulary-scale result), one full-outer join of
+    the two vocab tables keyed on the token, arithmetic from exact
+    integer counts (engine-deterministic like BM25's avgdl). The
+    corpora never join each other — only their vocab aggregates do.
+    """
+    def vocab(df, total_alias, cnt_alias):
+        toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias(cnt_alias))
+        total = counts.agg(F.sum(cnt_alias).alias(total_alias))
+        return counts, total
+
+    ca, ta = vocab(df_a, "tot_a", "n_a")
+    cb, tb = vocab(df_b, "tot_b", "n_b")
+    joined = (
+        ca.join(cb, "token", "full")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "token",
+            F.round(F.coalesce("n_a", F.lit(0)) / F.col("tot_a"), 10).alias("p_a"),
+            F.round(F.coalesce("n_b", F.lit(0)) / F.col("tot_b"), 10).alias("p_b"),
+        )
+        .select(
+            "token", "p_a", "p_b",
+            F.round(F.abs(F.col("p_a") - F.col("p_b")), 6).alias("abs_diff"),
+        )
+    )
+    return joined.orderBy(F.col("abs_diff").desc(), F.col("token").asc()).limit(
+        top_terms
+    )

@@ -821,3 +821,20 @@ def test_bm25_index_path_matches_direct(spark):
         bm25_query_from_index(p.drop("_fmt_v1_bm25"), d, terms)
     with _pytest.raises(ValueError):
         bm25_query_from_index(p, d, [])
+
+
+def test_vocab_drift_hand_case(spark):
+    """Known distributions: slice A = {x:2, y:2}, slice B = {x:1, z:3};
+    drift must be exact from integer counts, tokens in one slice only
+    get frequency 0 there."""
+    from spacy_llm_spark.functions import text as textfn
+
+    a = spark.createDataFrame([(1, "x x y y")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x z z z")], "doc_id long, text string")
+    got = {r["token"]: (r["p_a"], r["p_b"], r["abs_diff"])
+           for r in textfn.vocab_drift(a, b, top_terms=10).collect()}
+    assert got["z"] == (0.0, 0.75, 0.75)
+    assert got["x"] == (0.5, 0.25, 0.25)
+    assert got["y"] == (0.5, 0.0, 0.5)
+    # total variation = 0.5 * (0.75 + 0.25 + 0.5)
+    assert abs(sum(v[2] for v in got.values()) / 2 - 0.75) < 1e-9
