@@ -414,3 +414,131 @@ def windowed_event_counts(
         "n",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------- sink
+# compaction: a standing stream writes one batch_id=N subdir per micro-
+# batch per sink — at a daily-crawl cadence that is the classic small-
+# files problem (10^5 dirs/listing per year per sink at minute
+# triggers). Compaction folds old batch dirs into one committed range
+# dir without ever presenting readers a double or a gap.
+
+
+def _covered(ranges: list[tuple[int, int]], bid: int) -> bool:
+    return any(lo <= bid <= hi for lo, hi in ranges)
+
+
+def _sink_parts(spark: SparkSession, sink_dir: str):
+    """(compacted ranges, live batch dirs) for a sink directory.
+
+    A compacted dir is named ``batch_lo=<a>_hi=<b>`` and COMMITTED
+    (_SUCCESS). A batch_id dir is live only while no committed range
+    covers its id — that single rule is what makes compaction crash-safe
+    in every interleaving: the range commits BEFORE any original is
+    deleted, so a crash mid-delete leaves originals that readers already
+    ignore (the next sweep collects them); a crash before the commit
+    leaves no range, originals still read.
+    """
+    all_ranges = []
+    batch_dirs = []
+    for sub in fs.committed_subdirs(spark, sink_dir):
+        leaf = sub.rstrip("/").rsplit("/", 1)[-1]
+        if leaf.startswith("batch_lo="):
+            lo_part, hi_part = leaf.split("_hi=")
+            all_ranges.append((int(lo_part.split("=")[1]), int(hi_part), sub))
+        elif leaf.startswith("batch_id="):
+            batch_dirs.append((int(leaf.split("=")[1]), sub))
+    # a range NESTED inside a wider committed range is a superseded dir
+    # a crashed re-compaction failed to delete: its rows are already in
+    # the wider dir, so readers must ignore it (and sweeps collect it)
+    live_ranges = [
+        (lo, hi, sub)
+        for lo, hi, sub in all_ranges
+        if not any(
+            (olo <= lo and hi <= ohi) and osub != sub
+            for olo, ohi, osub in all_ranges
+        )
+    ]
+    ranges = [(lo, hi) for lo, hi, _ in live_ranges]
+    range_dirs = [sub for _, _, sub in live_ranges]
+    live = [(bid, p) for bid, p in batch_dirs if not _covered(ranges, bid)]
+    return ranges, range_dirs, sorted(live)
+
+
+def read_sink(spark: SparkSession, output_dir: str, name: str):
+    """The blessed reader for a (possibly compacted) streaming sink:
+    committed compacted ranges ∪ committed batch dirs not covered by any
+    range — or None if nothing has committed. Row-equal to reading the
+    uncompacted layout."""
+    sink_dir = posixpath.join(output_dir, name)
+    _, range_dirs, live = _sink_parts(spark, sink_dir)
+    paths = range_dirs + [p for _, p in live]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def compact_sink(
+    spark: SparkSession,
+    output_dir: str,
+    name: str,
+    keep_recent: int = 8,
+    target_partitions: int | None = None,
+) -> int:
+    """Fold all committed batch_id dirs of sink ``name`` except the
+    newest ``keep_recent`` (plus any stale dirs an earlier crash left
+    covered) into one committed ``batch_lo=<a>_hi=<b>`` dir. Returns the
+    number of directories folded/collected.
+
+    Exactly-once without coordination: the consolidated dir is written
+    (with _SUCCESS) BEFORE any original is deleted, and readers
+    (``read_sink``) ignore a batch dir the moment a committed range
+    covers it — so every crash point leaves a readable, duplicate-free
+    view. The newest ``keep_recent`` batches are left alone because a
+    restarting stream may still replay-overwrite its LAST batch_id; 8 is
+    far past any replay horizon (Spark replays only the most recent
+    uncommitted offset batch).
+
+    ``target_partitions`` coalesces the consolidated write (small-file
+    healing — the point of compacting); default leaves Spark's planning
+    alone.
+    """
+    sink_dir = posixpath.join(output_dir, name)
+    ranges, range_dirs, live = _sink_parts(spark, sink_dir)
+    # leftovers of earlier crashes: batch dirs covered by a committed
+    # range, and superseded (nested) range dirs _sink_parts filtered out
+    stale = [
+        sub for sub in fs.list_subdirs(spark, sink_dir)
+        if (leaf := sub.rstrip("/").rsplit("/", 1)[-1]).startswith("batch_id=")
+        and leaf.split("=")[1].isdigit()
+        and _covered(ranges, int(leaf.split("=")[1]))
+    ]
+    stale += [
+        sub for sub in fs.committed_subdirs(spark, sink_dir)
+        if sub.rstrip("/").rsplit("/", 1)[-1].startswith("batch_lo=")
+        and sub not in range_dirs
+    ]
+    fold = live[:-keep_recent] if keep_recent else live
+    if fold:
+        # re-compaction folds the existing committed ranges in too, so
+        # there is always at most ONE range dir after a sweep. The new
+        # range's hi is the newest folded batch (always < every kept
+        # batch, so kept ids are never covered); ids inside the range
+        # with no dir are simply absent batches — harmless.
+        lo = min([fold[0][0]] + [a for a, _ in ranges])
+        hi = max([fold[-1][0]] + [b for _, b in ranges])
+        df = spark.read.parquet(*(range_dirs + [p for _, p in fold]))
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        new_dir = posixpath.join(sink_dir, f"batch_lo={lo}_hi={hi}")
+        df.write.mode("overwrite").parquet(new_dir)
+        # the new range is committed: folded originals and superseded
+        # ranges are now invisible to read_sink — delete them
+        for _, p in fold:
+            fs.delete(spark, p)
+        for d in range_dirs:
+            if d.rstrip("/") != new_dir.rstrip("/"):
+                fs.delete(spark, d)
+    for sub in stale:
+        fs.delete(spark, sub)
+    return len(fold) + len(stale)

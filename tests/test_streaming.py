@@ -1065,3 +1065,64 @@ def test_dupngram_snapshot_retention_prunes(spark, tmp_path):
     assert _bids("stats") == [2, 3]
     assert _bids("counts") == [2, 3]
     assert _bids("grams") == [0, 1, 2, 3]
+
+
+def test_sink_compaction_roundtrip_and_crash_safety(spark, tmp_path):
+    """compact_sink folds old batch dirs into one committed range with
+    row-identical read_sink output; crash leftovers (an original still
+    present under a committed range, a superseded nested range) are
+    invisible to readers and collected by the next sweep."""
+    import shutil
+
+    from spacy_llm_spark.streaming.incremental import (
+        compact_sink,
+        make_batch_processor,
+        read_sink,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out))
+    schema = "doc_id long, content string, lang string"
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(10 * i + j, f"spark join customer {i} {j}", "python")
+             for j in range(2)],
+            schema,
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        proc(b, i)
+
+    before = sorted(map(tuple, read_sink(spark, str(out), "links").collect()))
+    folded = compact_sink(spark, str(out), "links", keep_recent=2)
+    assert folded == 2  # batches 0,1 folded; 2,3 kept
+    after = sorted(map(tuple, read_sink(spark, str(out), "links").collect()))
+    assert after == before
+    import os
+
+    leaves = sorted(os.listdir(out / "links"))
+    assert "batch_lo=0_hi=1" in leaves
+    assert "batch_id=0" not in leaves and "batch_id=1" not in leaves
+    assert "batch_id=2" in leaves and "batch_id=3" in leaves
+
+    # crash leftover 1: an original re-appears under the committed range
+    # (as if the post-commit delete died) — readers must ignore it
+    shutil.copytree(out / "links" / "batch_id=2", out / "links" / "batch_id=1")
+    assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
+    # the next sweep collects it without folding anything new
+    collected = compact_sink(spark, str(out), "links", keep_recent=2)
+    assert collected >= 1
+    assert "batch_id=1" not in os.listdir(out / "links")
+
+    # crash leftover 2: a superseded NESTED range left by a crashed
+    # re-compaction — fold everything into a wider range, then restore
+    # the old narrow range dir
+    shutil.copytree(out / "links" / "batch_lo=0_hi=1", tmp_path / "stash")
+    compact_sink(spark, str(out), "links", keep_recent=0)
+    leaves = [d for d in os.listdir(out / "links") if d.startswith("batch_lo=")]
+    assert leaves == ["batch_lo=0_hi=3"]
+    shutil.copytree(tmp_path / "stash", out / "links" / "batch_lo=0_hi=1")
+    assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
+    compact_sink(spark, str(out), "links", keep_recent=0)
+    assert [d for d in os.listdir(out / "links") if d.startswith("batch_lo=")] == [
+        "batch_lo=0_hi=3"
+    ]
+    assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
