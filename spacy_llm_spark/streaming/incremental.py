@@ -50,6 +50,7 @@ def run_incremental(
     vertex_snapshot_retention: int | None = 3,
     maintain_dupngrams: bool = False,
     dupngram_snapshot_retention: int | None = 3,
+    compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
 
@@ -79,6 +80,7 @@ def run_incremental(
         vertex_snapshot_retention=vertex_snapshot_retention,
         maintain_dupngrams=maintain_dupngrams,
         dupngram_snapshot_retention=dupngram_snapshot_retention,
+        compact_every=compact_every,
     )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -101,6 +103,7 @@ def make_batch_processor(
     dupngram_n: int = 3,
     dupngram_min_docs: int = 2,
     dupngram_snapshot_retention: int | None = 3,
+    compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
     calling it twice with the same (batch_df, batch_id) — a crash-replay —
@@ -356,6 +359,16 @@ def make_batch_processor(
                 posixpath.join(dupngram_path, "stats"),
                 dupngram_snapshot_retention,
             )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # periodic small-files healing, after everything above is
+            # durable — compaction is crash-safe on its own (range
+            # commits before deletes; read_sink ignores covered dirs),
+            # so a crash here costs only deferred cleanup. keep_recent=2
+            # suffices inside the processor: Spark replays at most the
+            # current (uncommitted-offset) batch, and THIS batch's dirs
+            # are always newest.
+            for sink in ("mentions", "links", "edges"):
+                compact_sink(spark, output_dir, sink, keep_recent=2)
 
     return process_batch
 

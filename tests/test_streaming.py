@@ -1126,3 +1126,32 @@ def test_sink_compaction_roundtrip_and_crash_safety(spark, tmp_path):
         "batch_lo=0_hi=3"
     ]
     assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
+
+
+def test_auto_compaction_in_processor(spark, tmp_path):
+    """compact_every triggers the sweep from inside the batch loop and
+    read_sink stays row-identical."""
+    import os
+
+    from spacy_llm_spark.streaming.incremental import (
+        make_batch_processor,
+        read_sink,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), compact_every=2)
+    schema = "doc_id long, content string, lang string"
+    rows = []
+    for i in range(5):
+        r = (i, f"spark join customer {i}", "python")
+        rows.append(r)
+        b = spark.createDataFrame([r], schema).withColumn(
+            "content_sha256", F.sha2("content", 256)
+        )
+        proc(b, i)
+    leaves = sorted(os.listdir(out / "links"))
+    assert any(d.startswith("batch_lo=") for d in leaves)
+    got_docs = {
+        r["doc_id"] for r in read_sink(spark, str(out), "links").collect()
+    }
+    assert got_docs == {0, 1, 2, 3, 4}
