@@ -1,1 +1,1 @@
-from . import normalizers, response_parsers, text  # noqa: F401
+from . import normalizers, redact, relevance, response_parsers, text, timeutil  # noqa: F401
