@@ -286,6 +286,31 @@ def q_lsh_dedup_verified(spark, sf_dir):
     )
 
 
+def q_lsh_dedup_scoped(spark, sf_dir):
+    """Same-scope near-dup pairs ("dedupe within language"): the
+    unscoped LSH pair stream post-filtered through the (id, scope) map
+    (operators/dedup.scoped_dup_pairs) — one index serves any scoping
+    choice. Exact-dup verified like lsh_dedup_verified, so the oracle
+    is a text self-join with a lang-equality clause."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    )
+    pairs = dedup.minhash_lsh_dup_pairs(
+        doubled.select("doc_id", "text"),
+        n_hashes=32, bands=8, shingle_k=3, threshold=1.0,
+    )
+    texts = doubled.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    texts_b = doubled.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    verified = (
+        pairs.join(texts, "id_a")
+        .join(texts_b, "id_b")
+        .where(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+    return dedup.scoped_dup_pairs(doubled, "lang", pairs=verified)
+
+
 def q_lsh_dedup_incremental(spark, sf_dir):
     """Incremental near-dup (operators/dedup.py:minhash_lsh_probe): the
     original docs are the standing corpus, pre-banded once into a
@@ -1430,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "lexical_cosine_incremental": q_lexical_cosine_incremental,
         "vocab_drift": q_vocab_drift,
+        "lsh_dedup_scoped": q_lsh_dedup_scoped,
     }
 
 
@@ -2445,6 +2471,16 @@ FROM events GROUP BY 1
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]
     sql["dup_ngram_stats_incremental"] = sql["dup_ngram_stats"]
     sql["bm25_topk_indexed"] = sql["bm25_topk"]
+    # scoped dedup: the verified-pair oracle plus a same-lang clause
+    sql["lsh_dedup_scoped"] = """
+WITH doubled AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS scope
+FROM doubled a JOIN doubled b
+  ON a.text = b.text AND a.doc_id < b.doc_id AND a.lang = b.lang
+"""
     # incremental lexical cosine is UNCAPPED (the probe refuses max_df:
     # an append can push a term over a corpus-wide cap and change
     # standing-pair sims) -> same oracle minus the df filter

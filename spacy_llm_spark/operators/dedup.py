@@ -1245,3 +1245,50 @@ def dup_ngram_stats_probe(
         "gram", F.col("mnd").alias("nd")
     ).withColumn(stamp, F.lit(True))
     return stats, new_index_grams, new_index_counts
+
+
+def scoped_dup_pairs(
+    docs: DataFrame,
+    scope_col: str,
+    pairs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+):
+    """Near-dup pairs restricted to the SAME scope (language, repo,
+    split...) — the production "dedupe within language" shape.
+
+    Deliberately a post-filter over the unscoped pair stream (two
+    id-keyed joins against the narrow (id, scope) map + one equality
+    filter) rather than folding the scope into the LSH bucket key:
+
+    - ONE persisted index serves every scoping choice — a scope-keyed
+      bucket formula would fork the index (and its _fmt stamp) per
+      consumer, defeating the shared incremental-probe story;
+    - the waste is bounded by how often DISSIMILAR scopes collide in a
+      band bucket, which banding already makes rare — cross-scope
+      near-dups are exactly the pairs that would have shared buckets,
+      and on a multilingual web corpus those are the translation/
+      boilerplate pairs one usually WANTS to at least count before
+      dropping.
+
+    ``pairs``: a precomputed pair frame (any of the dup-pair family —
+    minhash/simhash/embedding/lexical — with id_a/id_b columns); default
+    builds ``minhash_lsh_dup_pairs(docs, **lsh_kwargs)``.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_dup_pairs(docs, id_col=id_col, **lsh_kwargs)
+    scope = docs.select(F.col(id_col), F.col(scope_col))
+    sa = scope.select(
+        F.col(id_col).alias("id_a"), F.col(scope_col).alias("_scope_a")
+    )
+    sb = scope.select(
+        F.col(id_col).alias("id_b"), F.col(scope_col).alias("_scope_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("_scope_a").eqNullSafe(F.col("_scope_b")))
+        .withColumn("scope", F.col("_scope_a"))
+        .drop("_scope_a", "_scope_b")
+    )

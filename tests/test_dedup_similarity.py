@@ -1071,3 +1071,42 @@ def test_lexical_cosine_probe_refuses_mismatched_stamp(spark):
         lexical_cosine_probe(tf, norms, new, n=1)
     with _pytest.raises(ValueError, match="expected stamp"):
         lexical_cosine_probe(tf.drop("_fmt_v1_lx_n2"), norms, new, n=2)
+
+
+def test_scoped_dup_pairs_filters_cross_scope(spark):
+    """Identical texts in different scopes must NOT pair; same-scope
+    dups keep pairing; NULL scope pairs with NULL (null-safe equality)."""
+    from spacy_llm_spark.operators.dedup import scoped_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high", "en"),
+            (2, "the quick brown fox jumps high", "en"),   # same-scope dup
+            (3, "the quick brown fox jumps high", "fr"),   # cross-scope dup
+            (4, "voila un texte totalement different ici", "fr"),
+            (5, "null scope twin text here okay", None),
+            (6, "null scope twin text here okay", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r["id_a"], r["id_b"], r["scope"]) for r in scoped_dup_pairs(
+        docs, "lang", n_hashes=32, bands=8, shingle_k=3, threshold=1.0
+    ).collect()}
+    assert got == {(1, 2, "en"), (5, 6, None)}
+
+
+def test_scoped_dup_pairs_accepts_prebuilt_pairs(spark):
+    """Any pair frame with id_a/id_b post-filters the same way — the
+    one-index-any-scope property."""
+    from spacy_llm_spark.operators.dedup import scoped_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "a"), (3, "x", "b")],
+        "doc_id long, text string, lang string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           scoped_dup_pairs(docs, "lang", pairs=pairs).collect()}
+    assert got == {(1, 2)}
