@@ -308,6 +308,8 @@ def dupngram_main() -> None:
     )
 
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    if k < 1:
+        raise SystemExit("--dupngram needs k_batches >= 1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(

@@ -35,8 +35,20 @@ OUT = os.path.join(REPO, "BENCH", "campaigns.jsonl")
 def run(cmd, env_extra=None, timeout=3600):
     env = dict(os.environ)
     env.update(env_extra or {})
-    return subprocess.run(cmd, capture_output=True, text=True, env=env,
-                          cwd=REPO, timeout=timeout)
+    try:
+        return subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              cwd=REPO, timeout=timeout)
+    except subprocess.TimeoutExpired as exc:
+        # a hung leg must not abort the remaining campaigns
+        print(f"[campaign] TIMEOUT: {cmd}: {exc}", flush=True)
+        return subprocess.CompletedProcess(cmd, returncode=-1, stdout="", stderr=str(exc))
+
+
+def _parse_stamp(stamp: str) -> float:
+    try:
+        return time.mktime(time.strptime(stamp[:19], "%Y-%m-%dT%H:%M:%S"))
+    except ValueError:
+        return 0.0
 
 
 def last_jsonl_rows(path, n):
@@ -68,23 +80,36 @@ def main():
         stamp = time.strftime("%Y-%m-%dT%H:%M:%S+0000", time.gmtime())
         print(f"[campaign] {stamp} capacity {probe['effective_cores']} — GO",
               flush=True)
+        campaign_t0 = time.time()
         r = run([sys.executable, "bench.py"],
                 {"SPARK_GRAFT_BENCH_RUNS": "1",
                  "SPARK_GRAFT_MAX_WAIT_SECS": "60"})
         bench_line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        try:
+            bench_obj = json.loads(bench_line) if bench_line else None
+        except json.JSONDecodeError:
+            # bench.py's last line is not guaranteed JSON (gave-up
+            # messages, stray warnings) — record it raw, keep going
+            bench_obj = {"unparsed": bench_line[-500:]}
+        leg_ok = {}
         for cpus in ("16", "4"):
-            run([sys.executable, "scripts/bench_scaling_level.py",
-                 cpus, SF, "120", "2", "2.0", "600",
-                 str(FLOOR * 0.85)], timeout=5400)
-        legs = last_jsonl_rows(
-            os.path.join(REPO, "BENCH", "scaling_levels.jsonl"), 2)
-        summary = {"stamp": stamp, "probe": probe,
-                   "bench": json.loads(bench_line) if bench_line else None,
-                   "legs": legs}
-        if len(legs) == 2:
-            by = {r["cpus"]: r["best_wall"] for r in legs}
-            if 4 in by and 16 in by:
-                summary["efficiency_4_to_16"] = round(by[4] / (4 * by[16]), 3)
+            res = run([sys.executable, "scripts/bench_scaling_level.py",
+                       cpus, SF, "120", "2", "2.0", "600",
+                       str(FLOOR * 0.85)], timeout=5400)
+            leg_ok[int(cpus)] = res.returncode == 0
+        # ONLY rows this campaign appended count — a crashed leg must
+        # not let a stale row from an earlier session masquerade as a
+        # same-phase pair (the exact failure this script exists to kill)
+        legs = [
+            row for row in last_jsonl_rows(
+                os.path.join(REPO, "BENCH", "scaling_levels.jsonl"), 2)
+            if _parse_stamp(row.get("stamp", "")) >= campaign_t0 - 60
+        ]
+        summary = {"stamp": stamp, "probe": probe, "bench": bench_obj,
+                   "legs": legs, "leg_ok": leg_ok}
+        by = {row["cpus"]: row["best_wall"] for row in legs}
+        if leg_ok.get(4) and leg_ok.get(16) and 4 in by and 16 in by:
+            summary["efficiency_4_to_16"] = round(by[4] / (4 * by[16]), 3)
         with open(OUT, "a") as f:
             f.write(json.dumps(summary) + "\n")
         print(f"[campaign] done: {summary.get('efficiency_4_to_16')}",

@@ -194,14 +194,11 @@ def bm25_index_append(postings, doclens, new_docs, **kwargs):
 
 
 def _check_bm25_stamp(df: DataFrame, what: str) -> None:
-    if BM25_INDEX_STAMP in df.columns:
-        return
-    stamped = [c for c in df.columns if c.startswith("_fmt")]
-    raise ValueError(
-        f"{what}: expected stamp {BM25_INDEX_STAMP!r}, frame carries "
-        f"{stamped or 'no _fmt stamp'} — built by an incompatible "
-        "formula; rebuild with bm25_index"
-    )
+    # one versioned-index contract for the whole repo (lazy import —
+    # functions/__init__ loads before the operators package)
+    from ..operators.dedup import _check_index_format
+
+    _check_index_format(df, what, BM25_INDEX_STAMP)
 
 
 def bm25_query_from_index(
@@ -241,34 +238,64 @@ def bm25_query_from_index(
     hits = postings.where(F.col("term").isin(list(terms))).select(
         id_col, "term", "tf"
     )
-    dfreq = hits.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+    # per-term df folded into the SAME 1-row broadcast stats frame the
+    # direct path uses (df(t) = postings rows for t, one per matching doc)
+    dfreq = hits.agg(
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = stats.crossJoin(dfreq).select(
+        "avgdl",
+        *[
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5))
+                ),
+                _Q,
+            ).alias(f"idf_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    # pivot tf into per-term columns so the score is the SAME fixed-order
+    # expression as bm25_scores — a groupBy-sum over contribution rows
+    # would add doubles in partition-arrival order, which is exactly the
+    # cross-engine nondeterminism the 10dp/6dp discipline exists to kill
+    tfw = hits.groupBy(id_col).pivot("term", list(terms)).sum("tf")
+    tfw = tfw.select(
+        id_col,
+        *[
+            F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
     )
     scored = (
-        hits.join(F.broadcast(dfreq), "term")
-        .join(doclens.select(id_col, "dl"), id_col)
+        tfw.join(doclens.select(id_col, "dl"), id_col)
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("N") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ),
-        _Q,
-    )
-    contrib = F.round(
-        idf
-        * (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-        ),
-        _Q,
-    )
+    contribs = [
+        F.round(
+            F.col(f"idf_{i}")
+            * (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+            _Q,
+        )
+        for i in range(len(terms))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
     return (
-        scored.select(F.col(id_col), contrib.alias("_c"))
-        .groupBy(id_col)
-        .agg(F.round(F.sum("_c"), 6).alias("score"))
+        scored.select(F.col(id_col), F.round(total, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -73,7 +73,7 @@ def _check_index_format(index: DataFrame, what: str, expected: str) -> None:
     raise ValueError(
         f"{what}: index frame has no _fmt* stamp column — it was built "
         "by an incompatible (pre-versioning) formula; rebuild it with "
-        "the current *_lsh_index builder"
+        "the current index builder"
     )
 
 # ---------------------------------------------------------------------------

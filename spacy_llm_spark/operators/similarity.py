@@ -496,8 +496,10 @@ def lexical_cosine_pairs(
     - (doc, term, tf) from ONE explode + groupBy — the only pass over
       text;
     - ``max_df`` prunes high-document-frequency terms BEFORE pairing
-      (df computed with one window over the same term partitioning —
-      no second shuffle). A term in k docs creates k(k-1)/2 candidate
+      (df = one term-keyed aggregation + a semi-join back — one extra
+      term-keyed shuffle, paid only when the cap is set; map-side
+      partials keep a hot term from concentrating a partition the way
+      a window sort would). A term in k docs creates k(k-1)/2 candidate
       rows, so stopword-grade terms are what make all-pairs quadratic;
       capping df bounds the join fan-out at max_df²/2 per term. Norms
       are computed AFTER the cap, so the result is EXACT cosine over
@@ -516,8 +518,6 @@ def lexical_cosine_pairs(
     term's df, which is why the cap is a first-class argument and the
     banded LSH family is the corpus-wide path.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import ngrams_expr, tokens_expr
 
     if n < 1:
@@ -531,9 +531,13 @@ def lexical_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if max_df is not None:
-        tf = tf.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        ).where(F.col("_df") <= max_df).drop("_df")
+        keep_terms = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("term")
+        )
+        tf = tf.join(keep_terms, "term", "left_semi")
     norms = tf.groupBy("_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("s2"))
     a = tf.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
     b = tf.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
@@ -559,16 +563,9 @@ def _lexical_stamp(n: int) -> str:
 
 
 def _check_lexical_stamp(df: DataFrame, what: str, n: int) -> None:
-    expected = _lexical_stamp(n)
-    if expected in df.columns:
-        return
-    stamped = [c for c in df.columns if c.startswith("_fmt")]
-    raise ValueError(
-        f"{what}: expected stamp {expected!r}, frame carries "
-        f"{stamped or 'no _fmt stamp'} — the n-gram order differs or the "
-        "frame predates versioning; probing would silently return wrong "
-        "sims. Rebuild with lexical_tf_index."
-    )
+    from .dedup import _check_index_format
+
+    _check_index_format(df, what, _lexical_stamp(n))
 
 
 def lexical_tf_index(

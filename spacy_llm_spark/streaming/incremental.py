@@ -290,7 +290,11 @@ def make_batch_processor(
             from ..operators import dedup as dd
 
             dn_id = "doc_id" if "doc_id" in batch_df.columns else "content_sha256"
-            batch_docs = batch_df.select(dn_id, "content")
+            # the keys anti-join only removes PRIOR batches' shas — two
+            # rows with the same id INSIDE one batch would double-count
+            # every gram (and, unlike the idempotent vertex merge, the
+            # corruption would persist in the counts snapshot forever)
+            batch_docs = batch_df.select(dn_id, "content").dropDuplicates([dn_id])
             grams_path = posixpath.join(dupngram_path, "grams")
             counts_path = posixpath.join(dupngram_path, "counts")
             stats_path = posixpath.join(dupngram_path, "stats")
@@ -526,12 +530,16 @@ def compact_sink(
         and leaf.split("=")[1].isdigit()
         and _covered(ranges, int(leaf.split("=")[1]))
     ]
+    # superseded (nested) COMMITTED ranges, plus TORN (uncommitted)
+    # range dirs a crash left mid-consolidation — readers ignore both,
+    # the sweep collects both. Anything not in range_dirs qualifies.
     stale += [
-        sub for sub in fs.committed_subdirs(spark, sink_dir)
+        sub for sub in fs.list_subdirs(spark, sink_dir)
         if sub.rstrip("/").rsplit("/", 1)[-1].startswith("batch_lo=")
         and sub not in range_dirs
     ]
     fold = live[:-keep_recent] if keep_recent else live
+    new_dir = None
     if fold:
         # re-compaction folds the existing committed ranges in too, so
         # there is always at most ONE range dir after a sweep. The new
@@ -553,5 +561,7 @@ def compact_sink(
             if d.rstrip("/") != new_dir.rstrip("/"):
                 fs.delete(spark, d)
     for sub in stale:
+        if new_dir and sub.rstrip("/") == new_dir.rstrip("/"):
+            continue  # a torn dir of the same range name was just rewritten
         fs.delete(spark, sub)
     return len(fold) + len(stale)

@@ -1058,7 +1058,7 @@ def test_dupngram_snapshot_retention_prunes(spark, tmp_path):
         ).withColumn("content_sha256", F.sha2("content", 256))
         proc(b, i)
     def _bids(sub):
-        p = out / "kg_out" if False else out / "dupngram" / sub
+        p = out / "dupngram" / sub
         return sorted(
             int(d.split("=")[1]) for d in os.listdir(p) if d.startswith("batch_id=")
         )
@@ -1155,3 +1155,55 @@ def test_auto_compaction_in_processor(spark, tmp_path):
         r["doc_id"] for r in read_sink(spark, str(out), "links").collect()
     }
     assert got_docs == {0, 1, 2, 3, 4}
+
+
+def test_dupngram_maintenance_dedups_within_batch(spark, tmp_path):
+    """Two rows with the same id/content inside ONE batch must count as
+    one document — a gram unique to that document stays unduplicated."""
+    from spacy_llm_spark.streaming.incremental import (
+        latest_dupngram_stats,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_dupngrams=True)
+    schema = "doc_id long, content string, lang string"
+    b = spark.createDataFrame(
+        [(1, "spark join customer unique gram", "python"),
+         (1, "spark join customer unique gram", "python")],
+        schema,
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    proc(b, 0)
+    rows = latest_dupngram_stats(spark, str(out)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dup_grams"] == 0  # its grams exist in ONE doc only
+
+
+def test_compaction_collects_torn_range_dir(spark, tmp_path):
+    """An UNCOMMITTED batch_lo dir (crash mid-consolidation) is ignored
+    by read_sink and garbage-collected by the next sweep."""
+    import os
+
+    from spacy_llm_spark.streaming.incremental import (
+        compact_sink,
+        make_batch_processor,
+        read_sink,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out))
+    schema = "doc_id long, content string, lang string"
+    for i in range(3):
+        b = spark.createDataFrame(
+            [(i, f"spark join customer {i}", "python")], schema
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        proc(b, i)
+    before = sorted(map(tuple, read_sink(spark, str(out), "links").collect()))
+    # simulate the torn write: parquet data, no _SUCCESS
+    torn = out / "links" / "batch_lo=0_hi=9"
+    spark.read.parquet(str(out / "links" / "batch_id=0")).write.parquet(str(torn))
+    os.remove(torn / "_SUCCESS")
+    assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
+    compact_sink(spark, str(out), "links", keep_recent=8)  # folds nothing
+    assert not os.path.exists(torn)
+    assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
