@@ -89,6 +89,76 @@ def surface_kb_edges(links: DataFrame) -> DataFrame:
     )
 
 
+def _contract_partitions(
+    edges: DataFrame, max_nodes_in_memory: int = 4_000_000
+) -> DataFrame:
+    """Partition-local contraction: run union-find over each partition's
+    edges and emit its local star edges (member -> partition-local min).
+
+    This is the map-side combine of connected components. Replacing a
+    partition's edge multiset with the star edges of its LOCAL components
+    preserves connectivity exactly (same nodes reachable from each other
+    within the partition), so ``CC(∪_p E_p) == CC(∪_p stars(CC(E_p)))``
+    — and because every local root is the partition-local minimum, the
+    global min-label convention is untouched. What it buys at scale:
+
+    - the output is at most one row per distinct node per partition —
+      a multigraph partition (corpus-derived edge sets repeat pairs
+      heavily) collapses before it ever reaches a shuffle, and the
+      corpus-scale global ``distinct`` the rounds otherwise need is
+      dropped entirely (one narrow pass instead of the job's widest
+      shuffle);
+    - local diameter collapses to 1, so the large/small-star rounds
+      start from path lengths ~(#partitions a component spans), not the
+      raw graph diameter — on a chain-of-2000 benchmark graph this cuts
+      the O(log diameter) round count roughly in half.
+
+    Memory is bounded: the per-partition union-find is flushed (emit
+    current stars, reset) whenever it exceeds ``max_nodes_in_memory``
+    nodes — a flushed partition contracts slightly less (the star rounds
+    re-join the pieces) but never exceeds the budget. Duplicate (node,
+    root) rows across partitions/flushes are harmless to the rounds
+    (duplicates cannot change a min) and are bounded by the first
+    round's distinct. Rows with a NULL endpoint are dropped, matching
+    the ``src != dst`` null semantics of the uncontracted path.
+    """
+    import pandas as pd
+
+    def _contract(batches):
+        uf = UnionFind()
+
+        def flush():
+            rows = [(n, r) for n, r in uf.items() if n != r]
+            uf.parent.clear()
+            if rows:
+                return pd.DataFrame(rows, columns=["src", "dst"])
+            return None
+
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["src", "dst"])
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                if a == b:
+                    continue
+                uf.union(a, b)
+            if len(uf.parent) > max_nodes_in_memory:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    # preserve the caller's node type (the star rounds union src/dst, so
+    # the two columns are necessarily of one type already)
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema["src"].dataType
+    out_schema = StructType(
+        [StructField("src", node_type), StructField("dst", node_type)]
+    )
+    return edges.select("src", "dst").mapInPandas(_contract, out_schema)
+
+
 def _star_round(e: DataFrame) -> DataFrame:
     """One large-star + small-star step over edge frame (src, dst).
 
@@ -140,6 +210,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     driver_threshold: int = 2_000_000,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """(node, component) for every node in the undirected edge set.
 
@@ -166,6 +237,14 @@ def connected_components(
 
     Both strategies label every component by its lexicographically
     smallest node, so they are interchangeable bit-for-bit.
+
+    ``local_contraction`` (default on) precedes the star rounds with one
+    narrow partition-local union-find pass (``_contract_partitions``) —
+    the map-side combine of CC. It replaces the corpus-scale global
+    ``distinct`` with a per-partition collapse AND cuts the starting
+    diameter to the number of partitions a component spans, typically
+    halving the round count. Exact: local stars are
+    connectivity-equivalent to the partition's edges.
     """
     spark = edges.sparkSession
     head = edges.select("src", "dst").distinct().limit(driver_threshold + 1).collect()
@@ -204,7 +283,17 @@ def connected_components(
         got = obs.get  # blocks until the materialization job reports
         return cut, (got["cnt"], got["hsh"])
 
-    e0 = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if local_contraction:
+        # one narrow pass; no global distinct needed — duplicate star
+        # rows cannot change a min and the first round's distinct bounds
+        # the edge set anyway
+        e0 = _contract_partitions(edges)
+    else:
+        e0 = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     e, sig = _cut_with_signature(e0)
     converged = False
     for _ in range(max_iter):

@@ -122,6 +122,69 @@ def test_distributed_cc_large_graph_matches_union_find(spark):
     assert len(set(expected.values())) == 3 + 8
 
 
+def test_cc_local_contraction_matches_uncontracted(spark):
+    """Partition-local contraction is an exact preconditioner: with the
+    edges scattered ADVERSARIALLY across partitions (hash-repartitioned,
+    so most components span many partitions), the contracted distributed
+    path, the uncontracted distributed path, and driver union-find all
+    agree bit-for-bit."""
+    edges = (
+        [(f"c{i:03d}", f"c{i+1:03d}") for i in range(200)]  # chain, diam 200
+        + [("hub", f"l{i:03d}") for i in range(150)]        # star
+        + [("c000", "hub")]                                  # merged
+        + [("z1", "z2"), ("z2", "z1"), ("z1", "z2")]         # dup multigraph
+        + [("iso", "iso")]                                   # self-loop node
+    )
+    df = spark.createDataFrame(edges, "src string, dst string").repartition(16)
+    contracted = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    plain = {
+        r.node: r.component
+        for r in connected_components(
+            df, driver_threshold=0, local_contraction=False
+        ).collect()
+    }
+    driver = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert contracted == plain == driver
+    assert contracted["hub"] == contracted["c200"] == "c000"
+    assert contracted["iso"] == "iso"
+
+
+def test_cc_local_contraction_null_endpoints_and_flush(spark):
+    """NULL-endpoint rows are dropped (same as the uncontracted path's
+    src != dst filter), and a tiny in-memory node budget — forcing a
+    flush mid-partition — changes nothing but how much one pass
+    contracts."""
+    from spacy_llm_spark.operators.canonicalize import _contract_partitions
+
+    rows = [("a", "b"), ("b", None), (None, "q"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    comp = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    # NULL rows contribute their non-null endpoint to all_nodes only
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+                    "q": "q", None: None}
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(50)], "src string, dst string"
+    ).coalesce(1)
+    flushed = _contract_partitions(chain, max_nodes_in_memory=5)
+    # flushing caps the union-find at ~5 nodes, so one partition emits
+    # many partial stars; downstream CC still resolves the single chain
+    labels = {
+        r.node: r.component
+        for r in connected_components(flushed, driver_threshold=0).collect()
+    }
+    assert set(labels.values()) == {"n0"}
+    assert len(labels) == 51
+
+
 def test_distributed_cc_keeps_self_loop_nodes(spark):
     """A node appearing only in self-loop edges is a singleton component in
     BOTH strategies (they must be interchangeable bit-for-bit)."""
