@@ -869,6 +869,21 @@ def q_vocab_topk(spark, sf_dir):
     return textfn.vocab_topk(_docs(spark, sf_dir), k=20)
 
 
+def q_frequent_tokens(spark, sf_dir):
+    """Certified-exact top-20 tokens via the bounded-memory Misra-Gries
+    sketch + candidate recount (operators/sketches.py) — same answer as
+    vocab_topk's full two-phase count, but the shuffle is capped at
+    capacity x partitions rows regardless of item cardinality."""
+    from spacy_llm_spark.operators.sketches import frequent_items_topk
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(textfn.tokens_expr(F.col("text"))).alias("token")
+    )
+    return frequent_items_topk(toks, "token", k=20, capacity=512).select(
+        F.col("item").alias("token"), "n"
+    )
+
+
 def _pii_augmented(docs):
     """Deterministically inject PII into the synthetic corpus (doc_id %
     4 selects the class mix) so detection/redaction is actually
@@ -1456,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_cosine_incremental": q_lexical_cosine_incremental,
         "vocab_drift": q_vocab_drift,
         "lsh_dedup_scoped": q_lsh_dedup_scoped,
+        "frequent_tokens": q_frequent_tokens,
     }
 
 
@@ -2103,6 +2119,12 @@ LEFT JOIN tstats t USING (doc_id)
 LEFT JOIN bstats b USING (doc_id)
 """,
         "vocab_topk": """
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE len(tok) > 0
+GROUP BY tok ORDER BY n DESC, token ASC LIMIT 20
+""",
+        "frequent_tokens": """
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
 WHERE len(tok) > 0

@@ -24,6 +24,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..fs import cut_lineage
+
 #: certificate slack: 4 standard deviations. HLL++'s rsd is one sigma;
 #: the per-group failure odds at 4 sigma are ~6e-5 even before HLL++'s
 #: small-range bias correction (exact below ~2.5·2^p), which is what
@@ -74,4 +76,143 @@ def approx_distinct_certificate(
             F.abs(F.col("_ap").cast("double") - F.col("n_distinct").cast("double"))
             <= bound
         ).alias("ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (heavy hitters): Misra-Gries sketch + certified top-k
+# ---------------------------------------------------------------------------
+#
+# vocab_topk (functions/text.py) is the exact two-phase word count: its
+# shuffle is VOCABULARY-sized, which is fine for words but not for
+# heavy-tailed item spaces whose cardinality tracks the corpus itself
+# (URLs, n-grams, user ids, join keys being probed for skew). The
+# Misra-Gries summary bounds the state at ``capacity`` counters per
+# partition, so the shuffle carries at most capacity x partitions rows
+# no matter the item cardinality.
+#
+# Guarantees (classic MG, Misra & Gries 1982 / Berinde et al. 2010):
+# within a partition p, each kept counter underestimates the item's true
+# partition count by at most d_p, the total decrement applied in that
+# partition. Summing merged counters and the TRACKED d_p values gives
+#     est(x) <= true(x) <= est(x) + E,   E = sum_p d_p
+# E is measured, not the worst-case N/(capacity+1) bound, so the
+# certificate is tight on benign data (d_p is 0 until a partition
+# actually overflows its capacity).
+
+
+def _mg_sketch(items: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``items`` (column
+    ``item``): rows (item, est) plus one sentinel row per partition
+    (item NULL, dec = that partition's total decrement). Narrow — no
+    shuffle; output is at most (capacity + 1) rows per partition."""
+    import pandas as pd
+
+    def _summarize(batches):
+        counters: dict = {}
+        dec_total = 0
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            for item, n in vc.items():
+                counters[item] = counters.get(item, 0) + int(n)
+            over = len(counters) - capacity
+            if over > 0:
+                # subtract the over-th smallest count from everything;
+                # <= capacity positive counters survive
+                m = sorted(counters.values())[over - 1]
+                counters = {k: v - m for k, v in counters.items() if v > m}
+                dec_total += m
+        out = pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "est": list(counters.values()) + [0],
+                "dec": [0] * len(counters) + [dec_total],
+            }
+        )
+        yield out.astype({"est": "int64", "dec": "int64"})
+
+    return items.select(F.col("item").cast("string").alias("item")).mapInPandas(
+        _summarize, "item string, est long, dec long"
+    )
+
+
+def frequent_items_approx(
+    df: DataFrame, item_col: str, capacity: int = 4096
+) -> DataFrame:
+    """One-pass heavy hitters: (item, est_lb, est_ub) for every item the
+    merged Misra-Gries summary retained. True count is bracketed:
+    est_lb <= true <= est_ub, with est_ub - est_lb = E the MEASURED
+    total decrement across partitions. ONE narrow pass over the data
+    plus a sketch-sized shuffle — item cardinality never shuffles."""
+    sk = cut_lineage(_mg_sketch(df.select(F.col(item_col).alias("item")), capacity))
+    e_total = sk.agg(F.sum("dec")).collect()[0][0] or 0
+    return (
+        sk.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est_lb"))
+        .select(
+            "item",
+            "est_lb",
+            (F.col("est_lb") + F.lit(int(e_total))).alias("est_ub"),
+        )
+    )
+
+
+def frequent_items_topk(
+    df: DataFrame, item_col: str, k: int = 20, capacity: int = 4096
+) -> DataFrame:
+    """EXACT top-k items by count, at bounded memory: MG candidate
+    generation, then an exact recount of candidates only.
+
+    Soundness of the candidate cut: each per-item estimate satisfies
+    true - E <= est <= true (E = measured total decrement), so with tau
+    = the k-th largest est, every true top-k item has est >= true_k - E
+    >= tau - E (k-th largest est can't exceed k-th largest true count
+    when est <= true pointwise). Candidates = {est >= tau - E} is
+    therefore a SUPERSET of the true top-k; the recount (one scan
+    filtered by a broadcast semi-join, vocabulary never shuffled beyond
+    the candidate set) makes the final counts and ranking exact. Larger
+    ``capacity`` shrinks E and with it the recount's candidate set;
+    ties at rank k break by item ascending (deterministic). NULL items
+    are ignored (they are not countable hitters).
+
+    If tau - E <= 0 the cut cannot exclude even the items the sketch
+    dropped entirely (implicit est 0) — there IS no certified candidate
+    set at this capacity (flat distributions have no heavy hitters).
+    The operator stays exact by falling back to the full two-phase
+    count, logging the capacity that would have certified."""
+    import logging
+
+    items = df.select(F.col(item_col).cast("string").alias("item")).where(
+        F.col(item_col).isNotNull()
+    )
+    sk = cut_lineage(_mg_sketch(items, capacity))
+    e_total = sk.agg(F.sum("dec")).collect()[0][0] or 0
+    merged = (
+        sk.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    kth = merged.orderBy(F.desc("est"), F.asc("item")).limit(k).collect()
+    if not kth:
+        return items.sparkSession.createDataFrame([], "item string, n long")
+    tau = kth[-1]["est"]
+    counted = items
+    if tau > e_total:
+        candidates = merged.where(
+            F.col("est") >= F.lit(int(tau - e_total))
+        ).select("item")
+        counted = items.join(F.broadcast(candidates), "item", "left_semi")
+    else:
+        logging.getLogger(__name__).warning(
+            "frequent_items_topk: k-th estimate %d <= total decrement %d — "
+            "no certifiable candidate set at capacity=%d (distribution too "
+            "flat); falling back to the exact full count",
+            tau, e_total, capacity,
+        )
+    return (
+        counted.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(k)
     )

@@ -838,3 +838,62 @@ def test_vocab_drift_hand_case(spark):
     assert got["y"] == (0.5, 0.0, 0.5)
     # total variation = 0.5 * (0.75 + 0.25 + 0.5)
     assert abs(sum(v[2] for v in got.values()) / 2 - 0.75) < 1e-9
+
+
+def test_frequent_items_topk_matches_exact(spark):
+    """Zipf-ish skew, capacity far below cardinality, hash-scattered
+    partitions: the MG candidate cut + recount must equal the exact
+    two-phase top-k, counts included."""
+    from spacy_llm_spark.operators import sketches
+
+    rows = []
+    for i in range(200):           # 200 distinct items
+        rows += [(f"w{i:03d}",)] * (1 + (200 - i) ** 2 // 40)  # heavy head
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    got = sketches.frequent_items_topk(df, "item", k=10, capacity=32).collect()
+    exact = (
+        df.groupBy("item").count()
+        .orderBy(F.desc("count"), F.asc("item")).limit(10).collect()
+    )
+    assert [(r["item"], r["n"]) for r in got] == [
+        (r["item"], r["count"]) for r in exact
+    ]
+
+
+def test_frequent_items_topk_flat_distribution_falls_back(spark, caplog):
+    """Uniform counts at tiny capacity: no certifiable candidate set —
+    the operator must fall back to the exact count (and say so), not
+    return a wrong head."""
+    import logging
+
+    from spacy_llm_spark.operators import sketches
+
+    rows = [(f"u{i:04d}",) for i in range(500)] * 3  # all counts = 3
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    with caplog.at_level(logging.WARNING):
+        got = sketches.frequent_items_topk(df, "item", k=5, capacity=4).collect()
+    assert [(r["item"], r["n"]) for r in got] == [
+        (f"u{i:04d}", 3) for i in range(5)
+    ]
+    assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_frequent_items_approx_brackets_truth(spark):
+    """est_lb <= true <= est_ub for every retained item, and the bracket
+    width is the measured decrement total (zero when capacity holds all
+    items, so est_lb == true exactly)."""
+    from spacy_llm_spark.operators import sketches
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 2 + [(None,)] * 5
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    wide = {r["item"]: (r["est_lb"], r["est_ub"])
+            for r in sketches.frequent_items_approx(df, "item", capacity=64).collect()}
+    assert wide == {"a": (50, 50), "b": (30, 30), "c": (2, 2)}
+
+    tight = {r["item"]: (r["est_lb"], r["est_ub"])
+             for r in sketches.frequent_items_approx(df, "item", capacity=2).collect()}
+    true = {"a": 50, "b": 30, "c": 2}
+    for item, (lb, ub) in tight.items():
+        assert lb <= true[item] <= ub
+    # the dominant item always survives a capacity-2 sketch of 3 items
+    assert "a" in tight
