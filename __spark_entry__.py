@@ -884,6 +884,15 @@ def q_frequent_tokens(spark, sf_dir):
     )
 
 
+def q_lm_self_nll(spark, sf_dir):
+    """CCNet-style fluency score: bigram stupid-backoff LM trained on
+    the corpus, scoring the same corpus (functions/lm.py). Lower
+    lm_nll = more fluent relative to the corpus."""
+    from spacy_llm_spark.functions.lm import lm_self_score
+
+    return lm_self_score(_docs(spark, sf_dir))
+
+
 def _pii_augmented(docs):
     """Deterministically inject PII into the synthetic corpus (doc_id %
     4 selects the class mix) so detection/redaction is actually
@@ -1472,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "lsh_dedup_scoped": q_lsh_dedup_scoped,
         "frequent_tokens": q_frequent_tokens,
+        "lm_self_nll": q_lm_self_nll,
     }
 
 
@@ -2129,6 +2139,36 @@ SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
 WHERE len(tok) > 0
 GROUP BY tok ORDER BY n DESC, token ASC LIMIT 20
+""",
+        "lm_self_nll": """
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS ord
+        FROM ts),
+tokf AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+         FROM tok WHERE len(w) > 0),
+uni AS (SELECT w, count(*) AS c1 FROM tokf GROUP BY w),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+big AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c2
+        FROM tokf a JOIN tokf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+scored AS (
+  SELECT t.doc_id,
+         round(CASE
+           WHEN t.pos = 1 THEN log10(coalesce(u.c1, 0.4) / tot.n)
+           WHEN bg.c2 IS NOT NULL THEN log10(CAST(bg.c2 AS DOUBLE) / up.c1)
+           ELSE log10(0.4 * coalesce(u.c1, 0.4) / tot.n)
+         END, 9) AS lp
+  FROM tokf t
+  LEFT JOIN tokf p  ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+  LEFT JOIN big bg  ON bg.w1 = p.w AND bg.w2 = t.w
+  LEFT JOIN uni u   ON u.w = t.w
+  LEFT JOIN uni up  ON up.w = p.w
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-sum(lp) / count(*), 6) AS lm_nll
+FROM scored GROUP BY doc_id
 """,
         "pii_scrub": _pii_oracle_sql(),
         "decontaminate": """

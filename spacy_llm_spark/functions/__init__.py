@@ -1,1 +1,1 @@
-from . import normalizers, redact, relevance, response_parsers, text, timeutil  # noqa: F401
+from . import lm, normalizers, redact, relevance, response_parsers, text, timeutil  # noqa: F401

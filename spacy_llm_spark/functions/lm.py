@@ -1,0 +1,167 @@
+"""N-gram language-model fluency scoring (CCNet-style quality filter).
+
+The canonical web-corpus quality signal is "how surprised is a language
+model trained on a trusted corpus by this document" — CCNet (Wenzek et
+al., LREC 2020) filters Common Crawl by KenLM perplexity; most open
+LLM-data pipelines keep some form of it. A full KenLM is out of scope
+(and out of sandbox), but its distributed-friendly core — an n-gram
+count model with *stupid backoff* (Brants et al., EMNLP 2007, built
+precisely FOR MapReduce-scale LMs) — decomposes into exactly the
+primitives Spark is good at:
+
+- **training** is word counting: unigram and bigram ``groupBy`` counts
+  with map-side partial aggregation (vocabulary-scale shuffles, not
+  corpus-scale);
+- **scoring** is a projection + two hash joins: explode each doc's
+  (prev, word) pairs, left-join the bigram and unigram count tables,
+  and fold per-token log-scores back per doc in one aggregation.
+
+Stupid backoff score (NOT a normalized probability — Brants et al. show
+ranking quality tracks the real thing at web scale while needing no
+discount estimation):
+
+    S(w | prev) = c(prev w) / c(prev)            if c(prev w) > 0
+                = alpha * S(w)                   otherwise
+    S(w)        = c(w) / N, with OOV floored at alpha / N
+
+The emitted ``lm_nll`` is -mean(log10 S) per document — lower = more
+fluent relative to the training corpus; filter by quantile downstream
+(CCNet keeps the middle buckets: the lowest-perplexity tail is
+boilerplate, the highest is noise).
+
+Scale shape: the count tables are Zipf-limited (bigram vocabulary
+grows sublinearly in corpus size); the scoring joins shuffle on token
+keys with AQE free to broadcast either side when it measures small.
+Nothing in the hot path leaves whole-stage codegen except the explode.
+
+Determinism across engines (the DuckDB oracle mirrors this exactly):
+every per-token log10 is quantized at 9 dp before the per-doc sum, and
+the final mean at 6 dp — same discipline as relevance.bm25_scores.
+
+Reference analogue: none (spacy-llm has no LM-scoring op); extends the
+LLM-data-pipeline family (SURVEY.md §2 additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_expr
+
+_TOK_Q = 9  # per-token log10 quantum (dp)
+_OUT_Q = 6  # final score quantum (dp)
+
+
+def ngram_lm_counts(
+    docs: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the count model: (unigrams, bigrams, total_tokens).
+
+    ``unigrams`` = (w, c1), ``bigrams`` = (w1, w2, c2) — both plain
+    word-count aggregations (map-side combined; the shuffle carries the
+    n-gram vocabulary, not the corpus). ``total_tokens`` is collected as
+    a scalar: it is one number the scorer bakes into a literal.
+    """
+    toks = docs.select(tokens_expr(F.col(text_col)).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        toks.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+                    F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    total = uni.agg(F.sum("c1")).collect()[0][0] or 0
+    return uni, big, int(total)
+
+
+def lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    total_tokens: int,
+    *,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a trained count model.
+
+    Output: (id_col, n_tokens, lm_nll) for every doc with >= 1 token —
+    ``lm_nll`` = -mean per-token log10 stupid-backoff score, 6 dp.
+    Token 0 scores as a unigram; an OOV unigram is floored at
+    ``alpha / total_tokens`` so the log never degenerates.
+    """
+    if total_tokens <= 0:
+        raise ValueError("lm_score: total_tokens must be positive (empty model?)")
+    toks = docs.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("ts")
+    ).where(F.size("ts") >= 1)
+    # (prev, w) pairs with a NULL prev for the first token
+    pairs = toks.select(
+        id_col,
+        F.posexplode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(None).cast("string")),
+                    F.slice(F.col("ts"), 1, F.size("ts") - 1),
+                ).alias("prev"),
+                F.col("ts").alias("w"),
+            )
+        ).alias("pos", "p"),
+    ).select(id_col, "pos", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+
+    uni_w = unigrams.select(F.col("w"), F.col("c1").alias("c1_w"))
+    uni_prev = unigrams.select(
+        F.col("w").alias("prev"), F.col("c1").alias("c1_prev")
+    )
+    big = bigrams.select(
+        F.col("w1").alias("prev"), F.col("w2").alias("w"), "c2"
+    )
+    n = F.lit(float(total_tokens))
+    s_uni = F.coalesce(F.col("c1_w").cast("double"), F.lit(alpha)) / n
+    lp = (
+        F.when(F.col("prev").isNull(), F.log10(s_uni))
+        .when(
+            F.col("c2").isNotNull(),
+            F.log10(F.col("c2").cast("double") / F.col("c1_prev").cast("double")),
+        )
+        .otherwise(F.log10(F.lit(alpha) * s_uni))
+    )
+    scored = (
+        pairs.join(big, ["prev", "w"], "left")
+        .join(uni_prev, "prev", "left")
+        .join(uni_w, "w", "left")
+        .select(id_col, F.round(lp, _TOK_Q).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.sum("lp") / F.count(F.lit(1)), _OUT_Q).alias("lm_nll"),
+    )
+
+
+def lm_self_score(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train on ``docs`` and score the same ``docs`` — the one-corpus
+    form used for intra-corpus outlier triage (boilerplate floods score
+    near 0, lorem-noise scores high)."""
+    uni, big, total = ngram_lm_counts(docs, text_col=text_col)
+    return lm_score(
+        docs, uni, big, total, alpha=alpha, text_col=text_col, id_col=id_col
+    )

@@ -1,0 +1,88 @@
+"""Stupid-backoff n-gram LM scoring (functions/lm.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.functions.lm import lm_score, lm_self_score, ngram_lm_counts
+
+
+def _train(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return (docs, *ngram_lm_counts(docs))
+
+
+def test_counts_hand_case(spark):
+    docs, uni, big, total = _train(spark, ["a b a", "b a"])
+    assert total == 5
+    assert {r.w: r.c1 for r in uni.collect()} == {"a": 3, "b": 2}
+    assert {(r.w1, r.w2): r.c2 for r in big.collect()} == {
+        ("a", "b"): 1,
+        ("b", "a"): 2,
+    }
+
+
+def test_self_score_hand_case(spark):
+    """Doc 'a b a': token0 unigram 3/5; 'b'|'a' = c2(a,b)/c1(a) = 1/3;
+    'a'|'b' = 2/2. nll = -(log10(0.6)+log10(1/3)+log10(1))/3."""
+    docs, uni, big, total = _train(spark, ["a b a", "b a"])
+    got = {r.doc_id: (r.n_tokens, r.lm_nll) for r in
+           lm_score(docs, uni, big, total).collect()}
+    lp = [math.log10(3 / 5), math.log10(1 / 3), math.log10(1.0)]
+    exp0 = round(-sum(round(x, 9) for x in lp) / 3, 6)
+    assert got[0] == (3, exp0)
+    # doc 'b a': token0 unigram 2/5; 'a'|'b' = c2(b,a)/c1(b) = 2/2
+    lp1 = [math.log10(2 / 5), math.log10(2 / 2)]
+    exp1 = round(-sum(round(x, 9) for x in lp1) / 2, 6)
+    assert got[1] == (2, exp1)
+
+
+def test_backoff_and_oov_branches(spark):
+    """Fresh doc against a fixed model: unseen bigram backs off to
+    alpha * unigram; OOV word floors at alpha/N (both positions)."""
+    train, uni, big, total = _train(spark, ["a b a", "b a"])  # N=5
+    probe = train.sparkSession.createDataFrame(
+        [(9, "b b zzz")], "doc_id long, text string"
+    )
+    row = lm_score(probe, uni, big, total, alpha=0.4).collect()[0]
+    lp = [
+        math.log10(2 / 5),            # 'b' unigram (first token)
+        math.log10(0.4 * 2 / 5),      # 'b'|'b': no bigram -> backoff
+        math.log10(0.4 * 0.4 / 5),    # 'zzz' OOV floor via backoff
+    ]
+    exp = round(-sum(round(x, 9) for x in lp) / 3, 6)
+    assert (row.n_tokens, row.lm_nll) == (3, exp)
+
+
+def test_empty_and_single_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a"), (1, ""), (2, "   "), (3, "a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens for r in lm_self_score(docs).collect()}
+    # token-less docs are absent (nothing to score); 1-token doc scores
+    # its unigram only
+    assert got == {0: 3, 3: 1}
+
+
+def test_boilerplate_scores_lower_than_noise(spark):
+    """The filter's point: repeated template text is unsurprising to a
+    model trained on the corpus; unique noise is surprising."""
+    texts = ["the quick brown fox jumps over the lazy dog"] * 20 + [
+        "zxq wvu tsr qpo nml kji hgf edc ba"
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    nll = {r.doc_id: r.lm_nll for r in lm_self_score(docs).collect()}
+    assert nll[0] < nll[20]
+
+
+def test_empty_model_raises(spark):
+    docs = spark.createDataFrame([(0, "a",)], "doc_id long, text string")
+    uni, big, _total = ngram_lm_counts(docs)
+    with pytest.raises(ValueError, match="total_tokens"):
+        lm_score(docs, uni, big, 0)
