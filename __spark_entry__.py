@@ -893,6 +893,34 @@ def q_lm_self_nll(spark, sf_dir):
     return lm_self_score(_docs(spark, sf_dir))
 
 
+def q_semantic_dedup_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): centroid cells + within-cell exact
+    all-pairs cosine (operators/dedup.semantic_dup_pairs). Centroids are
+    the first 8 base embeddings (deterministic, SQL-expressible); the
+    oracle reproduces cell assignment via argmin list_distance and the
+    within-cell pair cut, so a hash match certifies BOTH the assignment
+    and the pair set. Near-dups planted by the same +0.02 shift as
+    embedding_dup_pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    doubled = emb.union(perturbed)
+    cents = [
+        r[0]
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return dedup.semantic_dup_pairs(doubled, cents, threshold=0.95).select(
+        "id_a", "id_b"
+    )
+
+
 def _pii_augmented(docs):
     """Deterministically inject PII into the synthetic corpus (doc_id %
     4 selects the class mix) so detection/redaction is actually
@@ -1482,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_scoped": q_lsh_dedup_scoped,
         "frequent_tokens": q_frequent_tokens,
         "lm_self_nll": q_lm_self_nll,
+        "semantic_dedup_pairs": q_semantic_dedup_pairs,
     }
 
 
@@ -2169,6 +2198,28 @@ scored AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(-sum(lp) / count(*), 6) AS lm_nll
 FROM scored GROUP BY doc_id
+""",
+        "semantic_dedup_pairs": """
+WITH doubled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+          FROM embeddings WHERE vec_id < 8),
+asg AS (
+  SELECT d.vec_id, d.v, c.cell,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY list_distance(d.v, c.c), c.cell) AS rn
+  FROM doubled d CROSS JOIN cents c
+),
+cellv AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.95
 """,
         "pii_scrub": _pii_oracle_sql(),
         "decontaminate": """

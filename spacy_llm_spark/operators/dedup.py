@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..fs import cut_lineage
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 logger = logging.getLogger(__name__)
 
@@ -1292,3 +1292,108 @@ def scoped_dup_pairs(
         .withColumn("scope", F.col("_scope_a"))
         .drop("_scope_a", "_scope_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via k-means cells + within-cell exact cosine
+# ---------------------------------------------------------------------------
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023):
+    partition the embedding space into centroid cells, then compute
+    EXACT all-pairs cosine inside each cell only.
+
+    Complements ``embedding_dup_pairs`` (hyperplane LSH): LSH recall is
+    probabilistic per pair, while cell-local all-pairs is exhaustive
+    within a cell — the SemDeDup bet is that semantic duplicates land in
+    the same k-means cell, so cross-cell recall is traded for exactness
+    where it matters and an O(sum cell^2) verify cost that ``n_cells``
+    controls directly.
+
+    Plan: one narrow matmul pass assigns cells
+    (``similarity.assign_ivf_cells``); ONE shuffle groups by cell;
+    a numpy gram-matrix kernel emits pairs >= ``threshold`` per cell
+    (id_a < id_b, cos_sim at 6 dp). Cells are the parallel unit — size
+    them via the centroid count so cell^2 fits a task; a cell above
+    ``max_cell_rows`` raises with that guidance rather than silently
+    running a quadratic task (an all-pairs op cannot be salted without
+    changing its semantics).
+    """
+    from .similarity import assign_ivf_cells
+
+    id_type = df.schema[id_col].dataType
+    assigned = assign_ivf_cells(
+        df.select(id_col, vec_col), np.asarray(centroids, dtype=float),
+        vec_col=vec_col,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dup_pairs: cell with {n} rows exceeds "
+                f"max_cell_rows={max_cell_rows}; raise n_cells (smaller "
+                "cells) or max_cell_rows (bigger quadratic tasks)"
+            )
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 vs everything
+        Vn = V / norms[:, None]
+        G = Vn @ Vn.T
+        ia, ib = np.triu_indices(n, 1)
+        keep = G[ia, ib] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": np.round(G[ia, ib][keep], 6),
+            }
+        )
+
+    return assigned.groupBy("ivf_cell").applyInPandas(
+        lambda _key, pdf: per_cell(pdf), out_schema
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """Rows of ``df`` kept after SemDeDup pruning: drop a row when its
+    cell holds a near-duplicate (cosine >= threshold) with a SMALLER id
+    — the deterministic greedy keep-first rule (one survivor per
+    near-dup chain, lowest id wins), applied as an anti-join of the
+    dropped-id set. Corpus rows never shuffle beyond the cell grouping.
+    """
+    pairs = semantic_dup_pairs(
+        df, centroids, threshold=threshold, vec_col=vec_col,
+        id_col=id_col, max_cell_rows=max_cell_rows,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -1110,3 +1110,64 @@ def test_scoped_dup_pairs_accepts_prebuilt_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            scoped_dup_pairs(docs, "lang", pairs=pairs).collect()}
     assert got == {(1, 2)}
+
+
+def test_semantic_dup_pairs_hand_case(spark):
+    """Two well-separated cells; near-dups only within cells. Pairs are
+    exhaustive inside a cell (no LSH luck involved) and ordered
+    id_a < id_b."""
+    from spacy_llm_spark.operators.dedup import semantic_dedup, semantic_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+        (2, [0.998, 0.02, 0.0]),   # near-dup of 0 and 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.02]),   # near-dup of 3
+        (5, [0.6, 0.6, 0.1]),      # lands in one cell, dup of nobody
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(df, cents, threshold=0.999).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2), (3, 4)}
+
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(df, cents, threshold=0.999).collect()
+    )
+    # greedy keep-first: 1 and 2 drop behind 0, 4 drops behind 3
+    assert kept == [0, 3, 5]
+
+
+def test_semantic_dup_pairs_cell_locality_and_zero_vecs(spark):
+    """A pair split across cells is NOT emitted (the SemDeDup recall
+    tradeoff, by design), and zero vectors never match anything."""
+    from spacy_llm_spark.operators.dedup import semantic_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.04, 0.0]),   # nearest centroid 0
+        (1, [0.04, 1.0, 0.0]),   # nearest centroid 1 — cos(0,1) ~ 0.08
+        (2, [0.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    got = semantic_dup_pairs(df, cents, threshold=0.05).collect()
+    # 0 and 1 sit in different cells -> no pair despite cos > 0.05;
+    # the two zero vectors share a cell but cos(0-vec, anything) = 0
+    assert {(r.id_a, r.id_b) for r in got} == set()
+
+
+def test_semantic_dup_pairs_oversized_cell_raises(spark):
+    from spacy_llm_spark.operators.dedup import semantic_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-6]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dup_pairs(
+            df, [[1.0, 0.0]], threshold=0.99, max_cell_rows=10
+        ).collect()
