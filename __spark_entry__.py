@@ -921,6 +921,50 @@ def q_semantic_dedup_pairs(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Persisted-index SemDeDup: the base corpus is cell-assigned ONCE
+    (semantic_cell_index, centroid-digest stamped); the perturbed batch
+    only assigns itself and probes the index with an (n_new x n_cell)
+    block kernel. pairs(base) ∪ probe(new) must equal the full
+    recompute — the oracle IS semantic_dedup_pairs' oracle, verbatim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    cents = [
+        r[0]
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    index = dedup.semantic_cell_index(emb, cents).localCheckpoint()
+    old_pairs = dedup.semantic_dup_pairs(emb, cents, threshold=0.95)
+    probe = dedup.semantic_dedup_probe(perturbed, index, cents, threshold=0.95)
+    return old_pairs.select("id_a", "id_b").unionByName(
+        probe.select("id_a", "id_b")
+    )
+
+
+def q_lm_incremental_nll(spark, sf_dir):
+    """Incremental LM maintenance: counts trained on the first half of
+    the corpus, then the second half folded in via merge_ngram_counts
+    (additive — history never re-tokenizes); scoring with the merged
+    model must equal training on everything at once, so the oracle IS
+    lm_self_nll's, verbatim."""
+    from spacy_llm_spark.functions.lm import lm_score, merge_ngram_counts, ngram_lm_counts
+
+    docs = _docs(spark, sf_dir)
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    uni, big, total = ngram_lm_counts(half_a)
+    uni, big, total = merge_ngram_counts(uni, big, total, half_b)
+    return lm_score(docs, uni, big, total)
+
+
 def _pii_augmented(docs):
     """Deterministically inject PII into the synthetic corpus (doc_id %
     4 selects the class mix) so detection/redaction is actually
@@ -1511,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens": q_frequent_tokens,
         "lm_self_nll": q_lm_self_nll,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "lm_incremental_nll": q_lm_incremental_nll,
     }
 
 
@@ -2199,7 +2245,59 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(-sum(lp) / count(*), 6) AS lm_nll
 FROM scored GROUP BY doc_id
 """,
+        "lm_incremental_nll": """
+WITH ts AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS ord
+        FROM ts),
+tokf AS (SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS pos
+         FROM tok WHERE len(w) > 0),
+uni AS (SELECT w, count(*) AS c1 FROM tokf GROUP BY w),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+big AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c2
+        FROM tokf a JOIN tokf b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+scored AS (
+  SELECT t.doc_id,
+         round(CASE
+           WHEN t.pos = 1 THEN log10(coalesce(u.c1, 0.4) / tot.n)
+           WHEN bg.c2 IS NOT NULL THEN log10(CAST(bg.c2 AS DOUBLE) / up.c1)
+           ELSE log10(0.4 * coalesce(u.c1, 0.4) / tot.n)
+         END, 9) AS lp
+  FROM tokf t
+  LEFT JOIN tokf p  ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+  LEFT JOIN big bg  ON bg.w1 = p.w AND bg.w2 = t.w
+  LEFT JOIN uni u   ON u.w = t.w
+  LEFT JOIN uni up  ON up.w = p.w
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-sum(lp) / count(*), 6) AS lm_nll
+FROM scored GROUP BY doc_id
+""",
         "semantic_dedup_pairs": """
+WITH doubled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS c
+          FROM embeddings WHERE vec_id < 8),
+asg AS (
+  SELECT d.vec_id, d.v, c.cell,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY list_distance(d.v, c.c), c.cell) AS rn
+  FROM doubled d CROSS JOIN cents c
+),
+cellv AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM cellv a JOIN cellv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.95
+""",
+        "semantic_dedup_incremental": """
 WITH doubled AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL

@@ -165,3 +165,36 @@ def lm_self_score(
     return lm_score(
         docs, uni, big, total, alpha=alpha, text_col=text_col, id_col=id_col
     )
+
+
+def merge_ngram_counts(
+    uni_old: DataFrame,
+    big_old: DataFrame,
+    total_old: int,
+    docs_new: DataFrame,
+    *,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Incremental LM maintenance: fold a new document batch into
+    standing count tables WITHOUT re-reading the historical corpus.
+
+    N-gram counts are purely additive, so the merge is a union +
+    re-aggregate whose shuffle carries only (old vocabulary + batch
+    vocabulary) rows — the historical corpus never re-tokenizes. The
+    result is bit-identical to retraining on old ∪ new (counts are
+    integers; no order sensitivity), which is what makes the daily-crawl
+    shape cheap here: score yesterday's model, append today's counts,
+    score tomorrow.
+    """
+    uni_inc, big_inc, total_inc = ngram_lm_counts(docs_new, text_col=text_col)
+    uni = (
+        uni_old.unionByName(uni_inc)
+        .groupBy("w")
+        .agg(F.sum("c1").alias("c1"))
+    )
+    big = (
+        big_old.unionByName(big_inc)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c2").alias("c2"))
+    )
+    return uni, big, total_old + total_inc

@@ -1397,3 +1397,119 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def _centroid_digest(centroids) -> str:
+    """Deterministic 10-hex fingerprint of the centroid matrix — the
+    build param that decides every cell assignment."""
+    import hashlib
+
+    arr = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    return hashlib.sha256(arr.tobytes()).hexdigest()[:10]
+
+
+def semantic_cell_index(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Persisted SemDeDup index: the corpus with its cell assignment
+    materialized, stamped (like the LSH family) with the centroid
+    digest so a probe built against DIFFERENT centroids refuses
+    schema-level instead of silently pairing across misaligned cells.
+    Standing corpus is assigned ONCE; daily batches probe it."""
+    from .similarity import assign_ivf_cells
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    assigned = assign_ivf_cells(df.select(id_col, vec_col), cents, vec_col=vec_col)
+    return assigned.withColumn(
+        _index_stamp("sem", c=len(cents), d=_centroid_digest(cents)),
+        F.lit(LSH_INDEX_FORMAT),
+    )
+
+
+def semantic_dedup_probe(
+    new_batch: DataFrame,
+    index: DataFrame,
+    centroids,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_new_pairs: bool = True,
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """Incremental SemDeDup: near-dup pairs TOUCHING the new batch —
+    (new x indexed) plus, when ``include_new_pairs``, (new x new).
+
+    pairs(index corpus) ∪ probe(new) ≡ semantic_dup_pairs(corpus ∪ new)
+    — the same persisted-index contract as minhash_lsh_probe /
+    embedding_lsh_probe: the standing corpus is never re-assigned, and
+    the per-cell kernel computes the (n_new x n_cell) similarity block,
+    NOT the full cell gram matrix, so probe cost scales with the batch.
+    Ids must not collide across batch and index (same contract as the
+    LSH probes)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    _check_index_format(
+        index, "semantic_dedup_probe",
+        _index_stamp("sem", c=len(cents), d=_centroid_digest(cents)),
+    )
+    from .similarity import assign_ivf_cells
+
+    id_type = new_batch.schema[id_col].dataType
+    new_assigned = assign_ivf_cells(
+        new_batch.select(id_col, vec_col), cents, vec_col=vec_col
+    ).withColumn("_new", F.lit(True))
+    old = index.select(id_col, vec_col, "ivf_cell").withColumn("_new", F.lit(False))
+    both = old.unionByName(new_assigned)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup_probe: cell with {n} rows exceeds "
+                f"max_cell_rows={max_cell_rows}; raise n_cells or "
+                "max_cell_rows"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        is_new = pdf["_new"].to_numpy()
+        if not is_new.any() or n < 2:
+            return empty
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        B = Vn[is_new] @ Vn.T  # (n_new x n_cell) block only
+        ids = pdf[id_col].to_numpy()
+        new_ids = ids[is_new]
+        bi, bj = np.nonzero(B >= threshold)
+        a, b = new_ids[bi], ids[bj]
+        keep = a != b
+        if not include_new_pairs:
+            keep &= ~is_new[bj]
+        else:
+            # drop the new-x-new duplicates the block emits twice
+            keep &= ~(is_new[bj] & (a > b))
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "id_a": lo[keep],
+                "id_b": hi[keep],
+                "cos_sim": np.round(B[bi, bj][keep], 6),
+            }
+        )
+
+    return both.groupBy("ivf_cell").applyInPandas(
+        lambda _key, pdf: per_cell(pdf), out_schema
+    )

@@ -1171,3 +1171,73 @@ def test_semantic_dup_pairs_oversized_cell_raises(spark):
         semantic_dup_pairs(
             df, [[1.0, 0.0]], threshold=0.99, max_cell_rows=10
         ).collect()
+
+
+def test_semantic_probe_union_equals_full_recompute(spark):
+    """pairs(index corpus) ∪ probe(new) == semantic_dup_pairs(corpus ∪
+    new) — the persisted-index contract, on vectors engineered so new
+    rows pair with old rows, with each other, and with nobody."""
+    from spacy_llm_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup_probe,
+        semantic_dup_pairs,
+    )
+
+    old_rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    new_rows = [
+        (10, [0.9995, 0.005, 0.0]),  # dups 0, 1, and 11
+        (11, [0.9992, 0.008, 0.0]),
+        (12, [0.0, 0.0, 1.0]),       # dup of nobody
+        (13, [0.0, 0.999, 0.01]),    # dups 3
+    ]
+    schema = "vec_id long, embedding array<double>"
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    index = semantic_cell_index(old, cents).localCheckpoint()
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(old, cents, threshold=0.999).collect()
+    } | {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_probe(new, index, cents, threshold=0.999).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(old.union(new), cents, threshold=0.999).collect()
+    }
+    assert got == full
+    assert (10, 11) in got and (3, 13) in got  # new-new and new-old both present
+
+    # old-only probe form (new x new suppressed)
+    no_new = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_probe(
+            new, index, cents, threshold=0.999, include_new_pairs=False
+        ).collect()
+    }
+    assert no_new == {p for p in full if (p[0] < 10) != (p[1] < 10)}
+
+
+def test_semantic_probe_refuses_wrong_centroids(spark):
+    """A probe against an index built with DIFFERENT centroids must
+    refuse schema-level (centroid digest in the stamp), not silently
+    pair across misaligned cells."""
+    from spacy_llm_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup_probe,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    index = semantic_cell_index(df, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        semantic_dedup_probe(df, index, [[1.0, 0.1], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        semantic_dedup_probe(df, index, [[1.0, 0.0]])  # wrong cell count

@@ -86,3 +86,25 @@ def test_empty_model_raises(spark):
     uni, big, _total = ngram_lm_counts(docs)
     with pytest.raises(ValueError, match="total_tokens"):
         lm_score(docs, uni, big, 0)
+
+
+def test_merge_ngram_counts_equals_full_retrain(spark):
+    """Counts are additive: half-A + merged half-B == one-shot training,
+    and the merged model scores identically."""
+    from spacy_llm_spark.functions.lm import merge_ngram_counts
+
+    texts = ["a b a c", "b a", "c c b a b", "a", "d e d"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uni_f, big_f, tot_f = ngram_lm_counts(docs)
+    uni_m, big_m, tot_m = merge_ngram_counts(
+        *ngram_lm_counts(docs.where(F.col("doc_id") < 2)),
+        docs.where(F.col("doc_id") >= 2),
+    )
+    assert tot_m == tot_f
+    assert {tuple(r) for r in uni_m.collect()} == {tuple(r) for r in uni_f.collect()}
+    assert {tuple(r) for r in big_m.collect()} == {tuple(r) for r in big_f.collect()}
+    full = {tuple(r) for r in lm_score(docs, uni_f, big_f, tot_f).collect()}
+    merged = {tuple(r) for r in lm_score(docs, uni_m, big_m, tot_m).collect()}
+    assert merged == full
