@@ -247,6 +247,45 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     bm25_topk(docs, ["spark", "window", "dup"], k=25).count()
     extras["bm25_topk_sec"] = round(time.time() - t0, 3)
 
+    # round-5 additions: SemDeDup (doubled corpus, 16 cells), the
+    # stupid-backoff LM self-score, and the MG heavy-hitter top-k
+    t0 = time.time()
+    base_emb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sem_doubled = base_emb.union(
+        base_emb.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+        )
+    )
+    sem_cents = [
+        r[0]
+        for r in base_emb.where(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    n_sem = dedup.semantic_dup_pairs(sem_doubled, sem_cents, threshold=0.95).count()
+    extras["semantic_dedup_pairs_sec"] = round(time.time() - t0, 3)
+    extras["semantic_dedup_n_pairs"] = n_sem
+
+    t0 = time.time()
+    from spacy_llm_spark.functions.lm import lm_self_score
+
+    lm_self_score(docs).count()
+    extras["lm_self_score_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from spacy_llm_spark.functions.text import tokens_expr
+    from spacy_llm_spark.operators.sketches import frequent_items_topk
+
+    frequent_items_topk(
+        docs.select(F.explode(tokens_expr(F.col("text"))).alias("token")),
+        "token", k=25, capacity=4096,
+    ).count()
+    extras["frequent_tokens_sec"] = round(time.time() - t0, 3)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
