@@ -1046,6 +1046,24 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination: identical results to
+    ``decontaminate`` (no false negatives; false positives die in the
+    exact confirm join) — shares its oracle — but the corpus n-gram
+    stream is map-side-filtered against a ~1 MiB broadcast bitmap
+    before any join, so the confirm join input is hit-scale even when
+    the probe's distinct-n-gram set outgrows broadcast."""
+    from spacy_llm_spark.operators import decontaminate as decon
+
+    docs = _docs(spark, sf_dir)
+    return decon.ngram_overlap_bloom(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        n=3,
+        min_overlap=1,
+    )
+
+
 def q_kg_degree_stats(spark, sf_dir):
     """Vertex degree profile of the raw triple multigraph (one union +
     one groupBy on the vertex id)."""
@@ -1557,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "lm_incremental_nll": q_lm_incremental_nll,
+        "decontaminate_bloom": q_decontaminate_bloom,
     }
 
 
@@ -2675,6 +2694,9 @@ FROM events GROUP BY 1
 """,
     }
     # incremental == full recompute by construction -> same oracle text
+    # the Bloom prefilter is exact (no false negatives; FPs confirmed
+    # away), so it shares the exact path's oracle verbatim
+    sql["decontaminate_bloom"] = sql["decontaminate"]
     sql["kg_vertices_incremental"] = sql["kg_vertices"]
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]

@@ -3,6 +3,8 @@ PII redaction, n-gram decontamination, and KG graph analytics."""
 
 import datetime as dt
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -284,6 +286,62 @@ def test_ngram_overlap_and_decontaminate(spark):
 
     clean = decon.decontaminate(corpus, probe, n=3, min_overlap=2)
     assert sorted(r["doc_id"] for r in clean.collect()) == [11, 12]
+
+
+def test_ngram_overlap_bloom_equals_exact(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} tok{i} tail")
+         for i in range(40)] + [(99, "x")],  # <n tokens: no ngrams, still a row
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(0, "tok1 tok2 tok3 probe end"), (1, "tok4 tok5 tok6 more")],
+        "doc_id long, text string",
+    )
+    exact = {(r["doc_id"], r["n_overlap"], r["contaminated"])
+             for r in decon.ngram_overlap(corpus, probe, n=3).collect()}
+    bloomed = {(r["doc_id"], r["n_overlap"], r["contaminated"])
+               for r in decon.ngram_overlap_bloom(corpus, probe, n=3).collect()}
+    assert bloomed == exact
+    assert any(r[1] > 0 for r in exact)      # the fixture actually overlaps
+    assert any(r[1] == 0 for r in exact)     # ...and not trivially
+
+
+def test_ngram_overlap_bloom_false_positives_confirmed_away(spark):
+    # 64-bit bitmap with 5 hashes over dozens of ngrams: saturated, so
+    # nearly every corpus ngram is a Bloom "hit" — the exact confirm
+    # join must still reduce the result to the true overlaps.
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(0, "w5 w6 w7 w8")], "doc_id long, text string")
+    exact = {(r["doc_id"], r["n_overlap"]) for r in
+             decon.ngram_overlap(corpus, probe, n=3).collect()}
+    bloomed = {(r["doc_id"], r["n_overlap"]) for r in
+               decon.ngram_overlap_bloom(corpus, probe, n=3, m_bits=64).collect()}
+    assert bloomed == exact
+
+
+def test_build_ngram_bloom_has_no_false_negatives(spark):
+    probe = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "one two three four five")],
+        "doc_id long, text string",
+    )
+    bm = np.frombuffer(decon.build_ngram_bloom(probe, n=3), dtype=np.uint8)
+    # every probe ngram must test positive under the same JVM-side hash
+    idx = (
+        probe.select(
+            F.explode(F.array_distinct(textfn.ngrams_expr("text", 3))).alias("ngram")
+        )
+        .select(*decon._bit_index_cols(decon.BLOOM_M_BITS, decon.BLOOM_K_HASHES))
+        .collect()
+    )
+    assert idx  # fixture produced ngrams
+    for row in idx:
+        for i in range(decon.BLOOM_K_HASHES):
+            b = row[f"_b{i}"]
+            assert (bm[b >> 3] >> (b & 7)) & 1 == 1
 
 
 # ---------------------------------------------------------------------------
