@@ -1313,6 +1313,17 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Per-language temperature downsampling (alpha=0.5): kept sizes
+    follow n_lang**alpha, smallest language keeps everything; row cut
+    is content-hash deterministic (operators/sampling.py)."""
+    from spacy_llm_spark.operators import sampling
+
+    return sampling.temperature_sample(
+        _docs(spark, sf_dir), "lang", alpha=0.5
+    ).select("doc_id", "lang", "keep_frac")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic ~20% content-hash sample — shuffle-free,
     resume-safe (same doc always makes the same cut)."""
@@ -1576,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "lm_incremental_nll": q_lm_incremental_nll,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "temperature_sample": q_temperature_sample,
     }
 
 
@@ -2660,6 +2672,18 @@ SELECT doc_id, source FROM (
          row_number() OVER (PARTITION BY source
                             ORDER BY sha256(text), doc_id) AS rk
   FROM documents) WHERE rk <= 10
+""",
+        "temperature_sample": """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS min_n FROM counts),
+fr AS (
+  SELECT lang, pow(CAST(n AS DOUBLE) / CAST(min_n AS DOUBLE), -0.5) AS kf
+  FROM counts, mn
+)
+SELECT d.doc_id, d.lang, round(fr.kf, 6) AS keep_frac
+FROM documents d JOIN fr USING (lang)
+WHERE CAST('0x' || substr(sha256(d.text), 9, 8) AS BIGINT) % 1000000
+      < round(fr.kf * 1000000)
 """,
         "hash_sample": """
 SELECT doc_id,

@@ -141,3 +141,61 @@ def stratified_sample(
             )
         )
     return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    text_col: str = "text",
+    broadcast_fracs: bool = True,
+) -> DataFrame:
+    """Deterministic per-group temperature downsampling (the
+    multilingual-pretraining mix: mBERT / XLM-R exponentiated-share
+    sampling, restated as downsampling-only so no row is ever
+    duplicated).
+
+    With group sizes ``n_g`` and temperature ``alpha`` in (0, 1], each
+    group keeps the deterministic hash fraction
+
+        keep_frac_g = (n_g / min_n) ** (alpha - 1)
+
+    so the smallest group keeps everything, and kept sizes follow
+    ``n_g ** alpha`` — ``alpha=1`` is a no-op, ``alpha -> 0`` flattens
+    every group to ~``min_n`` rows. Row selection reuses
+    ``sample_bucket`` (content-hash, RNG-free), so the cut is stable
+    across runs, retries, and cluster sizes, and independent of the
+    split/sample digest regions other operators read.
+
+    Scale shape: ONE column-pruned aggregate at group cardinality
+    (groups are languages/sources — semantically bounded), a broadcast
+    join of the per-group fractions back onto the corpus (map-side; set
+    ``broadcast_fracs=False`` to let AQE decide for unbounded group
+    columns), and a shuffle-free filter. The corpus itself never
+    shuffles.
+
+    Output: the kept rows, with ``keep_frac`` (rounded to 6 dp) showing
+    the applied weight.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    min_n = counts.agg(F.min("_n").alias("_min_n"))
+    fracs = (
+        counts.crossJoin(F.broadcast(min_n))
+        .select(
+            group_col,
+            F.pow(F.col("_n") / F.col("_min_n"), F.lit(alpha - 1.0)).alias("_keep_frac"),
+        )
+    )
+    fracs = fracs.withColumnRenamed(group_col, "_g")
+    if broadcast_fracs:
+        fracs = F.broadcast(fracs)
+    # null-safe group match: NULL is a legitimate group (groupBy keeps
+    # it); a plain equi-join would silently drop the whole NULL group
+    return (
+        df.join(fracs, F.col(group_col).eqNullSafe(F.col("_g")))
+        .where(sample_bucket(text_col) < F.round(F.col("_keep_frac") * HASH_BUCKETS))
+        .withColumn("keep_frac", F.round("_keep_frac", 6))
+        .drop("_keep_frac", "_g")
+    )

@@ -317,3 +317,55 @@ def test_dup_ngram_probe_equals_full_property(spark, old_texts, new_texts, min_d
     assert sorted(map(tuple, stats.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_temperature_sample_flattens_groups(spark):
+    from spacy_llm_spark.operators import sampling
+
+    # skewed groups: 400 / 100 / 25 rows
+    rows = (
+        [(i, "big", f"big document body {i}") for i in range(400)]
+        + [(1000 + i, "mid", f"mid document body {i}") for i in range(100)]
+        + [(2000 + i, "tiny", f"tiny document body {i}") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+
+    # alpha=1: identity (every keep_frac is 1.0)
+    full = sampling.temperature_sample(df, "grp", alpha=1.0)
+    assert full.count() == 525
+    assert {r["keep_frac"] for r in full.select("keep_frac").distinct().collect()} == {1.0}
+
+    out = sampling.temperature_sample(df, "grp", alpha=0.5)
+    per = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # smallest group keeps everything; larger groups shrink toward
+    # n_g**alpha scaling: expected keeps 400/4=100, 100/2=50, 25/1=25
+    assert per["tiny"] == 25
+    assert abs(per["big"] - 100) < 30   # hash noise around 400*(16)^-0.5
+    assert abs(per["mid"] - 50) < 20
+    # deterministic: same rows both times
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.temperature_sample(df, "grp", alpha=0.5).collect())
+    assert a == b
+    # keep_frac column exposes the applied weight
+    fr = {r["grp"]: r["keep_frac"] for r in
+          out.select("grp", "keep_frac").distinct().collect()}
+    assert fr["tiny"] == 1.0 and fr["big"] == 0.25 and fr["mid"] == 0.5
+
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(df, "grp", alpha=0.0)
+
+
+def test_temperature_sample_null_group_kept(spark):
+    from spacy_llm_spark.operators import sampling
+
+    rows = [(i, "a", f"doc {i}") for i in range(50)] + [
+        (100 + i, None, f"null doc {i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = sampling.temperature_sample(df, "grp", alpha=0.5)
+    got = {r["grp"] for r in out.select("grp").distinct().collect()}
+    assert None in got  # NULL group survives the null-safe join
+    n_null = out.where(F.col("grp").isNull()).count()
+    assert n_null == 5  # smallest group: keep_frac 1.0
