@@ -1324,6 +1324,36 @@ def q_temperature_sample(spark, sf_dir):
     ).select("doc_id", "lang", "keep_frac")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (budget=256 tokens, doc_id
+    order): distributed prefix sum over driver-frozen chunk boundaries —
+    no single-partition window (operators/packing.py)."""
+    from spacy_llm_spark.operators import packing
+
+    return packing.pack_sequences(
+        _docs(spark, sf_dir), budget=256, n_chunks=7
+    )
+
+
+def q_pack_sequences_incremental(spark, sf_dir):
+    """Incremental packing parity: pack the first ~80% of doc_ids, then
+    append-pack the rest at stream_offset = total_tokens(old); the union
+    must equal the full recompute bit-for-bit — the oracle is the SAME
+    full-corpus SQL as pack_sequences."""
+    from spacy_llm_spark.operators import packing
+
+    docs = _docs(spark, sf_dir)
+    split_id = [
+        r[0] for r in docs.selectExpr("percentile(doc_id, 0.8)").collect()
+    ][0]
+    old = docs.where(F.col("doc_id") <= split_id)
+    new = docs.where(F.col("doc_id") > split_id)
+    prev_total = packing.total_tokens(old)
+    return packing.pack_sequences(old, budget=256, n_chunks=5).unionByName(
+        packing.pack_sequences_append(new, 256, prev_total, n_chunks=3)
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic ~20% content-hash sample — shuffle-free,
     resume-safe (same doc always makes the same cut)."""
@@ -1468,9 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paths, cache/checkpoint, exact/minhash/simhash/embedding dedup, ANN
     (brute/LSH/IVF), graph analytics, graph traversal (BFS), corpus
     hygiene (PII/decontam/clean/quality/lang-ID), relevance scoring
-    (BM25), sub-document span dedup, sampling, quantiles+sketches,
-    temporal joins, task-parity parsers, windows/skew/agg, EL,
-    multimodal.
+    (BM25), sub-document span dedup, sampling, sequence packing,
+    quantiles+sketches, temporal joins, task-parity parsers,
+    windows/skew/agg, EL, multimodal.
     Variants whose family already has a stamped representative
     (alternate task parsers, extra window shapes, exact-quantile twin,
     as-of variants, base fingerprints) live AFTER position 50 — still
@@ -1527,7 +1557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_language": q_detect_language,
         # --- sampling ---
         "stratified_sample": q_stratified_sample,
-        "hash_sample": q_hash_sample,
+        # --- sequence packing (training-batch assembly) ---
+        "pack_sequences": q_pack_sequences,
         # --- quantiles + sketches ---
         "event_quantiles_approx": q_event_quantiles_approx,
         "distinct_users_approx": q_distinct_users_approx,
@@ -1588,6 +1619,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_incremental_nll": q_lm_incremental_nll,
         "decontaminate_bloom": q_decontaminate_bloom,
         "temperature_sample": q_temperature_sample,
+        # hash_sample: sampling-family variant (stratified_sample is the
+        # stamped representative) — swapped below 50 for pack_sequences
+        "hash_sample": q_hash_sample,
+        "pack_sequences_incremental": q_pack_sequences_incremental,
     }
 
 
@@ -1595,6 +1630,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles — bit-for-bit the engine's sha2_60 token-hash majority vote.
 # The cluster oracle's recursive CTE (transitive closure) needs WITH
 # RECURSIVE even though the fingerprint part is plain.
+# Concatenate-and-chunk sequence packing: global running token sum in
+# doc_id order, cut every 256 tokens; one row per (doc, pack) segment.
+# string_split(text, ' ') matches the engine's whitespace token_count on
+# this corpus (same equivalence the green token_count oracle pins).
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cend
+  FROM t WHERE n_tok > 0
+)
+SELECT c.doc_id, CAST(p AS BIGINT) AS pack_id,
+       CAST(greatest(cend - n_tok, p*256) - p*256 AS BIGINT) AS tok_start,
+       CAST(least(cend, (p+1)*256) - greatest(cend - n_tok, p*256) AS BIGINT)
+         AS seg_len
+FROM c, UNNEST(generate_series(CAST((cend - n_tok) // 256 AS BIGINT),
+                               CAST((cend - 1) // 256 AS BIGINT))) AS u(p)
+"""
+
 _SIMHASH_FP_CTE = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -2685,6 +2741,10 @@ FROM documents d JOIN fr USING (lang)
 WHERE CAST('0x' || substr(sha256(d.text), 9, 8) AS BIGINT) % 1000000
       < round(fr.kf * 1000000)
 """,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
+        # incremental packing is bit-equal to the full recompute, so it
+        # shares the full-corpus oracle verbatim
+        "pack_sequences_incremental": _PACK_SEQUENCES_SQL,
         "hash_sample": """
 SELECT doc_id,
        CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 AS bucket

@@ -1,0 +1,204 @@
+"""Sequence packing for LLM training-data assembly.
+
+GPT-style concatenate-and-chunk packing: order the corpus by a
+deterministic key, concatenate every document into one global token
+stream, and cut the stream into fixed-``budget`` training sequences
+("packs"). A document that straddles a cut contributes one segment to
+each pack it touches — nothing is padded, nothing is dropped (except
+zero-token docs, which occupy no stream positions).
+
+Output: one row per (document, pack) overlap —
+``(id_col, pack_id, tok_start, seg_len)`` where ``tok_start`` is the
+segment's offset *within* the pack and ``seg_len`` its token length.
+Invariants (test-pinned): every pack except the last sums to exactly
+``budget``; per-document segment lengths sum to the doc's token count;
+segments tile each pack contiguously from offset 0.
+
+Scale design (the whole point — packing needs a GLOBAL running sum,
+and the naive window over a global ORDER BY collapses to a single
+partition):
+
+1. Project to ``(id, order, n_tok)`` and persist — the text column is
+   read exactly once no matter how many passes follow.
+2. Freeze ``n_chunks - 1`` quantile boundaries of the order key on the
+   driver (``approxQuantile``, one sketch pass over the cached
+   projection). Boundaries are plain Python floats afterwards, so every
+   downstream job sees the SAME chunking even across stage retries —
+   unlike ``repartitionByRange``, whose internal sampling can re-roll.
+3. Chunk totals: ``groupBy(chunk).sum`` — collects ``n_chunks`` rows,
+   turned into prefix offsets in the driver and re-emitted as a literal
+   map (no join).
+4. Within-chunk running sum: ``SUM OVER (PARTITION BY chunk ORDER BY
+   order)`` — one hash shuffle on the chunk id; each task sorts ~1/P of
+   the corpus, never the whole stream.
+5. Pack explosion: ``explode(sequence(start DIV B, (end-1) DIV B))`` —
+   narrow, ~1 output row per doc plus one per straddled cut.
+
+Token offsets stay inside long/``DIV`` integer arithmetic end to end —
+exact at any stream length, no double rounding.
+
+The incremental form (``pack_sequences_append``) extends the stream:
+because the cumulative sum only appends, packing a new batch at
+``stream_offset = <previous total>`` reproduces exactly the rows a full
+recompute would emit for those docs, PROVIDED every new order key sorts
+after every old one (the natural shape for id-ordered crawls). The
+"index" is a single number — ``total_tokens``.
+
+Reference anchor: the reference counts prompt/doc tokens for sharding
+(spacy_llm/tasks/util/sharding.py) but has no corpus-assembly packer;
+this family is part of the training-data pipeline surface this engine
+adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+__all__ = ["pack_sequences", "pack_sequences_append", "total_tokens"]
+
+
+def total_tokens(
+    df: DataFrame, text_col: str = "text", n_tokens_col: str | None = None
+) -> int:
+    """The packing index: total whitespace-token count of the corpus.
+    Persist this single number alongside the packed output to enable
+    ``pack_sequences_append`` on the next batch."""
+    ntok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    row = df.select(F.coalesce(F.sum(ntok), F.lit(0)).alias("t")).head()
+    return int(row["t"])
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int | None = None,
+    n_tokens_col: str | None = None,
+    stream_offset: int = 0,
+) -> DataFrame:
+    """Cut the corpus (ordered by the numeric ``order_col``) into
+    fixed-``budget`` token packs; one output row per (doc, pack)
+    segment: ``(id_col, pack_id, tok_start, seg_len)``.
+
+    ``n_chunks`` bounds the largest single-task sort to ~1/n_chunks of
+    the corpus (default: ``spark.sql.shuffle.partitions``). Results are
+    chunking-invariant — test-pinned n_chunks=1 ≡ n_chunks=7.
+    ``n_tokens_col`` supplies a precomputed token count (skips reading
+    ``text_col`` entirely). ``stream_offset`` starts the global stream
+    at a nonzero position — see ``pack_sequences_append``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = df.sparkSession
+    if n_chunks is None:
+        n_chunks = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    ntok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    # persist the ~24 B/row projection: the boundary sketch, the chunk
+    # totals, AND the returned plan all read it — text is scanned once.
+    # Left cached (LRU-evictable); callers doing one-shot packing can
+    # spark.catalog.clearCache() afterwards.
+    base = (
+        df.select(
+            F.col(id_col).alias("_pid"),
+            F.col(order_col).cast("double").alias("_ord"),
+            ntok.alias("_ntok"),
+        )
+        .where(F.col("_ntok") > 0)
+        .persist()
+    )
+    # driver-frozen chunk boundaries: deterministic across retries
+    bounds: list[float] = []
+    if n_chunks > 1:
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        bounds = sorted(set(base.approxQuantile("_ord", probs, 0.001)))
+    if bounds:
+        chunk = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: b <= F.col("_ord"),
+            )
+        ).cast("int")
+    else:
+        chunk = F.lit(0)
+    staged = base.withColumn("_chunk", chunk)
+
+    totals = {
+        r["_chunk"]: r["t"]
+        for r in staged.groupBy("_chunk")
+        .agg(F.sum("_ntok").alias("t"))
+        .collect()  # bounded: at most n_chunks rows
+    }
+    offsets, acc = {}, int(stream_offset)
+    for c in sorted(totals):
+        offsets[c] = acc
+        acc += int(totals[c])
+    # explicit long cast: F.lit() picks int vs long by magnitude, and a
+    # mixed-width map fails to type-unify once offsets cross 2^31
+    off_map = F.create_map(
+        *[
+            x
+            for c in sorted(offsets)
+            for x in (F.lit(c), F.lit(offsets[c]).cast("long"))
+        ]
+    )
+
+    w = Window.partitionBy("_chunk").orderBy("_ord", "_pid")
+    cum = staged.select(
+        "_pid",
+        "_ntok",
+        (F.sum("_ntok").over(w) + F.element_at(off_map, F.col("_chunk")))
+        .cast("long")
+        .alias("_cend"),
+    ).withColumn("_cstart", F.col("_cend") - F.col("_ntok"))
+
+    b = F.lit(int(budget))
+    packed = cum.select(
+        "_pid",
+        "_cstart",
+        "_cend",
+        F.explode(
+            F.sequence(
+                F.expr(f"_cstart DIV {int(budget)}"),
+                F.expr(f"(_cend - 1) DIV {int(budget)}"),
+            )
+        ).alias("pack_id"),
+    )
+    seg_lo = F.greatest(F.col("_cstart"), F.col("pack_id") * b)
+    seg_hi = F.least(F.col("_cend"), (F.col("pack_id") + 1) * b)
+    return packed.select(
+        F.col("_pid").alias(id_col),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (seg_lo - F.col("pack_id") * b).cast("long").alias("tok_start"),
+        (seg_hi - seg_lo).cast("long").alias("seg_len"),
+    )
+
+
+def pack_sequences_append(
+    df: DataFrame,
+    budget: int,
+    prev_total_tokens: int,
+    **kwargs,
+) -> DataFrame:
+    """Incremental packing: pack a NEW batch as a continuation of an
+    already-packed stream of ``prev_total_tokens`` tokens. Emits exactly
+    the rows a full recompute would emit for the new docs — bit-equal,
+    test-pinned — provided every new order key sorts after every old
+    one. The standing packed table is never touched, never re-read."""
+    if prev_total_tokens < 0:
+        raise ValueError("prev_total_tokens must be >= 0")
+    return pack_sequences(
+        df, budget, stream_offset=int(prev_total_tokens), **kwargs
+    )

@@ -1,0 +1,132 @@
+"""Sequence packing (operators/packing.py): invariants, chunking
+invariance, incremental-append parity, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators import packing
+
+BUDGET = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def packed(docs):
+    return packing.pack_sequences(docs, BUDGET, n_chunks=7).cache()
+
+
+def test_packs_tile_exactly(packed):
+    """Every pack except the last sums to exactly BUDGET tokens and is
+    tiled contiguously from offset 0."""
+    sums = packed.groupBy("pack_id").agg(
+        F.sum("seg_len").alias("s"),
+        F.min("tok_start").alias("lo"),
+        F.max(F.col("tok_start") + F.col("seg_len")).alias("hi"),
+    )
+    last = sums.agg(F.max("pack_id")).head()[0]
+    bad = sums.where(
+        (F.col("pack_id") != last)
+        & ((F.col("s") != BUDGET) | (F.col("lo") != 0) | (F.col("hi") != BUDGET))
+    ).count()
+    assert bad == 0
+    # contiguity inside each pack: sorted segments abut
+    rows = packed.orderBy("pack_id", "tok_start").collect()
+    pos, cur = 0, None
+    for r in rows:
+        if r["pack_id"] != cur:
+            cur, pos = r["pack_id"], 0
+        assert r["tok_start"] == pos
+        pos += r["seg_len"]
+
+
+def test_per_doc_token_conservation(docs, packed):
+    from spacy_llm_spark.functions.text import token_count
+
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n")
+        ).collect()
+        if r["n"] > 0
+    }
+    got = {
+        r["doc_id"]: r["s"]
+        for r in packed.groupBy("doc_id").agg(F.sum("seg_len").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_chunking_invariance(docs, packed):
+    """n_chunks=1 (single chunk, no boundaries) produces identical rows."""
+    one = packing.pack_sequences(docs, BUDGET, n_chunks=1)
+    assert one.exceptAll(packed).count() == 0
+    assert packed.exceptAll(one).count() == 0
+
+
+def test_incremental_append_parity(docs, packed):
+    """old-pack ∪ append-pack(new, offset=total(old)) ≡ full recompute."""
+    split = docs.selectExpr("percentile(doc_id, 0.7)").head()[0]
+    old = docs.where(F.col("doc_id") <= split)
+    new = docs.where(F.col("doc_id") > split)
+    prev = packing.total_tokens(old)
+    merged = packing.pack_sequences(old, BUDGET, n_chunks=3).unionByName(
+        packing.pack_sequences_append(new, BUDGET, prev, n_chunks=2)
+    )
+    assert merged.exceptAll(packed).count() == 0
+    assert packed.exceptAll(merged).count() == 0
+
+
+def test_zero_token_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    out = packing.pack_sequences(df, 2, n_chunks=1)
+    assert sorted((r["doc_id"], r["pack_id"]) for r in out.collect()) == [
+        (1, 0),
+        (1, 1),
+    ]
+
+
+def test_precomputed_token_column(spark):
+    """n_tokens_col path never touches text; offsets are exact longs."""
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(1, 11)], ["doc_id", "n_tok"]
+    )
+    out = packing.pack_sequences(
+        df, 16, n_tokens_col="n_tok", n_chunks=3
+    ).collect()
+    # 100 tokens -> packs 0..6; doc 2 spans the 16-token cut at 16
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["pack_id"], r["tok_start"], r["seg_len"])
+        )
+    assert by_doc[1] == [(0, 0, 10)]
+    assert sorted(by_doc[2]) == [(0, 10, 6), (1, 0, 4)]
+    assert sum(s for segs in by_doc.values() for _, _, s in segs) == 100
+
+
+def test_budget_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        packing.pack_sequences(df, 0)
+    with pytest.raises(ValueError):
+        packing.pack_sequences_append(df, 4, -1)
+
+
+def test_no_single_partition_window(docs):
+    """The scale guarantee: the running sum never collapses to a
+    single-partition global window."""
+    plan = (
+        packing.pack_sequences(docs, BUDGET, n_chunks=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
