@@ -1111,6 +1111,22 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), ["spark", "window", "dup"], k=25)
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-level line dedup with doc rewriting: drop
+    every 8-token-window 'line' occurring more than once across the
+    corpus, reassemble docs from survivors (operators/dedup.py
+    remove_duplicated_lines; the synthetic corpus has no newlines, so
+    the pluggable token_window_lines unit stands in)."""
+    from spacy_llm_spark.operators import dedup
+
+    return dedup.remove_duplicated_lines(
+        _docs(spark, sf_dir),
+        1,
+        lines=dedup.token_window_lines("text", 8),
+        delim=" ",
+    )
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-doc duplicated-span profile (Lee et al. exact-substring dedup
     at 3-gram granularity): grams shared by >= 2 docs, one groupBy(gram)
@@ -1623,6 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stamped representative) — swapped below 50 for pack_sequences
         "hash_sample": q_hash_sample,
         "pack_sequences_incremental": q_pack_sequences_incremental,
+        # sub-document dedup family variant (dup_ngram_stats is the
+        # stamped representative); adds the CCNet rewrite step
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2740,6 +2759,28 @@ SELECT d.doc_id, d.lang, round(fr.kf, 6) AS keep_frac
 FROM documents d JOIN fr USING (lang)
 WHERE CAST('0x' || substr(sha256(d.text), 9, 8) AS BIGINT) % 1000000
       < round(fr.kf * 1000000)
+""",
+        "line_dedup": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+  FROM documents
+), lines AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         array_to_string(tk[(p*8+1):(p*8+8)], ' ') AS line
+  FROM toks, UNNEST(generate_series(0, CAST((len(tk)+7)//8 AS BIGINT) - 1)) AS u(p)
+), over_rep AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) > 1
+), kept AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM lines WHERE line NOT IN (SELECT line FROM over_rep)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST((len(t.tk)+7)//8 - coalesce(k.n_kept, 0) AS BIGINT)
+         AS n_lines_removed
+FROM toks t LEFT JOIN kept k USING (doc_id)
 """,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         # incremental packing is bit-equal to the full recompute, so it

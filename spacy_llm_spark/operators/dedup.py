@@ -25,7 +25,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..fs import cut_lineage
@@ -1512,4 +1512,118 @@ def semantic_dedup_probe(
 
     return both.groupBy("ivf_cell").applyInPandas(
         lambda _key, pdf: per_cell(pdf), out_schema
+    )
+
+
+def token_window_lines(
+    text_col: str, window: int = 8
+) -> Column:
+    """A pluggable "line" unit for corpora without newline structure:
+    consecutive non-overlapping ``window``-token groups, each rejoined
+    with single spaces. Pure array expression — whole-stage codegen."""
+    from ..functions.text import tokens_expr
+
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    w = int(window)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), ((n + (w - 1)) / w).cast("int") - 1),
+            lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def newline_lines(text_col: str) -> Column:
+    """The default "line" unit: split on newlines, drop empty and
+    whitespace-only lines (CCNet counts content lines only)."""
+    return F.filter(
+        F.split(F.col(text_col), r"\n"),
+        lambda ln: F.length(F.trim(ln)) > 0,
+    )
+
+
+def remove_duplicated_lines(
+    docs: DataFrame,
+    max_occurrences: int = 1,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lines: Column | None = None,
+    delim: str = "\n",
+) -> DataFrame:
+    """CCNet-style corpus-level line dedup WITH document rewriting:
+    drop every line whose exact text occurs in more than
+    ``max_occurrences`` line slots across the whole corpus (boilerplate
+    headers, navigation chrome, license blocks), then reassemble each
+    document from its surviving lines in original order.
+
+    Output: ``(id_col, clean_text, n_lines_kept, n_lines_removed)`` —
+    every input doc appears exactly once; a doc whose lines were all
+    duplicated (or that had no lines) survives with ``clean_text = ''``
+    so downstream length/quality filters make the drop decision, not
+    this operator.
+
+    ``lines`` overrides the line unit (any ``array<string>`` Column —
+    see ``token_window_lines`` for newline-free corpora); ``delim``
+    rejoins survivors. Occurrences are counted over line SLOTS (a line
+    repeated within one doc counts each repetition), matching CCNet's
+    hash-multiset semantics.
+
+    Scale shape (CCNet runs this over full Common Crawl snapshots):
+    posexplode is narrow; the over-represented-line set is ONE
+    groupBy(line) count — and only lines with count > max_occurrences
+    survive the filter, so the set being joined back is the SMALL
+    boilerplate set, left to AQE to broadcast when it fits; the
+    reassembly groupBy(id) is the only other shuffle. At 10^12-line
+    scale the line string as grouping key would be swapped for
+    ``xxhash64(line)`` (collisions only ever over-remove one innocent
+    line per ~2^32 distinct); the raw string is kept here so the result
+    is exact and oracle-checkable.
+
+    Reference anchor: the reference has no corpus-hygiene surface; this
+    extends the training-data family (SURVEY.md §2 additions) next to
+    ``duplicated_ngram_stats`` (Lee et al.) with the rewrite step.
+    """
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}"
+        )
+    lines = lines if lines is not None else newline_lines(text_col)
+    exploded = docs.select(
+        F.col(id_col), F.posexplode_outer(lines).alias("_pos", "_line")
+    )
+    totals = exploded.groupBy(id_col).agg(
+        F.sum(F.col("_line").isNotNull().cast("long")).alias("_n_lines")
+    )
+    over = (
+        exploded.where(F.col("_line").isNotNull())
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > max_occurrences)
+        .select("_line")
+    )
+    kept = (
+        exploded.where(F.col("_line").isNotNull())
+        .join(over, "_line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                delim,
+            ).alias("_clean"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    return totals.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_clean", F.lit("")).alias("clean_text"),
+        F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
     )

@@ -130,3 +130,71 @@ def test_no_single_partition_window(docs):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+# --- remove_duplicated_lines (CCNet line dedup, operators/dedup.py) ---
+
+
+def test_line_dedup_newline_unit(spark):
+    from spacy_llm_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\nCOPYRIGHT FOOTER\nunique one"),
+            (2, "other text\nCOPYRIGHT FOOTER\n  \n"),
+            (3, "COPYRIGHT FOOTER"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicated_lines(df, 1).collect()
+    }
+    assert len(out) == 4  # every doc survives, rewritten
+    assert out[1]["clean_text"] == "keep me\nunique one"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_removed"] == 1
+    assert out[2]["clean_text"] == "other text"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_removed"] == 1
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_removed"] == 0
+
+
+def test_line_dedup_within_doc_repeats_count_as_slots(spark):
+    """CCNet multiset semantics: a line repeated inside ONE doc already
+    exceeds max_occurrences=1 and is removed everywhere."""
+    from spacy_llm_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "dup line\nmiddle\ndup line")], ["doc_id", "text"]
+    )
+    row = dedup.remove_duplicated_lines(df, 1).head()
+    assert row["clean_text"] == "middle"
+    assert row["n_lines_removed"] == 2
+    # raising the threshold keeps them, in original slot order
+    row2 = dedup.remove_duplicated_lines(df, 2).head()
+    assert row2["clean_text"] == "dup line\nmiddle\ndup line"
+
+
+def test_line_dedup_token_window_unit(spark):
+    from spacy_llm_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f x")], ["doc_id", "text"]
+    )
+    # window=3: doc1 lines {'a b c','d e f'}, doc2 {'a b c','d e f','x'}
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicated_lines(
+            df, 1, lines=dedup.token_window_lines("text", 3), delim=" "
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_lines_removed"] == 2
+    assert out[2]["clean_text"] == "x" and out[2]["n_lines_kept"] == 1
+
+
+def test_line_dedup_validates_threshold(spark):
+    from spacy_llm_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.remove_duplicated_lines(df, 0)
