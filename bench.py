@@ -286,6 +286,29 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     ).count()
     extras["frequent_tokens_sec"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    from spacy_llm_spark.operators.packing import pack_sequences
+
+    n_packed = pack_sequences(docs, budget=2048, n_chunks=32).count()
+    extras["pack_sequences_sec"] = round(time.time() - t0, 3)
+    extras["pack_sequences_n_segments"] = n_packed
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.dedup import (
+        remove_duplicated_lines,
+        token_window_lines,
+    )
+
+    n_line = (
+        remove_duplicated_lines(
+            docs, 1, lines=token_window_lines("text", 8), delim=" "
+        )
+        .agg(F.sum("n_lines_removed"))
+        .head()[0]
+    )
+    extras["line_dedup_sec"] = round(time.time() - t0, 3)
+    extras["line_dedup_n_removed"] = int(n_line)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
