@@ -380,6 +380,41 @@ def main():
         explain_str(bfs_levels(bfs_edges, bfs_seeds, max_hops=1)),
     ))
 
+    # 20. sequence packing: chunked prefix sum, no single-partition window
+    from spacy_llm_spark.operators.packing import pack_sequences
+
+    sections.append((
+        "Sequence packing: the running sum never collapses to one partition",
+        "The global token cumsum is decomposed: the Window's Exchange is "
+        "`hashpartitioning(_chunk)` (chunk = driver-frozen quantile bucket "
+        "of the order key), NEVER `SinglePartition`; the cross-chunk "
+        "offsets enter as a literal map lookup (no join node). The pack "
+        "explosion is a Generate over the same partitioning. InMemoryScan "
+        "= the persisted 3-column projection, so the text column is read "
+        "once across the boundary/totals/output passes.",
+        explain_str(pack_sequences(docs, budget=2048, n_chunks=8)),
+    ))
+
+    # 21. line dedup: one line-keyed count, anti join, doc reassembly
+    from spacy_llm_spark.operators.dedup import (
+        remove_duplicated_lines,
+        token_window_lines,
+    )
+
+    sections.append((
+        "Line dedup: over-represented set -> anti join -> one reassembly",
+        "posexplode is a Generate (narrow); the over-represented-line set "
+        "is one HashAggregate keyed on the line whose output is only the "
+        "small boilerplate set (count > max_occurrences) — the LeftAnti "
+        "join back is AQE-broadcastable at runtime; reassembly is a single "
+        "doc-keyed aggregate. No corpus x corpus join, no CartesianProduct.",
+        explain_str(
+            remove_duplicated_lines(
+                docs, 1, lines=token_window_lines("text", 8), delim=" "
+            )
+        ),
+    ))
+
     spark.stop()
 
 
