@@ -1370,6 +1370,19 @@ def q_pack_sequences_incremental(spark, sf_dir):
     )
 
 
+def q_weighted_upsample(spark, sf_dir):
+    """Per-language epoch upsampling (training-mix repeat factors):
+    floor(w) copies + a content-hash fractional copy; weights < 1
+    downsample (operators/sampling.py weighted_upsample)."""
+    from spacy_llm_spark.operators import sampling
+
+    return sampling.weighted_upsample(
+        _docs(spark, sf_dir),
+        {"de": 2.5, "fr": 2.0, "es": 1.5, "zh": 1.25, "en": 0.4},
+        "lang",
+    ).select("doc_id", "lang", "epoch")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic ~20% content-hash sample — shuffle-free,
     resume-safe (same doc always makes the same cut)."""
@@ -1642,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sub-document dedup family variant (dup_ngram_stats is the
         # stamped representative); adds the CCNet rewrite step
         "line_dedup": q_line_dedup,
+        # sampling-family variant: epoch upsampling (mixing recipe)
+        "weighted_upsample": q_weighted_upsample,
     }
 
 
@@ -2759,6 +2774,24 @@ SELECT d.doc_id, d.lang, round(fr.kf, 6) AS keep_frac
 FROM documents d JOIN fr USING (lang)
 WHERE CAST('0x' || substr(sha256(d.text), 9, 8) AS BIGINT) % 1000000
       < round(fr.kf * 1000000)
+""",
+        "weighted_upsample": """
+WITH w AS (
+  SELECT doc_id, lang, text,
+         CASE lang WHEN 'de' THEN 2.5 WHEN 'fr' THEN 2.0 WHEN 'es' THEN 1.5
+                   WHEN 'zh' THEN 1.25 WHEN 'en' THEN 0.4 ELSE 1.0 END AS wt
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(floor(wt) AS BIGINT)
+         + CASE WHEN CAST('0x' || substr(sha256(text), 17, 8) AS BIGINT)
+                     % 1000000 < round((wt - floor(wt)) * 1000000)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, lang, CAST(e AS BIGINT) AS epoch
+FROM c, UNNEST(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS u(e)
+WHERE n_copies > 0
 """,
         "line_dedup": """
 WITH toks AS (

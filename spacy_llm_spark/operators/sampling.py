@@ -199,3 +199,64 @@ def temperature_sample(
         .withColumn("keep_frac", F.round("_keep_frac", 6))
         .drop("_keep_frac", "_g")
     )
+
+
+def weighted_upsample(
+    df: DataFrame,
+    weights: dict,
+    group_col: str,
+    text_col: str = "text",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-group epoch upsampling — the mixing complement
+    of ``temperature_sample``: a training recipe says "weight wiki 2.5x,
+    downweight web to 0.4x", and this emits each row ``floor(w)`` times
+    plus one extra copy for the deterministic content-hash fraction
+    ``w - floor(w)`` of its group (so expected copies per row == w
+    exactly, with zero RNG — retries and re-runs emit identical epochs).
+    Weights below 1 degrade gracefully into downsampling (floor 0 + the
+    fractional cut).
+
+    Output: input rows with an added ``epoch`` column (0-based copy
+    index); rows whose copy count is 0 are dropped. Downstream shuffling
+    into training order is the consumer's job — copies carry distinct
+    (row, epoch) identities for that.
+
+    The fractional cut reads sha256 hex chars 17-24 — disjoint from the
+    split (1-8) and sampling (9-16) digest regions, so upsampling
+    composes independently with ``assign_split`` and ``hash_sample``.
+
+    Scale shape: literal-map weight lookup + filter + explode — a pure
+    narrow projection; the corpus never shuffles and no per-group
+    aggregate is needed (weights are given, not derived). Group keys
+    absent from ``weights`` get ``default_weight``.
+    """
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"negative weight for group {k!r}: {v}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight: {default_weight}")
+    if weights:
+        wmap = F.create_map(
+            *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+        )
+        w = F.coalesce(
+            F.element_at(wmap, F.col(group_col).cast("string")),
+            F.lit(float(default_weight)),
+        )
+    else:
+        w = F.lit(float(default_weight))
+    extra = (
+        hash_bucket(text_col, 17, HASH_BUCKETS)
+        < F.round((w - F.floor(w)) * HASH_BUCKETS)
+    ).cast("long")
+    n_copies = F.floor(w).cast("long") + extra
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )

@@ -198,3 +198,66 @@ def test_line_dedup_validates_threshold(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.remove_duplicated_lines(df, 0)
+
+
+# --- weighted_upsample (epoch mixing, operators/sampling.py) ---
+
+
+def test_weighted_upsample_integer_weights(spark):
+    from spacy_llm_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "wiki", "aa"), (2, "wiki", "bb"), (3, "web", "cc")],
+        ["doc_id", "source", "text"],
+    )
+    out = sampling.weighted_upsample(df, {"wiki": 3.0, "web": 1.0}, "source")
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0)]
+
+
+def test_weighted_upsample_expected_rate_and_determinism(spark, sf_dir):
+    from spacy_llm_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    up = sampling.weighted_upsample(docs, {}, "source", default_weight=1.5)
+    c1, c2 = up.count(), up.count()
+    assert c1 == c2  # RNG-free: identical across runs
+    # fractional copies track the weight: ~1.5x within hash noise
+    assert abs(c1 / n - 1.5) < 0.15
+    # epoch 1 rows are a strict subset of epoch 0 rows
+    e0 = {r["doc_id"] for r in up.where("epoch = 0").collect()}
+    e1 = {r["doc_id"] for r in up.where("epoch = 1").collect()}
+    assert e1 < e0 and e0 == {r["doc_id"] for r in docs.collect()}
+
+
+def test_weighted_upsample_subunit_weight_downsamples(spark, sf_dir):
+    from spacy_llm_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = sampling.weighted_upsample(docs, {}, "source", default_weight=0.25)
+    c = out.count()
+    assert 0 < c < n and abs(c / n - 0.25) < 0.1
+    assert out.agg(F.max("epoch")).head()[0] == 0
+
+
+def test_weighted_upsample_null_group_and_default(spark):
+    from spacy_llm_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, None, "aa"), (2, "x", "bb")], ["doc_id", "source", "text"]
+    )
+    out = sampling.weighted_upsample(df, {"x": 2.0}, "source", default_weight=1.0)
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert got == [(1, 0), (2, 0), (2, 1)]
+
+
+def test_weighted_upsample_rejects_negative(spark):
+    from spacy_llm_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "x", "aa")], ["doc_id", "source", "text"])
+    with pytest.raises(ValueError):
+        sampling.weighted_upsample(df, {"x": -1.0}, "source")
+    with pytest.raises(ValueError):
+        sampling.weighted_upsample(df, {}, "source", default_weight=-0.5)
