@@ -1476,6 +1476,16 @@ def q_kg_clustering_coeff(spark, sf_dir):
     return graph.clustering_coefficient(edges)
 
 
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the KG: vertex pairs
+    sharing >= 2 neighbors, scored |N∩N|/|N∪N| — the entity-resolution
+    merge/link-candidate signal (operators/graph.py neighbor_jaccard)."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    return graph.neighbor_jaccard(edges, min_common=2)
+
+
 def q_distinct_users_approx(spark, sf_dir):
     """HyperLogLog distinct-count certificate (operators/sketches.py):
     per event type, the exact distinct user count plus a boolean
@@ -1657,6 +1667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         # sampling-family variant: epoch upsampling (mixing recipe)
         "weighted_upsample": q_weighted_upsample,
+        # graph-analytics variant (kg_triangles/kg_clustering_coeff are
+        # the stamped representatives): link-prediction scoring
+        "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
     }
 
 
@@ -2511,6 +2524,28 @@ SELECT e.doc_id, e.rel_idx,
 FROM edges e
 LEFT JOIN vmap vs ON vs.node = e.subj
 LEFT JOIN vmap vo ON vo.node = e.obj
+""",
+        "kg_neighbor_jaccard": m
+        + _EDGES_CTE
+        + """
+, und AS (
+  SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi
+  FROM edges WHERE subj <> obj
+), adj AS (
+  SELECT lo AS p, hi AS n FROM und UNION ALL SELECT hi, lo FROM und
+), deg AS (
+  SELECT p AS vertex, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY p
+), common AS (
+  SELECT a.n AS id_a, b.n AS id_b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM adj a JOIN adj b ON b.p = a.p AND a.n < b.n
+  GROUP BY a.n, b.n HAVING count(*) >= 2
+)
+SELECT c.id_a, c.id_b, c.common_neighbors,
+       round(CAST(c.common_neighbors AS DOUBLE)
+             / (da.d + db.d - c.common_neighbors), 6) AS jaccard
+FROM common c
+JOIN deg da ON da.vertex = c.id_a
+JOIN deg db ON db.vertex = c.id_b
 """,
         "kg_triangles": m
         + _EDGES_CTE

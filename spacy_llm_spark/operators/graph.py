@@ -319,3 +319,77 @@ def bfs_levels(
             break
         frontier = nxt.select("vertex")
     return visited.select("vertex", F.col("level").cast("long").alias("level"))
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    min_common: int = 1,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over the undirected simple
+    graph: for every vertex pair sharing at least ``min_common``
+    neighbors, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the classic
+    entity-resolution / missing-edge signal (two canonical entities
+    whose KG neighborhoods largely coincide are merge or link
+    candidates).
+
+    Output: ``(id_a, id_b, common_neighbors, jaccard)`` with
+    ``id_a < id_b``, jaccard rounded to 6 dp. Pairs with no common
+    neighbor are (correctly) never materialized — the all-pairs zero
+    sea is exactly what must not exist at scale.
+
+    Scale shape: one pivot-keyed self-equi-join generates the shared-
+    neighbor wedges (a pivot of degree d emits C(d,2) pair rows), one
+    count aggregate with map-side partials collapses them, and the
+    degree join is vertex-scale. The quadratic hazard is a hub pivot:
+    a canonical entity linked from d=10^6 docs would emit 5·10^11
+    wedges. ``max_pivot_degree`` caps it — wedges are counted only
+    through pivots of degree ≤ cap, making ``common_neighbors`` (and
+    jaccard, whose denominator keeps the FULL degrees) a certified
+    LOWER bound: hub-mediated co-citation stops counting as evidence,
+    which for entity resolution is usually the right call anyway
+    (sharing 'USA' as a neighbor is not a merge signal). Unset = exact.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    und = _undirected_edges(edges, src, dst)
+    adj = und.select(F.col("lo").alias("p"), F.col("hi").alias("n")).unionByName(
+        und.select(F.col("hi").alias("p"), F.col("lo").alias("n"))
+    )
+    deg = adj.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    piv = adj
+    if max_pivot_degree is not None:
+        if max_pivot_degree < 1:
+            raise ValueError(
+                f"max_pivot_degree must be >= 1, got {max_pivot_degree}"
+            )
+        piv = adj.join(
+            deg.where(F.col("d") <= max_pivot_degree).select("p"), "p"
+        )
+    a = piv.select("p", F.col("n").alias("id_a"))
+    b = piv.select("p", F.col("n").alias("id_b"))
+    common = (
+        a.join(b, "p")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    da = deg.select(F.col("p").alias("id_a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("p").alias("id_b"), F.col("d").alias("_db"))
+    return (
+        common.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -261,3 +261,83 @@ def test_weighted_upsample_rejects_negative(spark):
         sampling.weighted_upsample(df, {"x": -1.0}, "source")
     with pytest.raises(ValueError):
         sampling.weighted_upsample(df, {}, "source", default_weight=-0.5)
+
+
+# --- neighbor_jaccard (link prediction, operators/graph.py) ---
+
+
+def test_neighbor_jaccard_hand_case(spark):
+    from spacy_llm_spark.operators import graph
+
+    # square a-b-c-d-a plus chord pivot e linked to a and c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "a"), ("e", "c")],
+        ["subj", "obj"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in graph.neighbor_jaccard(edges).collect()
+    }
+    # N(a)={b,d,e}, N(c)={b,d,e} -> common 3, union 3 -> jaccard 1.0
+    assert got[("a", "c")] == (3, 1.0)
+    # N(b)={a,c}, N(d)={a,c} -> 2/2
+    assert got[("b", "d")] == (2, 1.0)
+    # N(b)={a,c}, N(e)={a,c} -> 2/2
+    assert got[("b", "e")] == (2, 1.0)
+    # a-b share neighbor? N(a)={b,d,e}, N(b)={a,c}: common {} -> absent
+    assert ("a", "b") not in got
+
+
+def test_neighbor_jaccard_matches_bruteforce(spark, sf_dir):
+    import itertools
+
+    from spacy_llm_spark.operators import graph
+
+    edges = [
+        (f"v{i}", f"v{(i * 7 + j) % 23}")
+        for i in range(23)
+        for j in range(1, 4)
+    ]
+    df = spark.createDataFrame(edges, ["subj", "obj"])
+    nbrs = {}
+    for s, d in edges:
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    want = {}
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        common = len(nbrs[a] & nbrs[b])
+        if common >= 1:
+            want[(a, b)] = (common, round(common / len(nbrs[a] | nbrs[b]), 6))
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in graph.neighbor_jaccard(df).collect()
+    }
+    assert got == want
+
+
+def test_neighbor_jaccard_pivot_cap_is_lower_bound(spark):
+    from spacy_llm_spark.operators import graph
+
+    # hub h connects x and y; low-degree pivot p also connects x and y
+    edges = spark.createDataFrame(
+        [("h", "x"), ("h", "y"), ("h", "z1"), ("h", "z2"), ("h", "z3"),
+         ("p", "x"), ("p", "y")],
+        ["subj", "obj"],
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["common_neighbors"]
+        for r in graph.neighbor_jaccard(edges).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["common_neighbors"]
+        for r in graph.neighbor_jaccard(edges, max_pivot_degree=2).collect()
+    }
+    assert exact[("x", "y")] == 2  # via h and via p
+    assert capped[("x", "y")] == 1  # hub pivot h (degree 5) excluded
+    for k, v in capped.items():
+        assert v <= exact[k]
+    with pytest.raises(ValueError):
+        graph.neighbor_jaccard(edges, min_common=0)
+    with pytest.raises(ValueError):
+        graph.neighbor_jaccard(edges, max_pivot_degree=0)
