@@ -369,3 +369,35 @@ def test_temperature_sample_null_group_kept(spark):
     assert None in got  # NULL group survives the null-safe join
     n_null = out.where(F.col("grp").isNull()).count()
     assert n_null == 5  # smallest group: keep_frac 1.0
+
+
+# --- sequence packing vs a brute-force Python reference ---
+
+_tok_counts = st.lists(st.integers(0, 30), min_size=0, max_size=10)
+
+
+@given(_tok_counts, st.integers(1, 17), st.sampled_from([1, 2, 5]))
+@settings(max_examples=15, deadline=None)
+def test_pack_sequences_matches_bruteforce(spark, toks, budget, n_chunks):
+    from spacy_llm_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    got = {
+        (r["doc_id"], r["pack_id"]): (r["tok_start"], r["seg_len"])
+        for r in pack_sequences(
+            df, budget, n_tokens_col="n_tok", n_chunks=n_chunks
+        ).collect()
+    }
+    expected, pos = {}, 0
+    for i, n in enumerate(toks):
+        if n <= 0:
+            continue
+        start, end = pos, pos + n
+        for p in range(start // budget, (end - 1) // budget + 1):
+            lo = max(start, p * budget)
+            hi = min(end, (p + 1) * budget)
+            expected[(i, p)] = (lo - p * budget, hi - lo)
+        pos = end
+    assert got == expected
