@@ -50,6 +50,8 @@ def run_incremental(
     vertex_snapshot_retention: int | None = 3,
     maintain_dupngrams: bool = False,
     dupngram_snapshot_retention: int | None = 3,
+    maintain_packing: bool = False,
+    packing_budget: int = 2048,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -80,6 +82,8 @@ def run_incremental(
         vertex_snapshot_retention=vertex_snapshot_retention,
         maintain_dupngrams=maintain_dupngrams,
         dupngram_snapshot_retention=dupngram_snapshot_retention,
+        maintain_packing=maintain_packing,
+        packing_budget=packing_budget,
         compact_every=compact_every,
     )
 
@@ -103,6 +107,9 @@ def make_batch_processor(
     dupngram_n: int = 3,
     dupngram_min_docs: int = 2,
     dupngram_snapshot_retention: int | None = 3,
+    maintain_packing: bool = False,
+    packing_budget: int = 2048,
+    packing_total_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -136,6 +143,7 @@ def make_batch_processor(
     processed_keys_path = posixpath.join(output_dir, "_processed_keys")
     vertices_path = posixpath.join(output_dir, "vertices")
     dupngram_path = posixpath.join(output_dir, "dupngram")
+    packing_path = posixpath.join(output_dir, "packing")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -340,6 +348,59 @@ def make_batch_processor(
             stats.write.mode("overwrite").parquet(
                 posixpath.join(stats_path, f"batch_id={batch_id}")
             )
+        if maintain_packing:
+            # Live sequence packing: the global token stream is batch-
+            # major (arrival order), doc_id-ordered within a batch. The
+            # packing "index" is ONE number — the running total token
+            # count — snapshotted per batch at packing/totals/batch_id=N
+            # (retention-pruned); the packed segments are append-
+            # structured at packing/segments/batch_id=N (they ARE the
+            # packed table, never pruned). Exactly-once shape: the base
+            # total comes from the latest committed snapshot EXCLUDING
+            # this batch_id, and pack_sequences_append is deterministic
+            # given (base, batch content), so a replay overwrites
+            # batch_id=N bit-identically. batch_df is already filtered
+            # to unseen content; duplicate doc_ids within one batch
+            # would double-count stream positions for every later doc,
+            # so they are dropped here like the dup-ngram path does.
+            from ..operators import packing as pk
+
+            if "doc_id" not in batch_df.columns:
+                raise ValueError(
+                    "maintain_packing needs a numeric doc_id column "
+                    "for the within-batch packing order"
+                )
+            seg_path = posixpath.join(packing_path, "segments")
+            tot_path = posixpath.join(packing_path, "totals")
+            pack_docs = batch_df.select("doc_id", "content").dropDuplicates(
+                ["doc_id"]
+            )
+            prior_tot = _committed_before(tot_path, batch_id)
+            base_total = 0
+            if prior_tot:
+                latest_t = max(
+                    prior_tot,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                base_total = int(
+                    spark.read.parquet(latest_t).head()["total_tokens"]
+                )
+            pk.pack_sequences_append(
+                pack_docs,
+                packing_budget,
+                base_total,
+                text_col="content",
+            ).write.mode("overwrite").parquet(
+                posixpath.join(seg_path, f"batch_id={batch_id}")
+            )
+            new_total = base_total + pk.total_tokens(
+                pack_docs, text_col="content"
+            )
+            spark.createDataFrame(
+                [(new_total,)], "total_tokens long"
+            ).write.mode("overwrite").parquet(
+                posixpath.join(tot_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -362,6 +423,13 @@ def make_batch_processor(
             _prune_to_newest(
                 posixpath.join(dupngram_path, "stats"),
                 dupngram_snapshot_retention,
+            )
+        if maintain_packing and packing_total_retention is not None:
+            # segments are the packed table itself (append form, live
+            # forever); only the 1-row running-total snapshots prune
+            _prune_to_newest(
+                posixpath.join(packing_path, "totals"),
+                packing_total_retention,
             )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # periodic small-files healing, after everything above is
@@ -400,6 +468,20 @@ def latest_vertex_snapshot(spark: SparkSession, output_dir: str):
         return None
     latest = max(prior, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]))
     return spark.read.parquet(latest).select("node", "component")
+
+
+def packed_segments(spark: SparkSession, output_dir: str):
+    """The full packed table maintained by a ``maintain_packing``
+    stream: the union of every committed per-batch segment frame, as
+    (doc_id, pack_id, tok_start, seg_len) — or None if no batch has
+    committed yet. Committed subdirs only: a torn write never leaks
+    half a batch of segments into the training table."""
+    parts = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "packing", "segments")
+    )
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
 
 
 def windowed_event_counts(

@@ -1207,3 +1207,62 @@ def test_compaction_collects_torn_range_dir(spark, tmp_path):
     compact_sink(spark, str(out), "links", keep_recent=8)  # folds nothing
     assert not os.path.exists(torn)
     assert sorted(map(tuple, read_sink(spark, str(out), "links").collect())) == before
+
+
+def test_packing_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_packing=True packs each micro-batch as a continuation of
+    the running token stream: the union of per-batch segments equals
+    pack_sequences over the whole arrival-ordered corpus, batch totals
+    accumulate exactly, and a crash replay (same batch_id, keys erased)
+    leaves segments and totals bit-identical because the base total is
+    always the PRIOR batch's committed snapshot."""
+    from spacy_llm_spark.operators.packing import pack_sequences
+    from spacy_llm_spark.streaming.incremental import (
+        make_batch_processor,
+        packed_segments,
+    )
+
+    out = tmp_path / "kg_out"
+    budget = 16
+    proc = make_batch_processor(
+        spark, str(out), maintain_packing=True, packing_budget=budget
+    )
+    schema = "doc_id long, content string, lang string"
+    rows1 = [(1, "spark join customer table", "python"),
+             (2, "window sort table merge part region scan", "java")]
+    rows2 = [(3, "filter merge part", "go"),
+             (4, "vector scan index row group batch", "rust")]
+    b0 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b0, 0)
+    b1 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b1, 1)
+
+    got = sorted(map(tuple, packed_segments(spark, str(out)).collect()))
+    # arrival order == doc_id order here, so the full recompute over the
+    # concatenated corpus is the exact reference
+    corpus = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(map(tuple, pack_sequences(
+        corpus, budget, text_col="content", n_chunks=1).collect()))
+    assert got == want
+    # batch 1 continues mid-pack: doc 2 ends at token 11 (not a budget
+    # boundary), so doc 3 must start in the same pack
+    by_doc = {t[0]: t for t in got}
+    assert by_doc[3][1] == by_doc[2][1] or by_doc[3][2] > 0
+
+    # totals snapshot accumulates exactly
+    tot = spark.read.parquet(str(out / "packing" / "totals" / "batch_id=1"))
+    assert tot.head()["total_tokens"] == 4 + 7 + 3 + 6
+
+    # crash replay of batch 1 with the keys table erased (worst case)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(b1, 1)
+    replayed = sorted(map(tuple, packed_segments(spark, str(out)).collect()))
+    assert replayed == got
+    tot2 = spark.read.parquet(str(out / "packing" / "totals" / "batch_id=1"))
+    assert tot2.head()["total_tokens"] == 20
