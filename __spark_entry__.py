@@ -1351,6 +1351,17 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pack_texts(spark, sf_dir):
+    """Materialized training sequences: packed segments joined back to
+    the docs, tokens sliced per segment and reassembled per pack
+    (operators/packing.py materialize_packs)."""
+    from spacy_llm_spark.operators import packing
+
+    docs = _docs(spark, sf_dir)
+    segs = packing.pack_sequences(docs, budget=256, n_chunks=7)
+    return packing.materialize_packs(docs, segs)
+
+
 def q_pack_sequences_incremental(spark, sf_dir):
     """Incremental packing parity: pack the first ~80% of doc_ids, then
     append-pack the rest at stream_offset = total_tokens(old); the union
@@ -1670,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph-analytics variant (kg_triangles/kg_clustering_coeff are
         # the stamped representatives): link-prediction scoring
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
+        # packing-family variant: materialized training sequences
+        "pack_texts": q_pack_texts,
     }
 
 
@@ -2849,6 +2862,38 @@ SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
        CAST((len(t.tk)+7)//8 - coalesce(k.n_kept, 0) AS BIGINT)
          AS n_lines_removed
 FROM toks t LEFT JOIN kept k USING (doc_id)
+""",
+        "pack_texts": """
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tk
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cend
+  FROM t WHERE n_tok > 0
+), seg AS (
+  SELECT c.doc_id, CAST(p AS BIGINT) AS pack_id,
+         CAST(greatest(cend - n_tok, p*256) - p*256 AS BIGINT) AS tok_start,
+         CAST(least(cend, (p+1)*256) - greatest(cend - n_tok, p*256) AS BIGINT)
+           AS seg_len
+  FROM c, UNNEST(generate_series(CAST((cend - n_tok) // 256 AS BIGINT),
+                                 CAST((cend - 1) // 256 AS BIGINT))) AS u(p)
+), off AS (
+  SELECT *,
+         sum(seg_len) OVER (PARTITION BY doc_id ORDER BY pack_id) - seg_len
+           AS doc_off
+  FROM seg
+), piece AS (
+  SELECT o.pack_id, o.tok_start, o.seg_len,
+         array_to_string(tk.toks[(o.doc_off+1):(o.doc_off+o.seg_len)], ' ')
+           AS pc
+  FROM off o JOIN tk USING (doc_id)
+)
+SELECT pack_id, string_agg(pc, ' ' ORDER BY tok_start) AS pack_text,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens
+FROM piece GROUP BY pack_id
 """,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         # incremental packing is bit-equal to the full recompute, so it

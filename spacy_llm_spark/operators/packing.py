@@ -57,7 +57,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count
 
-__all__ = ["pack_sequences", "pack_sequences_append", "total_tokens"]
+__all__ = [
+    "materialize_packs",
+    "pack_sequences",
+    "pack_sequences_append",
+    "total_tokens",
+]
 
 
 def total_tokens(
@@ -201,4 +206,55 @@ def pack_sequences_append(
         raise ValueError("prev_total_tokens must be >= 0")
     return pack_sequences(
         df, budget, stream_offset=int(prev_total_tokens), **kwargs
+    )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    segments: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = " ",
+) -> DataFrame:
+    """Turn a packed-segment table (``pack_sequences`` output) plus the
+    document table into the actual training sequences:
+    ``(pack_id, pack_text, n_tokens)``, one row per pack, tokens joined
+    with ``delim`` in stream order.
+
+    Each document's segments consume its tokens in ``pack_id`` order, so
+    a segment's doc-local token window is the running sum of the doc's
+    earlier segment lengths — one window over per-doc groups (a doc
+    touches at most a handful of packs, so groups are tiny). The doc
+    join is id-keyed (one shuffle, co-partitionable with a bucketed doc
+    table), the pack assembly is one pack-keyed aggregate; output is
+    pack-scale. Nothing here re-reads the corpus beyond the one slice
+    join — the packing decision stays in the segment table.
+    """
+    from ..functions.text import tokens_expr
+
+    w = Window.partitionBy(id_col).orderBy("pack_id")
+    segs = segments.withColumn(
+        "_doc_off", F.sum("seg_len").over(w) - F.col("seg_len")
+    )
+    pieces = segs.join(
+        docs.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("_toks")),
+        id_col,
+    ).select(
+        "pack_id",
+        "tok_start",
+        "seg_len",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_doc_off") + 1, F.col("seg_len")),
+            delim,
+        ).alias("_piece"),
+    )
+    return pieces.groupBy("pack_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok_start", "_piece"))),
+                lambda s: s["_piece"],
+            ),
+            delim,
+        ).alias("pack_text"),
+        F.sum("seg_len").cast("long").alias("n_tokens"),
     )

@@ -341,3 +341,41 @@ def test_neighbor_jaccard_pivot_cap_is_lower_bound(spark):
         graph.neighbor_jaccard(edges, min_common=0)
     with pytest.raises(ValueError):
         graph.neighbor_jaccard(edges, max_pivot_degree=0)
+
+
+def test_materialize_packs_reassembles_stream(docs, packed):
+    """Pack texts concatenated in pack order reproduce the original
+    token stream; each pack has exactly as many tokens as its segments
+    claim."""
+    from spacy_llm_spark.functions.text import tokens_expr
+
+    out = packing.materialize_packs(docs, packed)
+    rows = sorted(
+        ((r["pack_id"], r["pack_text"], r["n_tokens"]) for r in out.collect())
+    )
+    for _, text, n in rows:
+        assert len(text.split(" ")) == n
+    stream = " ".join(t for _, t, _ in rows).split(" ")
+    want = [
+        t
+        for r in docs.orderBy("doc_id").collect()
+        for t in r["text"].split() 
+    ]
+    assert stream == want
+
+
+def test_materialize_packs_straddling_doc(spark):
+    from spacy_llm_spark.operators.packing import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g")], ["doc_id", "text"]
+    )
+    segs = pack_sequences(df, 4, n_chunks=1)
+    got = {
+        r["pack_id"]: (r["pack_text"], r["n_tokens"])
+        for r in materialize_packs(df, segs).collect()
+    }
+    assert got == {0: ("a b c d", 4), 1: ("e f g", 3)}
