@@ -1127,6 +1127,27 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_line_dedup_incremental(spark, sf_dir):
+    """Incremental line-dedup parity: index the first ~80% of docs,
+    probe the rest as an append batch (threshold-crossing lines rewrite
+    only the old docs that contain them); result must equal the
+    full-corpus recompute — shares line_dedup's oracle verbatim."""
+    from spacy_llm_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    unit = dedup.token_window_lines("text", 8)
+    split_id = docs.selectExpr("percentile(doc_id, 0.8)").head()[0]
+    old = docs.where(F.col("doc_id") <= split_id)
+    new = docs.where(F.col("doc_id") > split_id)
+    idx = dedup.line_index(old, lines=unit)
+    cnt = dedup.line_counts(idx)
+    clean = dedup.remove_duplicated_lines(old, 1, lines=unit, delim=" ")
+    out, _, _ = dedup.line_dedup_probe(
+        idx, cnt, clean, new, 1, lines=unit, delim=" "
+    )
+    return out
+
+
 def q_dup_ngram_stats(spark, sf_dir):
     """Per-doc duplicated-span profile (Lee et al. exact-substring dedup
     at 3-gram granularity): grams shared by >= 2 docs, one groupBy(gram)
@@ -1683,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_jaccard": q_kg_neighbor_jaccard,
         # packing-family variant: materialized training sequences
         "pack_texts": q_pack_texts,
+        # incremental twin of line_dedup (shares its oracle verbatim)
+        "line_dedup_incremental": q_line_dedup_incremental,
     }
 
 
@@ -2842,6 +2865,28 @@ FROM c, UNNEST(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS u(e)
 WHERE n_copies > 0
 """,
         "line_dedup": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+  FROM documents
+), lines AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         array_to_string(tk[(p*8+1):(p*8+8)], ' ') AS line
+  FROM toks, UNNEST(generate_series(0, CAST((len(tk)+7)//8 AS BIGINT) - 1)) AS u(p)
+), over_rep AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) > 1
+), kept AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM lines WHERE line NOT IN (SELECT line FROM over_rep)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST((len(t.tk)+7)//8 - coalesce(k.n_kept, 0) AS BIGINT)
+         AS n_lines_removed
+FROM toks t LEFT JOIN kept k USING (doc_id)
+""",
+        "line_dedup_incremental": """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
   FROM documents

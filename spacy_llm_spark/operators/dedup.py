@@ -1604,9 +1604,26 @@ def remove_duplicated_lines(
         .where(F.col("_c") > max_occurrences)
         .select("_line")
     )
-    kept = (
-        exploded.where(F.col("_line").isNotNull())
-        .join(over, "_line", "left_anti")
+    kept = _reassemble_lines(
+        exploded.where(F.col("_line").isNotNull()), over, id_col, delim
+    )
+    return totals.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("_clean", F.lit("")).alias("clean_text"),
+        F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+
+
+def _reassemble_lines(
+    slots: DataFrame, over: DataFrame, id_col: str, delim: str
+) -> DataFrame:
+    """Rebuild documents from the (id, _pos, _line) slots surviving the
+    over-represented-line anti join: (id, _clean, _n_kept)."""
+    return (
+        slots.join(over, "_line", "left_anti")
         .groupBy(id_col)
         .agg(
             F.array_join(
@@ -1619,11 +1636,154 @@ def remove_duplicated_lines(
             F.count(F.lit(1)).alias("_n_kept"),
         )
     )
-    return totals.join(kept, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce("_clean", F.lit("")).alias("clean_text"),
-        F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
-        (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_lines_removed"),
+
+
+def line_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lines: Column | None = None,
+) -> DataFrame:
+    """Persistable line-slot index for incremental line dedup: one row
+    per (id, _pos, _line) slot, version-stamped like every persisted
+    index in this family. The line UNIT is a caller-supplied Column
+    expression and cannot be encoded in the stamp — build the index and
+    every probe with the same unit (the equivalence tests pin this)."""
+    stamp = _index_stamp("ld")
+    lines = lines if lines is not None else newline_lines(text_col)
+    return (
+        docs.select(F.col(id_col), F.posexplode(lines).alias("_pos", "_line"))
+        .withColumn(stamp, F.lit(True))
     )
+
+
+def line_counts(index_lines: DataFrame) -> DataFrame:
+    """(_line, c): corpus-wide slot count per line — the aggregate half
+    of the persisted line index. Same stamp."""
+    stamp = _index_stamp("ld")
+    _check_index_format(index_lines, "line_counts", stamp)
+    return (
+        index_lines.groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(stamp, F.lit(True))
+    )
+
+
+def line_dedup_probe(
+    index_lines: DataFrame,
+    index_counts: DataFrame,
+    prior_clean: DataFrame,
+    new_docs: DataFrame,
+    max_occurrences: int = 1,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lines: Column | None = None,
+    delim: str = "\n",
+):
+    """Incrementally maintain ``remove_duplicated_lines`` under an
+    append-only batch: returns ``(clean, new_index_lines,
+    new_index_counts)`` where ``clean`` over (old ∪ new) is bit-equal to
+    a full recompute (shared oracle) and the index frames feed the next
+    probe.
+
+    Same monotonicity trick as ``dup_ngram_stats_probe``: slot counts
+    only GROW under append, so a line flips kept→removed exactly when it
+    CROSSES ``max_occurrences`` (old c <= k < merged c) — a subset of
+    the batch's lines, batch-scale by construction. Only the old docs
+    containing a crossed line are rebuilt (their slot rows come from the
+    standing index, scanned once keyed on the crossed set and the
+    affected ids — never re-split from text); every other old doc's
+    output row passes through untouched. Per batch:
+
+    - batch split + count: batch-scale;
+    - count merge: ONE outer join keyed on the line (bucket the counts
+      table on _line at scale);
+    - crossed-line slice: index scan against the batch-scale crossed
+      set (AQE broadcasts it);
+    - rebuild: reassembly aggregate over the affected docs' slots only.
+
+    ``max_occurrences`` must match the value that produced
+    ``prior_clean`` — the stamp pins the index format, the threshold is
+    the caller's contract (the equivalence tests would catch a drift).
+    Requires old/new doc ids disjoint (append-only corpus).
+    """
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}"
+        )
+    stamp = _index_stamp("ld")
+    _check_index_format(index_lines, "line_dedup_probe(lines)", stamp)
+    _check_index_format(index_counts, "line_dedup_probe(counts)", stamp)
+    lines = lines if lines is not None else newline_lines(text_col)
+
+    new_slots_all = new_docs.select(
+        F.col(id_col), F.posexplode_outer(lines).alias("_pos", "_line")
+    )
+    new_slots = new_slots_all.where(F.col("_line").isNotNull())
+    batch_counts = new_slots.groupBy("_line").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    merged = (
+        index_counts.select("_line", "c")
+        .join(batch_counts, "_line", "full")
+        .select(
+            "_line",
+            F.coalesce("c", F.lit(0)).alias("old_c"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("bc", F.lit(0))).alias(
+                "mc"
+            ),
+        )
+    )
+    over = merged.where(F.col("mc") > max_occurrences).select("_line")
+    crossed = merged.where(
+        (F.col("old_c") <= max_occurrences)
+        & (F.col("mc") > max_occurrences)
+    ).select("_line")
+
+    hist = index_lines.select(id_col, "_pos", "_line")
+    affected_ids = hist.join(crossed, "_line").select(id_col).distinct()
+    affected_slots = hist.join(affected_ids, id_col, "left_semi")
+    affected_totals = affected_slots.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_lines")
+    )
+    rebuilt_old = (
+        affected_totals.join(
+            _reassemble_lines(affected_slots, over, id_col, delim),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce("_clean", F.lit("")).alias("clean_text"),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+    untouched_old = prior_clean.join(affected_ids, id_col, "left_anti")
+
+    new_totals = new_slots_all.groupBy(id_col).agg(
+        F.sum(F.col("_line").isNotNull().cast("long")).alias("_n_lines")
+    )
+    new_clean = (
+        new_totals.join(
+            _reassemble_lines(new_slots, over, id_col, delim), id_col, "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce("_clean", F.lit("")).alias("clean_text"),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+    clean = untouched_old.unionByName(rebuilt_old).unionByName(new_clean)
+    new_index_lines = index_lines.unionByName(
+        new_slots.withColumn(stamp, F.lit(True))
+    )
+    new_index_counts = merged.select(
+        "_line", F.col("mc").alias("c")
+    ).withColumn(stamp, F.lit(True))
+    return clean, new_index_lines, new_index_counts
