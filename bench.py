@@ -228,6 +228,18 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     bfs_levels(chain, seeds, max_hops=5, src="src", dst="dst").count()
     extras["bfs_levels_200k_edges_5hops_sec"] = round(time.time() - t0, 3)
 
+    # neighborhood-Jaccard link prediction over the same 200k-edge graph
+    # with the hub-pivot cap engaged (the designed 100x path: canonical-
+    # entity hubs pivot nothing above the cap)
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import neighbor_jaccard
+
+    n_nj = neighbor_jaccard(
+        chain, src="src", dst="dst", max_pivot_degree=256
+    ).count()
+    extras["neighbor_jaccard_200k_edges_sec"] = round(time.time() - t0, 3)
+    extras["neighbor_jaccard_n_pairs"] = n_nj
+
     t0 = time.time()
     from spacy_llm_spark.operators.dedup import duplicated_ngram_stats
 
