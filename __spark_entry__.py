@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from spacy_llm_spark.corpus import CORPUS_ORACLE_SQL, corpus_from_documents
 from spacy_llm_spark.functions import text as textfn
 from spacy_llm_spark.kb import CODE_NER_DICT, CODE_REL_RULES, build_code_kb
-from spacy_llm_spark.operators import dedup, el, similarity
+from spacy_llm_spark.operators import dedup, el, fuzzy, similarity
 from spacy_llm_spark.pipeline import KGConfig, annotate_corpus
 from spacy_llm_spark.operators import materialize as mat
 
@@ -691,6 +691,50 @@ def q_dedup_cluster_reps(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.simhash_dup_pairs(docs, max_hamming=3)
     return dedup.dedup_clusters(pairs, docs)
+
+
+def _entity_names(spark, sf_dir):
+    """The entity-name universe fuzzy ER runs over: every customer and
+    supplier name (near-identical zero-padded identifiers — exactly the
+    one-edit-apart shape fuzzy matching exists for)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return customer.select(F.col("c_name").alias("name")).unionByName(
+        supplier.select(F.col("s_name").alias("name"))
+    )
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy entity resolution (fuzzy.fuzzy_pairs): deletion-neighborhood
+    blocking (FastSS — exact, never all-pairs) + native levenshtein
+    verify over the customer∪supplier name universe. The oracle
+    brute-forces the all-pairs definition, so equality proves the
+    blocking misses nothing."""
+    return fuzzy.fuzzy_pairs(_entity_names(spark, sf_dir), max_distance=1)
+
+
+def q_fuzzy_name_pairs_incremental(spark, sf_dir):
+    """Incremental fuzzy ER: suppliers + 80% of customers pre-keyed into
+    the persisted blocking index; the remaining customers arrive as a
+    batch and probe it (only the batch derives deletion variants).
+    pairs(old) ∪ probe(new) equals the full recompute, so it shares
+    fuzzy_name_pairs' brute-force oracle verbatim."""
+    from spacy_llm_spark.fs import cut_lineage
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    old = (
+        customer.where(F.col("c_custkey") % 5 != 0)
+        .select(F.col("c_name").alias("name"))
+        .unionByName(supplier.select(F.col("s_name").alias("name")))
+    )
+    batch = customer.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_name").alias("name")
+    )
+    idx = cut_lineage(fuzzy.fuzzy_index(old))
+    return fuzzy.fuzzy_pairs(old).unionByName(
+        fuzzy.fuzzy_pairs_probe(idx, batch)
+    )
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -1604,7 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        "dedup_cluster_reps": q_dedup_cluster_reps,
+        # --- fuzzy entity resolution (deletion-neighborhood blocking) ---
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # --- sub-document (span) dedup ---
         "dup_ngram_stats": q_dup_ngram_stats,
         # --- similarity search ---
@@ -1652,7 +1697,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family variants below — oracle-checked, not driver-stamped
         # (lemma/sentiment are parse-family variants of textcat_binary;
         # regional_revenue is a join-family variant of salted_repo_stats
-        # — swapped out in round 5 for the three new families above)
+        # — swapped out in round 5 for the three new families above;
+        # dedup_cluster_reps is the dedup family's 5th rep, swapped out
+        # for the fuzzy-ER family)
+        "dedup_cluster_reps": q_dedup_cluster_reps,
+        "fuzzy_name_pairs_incremental": q_fuzzy_name_pairs_incremental,
         "lemma_identity": q_lemma_identity,
         "sentiment_lexicon": q_sentiment_lexicon,
         "regional_revenue": q_regional_revenue,
@@ -2205,6 +2254,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY a
+""",
+        # brute-force all-pairs levenshtein — the definition the FastSS
+        # deletion-neighborhood blocking must reproduce exactly
+        "fuzzy_name_pairs": """
+WITH names AS (
+  SELECT DISTINCT name FROM (
+    SELECT c_name AS name FROM customer
+    UNION ALL SELECT s_name AS name FROM supplier
+  ) WHERE len(name) >= 4
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
 """,
         "corpus_clean": """
 WITH s AS (
@@ -2987,6 +3050,7 @@ FROM events GROUP BY 1
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]
     sql["dup_ngram_stats_incremental"] = sql["dup_ngram_stats"]
     sql["bm25_topk_indexed"] = sql["bm25_topk"]
+    sql["fuzzy_name_pairs_incremental"] = sql["fuzzy_name_pairs"]
     # scoped dedup: the verified-pair oracle plus a same-lang clause
     sql["lsh_dedup_scoped"] = """
 WITH doubled AS (

@@ -1,0 +1,239 @@
+"""Fuzzy entity resolution via deletion-neighborhood blocking.
+
+The reference resolves entity mentions by exact normalized-surface
+lookup into the KB (spacy_llm/tasks/entity_linker/util.py:14 builds the
+candidate dict from exact alias keys); a web-scale KG build also needs
+the approximate step — merging near-identical entity names / surface
+forms ("Customer#000000001" vs a one-typo variant) — with the same
+never-all-pairs discipline as the dedup family.
+
+Blocking here is EXACT, not probabilistic: two strings within edit
+distance ``d`` share at least one string in their ``<=d``-deletion
+neighborhoods (FastSS — Bocek et al., "Fast Similarity Search in Large
+Dictionaries", 2007). Generating every variant reachable by deleting up
+to ``d`` characters as blocking keys therefore yields a candidate
+SUPERSET; a native ``levenshtein()`` verify removes the false positives
+and nothing is ever missed. The result is bit-equal to the brute-force
+all-pairs definition — which is exactly what the DuckDB oracle computes.
+
+100 TB design: each string of length L contributes O(L^d) index rows
+(L+1 for the default d=1), so the blocking index is a constant factor
+over the input, not quadratic; the candidate join is a single equi-join
+on the variant key whose per-key group is the set of strings agreeing
+on all but the deleted positions — naturally small for identifier-like
+entity names. A dataset where one variant key genuinely fans out
+(millions of strings one edit apart) has a genuinely quadratic answer;
+``max_bucket_size`` is the opt-in safety cap for that shape, identical
+to the LSH hot-bucket cap (and like there, capping trades exactness for
+boundedness — leave it None to keep the oracle-exact contract). The
+verify runs BEFORE the pair-distinct so only true matches (rare) enter
+the dedup shuffle; levenshtein is JVM codegen, never a Python UDF.
+
+The persisted-index form follows the dedup-family contract
+(dedup.py:35-77): the stamp column NAME encodes format + build params
+(``_fmt_v2_fz_d1_l4``), probes refuse mismatched or unversioned frames
+schema-level, and ``pairs(old) UNION probe(new)`` is bit-equal to the
+full recompute — chained-batch equivalence is test-pinned and the
+incremental query shares the full oracle verbatim.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import connected_components
+from .dedup import LSH_INDEX_FORMAT, _cap_hot_buckets, _check_index_format, _index_stamp
+
+
+def _one_deletion(s: Column) -> Column:
+    """All strings reachable from ``s`` by deleting exactly one char.
+
+    Pure native expressions (sequence/transform/substr/concat) — stays
+    inside whole-stage codegen. Guarded for the empty string, where
+    sequence(1, 0) would yield a DESCENDING [1, 0] sequence in Spark.
+    """
+    variants = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - F.lit(1)),
+            F.substr(s, i + F.lit(1), F.length(s)),
+        ),
+    )
+    return F.when(F.length(s) > 0, variants).otherwise(F.array(s))
+
+
+def _deletion_variants(s: Column, max_deletions: int) -> Column:
+    """Every string reachable from ``s`` with 0..max_deletions deletions,
+    deduplicated. |result| is O(L^d); for d=1 it is at most L+1."""
+    if max_deletions < 1:
+        raise ValueError(f"max_deletions must be >= 1, got {max_deletions}")
+    levels = [F.array(s)]
+    for _ in range(max_deletions):
+        levels.append(
+            F.array_distinct(F.flatten(F.transform(levels[-1], _one_deletion)))
+        )
+    return F.array_distinct(F.concat(*levels))
+
+
+def _keyed(
+    df: DataFrame, text_col: str, max_distance: int, min_length: int
+) -> DataFrame:
+    """(name, bucket) — one row per distinct string per deletion variant.
+    Strings shorter than ``min_length`` are excluded on BOTH the index
+    and probe sides (short strings within distance d of each other are
+    mostly noise, and their variant keys are the hot ones)."""
+    return (
+        df.select(F.col(text_col).alias("name"))
+        .where(F.length("name") >= min_length)
+        .distinct()
+        .select(
+            "name",
+            F.explode(_deletion_variants(F.col("name"), max_distance)).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def _verify(cand: DataFrame, max_distance: int) -> DataFrame:
+    """levenshtein verify THEN pair-distinct: only true matches (rare)
+    pay the dedup shuffle; false candidates die in the codegen filter."""
+    return (
+        cand.withColumn(
+            "distance", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("distance") <= max_distance)
+        .dropDuplicates(["name_a", "name_b"])
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "name",
+    max_distance: int = 1,
+    min_length: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All pairs of DISTINCT strings within edit distance ``max_distance``
+    — (name_a, name_b, distance) with name_a < name_b — computed by
+    deletion-neighborhood blocking + native levenshtein verify. Exact
+    (equal to the brute-force cross-join definition) when
+    ``max_bucket_size`` is None.
+    """
+    keyed = _cap_hot_buckets(
+        _keyed(df, text_col, max_distance, min_length),
+        "name",
+        max_bucket_size,
+        what="fuzzy",
+    )
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.name") < F.col("r.name")),
+    ).select(F.col("l.name").alias("name_a"), F.col("r.name").alias("name_b"))
+    return _verify(cand, max_distance)
+
+
+# ---------------------------------------------------------------------------
+# Persisted blocking index + incremental probe (dedup-family contract)
+# ---------------------------------------------------------------------------
+
+
+def _fuzzy_stamp(max_distance: int, min_length: int) -> str:
+    return _index_stamp("fz", d=max_distance, l=min_length)
+
+
+def fuzzy_index(
+    df: DataFrame,
+    text_col: str = "name",
+    max_distance: int = 1,
+    min_length: int = 4,
+) -> DataFrame:
+    """Persistable deletion-variant blocking index: (name, bucket) plus
+    the ``_fmt_v{N}_fz_*`` stamp column encoding format + build params.
+    The standing corpus is keyed ONCE; daily batches probe it without
+    ever re-deriving old names' variants."""
+    return _keyed(df, text_col, max_distance, min_length).withColumn(
+        _fuzzy_stamp(max_distance, min_length), F.lit(LSH_INDEX_FORMAT)
+    )
+
+
+def fuzzy_index_append(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "name",
+    max_distance: int = 1,
+    min_length: int = 4,
+) -> DataFrame:
+    """index ∪ freshly-keyed batch — the post-probe maintenance step.
+    Refuses an index whose persisted params don't match this build."""
+    stamp = _fuzzy_stamp(max_distance, min_length)
+    _check_index_format(index, "fuzzy_index_append", stamp)
+    return index.select("name", "bucket", stamp).unionByName(
+        fuzzy_index(batch, text_col, max_distance, min_length)
+    )
+
+
+def fuzzy_pairs_probe(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "name",
+    max_distance: int = 1,
+    min_length: int = 4,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Pairs INVOLVING the batch: batch-vs-index plus (optionally)
+    batch-vs-batch, same output shape as :func:`fuzzy_pairs`. With the
+    index covering every previously seen name,
+    ``fuzzy_pairs(old) UNION probe(new)`` is bit-equal to
+    ``fuzzy_pairs(old ∪ new)`` — the FastSS superset property holds per
+    pair, so partitioning the pair space by "touches the batch" loses
+    nothing.
+    """
+    stamp = _fuzzy_stamp(max_distance, min_length)
+    _check_index_format(index, "fuzzy_pairs_probe", stamp)
+    pb = _keyed(batch, text_col, max_distance, min_length)
+    l, r = pb.alias("l"), index.alias("r")
+    cross = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.name") != F.col("r.name")),
+    ).select(
+        F.least("l.name", "r.name").alias("name_a"),
+        F.greatest("l.name", "r.name").alias("name_b"),
+    )
+    if include_new_pairs:
+        nl, nr = pb.alias("nl"), pb.alias("nr")
+        cross = cross.unionByName(
+            nl.join(
+                nr,
+                (F.col("nl.bucket") == F.col("nr.bucket"))
+                & (F.col("nl.name") < F.col("nr.name")),
+            ).select(
+                F.col("nl.name").alias("name_a"),
+                F.col("nr.name").alias("name_b"),
+            )
+        )
+    return _verify(cross, max_distance)
+
+
+def fuzzy_canonical_map(
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 2_000_000
+) -> DataFrame:
+    """(name, canonical) — connected components over the match pairs,
+    canonical = lexicographic min of each cluster, singletons excluded
+    (absent names are their own canonical). Routes through the existing
+    CC machinery (canonicalize.py), so the small-graph driver path and
+    the large-star/small-star distributed path both apply."""
+    comps = connected_components(
+        pairs.select(
+            F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+        ),
+        max_iter=max_iter,
+        driver_threshold=driver_threshold,
+    )
+    return comps.select(F.col("node").alias("name"), "component").join(
+        comps.groupBy("component").agg(F.min("node").alias("canonical")),
+        "component",
+    ).select("name", "canonical")

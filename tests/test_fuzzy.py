@@ -1,0 +1,136 @@
+"""Fuzzy entity-resolution tests: deletion-neighborhood blocking must be
+bit-equal to the brute-force all-pairs levenshtein definition (the FastSS
+superset property + verify), including the persisted-index probe form."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators import fuzzy
+
+
+def _brute(names, d, min_length):
+    """Reference implementation: all-pairs python-Levenshtein."""
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > d + 2:
+            return d + 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    kept = sorted({n for n in names if len(n) >= min_length})
+    return {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(kept, 2)
+        if lev(a, b) <= d
+    }
+
+
+NAMES = [
+    "Customer#000000001",
+    "Customer#000000002",  # 1 sub from above
+    "Customer#00000002",   # 1 deletion from 002
+    "Customer#0000000002", # 1 insertion from 002
+    "Customer#000000991",
+    "acme corp",
+    "acme corp.",          # 1 insertion
+    "acme  corp",          # 1 insertion (double space)
+    "zeta ltd",
+    "ab",                  # below min_length
+    "spark",
+    "spark",               # duplicate string — must not self-pair
+]
+
+
+@pytest.fixture(scope="module")
+def names_df(spark):
+    return spark.createDataFrame([(n,) for n in NAMES], "name string").cache()
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_pairs_match_brute_force(spark, names_df, d):
+    got = {
+        (r.name_a, r.name_b, r.distance)
+        for r in fuzzy.fuzzy_pairs(names_df, max_distance=d).collect()
+    }
+    assert got == _brute(NAMES, d, min_length=4)
+
+
+def test_min_length_excludes_short_strings(spark):
+    df = spark.createDataFrame([("ab",), ("ac",), ("abcd",)], "name string")
+    assert fuzzy.fuzzy_pairs(df, max_distance=1, min_length=4).count() == 0
+    got = fuzzy.fuzzy_pairs(df, max_distance=1, min_length=2).collect()
+    assert {(r.name_a, r.name_b) for r in got} == {("ab", "ac")}
+
+
+def test_exhaustive_small_alphabet(spark):
+    """Every string over {a,b} of length <= 4: adversarially dense edit
+    space — repeated chars make deletion variants collide heavily."""
+    universe = [
+        "".join(w)
+        for n in range(1, 5)
+        for w in itertools.product("ab", repeat=n)
+    ]
+    df = spark.createDataFrame([(n,) for n in universe], "name string")
+    got = {
+        (r.name_a, r.name_b, r.distance)
+        for r in fuzzy.fuzzy_pairs(df, max_distance=1, min_length=1).collect()
+    }
+    assert got == _brute(universe, 1, min_length=1)
+
+
+def test_probe_union_equals_full(spark, names_df):
+    """pairs(old) ∪ probe(new) == fuzzy_pairs(old ∪ new), chained twice."""
+    old = names_df.where(F.col("name").startswith("Customer"))
+    mid = names_df.where(F.col("name").startswith("acme"))
+    new = names_df.where(
+        ~F.col("name").startswith("Customer")
+        & ~F.col("name").startswith("acme")
+    )
+
+    idx = fuzzy.fuzzy_index(old)
+    acc = fuzzy.fuzzy_pairs(old)
+    for batch in (mid, new):
+        acc = acc.unionByName(fuzzy.fuzzy_pairs_probe(idx, batch))
+        idx = fuzzy.fuzzy_index_append(idx, batch)
+
+    full = fuzzy.fuzzy_pairs(names_df)
+    got = {(r.name_a, r.name_b, r.distance) for r in acc.collect()}
+    want = {(r.name_a, r.name_b, r.distance) for r in full.collect()}
+    assert got == want
+
+
+def test_probe_refuses_mismatched_index(spark, names_df):
+    idx = fuzzy.fuzzy_index(names_df, max_distance=1)
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        fuzzy.fuzzy_pairs_probe(idx, names_df, max_distance=2)
+    unversioned = idx.drop([c for c in idx.columns if c.startswith("_fmt")][0])
+    with pytest.raises(ValueError, match="no _fmt"):
+        fuzzy.fuzzy_pairs_probe(unversioned, names_df)
+
+
+def test_canonical_map(spark, names_df):
+    pairs = fuzzy.fuzzy_pairs(names_df, max_distance=1)
+    cmap = {
+        r.name: r.canonical
+        for r in fuzzy.fuzzy_canonical_map(pairs).collect()
+    }
+    # the three acme variants form one cluster under its lexicographic min
+    acme = {n for n in NAMES if n.startswith("acme")}
+    assert {cmap[n] for n in acme} == {min(acme)}
+    # zeta/spark have no <=1 matches: singletons are absent from the map
+    assert "zeta ltd" not in cmap and "spark" not in cmap
+
+
+def test_no_python_udf_in_plan(spark, names_df):
+    plan = fuzzy.fuzzy_pairs(names_df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
