@@ -1331,6 +1331,38 @@ def q_pretoken_count(spark, sf_dir):
     )
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Round-0 BPE training statistics (functions/bpe.py): corpus-wide
+    adjacent symbol-pair counts over char + end-of-word symbols, top 30
+    in the training tie-break order (count DESC, pair ASC) — exactly the
+    argmax stream the first merge round consumes. The corpus collapses
+    to the word-frequency table in ONE shuffle; pair stats aggregate
+    vocabulary-scale rows only."""
+    from spacy_llm_spark.functions import bpe
+
+    sym = bpe.initial_symbols(bpe.word_table(_docs(spark, sf_dir)))
+    return (
+        bpe.pair_counts(sym)
+        .select("a", "b", F.col("n_pairs").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("a"), F.asc("b"))
+        .limit(30)
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Induce 16 BPE merges from the corpus and encode it with them
+    (functions/bpe.py). Iterative argmax training + the data-dependent
+    lowest-rank-first encode loop are genuinely non-SQL-expressible, so
+    this entry carries the driver's rows-only check; full value parity
+    against a pure-Python Sennrich reference is pinned in
+    tests/test_bpe.py (train, encode, losslessness, hypothesis sweep)."""
+    from spacy_llm_spark.functions import bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_bpe(docs, n_merges=16)
+    return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic content-hashed train/val/test split — duplicates
     can never straddle splits; reproducible at any cluster size."""
@@ -1660,9 +1692,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
-        "kg_clustering_coeff": q_kg_clustering_coeff,
         # --- graph traversal (multi-source BFS) ---
         "kg_bfs_levels": q_kg_bfs_levels,
+        # --- tokenizer induction (BPE round-0 statistics) ---
+        # (kg_clustering_coeff moved below 50 to make room: it shares
+        # the oriented-wedge machinery with kg_triangles, so the graph
+        # family keeps degree/pagerank/triangles/BFS stamped reps)
+        "bpe_pair_counts": q_bpe_pair_counts,
         # --- corpus hygiene / text analysis ---
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
@@ -1699,7 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regional_revenue is a join-family variant of salted_repo_stats
         # — swapped out in round 5 for the three new families above;
         # dedup_cluster_reps is the dedup family's 5th rep, swapped out
-        # for the fuzzy-ER family)
+        # for the fuzzy-ER family; kg_clustering_coeff is the graph
+        # family's 5th rep, swapped out for BPE tokenizer induction)
+        "kg_clustering_coeff": q_kg_clustering_coeff,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "fuzzy_name_pairs_incremental": q_fuzzy_name_pairs_incremental,
         "lemma_identity": q_lemma_identity,
@@ -1755,6 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_texts": q_pack_texts,
         # incremental twin of line_dedup (shares its oracle verbatim)
         "line_dedup_incremental": q_line_dedup_incremental,
+        # iterative BPE train+encode — no SQL oracle by nature (the
+        # driver records its rows-only check); value parity is pinned
+        # against a pure-Python reference in tests/test_bpe.py
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2863,6 +2905,24 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        # round-0 BPE pair statistics: same pre-token pattern, chars +
+        # end-of-word marker, training tie-break order (count DESC,
+        # pair ASC) so the LIMIT-30 cut is deterministic on both sides
+        "bpe_pair_counts": (
+            "WITH words AS (\n"
+            "  SELECT unnest(regexp_extract_all(text, '{pat}')) AS w FROM documents\n"
+            "), idx AS (\n"
+            "  SELECT w, unnest(generate_series(1, len(w))) AS i FROM words\n"
+            "), pairs AS (\n"
+            "  SELECT substr(w, i, 1) AS a,\n"
+            "         CASE WHEN i < len(w) THEN substr(w, i + 1, 1)\n"
+            "              ELSE '</w>' END AS b\n"
+            "  FROM idx\n"
+            ")\n"
+            "SELECT a, b, CAST(count(*) AS BIGINT) AS n_pairs\n"
+            "FROM pairs GROUP BY a, b\n"
+            "ORDER BY n_pairs DESC, a, b LIMIT 30"
+        ).format(pat=textfn.PRETOKEN_PATTERN),
         "corpus_split": (
             "SELECT doc_id, CASE {ladder} END AS split FROM (\n"
             "  SELECT doc_id, CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT)\n"

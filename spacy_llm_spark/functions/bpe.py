@@ -1,0 +1,260 @@
+"""Distributed BPE subword-vocabulary induction (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units") over a
+document corpus, plus the matching greedy encoder.
+
+Tokenizer training is a first-class need of an LLM training-data
+pipeline that the reference stack (spacy-llm, reference
+``spacy_llm/tasks/*``) delegates to spaCy's fixed tokenizer — at
+100 TB you induce the vocabulary FROM the corpus. The Spark shape:
+
+1. **Corpus -> word table, ONE corpus-scale shuffle.** BPE statistics
+   are a pure function of the word-frequency table: pre-tokenize
+   (``text.PRETOKEN_PATTERN``, JVM regex), explode, ``groupBy(word)``.
+   A 100 TB corpus collapses to a vocabulary-scale table (millions of
+   rows, Zipf-bounded) after this single aggregation; every merge
+   round thereafter touches only the word table.
+2. **Merge rounds on the word table, no Python.** Each round counts
+   adjacent symbol pairs weighted by word frequency (JVM ``transform``
+   over the symbol array), takes the global argmax with a
+   deterministic tie-break (count DESC, then pair lexicographic ASC —
+   fully reproducible across cluster sizes), and rewrites the symbol
+   arrays with a left-to-right ``aggregate`` fold (also JVM). The only
+   driver traffic is the 1-row argmax per round.
+3. **Encode with broadcast merges.** The learned ranks are broadcast;
+   encoding applies the classic iterative lowest-rank-first loop per
+   word inside ``mapInPandas`` (Arrow batches) with a per-executor
+   word cache — Zipf makes the cache hit rate high. This loop is
+   data-dependent (each merge changes which pairs exist, and a later
+   merge can recreate a string equal to an earlier merge's component),
+   so it is the one place Python is warranted; a fixed unrolled
+   replace-in-rank-order pass is NOT equivalent in general and is not
+   used.
+
+Scale notes: the word table is cached between rounds and
+``localCheckpoint``-ed every ``checkpoint_every`` rounds so the plan
+does not grow linearly with merges; the per-round pair aggregation
+shuffles vocabulary-scale data only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import PRETOKEN_PATTERN
+
+END_OF_WORD = "</w>"
+
+
+# ---------------------------------------------------------------------------
+# word table + pair statistics (all JVM-side)
+# ---------------------------------------------------------------------------
+
+def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse a corpus to (word, n) — the one corpus-scale shuffle.
+
+    Pre-tokenizes with the shared GPT-2-style pattern so token budgets
+    measured by ``text.pretoken_count`` and the induced vocabulary agree
+    on what a "word" is.
+    """
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_PATTERN), 0)
+        ).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, n) -> (word, n, symbols): characters + the end-of-word
+    marker, the round-0 state of BPE training."""
+    return words.withColumn(
+        "symbols",
+        F.concat(
+            # chars via JVM regex split; Spark's split keeps trailing
+            # empties (limit=-1), and "(?!^)" matches at end-of-string
+            # too, so drop the phantom '' symbol explicitly
+            F.filter(F.split(F.col("word"), "(?!^)"), lambda s: F.length(s) > 0),
+            F.array(F.lit(END_OF_WORD)),
+        ),
+    )
+
+
+def pair_counts(sym: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the current symbol arrays, weighted by
+    word frequency. Returns (a, b, n_pairs), one vocabulary-scale
+    aggregation; no Python."""
+    pairs = sym.select(
+        F.col("n"),
+        F.explode(
+            F.expr(
+                "filter(transform(symbols, (s, i) -> "
+                "IF(i < size(symbols) - 1, "
+                "struct(s AS a, symbols[i + 1] AS b), NULL)), "
+                "p -> p IS NOT NULL)"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("n").alias("n_pairs")
+    )
+
+
+def merge_pair_expr(a: str, b: str):
+    """Left-to-right single-pass rewrite of one merge over a symbol
+    array, as a JVM ``aggregate`` fold: append each symbol unless it
+    completes an (a, b) adjacency with the accumulator's tail, in which
+    case the tail is replaced by the merged token.
+
+    The pass is non-overlapping by construction — ``a a a`` with merge
+    (a, a) fuses the first two and leaves the third, because the fused
+    tail ``a + b`` can never equal ``a`` again (``b`` is non-empty), so
+    a fresh merge can never chain onto itself. This matches Sennrich's
+    training-side replacement exactly.
+    """
+    qa, qb = _sql_quote(a), _sql_quote(b)
+    merged = _sql_quote(a + b)
+    return F.expr(
+        "aggregate(symbols, CAST(array() AS array<string>), "
+        "  (acc, s) -> IF("
+        f"    size(acc) > 0 AND element_at(acc, -1) = {qa} AND s = {qb}, "
+        f"    concat(slice(acc, 1, size(acc) - 1), array({merged})), "
+        "     concat(acc, array(s))))"
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# training loop
+# ---------------------------------------------------------------------------
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+    checkpoint_every: int = 8,
+) -> List[Tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a corpus. Returns the merge
+    list in rank order; stops early when no pair clears ``min_count``.
+
+    Per round: one vocabulary-scale pair aggregation + a 1-row argmax
+    collect + a narrow JVM rewrite. Deterministic (ties broken on the
+    pair itself), so the same corpus yields the same vocabulary at any
+    parallelism — the property that lets two cluster sizes share one
+    tokenizer.
+    """
+    sym = initial_symbols(word_table(df, text_col)).cache()
+    sym.count()  # materialize before the loop
+    merges: List[Tuple[str, str]] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                pair_counts(sym)
+                .orderBy(F.desc("n_pairs"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n_pairs"] < min_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = sym.withColumn("symbols", merge_pair_expr(a, b))
+            if (rank + 1) % checkpoint_every == 0:
+                # cut the growing fold-chain lineage; on a real cluster
+                # use a reliable checkpoint dir instead
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.cache()
+                nxt.count()
+            sym.unpersist()
+            sym = nxt
+    finally:
+        sym.unpersist()
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# encoding (broadcast merges + Arrow batches)
+# ---------------------------------------------------------------------------
+
+def encode_word(word: str, ranks: dict) -> List[str]:
+    """Classic iterative BPE encode of one word: repeatedly merge ALL
+    occurrences of the lowest-rank adjacent pair present. Pure Python —
+    the reference algorithm the distributed path must match."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, syms[i], syms[i + 1])
+        if best is None:
+            break
+        _, a, b = best
+        out: List[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_bpe(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    id_cols: Iterable[str] = ("doc_id",),
+) -> DataFrame:
+    """Encode a corpus with a learned merge list: broadcast ranks,
+    Arrow-batched ``mapInPandas``, per-executor word cache (Zipf word
+    reuse makes the cache the fast path). Output keeps ``id_cols`` and
+    adds ``out_col`` (array<string>) + ``n_bpe_tokens``."""
+    import re
+
+    spark = df.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+    pat = re.compile(PRETOKEN_PATTERN)
+    ids = list(id_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = ranks_bc.value
+        cache: dict = {}
+
+        def enc(text: str) -> List[str]:
+            toks: List[str] = []
+            for w in pat.findall(text or ""):
+                got = cache.get(w)
+                if got is None:
+                    got = encode_word(w, ranks)
+                    if len(cache) < 200_000:  # bound executor memory
+                        cache[w] = got
+                toks.extend(got)
+            return toks
+
+        for pdf in batches:
+            encoded = pdf[text_col].map(enc)
+            out = pdf[ids].copy()
+            out[out_col] = encoded
+            out["n_bpe_tokens"] = encoded.map(len).astype("int64")
+            yield out
+
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in ids]
+        + [f"{out_col} array<string>", "n_bpe_tokens bigint"]
+    )
+    return df.select(*ids, text_col).mapInPandas(run, schema=schema)

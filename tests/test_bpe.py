@@ -1,0 +1,127 @@
+"""BPE induction + encode (functions/bpe.py) against a pure-Python
+reference implementation of Sennrich et al.'s algorithm."""
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spacy_llm_spark.functions import bpe
+from spacy_llm_spark.functions.text import PRETOKEN_PATTERN
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference (word-count dict -> merges), same tie-break
+# ---------------------------------------------------------------------------
+
+def ref_train(texts, n_merges, min_count=1):
+    pat = re.compile(PRETOKEN_PATTERN)
+    words = Counter(w for t in texts for w in pat.findall(t))
+    vocab = {w: list(w) + [bpe.END_OF_WORD] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            n = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # count DESC, then pair lexicographic ASC — mirror train_bpe
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+CORPUS = [
+    "low lower lowest",
+    "new newer newest",
+    "wider wide widest",
+    "low low low new new wide",
+    "the quick brown fox jumps over the lazy dog",
+    "sha256(hash) != sha256(hash2)",
+]
+
+
+def test_train_matches_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string")
+    got = bpe.train_bpe(df, n_merges=20)
+    assert got == ref_train(CORPUS, 20)
+
+
+def test_train_deterministic(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string")
+    a = bpe.train_bpe(df, n_merges=10)
+    b = bpe.train_bpe(df, n_merges=10)
+    assert a == b and len(a) == 10
+
+
+def test_train_early_stop_min_count(spark):
+    df = spark.createDataFrame([(0, "ab ab cd")], "doc_id int, text string")
+    merges = bpe.train_bpe(df, n_merges=50, min_count=2)
+    # only pairs seen >=2 times may merge; "cd"-only pairs stop the loop
+    assert all(m in {("a", "b"), ("ab", bpe.END_OF_WORD)} for m in merges)
+
+
+def test_merge_pair_expr_non_overlapping(spark):
+    df = spark.createDataFrame([(["a", "a", "a"],)], "symbols array<string>")
+    out = df.select(bpe.merge_pair_expr("a", "a").alias("s")).head()[0]
+    assert out == ["aa", "a"]
+
+
+def test_merge_pair_expr_quoting(spark):
+    df = spark.createDataFrame([(["'", "\\", "'"],)], "symbols array<string>")
+    out = df.select(bpe.merge_pair_expr("'", "\\").alias("s")).head()[0]
+    assert out == ["'\\", "'"]
+
+
+def test_encode_matches_per_word_reference(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string")
+    merges = bpe.train_bpe(df, n_merges=15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    pat = re.compile(PRETOKEN_PATTERN)
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe.encode_bpe(df, merges).collect()}
+    for i, t in enumerate(CORPUS):
+        want = [s for w in pat.findall(t) for s in bpe.encode_word(w, ranks)]
+        assert enc[i] == want, t
+
+
+def test_encode_roundtrip_lossless(spark):
+    """Concatenating BPE tokens (minus end-of-word markers) reproduces
+    the pre-token stream — merging never drops characters."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string")
+    merges = bpe.train_bpe(df, n_merges=12)
+    pat = re.compile(PRETOKEN_PATTERN)
+    for r in bpe.encode_bpe(df, merges).collect():
+        flat = "".join(r["bpe_tokens"]).replace(bpe.END_OF_WORD, "")
+        assert flat == "".join(pat.findall(CORPUS[r["doc_id"]]))
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ()!", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_property_train_matches_reference(spark, texts, n_merges):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    assert bpe.train_bpe(df, n_merges=n_merges) == ref_train(texts, n_merges)
