@@ -1584,6 +1584,17 @@ def q_kg_clustering_coeff(spark, sf_dir):
     return graph.clustering_coefficient(edges)
 
 
+def q_kg_kcore(spark, sf_dir):
+    """3-core of the KG (operators/graph.py k_core): iterative peeling
+    leaves the densely cross-referenced entity core — low-engagement
+    surface forms fall away. Per round one degree aggregation + two
+    anti-joins; fixpoint observed during the lineage cut."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    return graph.k_core(edges, k=3)
+
+
 def q_kg_neighbor_jaccard(spark, sf_dir):
     """Neighborhood-Jaccard link prediction over the KG: vertex pairs
     sharing >= 2 neighbors, scored |N∩N|/|N∪N| — the entity-resolution
@@ -1738,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the fuzzy-ER family; kg_clustering_coeff is the graph
         # family's 5th rep, swapped out for BPE tokenizer induction)
         "kg_clustering_coeff": q_kg_clustering_coeff,
+        "kg_kcore": q_kg_kcore,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "fuzzy_name_pairs_incremental": q_fuzzy_name_pairs_incremental,
         "lemma_identity": q_lemma_identity,
@@ -1919,6 +1931,39 @@ SELECT CAST(v.event_id AS BIGINT) AS event_id,
        j.click_value
 FROM views v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
 """
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """k-core peeling unrolled to a fixed round count (chained CTEs —
+    same discipline as the BFS/pagerank oracles; peeling is
+    anti-monotone so recursive CTEs cannot express it). Extra rounds
+    past the fixpoint are no-ops, so ``rounds`` only needs to be an
+    upper bound; a value mismatch in the sweep would expose an
+    under-unrolled oracle. NOT IN is null-safe here because vertices
+    are never NULL."""
+    # MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    # its predecessor 3x — un-materialized, the expansion (and the
+    # parquet re-opens under it) grows 3^rounds
+    parts = [
+        ", e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS lo,"
+        " greatest(subj, obj) AS hi FROM edges WHERE subj <> obj)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT v, count(*) AS c FROM ("
+            f"SELECT lo AS v FROM e{i} UNION ALL SELECT hi FROM e{i})"
+            f" GROUP BY v)"
+            f", b{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE c < {k})"
+            f", e{i + 1} AS MATERIALIZED (SELECT lo, hi FROM e{i}"
+            f" WHERE lo NOT IN (SELECT v FROM b{i})"
+            f" AND hi NOT IN (SELECT v FROM b{i}))"
+        )
+    parts.append(
+        f"\nSELECT v AS vertex, CAST(count(*) AS BIGINT) AS degree FROM ("
+        f"SELECT lo AS v FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})"
+        f" GROUP BY v"
+    )
+    return "\n".join(parts)
 
 
 def _pii_aug_sql() -> str:
@@ -2730,6 +2775,10 @@ SELECT deg.vertex,
                   ELSE 0.0 END, 6) AS coeff
 FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex
 """,
+        # 12 unrolled peel rounds — generous upper bound for the sf0.01
+        # graph (surface leaves peel in round 1; the entity core is
+        # stable); extra rounds are fixpoint no-ops
+        "kg_kcore": m + _EDGES_CTE + _kcore_unrolled_sql(k=3, rounds=12),
         # BFS unrolled to the query's max_hops=3 (one frontier CTE per
         # hop — same chained-CTE discipline as the pagerank oracle);
         # NOT IN is null-safe here because vertices are never NULL.

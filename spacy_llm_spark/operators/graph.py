@@ -393,3 +393,84 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(vertex, degree): the k-core of the undirected distinct edge set
+    — the maximal subgraph in which every vertex keeps degree >= k.
+    The standard KG-pruning primitive: peeling off low-engagement
+    surface forms leaves the densely cross-referenced entity core.
+
+    Iterative peeling (Batagelj–Zaveršnik semantics, synchronous
+    rounds): each round computes degrees over the surviving edges and
+    drops every vertex below k together with its incident edges.
+    Removals only ever lower neighbour degrees, so the fixpoint is
+    unique and order-independent — any peeling schedule converges to
+    the same core, which is what makes the synchronous distributed
+    rounds exact.
+
+    Scale shape: per round ONE degree aggregation + two anti-joins, all
+    keyed on the vertex id (the dropped-vertex side is tiny and AQE
+    broadcasts it at runtime — no hint planted); the edge set shrinks
+    monotonically and is lineage-cut per round with the surviving edge
+    count observed DURING the cut's materialization (``df.observe`` —
+    zero extra scans, same discipline as ``bfs_levels``). Fixpoint is
+    detected as an unchanged edge count: every sub-``k`` vertex still
+    present owns >= 1 surviving edge, so a round that drops nobody is
+    exactly a round that removes no edge.
+
+    Reference analogue: none — driver-memory KBs (reference
+    spacy_llm/tasks/entity_linker/registry.py) cannot express corpus-
+    scale graph pruning; cited for parity accounting only.
+    """
+    from pyspark.sql import Observation
+
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    und = fs.cut_lineage(_undirected_edges(edges, src, dst))
+    n_edges = und.count()
+    converged = False
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            return und.sparkSession.createDataFrame(
+                [], "vertex string, degree long"
+            )
+        deg = (
+            und.select(F.col("lo").alias("v"))
+            .unionByName(und.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        bad = deg.where(F.col("d") < k).select("v")
+        obs = Observation()
+        nxt = (
+            und.join(bad.withColumnRenamed("v", "lo"), "lo", "left_anti")
+            .join(bad.withColumnRenamed("v", "hi"), "hi", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        nxt = fs.cut_lineage(nxt)
+        n_next = obs.get["n"]
+        if n_next == n_edges:
+            converged = True
+            break
+        und, n_edges = nxt, n_next
+    if not converged and n_edges > 0:
+        # a partially peeled graph is NOT a k-core; never return it
+        # (an empty survivor set IS converged: the core is empty)
+        raise RuntimeError(
+            f"k_core did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (each round removes >= 1 edge, so "
+            "max_rounds=|E| always suffices)"
+        )
+    return (
+        und.select(F.col("lo").alias("vertex"))
+        .unionByName(und.select(F.col("hi").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -955,3 +955,81 @@ def test_frequent_items_approx_brackets_truth(spark):
         assert lb <= true[item] <= ub
     # the dominant item always survives a capacity-2 sketch of 3 items
     assert "a" in tight
+
+
+# ---------------------------------------------------------------- k-core
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "subj string, obj string"
+    )
+
+
+def _ref_k_core(pairs, k):
+    """Pure-Python peeling reference."""
+    edges = {frozenset((a, b)) for a, b in pairs if a != b}
+    while True:
+        deg = {}
+        for e in edges:
+            for v in e:
+                deg[v] = deg.get(v, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {e for e in edges if not (e & bad)}
+
+
+def test_k_core_triangle_with_tail(spark):
+    from spacy_llm_spark.operators.graph import k_core
+
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    got = {r["vertex"]: r["degree"] for r in k_core(edges, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_cascading_peel_to_empty(spark):
+    from spacy_llm_spark.operators.graph import k_core
+
+    # path graph: each peel round exposes the next endpoint; 2-core empty
+    path = [("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v3", "v4")]
+    assert k_core(_edges_df(spark, path), 2).count() == 0
+
+
+def test_k_core_k1_keeps_all_and_direction_dupes_collapse(spark):
+    from spacy_llm_spark.operators.graph import k_core
+
+    edges = _edges_df(
+        spark, [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "c")]
+    )
+    got = {r["vertex"]: r["degree"] for r in k_core(edges, 1).collect()}
+    # parallel + reversed edges collapse; self-loop dropped
+    assert got == {"a": 1, "b": 2, "c": 1}
+
+
+def test_k_core_non_convergence_raises(spark):
+    import pytest
+
+    from spacy_llm_spark.operators.graph import k_core
+
+    path = [("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v3", "v4")]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(_edges_df(spark, path), 2, max_rounds=1)
+
+
+def test_k_core_empty_input(spark):
+    from spacy_llm_spark.operators.graph import k_core
+
+    assert k_core(_edges_df(spark, []), 2).count() == 0
+
+
+def test_k_core_matches_reference_on_random_graph(spark):
+    import random
+
+    from spacy_llm_spark.operators.graph import k_core
+
+    rng = random.Random(7)
+    verts = [f"n{i}" for i in range(40)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(120)]
+    for k in (2, 3, 4):
+        got = {r["vertex"]: r["degree"] for r in k_core(_edges_df(spark, pairs), k).collect()}
+        assert got == _ref_k_core(pairs, k), f"k={k}"
