@@ -1584,6 +1584,25 @@ def q_kg_clustering_coeff(spark, sf_dir):
     return graph.clustering_coefficient(edges)
 
 
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank seeded at the canonical K1xx entities
+    (operators/graph.py personalized_pagerank): relevance-to-the-seeds
+    ranking — teleport and dangling mass return to the seed set, so
+    disconnected surface clusters score exactly 0."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("subj").alias("v"))
+        .unionByName(edges.select(F.col("obj").alias("v")))
+        .where(F.col("v").startswith("K1"))
+        .distinct()
+    )
+    return graph.personalized_pagerank(edges, seeds).select(
+        "vertex", F.round("rank", 6).alias("ppr")
+    )
+
+
 def q_kg_kcore(spark, sf_dir):
     """3-core of the KG (operators/graph.py k_core): iterative peeling
     leaves the densely cross-referenced entity core — low-engagement
@@ -1750,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family's 5th rep, swapped out for BPE tokenizer induction)
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
+        "kg_ppr": q_kg_ppr,
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "fuzzy_name_pairs_incremental": q_fuzzy_name_pairs_incremental,
         "lemma_identity": q_lemma_identity,
@@ -1963,6 +1983,38 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
         f"SELECT lo AS v FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})"
         f" GROUP BY v"
     )
+    return "\n".join(parts)
+
+
+def _ppr_unrolled_sql(iters: int, d: float, seed_pred: str) -> str:
+    """Personalized-PageRank power iteration unrolled (chained
+    MATERIALIZED CTEs — same discipline and 10 dp round-quantization as
+    the kg_pagerank oracle, with the teleport/dangling mass weighted by
+    the per-node seed weight instead of 1/N)."""
+    parts = [
+        ", de AS MATERIALIZED (SELECT DISTINCT subj AS s, obj AS t FROM edges)",
+        ", outd AS MATERIALIZED (SELECT s, count(*) AS dg FROM de GROUP BY s)",
+        ", nodes AS MATERIALIZED (SELECT s AS v FROM de UNION SELECT t FROM de)",
+        f", sd AS MATERIALIZED (SELECT v FROM nodes WHERE {seed_pred})",
+        ", ns AS (SELECT count(*) AS n FROM sd)",
+        ", base AS MATERIALIZED (SELECT n.v, CASE WHEN s.v IS NOT NULL"
+        " THEN 1.0 / ns.n ELSE 0.0 END AS sw"
+        " FROM nodes n LEFT JOIN sd s ON s.v = n.v, ns)",
+        ", p0 AS MATERIALIZED (SELECT v, round(sw, 10) AS r FROM base)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS MATERIALIZED (SELECT e.t AS v, sum(p.r / o.dg) AS contrib"
+            f" FROM p{i - 1} p JOIN de e ON e.s = p.v"
+            f" JOIN outd o ON o.s = p.v GROUP BY e.t)"
+            f", dd{i} AS MATERIALIZED (SELECT coalesce(sum(p.r), 0) AS dm"
+            f" FROM p{i - 1} p LEFT JOIN outd o ON o.s = p.v WHERE o.s IS NULL)"
+            f", p{i} AS MATERIALIZED (SELECT b.v,"
+            f" round((1 - {d}) * b.sw + {d} * (coalesce(c.contrib, 0)"
+            f" + dd{i}.dm * b.sw), 10) AS r"
+            f" FROM base b LEFT JOIN c{i} c ON c.v = b.v, dd{i})"
+        )
+    parts.append(f"\nSELECT v AS vertex, round(r, 6) AS ppr FROM p{iters}")
     return "\n".join(parts)
 
 
@@ -2779,6 +2831,9 @@ FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex
         # graph (surface leaves peel in round 1; the entity core is
         # stable); extra rounds are fixpoint no-ops
         "kg_kcore": m + _EDGES_CTE + _kcore_unrolled_sql(k=3, rounds=12),
+        "kg_ppr": m
+        + _EDGES_CTE
+        + _ppr_unrolled_sql(iters=5, d=0.85, seed_pred="v LIKE 'K1%'"),
         # BFS unrolled to the query's max_hops=3 (one frontier CTE per
         # hop — same chained-CTE discipline as the pagerank oracle);
         # NOT IN is null-safe here because vertices are never NULL.

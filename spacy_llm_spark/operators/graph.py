@@ -474,3 +474,93 @@ def k_core(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    damping: float = 0.85,
+    quantum: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: damped power iteration whose teleport
+    (and dangling) mass returns to the SEED set instead of the uniform
+    vector — (vertex, ppr) is relevance relative to the seeds, the
+    standard "which entities matter to this topic/repo" KG ranking.
+
+    Same per-round shape and determinism discipline as ``pagerank``
+    (one vertex-keyed join + one groupBy + a broadcast 1-row dangling
+    frame; 10 dp quantization keeps float summation order out of the
+    result): the seed weight is folded into the materialized rank
+    frame once — (vertex, out_degree, seed_w, rank) — so rounds never
+    rejoin the seed table. Seeds absent from the graph are dropped
+    (they can neither emit nor receive mass); an empty effective seed
+    set raises.
+    """
+    e = fs.cut_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    )
+    nodes = fs.cut_lineage(
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .distinct()
+    )
+    seed_set = (
+        seeds.select(F.col(seeds.columns[0]).alias("vertex"))
+        .distinct()
+        .join(nodes, "vertex", "left_semi")
+    )
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is present in the graph")
+    d = float(damping)
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("_outdeg"))
+
+    ranks = fs.cut_lineage(
+        nodes.join(out_deg, nodes["vertex"] == out_deg["s"], "left")
+        .join(seed_set.withColumn("_is_seed", F.lit(True)), "vertex", "left")
+        .select(
+            "vertex",
+            "_outdeg",
+            F.when(F.col("_is_seed"), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("_sw"),
+        )
+        .withColumn("rank", F.round(F.col("_sw"), quantum))
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.where(F.col("_outdeg").isNotNull())
+            .select("vertex", (F.col("rank") / F.col("_outdeg")).alias("share"))
+            .join(e, F.col("vertex") == e["s"])
+            .groupBy(F.col("t").alias("vertex"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_outdeg").isNull(), F.col("rank"))), F.lit(0.0)
+            ).alias("dm")
+        )
+        ranks = fs.cut_lineage(
+            ranks.select("vertex", "_outdeg", "_sw")
+            .join(contrib, "vertex", "left")
+            .crossJoin(broadcast(dangling))
+            .select(
+                "vertex",
+                "_outdeg",
+                "_sw",
+                F.round(
+                    F.lit(1.0 - d) * F.col("_sw")
+                    + F.lit(d)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") * F.col("_sw")
+                    ),
+                    quantum,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("vertex", "rank")

@@ -1033,3 +1033,79 @@ def test_k_core_matches_reference_on_random_graph(spark):
     for k in (2, 3, 4):
         got = {r["vertex"]: r["degree"] for r in k_core(_edges_df(spark, pairs), k).collect()}
         assert got == _ref_k_core(pairs, k), f"k={k}"
+
+
+# --------------------------------------------------- personalized pagerank
+
+def _ref_ppr(pairs, seeds, iters=5, d=0.85, quantum=10):
+    edges = sorted(set(pairs))
+    nodes = sorted({v for e in edges for v in e})
+    seeds = [s for s in sorted(set(seeds)) if s in nodes]
+    sw = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: round(sw[v], quantum) for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += r[s] / outd[s]
+        dm = sum(r[v] for v in nodes if v not in outd)
+        r = {
+            v: round((1 - d) * sw[v] + d * (contrib[v] + dm * sw[v]), quantum)
+            for v in nodes
+        }
+    return r
+
+
+_PPR_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+    ("e", "a"), ("x", "y"),  # (x, y) is a sink component
+]
+
+
+def test_ppr_matches_reference(spark):
+    from spacy_llm_spark.operators.graph import personalized_pagerank
+
+    edges = _edges_df(spark, _PPR_EDGES)
+    seeds = spark.createDataFrame([("a",), ("c",)], "v string")
+    got = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds).collect()
+    }
+    want = _ref_ppr(_PPR_EDGES, ["a", "c"])
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_ppr_unreachable_component_gets_zero_and_mass_conserved(spark):
+    from spacy_llm_spark.operators.graph import personalized_pagerank
+
+    edges = _edges_df(spark, _PPR_EDGES)
+    seeds = spark.createDataFrame([("a",)], "v string")
+    rows = personalized_pagerank(edges, seeds).collect()
+    got = {r["vertex"]: r["rank"] for r in rows}
+    # x/y can never be reached from seed a; teleport skips non-seeds
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_ppr_absent_seeds_dropped_then_raise(spark):
+    import pytest
+
+    from spacy_llm_spark.operators.graph import personalized_pagerank
+
+    edges = _edges_df(spark, _PPR_EDGES)
+    mixed = spark.createDataFrame([("a",), ("zzz",)], "v string")
+    got = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank(edges, mixed).collect()
+    }
+    want = _ref_ppr(_PPR_EDGES, ["a"])  # zzz silently dropped
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("zzz",)], "v string")
+        )
