@@ -1331,6 +1331,17 @@ def q_pretoken_count(spark, sf_dir):
     )
 
 
+def q_profile_documents(spark, sf_dir):
+    """Single-pass corpus card over the documents table
+    (operators/profile.py): every column's null rate, cardinality,
+    native-ordering min/max, and string mean length in ONE aggregation
+    over ONE scan — the pre-mix shape check a 100 TB corpus gets before
+    anything else runs."""
+    from spacy_llm_spark.operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir))
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Round-0 BPE training statistics (functions/bpe.py): corpus-wide
     adjacent symbol-pair counts over char + end-of-word symbols, top 30
@@ -1734,9 +1745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # --- relevance scoring (BM25) ---
         "bm25_topk": q_bm25_topk,
-        "corpus_clean": q_corpus_clean,
         "quality_score": q_quality_score,
         "detect_language": q_detect_language,
+        # --- dataset profiling (corpus card) ---
+        # (corpus_clean moved below 50 to make room: it composes the
+        # same quality_exprs machinery quality_score stamps)
+        "profile_documents": q_profile_documents,
         # --- sampling ---
         "stratified_sample": q_stratified_sample,
         # --- sequence packing (training-batch assembly) ---
@@ -1766,7 +1780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — swapped out in round 5 for the three new families above;
         # dedup_cluster_reps is the dedup family's 5th rep, swapped out
         # for the fuzzy-ER family; kg_clustering_coeff is the graph
-        # family's 5th rep, swapped out for BPE tokenizer induction)
+        # family's 5th rep, swapped out for BPE tokenizer induction;
+        # corpus_clean is the quality family's 3rd rep, swapped out for
+        # dataset profiling)
+        "corpus_clean": q_corpus_clean,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
         "kg_ppr": q_kg_ppr,
@@ -1984,6 +2001,35 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
         f" GROUP BY v"
     )
     return "\n".join(parts)
+
+
+def _profile_sql(table: str, cols: list) -> str:
+    """Mirror of operators/profile.py profile_table: one wide aggregate
+    CTE, unpivoted by a constant-size UNION ALL. ``cols`` is
+    [(name, is_string)] in the table's column order."""
+    aggs = ["count(*) AS n"]
+    for c, is_str in cols:
+        aggs.append(f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+        aggs.append(f"CAST(min({c}) AS VARCHAR) AS mn_{c}")
+        aggs.append(f"CAST(max({c}) AS VARCHAR) AS mx_{c}")
+        if is_str:
+            aggs.append(f"avg(len({c})) AS al_{c}")
+    rows = []
+    for c, is_str in cols:
+        al = f"round(al_{c}, 6)" if is_str else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"SELECT '{c}' AS \"column\", CAST(n AS BIGINT) AS n_rows,\n"
+            f"  CAST(nn_{c} AS BIGINT) AS n_nulls,\n"
+            f"  round(CAST(nn_{c} AS DOUBLE) / n, 6) AS null_rate,\n"
+            f"  CAST(nd_{c} AS BIGINT) AS n_distinct,\n"
+            f"  mn_{c} AS min_value, mx_{c} AS max_value,\n"
+            f"  {al} AS avg_len FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + f" FROM {table})\n"
+        + "\nUNION ALL\n".join(rows)
+    )
 
 
 def _ppr_unrolled_sql(iters: int, d: float, seed_pred: str) -> str:
@@ -3009,6 +3055,16 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "profile_documents": _profile_sql(
+            "documents",
+            [
+                ("doc_id", False),
+                ("text", True),
+                ("lang", True),
+                ("source", True),
+                ("n_chars", False),
+            ],
+        ),
         # round-0 BPE pair statistics: same pre-token pattern, chars +
         # end-of-word marker, training tie-break order (count DESC,
         # pair ASC) so the LIMIT-30 cut is deterministic on both sides

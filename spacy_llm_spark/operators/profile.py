@@ -1,0 +1,108 @@
+"""Single-pass dataset profiling — the "corpus card" primitive.
+
+Before a 100 TB corpus goes into a training mix, the first question is
+always shape: null rates, cardinalities, value ranges, text lengths,
+per column. The naive approach runs one job per column per statistic;
+at petabyte scale that re-reads the corpus dozens of times. This
+profiler computes EVERY column's statistics in ONE aggregation over
+ONE scan:
+
+- per column: row count, null count, distinct count, min/max (rendered
+  to strings AFTER native-type comparison, so ordering is typed), and
+  mean length for string columns;
+- the wide 1-row aggregate is then unpivoted driver-side into one row
+  per column (a constant-size reshape — the aggregate row is a few
+  cells per column, never data-scale).
+
+Distinct counts are exact by default (Spark's multi-distinct aggregate
+expands the input once per distinct column inside the same shuffle —
+still one scan); ``approx=True`` swaps in HLL ``approx_count_distinct``
+(single expand-free pass, ~2% error) for the cardinality-heavy cases
+where exactness is not worth the expand. The oracle queries use the
+exact form.
+
+Reference analogue: none — spacy-llm profiles nothing; cited for
+parity accounting only. This is the operational complement to
+functions/text.py's per-document quality features.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Iterable[str]] = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, n_rows, n_nulls, null_rate, n_distinct, min_value,
+    max_value, avg_len). ``min/max_value`` are min/max in the column's
+    NATIVE ordering rendered to string; ``avg_len`` is the mean string
+    length (NULL for non-string columns); ``null_rate`` rounded to 6 dp.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_nn_{c}")
+        )
+        aggs.append(
+            (
+                F.approx_count_distinct(c, rsd) if approx else F.count_distinct(col)
+            ).alias(f"_nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"_mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_mx_{c}"))
+        if isinstance(df.schema[c].dataType, StringType):
+            aggs.append(F.avg(F.length(col)).alias(f"_al_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_al_{c}"))
+    wide = df.agg(*aggs)
+
+    # unpivot the 1-row aggregate into per-column rows: a stack() over a
+    # constant-size frame — never touches the data again
+    stack_args = []
+    for c in cols:
+        stack_args.extend(
+            [
+                F.lit(c),
+                F.col(f"_nn_{c}"),
+                F.col(f"_nd_{c}"),
+                F.col(f"_mn_{c}"),
+                F.col(f"_mx_{c}"),
+                F.col(f"_al_{c}"),
+            ]
+        )
+    return (
+        wide.select(
+            F.col("_n"),
+            F.stack(
+                F.lit(len(cols)),
+                *stack_args,
+            ).alias("column", "_nn", "_nd", "min_value", "max_value", "_al"),
+        )
+        .select(
+            "column",
+            F.col("_n").cast("long").alias("n_rows"),
+            F.col("_nn").cast("long").alias("n_nulls"),
+            F.round(F.try_divide(F.col("_nn"), F.col("_n")), 6).alias("null_rate"),
+            F.col("_nd").cast("long").alias("n_distinct"),
+            "min_value",
+            "max_value",
+            F.round(F.col("_al"), 6).alias("avg_len"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Single-pass table profiler (operators/profile.py)."""
+
+import pytest
+
+from spacy_llm_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    rows = [
+        (1, "alpha", 10.0),
+        (2, "bravo", None),
+        (3, None, 30.0),
+        (3, "alpha", 30.0),
+    ]
+    return spark.createDataFrame(rows, "id bigint, name string, score double")
+
+
+def test_profile_values(sample):
+    got = {r["column"]: r.asDict() for r in profile_table(sample).collect()}
+    assert set(got) == {"id", "name", "score"}
+
+    i = got["id"]
+    assert (i["n_rows"], i["n_nulls"], i["n_distinct"]) == (4, 0, 3)
+    assert (i["min_value"], i["max_value"]) == ("1", "3")
+    assert i["null_rate"] == 0.0 and i["avg_len"] is None
+
+    n = got["name"]
+    assert (n["n_nulls"], n["n_distinct"]) == (1, 2)
+    assert (n["min_value"], n["max_value"]) == ("alpha", "bravo")
+    assert n["null_rate"] == 0.25
+    assert n["avg_len"] == 5.0  # mean of 5,5,5 (nulls excluded)
+
+    s = got["score"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert s["avg_len"] is None
+
+
+def test_profile_column_subset_and_errors(sample):
+    got = profile_table(sample, columns=["name"]).collect()
+    assert len(got) == 1 and got[0]["column"] == "name"
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(sample, columns=["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(sample, columns=[])
+
+
+def test_profile_single_scan(sample):
+    plan = profile_table(sample)._jdf.queryExecution().executedPlan().toString()
+    # the whole profile reads the table exactly once (createDataFrame
+    # scans surface as ExistingRDD); the multi-distinct expand happens
+    # above the single scan
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("Expand") == 1
+
+
+def test_profile_approx_mode(sample):
+    got = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(sample, approx=True).collect()
+    }
+    # HLL at this cardinality is exact in practice; allow slack anyway
+    assert abs(got["id"] - 3) <= 1 and abs(got["name"] - 2) <= 1
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    r = profile_table(df).collect()[0]
+    assert (r["n_nulls"], r["n_distinct"], r["null_rate"]) == (2, 0, 1.0)
+    assert r["min_value"] is None and r["max_value"] is None
+    assert r["avg_len"] is None
