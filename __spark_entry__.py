@@ -1331,6 +1331,25 @@ def q_pretoken_count(spark, sf_dir):
     )
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Per-user hourly activity bursts (operators/anomaly.py): hourly
+    event counts z-scored within each user's own history; |z| >= 2
+    population-σ flags the burst/dip hours. One shuffle for the hour
+    rollup + one window pass on the user key."""
+    from spacy_llm_spark.operators.anomaly import zscore_outliers
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return zscore_outliers(hourly, "n", ["user_id"], threshold=2.0).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("hour").cast("long").alias("hour_epoch"),
+        F.col("n").cast("long").alias("n"),
+        "z",
+    )
+
+
 def q_profile_documents(spark, sf_dir):
     """Single-pass corpus card over the documents table
     (operators/profile.py): every column's null rate, cardinality,
@@ -1751,6 +1770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (corpus_clean moved below 50 to make room: it composes the
         # same quality_exprs machinery quality_score stamps)
         "profile_documents": q_profile_documents,
+        # --- anomaly detection (z-score monitoring) ---
+        # (substring_offsets moved below 50 to make room: the parser
+        # family keeps token_count/ner_prf/textcat_binary stamped)
+        "events_anomaly": q_events_anomaly,
         # --- sampling ---
         "stratified_sample": q_stratified_sample,
         # --- sequence packing (training-batch assembly) ---
@@ -1763,7 +1786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_in_windows": q_events_in_windows,
         # --- task-parity parsers / scorers ---
         "token_count": q_token_count,
-        "substring_offsets": q_substring_offsets,
         "ner_prf": q_ner_prf,
         "textcat_binary": q_textcat_binary,
         # --- windows / aggregation / skew ---
@@ -1784,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_clean is the quality family's 3rd rep, swapped out for
         # dataset profiling)
         "corpus_clean": q_corpus_clean,
+        "substring_offsets": q_substring_offsets,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
         "kg_ppr": q_kg_ppr,
@@ -3055,6 +3078,20 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "events_anomaly": """
+WITH h AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT user_id, avg(n) AS m, stddev_pop(n) AS sd FROM h GROUP BY user_id
+)
+SELECT CAST(h.user_id AS BIGINT) AS user_id,
+       CAST(epoch(h.hour) AS BIGINT) AS hour_epoch,
+       CAST(h.n AS BIGINT) AS n,
+       round((h.n - s.m) / s.sd, 6) AS z
+FROM h JOIN s USING (user_id)
+WHERE s.sd > 0 AND abs(round((h.n - s.m) / s.sd, 6)) >= 2.0
+""",
         "profile_documents": _profile_sql(
             "documents",
             [

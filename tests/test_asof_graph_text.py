@@ -1109,3 +1109,45 @@ def test_ppr_absent_seeds_dropped_then_raise(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([("zzz",)], "v string")
         )
+
+
+# --------------------------------------------------- z-score outliers
+
+def test_zscore_outliers_keyed(spark):
+    from spacy_llm_spark.operators.anomaly import zscore_outliers
+
+    rows = [
+        # key a: values 10,10,10,40 — 40 is the burst
+        ("a", 10.0), ("a", 10.0), ("a", 10.0), ("a", 40.0),
+        # key b: constant — zero variance, never flagged
+        ("b", 5.0), ("b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = zscore_outliers(df, "v", ["k"], threshold=1.5).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("a", 40.0)]
+    # z = (40 - 17.5) / stddev_pop([10,10,10,40]) = 22.5/12.99038 ≈ 1.732051
+    assert abs(got[0]["z"] - 1.732051) < 1e-6
+
+
+def test_zscore_outliers_global_and_threshold_guard(spark):
+    import pytest
+
+    from spacy_llm_spark.operators.anomaly import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [1, 1, 1, 1, 1, 1, 1, 1, 1, 100]], "v double"
+    )
+    got = zscore_outliers(df, "v", threshold=2.0).collect()
+    assert [r["v"] for r in got] == [100.0]
+    with pytest.raises(ValueError, match="threshold"):
+        zscore_outliers(df, "v", threshold=0.0)
+
+
+def test_zscore_outliers_symmetric(spark):
+    from spacy_llm_spark.operators.anomaly import zscore_outliers
+
+    # dips are anomalies too: |z| is tested, not z
+    vals = [50.0] * 8 + [0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = zscore_outliers(df, "v", threshold=2.0).collect()
+    assert [r["v"] for r in got] == [0.0] and got[0]["z"] < 0
