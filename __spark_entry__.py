@@ -1393,6 +1393,29 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_bpe_pair_counts_incremental(spark, sf_dir):
+    """Incremental twin of bpe_pair_counts (shares its oracle
+    verbatim): a persisted (word, n) index is built over the standing
+    corpus once; the new batch is tokenized alone and merged in
+    (functions/bpe.py word_index_append — counts are associative sums,
+    so merged == full rebuild bit-for-bit); round-0 pair statistics
+    come straight off the merged index without touching any document."""
+    from spacy_llm_spark.functions import bpe
+    from spacy_llm_spark.fs import cut_lineage
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 4)
+    new = docs.where(F.col("doc_id") % 5 == 4)
+    idx = cut_lineage(bpe.word_index(old))
+    merged = bpe.word_index_append(idx, new)
+    return (
+        bpe.pair_counts_from_index(merged)
+        .select("a", "b", F.col("n_pairs").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("a"), F.asc("b"))
+        .limit(30)
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic content-hashed train/val/test split — duplicates
     can never straddle splits; reproducible at any cluster size."""
@@ -1865,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_texts": q_pack_texts,
         # incremental twin of line_dedup (shares its oracle verbatim)
         "line_dedup_incremental": q_line_dedup_incremental,
+        # incremental twin of bpe_pair_counts (shares its oracle)
+        "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
         # driver records its rows-only check); value parity is pinned
         # against a pure-Python reference in tests/test_bpe.py
@@ -3308,6 +3333,7 @@ FROM events GROUP BY 1
     sql["dup_ngram_stats_incremental"] = sql["dup_ngram_stats"]
     sql["bm25_topk_indexed"] = sql["bm25_topk"]
     sql["fuzzy_name_pairs_incremental"] = sql["fuzzy_name_pairs"]
+    sql["bpe_pair_counts_incremental"] = sql["bpe_pair_counts"]
     # scoped dedup: the verified-pair oracle plus a same-lang clause
     sql["lsh_dedup_scoped"] = """
 WITH doubled AS (

@@ -258,3 +258,60 @@ def encode_bpe(
         + [f"{out_col} array<string>", "n_bpe_tokens bigint"]
     )
     return df.select(*ids, text_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# persisted word index + incremental append (the daily-crawl shape)
+# ---------------------------------------------------------------------------
+
+def word_index_stamp() -> str:
+    """Stamp column name for persisted word indexes — format version +
+    a CRC of the pre-token pattern (the one parameter the counts depend
+    on), following the dedup family's schema-level versioning: an index
+    built with a different tokenization refuses the merge instead of
+    silently blending incompatible vocabularies."""
+    import zlib
+
+    from ..operators.dedup import _index_stamp
+
+    return _index_stamp(
+        "bpewords", pat=f"{zlib.crc32(PRETOKEN_PATTERN.encode()):08x}"
+    )
+
+
+def word_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Persistable (word, n) frequency index — the standing state every
+    BPE statistic derives from. Build it once over the corpus; append
+    batches with ``word_index_append`` without ever re-reading history."""
+    return word_table(df, text_col).withColumn(word_index_stamp(), F.lit(True))
+
+
+def word_index_append(
+    index: DataFrame, new_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Merge a new batch into a persisted word index: only the batch is
+    tokenized; the standing corpus is never re-read. Word counts are
+    associative sums, so the result is bit-equal to ``word_index`` over
+    the concatenated corpus — the same full≡incremental contract as the
+    LSH/SimHash/embedding index families, checked by the shared oracle
+    of ``bpe_pair_counts``."""
+    from ..operators.dedup import _check_index_format
+
+    stamp = word_index_stamp()
+    _check_index_format(index, "word_index_append", stamp)
+    return (
+        index.select("word", "n")
+        .unionByName(word_table(new_docs, text_col))
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .withColumn(stamp, F.lit(True))
+    )
+
+
+def pair_counts_from_index(index: DataFrame) -> DataFrame:
+    """Round-0 pair statistics straight from a persisted word index —
+    the corpus is never touched."""
+    from ..operators.dedup import _check_index_format
+
+    _check_index_format(index, "pair_counts_from_index", word_index_stamp())
+    return pair_counts(initial_symbols(index.select("word", "n")))

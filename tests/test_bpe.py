@@ -125,3 +125,35 @@ def test_property_train_matches_reference(spark, texts, n_merges):
         [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
     )
     assert bpe.train_bpe(df, n_merges=n_merges) == ref_train(texts, n_merges)
+
+
+# ------------------------------------------- persisted word index
+
+def test_word_index_append_equals_full(spark):
+    import pytest
+
+    old = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS[:4])], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(i + 100, t) for i, t in enumerate(CORPUS[4:])], "doc_id int, text string"
+    )
+    both = old.union(new)
+
+    idx = bpe.word_index(old)
+    merged = bpe.word_index_append(idx, new)
+    full = bpe.word_index(both)
+    assert sorted(map(tuple, merged.select("word", "n").collect())) == sorted(
+        map(tuple, full.select("word", "n").collect())
+    )
+    # pair stats from the merged index == pair stats from scratch
+    a = sorted(map(tuple, bpe.pair_counts_from_index(merged).collect()))
+    b = sorted(map(tuple, bpe.pair_counts(bpe.initial_symbols(bpe.word_table(both))).collect()))
+    assert a == b
+
+    # stamp guards: unstamped and wrong-stamp frames refuse the merge
+    with pytest.raises(ValueError, match="no _fmt"):
+        bpe.word_index_append(idx.select("word", "n"), new)
+    forged = idx.select("word", "n").withColumn("_fmt_v1_bpewords_patdeadbeef", bpe.F.lit(True))
+    with pytest.raises(ValueError, match="stamp mismatch"):
+        bpe.word_index_append(forged, new)
