@@ -321,6 +321,53 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["line_dedup_sec"] = round(time.time() - t0, 3)
     extras["line_dedup_n_removed"] = int(n_line)
 
+    # round-5 late families: BPE induction (20 merges over the replicated
+    # corpus — the per-round cost is vocabulary-scale, not corpus-scale),
+    # k-core peeling + personalized pagerank over the 200k-edge graph,
+    # the single-pass profiler, and z-score burst detection
+    t0 = time.time()
+    from spacy_llm_spark.functions.bpe import train_bpe
+
+    n_bpe = len(train_bpe(docs, n_merges=20))
+    extras["bpe_train_20_merges_sec"] = round(time.time() - t0, 3)
+    extras["bpe_n_merges"] = n_bpe
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import k_core
+
+    # chains have no 2-core; add rungs between consecutive chains to make
+    # peeling non-trivial (ladder graph: the rungs + chain interiors
+    # survive at k=2, chain endpoints peel off in cascades)
+    rungs = ids.where((F.col("id") % 7 == 3) & (F.col("id") < 198_000)).select(
+        F.format_string("c%08d", "id").alias("src"),
+        F.format_string("c%08d", F.col("id") + 2000).alias("dst"),
+    )
+    n_core = k_core(chain.union(rungs), 2, src="src", dst="dst").count()
+    extras["kcore_228k_edges_sec"] = round(time.time() - t0, 3)
+    extras["kcore_n_vertices"] = n_core
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import personalized_pagerank
+
+    personalized_pagerank(chain, seeds, src="src", dst="dst", iters=5).count()
+    extras["ppr_200k_edges_5iters_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.profile import profile_table
+
+    profile_table(docs).count()
+    extras["profile_documents_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.anomaly import zscore_outliers
+
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    n_anom = zscore_outliers(hourly, "n", ["user_id"], threshold=2.0).count()
+    extras["events_anomaly_sec"] = round(time.time() - t0, 3)
+    extras["events_anomaly_n_rows"] = n_anom
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
