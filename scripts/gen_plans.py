@@ -415,6 +415,60 @@ def main():
         ),
     ))
 
+    # 22. BPE: pair stats over the word table, rewrite as a narrow fold
+    from spacy_llm_spark.functions.bpe import (
+        initial_symbols,
+        merge_pair_expr,
+        pair_counts,
+        word_table,
+    )
+
+    sym = initial_symbols(word_table(docs))
+    sections.append((
+        "BPE round: vocabulary-scale pair aggregate; rewrite is shuffle-free",
+        "The corpus collapsed to the word table in ONE earlier shuffle; a "
+        "merge round is this pair aggregate (Generate over the symbol "
+        "array + HashAggregate keyed on the pair — all vocabulary-scale) "
+        "plus a rewrite that is a pure Project (the aggregate() fold below "
+        "— no Exchange at all), so 30k merges cost 30k vocabulary-scale "
+        "aggregations and zero corpus re-reads.",
+        explain_str(pair_counts(sym))
+        + "\n\n-- rewrite (one merge applied):\n"
+        + explain_str(sym.withColumn("symbols", merge_pair_expr("e", "r"))),
+    ))
+
+    # 23. single-pass profiler: one scan, one expand, one aggregate
+    from spacy_llm_spark.operators.profile import profile_table
+
+    sections.append((
+        "Table profile: every column's stats in one scan + one aggregate",
+        "All null/distinct/min/max/len statistics ride ONE scan: the "
+        "multi-distinct rewrite is the single Expand above the scan, the "
+        "wide aggregate reduces to one row (Exchange SinglePartition of "
+        "partial aggregates — bytes, not rows), and the per-column "
+        "unpivot is a Generate(stack) over that 1-row frame. Profiling N "
+        "columns costs the same single pass as profiling one.",
+        explain_str(profile_table(docs)),
+    ))
+
+    # 24. z-score outliers: one window pass on the group key
+    from spacy_llm_spark.operators.anomaly import zscore_outliers
+
+    hourly = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sections.append((
+        "Z-score outliers: group stats stay inside the key's window pass",
+        "One Exchange on the group key feeds the window pass (Spark "
+        "splits avg and stddev_pop into two Window nodes over the SAME "
+        "partitioning — no second shuffle); the filter is a projection "
+        "above it. No join, no driver traffic — per-key state is two "
+        "running moments.",
+        explain_str(zscore_outliers(hourly, "n", ["user_id"], threshold=2.0)),
+    ))
+
     spark.stop()
 
 
