@@ -52,6 +52,8 @@ def run_incremental(
     dupngram_snapshot_retention: int | None = 3,
     maintain_packing: bool = False,
     packing_budget: int = 2048,
+    maintain_wordindex: bool = False,
+    wordindex_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -84,6 +86,8 @@ def run_incremental(
         dupngram_snapshot_retention=dupngram_snapshot_retention,
         maintain_packing=maintain_packing,
         packing_budget=packing_budget,
+        maintain_wordindex=maintain_wordindex,
+        wordindex_snapshot_retention=wordindex_snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -110,6 +114,8 @@ def make_batch_processor(
     maintain_packing: bool = False,
     packing_budget: int = 2048,
     packing_total_retention: int | None = 3,
+    maintain_wordindex: bool = False,
+    wordindex_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -144,6 +150,7 @@ def make_batch_processor(
     vertices_path = posixpath.join(output_dir, "vertices")
     dupngram_path = posixpath.join(output_dir, "dupngram")
     packing_path = posixpath.join(output_dir, "packing")
+    wordindex_path = posixpath.join(output_dir, "wordindex")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -401,6 +408,35 @@ def make_batch_processor(
             ).write.mode("overwrite").parquet(
                 posixpath.join(tot_path, f"batch_id={batch_id}")
             )
+        if maintain_wordindex:
+            # Live BPE word-frequency index, same exactly-once shape as
+            # the label map: full merged (word, n) snapshots per batch
+            # at wordindex/batch_id=N (vocabulary-scale — Zipf-bounded,
+            # not corpus-scale; retention-pruned like vertices). The
+            # merge base is the latest committed snapshot EXCLUDING this
+            # batch_id and word_index_append is deterministic given
+            # (base, batch), so a replay overwrites bit-identically.
+            # Duplicate ids within one batch would double-count every
+            # word (and, counts being merged snapshots, persist forever)
+            # — dropped like the dup-ngram path does.
+            from ..functions import bpe as bpefn
+
+            wi_id = "doc_id" if "doc_id" in batch_df.columns else "content_sha256"
+            wi_docs = batch_df.select(wi_id, "content").dropDuplicates([wi_id])
+            prior_wi = _committed_before(wordindex_path, batch_id)
+            if prior_wi:
+                latest_wi = max(
+                    prior_wi,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                wi = bpefn.word_index_append(
+                    spark.read.parquet(latest_wi), wi_docs, text_col="content"
+                )
+            else:
+                wi = bpefn.word_index(wi_docs, text_col="content")
+            wi.write.mode("overwrite").parquet(
+                posixpath.join(wordindex_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -424,6 +460,8 @@ def make_batch_processor(
                 posixpath.join(dupngram_path, "stats"),
                 dupngram_snapshot_retention,
             )
+        if maintain_wordindex and wordindex_snapshot_retention is not None:
+            _prune_to_newest(wordindex_path, wordindex_snapshot_retention)
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -451,6 +489,22 @@ def latest_dupngram_stats(spark: SparkSession, output_dir: str):
     dup_ratio) — or None if no snapshot has committed yet."""
     path = posixpath.join(output_dir, "dupngram", "stats")
     committed = fs.committed_subdirs(spark, path)
+    if not committed:
+        return None
+    latest = max(
+        committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+    )
+    return spark.read.parquet(latest)
+
+
+def latest_word_index(spark: SparkSession, output_dir: str):
+    """The most recent committed BPE word-frequency index maintained by
+    a ``maintain_wordindex`` stream (stamped, ready for
+    ``bpe.pair_counts_from_index`` / further appends) — or None if no
+    snapshot has committed yet."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "wordindex")
+    )
     if not committed:
         return None
     latest = max(

@@ -1266,3 +1266,69 @@ def test_packing_maintenance_live_and_replay(spark, tmp_path):
     assert replayed == got
     tot2 = spark.read.parquet(str(out / "packing" / "totals" / "batch_id=1"))
     assert tot2.head()["total_tokens"] == 20
+
+
+def test_wordindex_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_wordindex=True keeps the BPE word-frequency index
+    current across micro-batch deliveries — the latest snapshot equals
+    word_index over ALL docs — and a keys-erased crash replay leaves it
+    bit-identical (the replayed merge reads the prior-batch base)."""
+    from spacy_llm_spark.functions.bpe import (
+        pair_counts_from_index,
+        word_index,
+        word_index_stamp,
+    )
+    from spacy_llm_spark.streaming.incremental import (
+        latest_word_index,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_wordindex=True)
+    schema = "doc_id long, content string, lang string"
+    rows1 = [(1, "spark join customer table", "python"),
+             (2, "window sort table", "java")]
+    rows2 = [(3, "spark join spark join", "python"),
+             (4, "merge part region", "go")]
+    b0 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b0, 0)
+    snap0 = latest_word_index(spark, str(out))
+    assert snap0 is not None and word_index_stamp() in snap0.columns
+
+    b1 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b1, 1)
+    got = sorted(
+        map(tuple, latest_word_index(spark, str(out)).select("word", "n").collect())
+    )
+    corpus = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, word_index(corpus, text_col="content")
+            .select("word", "n").collect())
+    )
+    assert got == want
+    # the snapshot is probe-ready: round-0 stats come straight off it
+    assert pair_counts_from_index(latest_word_index(spark, str(out))).count() > 0
+
+    # crash replay of batch 1, keys erased (worst case)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(b1, 1)
+    replayed = sorted(
+        map(tuple, latest_word_index(spark, str(out)).select("word", "n").collect())
+    )
+    assert replayed == got
+
+    # retention: 3 batches with retention=3 -> only newest 3 remain
+    b2 = spark.createDataFrame(
+        [(5, "filter scan batch", "rust")], schema
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    proc(b2, 2)
+    import os
+
+    dirs = sorted(os.listdir(out / "wordindex"))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
