@@ -1393,6 +1393,17 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_token_pmi(spark, sf_dir):
+    """Token co-occurrence PMI (functions/cooccur.py): collocation
+    candidates over the corpus. Pair generation is a windowed JVM
+    projection (never a positions self-join — that shape is what the
+    ORACLE uses as an independent cross-check); counts and PMI joins
+    are vocabulary-scale."""
+    from spacy_llm_spark.functions.cooccur import cooccurrence_pmi
+
+    return cooccurrence_pmi(_docs(spark, sf_dir), window=2, min_count=10)
+
+
 def q_bpe_pair_counts_incremental(spark, sf_dir):
     """Incremental twin of bpe_pair_counts (shares its oracle
     verbatim): a persisted (word, n) index is built over the standing
@@ -1888,6 +1899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_texts": q_pack_texts,
         # incremental twin of line_dedup (shares its oracle verbatim)
         "line_dedup_incremental": q_line_dedup_incremental,
+        # text-analysis family variant (quality_score/detect_language
+        # hold the family's stamped slots)
+        "token_pmi": q_token_pmi,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3103,6 +3117,33 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        # independent cross-check by construction: the oracle generates
+        # pairs with the naive positions SELF-JOIN the engine avoids
+        "token_pmi": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), pos AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord
+  FROM toks
+), pairs AS (
+  SELECT p1.tok AS a, p2.tok AS b
+  FROM pos p1 JOIN pos p2
+    ON p2.doc_id = p1.doc_id
+   AND p2.ord > p1.ord AND p2.ord <= p1.ord + 2
+), co AS (
+  SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b
+), uni AS (
+  SELECT tok, count(*) AS n FROM pos GROUP BY tok
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pos) AS n_tok,
+         (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS n_pair
+)
+SELECT co.a, co.b, CAST(co.n_ab AS BIGINT) AS n_ab,
+       round(ln((CAST(co.n_ab AS DOUBLE) / tot.n_pair)
+                / ((ua.n / tot.n_tok) * (ub.n / tot.n_tok))), 6) AS pmi
+FROM co JOIN uni ua ON ua.tok = co.a JOIN uni ub ON ub.tok = co.b, tot
+WHERE co.n_ab >= 10
+""",
         "events_anomaly": """
 WITH h AS (
   SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n

@@ -1,0 +1,103 @@
+"""Token co-occurrence statistics + PMI (pointwise mutual information).
+
+The association-mining primitive behind phrase detection (word2vec-style
+"New York" -> "New_York" joining), collocation extraction, and
+distributional KG enrichment: which tokens appear together more often
+than chance?
+
+Scale shape — NO self-join anywhere:
+
+- pair generation is a pure JVM projection: for each position i the
+  token is paired with the next ``window`` tokens via
+  ``transform`` + ``slice`` over the token array (fan-out bounded by
+  the window, not the document), then ONE pair-keyed aggregation;
+- unigram counts are one token-keyed aggregation;
+- PMI joins the pair table against the unigram table twice — both
+  vocabulary-scale, Zipf-bounded — and the two corpus totals enter as
+  a broadcast 1-row frame.
+
+The naive formulation (positions table self-joined on doc_id with an
+inequality) shuffles the corpus against itself; the oracle uses it as
+an independent cross-check, the engine never does.
+
+Determinism: PMI is computed with a fixed operand order
+``(n_ab / N_pairs) / ((n_a / N) * (n_b / N))`` in both engines (IEEE
+doubles are deterministic given identical operand order) and rounded
+to 6 dp.
+
+Reference analogue: none — cited for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .text import tokens_expr
+
+
+def cooccurrence_counts(
+    df: DataFrame, text_col: str = "text", window: int = 2
+) -> DataFrame:
+    """(a, b, n_ab): ordered co-occurrence counts — each token paired
+    with the next ``window`` tokens of its document. One narrow pair
+    projection + one pair-keyed aggregation."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = df.select(tokens_expr(F.col(text_col)).alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(toks, (t, i) -> "
+                f"transform(slice(toks, i + 2, {int(window)}), "
+                "u -> struct(t AS a, u AS b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """(a, b, n_ab, pmi) for pairs with ``n_ab >= min_count``.
+    pmi = ln( p(a,b) / (p(a)·p(b)) ) with p over corpus totals,
+    rounded to 6 dp. Positive = collocation candidates."""
+    toks = df.select(tokens_expr(F.col(text_col)).alias("toks"))
+    pos = toks.select(F.explode("toks").alias("tok"))
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # the uncapped pair table serves both the candidates and the total:
+    # N_pairs must count ALL pairs, not just the ones above min_count
+    co_all = cooccurrence_counts(df, text_col, window)
+    co = co_all.where(F.col("n_ab") >= min_count)
+    totals = uni.agg(F.sum("n").cast("double").alias("n_tok")).crossJoin(
+        co_all.agg(F.sum("n_ab").cast("double").alias("n_pair"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    return (
+        co.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") / F.col("n_pair"))
+                    / (
+                        (F.col("n_a") / F.col("n_tok"))
+                        * (F.col("n_b") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1151,3 +1151,71 @@ def test_zscore_outliers_symmetric(spark):
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = zscore_outliers(df, "v", threshold=2.0).collect()
     assert [r["v"] for r in got] == [0.0] and got[0]["z"] < 0
+
+
+# --------------------------------------------------- co-occurrence / PMI
+
+def _ref_pmi(texts, window, min_count):
+    import math
+    from collections import Counter
+
+    uni, co = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        for i, a in enumerate(toks):
+            for b in toks[i + 1 : i + 1 + window]:
+                co[(a, b)] += 1
+    n_tok, n_pair = sum(uni.values()), sum(co.values())
+    out = {}
+    for (a, b), n_ab in co.items():
+        if n_ab >= min_count:
+            out[(a, b)] = (
+                n_ab,
+                round(
+                    math.log(
+                        (n_ab / n_pair)
+                        / ((uni[a] / n_tok) * (uni[b] / n_tok))
+                    ),
+                    6,
+                ),
+            )
+    return out
+
+
+def test_cooccurrence_counts_window_semantics(spark):
+    from spacy_llm_spark.functions.cooccur import cooccurrence_counts
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = {(r["a"], r["b"]): r["n_ab"] for r in cooccurrence_counts(df, window=2).collect()}
+    # position i pairs with the next 2: (a,b),(a,c),(b,c),(b,d),(c,d)
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("b", "d"): 1, ("c", "d"): 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(df, window=0).collect()
+
+
+def test_cooccurrence_pmi_matches_reference(spark):
+    from spacy_llm_spark.functions.cooccur import cooccurrence_pmi
+
+    texts = [
+        "new york is big",
+        "new york has people",
+        "big data new york",
+        "people like big data",
+        "data is new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["a"], r["b"]): (r["n_ab"], r["pmi"])
+        for r in cooccurrence_pmi(df, window=2, min_count=2).collect()
+    }
+    want = _ref_pmi(texts, window=2, min_count=2)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k
+    # "new york" is a genuine collocation: strongly positive PMI
+    assert got[("new", "york")][1] > 1.0
