@@ -1393,6 +1393,27 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot CDC (operators/diff.py): two deterministic versions of
+    the corpus (a re-crawl that dropped doc_id%5==3, picked up
+    doc_id%7==0, and re-extracted doc_id%11==1 with different casing)
+    diffed into the added/removed/changed delta — ONE full-outer
+    id join, null-safe column comparison, delta-scale output."""
+    from spacy_llm_spark.operators.diff import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 1, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(
+        old, new, "doc_id", compare_cols=["text", "lang", "source", "n_chars"]
+    )
+
+
 def q_token_pmi(spark, sf_dir):
     """Token co-occurrence PMI (functions/cooccur.py): collocation
     candidates over the corpus. Pair generation is a windowed JVM
@@ -1902,6 +1923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text-analysis family variant (quality_score/detect_language
         # hold the family's stamped slots)
         "token_pmi": q_token_pmi,
+        # cache/CDC family variant (cache_probe_anti_join holds the
+        # family's stamped slot)
+        "corpus_diff": q_corpus_diff,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3117,6 +3141,26 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "corpus_diff": """
+WITH old AS (
+  SELECT * FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 1 THEN upper(text) ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 5 <> 3
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR NOT (o.text IS NOT DISTINCT FROM n.text
+       AND o.lang IS NOT DISTINCT FROM n.lang
+       AND o.source IS NOT DISTINCT FROM n.source
+       AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+""",
         # independent cross-check by construction: the oracle generates
         # pairs with the naive positions SELF-JOIN the engine avoids
         "token_pmi": """

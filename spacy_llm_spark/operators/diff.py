@@ -1,0 +1,103 @@
+"""Snapshot diff — change-data-capture between two corpus versions.
+
+Re-crawls, re-licenses, and re-filters produce a NEW corpus snapshot;
+every downstream incremental operator in this engine (LSH probes, word
+index appends, canonical maintenance) wants the DELTA, not the
+snapshot. This operator computes it: (id, status) for every row that
+was added, removed, or changed between two snapshots — unchanged rows
+(the overwhelming majority at 100 TB) never appear in the output.
+
+Scale shape: ONE full-outer equi-join on the id — co-partitionable
+with a bucketed-by-id table layout (``sources/bucketed.py``), in which
+case the diff runs shuffle-free; change detection is a null-safe
+column comparison inside the join's projection, so no fingerprint
+column needs to be written or stored. Output is delta-scale.
+
+Reference analogue: the reference's cache probe (spacy_llm/cache.py)
+answers "seen before?" per doc; this answers the snapshot-level
+question its batch jobs cannot express.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(id, status) with status in {'added', 'removed', 'changed'};
+    unchanged ids are excluded. ``compare_cols`` defaults to every
+    non-id column the two snapshots share. Null-safe: a column going
+    NULL -> value (or back) counts as changed; NULL == NULL does not.
+    Assumes unique ids per snapshot (a diff keyed on an ambiguous id is
+    meaningless — ``assert_unique_ids`` is the opt-in pre-flight)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != id_col and c in new.columns
+        ]
+    cols = list(compare_cols)
+    if not cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+    missing = [
+        c
+        for c in cols + [id_col]
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"snapshot_diff: columns missing from a side: {missing}")
+
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    # a duplicate id would fan the join out and make 'changed' ambiguous
+    o = o.withColumn("_o_present", F.lit(True))
+    n = n.withColumn("_n_present", F.lit(True))
+
+    same = reduce(
+        lambda acc, c: acc
+        & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+        cols[1:],
+        F.col(f"_o_{cols[0]}").eqNullSafe(F.col(f"_n_{cols[0]}")),
+    )
+    joined = o.join(n, "_id", "full_outer")
+    return (
+        joined.select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_o_present").isNull(), F.lit("added"))
+            .when(F.col("_n_present").isNull(), F.lit("removed"))
+            .when(~same, F.lit("changed"))
+            .alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )
+
+
+def assert_unique_ids(df: DataFrame, id_col: str) -> None:
+    """Optional pre-flight for ``snapshot_diff``: raises if any id
+    repeats. A separate one-aggregation pass — callers who already
+    guarantee uniqueness (primary-keyed snapshots) skip the cost."""
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate {id_col} in snapshot (e.g. {dup[0][id_col]!r}) — "
+            "diff on an ambiguous id is meaningless"
+        )

@@ -69,3 +69,44 @@ def test_profile_all_null_column(spark):
     assert (r["n_nulls"], r["n_distinct"], r["null_rate"]) == (2, 0, 1.0)
     assert r["min_value"] is None and r["max_value"] is None
     assert r["avg_len"] is None
+
+
+# --------------------------------------------------- snapshot diff (CDC)
+
+import pytest as _pytest
+
+from spacy_llm_spark.operators.diff import assert_unique_ids, snapshot_diff
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id bigint, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "CHANGED", 3.0), (4, "d", None), (5, "e", 5.0)],
+        "id bigint, t string, v double",
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id").collect()}
+    # 1 removed; 2 unchanged (NULL==NULL not a change); 3 changed (text);
+    # 4 changed (value -> NULL); 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_column_subset_and_errors(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], "id bigint, t string, v double")
+    new = spark.createDataFrame([(1, "a", 9.0)], "id bigint, t string, v double")
+    # comparing only t: the v change is invisible -> empty diff
+    assert snapshot_diff(old, new, "id", compare_cols=["t"]).count() == 0
+    with _pytest.raises(ValueError, match="missing"):
+        snapshot_diff(old, new, "id", compare_cols=["nope"])
+    with _pytest.raises(ValueError, match="no columns"):
+        snapshot_diff(old.select("id"), new.select("id"), "id")
+
+
+def test_assert_unique_ids(spark):
+    ok = spark.createDataFrame([(1,), (2,)], "id bigint")
+    assert_unique_ids(ok, "id")
+    dup = spark.createDataFrame([(1,), (1,)], "id bigint")
+    with _pytest.raises(ValueError, match="duplicate id"):
+        assert_unique_ids(dup, "id")
