@@ -1393,6 +1393,17 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_cluster_prf(spark, sf_dir):
+    """Pairwise clustering P/R/F1 (operators/scoring.py
+    pairwise_cluster_prf) — the entity-resolution evaluation metric,
+    demonstrated as lang-clustering scored against source-clustering.
+    Contingency-table combinatorics only: three cluster-keyed
+    aggregations, no pair ever materializes."""
+    from spacy_llm_spark.operators.scoring import pairwise_cluster_prf
+
+    return pairwise_cluster_prf(_docs(spark, sf_dir), "lang", "source")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot CDC (operators/diff.py): two deterministic versions of
     the corpus (a re-crawl that dropped doc_id%5==3, picked up
@@ -1926,6 +1937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cache/CDC family variant (cache_probe_anti_join holds the
         # family's stamped slot)
         "corpus_diff": q_corpus_diff,
+        # scorer family variant (ner_prf holds the stamped slot)
+        "cluster_prf": q_cluster_prf,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3141,6 +3154,33 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "cluster_prf": """
+WITH a AS (
+  SELECT lang AS p, source AS g FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), pp AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_pred_pairs
+  FROM (SELECT count(*) AS n FROM a GROUP BY p)
+), gp AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_gold_pairs
+  FROM (SELECT count(*) AS n FROM a GROUP BY g)
+), cp AS (
+  SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS n_common_pairs
+  FROM (SELECT count(*) AS n FROM a GROUP BY p, g)
+), j AS (
+  SELECT *,
+    CASE WHEN n_pred_pairs > 0
+         THEN CAST(n_common_pairs AS DOUBLE) / n_pred_pairs ELSE 0.0 END AS p_,
+    CASE WHEN n_gold_pairs > 0
+         THEN CAST(n_common_pairs AS DOUBLE) / n_gold_pairs ELSE 0.0 END AS r_
+  FROM pp, gp, cp
+)
+SELECT n_pred_pairs, n_gold_pairs, n_common_pairs,
+       round(p_, 6) AS "precision", round(r_, 6) AS recall,
+       round(CASE WHEN p_ + r_ > 0
+                  THEN 2.0 * p_ * r_ / (p_ + r_) ELSE 0.0 END, 6) AS f1
+FROM j
+""",
         "corpus_diff": """
 WITH old AS (
   SELECT * FROM documents WHERE doc_id % 7 <> 0

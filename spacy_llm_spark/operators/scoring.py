@@ -86,3 +86,74 @@ def score_triples(
     g = gold.select(*keys).distinct()
     tp = p.join(g, on=list(keys), how="inner").count()
     return prf(tp, p.count(), g.count())
+
+
+def pairwise_cluster_prf(
+    assign: DataFrame,
+    pred_col: str,
+    gold_col: str,
+) -> DataFrame:
+    """Pairwise clustering precision/recall/F1 — the entity-resolution
+    evaluation metric: of all item pairs the predicted clustering puts
+    together, how many does the gold clustering also put together?
+
+    Computed ENTIRELY from the contingency table: |pred pairs| =
+    Σ C(size_c, 2) over predicted clusters, |gold pairs| likewise, and
+    |common pairs| = Σ C(n_cell, 2) over (pred, gold) joint cells — so
+    no pair is ever materialized (the naive pair self-join is quadratic
+    in the largest cluster; this is three aggregations, each keyed on
+    cluster ids). Pair counts use integer ``div`` arithmetic (exact at
+    any cluster size); rows with a NULL in either column are excluded
+    (an unclustered item has no pairs). Returns ONE row:
+    (n_pred_pairs, n_gold_pairs, n_common_pairs, precision, recall,
+    f1), ratios rounded to 6 dp, 0.0 where undefined.
+    """
+    a = assign.select(pred_col, gold_col).where(
+        F.col(pred_col).isNotNull() & F.col(gold_col).isNotNull()
+    )
+
+    def _pairs(counts: DataFrame) -> DataFrame:
+        return counts.agg(
+            F.coalesce(
+                F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+            ).cast("long").alias("pairs")
+        )
+
+    pp = _pairs(
+        a.groupBy(pred_col).agg(F.count(F.lit(1)).alias("n"))
+    ).withColumnRenamed("pairs", "n_pred_pairs")
+    gp = _pairs(
+        a.groupBy(gold_col).agg(F.count(F.lit(1)).alias("n"))
+    ).withColumnRenamed("pairs", "n_gold_pairs")
+    cp = _pairs(
+        a.groupBy(pred_col, gold_col).agg(F.count(F.lit(1)).alias("n"))
+    ).withColumnRenamed("pairs", "n_common_pairs")
+
+    p = F.when(
+        F.col("n_pred_pairs") > 0,
+        F.col("n_common_pairs").cast("double") / F.col("n_pred_pairs"),
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_gold_pairs") > 0,
+        F.col("n_common_pairs").cast("double") / F.col("n_gold_pairs"),
+    ).otherwise(F.lit(0.0))
+    return (
+        pp.crossJoin(gp)
+        .crossJoin(cp)
+        .withColumn("_p", p)
+        .withColumn("_r", r)
+        .select(
+            "n_pred_pairs",
+            "n_gold_pairs",
+            "n_common_pairs",
+            F.round("_p", 6).alias("precision"),
+            F.round("_r", 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    2.0 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )

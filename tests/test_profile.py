@@ -110,3 +110,63 @@ def test_assert_unique_ids(spark):
     dup = spark.createDataFrame([(1,), (1,)], "id bigint")
     with _pytest.raises(ValueError, match="duplicate id"):
         assert_unique_ids(dup, "id")
+
+
+# ------------------------------------------- pairwise clustering P/R/F1
+
+from spacy_llm_spark.operators.scoring import pairwise_cluster_prf
+
+
+def _ref_pair_prf(rows):
+    from itertools import combinations
+
+    rows = [(p, g) for p, g in rows if p is not None and g is not None]
+    idx = range(len(rows))
+    pred = {(i, j) for i, j in combinations(idx, 2) if rows[i][0] == rows[j][0]}
+    gold = {(i, j) for i, j in combinations(idx, 2) if rows[i][1] == rows[j][1]}
+    tp = len(pred & gold)
+    p = tp / len(pred) if pred else 0.0
+    r = tp / len(gold) if gold else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return len(pred), len(gold), tp, round(p, 6), round(r, 6), round(f, 6)
+
+
+def test_pairwise_cluster_prf_matches_bruteforce(spark):
+    rows = [
+        ("c1", "g1"), ("c1", "g1"), ("c1", "g2"),
+        ("c2", "g2"), ("c2", "g2"), ("c3", "g1"),
+        (None, "g1"), ("c1", None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    got = pairwise_cluster_prf(df, "pred", "gold").collect()[0]
+    want = _ref_pair_prf(rows)
+    assert (
+        got["n_pred_pairs"], got["n_gold_pairs"], got["n_common_pairs"],
+        got["precision"], got["recall"], got["f1"],
+    ) == want
+
+
+def test_pairwise_cluster_prf_perfect_and_degenerate(spark):
+    same = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("b", "b")], "pred string, gold string"
+    )
+    r = pairwise_cluster_prf(same, "pred", "gold").collect()[0]
+    assert (r["precision"], r["recall"], r["f1"]) == (1.0, 1.0, 1.0)
+
+    # all singletons: no pairs anywhere -> 0.0, not a crash
+    single = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "pred string, gold string"
+    )
+    r = pairwise_cluster_prf(single, "pred", "gold").collect()[0]
+    assert (r["n_pred_pairs"], r["precision"], r["f1"]) == (0, 0.0, 0.0)
+
+
+def test_pairwise_cluster_prf_no_pair_materialization(spark):
+    df = spark.createDataFrame([("a", "x")], "pred string, gold string")
+    plan = (
+        pairwise_cluster_prf(df, "pred", "gold")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # three aggregations + 1-row cross joins; never a pair self-join
+    assert "CartesianProduct" not in plan or plan.count("Scan ExistingRDD") <= 3
+    assert "SortMergeJoin" not in plan
