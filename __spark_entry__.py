@@ -1393,6 +1393,27 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.py cohort_retention):
+    users bucketed by first-activity week, counted at each later week.
+    Activity collapses to the distinct (user, period) grid first, so
+    the cohort join runs user-scale."""
+    from spacy_llm_spark.operators.funnel import cohort_retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(events)
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel conversion view -> click -> purchase
+    (operators/funnel.py funnel_steps): earliest-completion semantics,
+    one user-keyed join per step over shrinking frames."""
+    from spacy_llm_spark.operators.funnel import funnel_steps
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(events, ["view", "click", "purchase"])
+
+
 def q_cluster_prf(spark, sf_dir):
     """Pairwise clustering P/R/F1 (operators/scoring.py
     pairwise_cluster_prf) — the entity-resolution evaluation metric,
@@ -1939,6 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         # scorer family variant (ner_prf holds the stamped slot)
         "cluster_prf": q_cluster_prf,
+        # event-analytics family variants (events_hourly holds the slot)
+        "events_retention": q_events_retention,
+        "events_funnel": q_events_funnel,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3154,6 +3178,37 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "events_retention": """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period
+  FROM events
+), cohorts AS (
+  SELECT u, min(period) AS cohort_period FROM act GROUP BY u
+)
+SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act a JOIN cohorts c USING (u)
+GROUP BY 1, 2
+""",
+        "events_funnel": """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s0 ON s0.u = e.user_id AND e.ts >= s0.t
+  WHERE e.event_type = 'click' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s1 ON s1.u = e.user_id AND e.ts >= s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 'view' AS step, CAST(0 AS BIGINT) AS step_idx,
+       (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+UNION ALL SELECT 'click', 1, (SELECT count(*) FROM s1)
+UNION ALL SELECT 'purchase', 2, (SELECT count(*) FROM s2)
+""",
         "cluster_prf": """
 WITH a AS (
   SELECT lang AS p, source AS g FROM documents

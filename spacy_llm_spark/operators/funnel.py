@@ -1,0 +1,113 @@
+"""Event-sequence analytics: cohort retention and funnel conversion.
+
+The two standard questions over any event stream (product telemetry,
+crawl schedules, pipeline run logs): "of the users who first appeared
+in period P, how many were still active k periods later?" and "how
+many users completed step A, then B after A, then C after that B?".
+
+Scale shapes:
+
+- ``cohort_retention``: activity collapses to the DISTINCT (user,
+  period) grid first — one aggregation — so the cohort join and the
+  final rollup run on user-scale rows, never event-scale; the period
+  is an integer epoch division (engine-neutral, no calendar library).
+- ``funnel_steps``: per-step min-timestamp aggregations chained by a
+  user-keyed join per step ("earliest B at-or-after the earliest
+  qualifying A"). k steps cost k user-keyed joins on monotonically
+  shrinking frames; the event table is scanned once per step with the
+  step's type filter pushed to the scan.
+
+Reference analogue: none — cited for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_SECS = 7 * 24 * 3600
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_secs: int = WEEK_SECS,
+) -> DataFrame:
+    """(cohort_period, period_offset, n_users): users bucketed by the
+    integer period (``floor(epoch / period_secs)``) of their first
+    activity; ``n_users`` = users of that cohort active exactly
+    ``period_offset`` periods later (offset 0 = the cohort size)."""
+    if period_secs <= 0:
+        raise ValueError(f"period_secs must be > 0, got {period_secs}")
+    act = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.floor(F.unix_timestamp(ts_col) / period_secs)
+            .cast("long")
+            .alias("period"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("u").agg(F.min("period").alias("cohort_period"))
+    return (
+        act.join(first, "u")
+        .groupBy(
+            "cohort_period",
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        # (u, period) is distinct, so each user counts once per cell
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, step_idx, n_users): users who completed the funnel prefix
+    in order — step i counts a user iff an event of ``steps[i]`` exists
+    at-or-after the user's earliest qualifying completion of step i-1
+    (the standard earliest-completion funnel; ties at the same
+    timestamp count). Returns one row per step."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("t"))
+    )
+    rows = [
+        cur.agg(
+            F.lit(steps[0]).alias("step"),
+            F.lit(0).cast("long").alias("step_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(F.col(user_col).alias("u"), F.col(ts_col).alias("_ts"))
+            .join(cur, "u")
+            .where(F.col("_ts") >= F.col("t"))
+            .groupBy("u")
+            .agg(F.min("_ts").alias("t"))
+        )
+        rows.append(
+            nxt.agg(
+                F.lit(s).alias("step"),
+                F.lit(i).cast("long").alias("step_idx"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+        cur = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -170,3 +170,75 @@ def test_pairwise_cluster_prf_no_pair_materialization(spark):
     # three aggregations + 1-row cross joins; never a pair self-join
     assert "CartesianProduct" not in plan or plan.count("Scan ExistingRDD") <= 3
     assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------- retention + funnel
+
+import datetime as _dt
+
+from spacy_llm_spark.operators.funnel import cohort_retention, funnel_steps
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=s), t) for u, s, t in rows],
+        "user_id bigint, ts timestamp_ntz, event_type string",
+    )
+
+
+def test_cohort_retention_hand_case(spark):
+    day = 86400
+    rows = [
+        # u1: first period 0, active periods 0 and 2
+        (1, 0, "view"), (1, 2 * day + 5, "view"),
+        # u2: first period 1 only
+        (2, day + 1, "click"),
+        # u3: first period 0, active 0, 1, 2
+        (3, 10, "view"), (3, day, "view"), (3, 2 * day, "view"),
+    ]
+    got = {
+        (r["cohort_period"] - 19723, r["period_offset"]): r["n_users"]
+        for r in cohort_retention(_ev(spark, rows), period_secs=day).collect()
+    }
+    # epoch day of 2024-01-01 = 19723
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="period_secs"):
+        cohort_retention(_ev(spark, rows), period_secs=0)
+
+
+def test_funnel_steps_order_matters(spark):
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+        # u2 clicks BEFORE viewing: counts for view, not for click-after-view
+        (2, 10, "click"), (2, 20, "view"),
+        # u3 view+click same instant (ties count), never purchases
+        (3, 5, "view"), (3, 5, "click"),
+        # u4 only purchases
+        (4, 1, "purchase"),
+    ]
+    got = {
+        r["step"]: (r["step_idx"], r["n_users"])
+        for r in funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": (0, 3), "click": (1, 2), "purchase": (2, 1)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_steps(_ev(spark, rows), [])
+
+
+def test_funnel_earliest_completion_semantics(spark):
+    # u1: click at 5 (before first view at 10) must NOT count, but the
+    # click at 15 (after) does; purchase at 12 is before the QUALIFYING
+    # click (15), so no purchase conversion
+    rows = [(1, 10, "view"), (1, 5, "click"), (1, 15, "click"), (1, 12, "purchase")]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 1, "click": 1, "purchase": 0}
