@@ -1393,6 +1393,17 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_docs_skew_report(spark, sf_dir):
+    """Pre-shuffle skew diagnostics (operators/skew.py skew_report)
+    over the deliberately skewed source column (the mega-repo owns
+    ~30% of rows): heaviest keys, their shares, and the skew factor
+    that decides between AQE splitting and salting BEFORE the shuffle
+    is paid for."""
+    from spacy_llm_spark.operators.skew import skew_report
+
+    return skew_report(_docs(spark, sf_dir), ["source"], top_n=10)
+
+
 def q_events_retention(spark, sf_dir):
     """Weekly cohort retention (operators/funnel.py cohort_retention):
     users bucketed by first-activity week, counted at each later week.
@@ -1963,6 +1974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-analytics family variants (events_hourly holds the slot)
         "events_retention": q_events_retention,
         "events_funnel": q_events_funnel,
+        # skew family variant (salted_repo_stats holds the stamped slot)
+        "docs_skew_report": q_docs_skew_report,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3178,6 +3191,22 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "docs_skew_report": """
+WITH counts AS (
+  SELECT CAST(source AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total,
+         CAST(count(*) AS DOUBLE) AS nkeys,
+         CAST(max(n) AS DOUBLE) AS maxn
+  FROM counts
+)
+SELECT key, n, round(n / tot.total, 6) AS share,
+       round(tot.maxn / (tot.total / tot.nkeys), 6) AS skew_factor,
+       CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank
+FROM counts, tot
+ORDER BY n DESC, key ASC LIMIT 10
+""",
         "events_retention": """
 WITH act AS (
   SELECT DISTINCT user_id AS u,
