@@ -469,6 +469,48 @@ def main():
         explain_str(zscore_outliers(hourly, "n", ["user_id"], threshold=2.0)),
     ))
 
+    # 25. snapshot diff: one full-outer id join, comparison in projection
+    from spacy_llm_spark.operators.diff import snapshot_diff
+
+    old_snap = docs.where(F.col("doc_id") % 7 != 0)
+    new_snap = docs.where(F.col("doc_id") % 5 != 3)
+    sections.append((
+        "Snapshot diff (CDC): one full-outer id join, delta-scale output",
+        "The whole diff is a single full-outer SortMergeJoin on the id "
+        "(co-partition both snapshots with a bucketed-by-id layout and "
+        "the Exchanges elide); change detection is the null-safe "
+        "comparison inside the Project/Filter above it — no fingerprint "
+        "column is computed or stored, no second pass, and unchanged "
+        "rows die in the filter so the output is delta-scale.",
+        explain_str(snapshot_diff(old_snap, new_snap, "doc_id")),
+    ))
+
+    # 26. co-occurrence PMI: windowed projection, never a self-join
+    from spacy_llm_spark.functions.cooccur import cooccurrence_pmi
+
+    sections.append((
+        "Co-occurrence PMI: pair generation is a Generate, not a self-join",
+        "Pairs come from transform+slice over the token array (a "
+        "Generate node — fan-out bounded by the window), then ONE "
+        "pair-keyed HashAggregate; the unigram joins are "
+        "vocabulary-scale and the corpus totals ride a broadcast 1-row "
+        "frame. The corpus never joins itself on position.",
+        explain_str(cooccurrence_pmi(docs, window=2, min_count=10)),
+    ))
+
+    # 27. skew report: key aggregate + broadcast totals + TakeOrdered
+    from spacy_llm_spark.operators.skew import skew_report
+
+    sections.append((
+        "Skew report: one key aggregate, 1-row broadcast, TakeOrdered",
+        "The diagnostics cost one HashAggregate on the candidate key, a "
+        "1-row totals aggregate broadcast back, and TakeOrderedAndProject "
+        "for the top-n — no global sort; the ranking window runs over "
+        "the already-limited n-row frame (the WindowExec single-partition "
+        "warning refers to <= top_n rows).",
+        explain_str(skew_report(docs, ["source"], top_n=10)),
+    ))
+
     spark.stop()
 
 
