@@ -1393,6 +1393,29 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts of each user's event
+    sequence (operators/funnel.py event_transitions): one user-keyed
+    window pass + one |types|²-scale aggregation; event_id breaks
+    timestamp ties so the counts are fully deterministic."""
+    from spacy_llm_spark.operators.funnel import event_transitions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(events, tiebreak_col="event_id")
+
+
+def q_docs_quality_deciles(spark, sf_dir):
+    """Exact-quantile decile assignment over document length
+    (operators/quantiles.py quantile_buckets): thresholds from ONE
+    percentile aggregation broadcast back, bucket id as a pure
+    projection — the training-mix stratification shape, no NTILE
+    global sort."""
+    from spacy_llm_spark.operators.quantiles import quantile_buckets
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return quantile_buckets(docs, "n_chars", n_buckets=10)
+
+
 def q_docs_skew_report(spark, sf_dir):
     """Pre-shuffle skew diagnostics (operators/skew.py skew_report)
     over the deliberately skewed source column (the mega-repo owns
@@ -1976,6 +1999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         # skew family variant (salted_repo_stats holds the stamped slot)
         "docs_skew_report": q_docs_skew_report,
+        # event-analytics + quantile family variants
+        "event_transitions": q_event_transitions,
+        "docs_quality_deciles": q_docs_quality_deciles,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3191,6 +3217,32 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "event_transitions": """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM c
+""",
+        "docs_quality_deciles": """
+WITH th AS (
+  SELECT quantile_cont(n_chars,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(CASE WHEN n_chars IS NULL THEN NULL
+            ELSE len(list_filter(th.t, x -> n_chars > x)) END AS BIGINT)
+         AS bucket
+FROM documents, th
+""",
         "docs_skew_report": """
 WITH counts AS (
   SELECT CAST(source AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n

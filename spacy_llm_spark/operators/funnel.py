@@ -63,6 +63,46 @@ def cohort_retention(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(from_type, to_type, n, p): the first-order Markov transition
+    counts of each user's event sequence, with row-normalized
+    probabilities (6 dp). One window pass partitioned on the user (a
+    single shuffle; per-user sequences sort locally) + one pair-keyed
+    aggregation over the type alphabet — the output is |types|²-scale.
+
+    Ordering must be total for the counts to be deterministic: pass
+    ``tiebreak_col`` (an event id) when timestamps can tie; without
+    one, same-timestamp events order by the type itself — stable and
+    cheap, no corpus-scale tie scan."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    order.append(
+        F.col(tiebreak_col).asc() if tiebreak_col else F.col(type_col).asc()
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    seq = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot), 6).alias("p"),
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: Sequence[str],

@@ -93,3 +93,51 @@ def approx_quantile_certificate(
         for _, name in probs
     ]
     return agged.select(*group_cols, "n", *oks)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign every row its exact-quantile bucket of ``value_col``
+    (0-based; bucket k holds values in the (k/n, (k+1)/n] quantile
+    band) — the training-mix stratification primitive ("drop the
+    bottom quality decile, upsample the top two") without NTILE's
+    single-partition global sort.
+
+    Shape: the n-1 interior thresholds come from ONE exact-percentile
+    aggregation (``F.percentile`` — the same interpolation the SQL
+    oracle's quantile_cont uses), broadcast back as a 1-row frame; the
+    bucket id is then a pure projection counting thresholds strictly
+    below the value. Rows with NULL values get a NULL bucket. Ties
+    across a threshold all land in the lower bucket (value <=
+    threshold), so equal values never straddle buckets.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = df.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs])).alias(
+            "_th"
+        )
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        df.crossJoin(broadcast(thresholds))
+        .withColumn(
+            bucket_col,
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.aggregate(
+                    "_th",
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(F.col(value_col) > t, 1).otherwise(0),
+                ).cast("long"),
+            ),
+        )
+        .drop("_th")
+    )

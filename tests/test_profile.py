@@ -270,3 +270,35 @@ def test_skew_report_composite_key_and_ties(spark):
     assert got[0]["key"] == "r1␟py" and got[0]["n"] == 2
     # ties broken by key ascending — deterministic cut
     assert [r["key"] for r in got[1:]] == ["r1␟go", "r2␟go"]
+
+
+# --------------------------------------------------- event transitions
+
+from spacy_llm_spark.operators.funnel import event_transitions
+
+
+def test_event_transitions_hand_case(spark):
+    rows = [
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "view"), (1, 30, "click"),
+        (2, 0, "view"), (2, 10, "purchase"),
+        (3, 0, "error"),  # single event: no transition
+    ]
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(_ev(spark, rows)).collect()
+    }
+    assert got[("view", "click")] == (2, round(2 / 3, 6))
+    assert got[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert got[("click", "view")] == (1, 1.0)
+    assert ("error", "error") not in got and len(got) == 3
+
+
+def test_event_transitions_tiebreak(spark):
+    # two events at the same instant: default tiebreak orders by type
+    rows = [(1, 0, "view"), (1, 5, "click"), (1, 5, "error")]
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(_ev(spark, rows)).collect()
+    }
+    # at t=5: click < error lexicographically -> view->click->error
+    assert got == {("view", "click"): 1, ("click", "error"): 1}

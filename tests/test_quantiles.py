@@ -73,3 +73,52 @@ def test_certificate_all_true_and_single_shuffle(spark):
     plan = cert._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
     assert final.count("Exchange hashpartitioning") == 1, plan
+
+
+# --------------------------------------------------- quantile buckets
+
+def test_quantile_buckets_uniform(spark):
+    from spacy_llm_spark.operators.quantiles import quantile_buckets
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    got = {r["v"]: r["bucket"] for r in quantile_buckets(df, "v", 10).collect()}
+    # 1..100 into deciles: value 10 -> bucket 0, 11 -> 1, ..., 100 -> 9
+    assert got[1.0] == 0 and got[10.0] == 0
+    assert got[11.0] == 1 and got[55.0] == 5 and got[100.0] == 9
+    # each decile holds exactly 10 values
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert all(sizes[b] == 10 for b in range(10)), sizes
+
+
+def test_quantile_buckets_ties_and_nulls(spark):
+    from spacy_llm_spark.operators.quantiles import quantile_buckets
+
+    rows = [(1.0,), (1.0,), (1.0,), (2.0,), (None,)]
+    got = quantile_buckets(spark.createDataFrame(rows, "v double"), "v", 2).collect()
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r["v"], set()).add(r["bucket"])
+    # equal values never straddle buckets; NULL value -> NULL bucket
+    assert len(by_v[1.0]) == 1 and by_v[2.0] == {1}
+    assert by_v[None] == {None}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_buckets(spark.createDataFrame(rows, "v double"), "v", 1)
+
+
+def test_quantile_buckets_no_global_sort(spark):
+    from spacy_llm_spark.operators.quantiles import quantile_buckets
+
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    plan = (
+        quantile_buckets(df, "v", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no NTILE-style single-partition sort of the data: the only
+    # SinglePartition exchange is the 1-row threshold aggregate
+    assert "Window" not in plan
+    assert "Sort " not in plan
