@@ -1393,6 +1393,44 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_events_rolling(spark, sf_dir):
+    """Trailing 7-hour rolling activity features per user
+    (operators/anomaly.py rolling_stats) over the hourly count grid —
+    integer-valued input keeps the sliding mean bit-identical across
+    engines regardless of their window summation structure."""
+    from spacy_llm_spark.operators.anomaly import rolling_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        events.groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", "ts"))
+            .cast("long")
+            .alias("hour_epoch"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return rolling_stats(hourly, "n", ["user_id"], ["hour_epoch"], window_rows=7)
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the stopword-profile detector
+    (functions/text.py detect_language) scored against the corpus's
+    gold lang column — (gold_lang, pred_lang, n). The evaluation shape
+    any classifier-style operator needs; the oracle nests the full
+    detector oracle as a subquery."""
+    docs = _docs(spark, sf_dir)
+    det = textfn.detect_language(docs)
+    return (
+        det.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(
+            F.col("lang").alias("gold_lang"),
+            F.col("detected_lang").alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition counts of each user's event
     sequence (operators/funnel.py event_transitions): one user-keyed
@@ -2002,6 +2040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-analytics + quantile family variants
         "event_transitions": q_event_transitions,
         "docs_quality_deciles": q_docs_quality_deciles,
+        "events_rolling": q_events_rolling,
+        # classifier-evaluation variant (ner_prf holds the scorer slot)
+        "lang_confusion": q_lang_confusion,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3217,6 +3258,21 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "events_rolling": """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, hour_epoch, n,
+       round(avg(n) OVER w, 6) AS roll_avg,
+       min(n) OVER w AS roll_min,
+       max(n) OVER w AS roll_max
+FROM hourly
+WINDOW w AS (PARTITION BY user_id ORDER BY hour_epoch
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
         "event_transitions": """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -3595,6 +3651,15 @@ FROM events GROUP BY 1
     sql["bm25_topk_indexed"] = sql["bm25_topk"]
     sql["fuzzy_name_pairs_incremental"] = sql["fuzzy_name_pairs"]
     sql["bpe_pair_counts_incremental"] = sql["bpe_pair_counts"]
+    # the full detector oracle nests as a subquery; joined to the gold
+    # lang column it becomes the confusion matrix
+    sql["lang_confusion"] = (
+        "SELECT d.lang AS gold_lang, det.detected_lang AS pred_lang,\n"
+        "       CAST(count(*) AS BIGINT) AS n\n"
+        f"FROM ({sql['detect_language']}) det\n"
+        "JOIN documents d USING (doc_id)\n"
+        "GROUP BY 1, 2"
+    )
     # scoped dedup: the verified-pair oracle plus a same-lang clause
     sql["lsh_dedup_scoped"] = """
 WITH doubled AS (

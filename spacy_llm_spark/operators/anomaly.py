@@ -60,3 +60,38 @@ def zscore_outliers(
         .where(F.abs(F.col("z")) >= threshold)
         .drop("_m", "_sd")
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    window_rows: int = 7,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Trailing-window features per key: mean/min/max of ``value_col``
+    over the last ``window_rows`` rows (inclusive) in ``order_cols``
+    order — the feature-engineering companion to ``zscore_outliers``
+    (feed the rolling mean's residual to it for trend-aware alerts).
+
+    One shuffle on the key; the frame never exceeds ``window_rows``
+    rows per output row. ``order_cols`` should be a total order (add a
+    tiebreak id) or the frame contents are nondeterministic. Note for
+    oracle-checked use: engines may sum sliding float frames in
+    different structures (incremental vs segment tree), so exact
+    cross-engine parity holds for integer-valued inputs; arbitrary
+    doubles can drift at the last ulp."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    val = F.col(value_col)
+    return (
+        df.withColumn("roll_avg", F.round(F.avg(val).over(w), round_dp))
+        .withColumn("roll_min", F.min(val).over(w))
+        .withColumn("roll_max", F.max(val).over(w))
+    )

@@ -302,3 +302,29 @@ def test_event_transitions_tiebreak(spark):
     }
     # at t=5: click < error lexicographically -> view->click->error
     assert got == {("view", "click"): 1, ("click", "error"): 1}
+
+
+# --------------------------------------------------- rolling stats
+
+from spacy_llm_spark.operators.anomaly import rolling_stats
+
+
+def test_rolling_stats_hand_case(spark):
+    rows = [("a", i, v) for i, v in enumerate([1.0, 2.0, 6.0, 3.0])] + [
+        ("b", 0, 10.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    got = {
+        (r["k"], r["i"]): (r["roll_avg"], r["roll_min"], r["roll_max"])
+        for r in rolling_stats(df, "v", ["k"], ["i"], window_rows=3).collect()
+    }
+    assert got[("a", 0)] == (1.0, 1.0, 1.0)
+    assert got[("a", 1)] == (1.5, 1.0, 2.0)
+    assert got[("a", 2)] == (3.0, 1.0, 6.0)
+    assert got[("a", 3)] == (round(11 / 3, 6), 2.0, 6.0)  # window slid past 1.0
+    assert got[("b", 0)] == (10.0, 10.0, 10.0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_stats(df, "v", ["k"], ["i"], window_rows=0)
