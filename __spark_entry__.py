@@ -1393,6 +1393,17 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_kg_negative_triples(spark, sf_dir):
+    """Deterministic corrupted-object negatives over the KG triple set
+    (operators/graph.py negative_triples) — the KG-embedding training
+    pair generator: hash-shuffled neighbour objects within seeded
+    buckets, accidental positives removed by one anti-join."""
+    from spacy_llm_spark.operators.graph import negative_triples
+
+    edges = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj")
+    return negative_triples(edges, seed=42, buckets=64)
+
+
 def q_events_rolling(spark, sf_dir):
     """Trailing 7-hour rolling activity features per user
     (operators/anomaly.py rolling_stats) over the hourly count grid —
@@ -2043,6 +2054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         # classifier-evaluation variant (ner_prf holds the scorer slot)
         "lang_confusion": q_lang_confusion,
+        # graph family variant (degree/pagerank/triangles/BFS stamped)
+        "kg_negative_triples": q_kg_negative_triples,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3080,6 +3093,33 @@ FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex
         # graph (surface leaves peel in round 1; the entity core is
         # stable); extra rounds are fixpoint no-ops
         "kg_kcore": m + _EDGES_CTE + _kcore_unrolled_sql(k=3, rounds=12),
+        # same seeded sha bucket/order formula as the engine (the conv
+        # hex idiom is the cross-checked corpus_split one)
+        "kg_negative_triples": m
+        + _EDGES_CTE
+        + """
+, t AS (SELECT DISTINCT subj, pred, obj FROM edges),
+hq AS (
+  SELECT subj, pred, obj,
+         CAST('0x' || substr(sha256('42' || chr(31) || subj || chr(31)
+              || pred || chr(31) || obj), 1, 15) AS BIGINT) AS hv
+  FROM t
+), wq AS (
+  SELECT subj, pred, obj, hv, hv % 64 AS b FROM hq
+), nq AS (
+  SELECT subj, pred, obj,
+         coalesce(lead(obj) OVER win, first_value(obj) OVER win2) AS neg_obj
+  FROM wq
+  WINDOW win AS (PARTITION BY b ORDER BY hv, subj, pred, obj),
+         win2 AS (PARTITION BY b ORDER BY hv, subj, pred, obj
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT n.subj, n.pred, n.obj, n.neg_obj FROM nq n
+WHERE n.neg_obj <> n.obj
+  AND NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.subj = n.subj AND t.pred = n.pred
+                    AND t.obj = n.neg_obj)
+""",
         "kg_ppr": m
         + _EDGES_CTE
         + _ppr_unrolled_sql(iters=5, d=0.85, seed_pred="v LIKE 'K1%'"),

@@ -564,3 +564,65 @@ def personalized_pagerank(
             )
         )
     return ranks.select("vertex", "rank")
+
+
+def negative_triples(
+    edges: DataFrame,
+    *,
+    src: str = "subj",
+    pred: str = "pred",
+    dst: str = "obj",
+    seed: int = 42,
+    buckets: int = 64,
+) -> DataFrame:
+    """(subj, pred, obj, neg_obj): one deterministic corrupted negative
+    per distinct positive triple — the training-pair generator for
+    KG-embedding losses (TransE-style object corruption).
+
+    RNG-free empirical-distribution sampling: each distinct triple gets
+    a seeded sha-derived hash; its negative object is the NEXT triple's
+    object in the hash-shuffled order within its hash bucket (wrapping
+    at the bucket end), so negatives follow the empirical object
+    distribution without any global vertex index or single-partition
+    window. Self-corruptions (neg_obj == obj) drop out, and accidental
+    positives (the corrupted triple actually exists) are removed by ONE
+    anti-join against the positive set. Shape: one hash projection, one
+    bucket-keyed window pass (bucket sizes ~|T|/buckets — raise
+    ``buckets`` with scale), one anti-join. Same corpus, seed, and
+    bucket count => same negatives on any cluster size.
+    """
+    from pyspark.sql import Window
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    t = edges.select(src, pred, dst).distinct()
+    hv = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "\x1f", F.lit(str(seed)), F.col(src), F.col(pred), F.col(dst)
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = t.withColumn("_hv", hv).withColumn("_b", F.col("_hv") % buckets)
+    order = [F.col("_hv"), F.col(src), F.col(pred), F.col(dst)]
+    win = Window.partitionBy("_b").orderBy(*order)
+    win_all = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = (
+        w.withColumn(
+            "neg_obj",
+            F.coalesce(F.lead(dst).over(win), F.first(dst).over(win_all)),
+        )
+        .where(F.col("neg_obj") != F.col(dst))
+        .select(src, pred, dst, "neg_obj")
+    )
+    positives = t.select(
+        F.col(src), F.col(pred), F.col(dst).alias("neg_obj")
+    )
+    return neg.join(positives, [src, pred, "neg_obj"], "left_anti")

@@ -1219,3 +1219,36 @@ def test_cooccurrence_pmi_matches_reference(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
     # "new york" is a genuine collocation: strongly positive PMI
     assert got[("new", "york")][1] > 1.0
+
+
+# --------------------------------------------------- negative triples
+
+def test_negative_triples_properties(spark):
+    from spacy_llm_spark.operators.graph import negative_triples
+
+    rows = [
+        ("a", "r1", "x"), ("a", "r1", "y"), ("b", "r1", "x"),
+        ("b", "r2", "z"), ("c", "r2", "x"), ("c", "r2", "y"),
+        ("d", "r1", "z"), ("d", "r2", "w"),
+    ]
+    edges = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = negative_triples(edges, buckets=2).collect()
+    positives = set(rows)
+    objs = {o for _, _, o in rows}
+    assert got, "some negatives must survive on this input"
+    for r in got:
+        # the base triple is a real positive
+        assert (r["subj"], r["pred"], r["obj"]) in positives
+        # the corrupted triple is NOT a positive, and not a self-swap
+        assert (r["subj"], r["pred"], r["neg_obj"]) not in positives
+        assert r["neg_obj"] != r["obj"]
+        # negatives come from the empirical object vocabulary
+        assert r["neg_obj"] in objs
+    # determinism across runs and bucket-count stability of the contract
+    again = negative_triples(edges, buckets=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="buckets"):
+        negative_triples(edges, buckets=0)
