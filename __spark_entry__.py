@@ -1393,6 +1393,16 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_docs_chunks(spark, sf_dir):
+    """RAG/embedding ingestion chunking (functions/text.py
+    chunk_documents): 64-token windows overlapping by 16, offsets kept,
+    redundant tails dropped — one pure projection + generate, no
+    shuffle (plan pinned Exchange-free)."""
+    return textfn.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap_tokens=16
+    )
+
+
 def q_kg_negative_triples(spark, sf_dir):
     """Deterministic corrupted-object negatives over the KG triple set
     (operators/graph.py negative_triples) — the KG-embedding training
@@ -2056,6 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         # graph family variant (degree/pagerank/triangles/BFS stamped)
         "kg_negative_triples": q_kg_negative_triples,
+        # text-analysis family variant: RAG chunking
+        "docs_chunks": q_docs_chunks,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3298,6 +3310,27 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "docs_chunks": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS arr
+  FROM documents
+), nz AS (
+  SELECT doc_id, arr FROM toks WHERE len(arr) > 0
+), starts AS (
+  SELECT doc_id, arr,
+         unnest(generate_series(0, len(arr) - 1, 48)) AS s
+  FROM nz
+), kept AS (
+  SELECT doc_id, arr, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx
+  FROM starts WHERE s = 0 OR s - 48 + 64 < len(arr)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(len(list_slice(arr, s + 1, s + 64)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(arr, s + 1, s + 64), ' ') AS chunk_text
+FROM kept
+""",
         "events_rolling": """
 WITH hourly AS (
   SELECT user_id,
