@@ -1393,6 +1393,23 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_join_size_orders(spark, sf_dir):
+    """Exact join-size prediction for orders ⋈ lineitem on the order
+    key (operators/skew.py join_size_estimate): two per-key count
+    aggregations + one key-scale join — the data-scale join never
+    runs. The planning input that chooses broadcast vs bucketed vs
+    salted before a 100 TB shuffle."""
+    from spacy_llm_spark.operators.skew import join_size_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k")
+    )
+    return join_size_estimate(orders, lineitem, ["k"], top_n=5)
+
+
 def q_docs_chunks(spark, sf_dir):
     """RAG/embedding ingestion chunking (functions/text.py
     chunk_documents): 64-token windows overlapping by 16, offsets kept,
@@ -2068,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_triples": q_kg_negative_triples,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
+        # skew/planning family variant
+        "join_size_orders": q_join_size_orders,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3310,6 +3329,23 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "join_size_orders": """
+WITH ka AS (
+  SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1
+), kb AS (
+  SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1
+), c AS (
+  SELECT CAST(ka.k AS VARCHAR) AS key, CAST(na * nb AS BIGINT) AS nr
+  FROM ka JOIN kb USING (k)
+), top AS (
+  SELECT string_agg(key || '=' || nr, ', ' ORDER BY nr DESC, key ASC)
+           AS top_keys
+  FROM (SELECT * FROM c ORDER BY nr DESC, key ASC LIMIT 5)
+)
+SELECT (SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) FROM c) AS join_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_matching_keys,
+       (SELECT coalesce(top_keys, '') FROM top) AS top_keys
+""",
         "docs_chunks": """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS arr

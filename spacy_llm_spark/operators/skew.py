@@ -124,3 +124,55 @@ def _rank_window():
     from pyspark.sql import Window
 
     return F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key")))
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE paying for it:
+    |A ⋈ B| = Σ_k n_A(k)·n_B(k), computed exactly from the two per-key
+    count tables — two aggregations + one key-scale join, never the
+    data-scale join itself. Returns ONE row with the total plus the
+    ``top_n`` heaviest key contributions concatenated for diagnostics
+    (which keys would explode the join).
+
+    The planning companion to ``skew_report``: run both on candidate
+    join keys to choose between broadcast, bucketed layout, and salting
+    while the 100 TB shuffle is still hypothetical.
+    """
+    keys = list(key_cols)
+    ka = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
+    kb = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nb"))
+    contrib = ka.join(kb, keys).select(
+        F.concat_ws("␟", *[F.col(k).cast("string") for k in keys]).alias("key"),
+        (F.col("_na") * F.col("_nb")).cast("long").alias("rows"),
+    )
+    # collect_list order after a limit is partition-dependent; sorting
+    # the collected structs (neg-rows, key) pins the concatenation order
+    top = (
+        contrib.orderBy(F.desc("rows"), F.asc("key"))
+        .limit(top_n)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("rows")).alias("neg"), F.col("key"))
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        "=", s["key"], (-s["neg"]).cast("string")
+                    ),
+                ),
+                ", ",
+            ).alias("top_keys")
+        )
+    )
+    total = contrib.agg(
+        F.coalesce(F.sum("rows"), F.lit(0)).cast("long").alias("join_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+    )
+    return total.crossJoin(F.broadcast(top))

@@ -377,3 +377,30 @@ def test_chunk_documents_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure projection + generate
+
+
+# --------------------------------------------------- join size estimate
+
+from spacy_llm_spark.operators.skew import join_size_estimate
+
+
+def test_join_size_estimate_exact(spark):
+    a = spark.createDataFrame(
+        [("k1",), ("k1",), ("k2",), ("k3",)], "k string"
+    )
+    b = spark.createDataFrame(
+        [("k1",), ("k1",), ("k1",), ("k2",), ("k4",)], "k string"
+    )
+    r = join_size_estimate(a, b, ["k"], top_n=1).collect()[0]
+    # k1: 2*3=6, k2: 1*1=1; k3/k4 unmatched
+    assert (r["join_rows"], r["n_matching_keys"]) == (7, 2)
+    assert r["top_keys"] == "k1=6"
+    # the prediction matches the real join exactly
+    assert a.join(b, "k").count() == 7
+
+
+def test_join_size_estimate_disjoint(spark):
+    a = spark.createDataFrame([("x",)], "k string")
+    b = spark.createDataFrame([("y",)], "k string")
+    r = join_size_estimate(a, b, ["k"]).collect()[0]
+    assert (r["join_rows"], r["n_matching_keys"], r["top_keys"]) == (0, 0, "")
