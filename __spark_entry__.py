@@ -3410,7 +3410,8 @@ FROM documents, th
 """,
         "docs_skew_report": """
 WITH counts AS (
-  SELECT CAST(source AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  SELECT coalesce(CAST(source AS VARCHAR), '␀') AS key,
+         CAST(count(*) AS BIGINT) AS n
   FROM documents GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(n) AS DOUBLE) AS total,

@@ -184,6 +184,13 @@ def train_bpe(
 # encoding (broadcast merges + Arrow batches)
 # ---------------------------------------------------------------------------
 
+# executor-GLOBAL word caches, keyed per merge table: a task-local dict
+# would restart cold on every partition and the Zipf fast path would
+# never warm up. Bounded: per-table entry cap below, and only the most
+# recent few merge tables are retained.
+_ENCODE_CACHES: dict = {}
+_ENCODE_CACHE_MAX_TABLES = 4
+
 def encode_word(word: str, ranks: dict) -> List[str]:
     """Classic iterative BPE encode of one word: repeatedly merge ALL
     occurrences of the lowest-rank adjacent pair present. Pure Python —
@@ -228,12 +235,19 @@ def encode_bpe(
     ranks_bc = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)}
     )
+    # computed ONCE on the driver and closure-captured, so every task of
+    # this encode shares one executor-global cache slot; per-process
+    # hash salting is irrelevant because the key never recomputes
+    cache_key = hash(tuple(merges))
     pat = re.compile(PRETOKEN_PATTERN)
     ids = list(id_cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = ranks_bc.value
-        cache: dict = {}
+        cache = _ENCODE_CACHES.setdefault(cache_key, {})
+        while len(_ENCODE_CACHES) > _ENCODE_CACHE_MAX_TABLES:
+            _ENCODE_CACHES.pop(next(iter(_ENCODE_CACHES)))
+            cache = _ENCODE_CACHES.setdefault(cache_key, {})
 
         def enc(text: str) -> List[str]:
             toks: List[str] = []

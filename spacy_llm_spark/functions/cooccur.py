@@ -69,12 +69,21 @@ def cooccurrence_pmi(
     """(a, b, n_ab, pmi) for pairs with ``n_ab >= min_count``.
     pmi = ln( p(a,b) / (p(a)·p(b)) ) with p over corpus totals,
     rounded to 6 dp. Positive = collocation candidates."""
+    from ..fs import cut_lineage
+
     toks = df.select(tokens_expr(F.col(text_col)).alias("toks"))
     pos = toks.select(F.explode("toks").alias("tok"))
-    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # both statistics frames are vocabulary-scale and each is consumed
+    # by multiple branches (uni: totals + two PMI joins; co_all:
+    # candidates + N_pairs) — materialize them ONCE so the corpus-scale
+    # token Generate runs exactly once per statistic instead of five
+    # times (Catalyst does not reuse exchanges across the branches)
+    uni = cut_lineage(
+        pos.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     # the uncapped pair table serves both the candidates and the total:
     # N_pairs must count ALL pairs, not just the ones above min_count
-    co_all = cooccurrence_counts(df, text_col, window)
+    co_all = cut_lineage(cooccurrence_counts(df, text_col, window))
     co = co_all.where(F.col("n_ab") >= min_count)
     totals = uni.agg(F.sum("n").cast("double").alias("n_tok")).crossJoin(
         co_all.agg(F.sum("n_ab").cast("double").alias("n_pair"))

@@ -438,9 +438,11 @@ def k_core(
     converged = False
     for _ in range(max_rounds):
         if n_edges == 0:
-            return und.sparkSession.createDataFrame(
-                [], "vertex string, degree long"
-            )
+            # fall through to the final aggregation over the empty edge
+            # set — keeps the vertex column's INPUT type (a hardcoded
+            # empty schema would diverge from the non-empty path)
+            converged = True
+            break
         deg = (
             und.select(F.col("lo").alias("v"))
             .unionByName(und.select(F.col("hi").alias("v")))

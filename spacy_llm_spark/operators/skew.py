@@ -92,10 +92,14 @@ def skew_report(
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     keys = list(key_cols)
+    # concat_ws silently DROPS null inputs, which would merge a NULL key
+    # component with the empty string (and ('a', NULL) with ('a',)) —
+    # encode each component null-safely with a sentinel instead
+    parts = [
+        F.coalesce(F.col(k).cast("string"), F.lit("␀")) for k in keys
+    ]
     counts = df.groupBy(
-        F.concat_ws("␟", *[F.col(k).cast("string") for k in keys]).alias(
-            "key"
-        )
+        F.concat_ws("␟", *parts).alias("key")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     totals = counts.agg(
         F.sum("n").cast("double").alias("_total"),
@@ -143,12 +147,21 @@ def join_size_estimate(
     join keys to choose between broadcast, bucketed layout, and salting
     while the 100 TB shuffle is still hypothetical.
     """
+    from ..fs import cut_lineage
+
     keys = list(key_cols)
     ka = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
     kb = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nb"))
-    contrib = ka.join(kb, keys).select(
-        F.concat_ws("␟", *[F.col(k).cast("string") for k in keys]).alias("key"),
-        (F.col("_na") * F.col("_nb")).cast("long").alias("rows"),
+    # contrib feeds both the total and the top-keys branch; materialize
+    # the key-scale frame once so the two data-scale aggregations are
+    # not re-executed per branch
+    contrib = cut_lineage(
+        ka.join(kb, keys).select(
+            F.concat_ws(
+                "␟", *[F.col(k).cast("string") for k in keys]
+            ).alias("key"),
+            (F.col("_na") * F.col("_nb")).cast("long").alias("rows"),
+        )
     )
     # collect_list order after a limit is partition-dependent; sorting
     # the collected structs (neg-rows, key) pins the concatenation order

@@ -162,7 +162,15 @@ def make_batch_processor(
 
     def _prune_to_newest(path: str, keep_n: int) -> None:
         """Delete all batch_id subdirs older than the newest keep_n
-        COMMITTED ones (torn dirs below the cutoff are collected too)."""
+        COMMITTED ones (torn dirs below the cutoff are collected too).
+        keep_n must be >= 1: the latest snapshot is the merge base, and
+        lst[-0:] would silently keep EVERYTHING rather than prune."""
+        if keep_n < 1:
+            raise ValueError(
+                f"snapshot retention must be >= 1 (got {keep_n}); "
+                "pass None to disable pruning"
+            )
+
         def _bid(p: str) -> int:
             return int(p.rstrip("/").rsplit("=", 1)[-1])
 

@@ -1252,3 +1252,16 @@ def test_negative_triples_properties(spark):
 
     with pytest.raises(ValueError, match="buckets"):
         negative_triples(edges, buckets=0)
+
+
+def test_k_core_empty_result_keeps_input_vertex_type(spark):
+    from spacy_llm_spark.operators.graph import k_core
+
+    # long vertex ids + fully peeled graph: the empty result must keep
+    # the INPUT's vertex type so unions/joins across snapshots line up
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "subj bigint, obj bigint"
+    )
+    out = k_core(path, 2)
+    assert out.count() == 0
+    assert dict(out.dtypes)["vertex"] == "bigint"
