@@ -1,0 +1,140 @@
+"""Property tests for the late round-5 operators against brute-force
+Python references over randomized inputs (same discipline as
+test_property_joins/test_property_kernels: few examples, real Spark
+jobs, adversarial small shapes — ties, nulls, empty groups)."""
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from spacy_llm_spark.operators.anomaly import zscore_outliers
+from spacy_llm_spark.operators.diff import snapshot_diff
+from spacy_llm_spark.operators.funnel import cohort_retention
+from spacy_llm_spark.operators.quantiles import quantile_buckets
+
+
+# --------------------------------------------------- quantile buckets
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=2, max_size=40
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_quantile_buckets_invariants(spark, values, n_buckets):
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = quantile_buckets(df, "v", n_buckets).collect()
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r["v"], set()).add(r["bucket"])
+    # equal values share a bucket; buckets are order-monotone in value
+    assert all(len(b) == 1 for b in by_v.values())
+    ordered = sorted((v, next(iter(b))) for v, b in by_v.items())
+    buckets = [b for _, b in ordered]
+    assert buckets == sorted(buckets)
+    assert all(0 <= b < n_buckets for b in buckets)
+    # the minimum always lands in bucket 0, the maximum in a top bucket
+    assert buckets[0] == 0
+
+
+# --------------------------------------------------- snapshot diff
+
+_ids = st.integers(min_value=0, max_value=8)
+_vals = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(_ids, _vals, max_size=8),
+    st.dictionaries(_ids, _vals, max_size=8),
+)
+def test_snapshot_diff_matches_bruteforce(spark, old, new):
+    o = spark.createDataFrame(
+        [(k, v) for k, v in old.items()], "id bigint, t string"
+    )
+    n = spark.createDataFrame(
+        [(k, v) for k, v in new.items()], "id bigint, t string"
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(o, n, "id").collect()}
+    want = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            want[k] = "removed"
+        elif k not in old:
+            want[k] = "added"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    assert got == want
+
+
+# --------------------------------------------------- cohort retention
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=20),  # day
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cohort_retention_matches_bruteforce(spark, events):
+    day = 86400
+    df = spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(days=d))
+            for u, d in events
+        ],
+        "user_id bigint, ts timestamp_ntz",
+    )
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, period_secs=day).collect()
+    }
+    base = 19723  # epoch day of 2024-01-01
+    act = {(u, base + d) for u, d in events}
+    first = {}
+    for u, p in act:
+        first[u] = min(first.get(u, p), p)
+    want = {}
+    for u, p in act:
+        key = (first[u], p - first[u])
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+# --------------------------------------------------- z-score outliers
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_zscore_outliers_matches_bruteforce(spark, rows):
+    import statistics
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "k string, v double"
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in zscore_outliers(df, "v", ["k"], 1.5).collect()
+    )
+    want = []
+    for g in {g for g, _ in rows}:
+        vals = [float(v) for gg, v in rows if gg == g]
+        m = statistics.fmean(vals)
+        sd = statistics.pstdev(vals)
+        if sd > 0:
+            want.extend(
+                (g, v) for v in vals if abs(round((v - m) / sd, 6)) >= 1.5
+            )
+    assert got == sorted(want)
