@@ -1393,6 +1393,16 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.encode_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_docs_length_histogram(spark, sf_dir):
+    """Fixed-width document-length histogram (operators/profile.py
+    histogram): distribution shape for the corpus card — one 1-row
+    bounds aggregate broadcast back, bin id as a projection, one
+    bins-scale aggregation. No sort, no Python."""
+    from spacy_llm_spark.operators.profile import histogram
+
+    return histogram(_docs(spark, sf_dir), "n_chars", n_bins=20)
+
+
 def q_join_size_orders(spark, sf_dir):
     """Exact join-size prediction for orders ⋈ lineitem on the order
     key (operators/skew.py join_size_estimate): two per-key count
@@ -2087,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
         "join_size_orders": q_join_size_orders,
+        # profiling family variant (profile_documents holds the slot)
+        "docs_length_histogram": q_docs_length_histogram,
         # incremental twin of bpe_pair_counts (shares its oracle)
         "bpe_pair_counts_incremental": q_bpe_pair_counts_incremental,
         # iterative BPE train+encode — no SQL oracle by nature (the
@@ -3329,6 +3341,24 @@ FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
             "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens\n"
             "FROM aug"
         ).format(aug=_pii_aug_sql(), pat=textfn.PRETOKEN_PATTERN),
+        "docs_length_histogram": """
+WITH b AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS blo,
+         CAST(max(n_chars) AS DOUBLE) AS bhi
+  FROM documents WHERE n_chars IS NOT NULL
+), binned AS (
+  SELECT CASE WHEN b.bhi > b.blo
+              THEN least(CAST(floor((CAST(n_chars AS DOUBLE) - b.blo)
+                                    / ((b.bhi - b.blo) / 20)) AS BIGINT), 19)
+              ELSE 0 END AS bin,
+         b.blo, b.bhi
+  FROM documents, b WHERE n_chars IS NOT NULL
+)
+SELECT bin, round(blo + bin * (bhi - blo) / 20, 6) AS lo,
+       round(blo + (bin + 1) * (bhi - blo) / 20, 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY bin, blo, bhi
+""",
         "join_size_orders": """
 WITH ka AS (
   SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1

@@ -106,3 +106,61 @@ def profile_table(
             F.round(F.col("_al"), 6).alias("avg_len"),
         )
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column — the distribution
+    shape the flat profiler stats can't show. (bin, lo, hi, n), bins
+    covering [min, max] with the max value folded into the top bin;
+    NULLs are excluded; a constant column yields one bin.
+
+    Shape: one 1-row min/max aggregation broadcast back, then the bin
+    id is a pure projection and the histogram one bins-scale
+    aggregation — two passes over the column, no sort, no Python. Bin
+    bounds are derived with the same fixed operand order in the SQL
+    oracle, so edges match bit-for-bit."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    val = F.col(value_col).cast("double")
+    bounds = df.where(val.isNotNull()).agg(
+        F.min(val).alias("_lo"), F.max(val).alias("_hi")
+    )
+    from pyspark.sql.functions import broadcast
+
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_id = F.least(
+        F.floor((val - F.col("_lo")) / width).cast("long"),
+        F.lit(int(n_bins) - 1),
+    )
+    return (
+        df.where(val.isNotNull())
+        .crossJoin(broadcast(bounds))
+        .select(
+            # a zero-width (constant) column puts everything in bin 0
+            F.when(F.col("_hi") > F.col("_lo"), bin_id)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bin"),
+            F.col("_lo"),
+            F.col("_hi"),
+        )
+        .groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bin",
+            F.round(
+                F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / n_bins,
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("_lo")
+                + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / n_bins,
+                6,
+            ).alias("hi"),
+            "n",
+        )
+    )

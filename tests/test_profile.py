@@ -404,3 +404,29 @@ def test_join_size_estimate_disjoint(spark):
     b = spark.createDataFrame([("y",)], "k string")
     r = join_size_estimate(a, b, ["k"]).collect()[0]
     assert (r["join_rows"], r["n_matching_keys"], r["top_keys"]) == (0, 0, "")
+
+
+# --------------------------------------------------- histogram
+
+from spacy_llm_spark.operators.profile import histogram
+
+
+def test_histogram_uniform_and_edges(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    got = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in histogram(df, "v", 10).collect()}
+    assert len(got) == 10
+    # width 9.9; the max (99.0) folds into the top bin
+    assert got[0][2] == 10 and got[9][2] == 10
+    assert got[0][0] == 0.0 and got[9][1] == 99.0
+    assert sum(n for _, _, n in got.values()) == 100
+
+
+def test_histogram_constant_nulls_and_validation(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], "v double")
+    got = histogram(df, "v", 4).collect()
+    assert [(r["bin"], r["n"]) for r in got] == [(0, 2)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram(df, "v", 0)
