@@ -368,6 +368,47 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["events_anomaly_sec"] = round(time.time() - t0, 3)
     extras["events_anomaly_n_rows"] = n_anom
 
+    # Adamic–Adar link prediction over the 200k-edge chain graph (~every
+    # interior vertex is a wedge pivot -> ~200k scored non-adjacent pairs)
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import adamic_adar
+
+    n_aa = adamic_adar(chain, src="src", dst="dst", max_pivot_degree=64).count()
+    extras["adamic_adar_200k_edges_sec"] = round(time.time() - t0, 3)
+    extras["adamic_adar_n_pairs"] = n_aa
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import label_propagation
+
+    label_propagation(chain, rounds=3, src="src", dst="dst").count()
+    extras["lpa_200k_edges_3rounds_sec"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import hits
+
+    hits(chain, iters=3, src="src", dst="dst").count()
+    extras["hits_200k_edges_3iters_sec"] = round(time.time() - t0, 3)
+
+    # DSIR selection: corpus-vs-'en'-slice importance weights + top 1000
+    t0 = time.time()
+    from spacy_llm_spark.operators.importance import dsir_top_k
+
+    dsir_top_k(docs, docs.where(F.col("lang") == "en"), k=1000).count()
+    extras["dsir_topk_sec"] = round(time.time() - t0, 3)
+
+    # exact prefix-filtered Jaccard self-join on a 1-in-5 doc slice: the
+    # synthetic corpus shares a small vocabulary, so token-SET similarity
+    # is pathologically dense — the slice + 0.8 threshold keep the
+    # result-pair count (recorded) meaningful as a scale signal
+    t0 = time.time()
+    from spacy_llm_spark.operators.setjoin import jaccard_join_exact
+
+    n_jx = jaccard_join_exact(
+        docs.where(F.col("doc_id") % 5 == 0), threshold=0.8
+    ).count()
+    extras["jaccard_exact_join_sec"] = round(time.time() - t0, 3)
+    extras["jaccard_exact_n_pairs"] = n_jx
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -511,6 +511,92 @@ def main():
         explain_str(skew_report(docs, ["source"], top_n=10)),
     ))
 
+    # 28. Adamic–Adar: equi-joins only, aggregate-fused scoring
+    from spacy_llm_spark.operators.graph import adamic_adar
+
+    edges_aa = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h"), ("a", "w"), ("b", "w")],
+        "subj string, obj string",
+    )
+    sections.append((
+        "Adamic–Adar link prediction: pivot equi-join, single pair aggregate",
+        "The wedge enumeration is ONE self-equi-join on the pivot vertex "
+        "(HashAggregate for degrees feeds it — no window, no rank); "
+        "count and sum(1/ln d) ride the SAME pair-keyed HashAggregate "
+        "with map-side partials, and the non-adjacency check is a "
+        "LeftAnti join above it. No cartesian anywhere; hub fan-out is "
+        "bounded by max_pivot_degree exactly as in neighbor_jaccard.",
+        explain_str(adamic_adar(edges_aa, min_common=1)),
+    ))
+
+    # 29. label propagation: per-round argmax is ONE two-level aggregate.
+    # cut_lineage (localCheckpoint per round) would collapse the explain
+    # to a Scan ExistingRDD — disable it for the CAPTURE only, so the
+    # true single-round plan is visible.
+    from spacy_llm_spark import fs as _fs
+    from spacy_llm_spark.operators import graph as _graph_mod
+    from spacy_llm_spark.operators.graph import hits, label_propagation
+
+    _real_cut = _fs.cut_lineage
+    _fs.cut_lineage = lambda df, *a, **k: df
+    _graph_mod.fs.cut_lineage = _fs.cut_lineage
+    try:
+        sections.append((
+            "Label propagation (1 round): argmax-count/min-label without a window",
+            "Each round is one edge-scale equi-join (neighbor labels) and a "
+            "two-level HashAggregate — (v,label) counts, then min(struct(-n,"
+            "label)) per vertex — so the most-frequent-label pick never "
+            "plans a Window sort on a skewed vertex key; partial aggregation "
+            "absorbs hub fan-in map-side. (Lineage cutting is disabled for "
+            "this capture; in the operator each round is checkpointed.)",
+            explain_str(label_propagation(edges_aa, rounds=1)),
+        ))
+
+        # 29b. HITS: per-round joins + broadcast totals, no collect
+        sections.append((
+            "HITS (1 round): edge joins + vertex aggregates + broadcast totals",
+            "Each half-step is one edge-scale equi-join carrying a single "
+            "double, one vertex-keyed HashAggregate with map-side partials, "
+            "and a 1-row L1 total BroadcastExchange'd back (the only "
+            "nested-loop nodes are those 1-row broadcast cross joins) — the "
+            "normalization never collects rank rows to the driver. (Lineage "
+            "cutting disabled for this capture, as above.)",
+            explain_str(hits(edges_aa, iters=1)),
+        ))
+    finally:
+        _fs.cut_lineage = _real_cut
+        _graph_mod.fs.cut_lineage = _real_cut
+
+    # 30. DSIR: bucket-scale ratio map broadcast into the corpus scan
+    from spacy_llm_spark.operators.importance import dsir_top_k
+
+    sections.append((
+        "DSIR importance selection: broadcast bucket map + TakeOrdered",
+        "Both corpus distributions aggregate to bucket scale (<= 10k "
+        "rows); their log-ratio map is BroadcastExchange'd into the "
+        "raw corpus' explode — the corpus-scale side never shuffles on "
+        "the bucket — and the per-doc weight is one doc-keyed "
+        "HashAggregate; selection is TakeOrderedAndProject, never a "
+        "global sort. Raw corpus cost: two scans, nothing wider than "
+        "(doc_id, weight) exchanged.",
+        explain_str(dsir_top_k(docs, docs.where(F.col("lang") == "en"), k=100)),
+    ))
+
+    # 31. exact Jaccard self-join: prefix equi-join, no rank window
+    from spacy_llm_spark.operators.setjoin import jaccard_join_exact
+
+    sections.append((
+        "Exact prefix-filtered Jaccard join: df-ordered prefixes, equi-joins only",
+        "The global rarest-first token order is the (df, token) VALUE "
+        "pair sorted per-doc inside array_sort — no global rank window "
+        "ever plans; candidates come from ONE prefix-token equi-join "
+        "with the length filter applied before dedup, and verification "
+        "is native array_intersect above two id-keyed joins. Nothing "
+        "quadratic in the corpus materializes; the only Exchanges are "
+        "token-, doc-, and pair-keyed hash partitionings.",
+        explain_str(jaccard_join_exact(docs, threshold=0.8)),
+    ))
+
     spark.stop()
 
 

@@ -568,6 +568,217 @@ def personalized_pagerank(
     return ranks.select("vertex", "rank")
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    iters: int = 5,
+    quantum: int = 10,
+) -> DataFrame:
+    """(vertex, hub, authority) after ``iters`` rounds of Kleinberg's
+    HITS over the distinct directed edge set — the complement of
+    PageRank for KG entity importance: authorities are the entities
+    many good hubs point AT (canonical targets), hubs are the entities
+    that point at many good authorities (aggregator/subject nodes).
+    A directed KG's subj->obj triples make this the natural
+    subject-importance / object-importance split.
+
+    L1-normalized power iteration: each round updates authorities from
+    the CURRENT hubs, renormalizes to sum 1, then hubs from the NEW
+    authorities (Kleinberg's update order). Scores are quantized to
+    ``quantum`` dp after every normalization — the same cross-engine
+    discipline as ``pagerank``: both engines then feed bit-identical
+    addends into the next round, and the only float divergence left is
+    the one summation-order ulp the quantization absorbs.
+
+    Scale shape, per round: two edge-scale equi-joins (each carrying
+    one double), two vertex-keyed aggregates with map-side partials,
+    and two 1-row total aggregates broadcast back. No per-round
+    collect beyond the initial vertex count; lineage cut per round.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e = fs.cut_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    )
+    nodes = fs.cut_lineage(
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "vertex",
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    init = F.round(F.lit(1.0 / n), quantum)
+    scores = fs.cut_lineage(
+        nodes.select("vertex", init.alias("hub"), init.alias("authority"))
+    )
+
+    def _half_step(frame: DataFrame, in_col: str, join_on: str, group_to: str,
+                   out_col: str) -> DataFrame:
+        """One HITS half-step: push ``in_col`` across the edges joined on
+        ``join_on``, sum into ``group_to``, L1-normalize, quantize."""
+        raw = (
+            e.join(
+                frame.select(F.col("vertex").alias(join_on), in_col), join_on
+            )
+            .groupBy(F.col(group_to).alias("vertex"))
+            .agg(F.sum(in_col).alias("_raw"))
+        )
+        tot = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot"))
+        return (
+            nodes.join(raw, "vertex", "left")
+            .crossJoin(broadcast(tot))
+            .select(
+                "vertex",
+                F.round(
+                    F.when(
+                        F.col("_tot") > 0,
+                        F.coalesce("_raw", F.lit(0.0)) / F.col("_tot"),
+                    ).otherwise(F.lit(0.0)),
+                    quantum,
+                ).alias(out_col),
+            )
+        )
+
+    for _ in range(iters):
+        auth = _half_step(scores, "hub", "s", "t", "authority")
+        hubs = _half_step(auth, "authority", "t", "s", "hub")
+        scores = fs.cut_lineage(hubs.join(auth, "vertex"))
+    return scores.select("vertex", "hub", "authority")
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    min_common: int = 1,
+    max_pivot_degree: int | None = None,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Adamic–Adar link prediction over the undirected simple graph:
+    for every non-adjacent vertex pair sharing >= ``min_common``
+    neighbors, sum(1 / ln(deg(w))) over the common neighbors w — the
+    classic KG-completion score that discounts hub-mediated evidence
+    (sharing a degree-10^6 neighbor is worth ~1/14 of sharing a
+    degree-2 one), complementing ``neighbor_jaccard``'s size-normalized
+    overlap.
+
+    Output: ``(id_a, id_b, common_neighbors, adamic_adar)`` with
+    ``id_a < id_b``, score rounded to 6 dp. ``exclude_existing=True``
+    (default) anti-joins pairs already connected — the link-PREDICTION
+    form; False keeps them (the similarity form shared with
+    ``neighbor_jaccard``). A common neighbor has degree >= 2 by
+    construction, so ln(deg) >= ln 2 and the score is always finite.
+
+    Scale shape: identical to ``neighbor_jaccard`` — one vertex-scale
+    degree aggregate, one pivot-keyed self-equi-join emitting C(d,2)
+    rows per pivot, one (id_a, id_b) aggregate with map-side partials,
+    plus one anti-join against the edge set. The same hub hazard and
+    the same ``max_pivot_degree`` cap apply — capped scores are a
+    certified LOWER bound, and for Adamic–Adar the cap costs least by
+    design (the excluded hub wedges are exactly the ~1/ln(d) ≈ 0
+    contributions).
+
+    Determinism: the per-pair sum of 1/ln(d) terms is a float whose
+    summation order Spark's partial aggregation does not fix;
+    round-to-6dp absorbs the ~1e-15 reassociation drift (same
+    discipline as ``pagerank``'s quantization).
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    und = _undirected_edges(edges, src, dst)
+    adj = und.select(F.col("lo").alias("p"), F.col("hi").alias("n")).unionByName(
+        und.select(F.col("hi").alias("p"), F.col("lo").alias("n"))
+    )
+    deg = adj.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    piv = adj.join(deg, "p")
+    if max_pivot_degree is not None:
+        if max_pivot_degree < 1:
+            raise ValueError(f"max_pivot_degree must be >= 1, got {max_pivot_degree}")
+        piv = piv.where(F.col("d") <= max_pivot_degree)
+    a = piv.select("p", "d", F.col("n").alias("id_a"))
+    b = piv.select("p", F.col("n").alias("id_b"))
+    scored = (
+        a.join(b, "p")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log("d")), 6).alias("adamic_adar"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    if exclude_existing:
+        scored = scored.join(
+            und.select(F.col("lo").alias("id_a"), F.col("hi").alias("id_b")),
+            ["id_a", "id_b"],
+            "left_anti",
+        )
+    return scored
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """(vertex, label) after ``rounds`` synchronous label-propagation
+    rounds over the undirected simple graph (Raghavan et al. 2007) —
+    the cheap community-detection primitive for KG entity grouping:
+    unlike connected components (one label per component), LPA splits a
+    connected graph along its dense regions.
+
+    Deterministic variant: labels start as the vertex id; each round
+    EVERY vertex simultaneously adopts the most frequent label among
+    its neighbors, ties broken by the smallest label. No RNG, no
+    visit-order dependence — the output is a pure function of (graph,
+    rounds), which is what makes a cross-engine oracle possible.
+    Synchronous LPA need not converge (bipartite regions can
+    oscillate), so the contract is explicitly "labels after N rounds",
+    not a fixpoint; rounds is small by design (community structure
+    saturates in ~5 rounds on social/KG graphs).
+
+    Scale shape, per round: one edge-scale join (neighbor labels, keyed
+    on the vertex id), one (vertex, label) count aggregate with
+    map-side partials, and one vertex-keyed min-struct aggregate that
+    picks argmax-count/min-label in a SINGLE pass — ``min(struct(-n,
+    label))`` — so no window sort and no second shuffle on a skewed
+    key. Lineage is cut per round like the other iterative operators.
+    Counts are integers: no float drift, no quantization needed.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    und = _undirected_edges(edges, src, dst)
+    adj = fs.cut_lineage(
+        und.select(F.col("lo").alias("v"), F.col("hi").alias("n")).unionByName(
+            und.select(F.col("hi").alias("v"), F.col("lo").alias("n"))
+        )
+    )
+    labels = adj.select("v").distinct().withColumn("label", F.col("v"))
+    for _ in range(rounds):
+        nbr = adj.join(
+            labels.withColumnRenamed("v", "n"), "n"
+        ).select("v", "label")
+        labels = fs.cut_lineage(
+            nbr.groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_n")).alias("nc"), F.col("label").alias("l"))
+                )["l"].alias("label")
+            )
+        )
+    return labels.select(F.col("v").alias("vertex"), "label")
+
+
 def negative_triples(
     edges: DataFrame,
     *,

@@ -1,0 +1,239 @@
+"""DSIR-style importance resampling for training-corpus selection.
+
+Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how much more likely its
+hashed n-gram features are under a TARGET distribution (the domain you
+want more of) than under the RAW distribution (the crawl you have),
+then resample the raw corpus proportionally to those importance
+weights. The entire pipeline is deterministic here — feature hashing,
+probability estimation, and the Gumbel-top-k resample all derive from
+sha256 content digests, so retries, re-runs, and cluster resizes
+reproduce the same selection (the same exactly-once argument as
+``operators/sampling.py``).
+
+Pieces:
+
+- ``bucket_log_probs``: add-``alpha``-smoothed log-probability of each
+  hashed n-gram bucket in a corpus — ONE explode + ONE bucket-keyed
+  aggregate; the result is bucket-scale (``n_buckets`` rows, default
+  10k), tiny at any corpus size.
+- ``dsir_logweights``: per-document log importance weight
+  ``sum_g [log p_target(b(g)) - log p_raw(b(g))]`` over the document's
+  n-grams. The two bucket tables join into ONE broadcast log-ratio map
+  (bucket-scale); the corpus pays one explode + broadcast join + one
+  doc-keyed sum. Per-bucket log-ratios are quantized to 8 dp BEFORE
+  the per-doc sum so both engines sum identical addends (libm ``log``
+  may differ in the last ulp between JVM and C; quantizing first keeps
+  that divergence out of the 6 dp result), and the final weight is
+  rounded to 6 dp to absorb summation-order drift.
+- ``dsir_top_k``: the highest-weight documents — selection without
+  noise (greedy variant). TakeOrdered shape: no global sort.
+- ``dsir_resample``: Gumbel-top-k sampling WITHOUT replacement,
+  proportional to ``softmax(logweight / temperature)`` — the paper's
+  actual sampler. The Gumbel noise is hash-derived (sha256 hex chars
+  33-40 of the text — a digest region disjoint from splits 1-8,
+  sampling 9-16, and upsampling 17-24), so the "random" resample is a
+  pure function of (corpus, seed column region, temperature, k).
+
+Scale shape at 100 TB: the target corpus is small by definition (a
+quality domain sample); the raw corpus is scanned twice (once for
+``p_raw``, once for scoring) with nothing wider than (bucket) or
+(doc_id, weight) ever shuffled. The only driver-side object is the
+bucket-scale ratio map, broadcast once.
+
+Reference analogue: none (reference spacy_llm has no corpus-selection
+surface); cited for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.text import ngrams_expr
+
+#: default hashed-feature space (DSIR uses 10k hash buckets)
+N_BUCKETS = 10_000
+
+#: sha256 hex regions: features read 25-32, Gumbel noise reads 33-40 —
+#: disjoint from splits (1-8), sampling (9-16), upsampling (17-24)
+FEATURE_HEX_START = 25
+GUMBEL_HEX_START = 33
+
+_GUMBEL_RESOLUTION = 1_000_000
+
+
+def _bucket_of(col: Column, hex_start: int, buckets: int) -> Column:
+    """Column-valued twin of ``functions.text.hash_bucket`` (which takes
+    a column NAME): uniform bucket from 8 hex chars of the sha256."""
+    return F.conv(F.substring(F.sha2(col, 256), hex_start, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(int(buckets))
+
+
+def feature_buckets(text_col: str, n: int = 2, buckets: int = N_BUCKETS) -> Column:
+    """Array of hashed n-gram feature buckets for one document (with
+    multiplicity — DSIR counts feature occurrences, not presence)."""
+    return F.transform(
+        ngrams_expr(text_col, n),
+        lambda g: _bucket_of(g, FEATURE_HEX_START, buckets),
+    )
+
+
+def bucket_log_probs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, log_prob): add-``alpha``-smoothed hashed n-gram bucket
+    distribution of the corpus. Buckets unseen in the corpus are absent
+    from the frame; their smoothed floor is ``log(alpha / (total +
+    alpha * buckets))`` — consumers coalesce with that literal, which
+    needs the total, so it is returned on every row as ``_total``."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = (
+        df.select(F.explode(feature_buckets(text_col, n, buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    total = counts.agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("_total"))
+    return counts.crossJoin(broadcast(total)).select(
+        "bucket",
+        F.log(
+            (F.col("_n") + F.lit(alpha))
+            / (F.col("_total") + F.lit(alpha * buckets))
+        ).alias("log_prob"),
+        "_total",
+    )
+
+
+def _log_ratio_map(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    n: int,
+    buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """(bucket, log_ratio): quantized ``log p_target - log p_raw`` for
+    every bucket present in the RAW corpus (a raw document's features
+    are raw-corpus features by construction, so raw-side coverage is
+    total; target-missing buckets take the smoothed floor)."""
+    pr = bucket_log_probs(raw, text_col, n, buckets, alpha)
+    pt = bucket_log_probs(target, text_col, n, buckets, alpha)
+    # aggregate, not limit(1): an empty target frame must still yield
+    # the one-row total (0), giving the uniform floor log(1/buckets)
+    t_total = pt.agg(F.coalesce(F.max("_total"), F.lit(0)).alias("_t_total"))
+    return (
+        pr.join(pt.select("bucket", F.col("log_prob").alias("_lp_t")), "bucket", "left")
+        .crossJoin(broadcast(t_total))
+        .select(
+            "bucket",
+            F.round(
+                F.coalesce(
+                    F.col("_lp_t"),
+                    F.log(F.lit(alpha) / (F.col("_t_total") + F.lit(alpha * buckets))),
+                )
+                - F.col("log_prob"),
+                8,
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id_col, dsir_logweight): per-raw-document log importance weight
+    — the sum of its features' target/raw log-probability ratios,
+    rounded to 6 dp. A document with no n-grams (shorter than ``n``
+    tokens) has the empty-product weight log 1 = 0.0."""
+    ratio = broadcast(_log_ratio_map(raw, target, text_col, n, buckets, alpha))
+    per_doc = (
+        raw.select(
+            F.col(id_col),
+            F.explode(feature_buckets(text_col, n, buckets)).alias("bucket"),
+        )
+        .join(ratio, "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"))
+    )
+    return raw.select(id_col).join(per_doc, id_col, "left").select(
+        id_col, F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight")
+    )
+
+
+def dsir_top_k(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The ``k`` raw documents whose hashed-feature distribution most
+    resembles the target — greedy (noise-free) DSIR selection. Ordered
+    by (weight desc, id asc): a bounded LIMIT, so Spark plans
+    TakeOrdered (per-partition heaps + driver merge of k rows), never a
+    global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_logweights(raw, target, text_col, id_col, n, buckets, alpha)
+    return w.orderBy(F.desc("dsir_logweight"), F.asc(id_col)).limit(k)
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: ``k`` documents WITHOUT
+    replacement with inclusion probability proportional to
+    ``softmax(dsir_logweight / temperature)`` — the paper's sampler,
+    derandomized: the Gumbel noise ``-ln(-ln(u))`` uses
+    ``u = (bucket + 0.5) / 1e6`` from a reserved sha256 digest region
+    of the text, so u is never 0 or 1 and the draw is reproducible.
+    ``temperature -> 0`` recovers ``dsir_top_k``; large temperatures
+    approach uniform sampling. Output adds the ``gumbel_key`` the
+    selection ordered by (rounded to 6 dp; ties broken by id)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = dsir_logweights(raw, target, text_col, id_col, n, buckets, alpha)
+    u = (
+        _bucket_of(F.col("_text"), GUMBEL_HEX_START, _GUMBEL_RESOLUTION).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_GUMBEL_RESOLUTION))
+    keyed = (
+        raw.select(F.col(id_col), F.col(text_col).alias("_text"))
+        .join(w, id_col)
+        .select(
+            id_col,
+            "dsir_logweight",
+            F.round(
+                F.col("dsir_logweight") / F.lit(float(temperature))
+                - F.log(-F.log(u)),
+                6,
+            ).alias("gumbel_key"),
+        )
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)

@@ -1,0 +1,120 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs).
+
+The dedup family's LSH operators trade certainty for scale: a banded
+MinHash join finds MOST pairs above the threshold (quantifiably, but
+probabilistically). This module is the EXACT complement for the
+all-pairs token-set Jaccard join — every pair with ``jaccard >=
+threshold`` is returned, none missed — using the prefix-filtering
+principle of AllPairs/PPJoin (Bayardo et al., WWW 2007; Xiao et al.,
+WWW 2008) instead of the quadratic self-join:
+
+Order all tokens globally by (document frequency asc, token asc) —
+rarest first. A document with ``m`` distinct tokens only needs its
+first ``L = m - floor(t * m) + 1`` tokens in that order (its PREFIX) to
+be joinable: two sets with Jaccard >= t must share at least one prefix
+token (if their prefixes were disjoint, the intersection would fit
+inside one suffix of length < t * m <= |A ∩ B| — contradiction).
+``floor`` rather than the tight ``ceil`` keeps the prefix a token
+longer when ``t * m`` is integral-adjacent, so float rounding of
+``t * m`` can only ever LENGTHEN the prefix (more candidates, never a
+missed pair).
+
+Scale shape: one token-keyed join against the document-frequency table
+(the global order is the VALUE pair (df, token), so no global rank
+window is ever computed), one doc-keyed aggregate to sort and slice the
+prefix, one candidate equi-join keyed on PREFIX tokens — which are the
+corpus-rarest tokens of each doc by construction, so candidate fan-out
+is bounded by rare-token frequencies, plus the standard length filter
+(t * |A| <= |B| <= |A| / t) cutting mismatched sizes before
+verification — and one exact verify join on the two token arrays
+(native ``array_intersect``). Nothing quadratic in the corpus
+materializes unless the corpus genuinely contains that many similar
+pairs.
+
+Reference analogue: none; cited for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import token_set
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs ``(id_a, id_b, common_tokens, jaccard)`` with token-set
+    Jaccard >= ``threshold`` (and ``id_a < id_b``, jaccard rounded to
+    6 dp after the exact threshold compare) — exact, via prefix
+    filtering; empty-token documents pair with nothing."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    toks = df.select(
+        F.col(id_col).alias("_id"), token_set(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
+    dfreq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # global order = the (df, token) VALUE pair: sort_array on the
+    # struct gives each doc its rarest-first ordering with no global
+    # rank assignment (no window, no single-partition sort)
+    ordered = (
+        exploded.join(dfreq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+        .select(
+            "_id",
+            F.transform("_ord", lambda s: s["_tok"]).alias("_sorted"),
+            F.size("_ord").alias("_m"),
+        )
+    )
+    prefix_len = F.col("_m") - F.floor(F.lit(t) * F.col("_m")).cast("int") + F.lit(1)
+    prefixes = ordered.select(
+        "_id",
+        "_m",
+        F.explode(F.slice("_sorted", F.lit(1), F.least(prefix_len, F.col("_m")))).alias(
+            "_tok"
+        ),
+    )
+    pa = prefixes.select(
+        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_m").alias("_ma")
+    )
+    pb = prefixes.select(
+        F.col("_tok"), F.col("_id").alias("id_b"), F.col("_m").alias("_mb")
+    )
+    candidates = (
+        pa.join(pb, "_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+        .where(
+            (F.lit(t) * F.col("_ma") <= F.col("_mb"))
+            & (F.lit(t) * F.col("_mb") <= F.col("_ma"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("_j", inter.cast("double") / union.cast("double"))
+        .where(F.col("_j") >= F.lit(t))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("common_tokens"),
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )

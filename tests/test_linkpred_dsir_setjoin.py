@@ -1,0 +1,430 @@
+"""Round-5 additions: Adamic–Adar link prediction, deterministic label
+propagation, DSIR importance resampling, and the exact prefix-filtered
+Jaccard self-join — each against an independent pure-Python reference."""
+
+import hashlib
+import itertools
+import math
+import random
+
+import pytest
+
+from spacy_llm_spark.operators import graph, importance, setjoin
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar
+# ---------------------------------------------------------------------------
+
+
+def _und(pairs):
+    adj = {}
+    und = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        und.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    return und, adj
+
+
+def _aa_reference(pairs, min_common=1, exclude_existing=True):
+    und, adj = _und(pairs)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        common = adj[a] & adj[b]
+        if len(common) < min_common:
+            continue
+        if exclude_existing and (a, b) in und:
+            continue
+        out[(a, b)] = (
+            len(common),
+            round(sum(1.0 / math.log(deg[w]) for w in sorted(common)), 6),
+        )
+    return out
+
+
+def test_adamic_adar_bruteforce(spark):
+    rng = random.Random(7)
+    verts = [f"v{i:02d}" for i in range(18)]
+    raw = {tuple(sorted(rng.sample(verts, 2))) for _ in range(50)}
+    edges = spark.createDataFrame(sorted(raw), "subj string, obj string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in graph.adamic_adar(edges, min_common=1).collect()
+    }
+    want = _aa_reference(raw, min_common=1)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+def test_adamic_adar_hub_discount_and_exclusion(spark):
+    # a-b share hub h (degree 4) AND low-degree w (degree 2); c-d share
+    # only the hub. The hub's evidence is worth 1/ln(4), the rare
+    # neighbor's 1/ln(2) — a-b must outscore c-d. b-w are ADJACENT and
+    # share a; exclude_existing drops them, the similarity form keeps.
+    pairs = [
+        ("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+        ("a", "w"), ("b", "w"),
+    ]
+    edges = spark.createDataFrame(pairs, "subj string, obj string")
+    pred = {
+        (r["id_a"], r["id_b"]): r["adamic_adar"]
+        for r in graph.adamic_adar(edges).collect()
+    }
+    assert pred[("a", "b")] == round(1 / math.log(4) + 1 / math.log(2), 6)
+    assert pred[("c", "d")] == round(1 / math.log(4), 6)
+    assert pred[("a", "b")] > pred[("c", "d")]
+    # triangle: every pair is adjacent AND shares the third vertex —
+    # the prediction form returns nothing, the similarity form scores
+    # each pair 1/ln(2) via its degree-2 common corner
+    tri = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "subj string, obj string"
+    )
+    assert graph.adamic_adar(tri).count() == 0
+    sim = {
+        (r["id_a"], r["id_b"]): r["adamic_adar"]
+        for r in graph.adamic_adar(tri, exclude_existing=False).collect()
+    }
+    assert sim == {k: v[1] for k, v in
+                   _aa_reference(tri.collect(), exclude_existing=False).items()}
+    assert set(sim.values()) == {round(1 / math.log(2), 6)}
+
+
+def test_adamic_adar_pivot_cap_is_lower_bound(spark):
+    # Capping out the hub keeps only the rare-neighbor wedge: the score
+    # drops to the 1/ln(2) term and hub-only pairs vanish — a certified
+    # lower bound, never an overcount.
+    pairs = [
+        ("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+        ("a", "w"), ("b", "w"),
+    ]
+    edges = spark.createDataFrame(pairs, "subj string, obj string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["adamic_adar"]
+        for r in graph.adamic_adar(edges, max_pivot_degree=3).collect()
+    }
+    # surviving pivots are the degree<=3 vertices: a,b (wedge h-w each)
+    # and w (wedge a-b); hub-mediated pairs like (c,d) vanish — capped
+    # output is a subset of the uncapped pair set with <= scores
+    assert capped == {
+        ("a", "b"): round(1 / math.log(2), 6),
+        ("h", "w"): round(2 / math.log(2), 6),
+    }
+    full = _aa_reference(pairs)
+    for k, v in capped.items():
+        assert v <= full[k][1] + 1e-9
+    with pytest.raises(ValueError):
+        graph.adamic_adar(edges, min_common=0)
+    with pytest.raises(ValueError):
+        graph.adamic_adar(edges, max_pivot_degree=0)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_reference(pairs, rounds):
+    _, adj = _und(pairs)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts = {}
+            for n in nbrs:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            # argmax count, ties -> smallest label
+            top = max(counts.values())
+            best = min(l for l, c in counts.items() if c == top)
+            nxt[v] = best
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_communities(spark):
+    # two 4-cliques joined by one bridge edge: after 3 rounds each
+    # clique converges to its own min label; the bridge does not merge
+    # them (unlike connected components, which would).
+    cliq1 = list(itertools.combinations(["a1", "a2", "a3", "a4"], 2))
+    cliq2 = list(itertools.combinations(["b1", "b2", "b3", "b4"], 2))
+    pairs = cliq1 + cliq2 + [("a1", "b1")]
+    edges = spark.createDataFrame(pairs, "subj string, obj string")
+    got = {
+        r["vertex"]: r["label"]
+        for r in graph.label_propagation(edges, rounds=3).collect()
+    }
+    assert got == _lpa_reference(pairs, 3)
+    assert {got[v] for v in ("a2", "a3", "a4")} == {"a1"}
+    assert {got[v] for v in ("b2", "b3", "b4")} == {"b1"}
+    assert len({got[v] for v in got}) >= 2
+
+
+def test_label_propagation_matches_reference_random(spark):
+    rng = random.Random(11)
+    verts = [f"n{i:02d}" for i in range(16)]
+    raw = sorted({tuple(sorted(rng.sample(verts, 2))) for _ in range(40)})
+    edges = spark.createDataFrame(raw, "subj string, obj string")
+    for rounds in (0, 1, 2, 4):
+        got = {
+            r["vertex"]: r["label"]
+            for r in graph.label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == _lpa_reference(raw, rounds), rounds
+    with pytest.raises(ValueError):
+        graph.label_propagation(edges, rounds=-1)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def _hits_reference(pairs, iters, q=10):
+    de = sorted(set(pairs))
+    nodes = sorted({v for e in de for v in e})
+    n = len(nodes)
+    h = {v: round(1.0 / n, q) for v in nodes}
+    a = dict(h)
+    for _ in range(iters):
+        ar = {}
+        for s, t in de:
+            ar[t] = ar.get(t, 0.0) + h[s]
+        tot = sum(ar.values())
+        a = {v: round(ar.get(v, 0.0) / tot, q) if tot > 0 else 0.0 for v in nodes}
+        hr = {}
+        for s, t in de:
+            hr[s] = hr.get(s, 0.0) + a[t]
+        tot = sum(hr.values())
+        h = {v: round(hr.get(v, 0.0) / tot, q) if tot > 0 else 0.0 for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_star(spark):
+    # directed star c -> l1..l3: the center is the pure hub (1.0), the
+    # leaves split authority 1/3 each; converged after one round
+    edges = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], "subj string, obj string"
+    )
+    got = {r["vertex"]: (r["hub"], r["authority"])
+           for r in graph.hits(edges, iters=3).collect()}
+    third = round(1.0 / 3.0, 10)
+    assert got["c"] == (1.0, 0.0)
+    assert got["l1"] == (0.0, third)
+    assert got["l2"] == got["l3"] == got["l1"]
+
+
+def test_hits_matches_reference_random(spark):
+    rng = random.Random(23)
+    verts = [f"h{i:02d}" for i in range(15)]
+    raw = sorted({
+        (rng.choice(verts), rng.choice(verts)) for _ in range(45)
+    })
+    raw = [(s, t) for s, t in raw if s != t]
+    edges = spark.createDataFrame(raw, "subj string, obj string")
+    for iters in (0, 1, 3, 5):
+        got = {r["vertex"]: (r["hub"], r["authority"])
+               for r in graph.hits(edges, iters=iters).collect()}
+        want = _hits_reference(raw, iters)
+        assert set(got) == set(want), iters
+        for v in want:
+            assert got[v][0] == pytest.approx(want[v][0], abs=1e-8), (v, iters)
+            assert got[v][1] == pytest.approx(want[v][1], abs=1e-8), (v, iters)
+    with pytest.raises(ValueError):
+        graph.hits(edges, iters=-1)
+
+
+def test_hits_mass_conservation_and_empty(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "subj string, obj string",
+    )
+    rows = graph.hits(edges, iters=4).collect()
+    assert sum(r["hub"] for r in rows) == pytest.approx(1.0, abs=1e-8)
+    assert sum(r["authority"] for r in rows) == pytest.approx(1.0, abs=1e-8)
+    empty = spark.createDataFrame([], "subj string, obj string")
+    out = graph.hits(empty, iters=2)
+    assert out.count() == 0
+    assert out.columns == ["vertex", "hub", "authority"]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    (0, "the cat sat on the mat", "en"),
+    (1, "the dog sat on the log", "en"),
+    (2, "cats and dogs and cats", "en"),
+    (3, "le chat est sur le tapis", "fr"),
+    (4, "der hund sitzt auf dem baum", "de"),
+    (5, "the cat sat on the mat again and again", "fr"),  # en-LIKE text, fr tag
+    (6, "word", None),  # < 2 tokens: no bigrams -> weight 0
+]
+
+
+def _bucket(g: str, start: int, mod: int) -> int:
+    h = hashlib.sha256(g.encode()).hexdigest()
+    return int(h[start - 1 : start - 1 + 8], 16) % mod
+
+
+def _bigrams(text: str):
+    toks = text.split()
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _dsir_reference(docs, target_langs, buckets=10_000, alpha=1.0):
+    feats = {i: [_bucket(g, 25, buckets) for g in _bigrams(t)] for i, t, _ in docs}
+    raw_counts, tgt_counts = {}, {}
+    for i, _, lang in docs:
+        for b in feats[i]:
+            raw_counts[b] = raw_counts.get(b, 0) + 1
+            if lang in target_langs:
+                tgt_counts[b] = tgt_counts.get(b, 0) + 1
+    rt, tt = sum(raw_counts.values()), sum(tgt_counts.values())
+    weights = {}
+    for i, _, _ in docs:
+        s = 0.0
+        for b in feats[i]:
+            lp_t = math.log(
+                (tgt_counts.get(b, 0) + alpha) / (tt + alpha * buckets)
+            )
+            lp_r = math.log((raw_counts[b] + alpha) / (rt + alpha * buckets))
+            s += round(lp_t - lp_r, 8)
+        weights[i] = round(s, 6)
+    return weights
+
+
+def test_dsir_logweights_match_reference(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in importance.dsir_logweights(
+            docs, docs.where(F.col("lang") == "en")
+        ).collect()
+    }
+    want = _dsir_reference(_DOCS, {"en"})
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6), i
+    # the weight is content-driven, not tag-driven: every doc whose
+    # bigrams all appear in the target outscores the fully off-target
+    # de doc (doc 5's extra off-target tail legitimately drags it down
+    # — DSIR sums, it does not length-normalize)
+    assert got[6] == 0.0
+    assert min(got[0], got[1], got[2]) > got[4]
+
+
+def test_dsir_topk_and_resample_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+    target = docs.where(F.col("lang") == "en")
+    top = importance.dsir_top_k(docs, target, k=3).collect()
+    want = _dsir_reference(_DOCS, {"en"})
+    want_ids = [i for i, _ in sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))][:3]
+    assert [r["doc_id"] for r in top] == want_ids
+
+    res1 = importance.dsir_resample(docs, target, k=4, temperature=2.0).collect()
+    res2 = importance.dsir_resample(docs, target, k=4, temperature=2.0).collect()
+    assert [r.asDict() for r in res1] == [r.asDict() for r in res2]
+    # verify one gumbel key against the formula
+    by_id = {d: t for d, t, _ in _DOCS}
+    for r in res1:
+        u = (_bucket(by_id[r["doc_id"]], 33, 1_000_000) + 0.5) / 1_000_000
+        want_key = round(want[r["doc_id"]] / 2.0 - math.log(-math.log(u)), 6)
+        assert r["gumbel_key"] == pytest.approx(want_key, abs=2e-6)
+
+    with pytest.raises(ValueError):
+        importance.dsir_top_k(docs, target, k=0)
+    with pytest.raises(ValueError):
+        importance.dsir_resample(docs, target, k=1, temperature=0.0)
+
+
+def test_dsir_empty_target_uniform_floor(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+    got = importance.dsir_logweights(
+        docs, docs.where(F.col("lang") == "zz")
+    ).collect()
+    want = _dsir_reference(_DOCS, {"zz"})
+    assert {r["doc_id"]: r["dsir_logweight"] for r in got} == pytest.approx(want)
+    # every weight finite; frequent-in-raw buckets are penalized most
+    assert all(math.isfinite(r["dsir_logweight"]) for r in got)
+
+
+def test_bucket_log_probs_is_a_distribution(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in _DOCS], "doc_id long, text string"
+    )
+    rows = importance.bucket_log_probs(docs, buckets=100).collect()
+    total = rows[0]["_total"]
+    present = sum(math.exp(r["log_prob"]) for r in rows)
+    absent = (100 - len(rows)) * (1.0 / (total + 100))
+    assert present + absent == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Exact prefix-filtered Jaccard self-join
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_reference(docs, t):
+    sets = {i: set(txt.split()) for i, txt in docs if txt.split()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union
+        if j >= t:
+            out[(a, b)] = (inter, round(j, 6))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
+def test_jaccard_join_exact_matches_bruteforce(spark, threshold):
+    rng = random.Random(int(threshold * 10))
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 12)))) for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_tokens"], r["jaccard"])
+        for r in setjoin.jaccard_join_exact(df, threshold).collect()
+    }
+    assert got == _jaccard_reference(docs, threshold)
+
+
+def test_jaccard_join_exact_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c d"),  # identical
+            (2, "a b c e"),  # J=3/5 with 0/1
+            (3, ""),  # empty: pairs with nothing
+            (4, "z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in setjoin.jaccard_join_exact(df, 0.6).collect()
+    }
+    assert got == {(0, 1): 1.0, (0, 2): 0.6, (1, 2): 0.6}
+    only_exact = {
+        (r["id_a"], r["id_b"])
+        for r in setjoin.jaccard_join_exact(df, 1.0).collect()
+    }
+    assert only_exact == {(0, 1)}
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            setjoin.jaccard_join_exact(df, bad)
