@@ -1956,6 +1956,29 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_dsir_topk_incremental(spark, sf_dir):
+    """DSIR selection through the persisted bucket-count indexes
+    (operators/importance.py bucket_count_index / bucket_index_append /
+    dsir_logweights_from_index): raw index built over the even docs,
+    the odd half APPENDED (counts are associative — merge bit-equal to
+    a full rebuild), target index over the en slice; scores come off
+    the standing indexes without re-reading either corpus. Shares
+    dsir_topk's oracle verbatim — the full≡incremental contract."""
+    from spacy_llm_spark.operators import importance
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    raw_idx = importance.bucket_index_append(
+        importance.bucket_count_index(old).localCheckpoint(), new
+    ).localCheckpoint()
+    tgt_idx = importance.bucket_count_index(
+        docs.where(F.col("lang") == "en")
+    ).localCheckpoint()
+    w = importance.dsir_logweights_from_index(docs, raw_idx, tgt_idx)
+    return w.orderBy(F.desc("dsir_logweight"), F.asc("doc_id")).limit(100)
+
+
 def q_jaccard_join_exact(spark, sf_dir):
     """EXACT all-pairs token-set Jaccard join at threshold 0.5 via
     prefix filtering (operators/setjoin.py, AllPairs/PPJoin): the
@@ -2123,8 +2146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the DSIR importance-selection family in round 5)
         "ivf_topk": q_ivf_topk,
         "ivf_topk_incremental": q_ivf_topk_incremental,
-        # DSIR-family variant: the Gumbel-top-k resampler proper
+        # DSIR-family variants: the Gumbel-top-k resampler proper, and
+        # the persisted-index/incremental scoring path
         "dsir_resample": q_dsir_resample,
+        "dsir_topk_incremental": q_dsir_topk_incremental,
         # graph-analytics variants: hub-discounted link prediction and
         # LPA community detection (degree/pagerank/triangles/BFS are
         # the stamped reps)
@@ -4071,6 +4096,7 @@ FROM events GROUP BY 1
     sql["bm25_topk_indexed"] = sql["bm25_topk"]
     sql["fuzzy_name_pairs_incremental"] = sql["fuzzy_name_pairs"]
     sql["bpe_pair_counts_incremental"] = sql["bpe_pair_counts"]
+    sql["dsir_topk_incremental"] = sql["dsir_topk"]
     # the full detector oracle nests as a subquery; joined to the gold
     # lang column it becomes the confusion matrix
     sql["lang_confusion"] = (

@@ -145,6 +145,157 @@ def _log_ratio_map(
     )
 
 
+def dsir_index_stamp(n: int, buckets: int) -> str:
+    """Stamp column name for persisted DSIR bucket-count indexes —
+    format version + the two parameters the counts depend on (n-gram
+    order and bucket count), following the dedup family's schema-level
+    versioning: an index built with different hashing refuses the
+    merge/score instead of silently blending incompatible feature
+    spaces."""
+    from .dedup import _index_stamp
+
+    return _index_stamp("dsir", n=n, b=buckets)
+
+
+def bucket_count_index(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Persistable (bucket, n) hashed-feature occurrence counts — the
+    standing state both DSIR distributions derive from. Build one over
+    the raw corpus and one over the target slice ONCE; append batches
+    with ``bucket_index_append`` and score incoming batches with
+    ``dsir_logweights_from_index`` without ever re-reading either
+    corpus. Bucket-scale (<= ``buckets`` rows) at any corpus size."""
+    return (
+        df.select(F.explode(feature_buckets(text_col, n, buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(dsir_index_stamp(n, buckets), F.lit(True))
+    )
+
+
+def bucket_index_append(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Merge a new batch into a persisted bucket-count index: only the
+    batch is featurized; the standing corpus is never re-read. Counts
+    are associative integer sums, so the result is bit-equal to
+    ``bucket_count_index`` over the concatenated corpus — the same
+    full≡incremental contract as the LSH/SimHash/embedding/word index
+    families, shared-oracle-checked by ``dsir_topk_incremental``."""
+    from .dedup import _check_index_format
+
+    stamp = dsir_index_stamp(n, buckets)
+    _check_index_format(index, "bucket_index_append", stamp)
+    return (
+        index.select("bucket", "n")
+        .unionByName(
+            new_docs.select(
+                F.explode(feature_buckets(text_col, n, buckets)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .withColumn(stamp, F.lit(True))
+    )
+
+
+def dsir_logweights_from_index(
+    batch: DataFrame,
+    raw_index: DataFrame,
+    target_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Score a document batch against STANDING distributions — the
+    daily-crawl shape: neither indexed corpus is re-read; the batch
+    pays one explode + one broadcast join + one doc-keyed sum.
+
+    When the batch's features are covered by ``raw_index`` (always true
+    when the batch is part of the indexed corpus), the weights are
+    bit-equal to ``dsir_logweights`` over the full corpora: identical
+    count integers feed identical smoothing expressions, and the
+    8 dp pre-sum quantization is shared. A batch bucket ABSENT from the
+    raw index (scoring genuinely new text against a stale index) takes
+    the raw side's smoothed floor ``log(alpha / (total + alpha *
+    buckets))`` — the add-alpha estimate of an unseen feature, mirroring
+    the target side's floor."""
+    from .dedup import _check_index_format
+
+    stamp = dsir_index_stamp(n, buckets)
+    _check_index_format(raw_index, "dsir_logweights_from_index(raw_index)", stamp)
+    _check_index_format(
+        target_index, "dsir_logweights_from_index(target_index)", stamp
+    )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    def _tot(idx: DataFrame, name: str) -> DataFrame:
+        return idx.agg(F.coalesce(F.sum("n"), F.lit(0)).alias(name))
+
+    ratio = (
+        raw_index.select("bucket", F.col("n").alias("_nr"))
+        .join(
+            target_index.select("bucket", F.col("n").alias("_nt")), "bucket", "full"
+        )
+        .crossJoin(broadcast(_tot(raw_index, "_rt")))
+        .crossJoin(broadcast(_tot(target_index, "_tt")))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce("_nt", F.lit(0)) + F.lit(alpha))
+                    / (F.col("_tt") + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.coalesce("_nr", F.lit(0)) + F.lit(alpha))
+                    / (F.col("_rt") + F.lit(alpha * buckets))
+                ),
+                8,
+            ).alias("log_ratio"),
+        )
+    )
+    per_doc = (
+        batch.select(
+            F.col(id_col),
+            F.explode(feature_buckets(text_col, n, buckets)).alias("bucket"),
+        )
+        .join(broadcast(ratio), "bucket", "left")
+        # a bucket in NEITHER index: both sides take their floor —
+        # computed from the totals, so fold it in via coalesce
+        .crossJoin(broadcast(_tot(raw_index, "_rt")))
+        .crossJoin(broadcast(_tot(target_index, "_tt")))
+        .select(
+            id_col,
+            F.coalesce(
+                "log_ratio",
+                F.round(
+                    F.log(F.lit(alpha) / (F.col("_tt") + F.lit(alpha * buckets)))
+                    - F.log(F.lit(alpha) / (F.col("_rt") + F.lit(alpha * buckets))),
+                    8,
+                ),
+            ).alias("log_ratio"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"))
+    )
+    return batch.select(id_col).join(per_doc, id_col, "left").select(
+        id_col, F.coalesce("dsir_logweight", F.lit(0.0)).alias("dsir_logweight")
+    )
+
+
 def dsir_logweights(
     raw: DataFrame,
     target: DataFrame,

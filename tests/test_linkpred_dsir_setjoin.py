@@ -361,6 +361,75 @@ def test_dsir_empty_target_uniform_floor(spark):
     assert all(math.isfinite(r["dsir_logweight"]) for r in got)
 
 
+def test_bucket_index_append_equals_full(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    merged = importance.bucket_index_append(
+        importance.bucket_count_index(old).localCheckpoint(), new
+    )
+    full = importance.bucket_count_index(docs)
+    stamp = importance.dsir_index_stamp(2, importance.N_BUCKETS)
+    assert stamp in merged.columns and stamp in full.columns
+    got = {(r["bucket"], r["n"]) for r in merged.collect()}
+    want = {(r["bucket"], r["n"]) for r in full.collect()}
+    assert got == want  # integer counts: bit-equal merge
+
+
+def test_dsir_from_index_matches_direct(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+    target = docs.where(F.col("lang") == "en")
+    raw_idx = importance.bucket_index_append(
+        importance.bucket_count_index(docs.where("doc_id % 2 = 0")),
+        docs.where("doc_id % 2 = 1"),
+    ).localCheckpoint()
+    tgt_idx = importance.bucket_count_index(target).localCheckpoint()
+    got = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in importance.dsir_logweights_from_index(
+            docs, raw_idx, tgt_idx
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in importance.dsir_logweights(docs, target).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6), i
+
+
+def test_dsir_from_index_stale_batch_and_refusals(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+    raw_idx = importance.bucket_count_index(docs).localCheckpoint()
+    tgt_idx = importance.bucket_count_index(docs.where("lang = 'en'"))
+    # a genuinely NEW batch (buckets unseen by either index): every
+    # feature takes both floors, the weight stays finite and the two
+    # floors cancel to log((rt + aB) / (tt + aB)) per feature
+    fresh = spark.createDataFrame(
+        [(99, "zzz qqq vvv kkk")], "doc_id long, text string"
+    )
+    rows = importance.dsir_logweights_from_index(fresh, raw_idx, tgt_idx).collect()
+    assert len(rows) == 1 and math.isfinite(rows[0]["dsir_logweight"])
+    rt = sum(r["n"] for r in raw_idx.collect())
+    tt = sum(r["n"] for r in tgt_idx.collect())
+    b = importance.N_BUCKETS
+    per = round(math.log(1.0 / (tt + b)) - math.log(1.0 / (rt + b)), 8)
+    assert rows[0]["dsir_logweight"] == pytest.approx(round(3 * per, 6), abs=2e-6)
+    # refusals: unstamped frame; params mismatch (different bucket count)
+    with pytest.raises(ValueError):
+        importance.bucket_index_append(raw_idx.drop(
+            importance.dsir_index_stamp(2, importance.N_BUCKETS)), docs)
+    with pytest.raises(ValueError):
+        importance.dsir_logweights_from_index(
+            fresh, raw_idx, tgt_idx, buckets=5000
+        )
+    with pytest.raises(ValueError):
+        importance.dsir_logweights_from_index(fresh, raw_idx, tgt_idx, alpha=0.0)
+
+
 def test_bucket_log_probs_is_a_distribution(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t, _ in _DOCS], "doc_id long, text string"
