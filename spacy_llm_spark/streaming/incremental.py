@@ -54,6 +54,8 @@ def run_incremental(
     packing_budget: int = 2048,
     maintain_wordindex: bool = False,
     wordindex_snapshot_retention: int | None = 3,
+    maintain_dsir: bool = False,
+    dsir_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -88,6 +90,8 @@ def run_incremental(
         packing_budget=packing_budget,
         maintain_wordindex=maintain_wordindex,
         wordindex_snapshot_retention=wordindex_snapshot_retention,
+        maintain_dsir=maintain_dsir,
+        dsir_snapshot_retention=dsir_snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -116,6 +120,8 @@ def make_batch_processor(
     packing_total_retention: int | None = 3,
     maintain_wordindex: bool = False,
     wordindex_snapshot_retention: int | None = 3,
+    maintain_dsir: bool = False,
+    dsir_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -151,6 +157,7 @@ def make_batch_processor(
     dupngram_path = posixpath.join(output_dir, "dupngram")
     packing_path = posixpath.join(output_dir, "packing")
     wordindex_path = posixpath.join(output_dir, "wordindex")
+    dsirindex_path = posixpath.join(output_dir, "dsirindex")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -445,6 +452,37 @@ def make_batch_processor(
             wi.write.mode("overwrite").parquet(
                 posixpath.join(wordindex_path, f"batch_id={batch_id}")
             )
+        if maintain_dsir:
+            # Live DSIR raw-distribution index, same exactly-once shape
+            # as the word index: full merged (bucket, n) snapshots per
+            # batch at dsirindex/batch_id=N (bucket-scale — <= 10k rows
+            # regardless of corpus size, the cheapest snapshot in the
+            # family). Only the RAW distribution streams; the TARGET
+            # distribution is a curated quality sample maintained
+            # offline (that is DSIR's premise) — score incoming batches
+            # with dsir_logweights_from_index(batch, latest_dsir_index,
+            # target_index). Merge base excludes this batch_id and
+            # bucket_index_append is deterministic given (base, batch),
+            # so a replay overwrites bit-identically; within-batch
+            # duplicate ids are dropped like every counted maintenance.
+            from ..operators import importance as imp
+
+            di_id = "doc_id" if "doc_id" in batch_df.columns else "content_sha256"
+            di_docs = batch_df.select(di_id, "content").dropDuplicates([di_id])
+            prior_di = _committed_before(dsirindex_path, batch_id)
+            if prior_di:
+                latest_di = max(
+                    prior_di,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                di = imp.bucket_index_append(
+                    spark.read.parquet(latest_di), di_docs, text_col="content"
+                )
+            else:
+                di = imp.bucket_count_index(di_docs, text_col="content")
+            di.write.mode("overwrite").parquet(
+                posixpath.join(dsirindex_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -470,6 +508,8 @@ def make_batch_processor(
             )
         if maintain_wordindex and wordindex_snapshot_retention is not None:
             _prune_to_newest(wordindex_path, wordindex_snapshot_retention)
+        if maintain_dsir and dsir_snapshot_retention is not None:
+            _prune_to_newest(dsirindex_path, dsir_snapshot_retention)
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -512,6 +552,22 @@ def latest_word_index(spark: SparkSession, output_dir: str):
     snapshot has committed yet."""
     committed = fs.committed_subdirs(
         spark, posixpath.join(output_dir, "wordindex")
+    )
+    if not committed:
+        return None
+    latest = max(
+        committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+    )
+    return spark.read.parquet(latest)
+
+
+def latest_dsir_index(spark: SparkSession, output_dir: str):
+    """The most recent committed DSIR raw-distribution bucket index
+    maintained by a ``maintain_dsir`` stream (stamped, ready for
+    ``importance.dsir_logweights_from_index`` / further appends) — or
+    None if no snapshot has committed yet."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "dsirindex")
     )
     if not committed:
         return None

@@ -1332,3 +1332,85 @@ def test_wordindex_maintenance_live_and_replay(spark, tmp_path):
 
     dirs = sorted(os.listdir(out / "wordindex"))
     assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+
+def test_dsir_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_dsir=True keeps the DSIR raw-distribution bucket index
+    current across micro-batch deliveries — the latest snapshot equals
+    bucket_count_index over ALL docs — the snapshot is score-ready
+    against an offline target index, and a keys-erased crash replay
+    leaves it bit-identical."""
+    from spacy_llm_spark.operators.importance import (
+        N_BUCKETS,
+        bucket_count_index,
+        dsir_index_stamp,
+        dsir_logweights,
+        dsir_logweights_from_index,
+    )
+    from spacy_llm_spark.streaming.incremental import (
+        latest_dsir_index,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_dsir=True)
+    schema = "doc_id long, content string, lang string"
+    rows1 = [(1, "spark join customer table", "python"),
+             (2, "window sort table scan", "java")]
+    rows2 = [(3, "spark join spark join", "python"),
+             (4, "merge part region scan", "go")]
+    b0 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b0, 0)
+    snap0 = latest_dsir_index(spark, str(out))
+    assert snap0 is not None and dsir_index_stamp(2, N_BUCKETS) in snap0.columns
+
+    b1 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b1, 1)
+    got = sorted(map(tuple, latest_dsir_index(spark, str(out))
+                 .select("bucket", "n").collect()))
+    corpus = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(map(tuple, bucket_count_index(corpus, text_col="content")
+                  .select("bucket", "n").collect()))
+    assert got == want  # integer counts: bit-equal to the full rebuild
+
+    # the snapshot is score-ready: weights off (live raw index, offline
+    # target index) match the direct two-corpus computation
+    target = corpus.where("lang = 'python'")
+    tgt_idx = bucket_count_index(target, text_col="content").localCheckpoint()
+    from_idx = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_logweights_from_index(
+            corpus, latest_dsir_index(spark, str(out)), tgt_idx,
+            text_col="content",
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_logweights(corpus, target, text_col="content").collect()
+    }
+    assert set(from_idx) == set(direct)
+    for i in direct:
+        assert from_idx[i] == pytest.approx(direct[i], abs=2e-6)
+
+    # crash replay of batch 1, keys erased (worst case)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(b1, 1)
+    replayed = sorted(map(tuple, latest_dsir_index(spark, str(out))
+                      .select("bucket", "n").collect()))
+    assert replayed == got
+
+    # retention: 3 batches with retention=3 -> only newest 3 remain
+    b2 = spark.createDataFrame(
+        [(5, "filter scan batch", "rust")], schema
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    proc(b2, 2)
+    import os
+
+    dirs = sorted(os.listdir(out / "dsirindex"))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
