@@ -1956,6 +1956,17 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_containment_join(spark, sf_dir):
+    """EXACT asymmetric token-set containment join at threshold 0.9
+    (operators/setjoin.py containment_join_exact): ordered pairs whose
+    first doc's tokens live >= 90% inside the second's — the
+    quote/boilerplate/subset-page detector symmetric Jaccard misses
+    when the container is much larger."""
+    from spacy_llm_spark.operators import setjoin
+
+    return setjoin.containment_join_exact(_docs(spark, sf_dir), threshold=0.9)
+
+
 def q_dsir_topk_incremental(spark, sf_dir):
     """DSIR selection through the persisted bucket-count indexes
     (operators/importance.py bucket_count_index / bucket_index_append /
@@ -2160,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard join (LSH reps are stamped; this is the certainty
         # complement)
         "jaccard_join_exact": q_jaccard_join_exact,
+        "containment_join": q_containment_join,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
@@ -4056,6 +4068,21 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (a.m + b.m - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        # asymmetric containment: same naive-quadratic independence
+        # argument, ordered pairs, denominator = |A| alone
+        "containment_join": """
+WITH ts AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS toks
+  FROM documents
+), ne AS (SELECT doc_id, toks, len(toks) AS m FROM ts WHERE len(toks) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS common_tokens,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.m, 6)
+         AS containment
+FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / a.m >= 0.9
 """,
         "event_quantiles": """
 SELECT event_type,

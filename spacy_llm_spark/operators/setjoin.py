@@ -118,3 +118,94 @@ def jaccard_join_exact(
             F.round("_j", 6).alias("jaccard"),
         )
     )
+
+
+def containment_join_exact(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All ORDERED pairs ``(id_a, id_b, common_tokens, containment)``
+    with token-set containment ``|A ∩ B| / |A| >= threshold`` and
+    ``id_a != id_b`` — exact, via one-sided prefix filtering. The
+    asymmetric complement of ``jaccard_join_exact``: finds documents
+    whose token set lives mostly INSIDE another's (quotes, boilerplate
+    wrappers, subset pages) that symmetric Jaccard misses whenever the
+    container is much larger than the contained.
+
+    Prefix principle, one-sided: containment >= t forces |A ∩ B| >=
+    t * |A|, so A's rarest-first prefix of length ``m - floor(t * m) +
+    1`` must intersect B (a disjoint prefix would cap the intersection
+    below t * m — same argument as the symmetric join, with the bound
+    on A alone). Only the PROBE side prefixes; the container side
+    indexes all its tokens — candidate fan-out is still bounded by the
+    rare-token frequencies of each probe prefix. The one admissible
+    length filter is ``|B| >= t * |A|`` (a container smaller than the
+    required intersection is impossible); there is no upper bound on
+    |B| by design.
+
+    Scale shape: the same df-ordered prefix derivation as
+    ``jaccard_join_exact`` (no global rank window), one prefix-token
+    equi-join against the full token table, one exact verify join on
+    the two token arrays. Containment is compared exactly, then rounded
+    to 6 dp.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    toks = df.select(
+        F.col(id_col).alias("_id"), token_set(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
+    dfreq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        exploded.join(dfreq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
+            ).alias("_ord")
+        )
+        .select(
+            "_id",
+            F.transform("_ord", lambda s: s["_tok"]).alias("_sorted"),
+            F.size("_ord").alias("_m"),
+        )
+    )
+    prefix_len = F.col("_m") - F.floor(F.lit(t) * F.col("_m")).cast("int") + F.lit(1)
+    prefixes = ordered.select(
+        "_id",
+        "_m",
+        F.explode(F.slice("_sorted", F.lit(1), F.least(prefix_len, F.col("_m")))).alias(
+            "_tok"
+        ),
+    )
+    pa = prefixes.select(
+        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_m").alias("_ma")
+    )
+    pb = exploded.join(ordered.select("_id", F.col("_m").alias("_mb")), "_id").select(
+        F.col("_tok"), F.col("_id").alias("id_b"), "_mb"
+    )
+    candidates = (
+        pa.join(pb, "_tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(F.lit(t) * F.col("_ma") <= F.col("_mb"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (
+        candidates.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("_c", inter.cast("double") / F.size("_ta").cast("double"))
+        .where(F.col("_c") >= F.lit(t))
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("common_tokens"),
+            F.round("_c", 6).alias("containment"),
+        )
+    )

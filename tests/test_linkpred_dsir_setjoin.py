@@ -473,6 +473,55 @@ def test_jaccard_join_exact_matches_bruteforce(spark, threshold):
     assert got == _jaccard_reference(docs, threshold)
 
 
+def _containment_reference(docs, t):
+    sets = {i: set(txt.split()) for i, txt in docs if txt.split()}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            c = inter / len(sets[a])
+            if c >= t:
+                out[(a, b)] = (inter, round(c, 6))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_containment_join_matches_bruteforce(spark, threshold):
+    rng = random.Random(int(threshold * 100))
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 15)))) for i in range(35)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["common_tokens"], r["containment"])
+        for r in setjoin.containment_join_exact(df, threshold).collect()
+    }
+    assert got == _containment_reference(docs, threshold)
+
+
+def test_containment_join_asymmetry(spark):
+    # a strictly inside b: containment(a in b) = 1.0 but (b in a) = 0.5
+    # — the pair symmetric Jaccard (1/2 = 0.5) misses at high thresholds
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "x y p q"), (2, "zz")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in setjoin.containment_join_exact(df, 0.9).collect()
+    }
+    assert got == {(0, 1): 1.0}
+    both = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in setjoin.containment_join_exact(df, 0.5).collect()
+    }
+    assert both == {(0, 1): 1.0, (1, 0): 0.5}
+    with pytest.raises(ValueError):
+        setjoin.containment_join_exact(df, 0.0)
+
+
 def test_jaccard_join_exact_edges(spark):
     df = spark.createDataFrame(
         [
