@@ -1956,6 +1956,44 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_audit_orders(spark, sf_dir):
+    """dbt-style data-quality battery (operators/audit.py) over a
+    DELIBERATELY corrupted orders frame — 2 duplicated keys, 3 orphan
+    foreign keys, 1 illegal status appended deterministically — so
+    every check reports a nonzero, independently recomputable count:
+    (check, n_violations) in check-name order."""
+    from spacy_llm_spark.operators import audit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bad = orders.orderBy("o_orderkey").limit(3)
+    corrupted = (
+        orders.unionByName(bad.orderBy("o_orderkey").limit(2))
+        .unionByName(bad.withColumn("o_custkey", F.lit(-1).cast("long")))
+        .unionByName(
+            bad.orderBy("o_orderkey")
+            .limit(1)
+            .withColumn("o_orderstatus", F.lit("X"))
+        )
+    )
+    return audit.audit_report(
+        {
+            "orderkey_unique": audit.uniqueness_violations(
+                corrupted, ["o_orderkey"]
+            ),
+            "custkey_fk": audit.fk_violations(
+                corrupted, customer, "o_custkey", "c_custkey"
+            ),
+            "status_accepted": audit.accepted_values_violations(
+                corrupted, "o_orderstatus", ["O", "F", "P"]
+            ),
+            "custkey_not_null": audit.not_null_violations(
+                corrupted, ["o_custkey", "o_orderkey"]
+            ),
+        }
+    ).orderBy("check")
+
+
 def q_containment_join(spark, sf_dir):
     """EXACT asymmetric token-set containment join at threshold 0.9
     (operators/setjoin.py containment_join_exact): ordered pairs whose
@@ -2172,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # complement)
         "jaccard_join_exact": q_jaccard_join_exact,
         "containment_join": q_containment_join,
+        "audit_orders": q_audit_orders,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
@@ -4068,6 +4107,41 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (a.m + b.m - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        # data-quality battery over the deterministically corrupted
+        # orders frame; each count recomputed independently (EXISTS /
+        # GROUP-HAVING / NOT IN), "check" quoted — reserved in DuckDB
+        "audit_orders": """
+WITH bad AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 3),
+corrupted AS (
+  SELECT * FROM orders
+  UNION ALL SELECT * FROM (SELECT * FROM bad ORDER BY o_orderkey LIMIT 2)
+  UNION ALL SELECT o_orderkey, CAST(-1 AS BIGINT), o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority FROM bad
+  UNION ALL SELECT o_orderkey, o_custkey, 'X', o_totalprice, o_orderdate,
+                   o_orderpriority
+             FROM (SELECT * FROM bad ORDER BY o_orderkey LIMIT 1)
+)
+SELECT * FROM (
+  SELECT 'custkey_fk' AS "check", CAST(count(*) AS BIGINT) AS n_violations
+  FROM corrupted c
+  WHERE c.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)
+  UNION ALL
+  SELECT 'custkey_not_null', CAST(count(*) AS BIGINT) FROM (
+    SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 END) AS n FROM corrupted
+    UNION ALL
+    SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 END) FROM corrupted
+  ) WHERE n > 0
+  UNION ALL
+  SELECT 'orderkey_unique', CAST(count(*) AS BIGINT) FROM (
+    SELECT o_orderkey FROM corrupted WHERE o_orderkey IS NOT NULL
+    GROUP BY o_orderkey HAVING count(*) > 1
+  )
+  UNION ALL
+  SELECT 'status_accepted', CAST(count(*) AS BIGINT) FROM corrupted
+  WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')
+) ORDER BY "check"
 """,
         # asymmetric containment: same naive-quadratic independence
         # argument, ordered pairs, denominator = |A| alone

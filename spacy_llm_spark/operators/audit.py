@@ -1,0 +1,121 @@
+"""Data-quality audits: the dbt-style test battery as DataFrame ops.
+
+A 100 TB ingest pipeline runs these continuously — before training
+ever sees a shard — so they are built to the same scale discipline as
+the analytics operators:
+
+- ``uniqueness_violations``: keys appearing more than once. ONE
+  key-keyed aggregate with map-side partials; output is
+  violation-scale, not table-scale.
+- ``fk_violations``: child rows whose foreign key has no parent — a
+  LeftAnti equi-join (AQE broadcasts the parent key set when it is
+  small; at dimension scale it stays a shuffled anti-join). The parent
+  side is deduplicated to its key column first, so the anti-join
+  never carries parent payload columns.
+- ``accepted_values_violations``: rows outside an allowed literal set
+  — a pure scan-level Filter (pushed to parquet when the column is a
+  scan column); the allowed set is a literal, never a join.
+- ``audit_report``: any number of the above folded into ONE tidy
+  (check, n_violations) frame — each check is an independent
+  aggregate, unioned at count scale (k rows for k checks).
+
+NULL semantics follow dbt: a NULL key is reported by the dedicated
+``not_null`` check, not smuggled into uniqueness (NULLs are excluded
+there) or FK checks (a NULL FK is an orphan-by-absence, excluded —
+flag it with ``not_null`` if the column is mandatory).
+
+Reference analogue: none (spacy_llm has no data-quality surface);
+cited for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def uniqueness_violations(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(keys..., n) for every key tuple appearing more than once.
+    Rows with a NULL in any key column are excluded (dbt semantics —
+    use ``not_null_violations`` for those)."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    cond = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return (
+        df.where(cond)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def not_null_violations(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(column, n_null) for every listed column that has NULLs — one
+    scan, all columns counted in a single aggregate."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    agg = df.agg(
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+            for c in cols
+        ]
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) as (column, n_null)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', `{c}`" for c in cols),
+            )
+        )
+    )
+    return stacked.where(F.col("n_null") > 0)
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Child rows whose ``child_key`` does not exist in the parent's
+    ``parent_key`` (defaults to the same name) — the referential-
+    integrity orphans. NULL foreign keys are excluded (dbt semantics).
+    Output keeps the child's full row for triage."""
+    pk = parent_key or child_key
+    parents = parent.select(F.col(pk).alias(child_key)).distinct()
+    return child.where(F.col(child_key).isNotNull()).join(
+        parents, child_key, "left_anti"
+    )
+
+
+def accepted_values_violations(
+    df: DataFrame, col: str, allowed: Sequence
+) -> DataFrame:
+    """Rows whose ``col`` is outside the ``allowed`` literal set.
+    NULLs are excluded (dbt semantics). The set is a literal isin —
+    a scan-level filter, never a join."""
+    if not allowed:
+        raise ValueError("allowed must be non-empty")
+    return df.where(F.col(col).isNotNull() & ~F.col(col).isin(list(allowed)))
+
+
+def audit_report(checks: dict[str, DataFrame]) -> DataFrame:
+    """Fold named violation frames into ONE (check, n_violations)
+    report, one row per check in name order — each check is counted
+    independently (its own aggregate job), and only the k count rows
+    ever union. A clean table reports 0 rows per check, not absence."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    out = None
+    for name in sorted(checks):
+        row = checks[name].agg(
+            F.lit(name).alias("check"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

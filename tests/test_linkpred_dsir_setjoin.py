@@ -546,3 +546,61 @@ def test_jaccard_join_exact_edges(spark):
     for bad in (0.0, -0.1, 1.5):
         with pytest.raises(ValueError):
             setjoin.jaccard_join_exact(df, bad)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits
+# ---------------------------------------------------------------------------
+
+
+def test_audit_checks_hand_cases(spark):
+    from spacy_llm_spark.operators import audit
+
+    child = spark.createDataFrame(
+        [(1, 10, "A"), (2, 10, "A"), (2, 20, "B"),
+         (3, None, "C"), (4, 99, "A"), (None, 10, "A")],
+        "id long, fk long, status string",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+
+    uniq = audit.uniqueness_violations(child, ["id"]).collect()
+    # id=2 twice; NULL ids excluded
+    assert [(r["id"], r["n"]) for r in uniq] == [(2, 2)]
+
+    fk = audit.fk_violations(child, parent, "fk", "pk").collect()
+    # fk=99 orphaned; NULL fk excluded
+    assert sorted(r["id"] for r in fk) == [4]
+
+    acc = audit.accepted_values_violations(child, "status", ["A", "B"]).collect()
+    assert sorted(r["id"] for r in acc) == [3]
+
+    nn = {r["column"]: r["n_null"]
+          for r in audit.not_null_violations(child, ["id", "fk", "status"]).collect()}
+    assert nn == {"id": 1, "fk": 1}  # status clean -> absent
+
+    rep = audit.audit_report({
+        "uniq": audit.uniqueness_violations(child, ["id"]),
+        "fk": audit.fk_violations(child, parent, "fk", "pk"),
+        "clean": audit.accepted_values_violations(child, "status", ["A", "B", "C"]),
+    }).collect()
+    assert [(r["check"], r["n_violations"]) for r in rep] == [
+        ("clean", 0), ("fk", 1), ("uniq", 1),
+    ]
+
+
+def test_audit_composite_key_and_validation(spark):
+    from spacy_llm_spark.operators import audit
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y")], "a long, b string"
+    )
+    rows = audit.uniqueness_violations(df, ["a", "b"]).collect()
+    assert [(r["a"], r["b"], r["n"]) for r in rows] == [(1, "x", 2)]
+    for bad_call in (
+        lambda: audit.uniqueness_violations(df, []),
+        lambda: audit.not_null_violations(df, []),
+        lambda: audit.accepted_values_violations(df, "b", []),
+        lambda: audit.audit_report({}),
+    ):
+        with pytest.raises(ValueError):
+            bad_call()
