@@ -1956,6 +1956,16 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_docs_diversity(spark, sf_dir):
+    """Distinct-1/2/3 n-gram diversity per language slice
+    (functions/text.py ngram_diversity, Li et al. 2016): the
+    repetitiveness monitor — a templated or boilerplate-heavy slice
+    shows a collapsing distinct ratio as n grows."""
+    from spacy_llm_spark.functions.text import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir), group_col="lang", max_n=3)
+
+
 def q_audit_orders(spark, sf_dir):
     """dbt-style data-quality battery (operators/audit.py) over a
     DELIBERATELY corrupted orders frame — 2 duplicated keys, 3 orphan
@@ -2211,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_exact": q_jaccard_join_exact,
         "containment_join": q_containment_join,
         "audit_orders": q_audit_orders,
+        "docs_diversity": q_docs_diversity,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
@@ -4107,6 +4118,43 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (a.m + b.m - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        # distinct-n diversity: all-integer counts, rectangular
+        # lang x n grid (zero rows kept); n-grams never cross docs
+        "docs_diversity": """
+WITH ts AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM ts
+), g1 AS (SELECT lang, tok AS g FROM tok),
+g2 AS (
+  SELECT a.lang, a.tok || ' ' || b.tok AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+), g3 AS (
+  SELECT a.lang, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+), u AS (
+  SELECT lang, 1 AS n, count(*) AS t, count(DISTINCT g) AS d FROM g1 GROUP BY lang
+  UNION ALL
+  SELECT lang, 2, count(*), count(DISTINCT g) FROM g2 GROUP BY lang
+  UNION ALL
+  SELECT lang, 3, count(*), count(DISTINCT g) FROM g3 GROUP BY lang
+), grid AS (
+  SELECT lang, n FROM (SELECT DISTINCT lang FROM documents)
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)
+)
+SELECT grid.lang, grid.n,
+       CAST(coalesce(u.t, 0) AS BIGINT) AS total_ngrams,
+       CAST(coalesce(u.d, 0) AS BIGINT) AS distinct_ngrams,
+       round(CASE WHEN coalesce(u.t, 0) > 0
+                  THEN CAST(u.d AS DOUBLE) / u.t ELSE 0e0 END, 6)
+         AS distinct_ratio
+FROM grid LEFT JOIN u ON u.lang = grid.lang AND u.n = grid.n
 """,
         # data-quality battery over the deterministically corrupted
         # orders frame; each count recomputed independently (EXISTS /

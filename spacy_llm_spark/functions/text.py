@@ -418,3 +418,62 @@ def chunk_documents(
             F.array_join("c.w", " ").alias("chunk_text"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str | None = None,
+    max_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per group: for each n in 1..``max_n``, the
+    corpus-level ratio of DISTINCT token n-grams to TOTAL n-gram
+    occurrences — the standard generation/corpus diversity signal
+    (distinct-1/2/3 of Li et al. 2016; low values flag the templated,
+    repetitive slices Self-BLEU would): 1.0 = every n-gram unique,
+    ->0 = the corpus keeps repeating itself.
+
+    Output: (group?, n, total_ngrams, distinct_ngrams, distinct_ratio)
+    with the ratio rounded to 6 dp; groups with no n-grams of order n
+    report (0, 0, 0.0) rather than vanishing.
+
+    Scale shape: one explode per n-gram order over the corpus, each
+    feeding ONE (group, gram)-keyed aggregate collapsed to a
+    (group)-keyed count — Spark plans the distinct via two-level
+    partial aggregation, so the full gram set never concentrates.
+    No window, no join; the orders union at group-scale.
+    """
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    gcols = [group_col] if group_col else []
+    base = None
+    for n in range(1, max_n + 1):
+        grams = df.select(
+            *gcols, F.explode(ngrams_expr(text_col, n)).alias("_g")
+        )
+        stats = grams.groupBy(*gcols).agg(
+            F.lit(n).alias("n"),
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.count_distinct(F.col("_g")).cast("long").alias("distinct_ngrams"),
+        )
+        base = stats if base is None else base.unionByName(stats)
+    # groups whose docs are all shorter than n tokens produce no rows
+    # for that n: re-attach them with zero counts so the report is
+    # rectangular (groups x orders)
+    groups = df.select(*gcols).distinct() if gcols else df.sparkSession.range(1).select()
+    orders = df.sparkSession.range(1, max_n + 1).select(F.col("id").cast("int").alias("n"))
+    grid = groups.crossJoin(orders) if gcols else orders
+    out = grid.join(base, [*gcols, "n"], "left").select(
+        *gcols,
+        "n",
+        F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+        F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+        F.round(
+            F.when(
+                F.coalesce("total_ngrams", F.lit(0)) > 0,
+                F.col("distinct_ngrams").cast("double") / F.col("total_ngrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_ratio"),
+    )
+    return out

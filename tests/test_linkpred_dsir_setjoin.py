@@ -604,3 +604,47 @@ def test_audit_composite_key_and_validation(spark):
     ):
         with pytest.raises(ValueError):
             bad_call()
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_hand_case(spark):
+    from spacy_llm_spark.functions.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x x"),          # unigrams: 4 total, 1 distinct
+            ("a", "x y"),              # adds y
+            ("b", "p q r"),            # all distinct
+            ("c", "solo"),             # 1 token: no bigrams/trigrams
+        ],
+        "lang string, text string",
+    )
+    got = {
+        (r["lang"], r["n"]): (
+            r["total_ngrams"], r["distinct_ngrams"], r["distinct_ratio"]
+        )
+        for r in ngram_diversity(df, group_col="lang", max_n=3).collect()
+    }
+    # group a, n=1: tokens x,x,x,x,x,y -> 6 total, 2 distinct
+    assert got[("a", 1)] == (6, 2, round(2 / 6, 6))
+    # group a, n=2: "x x" x3 + "x y" -> 4 total, 2 distinct
+    assert got[("a", 2)] == (4, 2, 0.5)
+    # group b fully diverse at every order
+    assert got[("b", 1)] == (3, 3, 1.0)
+    assert got[("b", 2)] == (2, 2, 1.0)
+    assert got[("b", 3)] == (1, 1, 1.0)
+    # group c has no bigrams/trigrams but stays in the report
+    assert got[("c", 2)] == (0, 0, 0.0)
+    assert got[("c", 3)] == (0, 0, 0.0)
+    assert len(got) == 9  # rectangular: 3 groups x 3 orders
+
+    # ungrouped: one row per order over the whole corpus
+    flat = {r["n"]: r["total_ngrams"]
+            for r in ngram_diversity(df, max_n=2).collect()}
+    assert flat == {1: 10, 2: 6}
+    with pytest.raises(ValueError):
+        ngram_diversity(df, max_n=0)
