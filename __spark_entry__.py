@@ -1956,6 +1956,17 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_events_decayed(spark, sf_dir):
+    """Recency-weighted per-user engagement (operators/anomaly.py
+    decayed_counts): sum(0.5^(age / 7 days)) against the corpus'
+    newest event — per-row weights quantized 8 dp pre-sum so both
+    engines sum identical addends."""
+    from spacy_llm_spark.operators.anomaly import decayed_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return decayed_counts(events, ["user_id"], half_life_secs=7 * 24 * 3600.0)
+
+
 def q_docs_diversity(spark, sf_dir):
     """Distinct-1/2/3 n-gram diversity per language slice
     (functions/text.py ngram_diversity, Li et al. 2016): the
@@ -2222,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": q_containment_join,
         "audit_orders": q_audit_orders,
         "docs_diversity": q_docs_diversity,
+        "events_decayed": q_events_decayed,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
@@ -4118,6 +4130,17 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (a.m + b.m - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        # decayed counts: exact microsecond ages / one double literal
+        # (IEEE-determined), weights quantized 8 dp PRE-sum
+        "events_decayed": """
+WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(round(pow(0.5, (ref.r - epoch_us(ts))
+                              / (604800.0 * 1000000.0)), 8)), 6)
+         AS decayed_count
+FROM events, ref GROUP BY user_id, ref.r
 """,
         # distinct-n diversity: all-integer counts, rectangular
         # lang x n grid (zero rows kept); n-grams never cross docs

@@ -95,3 +95,53 @@ def rolling_stats(
         .withColumn("roll_min", F.min(val).over(w))
         .withColumn("roll_max", F.max(val).over(w))
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    half_life_secs: float = 7 * 24 * 3600.0,
+) -> DataFrame:
+    """Exponentially time-decayed event counts per key — the recency-
+    weighted engagement score (a row ``half_life_secs`` old counts
+    half, two half-lives a quarter, ...): ``sum(0.5 ^ (age /
+    half_life))`` with age measured against the corpus' newest event,
+    so the score is a pure function of the data (no wall clock — the
+    same exactly-once/retry argument as the hash-derived samplers).
+
+    Output: (key..., n_events, decayed_count), the decayed sum rounded
+    to 6 dp. Cross-engine float discipline: ages are exact microsecond
+    LONGs divided by one double literal (an IEEE-determined op), each
+    row's weight is quantized to 8 dp BEFORE the sum — both engines
+    sum identical addends — and only the sum's reassociation drift is
+    left for the 6 dp rounding to absorb.
+
+    Scale shape: one 1-row max aggregate broadcast back (cross join),
+    one projection, ONE key aggregate with map-side partials. No
+    window, no join, no per-key state beyond two running numbers.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if half_life_secs <= 0:
+        raise ValueError(f"half_life_secs must be > 0, got {half_life_secs}")
+    from ..functions.timeutil import micros
+
+    ts_us = micros(F.col(ts_col), df.schema[ts_col].dataType)
+    ref = df.agg(F.max(ts_us).alias("_ref_us"))
+    hl_us = float(half_life_secs) * 1_000_000.0
+    return (
+        df.crossJoin(broadcast(ref))
+        .select(
+            *key_cols,
+            F.round(
+                F.pow(F.lit(0.5), (F.col("_ref_us") - ts_us) / F.lit(hl_us)),
+                8,
+            ).alias("_w"),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("_w"), 6).alias("decayed_count"),
+        )
+    )

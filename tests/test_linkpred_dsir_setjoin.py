@@ -648,3 +648,53 @@ def test_ngram_diversity_hand_case(spark):
     assert flat == {1: 10, 2: 6}
     with pytest.raises(ValueError):
         ngram_diversity(df, max_n=0)
+
+
+# ---------------------------------------------------------------------------
+# Decayed counts
+# ---------------------------------------------------------------------------
+
+
+def test_decayed_counts_hand_case(spark):
+    from datetime import datetime
+
+    from spacy_llm_spark.operators.anomaly import decayed_counts
+
+    hl = 3600.0  # 1 hour
+    rows = [
+        (1, datetime(2024, 1, 1, 12, 0)),   # newest: weight 1.0
+        (1, datetime(2024, 1, 1, 11, 0)),   # one half-life: 0.5
+        (1, datetime(2024, 1, 1, 10, 0)),   # two: 0.25
+        (2, datetime(2024, 1, 1, 12, 0)),   # newest too: 1.0
+        (2, datetime(2024, 1, 1, 9, 0)),    # three: 0.125
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_count"])
+        for r in decayed_counts(df, ["user_id"], half_life_secs=hl).collect()
+    }
+    assert got == {1: (3, 1.75), 2: (2, 1.125)}
+    # determinism: the reference point is the data's max ts, not now()
+    again = {
+        r["user_id"]: (r["n_events"], r["decayed_count"])
+        for r in decayed_counts(df, ["user_id"], half_life_secs=hl).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError):
+        decayed_counts(df, [], half_life_secs=hl)
+    with pytest.raises(ValueError):
+        decayed_counts(df, ["user_id"], half_life_secs=0)
+
+
+def test_decayed_counts_ntz_and_fractional(spark):
+    from spacy_llm_spark.operators.anomaly import decayed_counts
+
+    df = spark.range(2).selectExpr(
+        "id AS user_id",
+        "timestamp_ntz'2024-06-01 00:00:00' - make_interval(0,0,0,0,0,0,id*90) AS ts",
+    )
+    rows = decayed_counts(df, ["user_id"], half_life_secs=60.0).collect()
+    got = {r["user_id"]: r["decayed_count"] for r in rows}
+    # 90s age at 60s half-life: 0.5^1.5
+    assert got[0] == 1.0
+    assert got[1] == round(round(0.5 ** 1.5, 8), 6)
