@@ -1956,6 +1956,17 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch exact k-NN join (operators/similarity.py knn_join): every
+    50th vector's 5 nearest corpus neighbors by cosine — broadcast
+    query batch, corpus never shuffles, per-query top-k via the
+    partition-local bounded merge (never a Q x N window)."""
+    from spacy_llm_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
+
+
 def q_events_decayed(spark, sf_dir):
     """Recency-weighted per-user engagement (operators/anomaly.py
     decayed_counts): sum(0.5^(age / 7 days)) against the corpus'
@@ -2234,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_orders": q_audit_orders,
         "docs_diversity": q_docs_diversity,
         "events_decayed": q_events_decayed,
+        "knn_join": q_knn_join,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
@@ -4130,6 +4142,27 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (a.m + b.m - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        # batch kNN: rank on the RAW cosine (round after), ties by id —
+        # identical to the engine's struct sort
+        "knn_join": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
 """,
         # decayed counts: exact microsecond ages / one double literal
         # (IEEE-determined), weights quantized 8 dp PRE-sum

@@ -80,6 +80,67 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Batch exact k-NN: every query vector's ``k`` highest-cosine
+    corpus neighbors — the retrieval/bitext-mining primitive
+    ``cosine_topk`` (one probe at a time) cannot express without a
+    driver loop. Output: (query_id, rank, id_col, cosine), rank 1 =
+    nearest, ties by id, cosine rounded to 6 dp after ranking.
+
+    Scale shape: the query batch is BROADCAST (it is the small side by
+    definition — a probe batch against a standing corpus), so the
+    corpus never shuffles its vectors; scoring is the JVM codegen
+    cosine. The per-query top-k then avoids the naive window over all
+    Q x N scored rows: a first aggregate keyed on (query,
+    spark_partition_id) keeps each executor's local top-k — complete
+    map-side, since the key contains the partition id — so only
+    partitions x Q x k struct rows ever shuffle; a second query-keyed
+    aggregate merges the local lists. The exact baseline; the indexed
+    scale path is the IVF family (`ivf_topk_from_assigned` with cell
+    partition pruning).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("_qv"))
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), F.col("_qv")).alias("_cos"),
+        )
+    )
+    pair = F.struct((-F.col("_cos")).alias("nc"), F.col(id_col).alias("i"))
+    local = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_p")
+    ).agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("_top"))
+    merged = local.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias(
+            "_top"
+        )
+    )
+    return merged.select(
+        "query_id", F.posexplode("_top").alias("_r", "_s")
+    ).select(
+        "query_id",
+        (F.col("_r") + 1).cast("int").alias("rank"),
+        F.col("_s.i").alias(id_col),
+        F.round(-F.col("_s.nc"), 6).alias("cosine"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # ---------------------------------------------------------------------------

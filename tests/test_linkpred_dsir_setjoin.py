@@ -698,3 +698,60 @@ def test_decayed_counts_ntz_and_fractional(spark):
     # 90s age at 60s half-life: 0.5^1.5
     assert got[0] == 1.0
     assert got[1] == round(round(0.5 ** 1.5, 8), 6)
+
+
+# ---------------------------------------------------------------------------
+# Batch kNN join
+# ---------------------------------------------------------------------------
+
+
+def test_knn_join_matches_bruteforce(spark):
+    import numpy as np
+
+    from spacy_llm_spark.operators.similarity import knn_join
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(30, 8)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where("vec_id % 10 = 0")  # 3 queries
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in knn_join(queries, corpus, k=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    want = []
+    norms = np.linalg.norm(vecs, axis=1)
+    for qi in (0, 10, 20):
+        cos = vecs @ vecs[qi] / (norms * norms[qi])
+        order = sorted(range(30), key=lambda i: (-cos[i], i))[:4]
+        want += [(qi, r + 1, i, round(float(cos[i]), 6))
+                 for r, i in enumerate(order)]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert g[3] == pytest.approx(w[3], abs=2e-6)
+    # rank 1 is the query itself (cosine 1.0)
+    assert all(g[2] == g[0] and g[3] == 1.0 for g in got if g[1] == 1)
+    with pytest.raises(ValueError):
+        knn_join(queries, corpus, k=0)
+
+
+def test_knn_join_k_exceeds_corpus_and_custom_cols(spark):
+    from spacy_llm_spark.operators.similarity import knn_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 1.0])], "name string, v array<double>"
+    )
+    rows = knn_join(
+        queries, corpus, k=5, query_id_col="name", query_vec_col="v"
+    ).orderBy("rank").collect()
+    # only 2 corpus rows exist; both returned, ties broken by id
+    assert [(r["rank"], r["vec_id"]) for r in rows] == [(1, 1), (2, 2)]
+    assert rows[0]["cosine"] == rows[1]["cosine"] == round(2 ** -0.5, 6)
