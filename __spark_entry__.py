@@ -1956,6 +1956,22 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_events_mad(spark, sf_dir):
+    """Robust per-type outliers by modified z-score (operators/
+    anomaly.py mad_outliers, Iglewicz–Hoaglin 0.6745*(x-med)/MAD,
+    threshold 3.5) — the heavy-tail-proof complement of the z-score
+    detector; exact interpolated medians on both engines."""
+    from spacy_llm_spark.operators.anomaly import mad_outliers
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mad_outliers(
+        events.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        threshold=3.5,
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """Batch exact k-NN join (operators/similarity.py knn_join): every
     50th vector's 5 nearest corpus neighbors by cosine — broadcast
@@ -2246,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_diversity": q_docs_diversity,
         "events_decayed": q_events_decayed,
         "knn_join": q_knn_join,
+        "events_mad": q_events_mad,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
         "bm25_topk_indexed": q_bm25_topk_indexed,
@@ -4142,6 +4159,24 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM ne a JOIN ne b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / (a.m + b.m - len(list_intersect(a.toks, b.toks))) >= 0.5
+""",
+        # MAD outliers: quantile_cont == F.percentile (exact
+        # interpolation), robust_z rounded before the threshold filter
+        "events_mad": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(0.6745 * (e.value - m.med) / d.mad, 6) AS robust_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0
+  AND abs(round(0.6745 * (e.value - m.med) / d.mad, 6)) > 3.5
 """,
         # batch kNN: rank on the RAW cosine (round after), ties by id —
         # identical to the engine's struct sort

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -144,4 +144,55 @@ def decayed_counts(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.round(F.sum("_w"), 6).alias("decayed_count"),
         )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    threshold: float = 3.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Robust outliers by modified z-score (Iglewicz–Hoaglin):
+    ``0.6745 * (x - median) / MAD`` where MAD is the median absolute
+    deviation — the detector that survives exactly the heavy-tailed
+    distributions that inflate a classical z-score's stddev until real
+    anomalies look normal (one whale user's counts blow up sigma;
+    they barely move the median). |robust_z| > ``threshold`` flags
+    (3.5 is the Iglewicz–Hoaglin default); zero-MAD groups (a majority
+    constant value) flag nothing — the statistic is undefined there.
+
+    Two aggregation passes by construction (the deviations need the
+    median first): one key aggregate for the median, a key-scale join
+    back (AQE broadcasts it), one key aggregate for the MAD, a second
+    key-scale join. Keyless input uses 1-row broadcast aggregates like
+    ``zscore_outliers``. ``F.percentile`` is the exact interpolated
+    form (== SQL quantile_cont, the oracle-comparable choice);
+    ``robust_z`` is rounded so both engines filter identical values.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+
+    def _agg_join(frame: DataFrame, expr: Column, name: str) -> DataFrame:
+        if keys:
+            return frame.join(
+                frame.groupBy(*keys).agg(expr.alias(name)), keys
+            )
+        return frame.crossJoin(broadcast(frame.agg(expr.alias(name))))
+
+    with_med = _agg_join(df, F.percentile(value_col, F.lit(0.5)), "_med")
+    with_mad = _agg_join(
+        with_med, F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)), "_mad"
+    )
+    return (
+        with_mad.where(F.col("_mad") > 0)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), round_dp
+            ),
+        )
+        .where(F.abs(F.col("robust_z")) > F.lit(float(threshold)))
+        .drop("_med", "_mad")
     )

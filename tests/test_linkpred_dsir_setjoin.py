@@ -755,3 +755,51 @@ def test_knn_join_k_exceeds_corpus_and_custom_cols(spark):
     # only 2 corpus rows exist; both returned, ties broken by id
     assert [(r["rank"], r["vec_id"]) for r in rows] == [(1, 1), (2, 2)]
     assert rows[0]["cosine"] == rows[1]["cosine"] == round(2 ** -0.5, 6)
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_heavy_tail_beats_zscore(spark):
+    from spacy_llm_spark.operators.anomaly import mad_outliers, zscore_outliers
+
+    # 20 values at ~10, one at 1000: sigma explodes (z of the whale is
+    # ~sqrt(n) bounded, pulling everything else toward 0), but the
+    # median/MAD barely move — the robust detector flags the whale
+    rows = [(i, "g", 10.0 + (i % 3)) for i in range(20)] + [(99, "g", 1000.0)]
+    df = spark.createDataFrame(rows, "id long, key string, value double")
+    robust = mad_outliers(df, "value", ["key"], threshold=3.5).collect()
+    assert [r["id"] for r in robust] == [99]
+    # classical z-score misses it at the same nominal cutoff: the whale
+    # IS the variance, so its own z stays below sqrt(n)
+    classical = zscore_outliers(df, "value", ["key"], threshold=4.5).collect()
+    assert classical == []
+
+
+def test_mad_outliers_reference_and_edges(spark):
+    import statistics
+
+    from spacy_llm_spark.operators.anomaly import mad_outliers
+
+    vals = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 9.0, -6.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, value double"
+    )
+    med = statistics.median(vals)
+    mad = statistics.median(sorted(abs(v - med) for v in vals))
+    want = {
+        i: round(0.6745 * (v - med) / mad, 6)
+        for i, v in enumerate(vals)
+        if abs(round(0.6745 * (v - med) / mad, 6)) > 2.0
+    }
+    got = {r["id"]: r["robust_z"]
+           for r in mad_outliers(df, "value", threshold=2.0).collect()}
+    assert got == pytest.approx(want)
+    # zero-MAD group (majority constant): nothing flagged
+    const = spark.createDataFrame(
+        [(i, "k", 5.0) for i in range(9)] + [(9, "k", 50.0)],
+        "id long, key string, value double",
+    )
+    assert mad_outliers(const, "value", ["key"]).count() == 0
