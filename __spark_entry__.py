@@ -1441,6 +1441,18 @@ def q_kg_negative_triples(spark, sf_dir):
     return negative_triples(edges, seed=42, buckets=64)
 
 
+def q_kg_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the KG edge set
+    (operators/graph.py random_walks): 2 walks of length 4 from every
+    vertex, next step = seeded sha-argmin over the undirected neighbor
+    set — one equi-join + one min-struct aggregate per step, the
+    skip-gram training input for KG-embedding models."""
+    from spacy_llm_spark.operators.graph import random_walks
+
+    edges = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj")
+    return random_walks(edges, walks_per_vertex=2, walk_length=4, seed=42)
+
+
 def q_events_rolling(spark, sf_dir):
     """Trailing 7-hour rolling activity features per user
     (operators/anomaly.py rolling_stats) over the hourly count grid —
@@ -2313,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         # graph family variant (degree/pagerank/triangles/BFS stamped)
         "kg_negative_triples": q_kg_negative_triples,
+        "kg_walks": q_kg_walks,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -2595,6 +2608,41 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
         f"\nSELECT v AS vertex, CAST(count(*) AS BIGINT) AS degree FROM ("
         f"SELECT lo AS v FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})"
         f" GROUP BY v"
+    )
+    return "\n".join(parts)
+
+
+def _walks_unrolled_sql(walks_per_vertex: int, walk_length: int, seed) -> str:
+    """Random-walk oracle unrolled one CTE pair per step (chained-CTE
+    discipline like kcore/bfs): the argmin over
+    sha256(seed US walk_id US step US n) picked with
+    ``row_number() OVER (PARTITION BY walk_id ORDER BY hv, n) = 1`` —
+    exactly ``F.min(struct(hv, n))`` on the engine side. The conv-hex
+    60-bit idiom matches graph.random_walks / negative_triples."""
+    rs = ", ".join(str(r) for r in range(walks_per_vertex))
+    parts = [
+        ", e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS lo,"
+        " greatest(subj, obj) AS hi FROM edges WHERE subj <> obj)",
+        ", und AS MATERIALIZED (SELECT lo AS p, hi AS n FROM e0"
+        " UNION ALL SELECT hi, lo FROM e0)",
+        f", w0 AS MATERIALIZED (SELECT v || '#' || r AS walk_id,"
+        f" v AS cur, v AS path FROM (SELECT DISTINCT p AS v FROM und)"
+        f" CROSS JOIN (SELECT unnest([{rs}]) AS r))",
+    ]
+    for k in range(1, walk_length):
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT w.walk_id, w.path, u.n,"
+            f" CAST('0x' || substr(sha256('{seed}' || chr(31) || w.walk_id"
+            f" || chr(31) || '{k}' || chr(31) || u.n), 1, 15) AS BIGINT)"
+            f" AS hv FROM w{k - 1} w JOIN und u ON u.p = w.cur)"
+            f", w{k} AS MATERIALIZED (SELECT walk_id, n AS cur,"
+            f" path || ' ' || n AS path FROM ("
+            f"SELECT walk_id, path, n,"
+            f" row_number() OVER (PARTITION BY walk_id ORDER BY hv, n) AS rn"
+            f" FROM s{k}) WHERE rn = 1)"
+        )
+    parts.append(
+        f"\nSELECT walk_id, path AS walk FROM w{walk_length - 1}"
     )
     return "\n".join(parts)
 
@@ -3529,6 +3577,7 @@ WHERE n.neg_obj <> n.obj
                   WHERE t.subj = n.subj AND t.pred = n.pred
                     AND t.obj = n.neg_obj)
 """,
+        "kg_walks": m + _EDGES_CTE + _walks_unrolled_sql(2, 4, 42),
         "kg_ppr": m
         + _EDGES_CTE
         + _ppr_unrolled_sql(iters=5, d=0.85, seed_pred="v LIKE 'K1%'"),

@@ -839,3 +839,99 @@ def negative_triples(
         F.col(src), F.col(pred), F.col(dst).alias("neg_obj")
     )
     return neg.join(positives, [src, pred, "neg_obj"], "left_anti")
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 2,
+    walk_length: int = 4,
+    seed: int | str = 42,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus over the
+    undirected distinct edge set: ``walks_per_vertex`` walks of
+    ``walk_length`` vertices from every vertex, emitted as
+    ``(walk_id, walk)`` with the walk a space-joined vertex string —
+    the training input for skip-gram KG-embedding models (DeepWalk,
+    node2vec p=q=1).
+
+    Pseudo-randomness is a seeded hash argmin, not an RNG: at step t,
+    walk w moves to the neighbor n minimizing
+    sha256(seed US w US t US n) — the same 60-bit conv-hex idiom as
+    ``negative_triples`` / ``corpus_split``, so the walk set is
+    bit-reproducible on any cluster size AND expressible in ANSI SQL
+    (the oracle unrolls one CTE per step with
+    ``row_number() OVER (ORDER BY hv, n) = 1``, which matches
+    ``F.min(struct(hv, n))`` exactly; hash ties are broken by the
+    neighbor id in both engines).
+
+    Scale shape: per step, ONE equi-join of the walk frontier against
+    the adjacency list (keyed on the current vertex — hub vertices fan
+    out by their degree, bounded by walks landing there, never
+    quadratic) and ONE min-struct aggregate keyed on the walk id; both
+    reuse hash partitionings and the state is lineage-cut per step.
+    State is O(V · walks_per_vertex) rows of O(walk_length) strings —
+    never materializes the neighborhood product. Every visited vertex
+    has >= 1 undirected neighbor by construction (vertices come from
+    the edge list and reachability preserves it), so walks never
+    dangle and always reach full length.
+
+    Reference analogue: none — spacy-llm emits triples
+    (spacy_llm/tasks/rel/task.py) but has no graph runtime; this is
+    the downstream embedding-corpus step a KG pipeline feeds.
+    """
+    if walks_per_vertex < 1:
+        raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    und = _undirected_edges(edges, src, dst)
+    adj = und.select(F.col("lo").alias("p"), F.col("hi").alias("n")).unionByName(
+        und.select(F.col("hi").alias("p"), F.col("lo").alias("n"))
+    )
+    verts = adj.select(F.col("p").alias("v")).distinct()
+    state = fs.cut_lineage(
+        verts.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("r"),
+            F.col("v"),
+        ).select(
+            F.concat_ws("#", F.col("v"), F.col("r")).alias("walk_id"),
+            F.col("v").alias("cur"),
+            F.col("v").alias("path"),
+        )
+    )
+    for step in range(1, walk_length):
+        hv = F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(str(seed)),
+                        F.col("walk_id"),
+                        F.lit(str(step)),
+                        F.col("n"),
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            state.join(adj, state["cur"] == adj["p"])
+            .withColumn("_hv", hv)
+            .groupBy("walk_id", "path")
+            .agg(F.min(F.struct(F.col("_hv"), F.col("n"))).alias("_m"))
+        )
+        state = fs.cut_lineage(
+            picked.select(
+                "walk_id",
+                F.col("_m.n").alias("cur"),
+                F.concat_ws(" ", F.col("path"), F.col("_m.n")).alias("path"),
+            )
+        )
+    return state.select("walk_id", F.col("path").alias("walk"))
