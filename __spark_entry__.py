@@ -1557,6 +1557,34 @@ def q_cluster_prf(spark, sf_dir):
     return pairwise_cluster_prf(_docs(spark, sf_dir), "lang", "source")
 
 
+def q_user_state_history(spark, sf_dir):
+    """SCD type-2 state history per user (operators/diff.py
+    scd2_compact): consecutive identical event_type states collapse
+    into (version, valid_from, valid_to, is_current) intervals — one
+    id-keyed window shuffle, change-point-scale output."""
+    from spacy_llm_spark.operators.diff import scd2_compact
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_compact(events, "user_id", "ts", ["event_type"])
+
+
+def q_user_state_history_incremental(spark, sf_dir):
+    """Incremental SCD2 maintenance (operators/diff.py scd2_apply):
+    events from Jan 25 on arrive as a later batch (a global time cut —
+    per-id in-order by construction, the CDC-feed contract scd2_apply
+    validates) and fold into the standing history by recompacting ONLY
+    touched ids; bit-equal to the full recompute, so this shares
+    q_user_state_history's oracle verbatim."""
+    from spacy_llm_spark.operators.diff import scd2_apply, scd2_compact
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = F.lit("2024-01-25").cast("timestamp")
+    old = events.where(F.col("ts") < cut)
+    batch = events.where(F.col("ts") >= cut)
+    history = scd2_compact(old, "user_id", "ts", ["event_type"])
+    return scd2_apply(history, batch, "user_id", "ts", ["event_type"])
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot CDC (operators/diff.py): two deterministic versions of
     the corpus (a re-crawl that dropped doc_id%5==3, picked up
@@ -2310,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cache/CDC family variant (cache_probe_anti_join holds the
         # family's stamped slot)
         "corpus_diff": q_corpus_diff,
+        "user_state_history": q_user_state_history,
+        "user_state_history_incremental": q_user_state_history_incremental,
         # scorer family variant (ner_prf holds the stamped slot)
         "cluster_prf": q_cluster_prf,
         # event-analytics family variants (events_hourly holds the slot)
@@ -2610,6 +2640,29 @@ def _kcore_unrolled_sql(k: int, rounds: int) -> str:
         f" GROUP BY v"
     )
     return "\n".join(parts)
+
+
+_SCD2_SQL = """
+WITH obs AS (
+  SELECT user_id, ts, event_type FROM events WHERE ts IS NOT NULL
+), c AS (
+  SELECT user_id, ts, event_type,
+         (row_number() OVER w = 1
+          OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS ch
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), k AS (
+  SELECT user_id, ts, event_type FROM c WHERE ch
+)
+SELECT user_id,
+       CAST(row_number() OVER w2 AS INT) AS version,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       (lead(ts) OVER w2 IS NULL) AS is_current,
+       event_type
+FROM k
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
+"""
 
 
 def _walks_unrolled_sql(walks_per_vertex: int, walk_length: int, seed) -> str:
@@ -3948,6 +4001,11 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
        AND o.source IS NOT DISTINCT FROM n.source
        AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
 """,
+        # SCD2: change-point detection + interval close in SQL windows;
+        # the incremental query shares this oracle VERBATIM (scd2_apply
+        # is bit-equal to full recompaction — the contract under test)
+        "user_state_history": _SCD2_SQL,
+        "user_state_history_incremental": _SCD2_SQL,
         # independent cross-check by construction: the oracle generates
         # pairs with the naive positions SELF-JOIN the engine avoids
         "token_pmi": """

@@ -112,6 +112,106 @@ def test_assert_unique_ids(spark):
         assert_unique_ids(dup, "id")
 
 
+# ----------------------------------------------------- SCD2 dimension
+
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators.diff import scd2_apply, scd2_compact
+
+
+def _ts(day, h=0):
+    import datetime
+
+    return datetime.datetime(2024, 1, day, h)
+
+
+def test_scd2_compact_hand_case(spark):
+    """Runs collapse to one interval each; a state going NULL and back
+    opens new versions (null-safe change detect); NULL-ts rows drop;
+    valid_to chains to the next valid_from with the tail open."""
+    rows = [
+        (1, _ts(1), "a"), (1, _ts(2), "a"), (1, _ts(3), "b"),
+        (1, _ts(4), None), (1, _ts(5), None), (1, _ts(6), "a"),
+        (2, _ts(1), "x"), (2, None, "y"),
+    ]
+    obs = spark.createDataFrame(rows, "id bigint, ts timestamp, st string")
+    got = sorted(
+        scd2_compact(obs, "id", "ts", ["st"]).collect(),
+        key=lambda r: (r["id"], r["version"]),
+    )
+    flat = [
+        (r["id"], r["version"], r["valid_from"], r["valid_to"],
+         r["is_current"], r["st"]) for r in got
+    ]
+    assert flat == [
+        (1, 1, _ts(1), _ts(3), False, "a"),
+        (1, 2, _ts(3), _ts(4), False, "b"),
+        (1, 3, _ts(4), _ts(6), False, None),
+        (1, 4, _ts(6), None, True, "a"),
+        (2, 1, _ts(1), None, True, "x"),
+    ]
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        scd2_compact(obs, "id", "ts", [])
+    with _pytest.raises(ValueError, match="missing"):
+        scd2_compact(obs, "id", "ts", ["nope"])
+
+
+def test_scd2_apply_bit_equal_to_full_recompute(spark):
+    """Per-id in-order batches (a global time cut) folded by scd2_apply
+    reproduce scd2_compact over the full stream bit-for-bit — including
+    tail-run extension (dedup), new states, and brand-new ids."""
+    rows = [
+        (i, _ts(d, h), st)
+        for i, states in [
+            (1, "aabba"), (2, "aaaaa"), (3, "abcde"), (4, "zzzyz"),
+        ]
+        for (d, h), st in zip(
+            [(1, 0), (3, 5), (7, 1), (11, 9), (20, 2)], states
+        )
+    ] + [(5, _ts(26), "new")]  # id born inside the batch window
+    obs = spark.createDataFrame(rows, "id bigint, ts timestamp, st string")
+    full = scd2_compact(obs, "id", "ts", ["st"])
+    cut = _ts(10)
+    hist = scd2_compact(obs.where(F.col("ts") < cut), "id", "ts", ["st"])
+    inc = scd2_apply(
+        hist, obs.where(F.col("ts") >= cut), "id", "ts", ["st"]
+    )
+    key = lambda r: (r["id"], r["version"])  # noqa: E731
+    assert sorted(map(tuple, full.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, inc.collect()), key=lambda t: t[:2]
+    )
+    # two chained batches == one batch == full
+    mid = _ts(15)
+    inc2 = scd2_apply(
+        scd2_apply(
+            hist,
+            obs.where((F.col("ts") >= cut) & (F.col("ts") < mid)),
+            "id", "ts", ["st"],
+        ),
+        obs.where(F.col("ts") >= mid),
+        "id", "ts", ["st"],
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, inc2.collect()))
+
+
+def test_scd2_apply_guards(spark):
+    obs = spark.createDataFrame(
+        [(1, _ts(1), "a"), (1, _ts(5), "b")],
+        "id bigint, ts timestamp, st string",
+    )
+    hist = scd2_compact(obs, "id", "ts", ["st"])
+    late = spark.createDataFrame(
+        [(1, _ts(3), "c")], "id bigint, ts timestamp, st string"
+    )
+    with _pytest.raises(ValueError, match="out-of-order"):
+        scd2_apply(hist, late, "id", "ts", ["st"])
+    # validate=False skips the tripwire (caller owns the contract)
+    assert scd2_apply(hist, late, "id", "ts", ["st"], validate=False).count() >= 2
+    with _pytest.raises(ValueError, match="history columns"):
+        scd2_apply(obs, late, "id", "ts", ["st"])
+
+
 # ------------------------------------------- pairwise clustering P/R/F1
 
 from spacy_llm_spark.operators.scoring import pairwise_cluster_prf
