@@ -1441,6 +1441,20 @@ def q_kg_negative_triples(spark, sf_dir):
     return negative_triples(edges, seed=42, buckets=64)
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Daily gap-fill + LOCF per user (operators/timeseries.py):
+    last event value per day on each user's min..max day grid, empty
+    days carried forward — keyed aggregates + sequence explode + one
+    keyed fill window; values carried, never computed, so floats cross
+    engines exactly."""
+    from spacy_llm_spark.operators.timeseries import gapfill_locf
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gapfill_locf(
+        events, ["user_id"], "ts", ["value"], step_seconds=86400
+    )
+
+
 def q_kg_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus over the KG edge set
     (operators/graph.py random_walks): 2 walks of length 4 from every
@@ -2356,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph family variant (degree/pagerank/triangles/BFS stamped)
         "kg_negative_triples": q_kg_negative_triples,
         "kg_walks": q_kg_walks,
+        "events_gapfill": q_events_gapfill,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -3631,6 +3646,32 @@ WHERE n.neg_obj <> n.obj
                     AND t.obj = n.neg_obj)
 """,
         "kg_walks": m + _EDGES_CTE + _walks_unrolled_sql(2, 4, 42),
+        # gap-fill: last-in-slot via DESC row_number == engine max-struct;
+        # LOCF via last_value IGNORE NULLS over the same grid
+        "events_gapfill": """
+WITH o AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS slot,
+         CAST(epoch_us(ts) AS BIGINT) AS mu
+  FROM events WHERE ts IS NOT NULL
+), lis AS (
+  SELECT user_id, slot, value FROM (
+    SELECT user_id, slot, value,
+           row_number() OVER (PARTITION BY user_id, slot
+                              ORDER BY mu DESC, value DESC) AS rn
+    FROM o) WHERE rn = 1
+), b AS (
+  SELECT user_id, min(slot) AS mn, max(slot) AS mx FROM lis GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, 86400)) AS slot FROM b
+)
+SELECT g.user_id, g.slot,
+       (l.user_id IS NOT NULL) AS observed,
+       last_value(l.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN lis l ON l.user_id = g.user_id AND l.slot = g.slot
+""",
         "kg_ppr": m
         + _EDGES_CTE
         + _ppr_unrolled_sql(iters=5, d=0.85, seed_pred="v LIKE 'K1%'"),

@@ -1,0 +1,131 @@
+"""Time-series regularization: gap-fill onto a fixed grid + LOCF.
+
+Event feeds are irregular; model features, anomaly baselines, and
+join keys want a regular grid. This operator resamples each key's
+observations onto ``step_seconds`` slots between the key's first and
+last observation, carrying the last non-null value forward into empty
+slots (LOCF — the standard feature-store fill rule).
+
+Scale shapes (all keyed — nothing global, no single-partition stage):
+
+- last-in-slot: ONE (key, slot) aggregate with map-side partials —
+  observation-scale in, slot-scale out; the max-struct pick is
+  deterministic (ties broken by the value columns).
+- grid: per-key bounds from a second key-scale aggregate, then a
+  ``sequence``/``explode`` projection — grid rows never exceed
+  span/step per key. The one skew hazard is a caller choosing a step
+  orders of magnitude below the span (a year at 1 s is 3·10^7 rows
+  per key); ``max_slots_per_key`` bounds it and raises instead of
+  silently exploding.
+- fill: one left equi-join on (key, slot) + one LOCF window per value
+  column, both keyed on the grid's key — Catalyst plans the window in
+  the join's partitioning when keys align.
+
+Values are carried, never computed, so floats cross engines exactly.
+Timestamps go through ``functions/timeutil.micros`` — the shared
+NTZ-safe epoch — and slots are emitted as epoch-second longs
+(``slot``), the same convention as the rolling/hourly features.
+
+Reference analogue: none — spacy-llm has no temporal runtime; cited
+for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import micros
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    step_seconds: int,
+    max_slots_per_key: int | None = 1_000_000,
+) -> DataFrame:
+    """Per-key regular grid ``(keys..., slot, observed, values...)``:
+    ``slot`` is the epoch-second grid start, ``observed`` marks slots
+    holding a real observation, and each value column carries the last
+    observation in the slot (latest ts; ties broken by the values)
+    or, for empty slots, the last non-null value carried forward.
+    Leading slots are never null: every key's grid starts at its first
+    observation's slot. NULL-ts rows are dropped (they cannot anchor a
+    slot); ``max_slots_per_key`` (default 1e6) raises on any key whose
+    span/step exceeds it — the explicit alternative to a silent
+    quadratic-ish blowup when the step is mis-chosen."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    if not keys:
+        raise ValueError("gapfill_locf: key_cols must be non-empty")
+    if not vals:
+        raise ValueError("gapfill_locf: value_cols must be non-empty")
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    missing = [
+        c for c in [*keys, ts_col, *vals] if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"gapfill_locf: columns missing: {missing}")
+
+    mu = micros(F.col(ts_col), df.schema[ts_col].dataType)
+    step_us = int(step_seconds) * 1_000_000
+    obs = (
+        df.select(*keys, ts_col, *vals)
+        .where(F.col(ts_col).isNotNull())
+        .withColumn(
+            "slot", (F.floor(mu / F.lit(step_us)) * step_seconds).cast("long")
+        )
+        .withColumn("_mu", mu)
+    )
+    # deterministic last-in-slot: max over (ts, values...) structs
+    last_in_slot = obs.groupBy(*keys, "slot").agg(
+        F.max(F.struct(F.col("_mu"), *[F.col(v) for v in vals])).alias("_m")
+    ).select(
+        *keys,
+        "slot",
+        F.lit(True).alias("_obs"),
+        *[F.col(f"_m.{v}").alias(v) for v in vals],
+    )
+    bounds = last_in_slot.groupBy(*keys).agg(
+        F.min("slot").alias("_mn"), F.max("slot").alias("_mx")
+    )
+    if max_slots_per_key is not None:
+        over = (
+            bounds.where(
+                (F.col("_mx") - F.col("_mn")) / step_seconds
+                >= F.lit(int(max_slots_per_key))
+            )
+            .limit(1)
+            .collect()
+        )
+        if over:
+            r = over[0]
+            n = (r["_mx"] - r["_mn"]) // step_seconds + 1
+            raise ValueError(
+                f"gapfill_locf: key {[r[k] for k in keys]} spans {n} slots "
+                f"(> max_slots_per_key={max_slots_per_key}) at step "
+                f"{step_seconds}s — choose a coarser step or raise the cap"
+            )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("_mn", "_mx", F.lit(int(step_seconds)))
+        ).alias("slot"),
+    )
+    joined = grid.join(last_in_slot, [*keys, "slot"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        "slot",
+        F.coalesce(F.col("_obs"), F.lit(False)).alias("observed"),
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in vals],
+    )

@@ -212,6 +212,85 @@ def test_scd2_apply_guards(spark):
         scd2_apply(obs, late, "id", "ts", ["st"])
 
 
+# ------------------------------------------------ gap-fill / LOCF
+
+from spacy_llm_spark.operators.timeseries import gapfill_locf
+
+
+def test_gapfill_locf_hand_case(spark):
+    """Grid spans min..max slot per key; the LAST observation in a slot
+    wins; empty slots carry forward with observed=False; an observed
+    slot with a NULL value still fills from the previous non-null."""
+    rows = [
+        (1, _ts(1, 2), 10.0), (1, _ts(1, 9), 11.0),  # same day: last wins
+        (1, _ts(4), 40.0),
+        (1, _ts(5), None),  # observed but null -> LOCF fills 40.0
+        (2, _ts(2), 7.0),
+        (2, None, 99.0),  # null ts dropped
+    ]
+    obs = spark.createDataFrame(rows, "id bigint, ts timestamp, value double")
+    got = sorted(
+        gapfill_locf(obs, ["id"], "ts", ["value"], 86400).collect(),
+        key=lambda r: (r["id"], r["slot"]),
+    )
+    day = lambda d: int(_ts(d).replace(tzinfo=__import__("datetime").timezone.utc).timestamp())  # noqa: E731
+    flat = [(r["id"], r["slot"], r["observed"], r["value"]) for r in got]
+    assert flat == [
+        (1, day(1), True, 11.0),
+        (1, day(2), False, 11.0),
+        (1, day(3), False, 11.0),
+        (1, day(4), True, 40.0),
+        (1, day(5), True, 40.0),
+        (2, day(2), True, 7.0),
+    ]
+
+
+def test_gapfill_locf_guards(spark):
+    obs = spark.createDataFrame(
+        [(1, _ts(1), 1.0), (1, _ts(30), 2.0)],
+        "id bigint, ts timestamp, value double",
+    )
+    with _pytest.raises(ValueError, match="max_slots_per_key"):
+        gapfill_locf(obs, ["id"], "ts", ["value"], 1, max_slots_per_key=1000)
+    # cap disabled -> runs (29 days of seconds is fine to PLAN, just not
+    # to collect; count a coarse grid instead to keep the test fast)
+    assert gapfill_locf(obs, ["id"], "ts", ["value"], 86400).count() == 30
+    with _pytest.raises(ValueError, match="key_cols"):
+        gapfill_locf(obs, [], "ts", ["value"], 86400)
+    with _pytest.raises(ValueError, match="value_cols"):
+        gapfill_locf(obs, ["id"], "ts", [], 86400)
+    with _pytest.raises(ValueError, match="step_seconds"):
+        gapfill_locf(obs, ["id"], "ts", ["value"], 0)
+    with _pytest.raises(ValueError, match="missing"):
+        gapfill_locf(obs, ["id"], "ts", ["nope"], 86400)
+
+
+def test_gapfill_locf_multi_value_and_keys(spark):
+    """Two value columns fill independently; composite keys partition
+    independently (no cross-key leakage)."""
+    rows = [
+        ("a", 1, _ts(1), 1.0, "x"),
+        ("a", 1, _ts(3), None, "y"),
+        ("a", 2, _ts(2), 5.0, None),
+    ]
+    obs = spark.createDataFrame(
+        rows, "g string, id bigint, ts timestamp, v double, s string"
+    )
+    got = {
+        (r["g"], r["id"], r["slot"]): (r["v"], r["s"], r["observed"])
+        for r in gapfill_locf(
+            obs, ["g", "id"], "ts", ["v", "s"], 86400
+        ).collect()
+    }
+    day = lambda d: int(_ts(d).replace(tzinfo=__import__("datetime").timezone.utc).timestamp())  # noqa: E731
+    assert got == {
+        ("a", 1, day(1)): (1.0, "x", True),
+        ("a", 1, day(2)): (1.0, "x", False),
+        ("a", 1, day(3)): (1.0, "y", True),  # v carries, s updates
+        ("a", 2, day(2)): (5.0, None, True),  # never-seen s stays null
+    }
+
+
 # ------------------------------------------- pairwise clustering P/R/F1
 
 from spacy_llm_spark.operators.scoring import pairwise_cluster_prf
