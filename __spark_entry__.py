@@ -1441,6 +1441,18 @@ def q_kg_negative_triples(spark, sf_dir):
     return negative_triples(edges, seed=42, buckets=64)
 
 
+def q_er_blocking_parts(spark, sf_dir):
+    """Sorted-neighborhood ER blocking over part names
+    (operators/blocking.py): all record pairs within 3 positions of
+    the global (p_name, p_partkey) order — the O(n·w) candidate set;
+    global rank assembled distributively (surrogate range-chunking +
+    prefix-sum offsets), pairs via explode + ONE rank equi-join."""
+    from spacy_llm_spark.operators.blocking import sorted_neighborhood_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=3)
+
+
 def q_events_gapfill(spark, sf_dir):
     """Daily gap-fill + LOCF per user (operators/timeseries.py):
     last event value per day on each user's min..max day grid, empty
@@ -2371,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_triples": q_kg_negative_triples,
         "kg_walks": q_kg_walks,
         "events_gapfill": q_events_gapfill,
+        "er_blocking_parts": q_er_blocking_parts,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -3646,6 +3659,18 @@ WHERE n.neg_obj <> n.obj
                     AND t.obj = n.neg_obj)
 """,
         "kg_walks": m + _EDGES_CTE + _walks_unrolled_sql(2, 4, 42),
+        # SNM blocking: the oracle's single global row_number IS the
+        # spec the distributed prefix-sum rank must reproduce bit-for-bit
+        "er_blocking_parts": """
+WITH r AS (
+  SELECT p_partkey AS id, p_name AS key,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part WHERE p_name IS NOT NULL
+)
+SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+       CAST(b.rk - a.rk AS INT) AS rank_gap
+FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+""",
         # gap-fill: last-in-slot via DESC row_number == engine max-struct;
         # LOCF via last_value IGNORE NULLS over the same grid
         "events_gapfill": """

@@ -803,3 +803,78 @@ def test_mad_outliers_reference_and_edges(spark):
         "id long, key string, value double",
     )
     assert mad_outliers(const, "value", ["key"]).count() == 0
+
+
+# ------------------------------------------ sorted-neighborhood blocking
+
+from spacy_llm_spark.operators.blocking import sorted_neighborhood_pairs
+
+
+def test_snm_pairs_hand_case_and_chunk_invariance(spark):
+    """Pairs are exactly the rank-distance-<window neighbors of the
+    global (key, id) order; duplicate keys tie-break by id; NULL keys
+    drop; and the distributed rank is bit-identical at any n_chunks
+    (1 == 5 == default) — the single-partition sort is the spec."""
+    rows = [
+        (0, "anna"), (1, "anne"), (2, "anne"),  # dup key -> id order
+        (3, "bob"), (4, "carl"), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = sorted(
+        map(tuple, sorted_neighborhood_pairs(df, "id", "name", 3).collect())
+    )
+    # order: anna(0) anne(1) anne(2) bob(3) carl(4)
+    assert got == sorted(
+        [
+            (0, 1, "anna", "anne", 1), (0, 2, "anna", "anne", 2),
+            (1, 2, "anne", "anne", 1), (1, 3, "anne", "bob", 2),
+            (2, 3, "anne", "bob", 1), (2, 4, "anne", "carl", 2),
+            (3, 4, "bob", "carl", 1),
+        ]
+    )
+    for nc in (1, 5):
+        alt = sorted(
+            map(
+                tuple,
+                sorted_neighborhood_pairs(
+                    df, "id", "name", 3, n_chunks=nc
+                ).collect(),
+            )
+        )
+        assert alt == got, f"n_chunks={nc} changed the pair set"
+
+
+def test_snm_keep_cols_and_guards(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", 20)], "id bigint, name string, sz bigint"
+    )
+    got = sorted_neighborhood_pairs(
+        df, "id", "name", 2, keep_cols=("sz",)
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["sz_a"], r["sz_b"]) for r in got] == [
+        (0, 1, 10, 20)
+    ]
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", "name", 1)
+    with pytest.raises(ValueError, match="missing"):
+        sorted_neighborhood_pairs(df, "id", "nope", 2)
+
+
+def test_snm_surrogate_routing_is_order_consistent(spark):
+    """Keys sharing 8-byte prefixes, multibyte UTF-8, and short keys
+    all rank identically to the single-partition sort under heavy
+    chunking — the surrogate only routes, the full key ranks."""
+    names = [
+        "prefix-shared-AAAA", "prefix-shared-AAAB", "prefix-shared",
+        "zz", "z", "a", "ab", "abc", "ünïcode", "ün", "日本語", "日本",
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id bigint, name string"
+    )
+    ref = sorted(
+        map(tuple, sorted_neighborhood_pairs(df, "id", "name", 4, n_chunks=1).collect())
+    )
+    got = sorted(
+        map(tuple, sorted_neighborhood_pairs(df, "id", "name", 4, n_chunks=6).collect())
+    )
+    assert got == ref
