@@ -1441,6 +1441,26 @@ def q_kg_negative_triples(spark, sf_dir):
     return negative_triples(edges, seed=42, buckets=64)
 
 
+def q_kg_shortest_paths(spark, sf_dir):
+    """Hop-bounded weighted SSSP over the KG (operators/graph.py
+    shortest_paths): min-weight distance (weight = len(pred),
+    integer-valued so float sums are exact) from the K1xx seed set
+    within 4 hops, undirected — one vertex-keyed join + one min
+    aggregate per round, early exit via observed (count, total)."""
+    from spacy_llm_spark.operators.graph import shortest_paths
+
+    edges = q_kg_edges(spark, sf_dir).withColumn(
+        "w8", F.length("pred").cast("double")
+    )
+    verts = (
+        edges.select(F.col("subj").alias("vertex"))
+        .union(edges.select(F.col("obj").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vertex").startswith("K1"))
+    return shortest_paths(edges, seeds, weight_col="w8", max_hops=4)
+
+
 def q_er_blocking_parts(spark, sf_dir):
     """Sorted-neighborhood ER blocking over part names
     (operators/blocking.py): all record pairs within 3 positions of
@@ -2384,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": q_kg_walks,
         "events_gapfill": q_events_gapfill,
         "er_blocking_parts": q_er_blocking_parts,
+        "kg_shortest_paths": q_kg_shortest_paths,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -2691,6 +2712,30 @@ SELECT user_id,
 FROM k
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
 """
+
+
+def _sssp_unrolled_sql(rounds: int, seed_pred: str) -> str:
+    """Bellman–Ford unrolled one min-relaxation CTE per round (chained
+    MATERIALIZED CTEs like kcore/bfs); weight = len(pred), integer-
+    valued so double sums are exact in both engines."""
+    parts = [
+        ", e0 AS MATERIALIZED (SELECT subj AS s, obj AS t,"
+        " CAST(length(pred) AS DOUBLE) AS w FROM edges WHERE subj <> obj)",
+        ", und AS MATERIALIZED (SELECT s, t, w FROM e0"
+        " UNION ALL SELECT t, s, w FROM e0)",
+        ", verts AS (SELECT subj AS v FROM edges UNION SELECT obj FROM edges)",
+        f", d0 AS MATERIALIZED (SELECT v AS vertex, CAST(0 AS DOUBLE) AS dist"
+        f" FROM verts WHERE {seed_pred})",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f", d{k} AS MATERIALIZED (SELECT vertex, min(dist) AS dist FROM ("
+            f"SELECT vertex, dist FROM d{k - 1}"
+            f" UNION ALL SELECT u.t, d.dist + u.w FROM d{k - 1} d"
+            f" JOIN und u ON u.s = d.vertex) GROUP BY vertex)"
+        )
+    parts.append(f"\nSELECT vertex, dist FROM d{rounds}")
+    return "\n".join(parts)
 
 
 def _walks_unrolled_sql(walks_per_vertex: int, walk_length: int, seed) -> str:
@@ -3659,6 +3704,9 @@ WHERE n.neg_obj <> n.obj
                     AND t.obj = n.neg_obj)
 """,
         "kg_walks": m + _EDGES_CTE + _walks_unrolled_sql(2, 4, 42),
+        "kg_shortest_paths": m
+        + _EDGES_CTE
+        + _sssp_unrolled_sql(4, "v LIKE 'K1%'"),
         # SNM blocking: the oracle's single global row_number IS the
         # spec the distributed prefix-sum rank must reproduce bit-for-bit
         "er_blocking_parts": """

@@ -1254,6 +1254,62 @@ def test_negative_triples_properties(spark):
         negative_triples(edges, buckets=0)
 
 
+def test_shortest_paths_hand_case(spark):
+    """A 3-hop light path (1+1+1) must beat the 1-hop heavy edge (10);
+    the hop bound truncates it back to the heavy edge; directed mode
+    respects edge direction; negative weights raise."""
+    from spacy_llm_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("s", "d", 10.0), ("s", "a", 1.0), ("a", "b", 1.0), ("b", "d", 1.0),
+         ("x", "s", 2.0)],
+        "subj string, obj string, w double",
+    )
+    seeds = spark.createDataFrame([("s",)], "vertex string")
+
+    got = {r["vertex"]: r["dist"] for r in
+           shortest_paths(edges, seeds, "w", max_hops=4).collect()}
+    assert got == {"s": 0.0, "a": 1.0, "b": 2.0, "d": 3.0, "x": 2.0}
+
+    # hop bound 1: only direct edges
+    got1 = {r["vertex"]: r["dist"] for r in
+            shortest_paths(edges, seeds, "w", max_hops=1).collect()}
+    assert got1 == {"s": 0.0, "a": 1.0, "d": 10.0, "x": 2.0}
+
+    # directed: x -> s is not usable from s
+    gotd = {r["vertex"]: r["dist"] for r in
+            shortest_paths(edges, seeds, "w", max_hops=4, directed=True).collect()}
+    assert gotd == {"s": 0.0, "a": 1.0, "b": 2.0, "d": 3.0}
+
+    import pytest
+
+    neg = spark.createDataFrame(
+        [("s", "a", -1.0)], "subj string, obj string, w double"
+    )
+    with pytest.raises(ValueError, match="negative weight"):
+        shortest_paths(neg, seeds, "w", max_hops=2)
+    with pytest.raises(ValueError, match="max_hops"):
+        shortest_paths(edges, seeds, "w", max_hops=-1)
+
+
+def test_shortest_paths_unit_weight_matches_bfs(spark):
+    """With no weight column the distances are hop counts — exactly
+    bfs_levels' levels wherever BFS reaches; early exit keeps a huge
+    max_hops cheap (fixpoint observed, loop stops)."""
+    from spacy_llm_spark.operators.graph import bfs_levels, shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "subj string, obj string",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "vertex string")
+    sp = {r["vertex"]: r["dist"] for r in
+          shortest_paths(edges, seeds, max_hops=50).collect()}
+    bfs = {r["vertex"]: float(r["level"]) for r in
+           bfs_levels(edges, seeds, max_hops=50).collect()}
+    assert sp == bfs
+
+
 def test_random_walks_properties(spark):
     """Every vertex starts walks_per_vertex walks; every walk reaches
     full length (undirected graphs never dangle); every step follows an
