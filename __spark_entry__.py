@@ -1441,6 +1441,18 @@ def q_kg_negative_triples(spark, sf_dir):
     return negative_triples(edges, seed=42, buckets=64)
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (functions/relevance.py
+    tfidf_keywords, min_df=2): one corpus scan, one (doc,term)
+    aggregate, term-scale idf join, doc-keyed top-k window — never a
+    global sort; sklearn-smoothed idf at the shared 10 dp quantum.
+    (The synthetic corpus's 31-term vocabulary is dense — max_df_frac
+    would empty it, so the stopword knob stays unit-test-covered.)"""
+    from spacy_llm_spark.functions.relevance import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3, min_df=2)
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Hop-bounded weighted SSSP over the KG (operators/graph.py
     shortest_paths): min-weight distance (weight = len(pred),
@@ -2405,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "er_blocking_parts": q_er_blocking_parts,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "doc_keywords": q_doc_keywords,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -3707,6 +3720,32 @@ WHERE n.neg_obj <> n.obj
         "kg_shortest_paths": m
         + _EDGES_CTE
         + _sssp_unrolled_sql(4, "v LIKE 'K1%'"),
+        # TF-IDF keywords: same tokenization idiom as bm25_topk; the
+        # 10dp/6dp rounding ladder mirrors tfidf_keywords line-for-line
+        "doc_keywords": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY doc_id, term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM documents),
+dfx AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), idf AS (
+  SELECT term, round(ln((1e0 + N) / (1e0 + df)) + 1e0, 10) AS idf
+  FROM dfx, n WHERE df >= 2
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(round(tf.tf * idf.idf, 10), 6) AS score
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, score, CAST(rn AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
         # SNM blocking: the oracle's single global row_number IS the
         # spec the distributed prefix-sum rank must reproduce bit-for-bit
         "er_blocking_parts": """

@@ -299,3 +299,76 @@ def bm25_query_from_index(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the cheap per-doc
+    topicality signal (tagging, clustering features, dedup
+    explanations). Output ``(id_col, term, tf, score, rank)``, rank
+    1..k by (score desc, term asc) so ties are deterministic.
+
+    idf is the smoothed sklearn variant ``ln((1+N)/(1+df)) + 1``
+    (never negative, never divides by zero); ``min_df`` drops
+    hapax-style noise terms, ``max_df_frac`` drops stopword-scale
+    terms (df > frac·N) — both documented knobs of the same formula
+    family. idf and tf·idf are quantized at 10 dp, the final score at
+    6 dp (the BM25/pagerank cross-engine float discipline).
+
+    Scale shape: one (doc, term) count aggregate over the exploded
+    token stream (map-side partials absorb within-doc repeats), one
+    term-scale df aggregate, N as a 1-row broadcast crossJoin (no
+    driver collect in the plan), idf joined back on the term key —
+    dictionary-scale, AQE-broadcastable — and the per-doc top-k via a
+    doc-keyed window (parallel in the doc key; never a global sort).
+    The corpus text is scanned ONCE.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if max_df_frac is not None and not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens_expr(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("N"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    df_t = df_t.crossJoin(broadcast(n_docs)).where(
+        F.col("df") >= F.lit(float(min_df))
+    )
+    if max_df_frac is not None:
+        df_t = df_t.where(F.col("df") <= F.lit(float(max_df_frac)) * F.col("N"))
+    idf = df_t.select(
+        "term",
+        F.round(
+            F.log((F.lit(1.0) + F.col("N")) / (F.lit(1.0) + F.col("df")))
+            + F.lit(1.0),
+            _Q,
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(F.round(F.col("tf") * F.col("idf"), _Q), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

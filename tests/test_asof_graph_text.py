@@ -843,6 +843,61 @@ def test_duplicated_ngram_stats_min_docs_threshold(spark):
     assert all(r["n_dup_grams"] == 1 and r["dup_ratio"] == 1.0 for r in loose)
 
 
+def test_tfidf_keywords_hand_case(spark):
+    """Doc-discriminating terms outrank corpus-wide ones; min_df and
+    max_df_frac prune the tails; rank ties break by term; reference
+    parity against a pure-Python recompute of the same formula."""
+    import math
+
+    from spacy_llm_spark.functions.relevance import tfidf_keywords
+
+    rows = [
+        (0, "apple banana apple common"),
+        (1, "banana cherry common"),
+        (2, "cherry dates common"),
+        (3, "common only here zebra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = tfidf_keywords(docs, k=2, min_df=2).collect()
+
+    # pure-Python reference of the exact formula (smoothed idf, 10/6 dp)
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    df = {}
+    for tk in toks.values():
+        for t in set(tk):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for i, tk in toks.items():
+        scored = []
+        for t in set(tk):
+            if df[t] < 2:
+                continue
+            idf = round(math.log((1 + n) / (1 + df[t])) + 1, 10)
+            scored.append((round(round(tk.count(t) * idf, 10), 6), t))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for r, (sc, t) in enumerate(scored[:2], 1):
+            want[(i, t)] = (tk.count(t), sc, r)
+    assert {(r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+            for r in got} == want
+    # 'apple' (df=1) never appears even though tf=2 in doc 0
+    assert all(r["term"] != "apple" for r in got)
+
+    # max_df_frac=0.5 kills 'common' (df=4/4)
+    pruned = tfidf_keywords(docs, k=3, min_df=1, max_df_frac=0.5).collect()
+    assert all(r["term"] != "common" for r in pruned)
+    assert any(r["term"] == "apple" for r in pruned)  # min_df=1 admits it
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        tfidf_keywords(docs, k=0)
+    with pytest.raises(ValueError, match="min_df"):
+        tfidf_keywords(docs, min_df=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        tfidf_keywords(docs, max_df_frac=1.5)
+
+
 def test_bm25_index_path_matches_direct(spark):
     """Index-path scores equal the direct path on every matching doc;
     append maintenance equals a rebuild; stamps are enforced."""
