@@ -1453,6 +1453,28 @@ def q_doc_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=3, min_df=2)
 
 
+def q_er_match_scores(spark, sf_dir):
+    """Fellegi–Sunter match weights over the SNM candidate pairs
+    (operators/linkage.py): u estimated from the part table's value
+    collision probabilities (exact integer sums), m as domain priors;
+    scoring is a pure whole-stage-codegen projection — the block→score
+    half of the ER stack in two operators."""
+    from spacy_llm_spark.operators.blocking import sorted_neighborhood_pairs
+    from spacy_llm_spark.operators.linkage import (
+        estimate_u_probs,
+        fellegi_sunter_scores,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    fields = ["p_brand", "p_type", "p_size"]
+    pairs = sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=3, keep_cols=tuple(fields)
+    )
+    u = estimate_u_probs(part, fields)
+    m = {"p_brand": 0.95, "p_type": 0.9, "p_size": 0.85}
+    return fellegi_sunter_scores(pairs, fields, m, u)
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Hop-bounded weighted SSSP over the KG (operators/graph.py
     shortest_paths): min-weight distance (weight = len(pred),
@@ -2418,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_parts": q_er_blocking_parts,
         "kg_shortest_paths": q_kg_shortest_paths,
         "doc_keywords": q_doc_keywords,
+        "er_match_scores": q_er_match_scores,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -3720,6 +3743,42 @@ WHERE n.neg_obj <> n.obj
         "kg_shortest_paths": m
         + _EDGES_CTE
         + _sssp_unrolled_sql(4, "v LIKE 'K1%'"),
+        # Fellegi-Sunter over the SNM pairs: u recomputed in SQL from the
+        # same exact-integer collision sums; weights quantized 10 dp
+        # pre-sum exactly like operators/linkage.py
+        "er_match_scores": """
+WITH r AS (
+  SELECT p_partkey AS id, p_name AS key, p_brand, p_type, p_size,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rk
+  FROM part WHERE p_name IS NOT NULL
+), pr AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.key AS key_a, b.key AS key_b,
+         CAST(b.rk - a.rk AS INT) AS rank_gap,
+         a.p_brand AS p_brand_a, a.p_type AS p_type_a, a.p_size AS p_size_a,
+         b.p_brand AS p_brand_b, b.p_type AS p_type_b, b.p_size AS p_size_b
+  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+), ub AS (
+  SELECT CAST(sum(n*n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+  FROM (SELECT count(*) AS n FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand)
+), ut AS (
+  SELECT CAST(sum(n*n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+  FROM (SELECT count(*) AS n FROM part WHERE p_type IS NOT NULL GROUP BY p_type)
+), us AS (
+  SELECT CAST(sum(n*n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS u
+  FROM (SELECT count(*) AS n FROM part WHERE p_size IS NOT NULL GROUP BY p_size)
+)
+SELECT pr.*, round(
+    CASE WHEN p_brand_a IS NULL OR p_brand_b IS NULL THEN 0e0
+         WHEN p_brand_a = p_brand_b THEN round(log2(0.95e0 / ub.u), 10)
+         ELSE round(log2(0.05e0 / (1e0 - ub.u)), 10) END
+  + CASE WHEN p_type_a IS NULL OR p_type_b IS NULL THEN 0e0
+         WHEN p_type_a = p_type_b THEN round(log2(0.9e0 / ut.u), 10)
+         ELSE round(log2(0.1e0 / (1e0 - ut.u)), 10) END
+  + CASE WHEN p_size_a IS NULL OR p_size_b IS NULL THEN 0e0
+         WHEN p_size_a = p_size_b THEN round(log2(0.85e0 / us.u), 10)
+         ELSE round(log2(0.15e0 / (1e0 - us.u)), 10) END, 6) AS match_weight
+FROM pr, ub, ut, us
+""",
         # TF-IDF keywords: same tokenization idiom as bm25_topk; the
         # 10dp/6dp rounding ladder mirrors tfidf_keywords line-for-line
         "doc_keywords": """

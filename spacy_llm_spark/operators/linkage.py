@@ -1,0 +1,114 @@
+"""Fellegi–Sunter probabilistic record-linkage scoring.
+
+The scoring stage of the classic ER stack (Fellegi & Sunter 1969, the
+model behind Splink/RecordLinkage): given candidate pairs (from
+``operators/blocking.py`` sorted-neighborhood, the LSH families, or
+``operators/setjoin.py``), each compared field contributes a
+log-likelihood-ratio weight — ``log2(m/u)`` when the pair AGREES on
+the field, ``log2((1-m)/(1-u))`` when it disagrees, 0 when either
+side is missing (the FS missing-at-random convention) — and the pair's
+match weight is the sum. ``m`` (agreement probability among true
+matches) is domain prior knowledge the caller supplies; ``u``
+(agreement probability among random non-matches) is estimable from
+data as the field's value-collision probability Σ(n_v/N)², which
+``estimate_u_probs`` computes.
+
+Scale shape: scoring is a PURE PROJECTION over the pairs frame — the
+weights are driver-side literal constants, so the whole thing stays
+inside whole-stage codegen with zero joins and zero shuffles beyond
+what produced the pairs. ``estimate_u_probs`` is one value-scale
+aggregate per field (exact integer sums, one division — bit-identical
+in any engine) with a 1-row collect each.
+
+Float discipline: each field weight is quantized to 10 dp BEFORE
+summation (both engines add identical addends — the pagerank/BM25
+rule) and the total to 6 dp.
+
+Reference analogue: none — spacy-llm's EntityLinker ranks mentions
+against KB aliases in driver memory (spacy_llm/tasks/entity_linker);
+corpus-scale pairwise linkage scoring is the part it cannot express.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 10  # pre-sum weight quantum (dp) — the shared cross-engine rule
+
+
+def estimate_u_probs(
+    records: DataFrame, fields: Sequence[str]
+) -> dict[str, float]:
+    """u-probability per field from a RECORDS frame (not pairs): the
+    probability two random records agree = Σ(n_v/N)² over the field's
+    non-null value distribution. One value-scale aggregate + 1-row
+    collect per field; exact integer arithmetic until the single final
+    division."""
+    out: dict[str, float] = {}
+    for f in fields:
+        if f not in records.columns:
+            raise ValueError(f"estimate_u_probs: column {f!r} missing")
+        counts = (
+            records.where(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        row = counts.agg(
+            F.sum(F.col("n") * F.col("n")).alias("sq"),
+            F.sum("n").alias("tot"),
+        ).collect()[0]
+        if not row["tot"]:
+            raise ValueError(
+                f"estimate_u_probs: column {f!r} has no non-null values"
+            )
+        out[f] = float(row["sq"]) / float(row["tot"]) ** 2
+    return out
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    fields: Sequence[str],
+    m_probs: Mapping[str, float],
+    u_probs: Mapping[str, float],
+    suffix_a: str = "_a",
+    suffix_b: str = "_b",
+) -> DataFrame:
+    """Append ``match_weight`` (6 dp) to a candidate-pairs frame whose
+    compared fields appear as ``<f>_a`` / ``<f>_b`` columns (exactly
+    what ``sorted_neighborhood_pairs(keep_cols=...)`` emits).
+    Agreement is exact equality on non-null sides; a NULL on either
+    side contributes weight 0. Probabilities must lie strictly inside
+    (0, 1) with m > u — equal would make the field uninformative,
+    inverted would mean the 'agreement' evidence argues AGAINST a
+    match, both almost certainly parameterization bugs."""
+    if not fields:
+        raise ValueError("fellegi_sunter_scores: fields must be non-empty")
+    total = None
+    for f in fields:
+        ca, cb = f"{f}{suffix_a}", f"{f}{suffix_b}"
+        missing = [c for c in (ca, cb) if c not in pairs.columns]
+        if missing:
+            raise ValueError(
+                f"fellegi_sunter_scores: pair columns missing: {missing}"
+            )
+        m, u = float(m_probs[f]), float(u_probs[f])
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(
+                f"fellegi_sunter_scores: need 0 < u < m < 1 for {f!r}, "
+                f"got m={m}, u={u}"
+            )
+        w_agree = round(math.log2(m / u), _Q)
+        w_disagree = round(math.log2((1.0 - m) / (1.0 - u)), _Q)
+        contrib = (
+            F.when(
+                F.col(ca).isNull() | F.col(cb).isNull(), F.lit(0.0)
+            )
+            .when(F.col(ca) == F.col(cb), F.lit(w_agree))
+            .otherwise(F.lit(w_disagree))
+        )
+        total = contrib if total is None else total + contrib
+    return pairs.withColumn("match_weight", F.round(total, 6))

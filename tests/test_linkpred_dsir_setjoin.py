@@ -878,3 +878,74 @@ def test_snm_surrogate_routing_is_order_consistent(spark):
         map(tuple, sorted_neighborhood_pairs(df, "id", "name", 4, n_chunks=6).collect())
     )
     assert got == ref
+
+
+# ------------------------------------------ Fellegi-Sunter linkage
+
+from spacy_llm_spark.operators.linkage import (
+    estimate_u_probs,
+    fellegi_sunter_scores,
+)
+
+
+def test_estimate_u_probs_collision_probability(spark):
+    """u = sum over values of (n_v/N)^2 on the non-null distribution."""
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), (None,)], "f string"
+    )
+    u = estimate_u_probs(df, ["f"])["f"]
+    assert u == pytest.approx((2 / 3) ** 2 + (1 / 3) ** 2)
+    with pytest.raises(ValueError, match="missing"):
+        estimate_u_probs(df, ["nope"])
+    empty = spark.createDataFrame([(None,)], "f string")
+    with pytest.raises(ValueError, match="no non-null"):
+        estimate_u_probs(empty, ["f"])
+
+
+def test_fellegi_sunter_hand_case(spark):
+    """Agreement adds log2(m/u), disagreement log2((1-m)/(1-u)),
+    missing contributes 0; addends quantized 10 dp pre-sum."""
+    import math
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "a", "a", 5, 5),    # both agree
+            (1, 3, "a", "b", 5, 7),    # both disagree
+            (1, 4, None, "a", 5, 5),   # name missing -> only size counts
+        ],
+        "id_a bigint, id_b bigint, name_a string, name_b string,"
+        " sz_a bigint, sz_b bigint",
+    )
+    m = {"name": 0.9, "sz": 0.8}
+    u = {"name": 0.1, "sz": 0.25}
+    wa = {f: round(math.log2(m[f] / u[f]), 10) for f in m}
+    wd = {f: round(math.log2((1 - m[f]) / (1 - u[f])), 10) for f in m}
+    got = {
+        (r["id_a"], r["id_b"]): r["match_weight"]
+        for r in fellegi_sunter_scores(pairs, ["name", "sz"], m, u).collect()
+    }
+    assert got == {
+        (1, 2): round(wa["name"] + wa["sz"], 6),
+        (1, 3): round(wd["name"] + wd["sz"], 6),
+        (1, 4): round(wa["sz"], 6),
+    }
+
+    with pytest.raises(ValueError, match="non-empty"):
+        fellegi_sunter_scores(pairs, [], m, u)
+    with pytest.raises(ValueError, match="pair columns missing"):
+        fellegi_sunter_scores(pairs, ["other"], m, u)
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter_scores(pairs, ["name"], {"name": 0.1}, {"name": 0.2})
+
+
+def test_fellegi_sunter_is_pure_projection(spark):
+    """Scoring adds no Exchange/Join over the pairs frame — the weights
+    are literals, so the whole stage is codegen."""
+    pairs = spark.createDataFrame(
+        [(1, 2, "a", "a")], "id_a bigint, id_b bigint, f_a string, f_b string"
+    )
+    scored = fellegi_sunter_scores(
+        pairs, ["f"], {"f": 0.9}, {"f": 0.1}
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
