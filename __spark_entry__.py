@@ -1453,6 +1453,22 @@ def q_doc_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=3, min_df=2)
 
 
+def q_events_zorder_key(spark, sf_dir):
+    """Morton/Z-order key over (user_id, day) (functions/layout.py
+    zorder_key) — the OPTIMIZE ZORDER primitive: a pure shift/mask
+    codegen projection whose range layout gives BOTH columns zone-map
+    locality; the key is partitioning-independent, hence oracle-able."""
+    from spacy_llm_spark.functions.layout import zorder_key
+    from spacy_llm_spark.functions.timeutil import micros
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mu = micros(F.col("ts"), events.schema["ts"].dataType)
+    day = F.floor(mu / F.lit(86400 * 1_000_000)).cast("long")
+    return events.select(
+        "event_id", zorder_key([F.col("user_id"), day], bits=16).alias("zkey")
+    )
+
+
 def q_er_match_scores(spark, sf_dir):
     """Fellegi–Sunter match weights over the SNM candidate pairs
     (operators/linkage.py): u estimated from the part table's value
@@ -2441,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_paths": q_kg_shortest_paths,
         "doc_keywords": q_doc_keywords,
         "er_match_scores": q_er_match_scores,
+        "events_zorder_key": q_events_zorder_key,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -2748,6 +2765,18 @@ SELECT user_id,
 FROM k
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type)
 """
+
+
+def _zorder_sql(exprs: list, bits: int) -> str:
+    """Morton interleave as the same shift/mask sum zorder_key builds —
+    one term per (column, bit), pure integer arithmetic."""
+    n = len(exprs)
+    terms = [
+        f"(((({e}) >> {i}) & 1) << {i * n + ci})"
+        for ci, e in enumerate(exprs)
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
 
 
 def _sssp_unrolled_sql(rounds: int, seed_pred: str) -> str:
@@ -3743,6 +3772,16 @@ WHERE n.neg_obj <> n.obj
         "kg_shortest_paths": m
         + _EDGES_CTE
         + _sssp_unrolled_sql(4, "v LIKE 'K1%'"),
+        # Morton key: identical shift/mask sum, generated by _zorder_sql
+        "events_zorder_key": f"""
+SELECT event_id,
+       CAST({_zorder_sql(
+           ["CAST(user_id AS BIGINT)",
+            "CAST(floor(epoch(ts) / 86400) AS BIGINT)"],
+           16,
+       )} AS BIGINT) AS zkey
+FROM events
+""",
         # Fellegi-Sunter over the SNM pairs: u recomputed in SQL from the
         # same exact-integer collision sums; weights quantized 10 dp
         # pre-sum exactly like operators/linkage.py

@@ -1,0 +1,102 @@
+"""Z-order (Morton) interleaved sort keys for data-skipping layouts.
+
+A lakehouse table range-partitioned/sorted on ONE column prunes scans
+on that column only; interleaving the bits of several columns into a
+single Morton key (the OPTIMIZE ZORDER primitive in Delta/Iceberg
+compaction) gives every interleaved column locality, so min/max zone
+maps prune multi-dimensional predicates. The key is a pure projection;
+the layout step is ``repartitionByRange`` on it (plus an optional
+within-partition sort) at write time.
+
+Scale shape: computing the key is bits×ncols shift/mask terms inside
+whole-stage codegen — zero shuffles, zero Python. The write layout is
+ONE range shuffle (Spark samples range bounds internally). Zone-map
+effectiveness is measurable with ``zone_map`` (a per-partition min/max
+aggregate — partition-count-scale output).
+
+Determinism: the key depends only on the column VALUES, never on
+partitioning, so it is oracle-checkable; ``zone_map`` depends on the
+chosen partitioning and is a diagnostic, not an oracle query.
+
+Reference analogue: none — spacy-llm has no storage layout concept;
+this serves the engine's own Iceberg/parquet sinks (sources/sinks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column (values
+    must be non-negative integers below 2^bits — raise the layout
+    question upstream, e.g. quantize floats to rank buckets first;
+    out-of-range values raise at runtime via the guard expression).
+    With n columns the key uses n·bits bits and must fit a long
+    (n·bits <= 63)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if not cs:
+        raise ValueError("zorder_key: cols must be non-empty")
+    if bits < 1:
+        raise ValueError(f"zorder_key: bits must be >= 1, got {bits}")
+    n = len(cs)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} columns x {bits} bits = {n * bits} > 63 bits"
+        )
+    lim = 1 << bits
+    guarded = [
+        F.when((c.cast("long") < 0) | (c.cast("long") >= lim),
+               F.raise_error(F.concat(
+                   F.lit(f"zorder_key: value out of [0, {lim}) range: "),
+                   c.cast("string"),
+               )))
+        .otherwise(c.cast("long"))
+        for c in cs
+    ]
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(guarded):
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + ci
+            )
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_partitions: int | None = None,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Append the Morton key and range-partition + locally sort by it —
+    the frame to hand to a parquet/Iceberg writer so per-file min/max
+    stats prune on EVERY interleaved column. One range shuffle."""
+    keyed = df.withColumn(key_col, zorder_key(cols, bits))
+    parts = (
+        [num_partitions] if num_partitions is not None else []
+    )
+    return keyed.repartitionByRange(*parts, F.col(key_col)).sortWithinPartitions(
+        key_col
+    )
+
+
+def zone_map(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-partition min/max of ``cols`` — the zone-map a file format
+    would persist, surfaced as a DataFrame: one aggregate keyed on
+    ``spark_partition_id()``, output partition-count-scale. Use it to
+    MEASURE how much a predicate could prune under the current layout
+    (see test_layout.py for the z-order vs linear comparison)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(*aggs)
+    )

@@ -1,0 +1,90 @@
+"""Z-order layout: Morton key parity, guards, and the actual
+data-skipping payoff (zone maps prune BOTH dimensions under z-order,
+only one under a linear sort)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.functions.layout import zone_map, zorder_key, zorder_layout
+
+
+def _morton_ref(vals, bits):
+    """Pure-Python Morton interleave, LSB-first, column index minor."""
+    key = 0
+    n = len(vals)
+    for ci, v in enumerate(vals):
+        for i in range(bits):
+            key |= ((v >> i) & 1) << (i * n + ci)
+    return key
+
+
+def test_zorder_key_matches_reference(spark):
+    rows = [(a, b) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = {
+        (r["x"], r["y"]): r["k"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], 3).alias("k")).collect()
+    }
+    assert got == {(a, b): _morton_ref([a, b], 3) for a, b in rows}
+    # three columns, and a locality sanity: adjacent cells differ little
+    df3 = spark.createDataFrame([(1, 2, 3)], "x bigint, y bigint, z bigint")
+    [r] = df3.select(zorder_key(["x", "y", "z"], 4).alias("k")).collect()
+    assert r["k"] == _morton_ref([1, 2, 3], 4)
+
+
+def test_zorder_key_guards(spark):
+    df = spark.createDataFrame([(70000, 1)], "x bigint, y bigint")
+    with pytest.raises(ValueError, match="63 bits"):
+        zorder_key(["x", "y"], 32)
+    with pytest.raises(ValueError, match="non-empty"):
+        zorder_key([], 8)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(["x"], 0)
+    # out-of-range value raises AT RUNTIME (16 bits -> max 65535)
+    with pytest.raises(Exception, match="out of .0, 65536. range"):
+        df.select(zorder_key(["x", "y"], 16).alias("k")).collect()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """On a 64x64 uniform grid cut into 16 partitions, a 1/8-band
+    predicate on EITHER column should touch few z-ordered partitions,
+    while a linear (x-sorted) layout cannot prune y-bands at all —
+    the measurable reason OPTIMIZE ZORDER exists."""
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+
+    zl = zorder_layout(df, ["x", "y"], bits=6, num_partitions=16)
+    zmap = zone_map(zl, ["x", "y"]).collect()
+    assert len(zmap) == 16
+
+    lin = df.repartitionByRange(16, "x").sortWithinPartitions("x")
+    lmap = zone_map(lin, ["x", "y"]).collect()
+
+    def touched(zm, col, lo, hi):
+        return sum(
+            1 for r in zm
+            if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+        )
+
+    # band on x: both layouts prune
+    assert touched(zmap, "x", 0, 7) <= 8
+    assert touched(lmap, "x", 0, 7) <= 4
+    # band on y: z-order prunes, linear reads EVERYTHING
+    assert touched(zmap, "y", 0, 7) <= 8
+    assert touched(lmap, "y", 0, 7) == 16
+
+
+def test_zorder_key_is_partitioning_independent(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in range(10) for b in range(10)], "x bigint, y bigint"
+    )
+    a = sorted(
+        r["k"] for r in df.select(zorder_key(["x", "y"], 4).alias("k")).collect()
+    )
+    b = sorted(
+        r["k"]
+        for r in df.repartition(13, "y")
+        .select(zorder_key(["x", "y"], 4).alias("k"))
+        .collect()
+    )
+    assert a == b
