@@ -1453,6 +1453,21 @@ def q_doc_keywords(spark, sf_dir):
     return tfidf_keywords(_docs(spark, sf_dir), k=3, min_df=2)
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Exact-composition domain mix (operators/sampling.py
+    proportional_mix): largest corpus with lang shares en:de:fr =
+    60:20:20 — binding group taken whole, others cut to floor(scale·p)
+    by content-hash order; one group-cardinality aggregate + one
+    group-keyed window, RNG-free."""
+    from spacy_llm_spark.operators.sampling import proportional_mix
+
+    return proportional_mix(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 0.6, "de": 0.2, "fr": 0.2},
+    )
+
+
 def q_events_zorder_key(spark, sf_dir):
     """Morton/Z-order key over (user_id, day) (functions/layout.py
     zorder_key) — the OPTIMIZE ZORDER primitive: a pure shift/mask
@@ -2458,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "er_match_scores": q_er_match_scores,
         "events_zorder_key": q_events_zorder_key,
+        "corpus_mix": q_corpus_mix,
         # text-analysis family variant: RAG chunking
         "docs_chunks": q_docs_chunks,
         # skew/planning family variant
@@ -4475,6 +4491,32 @@ SELECT doc_id,
        CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 AS bucket
 FROM documents
 WHERE CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) % 1000000 < 200000
+""",
+        # proportional_mix: binding group (min n/p, value tiebreak)
+        # taken whole; others floor((n_b * p)/p_b) — the double
+        # arithmetic order mirrors sampling.py verbatim
+        "corpus_mix": """
+WITH p AS (
+  SELECT * FROM (VALUES ('en', 0.6), ('de', 0.2), ('fr', 0.2)) AS t(k, share)
+), c AS (
+  SELECT k, share, count(*) AS n
+  FROM documents JOIN p ON lang = k GROUP BY k, share
+), b AS (
+  SELECT k AS bk, share AS bshare, n AS bn FROM c
+  ORDER BY CAST(n AS DOUBLE) / share, k LIMIT 1
+), q AS (
+  SELECT k, CASE WHEN k = bk THEN bn
+                 ELSE CAST(floor((bn * share) / bshare) AS BIGINT)
+            END AS quota
+  FROM c, b
+)
+SELECT doc_id, text, lang, source, n_chars, quota
+FROM (
+  SELECT d.*, q.quota,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY sha256(text), doc_id) AS rk
+  FROM documents d JOIN q ON d.lang = q.k)
+WHERE rk <= quota
 """,
         # DSIR (Xie et al. 2023): hashed-bigram buckets (sha256 hex
         # 25-32 mod 10k), add-1 smoothing, per-bucket log-ratio

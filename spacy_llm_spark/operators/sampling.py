@@ -260,3 +260,107 @@ def weighted_upsample(
         )
         .drop("_n_copies")
     )
+
+
+def proportional_mix(
+    df: DataFrame,
+    group_col: str,
+    proportions: dict,
+    text_col: str = "text",
+    tiebreak_col: str = "doc_id",
+    max_group_rows: int | None = DEFAULT_MAX_STRATUM_ROWS,
+    on_oversize: str = "warn",
+) -> DataFrame:
+    """The largest corpus with EXACTLY the requested group composition
+    (a DoReMi/Pile-style fixed domain mixture, downsampling-only):
+    ``proportions`` maps group value -> target share; shares need not
+    sum to 1 (only ratios matter), the binding group b (smallest
+    n_g/p_g, value-repr tiebreak) is taken WHOLE — quota_b = n_b
+    exactly, not floor(scale*p_b), which can lose a row to FP — and
+    every other group is cut to ``floor(n_b * p_g / p_b)`` rows by
+    content-hash order with a stable tiebreak — RNG-free, so the mix
+    is reproducible across runs, engines, and cluster sizes. Groups
+    absent from ``proportions`` are dropped (an unlisted domain has
+    target share 0); listed groups missing from the data raise — a
+    silent zero would skew every other share.
+
+    Scale shape: ONE column-pruned aggregate at group cardinality
+    (+ bounded collect of |proportions| rows), quotas re-emitted as a
+    literal map, selection via ONE group-keyed row_number window.
+    The same mega-group hazard as ``stratified_sample`` applies and is
+    guarded the same way (``on_oversize``: warn | error — 'fallback'
+    is NOT offered here: an approximate cut would break the exact-
+    composition contract this operator exists for).
+
+    Output: kept rows plus ``quota`` (the group's row budget).
+    """
+    if not proportions:
+        raise ValueError("proportional_mix: proportions must be non-empty")
+    if any(p <= 0 for p in proportions.values()):
+        raise ValueError("proportional_mix: proportions must be positive")
+    if None in proportions:
+        raise ValueError(
+            "proportional_mix: NULL cannot carry a target share (isin/"
+            "map semantics are null-unsafe); filter or fill the group "
+            "column first"
+        )
+    if on_oversize not in ("warn", "error"):
+        raise ValueError(
+            f"on_oversize must be warn|error, got {on_oversize!r}"
+        )
+    props = {k: float(p) for k, p in proportions.items()}
+
+    counts = {
+        r["_k"]: r["_n"]
+        for r in df.groupBy(F.col(group_col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # bounded: group cardinality (domains/languages)
+        if r["_k"] in props
+    }
+    absent = sorted(set(props) - set(counts), key=repr)
+    if absent:
+        raise ValueError(
+            f"proportional_mix: groups {absent} have no rows — their "
+            "share is unfillable and the mix would silently skew"
+        )
+    # Binding group by exact count, not floor(scale*p) (FP-safe); the
+    # same double arithmetic is reproduced verbatim in the SQL oracle.
+    b = min(props, key=lambda k: (counts[k] / props[k], repr(k)))
+    quotas = {
+        k: counts[b] if k == b else int((counts[b] * props[k]) / props[b])
+        for k in props
+    }
+    if max_group_rows is not None:
+        oversized = {
+            k: n for k, n in counts.items() if n > int(max_group_rows)
+        }
+        if oversized:
+            desc = ", ".join(
+                f"{k!r}({v} rows)" for k, v in sorted(oversized.items())[:5]
+            )
+            msg = (
+                f"proportional_mix: {len(oversized)} group(s) exceed "
+                f"max_group_rows={max_group_rows} ({desc}); each sorts "
+                "through ONE window task"
+            )
+            if on_oversize == "error":
+                raise ValueError(msg)
+            warnings.warn(msg + " — proceeding exactly")
+
+    quota_map = F.create_map(
+        *[
+            x
+            for k in sorted(quotas, key=repr)
+            for x in (F.lit(k), F.lit(quotas[k]).cast("long"))
+        ]
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.sha2(F.col(text_col), 256), F.col(tiebreak_col)
+    )
+    return (
+        df.where(F.col(group_col).isin(list(props)))
+        .withColumn("quota", quota_map[F.col(group_col)])
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.col("quota"))
+        .drop("_rk")
+    )

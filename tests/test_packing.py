@@ -427,3 +427,106 @@ def test_line_dedup_probe_refuses_unstamped(spark):
         dedup.line_dedup_probe(forged, cnt, clean, nb, 1)
     with pytest.raises(ValueError):
         dedup.line_dedup_probe(idx, cnt, clean, nb, 0)
+
+
+# ---- proportional_mix (exact-composition domain mixture) ----
+
+
+def test_proportional_mix_hand_case(spark):
+    from spacy_llm_spark.operators import sampling
+
+    rows = (
+        [(i, "A", f"a{i}") for i in range(10)]
+        + [(100 + i, "B", f"b{i}") for i in range(2)]
+        + [(200 + i, "C", f"c{i}") for i in range(4)]
+        + [(300, "unlisted", "zz")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    # exact-binary shares: ratios A 20, B 8, C 16 -> B binds (n=2)
+    out = sampling.proportional_mix(
+        df, "src", {"A": 0.5, "B": 0.25, "C": 0.25}
+    )
+    got = {
+        r["src"]: (r["n"], r["q"])
+        for r in out.groupBy("src")
+        .agg(F.count("*").alias("n"), F.first("quota").alias("q"))
+        .collect()
+    }
+    assert got == {"A": (4, 4), "B": (2, 2), "C": (2, 2)}
+
+
+def test_proportional_mix_binding_group_whole(spark, sf_dir):
+    """The binding group keeps EVERY row (no FP off-by-one), other
+    groups are cut, unlisted langs are dropped, and the run is
+    deterministic."""
+    from spacy_llm_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    props = {"en": 0.6, "de": 0.2, "fr": 0.2}
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    b = min(props, key=lambda k: (full[k] / props[k], repr(k)))
+    out = sampling.proportional_mix(docs, "lang", props).cache()
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(kept) == set(props)
+    assert kept[b] == full[b]
+    for k in props:
+        assert kept[k] <= full[k]
+        # composition within 1 row of target share (floor rounding)
+        assert abs(kept[k] - (kept[b] / props[b]) * props[k]) <= 1
+    first = sorted(r["doc_id"] for r in out.collect())
+    again = sampling.proportional_mix(docs, "lang", props)
+    assert first == sorted(r["doc_id"] for r in again.collect())
+    out.unpersist()
+
+
+def test_proportional_mix_cuts_by_content_hash_order(spark):
+    """Kept rows of a cut group are exactly the quota-prefix of the
+    (sha256(text), doc_id) ordering — checked against hashlib."""
+    import hashlib
+
+    from spacy_llm_spark.operators import sampling
+
+    rows = [(i, "big", f"text-{i}") for i in range(20)] + [
+        (100, "small", "s0"),
+        (101, "small", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "text"])
+    # small binds (2/0.2=10 < 20/0.8=25); big quota = floor(2*0.8/0.2)=8
+    out = sampling.proportional_mix(df, "g", {"big": 0.8, "small": 0.2})
+    kept_big = sorted(
+        r["doc_id"] for r in out.where("g = 'big'").collect()
+    )
+    expect = sorted(
+        range(20),
+        key=lambda i: (hashlib.sha256(f"text-{i}".encode()).hexdigest(), i),
+    )[:8]
+    assert kept_big == sorted(expect)
+
+
+def test_proportional_mix_validation(spark):
+    from spacy_llm_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "A", "x"), (2, "B", "y")], ["doc_id", "g", "text"]
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.proportional_mix(df, "g", {})
+    with pytest.raises(ValueError, match="positive"):
+        sampling.proportional_mix(df, "g", {"A": 0.0})
+    with pytest.raises(ValueError, match="NULL"):
+        sampling.proportional_mix(df, "g", {None: 1.0})
+    with pytest.raises(ValueError, match="no rows"):
+        sampling.proportional_mix(df, "g", {"A": 0.5, "missing": 0.5})
+    with pytest.raises(ValueError, match="warn|error"):
+        sampling.proportional_mix(df, "g", {"A": 1.0}, on_oversize="nope")
+    with pytest.raises(ValueError, match="exceed"):
+        sampling.proportional_mix(
+            df, "g", {"A": 0.5, "B": 0.5}, max_group_rows=0,
+            on_oversize="error",
+        )
