@@ -2044,6 +2044,18 @@ def q_save_io_counts(spark, sf_dir):
     )
 
 
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components over the DIRECTED KG edge set
+    (operators/graph.py strongly_connected_components — FW-Trim-
+    coloring): cyclic knowledge clusters (precedes-cycles) keep one
+    label, one-way chains split — the directed refinement of
+    kg_vertices' undirected components. Exact; min-member labels."""
+    from spacy_llm_spark.operators import graph
+
+    edges = q_kg_edges(spark, sf_dir)
+    return graph.strongly_connected_components(edges)
+
+
 def q_kg_hits(spark, sf_dir):
     """Kleinberg HITS (5 rounds, L1-normalized, 10 dp quantized per
     half-step in engine AND oracle — pagerank's float discipline) over
@@ -2404,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_communities": q_kg_communities,
         "kg_hits": q_kg_hits,
+        "kg_scc": q_kg_scc,
         # dedup-family variant: the EXACT prefix-filtered all-pairs
         # Jaccard join (LSH reps are stamped; this is the certainty
         # complement)
@@ -3711,6 +3724,29 @@ WHERE e.lo IS NULL
 """,
         "kg_communities": _lpa_oracle_sql(rounds=3),
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
+        # SCC: recursive transitive closure (tiny at mention-graph
+        # scale); scc(v) = min over {v} ∪ mutual-reachability partners
+        # — provably the distributed FW-Trim-coloring's min-member label
+        "kg_scc": m.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj AS s, obj AS t FROM edges WHERE subj <> obj),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT subj AS v FROM edges UNION ALL SELECT obj FROM edges)
+),
+reach AS (
+  SELECT s, t FROM de
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN de e ON r.t = e.s
+), mutual AS (
+  SELECT a.t AS v, min(a.s) AS m
+  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+  GROUP BY a.t
+)
+SELECT verts.v AS vertex, least(verts.v, coalesce(mutual.m, verts.v)) AS scc
+FROM verts LEFT JOIN mutual ON verts.v = mutual.v
+""",
         "kg_triangles": m
         + _EDGES_CTE
         + """

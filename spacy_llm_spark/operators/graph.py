@@ -1029,3 +1029,183 @@ def shortest_paths(
             break
         prev = cur
     return dist.select("vertex", F.col("dist").alias("dist"))
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 12,
+    max_iter: int = 60,
+) -> DataFrame:
+    """(vertex, scc) over the DIRECTED edge set — each SCC labeled by
+    its lexicographically smallest member (the same min-label convention
+    as ``connected_components``, whose undirected answer this refines:
+    cyclic knowledge clusters like precedes-cycles stay together, while
+    one-way containment/feeds-into chains split apart — the condensation
+    DAG is what topological KG consumers actually want).
+
+    FW-Trim-coloring (Orzan 2004 / Slota et al. 2014), fully
+    synchronous so the output is schedule-independent:
+
+    1. **Trim**: a vertex with zero live in-degree or zero live
+       out-degree cannot sit on a cycle — it is a singleton SCC. Peeled
+       to fixpoint (two vertex-keyed semi-joins per round), which
+       disposes of the entire DAG portion — on real KGs the vast
+       majority — without ever coloring it.
+    2. **Color**: forward min-label propagation to fixpoint over the
+       surviving subgraph; color(v) = the smallest vertex that can
+       reach v. Per round ONE edge⋈label equi-join + ONE min aggregate,
+       both keyed on the vertex id so the hash partitioning is reused;
+       O(color diameter) rounds.
+    3. **Extract**: each color root r (color(r) == r) is provably the
+       minimum of its own SCC, and SCC(r) = the vertices backward-
+       reachable from r WITHIN color class r — one reversed frontier
+       BFS restricted by color, all roots in parallel. Extracted
+       vertices are removed and the outer loop repeats on the rest.
+
+    Every inner loop detects its fixpoint with ``df.observe`` riding the
+    per-round lineage cut (zero extra scans — the shared discipline of
+    ``connected_components``/``k_core``/``bfs_levels``) and the final
+    result is exact; non-convergence within the budgets raises rather
+    than returning a partial labeling. Outer rounds scale with the
+    DEPTH OF THE SCC CHAIN between color roots, not |V| — trimming
+    guarantees every surviving vertex lies on a cycle, and real KG
+    condensations are shallow; the budgets are configurable for
+    adversarial shapes.
+
+    Reference analogue: none — spacy-llm's KB lives in driver memory
+    (spacy_llm/tasks/entity_linker/registry.py); cited for parity
+    accounting only.
+    """
+    from pyspark.sql import Observation
+
+    de = fs.cut_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    live_v = fs.cut_lineage(
+        edges.select(F.col(src).alias("vertex"))
+        .unionByName(edges.select(F.col(dst).alias("vertex")))
+        .distinct()
+    )
+    n_live = live_v.count()
+    done_parts: list[DataFrame] = []
+    live_e = de
+
+    def _restrict(edges_df: DataFrame, verts_df: DataFrame) -> DataFrame:
+        return edges_df.join(
+            verts_df.withColumnRenamed("vertex", "s"), "s", "left_semi"
+        ).join(verts_df.withColumnRenamed("vertex", "t"), "t", "left_semi")
+
+    for _ in range(max_rounds):
+        if n_live == 0:
+            break
+        # -- 1. trim singleton SCCs (no in- or no out-edge) to fixpoint
+        for _ in range(max_iter):
+            cyclic = live_v.join(
+                live_e.select(F.col("s").alias("vertex")), "vertex", "left_semi"
+            ).join(
+                live_e.select(F.col("t").alias("vertex")), "vertex", "left_semi"
+            )
+            obs = Observation()
+            cyclic = fs.cut_lineage(
+                cyclic.observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            n_cyclic = obs.get["n"]
+            if n_cyclic == n_live:
+                break
+            done_parts.append(
+                live_v.join(cyclic, "vertex", "left_anti").withColumn(
+                    "scc", F.col("vertex")
+                )
+            )
+            live_v, n_live = cyclic, n_cyclic
+            live_e = fs.cut_lineage(_restrict(live_e, live_v))
+        else:
+            raise RuntimeError(
+                f"scc: trim did not converge within max_iter={max_iter}"
+            )
+        if n_live == 0:
+            break
+        # -- 2. forward min-label coloring to fixpoint
+        colors = fs.cut_lineage(live_v.withColumn("color", F.col("vertex")))
+        for _ in range(max_iter):
+            cand = live_e.join(
+                colors.withColumnRenamed("vertex", "s"), "s"
+            ).select(F.col("t").alias("vertex"), "color")
+            nxt = (
+                colors.unionByName(cand)
+                .groupBy("vertex")
+                .agg(F.min("color").alias("color"))
+            )
+            obs = Observation()
+            nxt = fs.cut_lineage(
+                nxt.join(
+                    colors.withColumnRenamed("color", "_old"), "vertex"
+                ).observe(
+                    obs,
+                    F.sum(
+                        (F.col("color") < F.col("_old")).cast("long")
+                    ).alias("changed"),
+                )
+            ).drop("_old")
+            changed = obs.get["changed"]
+            colors = nxt
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: coloring did not converge within max_iter={max_iter}"
+            )
+        # -- 3. backward BFS from each color root within its color class
+        member = fs.cut_lineage(
+            colors.where(F.col("color") == F.col("vertex")).select(
+                "vertex", F.col("vertex").alias("scc")
+            )
+        )
+        frontier = member
+        for _ in range(max_iter):
+            cand = (
+                live_e.join(frontier.withColumnRenamed("vertex", "t"), "t")
+                .select(F.col("s").alias("vertex"), "scc")
+                .distinct()
+                .join(colors, "vertex")
+                .where(F.col("color") == F.col("scc"))
+                .drop("color")
+                .join(member.select("vertex"), "vertex", "left_anti")
+            )
+            obs = Observation()
+            cand = fs.cut_lineage(
+                cand.observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            if obs.get["n"] == 0:
+                break
+            member = member.unionByName(cand)
+            frontier = cand
+        else:
+            raise RuntimeError(
+                f"scc: extraction did not converge within max_iter={max_iter}"
+            )
+        done_parts.append(member)
+        obs = Observation()
+        live_v = fs.cut_lineage(
+            live_v.join(member.select("vertex"), "vertex", "left_anti").observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+        )
+        n_live = obs.get["n"]
+        live_e = fs.cut_lineage(_restrict(live_e, live_v))
+    if n_live > 0:
+        raise RuntimeError(
+            f"scc: did not converge within max_rounds={max_rounds} outer "
+            "rounds (depth of the SCC chain between color roots exceeds "
+            "the budget); raise max_rounds"
+        )
+    if not done_parts:  # empty edge frame: typed empty result
+        return live_v.withColumn("scc", F.col("vertex"))
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

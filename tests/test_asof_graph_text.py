@@ -1436,3 +1436,137 @@ def test_k_core_empty_result_keeps_input_vertex_type(spark):
     out = k_core(path, 2)
     assert out.count() == 0
     assert dict(out.dtypes)["vertex"] == "bigint"
+
+
+# ---- strongly connected components (FW-Trim-coloring) ----
+
+
+def _scc_reference(edge_list):
+    """Pure-Python Tarjan (iterative), min-member labels."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    verts = set()
+    for s, t in edge_list:
+        verts.update((s, t))
+        if s != t:
+            adj[s].append(t)
+    index, low, onstk = {}, {}, set()
+    stack, label, counter = [], {}, [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        onstk.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    label[w] = rep
+    return label
+
+
+def test_scc_hand_case(spark):
+    """Cycle stays together, chain hanging off it splits into
+    singletons, self-loop-only vertex is its own SCC."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "x", "b"), ("b", "x", "c"), ("c", "x", "a"),  # 3-cycle
+            ("c", "x", "d"), ("d", "x", "e"),                   # chain out
+            ("f", "x", "f"),                                     # self-loop
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {
+        r["vertex"]: r["scc"]
+        for r in graph.strongly_connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "f": "f"}
+
+
+def test_scc_two_cycles_bridged(spark):
+    """Two cycles joined by a ONE-WAY bridge are distinct SCCs — the
+    case undirected connected_components cannot express."""
+    rows = [("a1", "a2"), ("a2", "a1"), ("a2", "b1"), ("b1", "b2"), ("b2", "b1")]
+    edges = spark.createDataFrame(rows, ["subj", "obj"])
+    got = {
+        r["vertex"]: r["scc"]
+        for r in graph.strongly_connected_components(edges).collect()
+    }
+    assert got == {"a1": "a1", "a2": "a1", "b1": "b1", "b2": "b1"}
+
+
+def test_scc_matches_tarjan_on_random_graph(spark):
+    """Distributed FW-Trim-coloring == pure-Python Tarjan on a seeded
+    random directed graph (dense enough for multi-vertex SCCs plus DAG
+    tails for the trim path)."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edge_list = sorted(
+        {
+            (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+            for _ in range(150)
+        }
+    )
+    expect = _scc_reference(edge_list)
+    edges = spark.createDataFrame(edge_list, ["subj", "obj"]).repartition(7)
+    got = {
+        r["vertex"]: r["scc"]
+        for r in graph.strongly_connected_components(edges).collect()
+    }
+    assert got == expect
+    # every vertex labeled exactly once, label = min member
+    assert len(got) == len(expect)
+
+
+def test_scc_pure_dag_is_all_singletons_and_empty_edges(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], ["subj", "obj"]
+    )
+    got = graph.strongly_connected_components(edges).collect()
+    assert {r["vertex"]: r["scc"] for r in got} == {
+        v: v for v in ("a", "b", "c", "d")
+    }
+    empty = graph.strongly_connected_components(edges.where("subj = 'zz'"))
+    assert empty.columns == ["vertex", "scc"] and empty.count() == 0
+
+
+def test_scc_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")],
+        ["subj", "obj"],
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        # two chained SCCs need 2 outer rounds; 1 must refuse
+        graph.strongly_connected_components(edges, max_rounds=1)
