@@ -2044,6 +2044,41 @@ def q_save_io_counts(spark, sf_dir):
     )
 
 
+_SHAPES = [
+    # (pred, subj_label, obj_label) ALLOWED combinations — deliberately
+    # partial so every violation kind appears: stores is undeclared
+    # (unknown_pred), executes declares OP subjects only (domain),
+    # feedsInto declares SYS objects only (range), precedes declares
+    # OP→TABLE / TABLE→OP but not the observed OP→OP (combination);
+    # appliesTo and emits conform and are dropped.
+    ("appliesTo", "OP", "TABLE"),
+    ("emits", "OP", "SYS"),
+    ("executes", "OP", "OP"),
+    ("feedsInto", "TABLE", "SYS"),
+    ("precedes", "OP", "TABLE"),
+    ("precedes", "TABLE", "OP"),
+]
+
+
+def q_kg_shape_audit(spark, sf_dir):
+    """SHACL-style domain/range validation of the labeled triple table
+    against a literal ontology (operators/audit.py
+    triple_shape_violations): ONE broadcast-joined pass over the edge
+    scan, violation kind as a pure projection, conforming triples
+    dropped."""
+    from spacy_llm_spark.operators.audit import triple_shape_violations
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "doc_id", "rel_idx", "pred", "subj_label", "obj_label"
+    )
+    shapes = spark.createDataFrame(
+        _SHAPES, ["pred", "subj_label", "obj_label"]
+    )
+    return _as_long(
+        triple_shape_violations(edges, shapes), "rel_idx"
+    )
+
+
 def q_kg_scc(spark, sf_dir):
     """Strongly connected components over the DIRECTED KG edge set
     (operators/graph.py strongly_connected_components — FW-Trim-
@@ -2417,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
+        "kg_shape_audit": q_kg_shape_audit,
         # dedup-family variant: the EXACT prefix-filtered all-pairs
         # Jaccard join (LSH reps are stamped; this is the certainty
         # complement)
@@ -3724,6 +3760,39 @@ WHERE e.lo IS NULL
 """,
         "kg_communities": _lpa_oracle_sql(rounds=3),
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
+        # SHACL shape audit: same literal ontology as _SHAPES (generated
+        # from the one Python list so engine and oracle cannot drift)
+        "kg_shape_audit": m
+        + """
+, ledges AS (
+  SELECT r.doc_id, r.rel_idx, r.relation AS pred,
+         ld.label AS subj_label, lo.label AS obj_label
+  FROM rels r
+  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+), shapes(pred, subj_label, obj_label) AS (VALUES """
+        + ", ".join(
+            f"('{p}', '{s}', '{o}')" for p, s, o in _SHAPES
+        )
+        + """)
+SELECT * FROM (
+  SELECT e.doc_id, e.rel_idx, e.pred, e.subj_label, e.obj_label,
+    CASE
+      WHEN e.pred NOT IN (SELECT pred FROM shapes) THEN 'unknown_pred'
+      WHEN NOT EXISTS (SELECT 1 FROM shapes s
+                       WHERE s.pred = e.pred
+                         AND s.subj_label = e.subj_label) THEN 'domain'
+      WHEN NOT EXISTS (SELECT 1 FROM shapes s
+                       WHERE s.pred = e.pred
+                         AND s.obj_label = e.obj_label) THEN 'range'
+      WHEN NOT EXISTS (SELECT 1 FROM shapes s
+                       WHERE s.pred = e.pred
+                         AND s.subj_label = e.subj_label
+                         AND s.obj_label = e.obj_label) THEN 'combination'
+    END AS kind
+  FROM ledges e)
+WHERE kind IS NOT NULL
+""",
         # SCC: recursive transitive closure (tiny at mention-graph
         # scale); scc(v) = min over {v} ∪ mutual-reachability partners
         # — provably the distributed FW-Trim-coloring's min-member label

@@ -119,3 +119,75 @@ def audit_report(checks: dict[str, DataFrame]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def triple_shape_violations(
+    edges: DataFrame,
+    shapes: DataFrame,
+    pred: str = "pred",
+    subj_label: str = "subj_label",
+    obj_label: str = "obj_label",
+) -> DataFrame:
+    """SHACL-style shape validation of a labeled triple table: the
+    ontology ``shapes`` frame lists every ALLOWED
+    (pred, subj_label, obj_label) combination, and each non-conforming
+    triple comes back with a ``kind`` diagnosing WHY (precedence order):
+
+    - ``unknown_pred`` — the predicate has no shape at all;
+    - ``domain``       — the subject class is not allowed for this pred;
+    - ``range``        — the object class is not allowed for this pred;
+    - ``combination``  — subject and object classes are each allowed,
+      but never together (e.g. precedes: OP→TABLE and TABLE→OP declared,
+      OP→OP observed).
+
+    Conforming triples are dropped — output is violation-scale. This is
+    the KG-construction QA gate: run it before canonical triples are
+    published, route violations back to extraction.
+
+    Scale shape: the ontology is vocabulary-scale (|preds| x |classes|),
+    so all four lookup frames ride explicit broadcast hints and the scan
+    of the edge table is ONE pass with map-side broadcast left joins —
+    no shuffle of corpus-scale data, kind as a pure projection.
+
+    Shapes with NULLs raise (a NULL class cannot be matched by the
+    null-unsafe equi-joins and would silently allow nothing).
+    """
+    for c in (pred, subj_label, obj_label):
+        if c not in edges.columns:
+            raise ValueError(f"edges is missing column {c!r}")
+        if c not in shapes.columns:
+            raise ValueError(f"shapes is missing column {c!r}")
+    shp = shapes.select(pred, subj_label, obj_label).distinct()
+    n_null = shp.where(
+        F.col(pred).isNull()
+        | F.col(subj_label).isNull()
+        | F.col(obj_label).isNull()
+    ).count()  # bounded: ontology-scale frame
+    if n_null:
+        raise ValueError(
+            f"shapes has {n_null} row(s) with NULLs — a NULL class "
+            "never equi-joins, so the shape would silently allow nothing"
+        )
+    if not shp.take(1):
+        raise ValueError("shapes must be non-empty")
+
+    combo = shp.withColumn("_combo", F.lit(1))
+    known = shp.select(pred).distinct().withColumn("_known", F.lit(1))
+    dom = shp.select(pred, subj_label).distinct().withColumn("_dom", F.lit(1))
+    rng = shp.select(pred, obj_label).distinct().withColumn("_rng", F.lit(1))
+    out = (
+        edges.join(F.broadcast(known), [pred], "left")
+        .join(F.broadcast(dom), [pred, subj_label], "left")
+        .join(F.broadcast(rng), [pred, obj_label], "left")
+        .join(F.broadcast(combo), [pred, subj_label, obj_label], "left")
+        .withColumn(
+            "kind",
+            F.when(F.col("_known").isNull(), F.lit("unknown_pred"))
+            .when(F.col("_dom").isNull(), F.lit("domain"))
+            .when(F.col("_rng").isNull(), F.lit("range"))
+            .when(F.col("_combo").isNull(), F.lit("combination")),
+        )
+        .where(F.col("kind").isNotNull())
+        .drop("_known", "_dom", "_rng", "_combo")
+    )
+    return out

@@ -949,3 +949,77 @@ def test_fellegi_sunter_is_pure_projection(spark):
     )
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_triple_shape_violations_kinds_and_precedence(spark):
+    """Every violation kind + the precedence order (unknown_pred >
+    domain > range > combination) + conforming rows dropped."""
+    from spacy_llm_spark.operators.audit import triple_shape_violations
+
+    shapes = spark.createDataFrame(
+        [("p", "A", "B"), ("p", "B", "A"), ("q", "A", "A")],
+        ["pred", "subj_label", "obj_label"],
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, "p", "A", "B"),   # conforming -> dropped
+            (2, "zz", "A", "B"),  # unknown_pred (even though labels ok)
+            (3, "p", "C", "B"),   # domain (subj C never allowed for p)
+            (4, "p", "A", "C"),   # range
+            (5, "p", "A", "A"),   # combination (A subj ok, A obj ok)
+            (6, "q", "B", "C"),   # domain wins over range (precedence)
+        ],
+        ["id", "pred", "subj_label", "obj_label"],
+    )
+    got = {
+        r["id"]: r["kind"]
+        for r in triple_shape_violations(edges, shapes).collect()
+    }
+    assert got == {
+        2: "unknown_pred",
+        3: "domain",
+        4: "range",
+        5: "combination",
+        6: "domain",
+    }
+
+
+def test_triple_shape_violations_guards(spark):
+    import pytest as _pytest
+
+    from spacy_llm_spark.operators.audit import triple_shape_violations
+
+    edges = spark.createDataFrame(
+        [(1, "p", "A", "B")], ["id", "pred", "subj_label", "obj_label"]
+    )
+    empty = spark.createDataFrame(
+        [], "pred string, subj_label string, obj_label string"
+    )
+    with _pytest.raises(ValueError, match="non-empty"):
+        triple_shape_violations(edges, empty)
+    nullshape = spark.createDataFrame(
+        [("p", None, "B")], "pred string, subj_label string, obj_label string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        triple_shape_violations(edges, nullshape)
+    with _pytest.raises(ValueError, match="missing column"):
+        triple_shape_violations(edges.drop("obj_label"), nullshape)
+
+
+def test_triple_shape_violations_single_pass_plan(spark):
+    """All four ontology lookups ride broadcast joins — the edge scan
+    is read ONCE and no Exchange touches the edge side."""
+    from spacy_llm_spark.operators.audit import triple_shape_violations
+
+    shapes = spark.createDataFrame(
+        [("p", "A", "B")], ["pred", "subj_label", "obj_label"]
+    )
+    edges = spark.createDataFrame(
+        [(1, "p", "A", "C")], ["id", "pred", "subj_label", "obj_label"]
+    )
+    plan = (
+        triple_shape_violations(edges, shapes)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
