@@ -2181,6 +2181,25 @@ def q_knn_join(spark, sf_dir):
     return knn_join(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    every 50th vector's 5 hardest negatives — cosine in [0.35, 0.95)
+    (hi bound drops self + near-dups, lo bound drops easy negatives),
+    gold positives (q, q+1) anti-joined out; band filter BEFORE the
+    bounded top-k merge, corpus vectors never shuffle."""
+    from spacy_llm_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    gold = q.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("vec_id"),
+    )
+    return hard_negatives(
+        q, emb, k=5, sim_lo=0.35, sim_hi=0.95, positives=gold
+    )
+
+
 def q_events_decayed(spark, sf_dir):
     """Recency-weighted per-user engagement (operators/anomaly.py
     decayed_counts): sum(0.5^(age / 7 days)) against the corpus'
@@ -2462,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_diversity": q_docs_diversity,
         "events_decayed": q_events_decayed,
         "knn_join": q_knn_join,
+        "hard_negatives": q_hard_negatives,
         "events_mad": q_events_mad,
         "lexical_cosine_pairs": q_lexical_cosine_pairs,
         "dup_ngram_stats_incremental": q_dup_ngram_stats_incremental,
@@ -4700,6 +4720,30 @@ WITH q AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, vec_id) AS rank
   FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+        # hard negatives: knn_join's oracle with the band + gold
+        # (q, q+1) exclusion applied BEFORE ranking
+        "hard_negatives": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e, q
+), banded AS (
+  SELECT * FROM scored
+  WHERE cos >= 0.35 AND cos < 0.95 AND vec_id <> query_id + 1
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM banded
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM ranked WHERE rank <= 5

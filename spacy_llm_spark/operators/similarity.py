@@ -122,6 +122,17 @@ def knn_join(
             cosine_expr(F.col(vec_col), F.col("_qv")).alias("_cos"),
         )
     )
+    return _topk_per_query(scored, k, id_col)
+
+
+def _topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(query_id, rank, id_col, cosine) — per-query top-k of a scored
+    (query_id, id_col, _cos) frame via the partition-local bounded
+    merge: a first aggregate keyed on (query, partition-id) keeps each
+    executor's local top-k entirely MAP-side, so only
+    partitions x Q x k struct rows shuffle into the query-keyed merge —
+    never a Q x N window. Ties by id; cosine rounded 6 dp AFTER
+    ranking. Shared by ``knn_join`` and ``hard_negatives``."""
     pair = F.struct((-F.col("_cos")).alias("nc"), F.col(id_col).alias("i"))
     local = scored.groupBy(
         "query_id", F.spark_partition_id().alias("_p")
@@ -139,6 +150,74 @@ def knn_join(
         F.col("_s.i").alias(id_col),
         F.round(-F.col("_s.nc"), 6).alias("cosine"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    sim_lo: float = 0.35,
+    sim_hi: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    positives: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval/embedding training
+    (DPR / E5 style): for every query vector, the ``k`` corpus items
+    that are similar-but-not-positive — cosine in
+    ``[sim_lo, sim_hi)``. The upper bound drops the query itself
+    (cos 1.0) and its near-duplicates (false negatives that poison the
+    loss); the lower bound drops easy negatives the model learns
+    nothing from. ``positives`` — an optional (query_id, id_col) gold
+    frame — is anti-joined out so labeled positives can never surface
+    as negatives regardless of score.
+
+    Output: (query_id, rank, id_col, cosine), rank 1 = hardest kept
+    negative; same contract as ``knn_join``.
+
+    Scale shape: identical to ``knn_join`` (broadcast query batch, the
+    corpus never shuffles its vectors, JVM codegen cosine) — PLUS the
+    band filter runs before the partition-local top-k, so the rows
+    entering the two bounded aggregates are band-survivors only, and
+    the gold anti-join is keyed on (query_id, id) at that reduced
+    scale (AQE broadcasts a small gold set at runtime; no hint is
+    planted since training sets can be corpus-scale). The band compare
+    uses the RAW cosine — both engines fold the dot product in the
+    same sequential order, so the cut is bit-stable cross-engine (the
+    same property the knn_join oracle pins).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (sim_lo < sim_hi):
+        raise ValueError(
+            f"need sim_lo < sim_hi, got [{sim_lo}, {sim_hi})"
+        )
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("_qv"))
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine_expr(F.col(vec_col), F.col("_qv")).alias("_cos"),
+        )
+        .where(
+            (F.col("_cos") >= F.lit(float(sim_lo)))
+            & (F.col("_cos") < F.lit(float(sim_hi)))
+        )
+    )
+    if positives is not None:
+        gold = positives.select(
+            F.col(positives.columns[0]).alias("query_id"),
+            F.col(positives.columns[1]).alias(id_col),
+        ).distinct()
+        scored = scored.join(gold, ["query_id", id_col], "left_anti")
+    return _topk_per_query(scored, k, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -1023,3 +1023,75 @@ def test_triple_shape_violations_single_pass_plan(spark):
     )
     assert plan.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_hard_negatives_band_and_gold_exclusion(spark):
+    """Self (cos 1.0) and near-dups fall above the band, easy negatives
+    below it, gold positives are excluded regardless of score, and
+    survivors rank by cosine — checked against numpy."""
+    import numpy as np
+
+    from spacy_llm_spark.operators.similarity import hard_negatives
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=8)
+    vecs = {
+        0: base,                                   # the query
+        1: base + rng.normal(scale=1e-4, size=8),  # near-dup -> banded out
+        2: base + rng.normal(scale=0.4, size=8),   # hard negative
+        3: base + rng.normal(scale=0.7, size=8),   # hard negative
+        4: base + rng.normal(scale=0.6, size=8),   # gold positive
+        5: -base,                                  # easy (cos < lo)
+    }
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    gold = spark.createDataFrame([(0, 4)], ["query_id", "vec_id"])
+    got = (
+        hard_negatives(
+            emb.where("vec_id = 0"), emb, k=5,
+            sim_lo=0.35, sim_hi=0.999, positives=gold,
+        )
+        .orderBy("rank")
+        .collect()
+    )
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = {i: cos(vecs[0], v) for i, v in vecs.items()}
+    expect = sorted(
+        (i for i in vecs if 0.35 <= sims[i] < 0.999 and i != 4),
+        key=lambda i: (-sims[i], i),
+    )
+    assert [r["vec_id"] for r in got] == expect
+    for r in got:
+        assert abs(r["cosine"] - sims[r["vec_id"]]) < 1e-6
+        assert 0.35 <= r["cosine"] < 0.999
+
+
+def test_hard_negatives_matches_knn_when_band_open(spark, sf_dir):
+    """With an all-pass band and no gold frame, hard_negatives degrades
+    to knn_join exactly (shared top-k merge)."""
+    from spacy_llm_spark.operators.similarity import hard_negatives, knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id % 100 = 0")
+    a = sorted(
+        map(tuple, knn_join(q, emb, k=3).collect())
+    )
+    b = sorted(
+        map(tuple, hard_negatives(q, emb, k=3, sim_lo=-2.0, sim_hi=2.0).collect())
+    )
+    assert a == b
+
+
+def test_hard_negatives_validation(spark):
+    import pytest as _pytest
+
+    from spacy_llm_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="k must"):
+        hard_negatives(emb, emb, k=0)
+    with _pytest.raises(ValueError, match="sim_lo < sim_hi"):
+        hard_negatives(emb, emb, sim_lo=0.9, sim_hi=0.5)
