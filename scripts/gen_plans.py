@@ -597,6 +597,56 @@ def main():
         explain_str(jaccard_join_exact(docs, threshold=0.8)),
     ))
 
+    from spacy_llm_spark.operators.audit import triple_shape_violations
+
+    shape_edges = spark.createDataFrame(
+        [(1, "p", "A", "B")], ["id", "pred", "subj_label", "obj_label"]
+    )
+    shapes = spark.createDataFrame(
+        [("p", "A", "B"), ("q", "B", "A")],
+        ["pred", "subj_label", "obj_label"],
+    )
+    sections.append((
+        "SHACL triple shape audit: one edge pass, four broadcast lookups",
+        "All four ontology lookups (known-pred, domain, range, combo) are "
+        "BroadcastHashJoins over vocabulary-scale frames, so the edge "
+        "table is scanned ONCE and never shuffles; the violation kind is "
+        "a pure whole-stage-codegen CASE projection. At 10^12 triples "
+        "the audit costs exactly one map pass.",
+        explain_str(triple_shape_violations(shape_edges, shapes)),
+    ))
+
+    from spacy_llm_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections.append((
+        "Hard-negative mining: band filter before the bounded top-k merge",
+        "The query batch is broadcast (corpus vectors never shuffle); the "
+        "[lo, hi) band is a codegen Filter directly above the cosine "
+        "projection, so only band survivors enter the (query, "
+        "partition-id)-keyed local top-k — the shuffle carries "
+        "partitions x Q x k structs, never Q x N rows, and near-dup "
+        "exclusion costs nothing extra.",
+        explain_str(
+            hard_negatives(emb.where("vec_id % 50 = 0"), emb, k=5)
+        ),
+    ))
+
+    from spacy_llm_spark.operators.sampling import proportional_mix
+
+    sections.append((
+        "Exact-composition corpus mix: one group aggregate + one group window",
+        "Quotas come from ONE column-pruned group-cardinality aggregate "
+        "(bounded collect of |proportions| rows) and re-enter the plan as "
+        "a literal map, so the selection is a single group-keyed "
+        "row_number window over the isin-filtered scan — one Exchange "
+        "total, no join, and the filter prunes unlisted groups at the "
+        "scan.",
+        explain_str(
+            proportional_mix(docs, "lang", {"en": 0.6, "de": 0.2, "fr": 0.2})
+        ),
+    ))
+
     spark.stop()
 
 
