@@ -1506,6 +1506,35 @@ def q_er_match_scores(spark, sf_dir):
     return fellegi_sunter_scores(pairs, fields, m, u)
 
 
+def q_er_clusters(spark, sf_dir):
+    """The full ER stack end-to-end: SNM blocking → Fellegi–Sunter
+    scoring → threshold (2.0) → connected components → every part
+    record labeled with its entity cluster (min member id; unmatched
+    records are singleton clusters). Ids round-trip through
+    zero-padded strings so the CC min-label convention (string min)
+    equals the numeric min the oracle computes."""
+    from spacy_llm_spark.operators import canonicalize as canon
+
+    scores = q_er_match_scores(spark, sf_dir)
+    matched = scores.where(F.col("match_weight") >= 2.0).select(
+        F.format_string("p%012d", "id_a").alias("src"),
+        F.format_string("p%012d", "id_b").alias("dst"),
+    )
+    cc = canon.connected_components(matched)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    records = part.select(
+        F.col("p_partkey").cast("long").alias("record_id"),
+        F.format_string("p%012d", "p_partkey").alias("node"),
+    )
+    return records.join(cc, "node", "left").select(
+        "record_id",
+        F.coalesce(
+            F.substring("component", 2, 12).cast("long"),
+            F.col("record_id"),
+        ).alias("cluster_id"),
+    )
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Hop-bounded weighted SSSP over the KG (operators/graph.py
     shortest_paths): min-weight distance (weight = len(pred),
@@ -2541,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_paths": q_kg_shortest_paths,
         "doc_keywords": q_doc_keywords,
         "er_match_scores": q_er_match_scores,
+        "er_clusters": q_er_clusters,
         "events_zorder_key": q_events_zorder_key,
         "corpus_mix": q_corpus_mix,
         # text-analysis family variant: RAG chunking
@@ -3959,6 +3989,9 @@ SELECT pr.*, round(
          ELSE round(log2(0.15e0 / (1e0 - us.u)), 10) END, 6) AS match_weight
 FROM pr, ub, ut, us
 """,
+        # ER clusters: the er_match_scores oracle wrapped as a CTE,
+        # threshold 2.0, recursive undirected closure, min-member label;
+        # unmatched part records are singletons
         # TF-IDF keywords: same tokenization idiom as bm25_topk; the
         # 10dp/6dp rounding ladder mirrors tfidf_keywords line-for-line
         "doc_keywords": """
@@ -4910,5 +4943,29 @@ FROM doubled a JOIN doubled b
     # standing-pair sims) -> same oracle minus the df filter
     sql["lexical_cosine_incremental"] = sql["lexical_cosine_pairs"].replace(
         "WHERE dfc.df <= 100", ""
+    )
+    # ER clusters: wrap the er_match_scores statement as a scored CTE,
+    # add threshold + recursive undirected closure + min-member label
+    _er = sql["er_match_scores"].strip()
+    assert _er.startswith("WITH ")
+    sql["er_clusters"] = (
+        "WITH RECURSIVE "
+        + _er[len("WITH "):].replace(
+            "\nSELECT pr.*, round(", "\n, scored AS (\nSELECT pr.*, round(", 1
+        )
+        + """)
+, matched AS (SELECT id_a, id_b FROM scored WHERE match_weight >= 2.0),
+ue AS (SELECT id_a AS a, id_b AS b FROM matched
+       UNION SELECT id_b, id_a FROM matched),
+reach AS (
+  SELECT a, b FROM ue
+  UNION
+  SELECT r.a, ue.b FROM reach r JOIN ue ON r.b = ue.a
+), mn AS (SELECT a AS id, min(b) AS mb FROM reach GROUP BY a)
+SELECT CAST(p_partkey AS BIGINT) AS record_id,
+       CAST(least(p_partkey, coalesce(mn.mb, p_partkey)) AS BIGINT)
+         AS cluster_id
+FROM part LEFT JOIN mn ON p_partkey = mn.id
+"""
     )
     return sql

@@ -409,6 +409,82 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["jaccard_exact_join_sec"] = round(time.time() - t0, 3)
     extras["jaccard_exact_n_pairs"] = n_jx
 
+    # SCC over a realistic 200k-edge digraph: 20k independent 5-cycles
+    # (coloring diameter 5, all roots extract in parallel) + 10k
+    # depth-10 DAG chains (the trim path peels one level per round) —
+    # the dense-cyclic-core + shallow-tail shape of real KG
+    # condensations, NOT a single long cycle (the documented worst case)
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import strongly_connected_components
+
+    cyc = spark.range(100_000).select(
+        F.format_string("s%08d", "id").alias("subj"),
+        F.format_string(
+            "s%08d", F.col("id") - F.col("id") % 5 + (F.col("id") + 1) % 5
+        ).alias("obj"),
+    )
+    dag = spark.range(100_000, 200_000).where(
+        F.col("id") % 10 != 9
+    ).select(
+        F.format_string("s%08d", "id").alias("subj"),
+        F.format_string("s%08d", F.col("id") + 1).alias("obj"),
+    )
+    n_scc = (
+        strongly_connected_components(cyc.unionByName(dag), max_iter=30)
+        .select("scc")
+        .distinct()
+        .count()
+    )
+    extras["scc_200k_edges_sec"] = round(time.time() - t0, 3)
+    extras["scc_n_components"] = n_scc
+
+    # SHACL shape audit over 1M synthetic labeled triples: one broadcast-
+    # joined map pass (4 BroadcastHashJoins, no Exchange on the fact side)
+    t0 = time.time()
+    from spacy_llm_spark.operators.audit import triple_shape_violations
+
+    preds = ["precedes", "appliesTo", "emits", "executes", "stores"]
+    labs = ["OP", "TABLE", "SYS"]
+    fact = spark.range(1_000_000).select(
+        F.col("id"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in preds]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("pred"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in labs]),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("subj_label"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in labs]),
+            (F.col("id") % 7 % 3 + 1).cast("int"),
+        ).alias("obj_label"),
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("precedes", "OP", "OP"),
+            ("appliesTo", "OP", "TABLE"),
+            ("emits", "OP", "SYS"),
+            ("executes", "SYS", "OP"),
+        ],
+        ["pred", "subj_label", "obj_label"],
+    )
+    n_viol = triple_shape_violations(fact, shapes).count()
+    extras["shape_audit_1m_triples_sec"] = round(time.time() - t0, 3)
+    extras["shape_audit_n_violations"] = n_viol
+
+    # hard-negative mining: every 100th embedding vs the full corpus,
+    # band [0.2, 0.99), k=10 — band filter before the bounded top-k
+    t0 = time.time()
+    from spacy_llm_spark.operators.similarity import hard_negatives
+
+    embh = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hard_negatives(
+        embh.where(F.col("vec_id") % 100 == 0), embh, k=10,
+        sim_lo=0.2, sim_hi=0.99,
+    ).count()
+    extras["hard_negatives_sec"] = round(time.time() - t0, 3)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -1095,3 +1095,29 @@ def test_hard_negatives_validation(spark):
         hard_negatives(emb, emb, k=0)
     with _pytest.raises(ValueError, match="sim_lo < sim_hi"):
         hard_negatives(emb, emb, sim_lo=0.9, sim_hi=0.5)
+
+
+def test_er_clusters_is_a_partition_with_min_labels(spark, sf_dir):
+    """End-to-end ER stack (SNM → FS → threshold → CC): every part
+    record gets exactly one cluster, the cluster id is the cluster's
+    minimum record id, and every above-threshold pair lands in one
+    cluster."""
+    import __spark_entry__ as entry
+
+    clusters = entry.q_er_clusters(spark, sf_dir).cache()
+    part_n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    rows = clusters.collect()
+    assert len(rows) == part_n
+    assert len({r["record_id"] for r in rows}) == part_n
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["record_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+    matched = entry.q_er_match_scores(spark, sf_dir).where(
+        "match_weight >= 2.0"
+    )
+    lab = {r["record_id"]: r["cluster_id"] for r in rows}
+    for p in matched.collect():
+        assert lab[p["id_a"]] == lab[p["id_b"]]
+    clusters.unpersist()
