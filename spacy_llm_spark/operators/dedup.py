@@ -351,6 +351,7 @@ def minhash_lsh_probe(
     max_bucket_size: int | None = 1000,
     include_new_pairs: bool = True,
     log_drops: bool = False,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a new batch and an existing
     ``minhash_lsh_index`` — plus, with ``include_new_pairs``, pairs
@@ -365,19 +366,31 @@ def minhash_lsh_probe(
     id_a < id_b to match ``minhash_lsh_dup_pairs``. Params must match the
     ones the index was built with (same seed/bands/shingles, or buckets
     won't align).
+
+    ``new_index``: a prebuilt (caller-materialized) ``minhash_lsh_index``
+    over ``new_docs`` — pass it when the batch's band rows are also
+    being persisted (the streaming ``maintain_lsh`` path) so the batch
+    signature kernel runs once. Stamp-validated like ``index``.
     """
     # refuse a mismatched index BEFORE any probe-side work runs
     _check_index_format(
         index, "minhash_lsh_probe",
         _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
     )
-    pb = minhash_lsh_index(
-        new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
-        bands=bands, shingle_k=shingle_k, seed=seed,
-        max_bucket_size=max_bucket_size, log_drops=log_drops,
-    )
-    # materialized once: joined against the index AND self-joined
-    pb = cut_lineage(pb)
+    if new_index is not None:
+        _check_index_format(
+            new_index, "minhash_lsh_probe(new_index)",
+            _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
+        )
+        pb = new_index
+    else:
+        pb = minhash_lsh_index(
+            new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+            bands=bands, shingle_k=shingle_k, seed=seed,
+            max_bucket_size=max_bucket_size, log_drops=log_drops,
+        )
+        # materialized once: joined against the index AND self-joined
+        pb = cut_lineage(pb)
     cross = _probe_candidate_pairs(
         pb, index, id_col, "sig", "sig_a", "sig_b", include_new_pairs,
         _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),

@@ -56,6 +56,9 @@ def run_incremental(
     wordindex_snapshot_retention: int | None = 3,
     maintain_dsir: bool = False,
     dsir_snapshot_retention: int | None = 3,
+    maintain_lsh: bool = False,
+    lsh_threshold: float = 0.8,
+    lsh_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -92,6 +95,9 @@ def run_incremental(
         wordindex_snapshot_retention=wordindex_snapshot_retention,
         maintain_dsir=maintain_dsir,
         dsir_snapshot_retention=dsir_snapshot_retention,
+        maintain_lsh=maintain_lsh,
+        lsh_threshold=lsh_threshold,
+        lsh_snapshot_retention=lsh_snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -122,6 +128,9 @@ def make_batch_processor(
     wordindex_snapshot_retention: int | None = 3,
     maintain_dsir: bool = False,
     dsir_snapshot_retention: int | None = 3,
+    maintain_lsh: bool = False,
+    lsh_threshold: float = 0.8,
+    lsh_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -158,6 +167,7 @@ def make_batch_processor(
     packing_path = posixpath.join(output_dir, "packing")
     wordindex_path = posixpath.join(output_dir, "wordindex")
     dsirindex_path = posixpath.join(output_dir, "dsirindex")
+    lsh_path = posixpath.join(output_dir, "lsh")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -483,6 +493,77 @@ def make_batch_processor(
             di.write.mode("overwrite").parquet(
                 posixpath.join(dsirindex_path, f"batch_id={batch_id}")
             )
+        if maintain_lsh:
+            # Live MinHash-LSH near-dup maintenance: the banded index is
+            # append-structured — lsh/bands/batch_id=N holds ONLY this
+            # batch's band rows, the standing corpus index is the union
+            # of committed subdirs and is never pruned (it IS the index;
+            # probes scan it narrow) — while the verified dup-pair set
+            # is a full merged snapshot at lsh/pairs/batch_id=N (readers
+            # take the max committed batch_id; retention-pruned).
+            # Exactly-once shape: the merge base is the latest committed
+            # pairs snapshot EXCLUDING this batch_id, the probe runs
+            # against prior-committed bands only, and probe + union is
+            # deterministic given (prior bands, batch), so a crash-
+            # replay overwrites both subdirs bit-identically. New pairs
+            # always involve >= 1 batch doc, so the union with the prior
+            # snapshot (old-only pairs) cannot duplicate. Within-batch
+            # duplicate ids are dropped like every counted maintenance.
+            # Standing guarantee = the lsh_dedup_incremental oracle's
+            # identity: pairs snapshot == minhash_lsh_dup_pairs(all
+            # committed docs), modulo per-frame hot-bucket caps.
+            from ..operators import dedup as dd2
+
+            lsh_id = (
+                "doc_id" if "doc_id" in batch_df.columns else "content_sha256"
+            )
+            lsh_docs = batch_df.select(lsh_id, "content").dropDuplicates(
+                [lsh_id]
+            )
+            bands_path = posixpath.join(lsh_path, "bands")
+            pairs_path = posixpath.join(lsh_path, "pairs")
+            batch_bands = cut_lineage(
+                dd2.minhash_lsh_index(
+                    lsh_docs, text_col="content", id_col=lsh_id
+                )
+            )
+            prior_bands = _committed_before(bands_path, batch_id)
+            prior_pairs = _committed_before(pairs_path, batch_id)
+            if prior_bands:
+                new_pairs = dd2.minhash_lsh_probe(
+                    lsh_docs,
+                    spark.read.parquet(*prior_bands),
+                    text_col="content",
+                    id_col=lsh_id,
+                    threshold=lsh_threshold,
+                    new_index=batch_bands,
+                )
+            else:
+                new_pairs = dd2.minhash_lsh_dup_pairs(
+                    lsh_docs,
+                    text_col="content",
+                    id_col=lsh_id,
+                    threshold=lsh_threshold,
+                    index=batch_bands,
+                )
+            if prior_pairs:
+                latest_pp = max(
+                    prior_pairs,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                merged_pairs = spark.read.parquet(latest_pp).unionByName(
+                    new_pairs
+                )
+            else:
+                merged_pairs = new_pairs
+            # bands first (pairs reference nothing in this batch's
+            # bands subdir), then the merged snapshot — both overwrite
+            batch_bands.write.mode("overwrite").parquet(
+                posixpath.join(bands_path, f"batch_id={batch_id}")
+            )
+            merged_pairs.write.mode("overwrite").parquet(
+                posixpath.join(pairs_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -510,6 +591,12 @@ def make_batch_processor(
             _prune_to_newest(wordindex_path, wordindex_snapshot_retention)
         if maintain_dsir and dsir_snapshot_retention is not None:
             _prune_to_newest(dsirindex_path, dsir_snapshot_retention)
+        if maintain_lsh and lsh_snapshot_retention is not None:
+            # only the merged PAIRS snapshots prune; the bands subdirs
+            # are the standing index in append form, every subdir live
+            _prune_to_newest(
+                posixpath.join(lsh_path, "pairs"), lsh_snapshot_retention
+            )
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -575,6 +662,36 @@ def latest_dsir_index(spark: SparkSession, output_dir: str):
         committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
     )
     return spark.read.parquet(latest)
+
+
+def latest_lsh_pairs(spark: SparkSession, output_dir: str):
+    """The most recent committed verified near-dup pair snapshot
+    maintained by a ``maintain_lsh`` stream, as
+    (id_a, id_b, jaccard_est) — or None if no snapshot has committed
+    yet. Equals ``minhash_lsh_dup_pairs`` over every committed doc
+    (modulo per-frame hot-bucket caps)."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "lsh", "pairs")
+    )
+    if not committed:
+        return None
+    latest = max(
+        committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+    )
+    return spark.read.parquet(latest)
+
+
+def lsh_band_index(spark: SparkSession, output_dir: str):
+    """The standing banded MinHash index maintained by a
+    ``maintain_lsh`` stream: the union of every committed per-batch
+    band frame (stamped — ready for ``dedup.minhash_lsh_probe`` /
+    ``sources/bucketed`` layout), or None if no batch has committed."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "lsh", "bands")
+    )
+    if not committed:
+        return None
+    return spark.read.parquet(*committed)
 
 
 def latest_vertex_snapshot(spark: SparkSession, output_dir: str):

@@ -1414,3 +1414,128 @@ def test_dsir_maintenance_live_and_replay(spark, tmp_path):
 
     dirs = sorted(os.listdir(out / "dsirindex"))
     assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+
+def test_lsh_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_lsh=True keeps the banded MinHash index (append form)
+    and the verified near-dup pair snapshot current across micro-batch
+    deliveries — the pair snapshot equals minhash_lsh_dup_pairs over all
+    CONTENT-UNIQUE docs (exact duplicates never reach maintenance: the
+    sha gate drops them upstream, so LSH only needs the near-dups), the
+    standing band index is probe-ready, and a keys-erased crash replay
+    leaves both bit-identical."""
+    from spacy_llm_spark.operators import dedup as dd
+    from spacy_llm_spark.streaming.incremental import (
+        latest_lsh_pairs,
+        lsh_band_index,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(
+        spark, str(out), maintain_lsh=True, lsh_threshold=0.6
+    )
+    schema = "doc_id long, content string, lang string"
+    dup_text = "spark join filter window sort group table scan merge part"
+    rows1 = [(1, dup_text, "python"),
+             (2, "completely different tokens here entirely", "java")]
+    rows2 = [(3, dup_text + " extra", "python"),
+             (4, dup_text, "go")]
+    b0 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b0, 0)
+    assert latest_lsh_pairs(spark, str(out)) is not None
+
+    b1 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b1, 1)
+    got = sorted(map(tuple, latest_lsh_pairs(spark, str(out)).collect()))
+    # doc 4 is an EXACT dup of doc 1 (same sha) — the stream's content
+    # gate drops it before maintenance, so the standing corpus is the
+    # content-unique one
+    corpus = spark.createDataFrame(rows1 + rows2[:1], schema)
+    want = sorted(map(tuple, dd.minhash_lsh_dup_pairs(
+        corpus, text_col="content", id_col="doc_id", threshold=0.6
+    ).collect()))
+    assert got == want
+    assert (1, 3) in {(a, b) for a, b, _ in got}  # the near-dup pair
+
+    # the standing band index is probe-ready: a fresh out-of-stream
+    # probe batch against it matches a probe against a from-scratch
+    # corpus index
+    idx = lsh_band_index(spark, str(out)).localCheckpoint()
+    nb = spark.createDataFrame([(9, dup_text + " tail", "zig")], schema)
+    via_stream_idx = sorted(map(tuple, dd.minhash_lsh_probe(
+        nb, idx, text_col="content", id_col="doc_id", threshold=0.6,
+        include_new_pairs=False,
+    ).collect()))
+    fresh_idx = dd.minhash_lsh_index(
+        corpus, text_col="content", id_col="doc_id"
+    ).localCheckpoint()
+    via_fresh_idx = sorted(map(tuple, dd.minhash_lsh_probe(
+        nb, fresh_idx, text_col="content", id_col="doc_id", threshold=0.6,
+        include_new_pairs=False,
+    ).collect()))
+    assert via_stream_idx == via_fresh_idx and via_stream_idx
+
+    # crash replay of batch 1: the crash window that matters is AFTER
+    # the lsh writes but BEFORE the keys marker commits — erase only
+    # batch 1's own keys subdir (erasing PRIOR batches' keys would
+    # legitimately change the batch composition here, since doc 4's sha
+    # duplicates batch 0's doc 1 and the gate is what drops it)
+    from spacy_llm_spark import fs as _fs
+
+    bands_before = sorted(map(tuple, lsh_band_index(spark, str(out))
+                          .drop("sig").collect()))
+    _fs.delete(spark, str(out / "_processed_keys" / "batch_id=1"))
+    proc(b1, 1)
+    assert sorted(map(tuple, latest_lsh_pairs(spark, str(out)).collect())) == got
+    assert sorted(map(tuple, lsh_band_index(spark, str(out))
+                  .drop("sig").collect())) == bands_before
+
+    # retention: pairs snapshots prune to newest 3; bands never prune
+    import os
+
+    for extra_bid in (2, 3, 4):
+        bx = spark.createDataFrame(
+            [(10 + extra_bid, f"unique content {extra_bid}", "rust")], schema
+        ).withColumn("content_sha256", F.sha2("content", 256))
+        proc(bx, extra_bid)
+    assert sorted(os.listdir(out / "lsh" / "pairs")) == [
+        "batch_id=2", "batch_id=3", "batch_id=4"
+    ]
+    assert sorted(os.listdir(out / "lsh" / "bands")) == [
+        f"batch_id={i}" for i in range(5)
+    ]
+
+
+def test_lsh_probe_prebuilt_new_index_matches_rebuilt(spark):
+    """minhash_lsh_probe(new_index=prebuilt) == the rebuilt-inside path,
+    and a mis-parameterized prebuilt batch index is refused."""
+    from spacy_llm_spark.operators import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(1, "spark join filter window sort group table"),
+         (2, "other words entirely different from those")],
+        ["doc_id", "text"],
+    )
+    nb = spark.createDataFrame(
+        [(3, "spark join filter window sort group table scan")],
+        ["doc_id", "text"],
+    )
+    idx = dd.minhash_lsh_index(corpus).localCheckpoint()
+    pb = dd.minhash_lsh_index(nb).localCheckpoint()
+    a = sorted(map(tuple, dd.minhash_lsh_probe(
+        nb, idx, threshold=0.5
+    ).collect()))
+    b = sorted(map(tuple, dd.minhash_lsh_probe(
+        nb, idx, threshold=0.5, new_index=pb
+    ).collect()))
+    assert a == b and a
+    import pytest as _pytest
+
+    wrong = dd.minhash_lsh_index(nb, seed=99).localCheckpoint()
+    with _pytest.raises(ValueError):
+        dd.minhash_lsh_probe(nb, idx, threshold=0.5, new_index=wrong)
