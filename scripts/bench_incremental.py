@@ -359,6 +359,87 @@ def dupngram_main() -> None:
     }))
     spark.stop()
 
+
+def lsh_main() -> None:
+    """Incremental LSH near-dup maintenance vs full recompute over K
+    append batches at $SPARK_GRAFT_SF_DIR scale: the incremental curve
+    pays one batch-index build + one probe against the standing banded
+    index per batch (history never re-shingles), while the full curve
+    re-shingles and re-bands the whole accumulated corpus every batch.
+    Pair-set equality (the lsh_dedup_incremental identity) is asserted
+    at the final batch. Usage: bench_incremental.py --lsh [k_batches]
+    """
+    from spacy_llm_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_lsh_index,
+        minhash_lsh_probe,
+    )
+
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    if k < 1:
+        raise SystemExit("--lsh needs k_batches >= 1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # the daily-crawl shape: every batch is a DISJOINT slice of the
+    # corpus (genuinely new docs, organic near-dup rate) — re-keyed
+    # copies of the same docs would make every batch a near-dup of all
+    # history and the quadratic pair growth would swamp the curve with
+    # snapshot-write cost
+    def batch(i):
+        return docs.where(
+            F.col("doc_id") % (k + 1) == i
+        ).select("doc_id", "text").repartition(cpus).localCheckpoint()
+
+    base = batch(0)
+    index = minhash_lsh_index(base).localCheckpoint()
+    pairs = minhash_lsh_dup_pairs(base, index=index).localCheckpoint()
+    history = base
+    inc_secs, full_secs, n_pairs = [], [], []
+    for i in range(1, k + 1):
+        nb = batch(i)
+        t0 = time.time()
+        nb_idx = minhash_lsh_index(nb).localCheckpoint()
+        new_pairs = minhash_lsh_probe(nb, index, new_index=nb_idx)
+        pairs = pairs.unionByName(new_pairs).localCheckpoint()
+        index = index.unionByName(nb_idx)
+        n_pairs.append(pairs.count())
+        inc_secs.append(round(time.time() - t0, 3))
+        history = history.unionByName(nb).localCheckpoint()
+        t0 = time.time()
+        full = minhash_lsh_dup_pairs(history)
+        full.count()
+        full_secs.append(round(time.time() - t0, 3))
+    # anti-join diff (exceptAll trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+    # on these unioned localCheckpoint frames in Spark 4.1); both pair
+    # sets are duplicate-free so the anti-join count is an exact diff
+    cols = ["id_a", "id_b", "jaccard_est"]
+    diff = (
+        pairs.join(full, cols, "left_anti").count()
+        + full.join(pairs, cols, "left_anti").count()
+    )
+    print(json.dumps({
+        "metric": "incremental_vs_full_lsh",
+        "sf_dir": sf_dir, "corpus_docs": n_docs,
+        "docs_per_batch": n_docs // (k + 1), "k_batches": k,
+        "incremental_per_batch_sec": inc_secs,
+        "full_recompute_per_batch_sec": full_secs,
+        "total_incremental_sec": round(sum(inc_secs), 3),
+        "total_full_sec": round(sum(full_secs), 3),
+        "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
+        "n_pairs_per_batch": n_pairs,
+        "pairs_match_final": diff == 0,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
 def wordindex_main() -> None:
     """Incremental BPE word-index maintenance vs full recompute over K
     append batches at $SPARK_GRAFT_SF_DIR scale: the incremental curve
@@ -487,6 +568,8 @@ def packing_main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--wordindex":
         wordindex_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lsh":
+        lsh_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--packing":
         packing_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--dupngram":
