@@ -590,6 +590,30 @@ def q_order_revenue(spark, sf_dir):
     )
 
 
+
+def q_media_phash_dups(spark, sf_dir):
+    """Multimodal near-dup detection: perceptual dHash over the decoded
+    payloads (multimodal.media_phash — deterministic fake decode, real
+    Arrow kernel + banding plumbing) -> generic 64-bit hamming pair join
+    (dedup.hamming64_dup_pairs). Every 10th payload is planted as an
+    exact duplicate under a new id; random 64-bit hashes make chance
+    <= 3-bit collisions ~1e-14, so the pairs are exactly the plants.
+    No SQL oracle BY NATURE: the hash is a function of binary payload
+    bytes (rows-only driver check; value parity vs numpy is pinned in
+    tests/test_multimodal.py)."""
+    from spacy_llm_spark.operators import multimodal as mm
+    from spacy_llm_spark.operators.dedup import hamming64_dup_pairs
+
+    base = mm.synthesize_media_table(spark, n=400)
+    dups = base.where(
+        F.col("media_id").substr(2, 5).cast("int") % 10 == 0
+    ).withColumn("media_id", F.concat(F.lit("d"), F.col("media_id")))
+    fp = mm.media_phash(base.unionByName(dups))
+    return hamming64_dup_pairs(
+        fp, id_col="media_id", hash_col="phash", max_hamming=3
+    )
+
+
 def q_media_stats(spark, sf_dir):
     """Multimodal metadata aggregate over the synthesized media table —
     metadata formulas are deterministic in the row index, so the DuckDB
@@ -2585,6 +2609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver records its rows-only check); value parity is pinned
         # against a pure-Python reference in tests/test_bpe.py
         "bpe_encode": q_bpe_encode,
+        # multimodal near-dup: rows-only by nature (hash of binary
+        # payload bytes; numpy parity pinned in test_multimodal.py)
+        "media_phash_dups": q_media_phash_dups,
     }
 
 

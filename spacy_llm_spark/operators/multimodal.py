@@ -163,3 +163,74 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.avg("n_frames").alias("avg_frames"),
     )
+
+
+def media_phash(
+    df: DataFrame,
+    *,
+    decode_backend: str = "fake",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per media row: decode →
+    feature sequence → bit i = (feature[i] > feature[i+1]). With a real
+    decoder the feature sequence is the row-major downscaled luma grid
+    and this IS classic image dHash; under the ``fake`` backend the
+    features are the deterministic sha256-seeded stand-ins, so the hash
+    is still a pure function of the payload bytes — exact-duplicate
+    payloads collide at hamming 0 and the downstream banding plumbing
+    (``dedup.hamming64_dup_pairs``) is exercised for real.
+
+    Narrow Arrow-batched kernel (mapInPandas), NULL payloads → NULL
+    hash; the binary column is read only here — filters and joins on
+    the result never touch bytes again.
+    """
+    if decode_backend != "fake":
+        raise NotImplementedError(
+            f"decode backend '{decode_backend}' requires codec libraries "
+            "not present in this environment; plug the decoder into the "
+            "feature slot — the hash and plumbing are backend-agnostic."
+        )
+    from pyspark.sql.types import LongType
+
+    def _phash_features(p: bytes, dim: int = 65) -> list:
+        """Counter-mode sha256 feature stand-in: APERIODIC, unlike
+        _fake_decode_features' repeated digest (whose period-8 values
+        would collapse the 64 dHash bits to ~2^8 patterns and make
+        unrelated payloads collide)."""
+        d = hashlib.sha256(p).digest()
+        buf = b"".join(
+            hashlib.sha256(d + c.to_bytes(4, "big")).digest()
+            for c in range((dim * 4) // 32 + 1)
+        )[: dim * 4]
+        vals = np.frombuffer(buf, dtype=np.uint32)
+        return (
+            vals.astype(np.float64) / np.iinfo(np.uint32).max
+        ).astype(np.float32).tolist()
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [StructField(out_col, LongType())]
+    )
+    keep = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            hashes = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    hashes.append(None)
+                    continue
+                feats = _phash_features(bytes(p))
+                h = 0
+                for i in range(64):
+                    if feats[i] > feats[i + 1]:
+                        h |= 1 << i
+                # Spark LongType is signed 64-bit
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            out[out_col] = pd.Series(hashes, dtype="object")
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)

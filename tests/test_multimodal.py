@@ -47,3 +47,67 @@ def test_metadata_scan_prunes_payload(media, spark, tmp_path):
     ) if hasattr(stats, "_sc") else stats._jdf.queryExecution().explainString("formatted")
     assert "payload" not in plan
     assert stats.count() == 3  # image/audio/video groups
+
+
+def test_media_phash_matches_numpy_and_finds_planted_dups(spark):
+    """dHash parity vs a pure-Python recompute; exact-duplicate payloads
+    collide at hamming 0 and hamming64_dup_pairs returns exactly the
+    planted pairs; NULL payloads hash to NULL."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spacy_llm_spark.operators import multimodal as mm
+    from spacy_llm_spark.operators.dedup import hamming64_dup_pairs
+
+    base = mm.synthesize_media_table(spark, n=90)
+    fp = mm.media_phash(base)
+    got = {r["media_id"]: r["phash"] for r in fp.collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in base.collect()}
+
+    def ref_phash(p):
+        d = hashlib.sha256(p).digest()
+        buf = b"".join(
+            hashlib.sha256(d + c.to_bytes(4, "big")).digest()
+            for c in range((65 * 4) // 32 + 1)
+        )[: 65 * 4]
+        vals = np.frombuffer(buf, dtype=np.uint32)
+        feats = (
+            vals.astype(np.float64) / np.iinfo(np.uint32).max
+        ).astype(np.float32).tolist()
+        h = 0
+        for i in range(64):
+            if feats[i] > feats[i + 1]:
+                h |= 1 << i
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    assert got == {k: ref_phash(v) for k, v in payloads.items()}
+    assert "payload" not in fp.columns  # bytes never leave the kernel
+
+    dups = base.where(
+        F.col("media_id").substr(2, 5).cast("int") % 10 == 0
+    ).withColumn("media_id", F.concat(F.lit("d"), F.col("media_id")))
+    pairs = hamming64_dup_pairs(
+        mm.media_phash(base.unionByName(dups)),
+        id_col="media_id", hash_col="phash", max_hamming=3,
+    )
+    gotp = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert gotp == sorted(
+        (f"dm{i:05d}", f"m{i:05d}") for i in range(0, 90, 10)
+    )
+
+    nullrow = spark.createDataFrame(
+        [("x", "image", None, 1, 1, None, 1)], mm.MEDIA_SCHEMA
+    )
+    assert mm.media_phash(nullrow).collect()[0]["phash"] is None
+
+
+def test_media_phash_real_backend_stubbed(spark):
+    import pytest as _pytest
+
+    from spacy_llm_spark.operators import multimodal as mm
+
+    base = mm.synthesize_media_table(spark, n=3)
+    with _pytest.raises(NotImplementedError):
+        mm.media_phash(base, decode_backend="pillow").collect()
