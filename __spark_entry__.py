@@ -401,6 +401,23 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+
+def q_cosine_topk_int8(spark, sf_dir):
+    """Brute-force top-20 over the int8-QUANTIZED embedding table
+    (similarity.quantize_embeddings + cosine_topk_quantized): absmax
+    scalar quantization — the 4x memory/IO layout — scored with an
+    integer-product fold and one trailing scale; identical double
+    arithmetic in the oracle, so the hash match certifies the quantize
+    + integer-dot path exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = similarity.quantize_embeddings(emb)
+    out = similarity.cosine_topk_quantized(
+        q, [float(x) for x in probe], k=20
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN via hyperplane-LSH bucket pruning. Oracled in EXHAUSTIVE mode
     (max_hamming = n_planes => no pruning): the hash match certifies the
@@ -2512,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN-family variant: persisted-index IVF (swapped below 50 for
         # the DSIR importance-selection family in round 5)
         "ivf_topk": q_ivf_topk,
+        "cosine_topk_int8": q_cosine_topk_int8,
         "ivf_topk_incremental": q_ivf_topk_incremental,
         # DSIR-family variants: the Gumbel-top-k resampler proper, and
         # the persisted-index/incremental scoring path
@@ -3256,6 +3274,29 @@ scored AS (
 )
 SELECT vec_id, round(cos, 6) AS cosine FROM scored
 ORDER BY cos DESC, vec_id LIMIT 10
+""",
+        # int8 quantized top-k: absmax quantize + integer-product dot,
+        # double arithmetic order mirrors similarity.py verbatim
+        "cosine_topk_int8": """
+WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+am AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS absmax
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_transform(v, x -> CASE WHEN absmax = 0 THEN 0e0
+           ELSE CAST(CAST(round(x * 127.0e0 / absmax, 0) AS TINYINT) AS DOUBLE)
+           END) AS qv
+  FROM am
+), scored AS (
+  SELECT vec_id,
+         list_dot_product(qv, p) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(p, p))) AS cos
+  FROM q, probe
+)
+SELECT vec_id, round(cos, 6) AS cosine FROM scored
+ORDER BY cos DESC, vec_id LIMIT 20
 """,
         "ner_prf": m
         + """

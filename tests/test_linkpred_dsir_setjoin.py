@@ -1121,3 +1121,63 @@ def test_er_clusters_is_a_partition_with_min_labels(spark, sf_dir):
     for p in matched.collect():
         assert lab[p["id_a"]] == lab[p["id_b"]]
     clusters.unpersist()
+
+
+def test_quantize_embeddings_numpy_parity_and_error_bound(spark, sf_dir):
+    """Quantization matches numpy absmax int8; dequantized reconstruction
+    error per element is bounded by half a quantum (absmax/254)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from spacy_llm_spark.operators.similarity import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    q = quantize_embeddings(emb)
+    rows = q.select(
+        "vec_id", "embedding", "qvec", "qscale",
+        dequantize_expr(F.col("qvec"), F.col("qscale")).alias("deq"),
+    ).collect()
+    assert rows
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        am = float(np.max(np.abs(v)))
+        expect_q = np.round(v * 127.0 / am).astype(np.int8)
+        assert list(expect_q) == r["qvec"]
+        assert r["qscale"] == am / 127.0
+        err = np.abs(np.asarray(r["deq"]) - v)
+        assert float(err.max()) <= am / 254.0 + 1e-12
+
+
+def test_quantized_topk_recall_and_edge_cases(spark, sf_dir):
+    """int8 top-k keeps high recall vs the raw-float top-k; zero vectors
+    quantize to zero with NULL cosine (excluded from top-k like raw)."""
+    from spacy_llm_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    raw = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
+    qtop = {
+        r["vec_id"]
+        for r in cosine_topk_quantized(
+            quantize_embeddings(emb), probe, k=10
+        ).collect()
+    }
+    assert len(raw & qtop) >= 8  # recall@10 >= 0.8 from int8 rounding
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 2.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    zq = quantize_embeddings(zero)
+    got = {r["vec_id"]: (r["qvec"], r["qscale"]) for r in zq.collect()}
+    assert got[1] == ([0, 0, 0], 0.0)
+    top = cosine_topk_quantized(zq, [1.0, 2.0, 2.0], k=5).collect()
+    assert [r["vec_id"] for r in top if r["cosine"] is not None] == [2]
