@@ -312,10 +312,14 @@ def proportional_mix(
 
     counts = {
         r["_k"]: r["_n"]
-        for r in df.groupBy(F.col(group_col).alias("_k"))
+        # LISTED groups only, filtered BEFORE the aggregate+collect: the
+        # group column may be high-cardinality (urls, repos) — only the
+        # |proportions|-bounded slice may ever reach the driver, and the
+        # scan-level isin prunes the unlisted rows before the shuffle
+        for r in df.where(F.col(group_col).isin(list(props)))
+        .groupBy(F.col(group_col).alias("_k"))
         .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()  # bounded: group cardinality (domains/languages)
-        if r["_k"] in props
+        .collect()
     }
     absent = sorted(set(props) - set(counts), key=repr)
     if absent:
