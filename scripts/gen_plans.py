@@ -632,6 +632,26 @@ def main():
         ),
     ))
 
+    from spacy_llm_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    sections.append((
+        "int8 quantized top-k: all-native codegen, TakeOrdered, no Python",
+        "Quantization (absmax fold + transform) and the integer-product "
+        "cosine are single-Project whole-stage-codegen expressions over "
+        "the scan — no Python, no shuffle; the global top-k plans as "
+        "TakeOrderedAndProject (per-partition heaps), so the quantized "
+        "path costs one map pass exactly like the float path while "
+        "reading a quarter of the bytes once the qvec column is stored.",
+        explain_str(
+            cosine_topk_quantized(
+                quantize_embeddings(emb), [0.1] * 64, k=20
+            )
+        ),
+    ))
+
     from spacy_llm_spark.operators.sampling import proportional_mix
 
     sections.append((
