@@ -1186,6 +1186,57 @@ def q_kg_bfs_levels(spark, sf_dir):
     return graph.bfs_levels(edges, seeds, max_hops=3)
 
 
+def q_kg_closure(spark, sf_dir):
+    """Transitive closure of an ontology-shaped hierarchy
+    (operators/graph.transitive_closure, path doubling — log-depth
+    rounds of ONE self-join + ONE distinct each): every (part,
+    ancestor) pair of the binary part hierarchy parent(k) = k // 2,
+    the subclass_of chain-expansion primitive. Depth is log2(|part|)
+    so the doubling loop converges in ~4 rounds at sf0.01."""
+    from spacy_llm_spark.operators.graph import transitive_closure
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("long").alias("part_key"),
+        F.floor(F.col("p_partkey") / 2).cast("long").alias("ancestor"),
+    )
+    return transitive_closure(edges, src="part_key", dst="ancestor")
+
+
+def q_kg_bgp_match(spark, sf_dir):
+    """SPARQL-style BGP query over the constructed KG
+    (operators/graph.match_bgp): the closed triangle ?s executes ?o,
+    ?o appliesTo ?t, ?s stores ?t — three pushdown-filtered scans of
+    the distinct triple set, greedily equi-joined on the shared
+    variables (most-constant pattern first), DISTINCT bindings."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [
+            ("?s", "executes", "?o"),
+            ("?o", "appliesTo", "?t"),
+            ("?s", "stores", "?t"),
+        ],
+    )
+
+
+def q_kg_ntriples(spark, sf_dir):
+    """RDF interchange: the distinct canonical triple set serialized to
+    N-Triples lines (functions/rdf.to_ntriples) — a pure projection
+    (chained JVM-side replaces + concat) inside whole-stage codegen.
+    The oracle concatenates without the escape chain: every term here
+    is [a-z0-9:.]-safe by construction (QIDs / lowercase surfaces), so
+    escaping is the identity on this corpus — the escape table itself
+    is pinned by the adversarial round-trip test in
+    tests/test_rdf_bgp_closure.py."""
+    from spacy_llm_spark.functions import rdf
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return rdf.to_ntriples(triples)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-25 against a fixed query-term set (one rare + two common
     terms) — corpus stats in ONE reduce, scoring as a pure projection
@@ -2388,8 +2439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's CORRECTNESS harness stamps only
     the FIRST 50 entries of this dict, so the first 50 are curated to
     hold at least one representative of EVERY operator family — KG core,
+    KG query (BGP) + ontology closure,
     all three incremental dedup paths + both incremental KG maintenance
-    paths, cache/checkpoint, exact/minhash/simhash/embedding dedup, ANN
+    paths, cache/checkpoint, exact/minhash/simhash/embedding dedup
+    (the simhash/embedding slots held by their incremental reps), ANN
     (brute/LSH/IVF), graph analytics, graph traversal (BFS), corpus
     hygiene (PII/decontam/clean/quality/lang-ID), relevance scoring
     (BM25), sub-document span dedup, sampling, sequence packing,
@@ -2413,6 +2466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_spans": q_kg_spans,
         "kg_vertices": q_kg_vertices,
         "kg_canonical_edges": q_kg_canonical_edges,
+        # --- KG query + ontology expansion (new round-5 families;
+        # simhash_dup_pairs / embedding_dup_pairs moved below 50 to
+        # make room — both modalities keep their stamped incremental
+        # reps, so no family loses its only representative) ---
+        "kg_bgp_match": q_kg_bgp_match,
+        "kg_closure": q_kg_closure,
         # --- incremental maintenance (all five paths) ---
         "kg_vertices_incremental": q_kg_vertices_incremental,
         "kg_canonical_edges_incremental": q_kg_canonical_edges_incremental,
@@ -2425,8 +2484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup (one per modality + clustering) ---
         "dedup_exact": q_dedup_exact,
         "lsh_dedup_verified": q_lsh_dedup_verified,
-        "simhash_dup_pairs": q_simhash_dup_pairs,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
         # --- fuzzy entity resolution (deletion-neighborhood blocking) ---
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # --- sub-document (span) dedup ---
@@ -2497,6 +2554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_clean is the quality family's 3rd rep, swapped out for
         # dataset profiling)
         "corpus_clean": q_corpus_clean,
+        # dedup-modality base reps, swapped below 50 in round 5 for the
+        # kg_bgp_match / kg_closure families (simhash_incremental and
+        # embedding_lsh_incremental keep those modalities stamped)
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        # RDF interchange (serde-family variant; escape table pinned by
+        # the adversarial round-trip test)
+        "kg_ntriples": q_kg_ntriples,
         "substring_offsets": q_substring_offsets,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
@@ -3797,6 +3862,45 @@ SELECT vertex,
 FROM contrib GROUP BY vertex
 """,
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
+        # transitive closure of the binary part hierarchy — DuckDB's
+        # recursive CTE vs the engine's path doubling; UNION (distinct)
+        # recursion terminates because the hierarchy is a tree
+        "kg_closure": """
+WITH RECURSIVE e AS (
+  SELECT CAST(p_partkey AS BIGINT) AS part_key,
+         CAST(p_partkey // 2 AS BIGINT) AS ancestor
+  FROM part WHERE p_partkey >= 2
+), r AS (
+  SELECT part_key, ancestor FROM e
+  UNION
+  SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
+)
+SELECT part_key, ancestor FROM r
+""",
+        # BGP triangle as explicit self-joins over the distinct triple
+        # set — the de-sugared form of the engine's pattern compiler
+        "kg_bgp_match": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT DISTINCT a.obj AS o, a.subj AS s, b.obj AS t
+FROM de a
+JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+JOIN de c ON c.subj = a.subj AND c.obj = b.obj AND c.pred = 'stores'
+WHERE a.pred = 'executes'
+""",
+        # N-Triples serialization: plain concat — every term in this
+        # corpus is [a-z0-9:.]-safe so the engine's escape chain is the
+        # identity here (the chain itself is pinned by the adversarial
+        # round-trip test, see q_kg_ntriples docstring)
+        "kg_ntriples": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT '<http://example.org/kg/' || subj || '> <http://example.org/kg/'
+       || pred || '> <http://example.org/kg/' || obj || '> .' AS ntriple
+FROM de
+""",
         # NOTE: this oracle (like kg_vertices') applies the ONE-HOP
         # surface->kb map, which equals the engine's connected components
         # exactly when each surface links to a single kb_id — true by

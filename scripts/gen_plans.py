@@ -667,6 +667,76 @@ def main():
         ),
     ))
 
+    from spacy_llm_spark.operators.graph import match_bgp, transitive_closure
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tri_path = os.path.join(td, "triples.parquet")
+        spark.createDataFrame(
+            [("s1", "executes", "o1"), ("o1", "appliesTo", "t1"),
+             ("s1", "stores", "t1")],
+            ["subj", "pred", "obj"],
+        ).write.parquet(tri_path)
+        tri = spark.read.parquet(tri_path)
+        sections.append((
+            "BGP triple-pattern match: per-pattern pushdown, hash equi-joins",
+            "Each pattern compiles to its own scan of the triple table with "
+            "the constant predicate PUSHED (`PushedFilters: "
+            "[EqualTo(pred,...)]` on all three scans — on a pred-"
+            "partitioned RDF layout this prunes whole partitions), and the "
+            "pattern joins are plain hash equi-joins on the shared "
+            "variables; with AQE the vocabulary-sized pattern sides "
+            "broadcast at runtime. No BroadcastNestedLoopJoin anywhere — "
+            "a disconnected pattern set raises instead of crossing.",
+            explain_str(
+                match_bgp(
+                    tri,
+                    [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+                     ("?s", "stores", "?t")],
+                )
+            ),
+        ))
+        sections.append((
+            "Transitive closure round: ONE midpoint equi-join + ONE distinct",
+            "A single path-doubling round is one SortMergeJoin/HashJoin of "
+            "the pair set with itself on the midpoint vertex plus one "
+            "HashAggregate pair for the distinct — two keyed shuffles per "
+            "round, log2(depth) rounds total (a 100-deep ontology closes "
+            "in 7 rounds), lineage cut + pair count observed during each "
+            "round's materialization.",
+            explain_str(
+                tri.select("subj", "obj")
+                .withColumnRenamed("obj", "__mid")
+                .join(
+                    tri.select("subj", "obj").withColumnRenamed(
+                        "subj", "__mid"
+                    ),
+                    "__mid",
+                )
+                .select("subj", "obj")
+                .unionByName(tri.select("subj", "obj"))
+                .distinct()
+            ),
+        ))
+
+    from spacy_llm_spark.functions.rdf import to_ntriples
+
+    sections.append((
+        "N-Triples serialization: pure codegen projection, zero Exchange",
+        "The whole serializer (escape chains + concat) is ONE Project "
+        "inside WholeStageCodegen directly over the scan — no shuffle, no "
+        "Python, so a 100 TB triple table serializes at scan speed and "
+        "the scan's ReadSchema is pruned to the three term columns.",
+        explain_str(
+            to_ntriples(
+                spark.createDataFrame(
+                    [("a", "p", "b")], ["subj", "pred", "obj"]
+                )
+            )
+        ),
+    ))
+
     spark.stop()
 
 

@@ -1209,3 +1209,170 @@ def strongly_connected_components(
     for part in done_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """All reachable ``(src, dst)`` pairs of the directed edge set — the
+    transitive closure, the ontology primitive behind ``subclass_of`` /
+    ``part_of`` chain expansion (type inheritance, containment rollups)
+    in KG construction.
+
+    Path doubling: maintaining R as "all pairs connected by a path of
+    length <= 2^i", each round sets R <- R ∪ (R ⋈ R), squaring the
+    reachable path length, so a graph of finite reachability depth d
+    converges in ceil(log2(d)) rounds — O(log d) shuffles instead of
+    the d rounds a frontier expansion would take (on a 100-deep
+    ontology chain: 7 rounds, not 100). Each round is ONE equi-join of
+    the pair set with itself on the midpoint vertex plus ONE distinct,
+    both keyed shuffles Catalyst plans as hash joins/aggregates;
+    lineage is cut per round with the pair count observed during the
+    cut (``df.observe`` — zero extra scans, the ``k_core`` discipline)
+    and an unchanged count is exactly the fixpoint (R only grows).
+
+    Self-pairs: a vertex reaches itself only through a cycle; acyclic
+    inputs (the ontology case) produce none, and any input self-loop
+    is preserved as given. Output is the closure of the DISTINCT edge
+    set — multiplicities carry no reachability information.
+
+    Scale note: the closure is output-bound — a single giant cycle of
+    n vertices closes to n^2 pairs, so this is an operator for
+    bounded-reachability relations (ontology DAGs, org charts,
+    container hierarchies), not the full web graph; ``max_rounds``
+    bounds the doubling and a non-converged loop raises rather than
+    returning a partial closure. Reference analogue: none — the
+    reference's in-memory KB (spacy_llm/tasks/entity_linker/
+    registry.py) has no graph expansion; cited for parity accounting.
+    """
+    from pyspark.sql import Observation
+
+    reach = fs.cut_lineage(edges.select(src, dst).distinct())
+    n_pairs = reach.count()
+    for _ in range(max_rounds):
+        if n_pairs == 0:
+            return reach
+        left = reach.withColumnRenamed(dst, "__mid")
+        right = reach.withColumnRenamed(src, "__mid")
+        obs = Observation()
+        nxt = (
+            left.join(right, "__mid")
+            .select(src, dst)
+            .unionByName(reach)
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        nxt = fs.cut_lineage(nxt)
+        n_next = obs.get["n"]
+        if n_next == n_pairs:
+            return nxt
+        reach, n_pairs = nxt, n_next
+    raise RuntimeError(
+        f"transitive_closure: not converged within max_rounds={max_rounds} "
+        f"doubling rounds (reachability depth > 2^{max_rounds}); raise "
+        "max_rounds"
+    )
+
+
+def match_bgp(
+    triples: DataFrame,
+    patterns: list,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Conjunctive triple-pattern matching over the materialized KG —
+    the SPARQL basic-graph-pattern (BGP) core, compiled to DataFrame
+    self-joins so Catalyst owns the physical plan.
+
+    ``patterns`` is a list of ``(s, p, o)`` term triples; a term
+    starting with ``?`` is a variable, anything else a constant. The
+    result has one column per distinct variable (without the ``?``),
+    one row per binding; ``distinct=True`` gives SPARQL
+    ``SELECT DISTINCT`` semantics (the default here — the canonical
+    triple set is itself a set).
+
+    Compilation: each pattern becomes one scan of the triple table with
+    its constant terms as pushdown filters (a constant predicate prunes
+    at the parquet scan — and prunes whole partitions when the table is
+    written partitioned/bucketed by ``pred``, the classic RDF layout);
+    patterns are then joined greedily — most-constant pattern first,
+    then always a pattern sharing >= 1 variable with the bound set,
+    equi-joined on the shared variables. Disjoint pattern groups would
+    need a cartesian product; that's refused unless
+    ``allow_cartesian=True`` (at KG scale an accidental cross of two
+    open patterns is a job-killer, not a query).
+
+    A variable repeated WITHIN one pattern (e.g. ``("?x", "p", "?x")``)
+    becomes a same-row equality filter. Reference analogue: none — the
+    reference constructs triples but has no query layer over them;
+    cited for parity accounting.
+    """
+    if not patterns:
+        raise ValueError("match_bgp: need at least one pattern")
+
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    def var_name(t: str) -> str:
+        name = t[1:]
+        if not name.isidentifier():
+            raise ValueError(f"match_bgp: bad variable name {t!r}")
+        return name
+
+    compiled = []  # (vars frozenset, n_constants, DataFrame)
+    for i, pat in enumerate(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"match_bgp: pattern {i} is not a term triple: {pat!r}")
+        df = triples.select(subj, pred, obj)
+        cols, seen, n_const = [], {}, 0
+        for col, term in zip((subj, pred, obj), pat):
+            if is_var(term):
+                v = var_name(term)
+                if v in seen:  # repeated variable: same-row equality
+                    df = df.where(F.col(col) == F.col(seen[v]))
+                else:
+                    seen[v] = col
+                    cols.append(F.col(col).alias(v))
+            else:
+                df = df.where(F.col(col) == F.lit(term))
+                n_const += 1
+        if not seen:
+            raise ValueError(
+                f"match_bgp: pattern {i} binds no variable (pure "
+                "existence checks are not bindings): {pat!r}"
+            )
+        compiled.append((frozenset(seen), n_const, df.select(*cols)))
+
+    all_vars = set().union(*(v for v, _, _ in compiled))
+    # greedy join order: most selective (most constants) seed, then any
+    # pattern connected to the bound variable set
+    compiled.sort(key=lambda t: (-t[1], sorted(t[0])))
+    bound_vars, _, bound = compiled[0]
+    todo = list(compiled[1:])
+    while todo:
+        pick = next(
+            (t for t in todo if t[0] & bound_vars),
+            None,
+        )
+        if pick is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "match_bgp: patterns split into disconnected variable "
+                    "groups — a cartesian product; pass "
+                    "allow_cartesian=True to run it anyway"
+                )
+            pick = todo[0]
+            bound = bound.crossJoin(pick[2])
+        else:
+            shared = sorted(pick[0] & bound_vars)
+            bound = bound.join(pick[2], on=shared)
+        bound_vars = bound_vars | pick[0]
+        todo.remove(pick)
+    out = bound.select(*sorted(all_vars))
+    return out.distinct() if distinct else out

@@ -1,0 +1,238 @@
+"""Transitive closure, BGP matching, and N-Triples serde.
+
+Closure is checked against a pure-Python Warshall reference on small
+graphs (chain, tree, cycle, disjoint, empty); BGP compilation against
+hand-enumerated bindings plus a brute-force Python matcher; the RDF
+round trip against an adversarial corpus that actually exercises every
+ECHAR / percent escape in both term positions.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.functions import rdf
+from spacy_llm_spark.operators.graph import match_bgp, transitive_closure
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(subj=s, obj=t) for s, t in pairs], "subj string, obj string"
+    )
+
+
+def _py_closure(pairs):
+    nodes = {x for p in pairs for x in p}
+    reach = set(pairs)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(reach):
+            for c, d in list(reach):
+                if b == c and (a, d) not in reach:
+                    reach.add((a, d))
+                    changed = True
+    return reach
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],  # chain, depth 4
+        [("r", "a"), ("r", "b"), ("a", "c"), ("a", "d"), ("b", "e")],  # tree
+        [("a", "b"), ("b", "c"), ("c", "a")],  # 3-cycle: full square incl self
+        [("a", "b"), ("x", "y"), ("y", "z")],  # disjoint components
+        [("a", "a")],  # explicit self-loop preserved
+        [("a", "b"), ("a", "b"), ("b", "c")],  # duplicate edges collapse
+    ],
+)
+def test_transitive_closure_matches_warshall(spark, pairs):
+    got = {
+        (r.subj, r.obj)
+        for r in transitive_closure(_edges(spark, pairs)).collect()
+    }
+    assert got == _py_closure(pairs)
+
+
+def test_transitive_closure_empty_and_rounds(spark):
+    empty = _edges(spark, [])
+    assert transitive_closure(empty).count() == 0
+    # depth-8 chain needs 3 doublings; 1 round is not enough and must
+    # raise rather than return a partial closure
+    chain = [(str(i), str(i + 1)) for i in range(8)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        transitive_closure(_edges(spark, chain), max_rounds=1)
+    full = transitive_closure(_edges(spark, chain), max_rounds=4)
+    assert full.count() == 8 * 9 // 2
+
+
+TRIPLES = [
+    ("s1", "executes", "op1"),
+    ("s1", "executes", "op2"),
+    ("s2", "executes", "op2"),
+    ("op1", "appliesTo", "t1"),
+    ("op2", "appliesTo", "t1"),
+    ("op2", "appliesTo", "t2"),
+    ("s1", "stores", "t1"),
+    ("s2", "stores", "t2"),
+    ("op1", "precedes", "op2"),
+]
+
+
+def _triples_df(spark):
+    return spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in TRIPLES],
+        "subj string, pred string, obj string",
+    )
+
+
+def test_match_bgp_two_hop_join(spark):
+    out = match_bgp(
+        _triples_df(spark),
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+    )
+    assert sorted(out.columns) == ["o", "s", "t"]
+    got = {(r.s, r.o, r.t) for r in out.collect()}
+    assert got == {
+        ("s1", "op1", "t1"),
+        ("s1", "op2", "t1"),
+        ("s1", "op2", "t2"),
+        ("s2", "op2", "t1"),
+        ("s2", "op2", "t2"),
+    }
+
+
+def test_match_bgp_triangle_and_constants(spark):
+    # closed triangle: system executes an op applied to a table the
+    # same system stores
+    out = match_bgp(
+        _triples_df(spark),
+        [
+            ("?s", "executes", "?o"),
+            ("?o", "appliesTo", "?t"),
+            ("?s", "stores", "?t"),
+        ],
+    )
+    got = {(r.o, r.s, r.t) for r in out.collect()}
+    assert got == {("op1", "s1", "t1"), ("op2", "s1", "t1"), ("op2", "s2", "t2")}
+    # constant subject narrows the binding set
+    one = match_bgp(_triples_df(spark), [("s2", "executes", "?o")])
+    assert {r.o for r in one.collect()} == {"op2"}
+
+
+def test_match_bgp_repeated_var_and_guards(spark):
+    # repeated variable within one pattern: subj == obj on the same row
+    loop = match_bgp(
+        _triples_df(spark).unionByName(
+            _triples_df(spark).limit(1).select(
+                F.lit("x").alias("subj"), F.lit("p").alias("pred"),
+                F.lit("x").alias("obj"),
+            )
+        ),
+        [("?v", "p", "?v")],
+    )
+    assert {r.v for r in loop.collect()} == {"x"}
+    with pytest.raises(ValueError, match="disconnected"):
+        match_bgp(
+            _triples_df(spark),
+            [("?a", "executes", "?b"), ("?c", "stores", "?d")],
+        )
+    n_cross = match_bgp(
+        _triples_df(spark),
+        [("?a", "executes", "?b"), ("?c", "stores", "?d")],
+        allow_cartesian=True,
+    ).count()
+    assert n_cross == 3 * 2
+    with pytest.raises(ValueError, match="at least one pattern"):
+        match_bgp(_triples_df(spark), [])
+    with pytest.raises(ValueError, match="binds no variable"):
+        match_bgp(_triples_df(spark), [("s1", "executes", "op1")])
+    with pytest.raises(ValueError, match="bad variable name"):
+        match_bgp(_triples_df(spark), [("?a-b", "executes", "?o")])
+
+
+def test_match_bgp_bag_semantics(spark):
+    dup = _triples_df(spark).unionByName(_triples_df(spark))
+    n_set = match_bgp(dup, [("?s", "executes", "?o")]).count()
+    n_bag = match_bgp(dup, [("?s", "executes", "?o")], distinct=False).count()
+    assert (n_set, n_bag) == (3, 6)
+
+
+ADVERSARIAL = [
+    ("plain", "pred", "obj"),
+    ('qu"ote', "back\\slash", 'both"\\'),
+    ("new\nline", "tab\there", "cr\rhere"),
+    ("pct%20literal", "sp ace", "angle<bra>cket"),
+    ("curly{brace}", "pipe|caret^tick`", "%25already"),
+    ("", "empty-subject-above", "unicode-έλξη-漢"),
+]
+
+
+def test_ntriples_roundtrip_iri_and_literal(spark):
+    df = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in ADVERSARIAL],
+        "subj string, pred string, obj string",
+    )
+    for obj_is_iri in (True, False):
+        lines = rdf.to_ntriples(df, obj_is_iri=obj_is_iri)
+        assert lines.columns == ["ntriple"]
+        back = rdf.parse_ntriples(lines)
+        got = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in back.collect()}
+        assert got == {(s, p, o, obj_is_iri) for s, p, o in ADVERSARIAL}
+
+
+def test_ntriples_grammar_and_malformed_lines(spark):
+    df = spark.createDataFrame(
+        [Row(subj="K1", pred="stores", obj="free text")],
+        "subj string, pred string, obj string",
+    )
+    line = rdf.to_ntriples(df, obj_is_iri=F.col("subj").startswith("Q")).head()[0]
+    assert line == (
+        '<http://example.org/kg/K1> <http://example.org/kg/stores> '
+        '"free text" .'
+    )
+    junk = spark.createDataFrame(
+        [Row(ntriple=x) for x in [
+            line,
+            "not a triple",
+            "<a> <b> <c> ",  # missing final dot
+            '<a> <b> "unclosed .',
+        ]],
+        "ntriple string",
+    )
+    ok = rdf.parse_ntriples(junk).collect()
+    assert len(ok) == 1 and ok[0].obj == "free text" and not ok[0].obj_is_iri
+
+
+def test_ntriples_mixed_object_kinds_per_row(spark):
+    df = spark.createDataFrame(
+        [Row(subj="a", pred="p", obj="Q7"), Row(subj="b", pred="p", obj="lit")],
+        "subj string, pred string, obj string",
+    )
+    lines = rdf.to_ntriples(df, obj_is_iri=F.col("obj").startswith("Q"))
+    back = rdf.parse_ntriples(lines)
+    got = {(r.obj, r.obj_is_iri) for r in back.collect()}
+    assert got == {("Q7", True), ("lit", False)}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bgp_plan_no_nested_loop_and_ntriples_no_exchange(spark):
+    plan = _plan(
+        match_bgp(
+            _triples_df(spark),
+            [
+                ("?s", "executes", "?o"),
+                ("?o", "appliesTo", "?t"),
+                ("?s", "stores", "?t"),
+            ],
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    lines = rdf.to_ntriples(_triples_df(spark))
+    plan2 = _plan(lines)
+    assert "Exchange" not in plan2  # pure projection: serialize at scan speed
+    assert "Python" not in plan2  # escape chain stays JVM-side
