@@ -485,6 +485,64 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     ).count()
     extras["hard_negatives_sec"] = round(time.time() - t0, 3)
 
+    # BGP triangle over a 1M synthetic labeled-triple set: three
+    # pushdown-filtered scans + two hash equi-joins + one distinct
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import match_bgp, transitive_closure
+
+    # id//5 decorrelates the node id from the pred cycle (id%5), so
+    # every base node carries all five predicates
+    base = F.floor(F.col("id") / 5) % 20_000
+
+    def _n(e):
+        return F.concat(F.lit("n"), (e % 20_000).cast("string"))
+
+    # pred-dependent endpoints so the triangle actually closes: for
+    # every base node b, executes(b, b+1), appliesTo(b+1, b+2),
+    # stores(b, b+2) — 20k real bindings under ~1M noise-heavy triples
+    bgp_triples = fact.select(
+        F.when(F.col("pred") == "appliesTo", _n(base + 1))
+        .otherwise(_n(base))
+        .alias("subj"),
+        "pred",
+        F.when(F.col("pred") == "executes", _n(base + 1))
+        .when(F.col("pred").isin("appliesTo", "stores"), _n(base + 2))
+        .otherwise(_n(base * 7 + 3))
+        .alias("obj"),
+    )
+    n_bgp = match_bgp(
+        bgp_triples,
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+         ("?s", "stores", "?t")],
+    ).count()
+    extras["bgp_triangle_1m_triples_sec"] = round(time.time() - t0, 3)
+    extras["bgp_n_bindings"] = n_bgp
+
+    # transitive closure of a 200k-node binary hierarchy (depth ~17):
+    # 5 path-doubling rounds, ~3.4M closure pairs
+    t0 = time.time()
+    hier = spark.range(2, 200_000).select(
+        F.col("id").alias("child"),
+        F.floor(F.col("id") / 2).alias("parent"),
+    )
+    n_clo = transitive_closure(hier, src="child", dst="parent").count()
+    extras["closure_200k_hierarchy_sec"] = round(time.time() - t0, 3)
+    extras["closure_n_pairs"] = n_clo
+
+    # N-Triples serialization of 1M triples: pure codegen projection —
+    # measures serialize throughput (no shuffle; the agg is the sink)
+    t0 = time.time()
+    from spacy_llm_spark.functions.rdf import to_ntriples
+
+    to_ntriples(
+        fact.select(
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("subj"),
+            "pred",
+            F.col("subj_label").alias("obj"),
+        )
+    ).agg(F.sum(F.length("ntriple"))).collect()
+    extras["ntriples_serialize_1m_sec"] = round(time.time() - t0, 3)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
