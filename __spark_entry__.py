@@ -1222,6 +1222,22 @@ def q_kg_bgp_match(spark, sf_dir):
     )
 
 
+def q_kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL over the constructed KG
+    (operators/graph.match_bgp, optional groups): required pattern
+    ?s executes ?o with two independently LEFT-joined optional groups
+    {?o appliesTo ?t} and {?s stores ?u} — bindings survive with NULLs
+    where a group finds no match."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [("?s", "executes", "?o")],
+        optional=[[("?o", "appliesTo", "?t")], [("?s", "stores", "?u")]],
+    )
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2562,6 +2578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RDF interchange (serde-family variant; escape table pinned by
         # the adversarial round-trip test)
         "kg_ntriples": q_kg_ntriples,
+        # KG-query family variant (kg_bgp_match holds the stamped slot):
+        # SPARQL OPTIONAL left-join groups
+        "kg_bgp_optional": q_kg_bgp_optional,
         "substring_offsets": q_substring_offsets,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
@@ -3876,6 +3895,17 @@ WITH RECURSIVE e AS (
   SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
 )
 SELECT part_key, ancestor FROM r
+""",
+        # OPTIONAL groups as LEFT JOINs over the distinct triple set
+        "kg_bgp_optional": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+req AS (SELECT DISTINCT subj AS s, obj AS o FROM de WHERE pred = 'executes'),
+g1 AS (SELECT DISTINCT subj AS o, obj AS t FROM de WHERE pred = 'appliesTo'),
+g2 AS (SELECT DISTINCT subj AS s, obj AS u FROM de WHERE pred = 'stores')
+SELECT r.o, r.s, g1.t, g2.u
+FROM req r LEFT JOIN g1 ON g1.o = r.o LEFT JOIN g2 ON g2.s = r.s
 """,
         # BGP triangle as explicit self-joins over the distinct triple
         # set — the de-sugared form of the engine's pattern compiler

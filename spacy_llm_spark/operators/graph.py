@@ -1277,44 +1277,17 @@ def transitive_closure(
     )
 
 
-def match_bgp(
+def _compile_bgp(
     triples: DataFrame,
     patterns: list,
-    subj: str = "subj",
-    pred: str = "pred",
-    obj: str = "obj",
-    distinct: bool = True,
-    allow_cartesian: bool = False,
-) -> DataFrame:
-    """Conjunctive triple-pattern matching over the materialized KG —
-    the SPARQL basic-graph-pattern (BGP) core, compiled to DataFrame
-    self-joins so Catalyst owns the physical plan.
-
-    ``patterns`` is a list of ``(s, p, o)`` term triples; a term
-    starting with ``?`` is a variable, anything else a constant. The
-    result has one column per distinct variable (without the ``?``),
-    one row per binding; ``distinct=True`` gives SPARQL
-    ``SELECT DISTINCT`` semantics (the default here — the canonical
-    triple set is itself a set).
-
-    Compilation: each pattern becomes one scan of the triple table with
-    its constant terms as pushdown filters (a constant predicate prunes
-    at the parquet scan — and prunes whole partitions when the table is
-    written partitioned/bucketed by ``pred``, the classic RDF layout);
-    patterns are then joined greedily — most-constant pattern first,
-    then always a pattern sharing >= 1 variable with the bound set,
-    equi-joined on the shared variables. Disjoint pattern groups would
-    need a cartesian product; that's refused unless
-    ``allow_cartesian=True`` (at KG scale an accidental cross of two
-    open patterns is a job-killer, not a query).
-
-    A variable repeated WITHIN one pattern (e.g. ``("?x", "p", "?x")``)
-    becomes a same-row equality filter. Reference analogue: none — the
-    reference constructs triples but has no query layer over them;
-    cited for parity accounting.
-    """
-    if not patterns:
-        raise ValueError("match_bgp: need at least one pattern")
+    subj: str,
+    pred: str,
+    obj: str,
+    allow_cartesian: bool,
+    what: str = "patterns",
+):
+    """Compile a pattern list to (bound_vars, DataFrame) — shared by the
+    required and OPTIONAL groups of :func:`match_bgp`."""
 
     def is_var(t: str) -> bool:
         return isinstance(t, str) and t.startswith("?")
@@ -1349,7 +1322,6 @@ def match_bgp(
             )
         compiled.append((frozenset(seen), n_const, df.select(*cols)))
 
-    all_vars = set().union(*(v for v, _, _ in compiled))
     # greedy join order: most selective (most constants) seed, then any
     # pattern connected to the bound variable set
     compiled.sort(key=lambda t: (-t[1], sorted(t[0])))
@@ -1363,7 +1335,7 @@ def match_bgp(
         if pick is None:
             if not allow_cartesian:
                 raise ValueError(
-                    "match_bgp: patterns split into disconnected variable "
+                    f"match_bgp: {what} split into disconnected variable "
                     "groups — a cartesian product; pass "
                     "allow_cartesian=True to run it anyway"
                 )
@@ -1374,5 +1346,90 @@ def match_bgp(
             bound = bound.join(pick[2], on=shared)
         bound_vars = bound_vars | pick[0]
         todo.remove(pick)
-    out = bound.select(*sorted(all_vars))
-    return out.distinct() if distinct else out
+    return bound_vars, bound
+
+
+def match_bgp(
+    triples: DataFrame,
+    patterns: list,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+    optional: list | None = None,
+) -> DataFrame:
+    """Conjunctive triple-pattern matching over the materialized KG —
+    the SPARQL basic-graph-pattern (BGP) core, compiled to DataFrame
+    self-joins so Catalyst owns the physical plan.
+
+    ``patterns`` is a list of ``(s, p, o)`` term triples; a term
+    starting with ``?`` is a variable, anything else a constant. The
+    result has one column per distinct variable (without the ``?``),
+    one row per binding; ``distinct=True`` gives SPARQL
+    ``SELECT DISTINCT`` semantics (the default here — the canonical
+    triple set is itself a set).
+
+    Compilation: each pattern becomes one scan of the triple table with
+    its constant terms as pushdown filters (a constant predicate prunes
+    at the parquet scan — and prunes whole partitions when the table is
+    written partitioned/bucketed by ``pred``, the classic RDF layout);
+    patterns are then joined greedily — most-constant pattern first,
+    then always a pattern sharing >= 1 variable with the bound set,
+    equi-joined on the shared variables. Disjoint pattern groups would
+    need a cartesian product; that's refused unless
+    ``allow_cartesian=True`` (at KG scale an accidental cross of two
+    open patterns is a job-killer, not a query).
+
+    ``optional`` is a list of pattern GROUPS with SPARQL ``OPTIONAL``
+    semantics: each group is compiled like ``patterns`` (internally
+    equi-joined) and then LEFT-joined to the required bindings on their
+    shared variables — bindings survive with NULLs where the group
+    found no match. Each group must share >= 1 variable with the
+    required patterns (an unanchored OPTIONAL is a cartesian, refused),
+    and groups may not rebind each other's optional-only variables
+    (join-on-NULL semantics differ between SPARQL engines; this keeps
+    the compilation unambiguous).
+
+    A variable repeated WITHIN one pattern (e.g. ``("?x", "p", "?x")``)
+    becomes a same-row equality filter. Reference analogue: none — the
+    reference constructs triples but has no query layer over them;
+    cited for parity accounting.
+    """
+    if not patterns:
+        raise ValueError("match_bgp: need at least one pattern")
+    bound_vars, bound = _compile_bgp(
+        triples, patterns, subj, pred, obj, allow_cartesian
+    )
+    all_vars = set(bound_vars)
+    # OPTIONAL groups left-join AFTER the required distinct — SPARQL
+    # evaluates OPTIONAL against the BGP solution multiset, and the
+    # distinct-first order also keeps the left side minimal
+    if distinct:
+        bound = bound.select(*sorted(bound_vars)).distinct()
+    opt_seen: set = set()
+    for gi, group in enumerate(optional or []):
+        gvars, gdf = _compile_bgp(
+            triples, group, subj, pred, obj, allow_cartesian,
+            what=f"optional group {gi}",
+        )
+        shared = sorted(gvars & bound_vars)
+        if not shared:
+            raise ValueError(
+                f"match_bgp: optional group {gi} shares no variable with "
+                "the required patterns — an unanchored OPTIONAL is a "
+                "cartesian product"
+            )
+        new = gvars - bound_vars
+        clash = new & opt_seen
+        if clash:
+            raise ValueError(
+                f"match_bgp: optional group {gi} rebinds optional-only "
+                f"variable(s) {sorted(clash)} from an earlier group"
+            )
+        opt_seen |= new
+        if distinct:
+            gdf = gdf.distinct()
+        bound = bound.join(gdf, on=shared, how="left")
+        all_vars |= gvars
+    return bound.select(*sorted(all_vars))

@@ -236,3 +236,52 @@ def test_bgp_plan_no_nested_loop_and_ntriples_no_exchange(spark):
     plan2 = _plan(lines)
     assert "Exchange" not in plan2  # pure projection: serialize at scan speed
     assert "Python" not in plan2  # escape chain stays JVM-side
+
+
+def test_match_bgp_optional_groups(spark):
+    # ?s executes ?o, OPTIONAL { ?o appliesTo ?t }: op1/op2 bind ?t,
+    # and an op with no appliesTo edge survives with t = NULL
+    tri = _triples_df(spark).unionByName(
+        spark.createDataFrame(
+            [Row(subj="s3", pred="executes", obj="op9")],
+            "subj string, pred string, obj string",
+        )
+    )
+    out = match_bgp(
+        tri,
+        [("?s", "executes", "?o")],
+        optional=[[("?o", "appliesTo", "?t")]],
+    )
+    got = {(r.s, r.o, r.t) for r in out.collect()}
+    assert ("s3", "op9", None) in got
+    assert ("s1", "op1", "t1") in got and ("s1", "op2", "t2") in got
+    assert all(t is not None for s, o, t in got if o != "op9")
+
+    # two independent optional groups; second anchored on required ?s
+    out2 = match_bgp(
+        tri,
+        [("?s", "executes", "?o")],
+        optional=[
+            [("?o", "appliesTo", "?t")],
+            [("?s", "stores", "?u")],
+        ],
+    )
+    rows = {(r.s, r.o, r.t, r.u) for r in out2.collect()}
+    assert ("s3", "op9", None, None) in rows
+    assert ("s2", "op2", "t1", "t2") in rows  # s2 stores t2 only
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(
+            tri,
+            [("?s", "executes", "?o")],
+            optional=[[("?a", "stores", "?b")]],
+        )
+    with pytest.raises(ValueError, match="rebinds optional-only"):
+        match_bgp(
+            tri,
+            [("?s", "executes", "?o")],
+            optional=[
+                [("?o", "appliesTo", "?t")],
+                [("?s", "stores", "?t")],
+            ],
+        )
