@@ -1238,6 +1238,19 @@ def q_kg_bgp_optional(spark, sf_dir):
     )
 
 
+def q_kg_bgp_path(spark, sf_dir):
+    """SPARQL property path over the constructed KG
+    (operators/graph.match_bgp, pred+ paths): ?a precedes+ ?b joined
+    with ?b emits ?x — the precedes subgraph transitively closed by
+    path doubling, then equi-joined like any pattern."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples, [("?a", "precedes+", "?b"), ("?b", "emits", "?x")]
+    )
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2578,9 +2591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RDF interchange (serde-family variant; escape table pinned by
         # the adversarial round-trip test)
         "kg_ntriples": q_kg_ntriples,
-        # KG-query family variant (kg_bgp_match holds the stamped slot):
-        # SPARQL OPTIONAL left-join groups
+        # KG-query family variants (kg_bgp_match holds the stamped
+        # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_path": q_kg_bgp_path,
         "substring_offsets": q_substring_offsets,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
@@ -3895,6 +3909,22 @@ WITH RECURSIVE e AS (
   SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
 )
 SELECT part_key, ancestor FROM r
+""",
+        # pred+ property path: recursive closure of the precedes
+        # subgraph joined with the emits pattern
+        "kg_bgp_path": m.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+pe AS (SELECT subj AS s, obj AS t FROM de WHERE pred = 'precedes'),
+clo AS (
+  SELECT s, t FROM pe
+  UNION
+  SELECT clo.s, pe.t FROM clo JOIN pe ON pe.s = clo.t
+),
+em AS (SELECT DISTINCT subj AS b, obj AS x FROM de WHERE pred = 'emits')
+SELECT DISTINCT clo.s AS a, clo.t AS b, em.x AS x
+FROM clo JOIN em ON em.b = clo.t
 """,
         # OPTIONAL groups as LEFT JOINs over the distinct triple set
         "kg_bgp_optional": m

@@ -1302,7 +1302,26 @@ def _compile_bgp(
     for i, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"match_bgp: pattern {i} is not a term triple: {pat!r}")
-        df = triples.select(subj, pred, obj)
+        p_term = pat[1]
+        if (
+            isinstance(p_term, str)
+            and not is_var(p_term)
+            and p_term.endswith("+")
+            and len(p_term) > 1
+        ):
+            # SPARQL property path pred+ : one-or-more steps. The
+            # pred-filtered subgraph is closed by path doubling HERE, at
+            # compile time (transitive_closure runs its fixpoint jobs
+            # eagerly) — the closed pair set then joins like any other
+            # pattern scan.
+            base = p_term[:-1]
+            df = transitive_closure(
+                triples.where(F.col(pred) == F.lit(base)).select(subj, obj),
+                src=subj,
+                dst=obj,
+            ).withColumn(pred, F.lit(p_term))
+        else:
+            df = triples.select(subj, pred, obj)
         cols, seen, n_const = [], {}, 0
         for col, term in zip((subj, pred, obj), pat):
             if is_var(term):
@@ -1392,7 +1411,13 @@ def match_bgp(
     the compilation unambiguous).
 
     A variable repeated WITHIN one pattern (e.g. ``("?x", "p", "?x")``)
-    becomes a same-row equality filter. Reference analogue: none — the
+    becomes a same-row equality filter. A constant predicate ending in
+    ``+`` (e.g. ``"precedes+"``) is the SPARQL one-or-more property
+    path: the pred-filtered subgraph is transitively closed (path
+    doubling, :func:`transitive_closure` — so the closure's fixpoint
+    jobs run EAGERLY when this function is called) and the closed pair
+    set joins like an ordinary pattern; the same output-bound caveat as
+    ``transitive_closure`` applies. Reference analogue: none — the
     reference constructs triples but has no query layer over them;
     cited for parity accounting.
     """

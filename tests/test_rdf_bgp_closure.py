@@ -285,3 +285,28 @@ def test_match_bgp_optional_groups(spark):
                 [("?s", "stores", "?t")],
             ],
         )
+
+
+def test_match_bgp_property_path(spark):
+    # precedes chain op1 -> op2 -> op3: op+ reaches both hops
+    tri = _triples_df(spark).unionByName(
+        spark.createDataFrame(
+            [Row(subj="op2", pred="precedes", obj="op3"),
+             Row(subj="op3", pred="emits", obj="sys9")],
+            "subj string, pred string, obj string",
+        )
+    )
+    out = match_bgp(tri, [("?a", "precedes+", "?b")])
+    got = {(r.a, r.b) for r in out.collect()}
+    assert got == {("op1", "op2"), ("op2", "op3"), ("op1", "op3")}
+    # path pattern composes with plain patterns through shared vars
+    out2 = match_bgp(
+        tri, [("?a", "precedes+", "?b"), ("?b", "emits", "?x")]
+    )
+    assert {(r.a, r.b, r.x) for r in out2.collect()} == {
+        ("op1", "op3", "sys9"),
+        ("op2", "op3", "sys9"),
+    }
+    # a bare "+" predicate is a constant named "+", not a path
+    none = match_bgp(tri, [("?a", "+", "?b")])
+    assert none.count() == 0
