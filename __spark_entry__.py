@@ -1251,6 +1251,20 @@ def q_kg_bgp_path(spark, sf_dir):
     )
 
 
+def q_kg_entity_names(spark, sf_dir):
+    """Canonical display-name selection
+    (operators/canonicalize.modal_label): the modal surface form per
+    linked entity (kb_id != NIL) with lexical-min tie-break — two keyed
+    aggregates, (max count, min label) via ONE min-struct argmax, no
+    window."""
+    from spacy_llm_spark.operators.canonicalize import modal_label
+
+    links = mat.links_table(_annotated(spark, sf_dir), ("doc_id",))
+    return modal_label(
+        links.where(F.col("kb_id") != "NIL"), "kb_id", "surface"
+    )
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2595,6 +2609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_path": q_kg_bgp_path,
+        # canonicalization-family variant (kg_vertices/kg_canonical_edges
+        # hold the stamped slots): display-name vote
+        "kg_entity_names": q_kg_entity_names,
         "substring_offsets": q_substring_offsets,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
@@ -3909,6 +3926,21 @@ WITH RECURSIVE e AS (
   SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
 )
 SELECT part_key, ancestor FROM r
+""",
+        # modal surface per entity: row_number over grouped counts ==
+        # the engine's (max n, min label) min-struct argmax
+        "kg_entity_names": m
+        + """
+, sc AS (
+  SELECT kb_id, surface, count(*) AS n
+  FROM links WHERE kb_id <> 'NIL' GROUP BY kb_id, surface
+), rk AS (
+  SELECT kb_id, surface, n,
+         row_number() OVER (PARTITION BY kb_id ORDER BY n DESC, surface) AS rn
+  FROM sc
+)
+SELECT kb_id, surface AS label, CAST(n AS BIGINT) AS n_occurrences
+FROM rk WHERE rn = 1
 """,
         # pred+ property path: recursive closure of the precedes
         # subgraph joined with the emits pattern

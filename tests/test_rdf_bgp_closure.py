@@ -310,3 +310,32 @@ def test_match_bgp_property_path(spark):
     # a bare "+" predicate is a constant named "+", not a path
     none = match_bgp(tri, [("?a", "+", "?b")])
     assert none.count() == 0
+
+
+def test_modal_label_vote_and_tiebreak(spark):
+    from spacy_llm_spark.operators.canonicalize import modal_label
+
+    df = spark.createDataFrame(
+        [
+            ("e1", "Alpha"), ("e1", "Alpha"), ("e1", "alfa"),
+            ("e2", "Beta"), ("e2", "Aeta"),  # tie: lexical min wins
+            ("e3", None), ("e3", "Gamma"),   # NULL excluded from vote
+        ],
+        "entity string, surface string",
+    )
+    got = {
+        (r.entity, r.label, r.n_occurrences)
+        for r in modal_label(df, "entity", "surface").collect()
+    }
+    assert got == {("e1", "Alpha", 2), ("e2", "Aeta", 1), ("e3", "Gamma", 1)}
+    # multi-column keys + custom output names
+    df2 = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "x"), ("a", 2, "y")],
+        "k1 string, k2 int, v string",
+    )
+    out = modal_label(df2, ["k1", "k2"], "v", out_col="top_v", count_col="n")
+    assert sorted(out.columns) == ["k1", "k2", "n", "top_v"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        modal_label(df2, [], "v")
