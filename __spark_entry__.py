@@ -1265,6 +1265,17 @@ def q_kg_entity_names(spark, sf_dir):
     )
 
 
+def q_kg_bgp_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (operators/graph.construct_triples): derive
+    runsOn edges from the executes/appliesTo/stores triangle bindings —
+    rule-based KG enrichment as pure projections + one distinct."""
+    from spacy_llm_spark.operators.graph import construct_triples
+
+    return construct_triples(
+        q_kg_bgp_match(spark, sf_dir), [("?s", "runsOn", "?t")]
+    )
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2609,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_construct": q_kg_bgp_construct,
         # canonicalization-family variant (kg_vertices/kg_canonical_edges
         # hold the stamped slots): display-name vote
         "kg_entity_names": q_kg_entity_names,
@@ -3926,6 +3938,17 @@ WITH RECURSIVE e AS (
   SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
 )
 SELECT part_key, ancestor FROM r
+""",
+        # CONSTRUCT: the triangle bindings projected into new triples
+        "kg_bgp_construct": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT DISTINCT a.subj AS subj, 'runsOn' AS pred, b.obj AS obj
+FROM de a
+JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+JOIN de c ON c.subj = a.subj AND c.obj = b.obj AND c.pred = 'stores'
+WHERE a.pred = 'executes'
 """,
         # modal surface per entity: row_number over grouped counts ==
         # the engine's (max n, min label) min-struct argmax

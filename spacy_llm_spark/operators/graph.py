@@ -1458,3 +1458,61 @@ def match_bgp(
         bound = bound.join(gdf, on=shared, how="left")
         all_vars |= gvars
     return bound.select(*sorted(all_vars))
+
+
+def construct_triples(
+    bindings: DataFrame,
+    templates: list,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: materialize NEW triples from a binding
+    frame (typically :func:`match_bgp` output) through ``(s, p, o)``
+    templates — the rule-based KG enrichment step (derive ``runsOn``
+    from an executes/appliesTo/stores triangle, flatten a 2-hop path
+    into one edge, emit inferred types).
+
+    Each template term is either ``?var`` (a ``bindings`` column) or a
+    constant literal; each template contributes one projection of the
+    binding frame and the results union — all whole-stage-codegen
+    projections over ONE pass of the bindings, plus one distinct when
+    ``distinct=True`` (CONSTRUCT's graph-merge semantics: a graph is a
+    set). Rows where any templated term is NULL are dropped, matching
+    SPARQL's incomplete-solution rule for OPTIONAL-derived NULLs.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if not templates:
+        raise ValueError("construct_triples: need at least one template")
+
+    def term_col(t, i):
+        if isinstance(t, str) and t.startswith("?"):
+            v = t[1:]
+            if v not in bindings.columns:
+                raise ValueError(
+                    f"construct_triples: template {i} references ?{v}, "
+                    f"not a binding column {bindings.columns}"
+                )
+            return F.col(v)
+        return F.lit(t)
+
+    parts = []
+    for i, tpl in enumerate(templates):
+        if len(tpl) != 3:
+            raise ValueError(
+                f"construct_triples: template {i} is not a term triple: {tpl!r}"
+            )
+        s, p, o = (term_col(t, i) for t in tpl)
+        parts.append(
+            bindings.select(s.alias(subj), p.alias(pred), o.alias(obj)).where(
+                F.col(subj).isNotNull()
+                & F.col(pred).isNotNull()
+                & F.col(obj).isNotNull()
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct() if distinct else out

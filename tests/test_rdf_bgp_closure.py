@@ -339,3 +339,40 @@ def test_modal_label_vote_and_tiebreak(spark):
 
     with _pytest.raises(ValueError, match="at least one key"):
         modal_label(df2, [], "v")
+
+
+def test_construct_triples_templates(spark):
+    from spacy_llm_spark.operators.graph import construct_triples
+
+    bindings = match_bgp(
+        _triples_df(spark),
+        [
+            ("?s", "executes", "?o"),
+            ("?o", "appliesTo", "?t"),
+            ("?s", "stores", "?t"),
+        ],
+    )
+    derived = construct_triples(
+        bindings,
+        [("?s", "runsOn", "?t"), ("?t", "hostedBy", "?s")],
+    )
+    got = {(r.subj, r.pred, r.obj) for r in derived.collect()}
+    assert got == {
+        ("s1", "runsOn", "t1"), ("t1", "hostedBy", "s1"),
+        ("s2", "runsOn", "t2"), ("t2", "hostedBy", "s2"),
+    }
+    # NULL bindings (OPTIONAL misses) drop the incomplete triple only
+    null_bind = spark.createDataFrame(
+        [Row(s="a", t=None), Row(s="b", t="x")], "s string, t string"
+    )
+    out = construct_triples(null_bind, [("?s", "p", "?t"), ("?s", "q", "k")])
+    got2 = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got2 == {("b", "p", "x"), ("a", "q", "k"), ("b", "q", "k")}
+    # guards
+    with pytest.raises(ValueError, match="not a binding column"):
+        construct_triples(null_bind, [("?zz", "p", "?t")])
+    with pytest.raises(ValueError, match="at least one template"):
+        construct_triples(null_bind, [])
+    # bag form keeps per-binding multiplicity
+    dup = null_bind.unionByName(null_bind)
+    assert construct_triples(dup, [("?s", "q", "k")], distinct=False).count() == 4
