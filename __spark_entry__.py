@@ -1276,6 +1276,30 @@ def q_kg_bgp_construct(spark, sf_dir):
     )
 
 
+def q_kg_betweenness(spark, sf_dir):
+    """Betweenness centrality (operators/graph.betweenness — distributed
+    Brandes, level-synchronous forward sigma + backward delta, undirected
+    halving): the bounded part hierarchy (p_partkey < 512, identical
+    graph at every tested SF) from the seed set {keys % 13 == 0} —
+    internal tree vertices bridge, leaves score 0."""
+    from spacy_llm_spark.operators.graph import betweenness
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = part.where(
+        (F.col("p_partkey") >= 2) & (F.col("p_partkey") < 512)
+    ).select(
+        F.col("p_partkey").cast("long").alias("subj"),
+        F.floor(F.col("p_partkey") / 2).cast("long").alias("obj"),
+    )
+    verts = (
+        edges.select(F.col("subj").alias("vertex"))
+        .union(edges.select(F.col("obj").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vertex") % 13 == 0)
+    return betweenness(edges, seeds, max_hops=20)
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2621,6 +2645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_construct": q_kg_bgp_construct,
+        # graph-analytics family variant (degree/pagerank/triangles/BFS
+        # stamped): Brandes betweenness
+        "kg_betweenness": q_kg_betweenness,
         # canonicalization-family variant (kg_vertices/kg_canonical_edges
         # hold the stamped slots): display-name vote
         "kg_entity_names": q_kg_entity_names,
@@ -2822,6 +2849,76 @@ _EDGES_CTE = """
   JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
 )
 """
+
+
+def _betweenness_oracle_sql(levels: int = 18) -> str:
+    """Unrolled level-synchronous Brandes over the bounded part
+    hierarchy — forward sigma CTE per hop, backward delta CTE per level
+    (10 dp per-level quantization), mirroring operators/graph.betweenness
+    exactly; unused high levels are empty CTEs and no-op."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT CAST(p_partkey AS BIGINT) AS child,
+         CAST(p_partkey // 2 AS BIGINT) AS parent
+  FROM part WHERE p_partkey >= 2 AND p_partkey < 512
+), adj AS MATERIALIZED (
+  SELECT child AS u, parent AS v FROM e
+  UNION
+  SELECT parent AS u, child AS v FROM e
+), nodes AS MATERIALIZED (SELECT DISTINCT u AS vertex FROM adj),
+f0 AS MATERIALIZED (
+  SELECT vertex AS s, vertex AS v, CAST(1 AS BIGINT) AS sigma
+  FROM nodes WHERE vertex % 13 = 0
+),
+vis0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            """,
+f{l} AS MATERIALIZED (
+  SELECT p.s, a.v AS v, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM f{p} p JOIN adj a ON a.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{p} x WHERE x.s = p.s AND x.v = a.v)
+  GROUP BY p.s, a.v
+),
+vis{l} AS MATERIALIZED (SELECT s, v FROM vis{p} UNION ALL SELECT s, v FROM f{l})""".format(
+                l=l, p=l - 1
+            )
+        )
+    parts.append(
+        """,
+d{L} AS MATERIALIZED (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM f{L})""".format(
+            L=levels
+        )
+    )
+    for l in range(levels - 1, -1, -1):
+        parts.append(
+            """,
+c{l} AS MATERIALIZED (
+  SELECT f.s, f.v,
+         round(sum(CAST(f.sigma AS DOUBLE) / w.sigma * (1 + w.delta)), 10)
+           AS delta
+  FROM f{l} f JOIN adj a ON a.u = f.v
+  JOIN d{n} w ON w.s = f.s AND w.v = a.v
+  GROUP BY f.s, f.v
+),
+d{l} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma, coalesce(c.delta, 0) AS delta
+  FROM f{l} f LEFT JOIN c{l} c ON c.s = f.s AND c.v = f.v
+)""".format(l=l, n=l + 1)
+        )
+    acc = " UNION ALL ".join(
+        "SELECT v, delta FROM d{l}".format(l=l) for l in range(1, levels + 1)
+    )
+    parts.append(
+        """
+SELECT n.vertex, coalesce(round(b.bc * 0.5, 6), 0.0) AS betweenness
+FROM nodes n LEFT JOIN (
+  SELECT v, sum(delta) AS bc FROM ({acc}) GROUP BY v
+) b ON b.v = n.vertex""".format(acc=acc)
+    )
+    return "".join(parts)
 
 
 def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85, q: int = 10) -> str:
@@ -3924,6 +4021,7 @@ SELECT vertex,
 FROM contrib GROUP BY vertex
 """,
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
+        "kg_betweenness": _betweenness_oracle_sql(levels=18),
         # transitive closure of the binary part hierarchy — DuckDB's
         # recursive CTE vs the engine's path doubling; UNION (distinct)
         # recursion terminates because the hierarchy is a tree

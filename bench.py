@@ -529,6 +529,30 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["closure_200k_hierarchy_sec"] = round(time.time() - t0, 3)
     extras["closure_n_pairs"] = n_clo
 
+    # Brandes betweenness from ~10 sampled sources over a 200k-edge
+    # shuffle-exchange graph (diameter ~17): ~2·ecc level-synchronous
+    # rounds, each one (source, vertex)-keyed join + aggregate
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import betweenness
+
+    bx = spark.range(100_000)
+    bedges = bx.select(
+        F.format_string("b%06d", "id").alias("subj"),
+        F.format_string("b%06d", (F.col("id") * 2) % 100_000).alias("obj"),
+    ).unionByName(
+        bx.select(
+            F.format_string("b%06d", "id").alias("subj"),
+            F.format_string("b%06d", (F.col("id") * 2 + 1) % 100_000).alias(
+                "obj"
+            ),
+        )
+    )
+    bseeds = bx.where(F.col("id") % 9973 == 0).select(
+        F.format_string("b%06d", "id").alias("vertex")
+    )
+    betweenness(bedges, bseeds, max_hops=60).count()
+    extras["betweenness_200k_edges_10src_sec"] = round(time.time() - t0, 3)
+
     # N-Triples serialization of 1M triples: pure codegen projection —
     # measures serialize throughput (no shuffle; the agg is the sink)
     t0 = time.time()

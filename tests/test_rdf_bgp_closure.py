@@ -376,3 +376,111 @@ def test_construct_triples_templates(spark):
     # bag form keeps per-binding multiplicity
     dup = null_bind.unionByName(null_bind)
     assert construct_triples(dup, [("?s", "q", "k")], distinct=False).count() == 4
+
+
+def _py_brandes(adj_pairs, sources, directed=False):
+    """Textbook Brandes (2001) dependency accumulation, unit weights."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    nodes = set()
+    for u, v in adj_pairs:
+        if u == v:
+            continue
+        nodes.update((u, v))
+        adj[u].add(v)
+        if not directed:
+            adj[v].add(u)
+    bc = {v: 0.0 for v in nodes}
+    for s in sources:
+        if s not in nodes:
+            continue
+        sigma = defaultdict(int)
+        dist = {s: 0}
+        sigma[s] = 1
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            # predecessors of w are neighbors one level closer
+            preds = [
+                v
+                for v in nodes
+                if w in adj[v] and dist.get(v, -2) == dist[w] - 1
+            ]
+            for v in preds:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    half = 1.0 if directed else 0.5
+    return {v: round(x * half, 6) for v, x in bc.items()}
+
+
+def _bc_spark(spark, pairs, sources, directed=False, **kw):
+    from spacy_llm_spark.operators.graph import betweenness
+
+    edges = _edges(spark, pairs)
+    src_df = spark.createDataFrame(
+        [Row(vertex=s) for s in sources], "vertex string"
+    )
+    out = betweenness(edges, src_df, directed=directed, **kw)
+    return {r.vertex: r.betweenness for r in out.collect()}
+
+
+def test_betweenness_path_graph_hand_case(spark):
+    # path a-b-c-d-e, all sources: classic bc = (0, 3, 4, 3, 0)
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    got = _bc_spark(spark, pairs, ["a", "b", "c", "d", "e"])
+    assert got == {"a": 0.0, "b": 3.0, "c": 4.0, "d": 3.0, "e": 0.0}
+
+
+def test_betweenness_matches_pure_python_brandes(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(14)]
+    pairs = sorted(
+        {
+            tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+            for _ in range(30)
+        }
+    )
+    pairs = [p for p in pairs if p[0] != p[1]]
+    ref = _py_brandes(pairs, nodes)
+    got = _bc_spark(spark, pairs, nodes)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-5, (v, got[v], ref[v])
+
+
+def test_betweenness_directed_and_sampled_sources(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    ref = _py_brandes(pairs, ["a", "b"], directed=True)
+    got = _bc_spark(spark, pairs, ["a", "b"], directed=True)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-6
+    # sampled single source on the undirected form
+    ref1 = _py_brandes(pairs, ["a"])
+    got1 = _bc_spark(spark, pairs, ["a"])
+    for v in ref1:
+        assert abs(got1[v] - ref1[v]) < 1e-6
+
+
+def test_betweenness_guards(spark):
+    pairs = [(str(i), str(i + 1)) for i in range(6)]
+    with pytest.raises(RuntimeError, match="not drained"):
+        _bc_spark(spark, pairs, ["0"], max_hops=2)
+    with pytest.raises(ValueError, match="max_hops"):
+        _bc_spark(spark, pairs, ["0"], max_hops=0)
+    # absent source: contributes nothing; all-zero result survives
+    got = _bc_spark(spark, [("a", "b")], ["zz"])
+    assert got == {"a": 0.0, "b": 0.0}
