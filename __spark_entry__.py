@@ -1300,6 +1300,35 @@ def q_kg_betweenness(spark, sf_dir):
     return betweenness(edges, seeds, max_hops=20)
 
 
+def q_kg_closure_incremental(spark, sf_dir):
+    """Incremental closure maintenance
+    (operators/graph.transitive_closure_append): the part hierarchy
+    closed on the first 80% of keys, then the remaining edges folded
+    into the STORED pair set — old chains never re-walked, bit-equal to
+    the full recompute (shares kg_closure's oracle verbatim)."""
+    from spacy_llm_spark.operators.graph import (
+        transitive_closure,
+        transitive_closure_append,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("long").alias("part_key"),
+        F.floor(F.col("p_partkey") / 2).cast("long").alias("ancestor"),
+    )
+    n_max = part.agg(F.max("p_partkey")).head()[0]
+    cut = int(n_max * 0.8)
+    old = transitive_closure(
+        edges.where(F.col("part_key") <= cut), src="part_key", dst="ancestor"
+    )
+    return transitive_closure_append(
+        old,
+        edges.where(F.col("part_key") > cut),
+        src="part_key",
+        dst="ancestor",
+    )
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2648,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph-analytics family variant (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness
         "kg_betweenness": q_kg_betweenness,
+        # incremental twin of kg_closure (shares its oracle verbatim)
+        "kg_closure_incremental": q_kg_closure_incremental,
         # canonicalization-family variant (kg_vertices/kg_canonical_edges
         # hold the stamped slots): display-name vote
         "kg_entity_names": q_kg_entity_names,
@@ -5296,6 +5327,7 @@ FROM events GROUP BY 1
     sql["decontaminate_bloom"] = sql["decontaminate"]
     sql["kg_vertices_incremental"] = sql["kg_vertices"]
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
+    sql["kg_closure_incremental"] = sql["kg_closure"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]

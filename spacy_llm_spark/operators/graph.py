@@ -1658,3 +1658,37 @@ def betweenness(
     return nodes.join(bc, nodes["vertex"] == bc["v"], "left").select(
         "vertex", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def transitive_closure_append(
+    closure: DataFrame,
+    new_edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Incremental transitive closure: fold a batch of NEW edges into a
+    previously computed closure — the daily-ontology-update shape, in
+    the same persisted-result/merge family as the dedup indexes and
+    ``incremental_components``.
+
+    Correctness rests on closure idempotence: ``TC(TC(E) ∪ D) =
+    TC(E ∪ D)``, so re-running path doubling over the stored pair set
+    plus the delta is bit-equal to a full recompute. Efficiency rests
+    on the stored pairs already collapsing every old path to length 1:
+    doubling only has to bridge chains that alternate through NEW
+    edges, so it converges in ~log2(delta-induced depth) rounds — a
+    single added edge between two closed ontologies closes in 2 rounds
+    regardless of how deep either side is. The history is re-SHUFFLED
+    (the join is over the whole pair set) but never re-DERIVED: the
+    original edge list is not re-read and old chains are never
+    re-walked.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    return transitive_closure(
+        closure.select(src, dst).unionByName(new_edges.select(src, dst)),
+        src=src,
+        dst=dst,
+        max_rounds=max_rounds,
+    )

@@ -484,3 +484,36 @@ def test_betweenness_guards(spark):
     # absent source: contributes nothing; all-zero result survives
     got = _bc_spark(spark, [("a", "b")], ["zz"])
     assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_transitive_closure_append_equals_full(spark):
+    from spacy_llm_spark.operators.graph import (
+        transitive_closure,
+        transitive_closure_append,
+    )
+
+    old = [("a", "b"), ("b", "c"), ("c", "d")]  # chain depth 3
+    new = [("d", "e"), ("x", "a")]  # extend tail AND head
+    full = {
+        (r.subj, r.obj)
+        for r in transitive_closure(_edges(spark, old + new)).collect()
+    }
+    inc = {
+        (r.subj, r.obj)
+        for r in transitive_closure_append(
+            transitive_closure(_edges(spark, old)), _edges(spark, new)
+        ).collect()
+    }
+    assert inc == full == _py_closure(old + new)
+    # a bridge between two CLOSED deep chains closes in 2 growth
+    # rounds + 1 fixpoint-detection round — max_rounds=3 must suffice
+    # where the full recompute needs 5 (depth-17 chain)
+    left = [(f"l{i}", f"l{i+1}") for i in range(8)]
+    right = [(f"r{i}", f"r{i+1}") for i in range(8)]
+    closed = transitive_closure(_edges(spark, left + right))
+    bridged = transitive_closure_append(
+        closed, _edges(spark, [("l8", "r0")]), max_rounds=3
+    )
+    assert {(r.subj, r.obj) for r in bridged.collect()} == _py_closure(
+        left + right + [("l8", "r0")]
+    )
