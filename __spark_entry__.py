@@ -1329,6 +1329,22 @@ def q_kg_closure_incremental(spark, sf_dir):
     )
 
 
+def q_kg_pred_stats(spark, sf_dir):
+    """VoID-style predicate profile of the constructed KG: per predicate
+    the triple count, distinct subjects/objects, and distinct
+    (subj, obj) pairs — the dataset descriptor RDF publishers ship and
+    the fan-out statistics a BGP join planner wants. ONE groupBy over
+    the edge scan with all four aggregates fused (count + three
+    count-distincts in a single aggregate via expand, no self-joins)."""
+    edges = q_kg_edges(spark, sf_dir)
+    return edges.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+        F.countDistinct("subj", "obj").cast("long").alias("n_pairs"),
+    )
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2679,6 +2695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": q_kg_betweenness,
         # incremental twin of kg_closure (shares its oracle verbatim)
         "kg_closure_incremental": q_kg_closure_incremental,
+        # profiling-family variant (profile_documents holds the stamped
+        # slot): VoID predicate descriptor
+        "kg_pred_stats": q_kg_pred_stats,
         # canonicalization-family variant (kg_vertices/kg_canonical_edges
         # hold the stamped slots): display-name vote
         "kg_entity_names": q_kg_entity_names,
@@ -4067,6 +4086,17 @@ WITH RECURSIVE e AS (
   SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
 )
 SELECT part_key, ancestor FROM r
+""",
+        # VoID predicate profile: one grouped aggregate over the edges
+        "kg_pred_stats": m
+        + _EDGES_CTE
+        + """
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       CAST(count(DISTINCT (subj, obj)) AS BIGINT) AS n_pairs
+FROM edges GROUP BY pred
 """,
         # CONSTRUCT: the triangle bindings projected into new triples
         "kg_bgp_construct": m
