@@ -565,6 +565,65 @@ def packing_main() -> None:
     spark.stop()
 
 
+def closure_main() -> None:
+    """Incremental transitive closure vs full recompute over K append
+    batches: a growing binary hierarchy (the ontology shape), each batch
+    adding the next slab of leaf keys. transitive_closure_append folds
+    the batch into the STORED pair set (old chains never re-walked, few
+    doubling rounds — new leaves attach near the frontier), while the
+    full recompute re-derives every chain from raw edges each batch.
+    Pair-set equality is asserted at the final batch.
+    Usage: bench_incremental.py --closure [k_batches] [n_base]
+    """
+    from spacy_llm_spark.operators.graph import (
+        transitive_closure,
+        transitive_closure_append,
+    )
+
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    n_base = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    slab = n_base // 5
+
+    def hier(lo, hi):
+        return spark.range(max(lo, 2), hi).select(
+            F.col("id").alias("subj"),
+            F.floor(F.col("id") / 2).alias("obj"),
+        )
+
+    closure = transitive_closure(hier(2, n_base)).localCheckpoint()
+    inc_secs, full_secs = [], []
+    for i in range(1, k + 1):
+        lo, hi = n_base + (i - 1) * slab, n_base + i * slab
+        t0 = time.time()
+        closure = transitive_closure_append(
+            closure, hier(lo, hi)
+        ).localCheckpoint()
+        inc_secs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        full = transitive_closure(hier(2, hi))
+        n_full = full.count()
+        full_secs.append(round(time.time() - t0, 3))
+    diff = closure.exceptAll(full).count() + full.exceptAll(closure).count()
+    print(json.dumps({
+        "metric": "incremental_vs_full_transitive_closure",
+        "n_base_edges": n_base, "slab_edges": slab, "k_batches": k,
+        "n_closure_pairs_final": n_full,
+        "incremental_per_batch_sec": inc_secs,
+        "full_recompute_per_batch_sec": full_secs,
+        "total_incremental_sec": round(sum(inc_secs), 3),
+        "total_full_sec": round(sum(full_secs), 3),
+        "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
+        "pairs_match_final": diff == 0,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--wordindex":
         wordindex_main()
@@ -574,6 +633,8 @@ if __name__ == "__main__":
         packing_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--dupngram":
         dupngram_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--closure":
+        closure_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--adversarial":
         adversarial_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream":
