@@ -1345,6 +1345,30 @@ def q_kg_pred_stats(spark, sf_dir):
     )
 
 
+def q_kg_harmonic(spark, sf_dir):
+    """Harmonic centrality (operators/graph.harmonic_centrality —
+    multi-source BFS with 1/hop contributions, Boldi-Vigna closeness
+    replacement) over the bounded part hierarchy from the
+    {keys % 13 == 0} seed set — same SF-invariant graph as
+    kg_betweenness."""
+    from spacy_llm_spark.operators.graph import harmonic_centrality
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = part.where(
+        (F.col("p_partkey") >= 2) & (F.col("p_partkey") < 512)
+    ).select(
+        F.col("p_partkey").cast("long").alias("subj"),
+        F.floor(F.col("p_partkey") / 2).cast("long").alias("obj"),
+    )
+    verts = (
+        edges.select(F.col("subj").alias("vertex"))
+        .union(edges.select(F.col("obj").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vertex") % 13 == 0)
+    return harmonic_centrality(edges, seeds, max_hops=20)
+
+
 def q_kg_ntriples(spark, sf_dir):
     """RDF interchange: the distinct canonical triple set serialized to
     N-Triples lines (functions/rdf.to_ntriples) — a pure projection
@@ -2690,9 +2714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_construct": q_kg_bgp_construct,
-        # graph-analytics family variant (degree/pagerank/triangles/BFS
-        # stamped): Brandes betweenness
+        # graph-analytics family variants (degree/pagerank/triangles/BFS
+        # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
+        "kg_harmonic": q_kg_harmonic,
         # incremental twin of kg_closure (shares its oracle verbatim)
         "kg_closure_incremental": q_kg_closure_incremental,
         # profiling-family variant (profile_documents holds the stamped
@@ -2899,6 +2924,51 @@ _EDGES_CTE = """
   JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
 )
 """
+
+
+def _harmonic_oracle_sql(levels: int = 18) -> str:
+    """Unrolled multi-source BFS over the bounded part hierarchy with
+    1/hop contributions — mirrors operators/graph.harmonic_centrality."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT CAST(p_partkey AS BIGINT) AS child,
+         CAST(p_partkey // 2 AS BIGINT) AS parent
+  FROM part WHERE p_partkey >= 2 AND p_partkey < 512
+), adj AS MATERIALIZED (
+  SELECT child AS u, parent AS v FROM e
+  UNION
+  SELECT parent AS u, child AS v FROM e
+), nodes AS MATERIALIZED (SELECT DISTINCT u AS vertex FROM adj),
+f0 AS MATERIALIZED (
+  SELECT vertex AS s, vertex AS v FROM nodes WHERE vertex % 13 = 0
+),
+vis0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    ]
+    for l in range(1, levels + 1):
+        parts.append(
+            """,
+f{l} AS MATERIALIZED (
+  SELECT DISTINCT p.s, a.v AS v
+  FROM f{p} p JOIN adj a ON a.u = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{p} x WHERE x.s = p.s AND x.v = a.v)
+),
+vis{l} AS MATERIALIZED (SELECT s, v FROM vis{p} UNION ALL SELECT s, v FROM f{l})""".format(
+                l=l, p=l - 1
+            )
+        )
+    acc = " UNION ALL ".join(
+        "SELECT v, 1.0 / {l} AS c FROM f{l}".format(l=l)
+        for l in range(1, levels + 1)
+    )
+    parts.append(
+        """
+SELECT n.vertex, coalesce(round(h.hc, 6), 0.0) AS harmonic
+FROM nodes n LEFT JOIN (
+  SELECT v, sum(c) AS hc FROM ({acc}) GROUP BY v
+) h ON h.v = n.vertex""".format(acc=acc)
+    )
+    return "".join(parts)
 
 
 def _betweenness_oracle_sql(levels: int = 18) -> str:
@@ -4072,6 +4142,7 @@ FROM contrib GROUP BY vertex
 """,
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
         "kg_betweenness": _betweenness_oracle_sql(levels=18),
+        "kg_harmonic": _harmonic_oracle_sql(levels=18),
         # transitive closure of the binary part hierarchy — DuckDB's
         # recursive CTE vs the engine's path doubling; UNION (distinct)
         # recursion terminates because the hierarchy is a tree

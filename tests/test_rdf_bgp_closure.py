@@ -517,3 +517,43 @@ def test_transitive_closure_append_equals_full(spark):
     assert {(r.subj, r.obj) for r in bridged.collect()} == _py_closure(
         left + right + [("l8", "r0")]
     )
+
+
+def test_harmonic_centrality_hand_and_reference(spark):
+    from spacy_llm_spark.operators.graph import harmonic_centrality
+
+    # path a-b-c-d, all sources: H(a) = 1 + 1/2 + 1/3, H(b) = 1+1+1/2
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    srcs = spark.createDataFrame(
+        [Row(vertex=v) for v in "abcd"], "vertex string"
+    )
+    got = {
+        r.vertex: r.harmonic
+        for r in harmonic_centrality(_edges(spark, pairs), srcs).collect()
+    }
+    assert got == {
+        "a": round(1 + 0.5 + 1 / 3, 6),
+        "b": round(2.5, 6),
+        "c": round(2.5, 6),
+        "d": round(1 + 0.5 + 1 / 3, 6),
+    }
+    # disconnected component contributes nothing but stays finite
+    pairs2 = pairs + [("x", "y")]
+    srcs2 = spark.createDataFrame(
+        [Row(vertex=v) for v in ["a", "x"]], "vertex string"
+    )
+    got2 = {
+        r.vertex: r.harmonic
+        for r in harmonic_centrality(_edges(spark, pairs2), srcs2).collect()
+    }
+    assert got2["y"] == 1.0 and got2["b"] == 1.0 and got2["x"] == 0.0
+    # directed: distances follow edge direction only
+    got3 = {
+        r.vertex: r.harmonic
+        for r in harmonic_centrality(
+            _edges(spark, [("a", "b"), ("b", "c")]),
+            spark.createDataFrame([Row(vertex="a")], "vertex string"),
+            directed=True,
+        ).collect()
+    }
+    assert got3 == {"a": 0.0, "b": 1.0, "c": 0.5}
