@@ -720,6 +720,24 @@ def main():
             ),
         ))
 
+    from spacy_llm_spark.operators.canonicalize import modal_label
+
+    ml_in = spark.createDataFrame(
+        [("e1", "Alpha")], ["entity", "surface"]
+    )
+    sections.append((
+        "Modal-label vote: two keyed aggregates, no Window",
+        "The (max count, min label) argmax is a min-struct aggregate over "
+        "the per-(key,label) counts — the plan is one HashAggregate pair "
+        "(counts) plus one SortAggregate pair (struct-min is not "
+        "hash-aggregable), both keyed on the entity id with partial/final "
+        "halves around their Exchange, and contains NO Window node (a "
+        "rank window would sort every key group globally), so "
+        "display-name selection costs two keyed shuffles with map-side "
+        "partials at any scale.",
+        explain_str(modal_label(ml_in, "entity", "surface")),
+    ))
+
     from spacy_llm_spark.functions.rdf import to_ntriples
 
     sections.append((
