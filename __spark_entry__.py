@@ -2347,6 +2347,115 @@ def q_kg_shape_audit(spark, sf_dir):
     )
 
 
+_RDFS_ONT = [
+    # property hierarchy (rdfs5/7): executes/stores ⊑ dependsOn ⊑
+    # relatedTo, feedsInto/precedes ⊑ flowsTo; domain/range (rdfs2/3)
+    # declared on both an asserted pred (appliesTo) and derived
+    # superproperties (dependsOn, flowsTo); class hierarchy (rdfs9/11)
+    # over the NER labels with an OP→STEP→ENTITY two-step chain.
+    ("executes", "subPropertyOf", "dependsOn"),
+    ("stores", "subPropertyOf", "dependsOn"),
+    ("dependsOn", "subPropertyOf", "relatedTo"),
+    ("feedsInto", "subPropertyOf", "flowsTo"),
+    ("precedes", "subPropertyOf", "flowsTo"),
+    ("dependsOn", "domain", "ACTOR"),
+    ("dependsOn", "range", "RESOURCE"),
+    ("flowsTo", "range", "NODE"),
+    ("appliesTo", "domain", "NODE"),
+    ("OP", "subClassOf", "STEP"),
+    ("STEP", "subClassOf", "ENTITY"),
+    ("TABLE", "subClassOf", "ASSET"),
+    ("ASSET", "subClassOf", "ENTITY"),
+    ("SYS", "subClassOf", "ENTITY"),
+    ("ACTOR", "subClassOf", "ENTITY"),
+    ("RESOURCE", "subClassOf", "ENTITY"),
+    ("NODE", "subClassOf", "ENTITY"),
+]
+
+
+def _rdfs_inputs(spark, sf_dir):
+    """Instance triples for the RDFS queries: the KG edge set plus
+    (node, type, label) memberships from the NER labels."""
+    e = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "doc_id", "subj", "pred", "obj", "subj_label", "obj_label"
+    )
+    props = e.select("doc_id", "subj", "pred", "obj")
+    types = e.select(
+        "doc_id",
+        "subj",
+        F.lit("type").alias("pred"),
+        F.col("subj_label").alias("obj"),
+    ).unionByName(
+        e.select(
+            "doc_id",
+            F.col("obj").alias("subj"),
+            F.lit("type").alias("pred"),
+            F.col("obj_label").alias("obj"),
+        )
+    )
+    ont = spark.createDataFrame(_RDFS_ONT, ["subj", "pred", "obj"])
+    return props.unionByName(types), ont
+
+
+def q_kg_rdfs(spark, sf_dir):
+    """RDFS/rhoDF entailment materialization (operators/reason.py
+    rdfs_entailment): the KG triples + label memberships closed under a
+    literal ontology — subPropertyOf/subClassOf closed by log-depth
+    path doubling (schema-scale, driver-counted, broadcast under the
+    byte gate), rdfs7/2/3/9 each ONE broadcast join against the
+    instance set. The downstream-query contract of KG construction:
+    'every dependsOn edge' includes asserted executes/stores triples."""
+    from spacy_llm_spark.operators.reason import rdfs_entailment
+
+    triples, ont = _rdfs_inputs(spark, sf_dir)
+    return rdfs_entailment(triples.select("subj", "pred", "obj"), ont)
+
+
+def q_kg_rdfs_incremental(spark, sf_dir):
+    """Incremental entailment maintenance (operators/reason.py
+    rdfs_entailment_append): the stored entailed set of ~80% of docs
+    folded with the remaining docs' raw triples under the fixed
+    ontology — closure idempotence makes it bit-equal to the full
+    recompute (shares kg_rdfs' oracle verbatim)."""
+    from spacy_llm_spark.operators.reason import (
+        rdfs_entailment,
+        rdfs_entailment_append,
+    )
+
+    triples, ont = _rdfs_inputs(spark, sf_dir)
+    cut = F.crc32(F.col("doc_id").cast("string")) % 5 < 4
+    stored = rdfs_entailment(
+        triples.where(cut).select("subj", "pred", "obj"), ont
+    )
+    return rdfs_entailment_append(
+        stored, triples.where(~cut).select("subj", "pred", "obj"), ont
+    )
+
+
+_OWL_ONT = [
+    # inverse pair with the INVERSE side declared transitive — pins the
+    # driver-side schema saturation (feedsInto inherits transitivity);
+    # appliesTo symmetric exercises the mirror rule on asserted edges.
+    ("feedsInto", "inverseOf", "fedBy"),
+    ("precedes", "type", "TransitiveProperty"),
+    ("fedBy", "type", "TransitiveProperty"),
+    ("appliesTo", "type", "SymmetricProperty"),
+]
+
+
+def q_kg_owl(spark, sf_dir):
+    """OWL-Horst-lite property entailment (operators/reason.py
+    owl_entailment): inverseOf/Symmetric/Transitive over the KG edge
+    set — schema saturated driver-side, inverse+symmetric as ONE
+    broadcast join each, all transitive preds closed in ONE shared
+    (pred, node)-keyed path-doubling loop."""
+    from spacy_llm_spark.operators.reason import owl_entailment
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj")
+    ont = spark.createDataFrame(_OWL_ONT, ["subj", "pred", "obj"])
+    return owl_entailment(triples, ont)
+
+
 def q_kg_scc(spark, sf_dir):
     """Strongly connected components over the DIRECTED KG edge set
     (operators/graph.py strongly_connected_components — FW-Trim-
@@ -2586,7 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's CORRECTNESS harness stamps only
     the FIRST 50 entries of this dict, so the first 50 are curated to
     hold at least one representative of EVERY operator family — KG core,
-    KG query (BGP) + ontology closure,
+    KG query (BGP) + ontology closure + RDFS entailment,
     all three incremental dedup paths + both incremental KG maintenance
     paths, cache/checkpoint, exact/minhash/simhash/embedding dedup
     (the simhash/embedding slots held by their incremental reps), ANN
@@ -2619,6 +2728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reps, so no family loses its only representative) ---
         "kg_bgp_match": q_kg_bgp_match,
         "kg_closure": q_kg_closure,
+        # ontology reasoning (new family r5-final): rhoDF entailment —
+        # kg_triangles moved below 50 (analytics keeps degree_stats,
+        # pagerank stamped)
+        "kg_rdfs": q_kg_rdfs,
         # --- incremental maintenance (all five paths) ---
         "kg_vertices_incremental": q_kg_vertices_incremental,
         "kg_canonical_edges_incremental": q_kg_canonical_edges_incremental,
@@ -2646,7 +2759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph analytics ---
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
-        "kg_triangles": q_kg_triangles,
         # --- graph traversal (multi-source BFS) ---
         "kg_bfs_levels": q_kg_bfs_levels,
         # --- tokenizer induction (BPE round-0 statistics) ---
@@ -2727,6 +2839,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hold the stamped slots): display-name vote
         "kg_entity_names": q_kg_entity_names,
         "substring_offsets": q_substring_offsets,
+        # graph-analytics variant (degree_stats/pagerank stamped):
+        # swapped below 50 for kg_rdfs in the r5-final session
+        "kg_triangles": q_kg_triangles,
+        "kg_rdfs_incremental": q_kg_rdfs_incremental,
+        "kg_owl": q_kg_owl,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
         "kg_ppr": q_kg_ppr,
@@ -4383,6 +4500,106 @@ reach AS (
 SELECT verts.v AS vertex, least(verts.v, coalesce(mutual.m, verts.v)) AS scc
 FROM verts LEFT JOIN mutual ON verts.v = mutual.v
 """,
+        # RDFS/rhoDF entailment: the stratified evaluation de-sugared —
+        # recursive closures of the two schema hierarchies, then
+        # rdfs7/2/3/9 as explicit joins; ontology literal shared with
+        # the engine via _RDFS_ONT
+        "kg_rdfs": m.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+, tedges AS (
+  SELECT r.relation AS pred,
+    CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
+         ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
+    CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
+         ELSE 'surface:' || lower(trim(lo.surface)) END AS obj,
+    ld.label AS subj_label, lo.label AS obj_label
+  FROM rels r
+  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+), ont(s, p, o) AS (VALUES """
+        + ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_ONT)
+        + """),
+props AS (SELECT DISTINCT subj, pred, obj FROM tedges),
+typ0 AS (
+  SELECT DISTINCT subj AS node, subj_label AS cls FROM tedges
+  UNION
+  SELECT DISTINCT obj, obj_label FROM tedges
+),
+spe AS (SELECT s, o FROM ont WHERE p = 'subPropertyOf'),
+spc AS (
+  SELECT s, o FROM spe
+  UNION
+  SELECT spc.s, spe.o FROM spc JOIN spe ON spe.s = spc.o
+),
+derived AS (
+  SELECT subj, pred, obj FROM props
+  UNION
+  SELECT pr.subj, c.o, pr.obj FROM props pr JOIN spc c ON c.s = pr.pred
+),
+typ1 AS (
+  SELECT node, cls FROM typ0
+  UNION
+  SELECT d.subj, x.o FROM derived d
+  JOIN ont x ON x.p = 'domain' AND x.s = d.pred
+  UNION
+  SELECT d.obj, x.o FROM derived d
+  JOIN ont x ON x.p = 'range' AND x.s = d.pred
+),
+sce AS (SELECT s, o FROM ont WHERE p = 'subClassOf'),
+sclo AS (
+  SELECT s, o FROM sce
+  UNION
+  SELECT sclo.s, sce.o FROM sclo JOIN sce ON sce.s = sclo.o
+),
+typ AS (
+  SELECT node, cls FROM typ1
+  UNION
+  SELECT t.node, cc.o FROM typ1 t JOIN sclo cc ON cc.s = t.cls
+)
+SELECT subj, pred, obj FROM derived
+UNION
+SELECT node AS subj, 'type' AS pred, cls AS obj FROM typ
+""",
+        # OWL-Horst-lite: inverse + symmetric mirrors de-sugared, then
+        # per-pred recursive closure over the saturated transitive set
+        # {precedes, fedBy, feedsInto} — feedsInto only via saturation
+        "kg_owl": m.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+inv AS (
+  SELECT obj AS subj, 'fedBy' AS pred, subj AS obj FROM de
+  WHERE pred = 'feedsInto'
+  UNION
+  SELECT obj, 'feedsInto', subj FROM de WHERE pred = 'fedBy'
+),
+mir0 AS (
+  SELECT subj, pred, obj FROM de
+  UNION
+  SELECT subj, pred, obj FROM inv
+),
+symm AS (
+  SELECT obj AS subj, pred, subj AS obj FROM mir0 WHERE pred = 'appliesTo'
+),
+mir AS (
+  SELECT subj, pred, obj FROM mir0
+  UNION
+  SELECT subj, pred, obj FROM symm
+),
+te AS (
+  SELECT pred, subj, obj FROM mir
+  WHERE pred IN ('precedes', 'fedBy', 'feedsInto')
+),
+clo AS (
+  SELECT pred, subj, obj FROM te
+  UNION
+  SELECT clo.pred, clo.subj, te.obj
+  FROM clo JOIN te ON te.pred = clo.pred AND te.subj = clo.obj
+)
+SELECT subj, pred, obj FROM mir
+UNION
+SELECT subj, pred, obj FROM clo
+""",
         "kg_triangles": m
         + _EDGES_CTE
         + """
@@ -5429,6 +5646,7 @@ FROM events GROUP BY 1
     sql["kg_vertices_incremental"] = sql["kg_vertices"]
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     sql["kg_closure_incremental"] = sql["kg_closure"]
+    sql["kg_rdfs_incremental"] = sql["kg_rdfs"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]

@@ -529,6 +529,44 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["closure_200k_hierarchy_sec"] = round(time.time() - t0, 3)
     extras["closure_n_pairs"] = n_clo
 
+    # RDFS entailment over the 1M-row synthetic triple set plus 20k
+    # type memberships: two schema-scale closures (driver-counted,
+    # broadcast under the byte gate) + four instance-side joins + one
+    # union-distinct — the materialize-the-entailed-graph step
+    t0 = time.time()
+    from spacy_llm_spark.operators.reason import rdfs_entailment
+
+    rtypes = spark.range(20_000).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("subj"),
+        F.lit("type").alias("pred"),
+        F.element_at(
+            F.array(F.lit("OP"), F.lit("TABLE"), F.lit("SYS")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("obj"),
+    )
+    ront = spark.createDataFrame(
+        [
+            ("executes", "subPropertyOf", "dependsOn"),
+            ("stores", "subPropertyOf", "dependsOn"),
+            ("dependsOn", "subPropertyOf", "relatedTo"),
+            ("precedes", "subPropertyOf", "flowsTo"),
+            ("dependsOn", "domain", "ACTOR"),
+            ("dependsOn", "range", "RESOURCE"),
+            ("appliesTo", "domain", "NODE"),
+            ("OP", "subClassOf", "STEP"),
+            ("STEP", "subClassOf", "ENTITY"),
+            ("TABLE", "subClassOf", "ENTITY"),
+            ("SYS", "subClassOf", "ENTITY"),
+            ("ACTOR", "subClassOf", "ENTITY"),
+            ("RESOURCE", "subClassOf", "ENTITY"),
+            ("NODE", "subClassOf", "ENTITY"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    n_rdfs = rdfs_entailment(bgp_triples.unionByName(rtypes), ront).count()
+    extras["rdfs_entailment_1m_triples_sec"] = round(time.time() - t0, 3)
+    extras["rdfs_n_entailed"] = n_rdfs
+
     # Brandes betweenness from ~10 sampled sources over a 200k-edge
     # shuffle-exchange graph (diameter ~17): ~2·ecc level-synchronous
     # rounds, each one (source, vertex)-keyed join + aggregate

@@ -755,6 +755,32 @@ def main():
         ),
     ))
 
+    from spacy_llm_spark.operators.reason import rdfs_entailment
+
+    r_tri = spark.createDataFrame(
+        [("x", "executes", "y"), ("w", "type", "OP")],
+        ["subj", "pred", "obj"],
+    )
+    r_ont = spark.createDataFrame(
+        [
+            ("executes", "subPropertyOf", "dependsOn"),
+            ("dependsOn", "domain", "ACTOR"),
+            ("OP", "subClassOf", "ENTITY"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    sections.append((
+        "RDFS entailment: instance side touched by broadcast joins only",
+        "The stratified rhoDF pass joins the instance triple set against "
+        "the two closed schema hierarchies and the domain/range maps — "
+        "every one a BroadcastHashJoin (schema-scale build sides, "
+        "driver-counted and hinted under the byte gate), so the plan has "
+        "NO instance-instance join: the only Exchanges are the "
+        "union-distinct HashAggregates, and the schema closures' own "
+        "doubling rounds run at ontology scale before this plan starts.",
+        explain_str(rdfs_entailment(r_tri, r_ont)),
+    ))
+
     spark.stop()
 
 

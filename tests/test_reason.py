@@ -1,0 +1,215 @@
+"""RDFS entailment (operators/reason.py) vs a brute-force fixpoint.
+
+The engine's stratified evaluation (close subPropertyOf -> rdfs7 ->
+rdfs2/3 -> close subClassOf -> rdfs9) is checked against a naive
+apply-rules-until-fixpoint Python reference on graphs that exercise
+every rule, plus idempotence and the append==full incremental contract.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from spacy_llm_spark.operators.reason import (
+    rdfs_entailment,
+    rdfs_entailment_append,
+)
+
+TYPE = "type"
+
+
+def _py_rdfs(triples, ontology):
+    """Naive rhoDF fixpoint: apply all six rules until nothing changes.
+    Schema triples stay in their own set (the engine's contract)."""
+    sub_prop = {(s, o) for s, p, o in ontology if p == "subPropertyOf"}
+    sub_cls = {(s, o) for s, p, o in ontology if p == "subClassOf"}
+    dom = {(s, o) for s, p, o in ontology if p == "domain"}
+    rng = {(s, o) for s, p, o in ontology if p == "range"}
+    inst = set(triples)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        # rdfs5 / rdfs11 (schema closures)
+        for a, b in list(sub_prop):
+            for c, d in list(sub_prop):
+                if b == c and (a, d) not in sub_prop:
+                    sub_prop.add((a, d))
+                    changed = True
+        for a, b in list(sub_cls):
+            for c, d in list(sub_cls):
+                if b == c and (a, d) not in sub_cls:
+                    sub_cls.add((a, d))
+                    changed = True
+        for s, p, o in inst:
+            if p != TYPE:
+                for a, b in sub_prop:  # rdfs7
+                    if p == a:
+                        new.add((s, b, o))
+                for a, c in dom:  # rdfs2
+                    if p == a:
+                        new.add((s, TYPE, c))
+                for a, c in rng:  # rdfs3
+                    if p == a:
+                        new.add((o, TYPE, c))
+            else:
+                for a, b in sub_cls:  # rdfs9
+                    if o == a:
+                        new.add((s, TYPE, b))
+        if not new <= inst:
+            inst |= new
+            changed = True
+    return inst
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+
+
+ONT = [
+    ("executes", "subPropertyOf", "dependsOn"),
+    ("dependsOn", "subPropertyOf", "relatedTo"),  # rdfs5 chain
+    ("stores", "subPropertyOf", "dependsOn"),
+    ("dependsOn", "domain", "ACTOR"),  # fires via rdfs7-derived preds
+    ("dependsOn", "range", "RESOURCE"),
+    ("appliesTo", "domain", "NODE"),  # fires on an asserted pred
+    ("OP", "subClassOf", "STEP"),
+    ("STEP", "subClassOf", "ENTITY"),  # rdfs11 chain
+    ("ACTOR", "subClassOf", "ENTITY"),
+]
+
+CASES = [
+    # every rule at once
+    [
+        ("x", "executes", "y"),
+        ("y", "stores", "z"),
+        ("u", "appliesTo", "v"),
+        ("w", TYPE, "OP"),
+    ],
+    # pure type inheritance, no property triples
+    [("a", TYPE, "OP"), ("b", TYPE, "ACTOR")],
+    # property triples only, types arise solely from domain/range
+    [("p", "executes", "q"), ("q", "executes", "r")],
+    # pred with no schema declarations passes through untouched
+    [("m", "mentions", "n")],
+]
+
+
+@pytest.mark.parametrize("triples", CASES)
+def test_entailment_matches_bruteforce(spark, triples):
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_entailment(_df(spark, triples), _df(spark, ONT)).collect()
+    }
+    assert got == _py_rdfs(triples, ONT)
+
+
+def test_entailment_idempotent(spark):
+    first = rdfs_entailment(_df(spark, CASES[0]), _df(spark, ONT))
+    again = rdfs_entailment(first, _df(spark, ONT))
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in first.collect()
+    }
+
+
+def test_append_equals_full(spark):
+    old, new = CASES[0][:2], CASES[0][2:]
+    stored = rdfs_entailment(_df(spark, old), _df(spark, ONT))
+    inc = rdfs_entailment_append(stored, _df(spark, new), _df(spark, ONT))
+    full = rdfs_entailment(_df(spark, CASES[0]), _df(spark, ONT))
+    assert {tuple(r) for r in inc.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+
+
+def test_unknown_schema_pred_raises(spark):
+    bad = ONT + [("executes", "inverseOf", "executedBy")]
+    with pytest.raises(ValueError, match="inverseOf"):
+        rdfs_entailment(_df(spark, CASES[0]), _df(spark, bad))
+
+
+def _py_owl(triples, ontology):
+    """Naive OWL-Horst-lite fixpoint: inverseOf (symmetrically read),
+    SymmetricProperty, TransitiveProperty, applied until stable."""
+    inv = {(s, o) for s, p, o in ontology if p == "inverseOf"}
+    inv |= {(b, a) for a, b in inv}
+    sym = {s for s, p, o in ontology if p == TYPE and o == "SymmetricProperty"}
+    tra = {s for s, p, o in ontology if p == TYPE and o == "TransitiveProperty"}
+    inst = set(triples)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        for s, p, o in inst:
+            if p == TYPE:
+                continue
+            for a, b in inv:
+                if p == a:
+                    new.add((o, b, s))
+            if p in sym:
+                new.add((o, p, s))
+            if p in tra:
+                for s2, p2, o2 in inst:
+                    if p2 == p and s2 == o:
+                        new.add((s, p, o2))
+        if not new <= inst:
+            inst |= new
+            changed = True
+    return inst
+
+
+OWL_ONT = [
+    ("feedsInto", "inverseOf", "fedBy"),
+    ("precedes", TYPE, "TransitiveProperty"),
+    ("pairsWith", TYPE, "SymmetricProperty"),
+    ("fedBy", TYPE, "TransitiveProperty"),  # inverse of a transitive pred
+]
+
+OWL_CASES = [
+    # transitive chain + its inverse both close
+    [("a", "feedsInto", "b"), ("b", "feedsInto", "c"),
+     ("x", "precedes", "y"), ("y", "precedes", "z"), ("z", "precedes", "w")],
+    # symmetric mirror + type passthrough
+    [("a", "pairsWith", "b"), ("n", TYPE, "OP")],
+    # undeclared pred untouched; cycle through a transitive pred
+    [("m", "mentions", "n"), ("a", "precedes", "b"), ("b", "precedes", "a")],
+]
+
+
+@pytest.mark.parametrize("triples", OWL_CASES)
+def test_owl_entailment_matches_bruteforce(spark, triples):
+    from spacy_llm_spark.operators.reason import owl_entailment
+
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in owl_entailment(
+            _df(spark, triples), _df(spark, OWL_ONT)
+        ).collect()
+    }
+    assert got == _py_owl(triples, OWL_ONT)
+
+
+def test_owl_entailment_idempotent_and_guard(spark):
+    from spacy_llm_spark.operators.reason import owl_entailment
+
+    first = owl_entailment(_df(spark, OWL_CASES[0]), _df(spark, OWL_ONT))
+    again = owl_entailment(first, _df(spark, OWL_ONT))
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in first.collect()
+    }
+    with pytest.raises(ValueError, match="unsupported ontology"):
+        owl_entailment(
+            _df(spark, OWL_CASES[0]),
+            _df(spark, OWL_ONT + [("precedes", "domain", "OP")]),
+        )
+
+
+def test_empty_ontology_is_identity_modulo_distinct(spark):
+    triples = CASES[0]
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_entailment(_df(spark, triples), _df(spark, [])).collect()
+    }
+    assert got == set(triples)
