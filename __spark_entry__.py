@@ -1251,6 +1251,24 @@ def q_kg_bgp_path(spark, sf_dir):
     )
 
 
+def q_kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION over the constructed KG
+    (operators/graph.match_bgp_union): the executes/appliesTo two-hop
+    group unioned with the stores group — per-group pushdown scans and
+    joins stacked under ONE Union node, unmentioned variables NULL
+    (SPARQL unbound), one trailing distinct."""
+    from spacy_llm_spark.operators.graph import match_bgp_union
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp_union(
+        triples,
+        [
+            [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+            [("?s", "stores", "?t")],
+        ],
+    )
+
+
 def q_kg_entity_names(spark, sf_dir):
     """Canonical display-name selection
     (operators/canonicalize.modal_label): the modal surface form per
@@ -1934,6 +1952,17 @@ def q_cluster_prf(spark, sf_dir):
     from spacy_llm_spark.operators.scoring import pairwise_cluster_prf
 
     return pairwise_cluster_prf(_docs(spark, sf_dir), "lang", "source")
+
+
+def q_cluster_bcubed(spark, sf_dir):
+    """B-cubed P/R/F1 (operators/scoring.py bcubed_prf — Bagga &
+    Baldwin's per-item metric, immune to the giant-cluster reward that
+    skews pairwise recall): same lang-vs-source assignment as
+    cluster_prf; contingency cells joined to the two size tables, no
+    per-item work."""
+    from spacy_llm_spark.operators.scoring import bcubed_prf
+
+    return bcubed_prf(_docs(spark, sf_dir), "lang", "source")
 
 
 def q_user_state_history(spark, sf_dir):
@@ -2824,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG-query family variants (kg_bgp_match holds the stamped
         # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_construct": q_kg_bgp_construct,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
@@ -2939,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_history_incremental": q_user_state_history_incremental,
         # scorer family variant (ner_prf holds the stamped slot)
         "cluster_prf": q_cluster_prf,
+        "cluster_bcubed": q_cluster_bcubed,
         # event-analytics family variants (events_hourly holds the slot)
         "events_retention": q_events_retention,
         "events_funnel": q_events_funnel,
@@ -4328,6 +4359,25 @@ em AS (SELECT DISTINCT subj AS b, obj AS x FROM de WHERE pred = 'emits')
 SELECT DISTINCT clo.s AS a, clo.t AS b, em.x AS x
 FROM clo JOIN em ON em.b = clo.t
 """,
+        # UNION groups: per-group solutions NULL-padded and stacked,
+        # distinct across groups
+        "kg_bgp_union": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+g1 AS (
+  SELECT a.subj AS s, a.obj AS o, b.obj AS t
+  FROM de a JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+  WHERE a.pred = 'executes'
+),
+g2 AS (
+  SELECT subj AS s, CAST(NULL AS VARCHAR) AS o, obj AS t
+  FROM de WHERE pred = 'stores'
+)
+SELECT DISTINCT o, s, t FROM (
+  SELECT o, s, t FROM g1 UNION ALL SELECT o, s, t FROM g2
+)
+""",
         # OPTIONAL groups as LEFT JOINs over the distinct triple set
         "kg_bgp_optional": m
         + _EDGES_CTE
@@ -5139,6 +5189,40 @@ SELECT n_pred_pairs, n_gold_pairs, n_common_pairs,
        round(CASE WHEN p_ + r_ > 0
                   THEN 2.0 * p_ * r_ / (p_ + r_) ELSE 0.0 END, 6) AS f1
 FROM j
+""",
+        # B-cubed from the same contingency cells: per-cell n²/|pred|
+        # and n²/|gold| sums, f1 from the UNROUNDED averages
+        "cluster_bcubed": """
+WITH a AS (
+  SELECT lang AS p, source AS g FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+), cell AS (
+  SELECT p, g, count(*) AS n FROM a GROUP BY p, g
+), psz AS (
+  SELECT p, count(*) AS np FROM a GROUP BY p
+), gsz AS (
+  SELECT g, count(*) AS ng FROM a GROUP BY g
+), j AS (
+  SELECT cell.n, psz.np, gsz.ng
+  FROM cell JOIN psz USING (p) JOIN gsz USING (g)
+), s AS (
+  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_items,
+         sum(CAST(n AS DOUBLE) * n / np) AS ps,
+         sum(CAST(n AS DOUBLE) * n / ng) AS rs
+  FROM j
+), t AS (
+  SELECT n_items,
+    CASE WHEN n_items > 0 THEN ps / n_items ELSE 0.0 END AS p_,
+    CASE WHEN n_items > 0 THEN rs / n_items ELSE 0.0 END AS r_
+  FROM s
+)
+SELECT n_items,
+       round(p_, 6) AS bcubed_precision,
+       round(r_, 6) AS bcubed_recall,
+       round(CASE WHEN p_ + r_ > 0
+                  THEN 2.0 * p_ * r_ / (p_ + r_) ELSE 0.0 END, 6)
+         AS bcubed_f1
+FROM t
 """,
         "corpus_diff": """
 WITH old AS (

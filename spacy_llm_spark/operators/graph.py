@@ -1460,6 +1460,58 @@ def match_bgp(
     return bound.select(*sorted(all_vars))
 
 
+def match_bgp_union(
+    triples: DataFrame,
+    groups: list,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL ``UNION`` of pattern groups: ``groups`` is a list of
+    pattern lists, each compiled exactly like :func:`match_bgp`, and
+    the solution sets are unioned. Variables a group does not mention
+    are NULL in its rows (SPARQL's *unbound*); the output has one
+    column per variable across ALL groups, sorted. ``distinct=True``
+    dedups across groups (``SELECT DISTINCT`` over the union);
+    ``False`` keeps SPARQL bag semantics — UNION ALL of the group
+    multisets, including cross-group duplicates.
+
+    The plan is the groups' plans stacked under one Union node — each
+    group keeps its own pushdown scans and join order, the NULL padding
+    is a zero-cost literal projection, and the optional trailing
+    distinct is the only added Exchange. Reference analogue: none —
+    cited for parity accounting.
+    """
+    if not groups or any(not g for g in groups):
+        raise ValueError("match_bgp_union: need >= 1 non-empty group")
+    parts = [
+        match_bgp(
+            triples,
+            g,
+            subj=subj,
+            pred=pred,
+            obj=obj,
+            distinct=False,
+            allow_cartesian=allow_cartesian,
+        )
+        for g in groups
+    ]
+    all_vars = sorted({v for p in parts for v in p.columns})
+    out = None
+    for p in parts:
+        padded = p.select(
+            *[
+                F.col(v) if v in p.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            ]
+        )
+        out = padded if out is None else out.unionByName(padded)
+    return out.distinct() if distinct else out
+
+
 def construct_triples(
     bindings: DataFrame,
     templates: list,

@@ -609,3 +609,52 @@ def test_histogram_constant_nulls_and_validation(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         histogram(df, "v", 0)
+
+
+def _ref_bcubed(rows):
+    rows = [(p, g) for p, g in rows if p is not None and g is not None]
+    n = len(rows)
+    if not n:
+        return 0, 0.0, 0.0, 0.0
+    ps = rs = 0.0
+    for i, (p, g) in enumerate(rows):
+        cluster = [j for j, (p2, _) in enumerate(rows) if p2 == p]
+        gold = [j for j, (_, g2) in enumerate(rows) if g2 == g]
+        common = [j for j in cluster if rows[j][1] == g]
+        ps += len(common) / len(cluster)
+        rs += len(common) / len(gold)
+    p_, r_ = ps / n, rs / n
+    f = 2 * p_ * r_ / (p_ + r_) if p_ + r_ else 0.0
+    return n, round(p_, 6), round(r_, 6), round(f, 6)
+
+
+def test_bcubed_prf_matches_bruteforce(spark):
+    from spacy_llm_spark.operators.scoring import bcubed_prf
+
+    rows = [
+        ("c1", "g1"), ("c1", "g1"), ("c1", "g2"),
+        ("c2", "g2"), ("c2", "g2"), ("c3", "g1"),
+        (None, "g1"), ("c1", None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "pred string, gold string")
+    got = bcubed_prf(df, "pred", "gold").collect()[0]
+    assert (
+        got["n_items"], got["bcubed_precision"],
+        got["bcubed_recall"], got["bcubed_f1"],
+    ) == _ref_bcubed(rows)
+
+    # B-cubed penalizes the one-giant-cluster prediction that pairwise
+    # recall rewards: all-in-one pred over two equal gold clusters
+    giant = spark.createDataFrame(
+        [("c", "g1")] * 3 + [("c", "g2")] * 3, "pred string, gold string"
+    )
+    r = bcubed_prf(giant, "pred", "gold").collect()[0]
+    assert r["bcubed_recall"] == 1.0 and r["bcubed_precision"] == 0.5
+
+    perfect = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], "pred string, gold string"
+    )
+    r = bcubed_prf(perfect, "pred", "gold").collect()[0]
+    assert (r["bcubed_precision"], r["bcubed_recall"], r["bcubed_f1"]) == (
+        1.0, 1.0, 1.0,
+    )

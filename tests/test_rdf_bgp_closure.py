@@ -238,6 +238,50 @@ def test_bgp_plan_no_nested_loop_and_ntriples_no_exchange(spark):
     assert "Python" not in plan2  # escape chain stays JVM-side
 
 
+def test_match_bgp_union_groups(spark):
+    from spacy_llm_spark.operators.graph import match_bgp_union
+
+    out = match_bgp_union(
+        _triples_df(spark),
+        [[("?s", "executes", "?o")], [("?s", "stores", "?t")]],
+    )
+    assert sorted(out.columns) == ["o", "s", "t"]
+    got = {(r.s, r.o, r.t) for r in out.collect()}
+    assert got == {
+        ("s1", "op1", None),
+        ("s1", "op2", None),
+        ("s2", "op2", None),
+        ("s1", None, "t1"),
+        ("s2", None, "t2"),
+    }
+    # bag semantics keep cross-group duplicates: two single-var groups
+    # over the same pattern shape double every row
+    bag = match_bgp_union(
+        _triples_df(spark),
+        [[("?s", "executes", "?o")], [("?s", "executes", "?o")]],
+        distinct=False,
+    )
+    assert bag.count() == 6
+    assert match_bgp_union(
+        _triples_df(spark),
+        [[("?s", "executes", "?o")], [("?s", "executes", "?o")]],
+    ).count() == 3
+    with pytest.raises(ValueError, match="non-empty group"):
+        match_bgp_union(_triples_df(spark), [[("?s", "executes", "?o")], []])
+    with pytest.raises(ValueError, match="non-empty group"):
+        match_bgp_union(_triples_df(spark), [])
+    # multi-pattern group joins internally before the union
+    mixed = match_bgp_union(
+        _triples_df(spark),
+        [
+            [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+            [("?s", "stores", "?t")],
+        ],
+    )
+    got2 = {(r.s, r.o, r.t) for r in mixed.collect()}
+    assert ("s1", "op1", "t1") in got2 and ("s1", None, "t1") in got2
+
+
 def test_match_bgp_optional_groups(spark):
     # ?s executes ?o, OPTIONAL { ?o appliesTo ?t }: op1/op2 bind ?t,
     # and an op with no appliesTo edge survives with t = NULL
