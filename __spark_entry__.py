@@ -1269,6 +1269,25 @@ def q_kg_bgp_union(spark, sf_dir):
     )
 
 
+def q_kg_bgp_alt_inverse(spark, sf_dir):
+    """SPARQL property-path forms over the constructed KG
+    (operators/graph.match_bgp, ^ inverse + | alternation): the
+    executes two-hop where the second step may be appliesTo OR precedes
+    (ONE isin-filtered scan, not a union of scans) anchored by an
+    inverse-path stores pattern (zero-cost column remap)."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [
+            ("?s", "executes", "?o"),
+            ("?o", "appliesTo|precedes", "?u"),
+            ("?x", "^stores", "?s"),
+        ],
+    )
+
+
 def q_kg_entity_names(spark, sf_dir):
     """Canonical display-name selection
     (operators/canonicalize.modal_label): the modal surface form per
@@ -2854,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_alt_inverse": q_kg_bgp_alt_inverse,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_construct": q_kg_bgp_construct,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
@@ -4377,6 +4397,17 @@ g2 AS (
 SELECT DISTINCT o, s, t FROM (
   SELECT o, s, t FROM g1 UNION ALL SELECT o, s, t FROM g2
 )
+""",
+        # inverse path = reversed join columns; alternation = IN filter
+        "kg_bgp_alt_inverse": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT DISTINCT a.obj AS o, a.subj AS s, b.obj AS u, c.obj AS x
+FROM de a
+JOIN de b ON b.subj = a.obj AND b.pred IN ('appliesTo', 'precedes')
+JOIN de c ON c.subj = a.subj AND c.pred = 'stores'
+WHERE a.pred = 'executes'
 """,
         # OPTIONAL groups as LEFT JOINs over the distinct triple set
         "kg_bgp_optional": m

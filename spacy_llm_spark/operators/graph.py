@@ -1303,27 +1303,50 @@ def _compile_bgp(
         if len(pat) != 3:
             raise ValueError(f"match_bgp: pattern {i} is not a term triple: {pat!r}")
         p_term = pat[1]
-        if (
-            isinstance(p_term, str)
-            and not is_var(p_term)
-            and p_term.endswith("+")
-            and len(p_term) > 1
-        ):
+        term_cols = (subj, pred, obj)
+        if isinstance(p_term, str) and not is_var(p_term):
+            # constant predicate path syntax: optional ^ (inverse path
+            # — the pattern's subject/object swap roles), optional
+            # trailing + (one-or-more), | alternation between plain
+            # pred names. ^(p+) == (^p)+ and closure(p|q) is the
+            # closure of the UNION subgraph (SPARQL (p|q)+), so one
+            # parse order covers the combinations.
+            core = p_term[1:] if p_term.startswith("^") else p_term
+            if p_term.startswith("^"):
+                term_cols = (obj, pred, subj)
+            plus = core.endswith("+") and len(core) > 1
+            alts = (core[:-1] if plus else core).split("|")
+            if not core or not all(alts):
+                raise ValueError(
+                    f"match_bgp: bad predicate path {p_term!r} in "
+                    f"pattern {i}"
+                )
+        else:
+            plus, alts = False, None
+        if plus:
             # SPARQL property path pred+ : one-or-more steps. The
             # pred-filtered subgraph is closed by path doubling HERE, at
             # compile time (transitive_closure runs its fixpoint jobs
             # eagerly) — the closed pair set then joins like any other
-            # pattern scan.
-            base = p_term[:-1]
+            # pattern scan. The pred column is re-labeled with the FULL
+            # original term so the constant filter below passes.
             df = transitive_closure(
-                triples.where(F.col(pred) == F.lit(base)).select(subj, obj),
+                triples.where(F.col(pred).isin(alts)).select(subj, obj),
                 src=subj,
                 dst=obj,
             ).withColumn(pred, F.lit(p_term))
+        elif alts is not None and (len(alts) > 1 or p_term != alts[0]):
+            # alternation and/or bare inverse: one scan with an isin
+            # pushdown filter (single isin is a plain equality filter),
+            # pred re-labeled to the FULL term so the constant filter
+            # below matches.
+            df = triples.where(F.col(pred).isin(alts)).select(
+                subj, F.lit(p_term).alias(pred), obj
+            )
         else:
             df = triples.select(subj, pred, obj)
         cols, seen, n_const = [], {}, 0
-        for col, term in zip((subj, pred, obj), pat):
+        for col, term in zip(term_cols, pat):
             if is_var(term):
                 v = var_name(term)
                 if v in seen:  # repeated variable: same-row equality
@@ -1411,15 +1434,23 @@ def match_bgp(
     the compilation unambiguous).
 
     A variable repeated WITHIN one pattern (e.g. ``("?x", "p", "?x")``)
-    becomes a same-row equality filter. A constant predicate ending in
-    ``+`` (e.g. ``"precedes+"``) is the SPARQL one-or-more property
-    path: the pred-filtered subgraph is transitively closed (path
-    doubling, :func:`transitive_closure` — so the closure's fixpoint
-    jobs run EAGERLY when this function is called) and the closed pair
-    set joins like an ordinary pattern; the same output-bound caveat as
-    ``transitive_closure`` applies. Reference analogue: none — the
-    reference constructs triples but has no query layer over them;
-    cited for parity accounting.
+    becomes a same-row equality filter. Constant predicates support the
+    core SPARQL property-path forms: a trailing ``+``
+    (e.g. ``"precedes+"``) is the one-or-more path — the pred-filtered
+    subgraph is transitively closed (path doubling,
+    :func:`transitive_closure` — so the closure's fixpoint jobs run
+    EAGERLY when this function is called) and the closed pair set joins
+    like an ordinary pattern, with the same output-bound caveat; a
+    leading ``^`` (``"^stores"``) is the inverse path — the pattern's
+    subject and object swap roles, a zero-cost column remap; ``|``
+    (``"appliesTo|emits"``) is alternation — ONE scan with an ``isin``
+    pushdown filter, never a union of scans. They compose without
+    parentheses — the whole constant parses as ``[^] names [+]``, so
+    ``"^p|q+"`` means ``^((p|q)+)``, which equals ``((^p)|(^q))+``
+    because closure commutes with edge reversal; other groupings need
+    separate patterns. Reference analogue:
+    none — the reference constructs triples but has no query layer over
+    them; cited for parity accounting.
     """
     if not patterns:
         raise ValueError("match_bgp: need at least one pattern")

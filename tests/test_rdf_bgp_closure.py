@@ -238,6 +238,39 @@ def test_bgp_plan_no_nested_loop_and_ntriples_no_exchange(spark):
     assert "Python" not in plan2  # escape chain stays JVM-side
 
 
+def test_match_bgp_inverse_and_alternation(spark):
+    t = _triples_df(spark)
+    # bare inverse == reversed pattern
+    inv = {(r.s, r.o) for r in match_bgp(t, [("?o", "^executes", "?s")]).collect()}
+    fwd = {(r.s, r.o) for r in match_bgp(t, [("?s", "executes", "?o")]).collect()}
+    assert inv == fwd and len(fwd) == 3
+    # alternation: one pattern over the union of two preds
+    alt = {
+        (r.a, r.b)
+        for r in match_bgp(t, [("?a", "appliesTo|stores", "?b")]).collect()
+    }
+    assert alt == {
+        ("op1", "t1"), ("op2", "t1"), ("op2", "t2"),
+        ("s1", "t1"), ("s2", "t2"),
+    }
+    # inverse + closure: ^precedes+ over op1->op2 gives the reversed
+    # closed pair
+    invp = {
+        (r.x, r.y)
+        for r in match_bgp(t, [("?x", "^precedes+", "?y")]).collect()
+    }
+    assert invp == {("op2", "op1")}
+    # alternation + closure: executes|precedes+ chains s -> op1 -> op2
+    altp = {
+        (r.x, r.y)
+        for r in match_bgp(t, [("?x", "executes|precedes+", "?y")]).collect()
+    }
+    assert ("s1", "op2") in altp and ("s2", "op2") in altp
+    for bad in ("^", "|a", "a|", "a||b"):
+        with pytest.raises(ValueError, match="bad predicate path|bad variable"):
+            match_bgp(t, [("?x", bad, "?y")])
+
+
 def test_match_bgp_union_groups(spark):
     from spacy_llm_spark.operators.graph import match_bgp_union
 
