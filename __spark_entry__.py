@@ -1869,6 +1869,18 @@ def q_kg_walks(spark, sf_dir):
     return random_walks(edges, walks_per_vertex=2, walk_length=4, seed=42)
 
 
+def q_kg_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair counts from the walk corpus
+    (operators/graph.walk_context_pairs): context positions generated
+    directly with a bounded sequence — 2·window rows per token, never
+    the position-pair blowup — then ONE keyed count aggregate; the
+    co-occurrence matrix word2vec-style KG-embedding trainers
+    factorize."""
+    from spacy_llm_spark.operators.graph import walk_context_pairs
+
+    return walk_context_pairs(q_kg_walks(spark, sf_dir), window=2)
+
+
 def q_events_rolling(spark, sf_dir):
     """Trailing 7-hour rolling activity features per user
     (operators/anomaly.py rolling_stats) over the hourly count grid —
@@ -3004,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph family variant (degree/pagerank/triangles/BFS stamped)
         "kg_negative_triples": q_kg_negative_triples,
         "kg_walks": q_kg_walks,
+        "kg_walk_pairs": q_kg_walk_pairs,
         "events_gapfill": q_events_gapfill,
         "er_blocking_parts": q_er_blocking_parts,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -4755,6 +4768,23 @@ WHERE n.neg_obj <> n.obj
                     AND t.obj = n.neg_obj)
 """,
         "kg_walks": m + _EDGES_CTE + _walks_unrolled_sql(2, 4, 42),
+        # skip-gram pairs from the SAME unrolled walk corpus: position
+        # pairs within the window via two small range() products over
+        # the fixed walk length (engine generates contexts directly —
+        # equivalent because the bounds filter keeps the same pairs)
+        "kg_walk_pairs": m
+        + _EDGES_CTE
+        + _walks_unrolled_sql(2, 4, 42).replace(
+            "\nSELECT walk_id, path AS walk FROM w3",
+            """
+, wk AS (SELECT walk_id, path AS walk FROM w3),
+tok AS (SELECT string_split(walk, ' ') AS a FROM wk)
+SELECT a[i.i] AS center, a[j.j] AS context, CAST(count(*) AS BIGINT) AS n
+FROM tok, range(1, 5) i(i), range(1, 5) j(j)
+WHERE i.i <> j.j AND abs(i.i - j.j) <= 2
+GROUP BY 1, 2
+""",
+        ),
         "kg_shortest_paths": m
         + _EDGES_CTE
         + _sssp_unrolled_sql(4, "v LIKE 'K1%'"),

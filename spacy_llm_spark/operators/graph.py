@@ -937,6 +937,50 @@ def random_walks(
     return state.select("walk_id", F.col("path").alias("walk"))
 
 
+def walk_context_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk",
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts from a random-walk
+    corpus — the step between :func:`random_walks` and any word2vec-
+    style KG-embedding trainer (DeepWalk/node2vec both train on exactly
+    these pairs; the counts are the co-occurrence matrix whose shifted
+    PMI word2vec implicitly factorizes, Levy & Goldberg 2014).
+
+    Per walk token the context positions are generated DIRECTLY with
+    ``sequence(i-window, i+window)`` filtered to the walk bounds — 2w
+    rows per token, never the token-squared blowup of exploding all
+    position pairs and filtering after. The plan is two generators and
+    ONE (center, context)-keyed count aggregate with map-side partials;
+    asymmetric windows at walk edges fall out of the bounds filter
+    (standard word2vec behavior). Reference analogue: none — cited for
+    parity accounting.
+    """
+    if window < 1:
+        raise ValueError("walk_context_pairs: window must be >= 1")
+    toks = walks.select(
+        F.split(F.col(walk_col), " ").alias("a")
+    ).select(
+        "a", F.posexplode("a").alias("i", "center")
+    )
+    ctx = toks.select(
+        "center",
+        "a",
+        F.explode(
+            F.expr(
+                f"filter(sequence(i - {int(window)}, i + {int(window)}),"
+                " j -> j != i AND j >= 0 AND j < size(a))"
+            )
+        ).alias("j"),
+    ).select(
+        "center", F.element_at("a", F.col("j") + 1).alias("context")
+    )
+    return ctx.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     seeds: DataFrame,

@@ -271,6 +271,30 @@ def test_match_bgp_inverse_and_alternation(spark):
             match_bgp(t, [("?x", bad, "?y")])
 
 
+def test_walk_context_pairs_matches_bruteforce(spark):
+    from collections import Counter
+
+    from spacy_llm_spark.operators.graph import walk_context_pairs
+
+    walks = [("w0", "a b c d"), ("w1", "b b e"), ("w2", "a")]
+    df = spark.createDataFrame(walks, "walk_id string, walk string")
+    for window in (1, 2):
+        want = Counter()
+        for _, w in walks:
+            toks = w.split(" ")
+            for i, c in enumerate(toks):
+                for j in range(max(0, i - window), min(len(toks), i + window + 1)):
+                    if j != i:
+                        want[(c, toks[j])] += 1
+        got = {
+            (r.center, r.context): r.n
+            for r in walk_context_pairs(df, window=window).collect()
+        }
+        assert got == dict(want)
+    with pytest.raises(ValueError, match="window"):
+        walk_context_pairs(df, window=0)
+
+
 def test_match_bgp_union_groups(spark):
     from spacy_llm_spark.operators.graph import match_bgp_union
 
