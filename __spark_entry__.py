@@ -1869,6 +1869,18 @@ def q_kg_walks(spark, sf_dir):
     return random_walks(edges, walks_per_vertex=2, walk_length=4, seed=42)
 
 
+def q_kg_edge_support(spark, sf_dir):
+    """Per-triple provenance/confidence
+    (operators/materialize.edge_support): n_docs (distinct) +
+    n_mentions in ONE triple-keyed aggregate, support = n_docs /
+    corpus size — the weighting attached before downstream consumers
+    rank or threshold extracted edges."""
+    from spacy_llm_spark.operators.materialize import edge_support
+
+    edges = q_kg_edges(spark, sf_dir)
+    return edge_support(edges, total_docs=_docs(spark, sf_dir).count())
+
+
 def q_kg_walk_pairs(spark, sf_dir):
     """Skip-gram (center, context) pair counts from the walk corpus
     (operators/graph.walk_context_pairs): context positions generated
@@ -3017,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_triples": q_kg_negative_triples,
         "kg_walks": q_kg_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_edge_support": q_kg_edge_support,
         "events_gapfill": q_events_gapfill,
         "er_blocking_parts": q_er_blocking_parts,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -4338,6 +4351,18 @@ WITH RECURSIVE e AS (
   SELECT r.part_key, e.ancestor FROM r JOIN e ON e.part_key = r.ancestor
 )
 SELECT part_key, ancestor FROM r
+""",
+        # per-triple provenance: one grouped aggregate, support over
+        # the corpus count
+        "kg_edge_support": m
+        + _EDGES_CTE
+        + """
+SELECT subj, pred, obj,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       round(CAST(count(DISTINCT doc_id) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 6) AS support
+FROM edges GROUP BY subj, pred, obj
 """,
         # VoID predicate profile: one grouped aggregate over the edges
         "kg_pred_stats": m

@@ -128,3 +128,36 @@ def edges_table(df: DataFrame, id_cols=("doc_id", "content_sha256")) -> DataFram
         F.col("dep_ent.label").alias("subj_label"),
         F.col("dest_ent.label").alias("obj_label"),
     )
+
+
+def edge_support(
+    edges: DataFrame,
+    doc_col: str = "doc_id",
+    total_docs: int | None = None,
+) -> DataFrame:
+    """Provenance/confidence aggregation per distinct triple: how many
+    documents assert (subj, pred, obj), how many individual mention
+    pairs, and the support fraction when the corpus size is known — the
+    weighting KG-construction pipelines attach before downstream
+    consumers rank or threshold edges (an extraction seen in one doc of
+    a billion is noise; one seen in thousands is signal).
+
+    ONE triple-keyed aggregate with map-side partials:
+    ``n_docs = count(DISTINCT doc)`` and ``n_mentions = count(*)`` in
+    the same pass (Spark plans the distinct via a two-phase expand on
+    the SAME key shuffle — no second scan). Output is distinct-triple
+    scale. ``support`` = n_docs / total_docs rounded to 6 dp when
+    ``total_docs`` is given (pass the corpus count the pipeline already
+    knows; computing it here would add a scan), NULL otherwise.
+    """
+    out = edges.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct(doc_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+    )
+    if total_docs is not None:
+        if total_docs <= 0:
+            raise ValueError("edge_support: total_docs must be positive")
+        sup = F.round(F.col("n_docs") / F.lit(float(total_docs)), 6)
+    else:
+        sup = F.lit(None).cast("double")
+    return out.withColumn("support", sup)

@@ -110,3 +110,33 @@ def test_multi_token_dictionary_ner():
         ("Boston Celtics", "ORG"),
     ]
     assert spans == [(14, 20, "LOC"), (32, 46, "ORG")]
+
+
+def test_edge_support_counts_and_fraction(spark):
+    from spacy_llm_spark.operators.materialize import edge_support
+
+    rows = [
+        # (doc_id, subj, pred, obj) — t1 asserted twice in d1, once in d2
+        (1, "a", "p", "b"),
+        (1, "a", "p", "b"),
+        (2, "a", "p", "b"),
+        (2, "x", "q", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, subj string, pred string, obj string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.n_docs, r.n_mentions, r.support)
+        for r in edge_support(df, total_docs=4).collect()
+    }
+    assert got == {
+        ("a", "p", "b"): (2, 3, 0.5),
+        ("x", "q", "y"): (1, 1, 0.25),
+    }
+    # no corpus size -> NULL support, counts unchanged
+    r = edge_support(df).where("subj = 'a'").collect()[0]
+    assert (r.n_docs, r.n_mentions, r.support) == (2, 3, None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total_docs"):
+        edge_support(df, total_docs=0)
