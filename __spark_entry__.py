@@ -1881,6 +1881,26 @@ def q_kg_edge_support(spark, sf_dir):
     return edge_support(edges, total_docs=_docs(spark, sf_dir).count())
 
 
+def q_kg_edge_support_incremental(spark, sf_dir):
+    """Incremental provenance maintenance
+    (operators/materialize.edge_support_append): support table built on
+    ~80% of docs, the remaining docs' edges folded in as a disjoint
+    append batch — additive count merge at triple scale, raw history
+    never re-read; bit-equal to the full recompute (shares
+    kg_edge_support's oracle verbatim)."""
+    from spacy_llm_spark.operators.materialize import (
+        edge_support,
+        edge_support_append,
+    )
+
+    edges = q_kg_edges(spark, sf_dir)
+    cut = F.crc32(F.col("doc_id").cast("string")) % 5 < 4
+    stored = edge_support(edges.where(cut))
+    return edge_support_append(
+        stored, edges.where(~cut), total_docs=_docs(spark, sf_dir).count()
+    )
+
+
 def q_kg_walk_pairs(spark, sf_dir):
     """Skip-gram (center, context) pair counts from the walk corpus
     (operators/graph.walk_context_pairs): context positions generated
@@ -3030,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": q_kg_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_edge_support": q_kg_edge_support,
+        "kg_edge_support_incremental": q_kg_edge_support_incremental,
         "events_gapfill": q_events_gapfill,
         "er_blocking_parts": q_er_blocking_parts,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -5817,6 +5838,7 @@ FROM events GROUP BY 1
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     sql["kg_closure_incremental"] = sql["kg_closure"]
     sql["kg_rdfs_incremental"] = sql["kg_rdfs"]
+    sql["kg_edge_support_incremental"] = sql["kg_edge_support"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]
     sql["simhash_incremental"] = sql["simhash_dup_pairs"]

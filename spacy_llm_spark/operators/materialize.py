@@ -161,3 +161,45 @@ def edge_support(
     else:
         sup = F.lit(None).cast("double")
     return out.withColumn("support", sup)
+
+
+def edge_support_append(
+    stored: DataFrame,
+    new_edges: DataFrame,
+    doc_col: str = "doc_id",
+    total_docs: int | None = None,
+) -> DataFrame:
+    """Incremental provenance maintenance for APPEND-ONLY corpora: fold
+    a new batch's edges into a stored ``edge_support`` table — the
+    daily-ingest shape, same persisted-result/merge family as the dedup
+    indexes.
+
+    Correctness contract: batch doc ids must be NEW (append-only
+    ingest — the checkpoint anti-join upstream guarantees a doc is
+    processed once), so both ``n_docs`` (distinct docs are disjoint
+    across batches) and ``n_mentions`` merge ADDITIVELY: aggregate the
+    delta alone, then ONE triple-keyed sum over stored ∪ delta —
+    triple-scale work, the raw edge history is never re-read. Bit-equal
+    to a full recompute under the contract (test-pinned). A corpus that
+    re-processes documents breaks the contract; recompute from raw
+    edges there. ``support`` is recomputed from the NEW corpus total
+    (it changes for every triple when the denominator grows, which is
+    why it is derived here rather than merged).
+    """
+    delta = edge_support(new_edges, doc_col=doc_col)
+    merged = (
+        stored.select("subj", "pred", "obj", "n_docs", "n_mentions")
+        .unionByName(delta.select("subj", "pred", "obj", "n_docs", "n_mentions"))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+        )
+    )
+    if total_docs is not None:
+        if total_docs <= 0:
+            raise ValueError("edge_support_append: total_docs must be positive")
+        sup = F.round(F.col("n_docs") / F.lit(float(total_docs)), 6)
+    else:
+        sup = F.lit(None).cast("double")
+    return merged.withColumn("support", sup)

@@ -140,3 +140,29 @@ def test_edge_support_counts_and_fraction(spark):
 
     with _pytest.raises(ValueError, match="total_docs"):
         edge_support(df, total_docs=0)
+
+
+def test_edge_support_append_equals_full(spark):
+    from spacy_llm_spark.operators.materialize import (
+        edge_support,
+        edge_support_append,
+    )
+
+    rows = [
+        (1, "a", "p", "b"), (1, "a", "p", "b"), (2, "a", "p", "b"),
+        (2, "x", "q", "y"), (3, "a", "p", "b"), (3, "n", "r", "m"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, subj string, pred string, obj string"
+    )
+    old = df.where("doc_id <= 2")
+    new = df.where("doc_id > 2")  # disjoint doc ids: the append contract
+    inc = edge_support_append(edge_support(old), new, total_docs=6)
+    full = edge_support(df, total_docs=6)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="total_docs"):
+        edge_support_append(edge_support(old), new, total_docs=-1)
