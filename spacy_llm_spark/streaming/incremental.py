@@ -59,6 +59,8 @@ def run_incremental(
     maintain_lsh: bool = False,
     lsh_threshold: float = 0.8,
     lsh_snapshot_retention: int | None = 3,
+    maintain_edgesupport: bool = False,
+    edgesupport_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -98,6 +100,8 @@ def run_incremental(
         maintain_lsh=maintain_lsh,
         lsh_threshold=lsh_threshold,
         lsh_snapshot_retention=lsh_snapshot_retention,
+        maintain_edgesupport=maintain_edgesupport,
+        edgesupport_snapshot_retention=edgesupport_snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -131,6 +135,8 @@ def make_batch_processor(
     maintain_lsh: bool = False,
     lsh_threshold: float = 0.8,
     lsh_snapshot_retention: int | None = 3,
+    maintain_edgesupport: bool = False,
+    edgesupport_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -168,6 +174,7 @@ def make_batch_processor(
     wordindex_path = posixpath.join(output_dir, "wordindex")
     dsirindex_path = posixpath.join(output_dir, "dsirindex")
     lsh_path = posixpath.join(output_dir, "lsh")
+    edgesupport_path = posixpath.join(output_dir, "edgesupport")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -273,10 +280,11 @@ def make_batch_processor(
         # shared append dir): a replayed keys write can never leave a
         # mixed old/new state.
         links_df = mat.links_table(annotated, id_cols)
+        edges_df = mat.edges_table(annotated, id_cols)
         for name, table in (
             ("mentions", mat.mentions_table(annotated, id_cols)),
             ("links", links_df),
-            ("edges", mat.edges_table(annotated, id_cols)),
+            ("edges", edges_df),
         ):
             table.write.mode("overwrite").parquet(
                 posixpath.join(output_dir, name, f"batch_id={batch_id}")
@@ -564,6 +572,35 @@ def make_batch_processor(
             merged_pairs.write.mode("overwrite").parquet(
                 posixpath.join(pairs_path, f"batch_id={batch_id}")
             )
+        if maintain_edgesupport:
+            # Live provenance maintenance: edge_support_append's
+            # additive-merge contract holds BY CONSTRUCTION here — the
+            # processed-keys anti-join above guarantees this batch's doc
+            # set is disjoint from everything already counted. Full
+            # merged snapshot per batch at edgesupport/batch_id=N
+            # (readers take the max committed; retention-pruned); the
+            # merge base EXCLUDES this batch_id and the delta aggregate
+            # is deterministic, so a crash-replay overwrites
+            # bit-identically. support stays NULL in the maintained
+            # snapshot — the corpus total changes every batch, so
+            # readers divide n_docs by their own current count.
+            batch_edges = spark.read.schema(edges_df.schema).parquet(
+                posixpath.join(output_dir, "edges", f"batch_id={batch_id}")
+            )
+            prior_es = _committed_before(edgesupport_path, batch_id)
+            if prior_es:
+                latest_es = max(
+                    prior_es,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                snap = mat.edge_support_append(
+                    spark.read.parquet(latest_es), batch_edges
+                )
+            else:
+                snap = mat.edge_support(batch_edges)
+            snap.write.mode("overwrite").parquet(
+                posixpath.join(edgesupport_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -597,6 +634,8 @@ def make_batch_processor(
             _prune_to_newest(
                 posixpath.join(lsh_path, "pairs"), lsh_snapshot_retention
             )
+        if maintain_edgesupport and edgesupport_snapshot_retention is not None:
+            _prune_to_newest(edgesupport_path, edgesupport_snapshot_retention)
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -692,6 +731,20 @@ def lsh_band_index(spark: SparkSession, output_dir: str):
     if not committed:
         return None
     return spark.read.parquet(*committed)
+
+
+def latest_edge_support(spark: SparkSession, output_dir: str):
+    """The newest committed provenance snapshot maintained by a
+    ``maintain_edgesupport`` stream, as (subj, pred, obj, n_docs,
+    n_mentions, support=NULL) — or None if no batch committed yet.
+    Divide n_docs by the reader's current corpus count for support."""
+    dirs = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "edgesupport")
+    )
+    if not dirs:
+        return None
+    latest = max(dirs, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]))
+    return spark.read.parquet(latest)
 
 
 def latest_vertex_snapshot(spark: SparkSession, output_dir: str):

@@ -1539,3 +1539,72 @@ def test_lsh_probe_prebuilt_new_index_matches_rebuilt(spark):
     wrong = dd.minhash_lsh_index(nb, seed=99).localCheckpoint()
     with _pytest.raises(ValueError):
         dd.minhash_lsh_probe(nb, idx, threshold=0.5, new_index=wrong)
+
+
+def test_edgesupport_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_edgesupport=True keeps the per-triple provenance table
+    current across micro-batch deliveries: the latest snapshot equals
+    edge_support over the whole committed edges sink (the additive
+    merge is exact because the keys anti-join makes batch doc sets
+    disjoint), support stays NULL (reader divides by its own corpus
+    count), and a keys-erased crash replay leaves it bit-identical."""
+    from spacy_llm_spark.operators.materialize import edge_support
+    from spacy_llm_spark.streaming.incremental import (
+        latest_edge_support,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_edgesupport=True)
+    schema = "doc_id long, content string, lang string"
+    rows1 = [
+        (1, "join reads table then filter writes table", "python"),
+        (2, "window sort table scan join", "java"),
+    ]
+    rows2 = [
+        (3, "join reads table then join writes table", "python"),
+        (4, "merge part region scan filter", "go"),
+    ]
+    b0 = spark.createDataFrame(rows1, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b0, 0)
+    snap0 = latest_edge_support(spark, str(out))
+    assert snap0 is not None and snap0.count() > 0
+
+    b1 = spark.createDataFrame(rows2, schema).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    proc(b1, 1)
+    cols = ("subj", "pred", "obj", "n_docs", "n_mentions")
+    snap = latest_edge_support(spark, str(out))
+    got = sorted(map(tuple, snap.select(*cols).collect()))
+    all_edges = spark.read.parquet(str(out / "edges"))
+    want = sorted(
+        map(tuple, edge_support(all_edges).select(*cols).collect())
+    )
+    assert got == want and len(got) > 0
+    assert all(r.support is None for r in snap.collect())
+
+    # crash replay of batch 1, keys erased (worst case)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(b1, 1)
+    replayed = sorted(
+        map(
+            tuple,
+            latest_edge_support(spark, str(out)).select(*cols).collect(),
+        )
+    )
+    assert replayed == got
+
+    # retention: 3 committed snapshots with the default retention=3
+    b2 = spark.createDataFrame(
+        [(5, "filter scan batch emits metrics", "rust")], schema
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    proc(b2, 2)
+    import os
+
+    dirs = sorted(os.listdir(out / "edgesupport"))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
