@@ -1913,6 +1913,22 @@ def q_kg_walk_pairs(spark, sf_dir):
     return walk_context_pairs(q_kg_walks(spark, sf_dir), window=2)
 
 
+def q_kg_node2vec(spark, sf_dir):
+    """node2vec biased walks over the KG edge set
+    (operators/graph.node2vec_walks, w_return=4/w_in=1/w_out=2 — a
+    return-homophilic setting): integer-weight replica argmin, so the
+    weighted choice is float-free, bit-reproducible, and expressible in
+    ANSI SQL; per step one adjacency join + one (prev, candidate)
+    triangle-test join + one min-struct aggregate."""
+    from spacy_llm_spark.operators.graph import node2vec_walks
+
+    edges = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj")
+    return node2vec_walks(
+        edges, walks_per_vertex=2, walk_length=4,
+        w_return=4, w_in=1, w_out=2, seed=42,
+    )
+
+
 def q_events_rolling(spark, sf_dir):
     """Trailing 7-hour rolling activity features per user
     (operators/anomaly.py rolling_stats) over the hourly count grid —
@@ -3049,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_triples": q_kg_negative_triples,
         "kg_walks": q_kg_walks,
         "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_node2vec": q_kg_node2vec,
         "kg_edge_support": q_kg_edge_support,
         "kg_edge_support_incremental": q_kg_edge_support_incremental,
         "events_gapfill": q_events_gapfill,
@@ -3554,6 +3571,56 @@ def _walks_unrolled_sql(walks_per_vertex: int, walk_length: int, seed) -> str:
     parts.append(
         f"\nSELECT walk_id, path AS walk FROM w{walk_length - 1}"
     )
+    return "\n".join(parts)
+
+
+def _node2vec_unrolled_sql(
+    wpv: int, length: int, w_ret: int, w_in: int, w_out: int, seed
+) -> str:
+    """node2vec oracle unrolled one CTE pair per step: the integer-
+    weight replica argmin — each candidate crossed with range(1, maxw+1)
+    bounded by its CASE weight, picked with ``row_number() OVER
+    (PARTITION BY walk_id ORDER BY hv, n, rep)`` == the engine's
+    ``min(struct(hv, n, r))``. Step 1 is uniform (no prev)."""
+    rs = ", ".join(str(r) for r in range(wpv))
+    maxw = max(w_ret, w_in, w_out)
+    parts = [
+        ", e0 AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS lo,"
+        " greatest(subj, obj) AS hi FROM edges WHERE subj <> obj)",
+        ", und AS MATERIALIZED (SELECT lo AS p, hi AS n FROM e0"
+        " UNION ALL SELECT hi, lo FROM e0)",
+        f", w0 AS MATERIALIZED (SELECT v || '#' || r AS walk_id,"
+        f" CAST(NULL AS VARCHAR) AS prev, v AS cur, v AS path"
+        f" FROM (SELECT DISTINCT p AS v FROM und)"
+        f" CROSS JOIN (SELECT unnest([{rs}]) AS r))",
+    ]
+    for k in range(1, length):
+        if k == 1:
+            wt, join_ex = "1", ""
+        else:
+            wt = (
+                f"CASE WHEN u.n = w.prev THEN {w_ret}"
+                f" WHEN ex.p IS NOT NULL THEN {w_in}"
+                f" ELSE {w_out} END"
+            )
+            join_ex = " LEFT JOIN und ex ON ex.p = w.prev AND ex.n = u.n"
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT w.walk_id, w.path, w.cur, u.n,"
+            f" rr.r AS rep,"
+            f" CAST('0x' || substr(sha256('{seed}' || chr(31) || w.walk_id"
+            f" || chr(31) || '{k}' || chr(31) || u.n || chr(31)"
+            f" || CAST(rr.r AS VARCHAR)), 1, 15) AS BIGINT) AS hv"
+            f" FROM w{k - 1} w JOIN und u ON u.p = w.cur{join_ex}"
+            f" CROSS JOIN range(1, {maxw} + 1) rr(r)"
+            f" WHERE rr.r <= ({wt}))"
+            f", w{k} AS MATERIALIZED (SELECT walk_id, cur AS prev, n AS cur,"
+            f" path || ' ' || n AS path FROM ("
+            f"SELECT walk_id, path, cur, n,"
+            f" row_number() OVER (PARTITION BY walk_id"
+            f" ORDER BY hv, n, rep) AS rn"
+            f" FROM s{k}) WHERE rn = 1)"
+        )
+    parts.append(f"\nSELECT walk_id, path AS walk FROM w{length - 1}")
     return "\n".join(parts)
 
 
@@ -4814,6 +4881,9 @@ WHERE n.neg_obj <> n.obj
                     AND t.obj = n.neg_obj)
 """,
         "kg_walks": m + _EDGES_CTE + _walks_unrolled_sql(2, 4, 42),
+        "kg_node2vec": m
+        + _EDGES_CTE
+        + _node2vec_unrolled_sql(2, 4, 4, 1, 2, 42),
         # skip-gram pairs from the SAME unrolled walk corpus: position
         # pairs within the window via two small range() products over
         # the fixed walk length (engine generates contexts directly —

@@ -937,6 +937,138 @@ def random_walks(
     return state.select("walk_id", F.col("path").alias("walk"))
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_vertex: int = 2,
+    walk_length: int = 4,
+    w_return: int = 1,
+    w_in: int = 1,
+    w_out: int = 1,
+    seed: int | str = 42,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Second-order biased random walks (node2vec, Grover & Leskovec
+    2016) over the undirected distinct edge set — the BFS/DFS-
+    interpolating walk corpus that generalizes :func:`random_walks`
+    (which is the ``w_return = w_in = w_out`` special case).
+
+    Weights are INTEGERS (node2vec's 1/p, 1/q scaled to a common
+    denominator: p=0.5, q=0.25 with K=1 -> w_return=2, w_in=1,
+    w_out=4): a candidate one hop from ``cur`` scores ``w_return`` if
+    it IS the previous vertex, ``w_in`` if it neighbors the previous
+    vertex (triangle-closing/BFS-ish), ``w_out`` otherwise
+    (DFS-ish). The weighted choice is made WITHOUT floats: every
+    candidate owns ``w`` replicas, each replica draws an iid
+    hash-uniform sha256(seed US walk US step US candidate US replica),
+    and the global argmin wins — each replica is equally likely to be
+    the minimum, so candidate win probability is EXACTLY w/Σw, and the
+    (hv, n, r) struct-min tie-break makes the walk set bit-reproducible
+    at any parallelism AND expressible in ANSI SQL (the oracle unrolls
+    one CTE per step with a bounded ``range()`` replica product and
+    ``row_number() OVER (ORDER BY hv, n, r)``) — no ``ln()`` whose
+    last-ulp libm-vs-JVM disagreement could flip a comparison.
+
+    Per step: ONE frontier equi-join through the adjacency (fan-out =
+    degree), ONE (prev, candidate)-keyed LEFT join against the same
+    adjacency for the triangle test, a <= max-weight replica explode,
+    and ONE walk-keyed min-struct aggregate — partitionings reused,
+    state lineage-cut, never a neighborhood product. The first step
+    has no previous vertex and is uniform (weight 1), as in the
+    reference implementation. Reference analogue: none — cited for
+    parity accounting.
+    """
+    if walks_per_vertex < 1:
+        raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    for name, w in (("w_return", w_return), ("w_in", w_in), ("w_out", w_out)):
+        if not isinstance(w, int) or not 1 <= w <= 64:
+            raise ValueError(
+                f"{name} must be an integer in [1, 64], got {w!r} — scale "
+                "node2vec's 1/p, 1/q to small integers"
+            )
+    und = _undirected_edges(edges, src, dst)
+    adj = und.select(F.col("lo").alias("p"), F.col("hi").alias("n")).unionByName(
+        und.select(F.col("hi").alias("p"), F.col("lo").alias("n"))
+    )
+    exists = adj.select(
+        F.col("p").alias("ep"), F.col("n").alias("en"), F.lit(True).alias("_e")
+    )
+    verts = adj.select(F.col("p").alias("v")).distinct()
+    state = fs.cut_lineage(
+        verts.select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("r"),
+            F.col("v"),
+        ).select(
+            F.concat_ws("#", F.col("v"), F.col("r")).alias("walk_id"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("v").alias("cur"),
+            F.col("v").alias("path"),
+        )
+    )
+
+    def _hv(step: int):
+        return F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit(str(seed)),
+                        F.col("walk_id"),
+                        F.lit(str(step)),
+                        F.col("n"),
+                        F.col("_r").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    for step in range(1, walk_length):
+        cand = state.join(adj, state["cur"] == adj["p"])
+        if step == 1:
+            cand = cand.withColumn("_w", F.lit(1))
+        else:
+            cand = cand.join(
+                exists,
+                (F.col("prev") == F.col("ep")) & (F.col("n") == F.col("en")),
+                "left",
+            ).withColumn(
+                "_w",
+                F.when(F.col("n") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_e"), F.lit(w_in))
+                .otherwise(F.lit(w_out)),
+            )
+        picked = (
+            cand.withColumn(
+                "_r", F.explode(F.sequence(F.lit(1), F.col("_w")))
+            )
+            .withColumn("_hv", _hv(step))
+            .groupBy("walk_id", "cur", "path")
+            .agg(
+                F.min(
+                    F.struct(F.col("_hv"), F.col("n"), F.col("_r"))
+                ).alias("_m")
+            )
+        )
+        state = fs.cut_lineage(
+            picked.select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("_m.n").alias("cur"),
+                F.concat_ws(" ", F.col("path"), F.col("_m.n")).alias("path"),
+            )
+        )
+    return state.select("walk_id", F.col("path").alias("walk"))
+
+
 def walk_context_pairs(
     walks: DataFrame,
     window: int = 2,

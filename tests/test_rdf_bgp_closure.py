@@ -658,3 +658,76 @@ def test_harmonic_centrality_hand_and_reference(spark):
         ).collect()
     }
     assert got3 == {"a": 0.0, "b": 1.0, "c": 0.5}
+
+
+def _py_node2vec(pairs, wpv, length, w_ret, w_in, w_out, seed):
+    """Pure-Python replica-argmin node2vec mirroring the engine's hash
+    (first 15 hex digits of sha256, US-separated fields) bit-for-bit."""
+    import hashlib
+
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def hv(walk_id, step, n, r):
+        s = f"{seed}\x1f{walk_id}\x1f{step}\x1f{n}\x1f{r}"
+        return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+    walks = {}
+    for v in sorted(adj):
+        for r in range(wpv):
+            wid = f"{v}#{r}"
+            prev, cur, path = None, v, [v]
+            for step in range(1, length):
+                best = None
+                for n in adj[cur]:
+                    if step == 1:
+                        w = 1
+                    elif n == prev:
+                        w = w_ret
+                    elif tuple(sorted((prev, n))) in und:
+                        w = w_in
+                    else:
+                        w = w_out
+                    for rep in range(1, w + 1):
+                        key = (hv(wid, step, n, rep), n, rep)
+                        if best is None or key < best:
+                            best = key
+                prev, cur = cur, best[1]
+                path.append(cur)
+            walks[wid] = " ".join(path)
+    return walks
+
+
+def test_node2vec_walks_bit_parity_and_bias(spark):
+    from spacy_llm_spark.operators.graph import node2vec_walks
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # triangle
+        ("c", "d"), ("d", "e"),              # tail
+    ]
+    df = _edges(spark, pairs)
+    for w in ((1, 1, 1), (8, 1, 1), (1, 8, 1), (1, 1, 8)):
+        got = {
+            r.walk_id: r.walk
+            for r in node2vec_walks(
+                df, walks_per_vertex=2, walk_length=5,
+                w_return=w[0], w_in=w[1], w_out=w[2], seed=7,
+            ).collect()
+        }
+        assert got == _py_node2vec(pairs, 2, 5, *w, seed=7)
+    # every consecutive pair is an edge; repartition-invariant
+    und = {tuple(sorted(p)) for p in pairs}
+    walks = node2vec_walks(df.repartition(7), walk_length=4, seed=7).collect()
+    assert len(walks) == 5 * 2
+    for r in walks:
+        toks = r.walk.split(" ")
+        assert len(toks) == 4
+        for x, y in zip(toks, toks[1:]):
+            assert tuple(sorted((x, y))) in und
+    with pytest.raises(ValueError, match="w_return"):
+        node2vec_walks(df, w_return=0)
+    with pytest.raises(ValueError, match="w_out"):
+        node2vec_walks(df, w_out=1.5)
