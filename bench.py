@@ -228,6 +228,21 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     bfs_levels(chain, seeds, max_hops=5, src="src", dst="dst").count()
     extras["bfs_levels_200k_edges_5hops_sec"] = round(time.time() - t0, 3)
 
+    # node2vec biased walks over a 1/10 slice of the chain graph
+    # (20k edges, 1 walk x length 4 per vertex): per step one adjacency
+    # join + one triangle-test join + replica explode + min-struct pick
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import node2vec_walks
+
+    n_n2v = node2vec_walks(
+        chain.where(F.col("src") < "c00020000"),
+        walks_per_vertex=1, walk_length=4,
+        w_return=4, w_in=1, w_out=2,
+        src="src", dst="dst",
+    ).count()
+    extras["node2vec_20k_edges_len4_sec"] = round(time.time() - t0, 3)
+    extras["node2vec_n_walks"] = n_n2v
+
     # neighborhood-Jaccard link prediction over the same 200k-edge graph
     # with the hub-pivot cap engaged (the designed 100x path: canonical-
     # entity hubs pivot nothing above the cap)
