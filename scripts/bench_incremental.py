@@ -292,6 +292,72 @@ def main() -> None:
 
 
 
+def edgesupport_main() -> None:
+    """Incremental provenance maintenance vs full recompute over K
+    append batches: the incremental curve should stay ~flat (delta
+    aggregate + triple-scale merge) while the full curve re-aggregates
+    the whole growing edge history every batch. Synthetic edge batches:
+    disjoint doc-id ranges (the append contract), the SAME ~200k-triple
+    pool every batch so merges contend on every key. Equality asserted
+    at the final batch. Usage: bench_incremental.py --edgesupport [k]
+    """
+    from spacy_llm_spark.operators.materialize import (
+        edge_support,
+        edge_support_append,
+    )
+
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    if k < 1:
+        raise SystemExit("--edgesupport needs k_batches >= 1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    n, pool = 200_000, 50_000
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    def batch(i):
+        ids = spark.range(n)
+        return ids.select(
+            (F.lit(i * n) + F.col("id") % (n // 10)).alias("doc_id"),
+            F.format_string("s%06d", F.col("id") % pool).alias("subj"),
+            F.format_string("p%02d", F.col("id") % 7).alias("pred"),
+            F.format_string("o%06d", (F.col("id") * 31) % pool).alias("obj"),
+        ).repartition(cpus).localCheckpoint()
+
+    base = batch(0)
+    stored = edge_support(base).localCheckpoint()
+    history = base
+    inc_secs, full_secs = [], []
+    for i in range(1, k + 1):
+        nb = batch(i)
+        t0 = time.time()
+        stored = edge_support_append(stored, nb).localCheckpoint()
+        inc_secs.append(round(time.time() - t0, 3))
+        history = history.unionByName(nb).localCheckpoint()
+        t0 = time.time()
+        full = edge_support(history)
+        full.count()
+        full_secs.append(round(time.time() - t0, 3))
+    cols = ["subj", "pred", "obj", "n_docs", "n_mentions"]
+    diff = (
+        stored.select(*cols).exceptAll(full.select(*cols)).count()
+        + full.select(*cols).exceptAll(stored.select(*cols)).count()
+    )
+    print(json.dumps({
+        "metric": "incremental_vs_full_edgesupport",
+        "rows_per_batch": n, "k_batches": k,
+        "incremental_per_batch_sec": inc_secs,
+        "full_recompute_per_batch_sec": full_secs,
+        "total_incremental_sec": round(sum(inc_secs), 3),
+        "total_full_sec": round(sum(full_secs), 3),
+        "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
+        "support_match_final": diff == 0,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
 def dupngram_main() -> None:
     """Incremental dup-ngram maintenance vs full recompute over K append
     batches at $SPARK_GRAFT_SF_DIR scale: the incremental curve should
@@ -633,6 +699,8 @@ if __name__ == "__main__":
         packing_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--dupngram":
         dupngram_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--edgesupport":
+        edgesupport_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--closure":
         closure_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--adversarial":

@@ -781,6 +781,73 @@ def main():
         explain_str(rdfs_entailment(r_tri, r_ont)),
     ))
 
+    from spacy_llm_spark.operators.graph import match_bgp_union
+
+    bu = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c")], ["subj", "pred", "obj"]
+    )
+    sections.append((
+        "BGP UNION: group plans stacked under one Union, NULL padding free",
+        "Each UNION group keeps its own pushdown-filtered scans and join "
+        "order; the NULL padding for variables a group does not bind is a "
+        "literal projection (zero cost), the groups meet in ONE Union "
+        "node, and the only added Exchange is the optional trailing "
+        "distinct — so a UNION of k groups costs exactly the k group "
+        "plans plus one aggregate.",
+        explain_str(
+            match_bgp_union(
+                bu, [[("?s", "p", "?o")], [("?s", "q", "?t")]]
+            )
+        ),
+    ))
+
+    # one node2vec step constructed inline (the operator lineage-cuts
+    # per step, so explaining its output would only show the checkpoint
+    # scan — same approach as the closure-round capture above)
+    n2v_adj = spark.createDataFrame([("a", "b"), ("b", "a")], ["p", "n"])
+    n2v_state = spark.createDataFrame(
+        [("a#0", "b", "a", "b a")], ["walk_id", "prev", "cur", "path"]
+    )
+    n2v_cand = (
+        n2v_state.join(n2v_adj, n2v_state["cur"] == n2v_adj["p"])
+        .join(
+            n2v_adj.select(
+                F.col("p").alias("ep"), F.col("n").alias("en"),
+                F.lit(True).alias("_e"),
+            ),
+            (F.col("prev") == F.col("ep")) & (F.col("n") == F.col("en")),
+            "left",
+        )
+        .withColumn(
+            "_w",
+            F.when(F.col("n") == F.col("prev"), F.lit(2))
+            .when(F.col("_e"), F.lit(1)).otherwise(F.lit(2)),
+        )
+        .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_w"))))
+        .withColumn(
+            "_hv",
+            F.conv(
+                F.substring(F.sha2(F.concat_ws(
+                    "\x1f", F.lit("s"), F.col("walk_id"), F.lit("2"),
+                    F.col("n"), F.col("_r").cast("string"),
+                ), 256), 1, 15), 16, 10,
+            ).cast("long"),
+        )
+        .groupBy("walk_id", "cur", "path")
+        .agg(F.min(F.struct("_hv", "n", "_r")).alias("_m"))
+    )
+    sections.append((
+        "node2vec step: two keyed joins + bounded explode, no float math",
+        "One biased-walk step is the frontier-adjacency equi-join, the "
+        "(prev, candidate)-keyed LEFT join for the triangle test, a "
+        "<= max-weight replica explode (Generate), and ONE walk-keyed "
+        "min-struct SortAggregate — the weighted choice is integer "
+        "replica argmin over sha256 hashes, so the plan contains no "
+        "ln()/pow() whose libm-vs-JVM last-ulp could diverge, and every "
+        "stage is keyed so hash partitionings are reused across steps.",
+        explain_str(n2v_cand),
+    ))
+
     spark.stop()
 
 
