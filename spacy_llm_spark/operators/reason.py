@@ -57,6 +57,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import fs
 from .graph import transitive_closure
 
 # Driver-side broadcast budget for the two schema closures — same
@@ -208,10 +209,11 @@ def owl_entailment(
     ``ontology`` rows are ``(p, inverse_pred, q)`` pairs and
     ``(p, type_pred, SymmetricProperty|TransitiveProperty)``
     declarations; anything else raises (the rdfs_entailment guard
-    discipline — compose the two operators for the full
-    RDFS+property-algebra closure, RDFS second so inherited
-    superproperty triples exist before domain/range typing... or first;
-    the fragments commute because RDFS never rewrites subject/object).
+    discipline). For the JOINT RDFS+OWL closure use
+    :func:`entailment_fixpoint` — the fragments do NOT commute when
+    their vocabularies interact (subPropertyOf into a transitive pred
+    needs RDFS first; inverseOf into a domain-typed pred needs OWL
+    first), so one pass in either order can under-close.
 
     The schema is SATURATED driver-side before any instance work:
     Symmetric/Transitive declarations propagate across inverse pairs
@@ -335,6 +337,51 @@ def owl_entailment(
     )
 
     return mirrored.unionByName(closed).unionByName(types).distinct()
+
+
+def entailment_fixpoint(
+    triples: DataFrame,
+    rdfs_ontology: DataFrame,
+    owl_ontology: DataFrame,
+    max_alternations: int = 10,
+    type_pred: str = "type",
+) -> DataFrame:
+    """The JOINT RDFS + OWL-Horst-lite closure: alternate
+    :func:`rdfs_entailment` and :func:`owl_entailment` until the triple
+    count stops growing. One pass in a fixed order under-closes when
+    the vocabularies interact — ``subPropertyOf(p, q)`` with
+    ``transitive(q)`` needs the RDFS pass to surface q-edges BEFORE the
+    OWL closure; ``inverseOf(p, p')`` with ``domain(p')`` needs the OWL
+    pass to surface p'-edges BEFORE domain typing — so neither order is
+    sufficient alone and real OWL-Horst reasoners run a joint fixpoint.
+
+    Both passes only ADD triples and are individually idempotent, so an
+    alternation that leaves the count unchanged has reached the joint
+    fixpoint (count equality implies set equality on a growing set) —
+    the same observed-fixpoint discipline as ``transitive_closure``,
+    with the count read from the pass's own distinct. Real ontologies
+    converge in 1-2 alternations (each pass closes its whole fragment,
+    so a round trips only on cross-vocabulary feedback); lineage is cut
+    between rounds and non-convergence raises rather than returning a
+    partial closure.
+    """
+    cur = fs.cut_lineage(triples.select("subj", "pred", "obj").distinct())
+    n = cur.count()
+    for _ in range(max_alternations):
+        nxt = rdfs_entailment(
+            owl_entailment(cur, owl_ontology, type_pred=type_pred),
+            rdfs_ontology,
+            type_pred=type_pred,
+        )
+        nxt = fs.cut_lineage(nxt)
+        m = nxt.count()
+        if m == n:
+            return nxt
+        cur, n = nxt, m
+    raise RuntimeError(
+        f"entailment_fixpoint: not converged within "
+        f"max_alternations={max_alternations}"
+    )
 
 
 def rdfs_entailment_append(

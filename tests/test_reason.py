@@ -206,6 +206,49 @@ def test_owl_entailment_idempotent_and_guard(spark):
         )
 
 
+def _py_joint(triples, rdfs_ont, owl_ont):
+    inst = set(triples)
+    while True:
+        nxt = _py_rdfs(sorted(_py_owl(sorted(inst), owl_ont)), rdfs_ont)
+        if nxt == inst:
+            return inst
+        inst = nxt
+
+
+def test_entailment_fixpoint_joint_closure(spark):
+    from spacy_llm_spark.operators.reason import entailment_fixpoint
+
+    # interaction needing RDFS BEFORE OWL: executes ⊑ flows, flows
+    # transitive — the flows chain only exists after rdfs7
+    rdfs_ont = [("executes", "subPropertyOf", "flows")]
+    owl_ont = [
+        ("flows", TYPE, "TransitiveProperty"),
+        # and the reverse interaction: OWL before RDFS — fedBy edges
+        # only exist after inverseOf, then domain types them
+        ("feeds", "inverseOf", "fedBy"),
+    ]
+    rdfs_ont2 = rdfs_ont + [("fedBy", "domain", "SINK")]
+    triples = [
+        ("a", "executes", "b"), ("b", "executes", "c"),
+        ("x", "feeds", "y"),
+    ]
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in entailment_fixpoint(
+            _df(spark, triples), _df(spark, rdfs_ont2), _df(spark, owl_ont)
+        ).collect()
+    }
+    want = _py_joint(triples, rdfs_ont2, owl_ont)
+    assert got == want
+    assert ("a", "flows", "c") in got  # needs rdfs7 THEN owl closure
+    assert ("y", TYPE, "SINK") in got  # needs inverseOf THEN domain
+    with pytest.raises(RuntimeError, match="not converged"):
+        entailment_fixpoint(
+            _df(spark, triples), _df(spark, rdfs_ont2), _df(spark, owl_ont),
+            max_alternations=1,
+        )
+
+
 def test_empty_ontology_is_identity_modulo_distinct(spark):
     triples = CASES[0]
     got = {
