@@ -1288,6 +1288,63 @@ def q_kg_bgp_alt_inverse(spark, sf_dir):
     )
 
 
+def q_kg_bgp_filter_minus(spark, sf_dir):
+    """SPARQL FILTER + MINUS (operators/graph.match_bgp, filters/minus)
+    over a TPC-H-derived triple view — the constructed KG's per-pred
+    complete-bipartite shape makes any structural MINUS over it
+    all-or-nothing, so the stamped query uses triples with real
+    selectivity: parties locatedIn nations, nations inRegion regions,
+    customers hasSegment segments. FILTER restricts the region variable
+    (one Filter node whose conjunct Catalyst pushes into the inRegion
+    pattern's scan); MINUS removes the AUTOMOBILE-segment customers via
+    ONE left_anti equi-join on the shared ?c — suppliers, having no
+    hasSegment triple at all, are untouched (SPARQL MINUS, not negated
+    FILTER)."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    triples = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_name").alias("subj"),
+            F.lit("inRegion").alias("pred"),
+            F.col("r_name").alias("obj"),
+        )
+        .unionByName(
+            customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+            .select(
+                F.col("c_name").alias("subj"),
+                F.lit("locatedIn").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.col("c_name").alias("subj"),
+                F.lit("hasSegment").alias("pred"),
+                F.col("c_mktsegment").alias("obj"),
+            )
+        )
+        .unionByName(
+            supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+            .select(
+                F.col("s_name").alias("subj"),
+                F.lit("locatedIn").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return match_bgp(
+        triples,
+        [("?c", "locatedIn", "?n"), ("?n", "inRegion", "?r")],
+        filters=["r IN ('ASIA', 'EUROPE')"],
+        minus=[[("?c", "hasSegment", "AUTOMOBILE")]],
+    )
+
+
 def q_kg_entity_names(spark, sf_dir):
     """Canonical display-name selection
     (operators/canonicalize.modal_label): the modal surface form per
@@ -2935,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_alt_inverse": q_kg_bgp_alt_inverse,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_filter_minus": q_kg_bgp_filter_minus,
         "kg_bgp_construct": q_kg_bgp_construct,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
@@ -4545,6 +4603,35 @@ g1 AS (SELECT DISTINCT subj AS o, obj AS t FROM de WHERE pred = 'appliesTo'),
 g2 AS (SELECT DISTINCT subj AS s, obj AS u FROM de WHERE pred = 'stores')
 SELECT r.o, r.s, g1.t, g2.u
 FROM req r LEFT JOIN g1 ON g1.o = r.o LEFT JOIN g2 ON g2.s = r.s
+""",
+        # FILTER = WHERE over the joined bindings; MINUS = NOT EXISTS
+        # on the shared variables (the engine's left_anti), over the
+        # TPC-H-derived triple view (see q_kg_bgp_filter_minus)
+        "kg_bgp_filter_minus": """
+WITH t AS (
+  SELECT n_name AS subj, 'inRegion' AS pred, r_name AS obj
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT c_name, 'locatedIn', n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT c_name, 'hasSegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT s_name, 'locatedIn', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+de AS (SELECT DISTINCT subj, pred, obj FROM t),
+req AS (
+  SELECT a.subj AS c, a.obj AS n, b.obj AS r
+  FROM de a
+  JOIN de b ON b.subj = a.obj AND b.pred = 'inRegion'
+  WHERE a.pred = 'locatedIn' AND b.obj IN ('ASIA', 'EUROPE')
+)
+SELECT DISTINCT c, n, r FROM req q
+WHERE NOT EXISTS (
+  SELECT 1 FROM de x
+  WHERE x.pred = 'hasSegment' AND x.obj = 'AUTOMOBILE' AND x.subj = q.c
+)
 """,
         # BGP triangle as explicit self-joins over the distinct triple
         # set — the de-sugared form of the engine's pattern compiler

@@ -1576,6 +1576,8 @@ def match_bgp(
     distinct: bool = True,
     allow_cartesian: bool = False,
     optional: list | None = None,
+    filters: list | None = None,
+    minus: list | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching over the materialized KG —
     the SPARQL basic-graph-pattern (BGP) core, compiled to DataFrame
@@ -1624,7 +1626,37 @@ def match_bgp(
     parentheses — the whole constant parses as ``[^] names [+]``, so
     ``"^p|q+"`` means ``^((p|q)+)``, which equals ``((^p)|(^q))+``
     because closure commutes with edge reversal; other groupings need
-    separate patterns. Reference analogue:
+    separate patterns.
+
+    ``filters`` is a list of SPARQL ``FILTER`` expressions as SQL
+    boolean strings over the required-bound variable columns (without
+    the ``?``), e.g. ``"s != o"`` or ``"length(t) > 4"`` — each becomes
+    one ``Filter`` node over the joined bindings, so Catalyst pushes
+    conjuncts that mention a single pattern's variables down into that
+    pattern's scan (the classic FILTER-into-BGP optimization, for
+    free). Expressions may reference required variables only — an
+    unknown name fails analysis immediately with the bound set in the
+    message; referencing OPTIONAL-only variables is therefore refused
+    by construction, which sidesteps SPARQL's unbound-is-error
+    three-valued edge cases.
+
+    ``minus`` is a list of pattern GROUPS with SPARQL ``MINUS``
+    semantics: each group is compiled like ``patterns`` and the
+    required bindings that agree with ANY group solution on the shared
+    variables are removed — exactly one ``left_anti`` equi-join per
+    group, no negation flag threaded through row space. A group
+    sharing NO variable with the required patterns is refused: the
+    SPARQL spec makes a domain-disjoint MINUS a silent no-op (every
+    solution survives), which at query-authoring time is almost always
+    a variable-name typo — the error message cites the rule so a user
+    who truly wants the no-op can just delete the group.
+
+    Algebra order (matching the SPARQL group translation): required
+    BGP join -> FILTER -> MINUS -> DISTINCT -> OPTIONAL left-joins.
+    FILTER and MINUS only remove rows and add no columns, so this
+    order is also the cheapest: everything downstream (the distinct's
+    Exchange, the OPTIONAL joins) sees the already-thinned binding
+    set. Reference analogue:
     none — the reference constructs triples but has no query layer over
     them; cited for parity accounting.
     """
@@ -1633,6 +1665,30 @@ def match_bgp(
     bound_vars, bound = _compile_bgp(
         triples, patterns, subj, pred, obj, allow_cartesian
     )
+    for fi, expr in enumerate(filters or []):
+        try:
+            bound = bound.where(F.expr(expr))
+        except Exception as exc:  # AnalysisException: unresolved column
+            raise ValueError(
+                f"match_bgp: filter {fi} ({expr!r}) failed analysis over "
+                f"the required-bound variables {sorted(bound_vars)} — "
+                "FILTER may reference required variables only"
+            ) from exc
+    for gi, group in enumerate(minus or []):
+        gvars, gdf = _compile_bgp(
+            triples, group, subj, pred, obj, allow_cartesian,
+            what=f"minus group {gi}",
+        )
+        shared = sorted(gvars & bound_vars)
+        if not shared:
+            raise ValueError(
+                f"match_bgp: minus group {gi} shares no variable with "
+                "the required patterns — per the SPARQL spec a "
+                "domain-disjoint MINUS removes nothing; drop the group "
+                "or fix the variable names"
+            )
+        bound = bound.join(gdf.select(*shared).distinct(), on=shared,
+                           how="left_anti")
     all_vars = set(bound_vars)
     # OPTIONAL groups left-join AFTER the required distinct — SPARQL
     # evaluates OPTIONAL against the BGP solution multiset, and the

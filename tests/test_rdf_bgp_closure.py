@@ -731,3 +731,102 @@ def test_node2vec_walks_bit_parity_and_bias(spark):
         node2vec_walks(df, w_return=0)
     with pytest.raises(ValueError, match="w_out"):
         node2vec_walks(df, w_out=1.5)
+
+
+def test_match_bgp_filter(spark):
+    t = _triples_df(spark)
+    base = {(r.s, r.o) for r in match_bgp(t, [("?s", "executes", "?o")]).collect()}
+    # constant filter over one variable
+    got = {
+        (r.s, r.o)
+        for r in match_bgp(
+            t, [("?s", "executes", "?o")], filters=["s = 's1'"]
+        ).collect()
+    }
+    assert got == {p for p in base if p[0] == "s1"}
+    # expression relating two variables
+    got2 = {
+        (r.s, r.o)
+        for r in match_bgp(
+            t, [("?s", "executes", "?o")], filters=["s < o"]
+        ).collect()
+    }
+    assert got2 == {p for p in base if p[0] < p[1]}
+    # conjunct list = AND
+    assert (
+        match_bgp(
+            t,
+            [("?s", "executes", "?o")],
+            filters=["s = 's1'", "o = 'op2'"],
+        ).count()
+        == 1
+    )
+    # unknown variable fails analysis immediately, naming the bound set
+    with pytest.raises(ValueError, match="required variables"):
+        match_bgp(t, [("?s", "executes", "?o")], filters=["zz = 'x'"])
+    # OPTIONAL-only variables are refused by construction: FILTER runs
+    # before the OPTIONAL joins, so ?t is not in scope
+    with pytest.raises(ValueError, match="required"):
+        match_bgp(
+            t,
+            [("?s", "executes", "?o")],
+            optional=[[("?o", "appliesTo", "?t")]],
+            filters=["t = 't1'"],
+        )
+
+
+def test_match_bgp_minus(spark):
+    t = _triples_df(spark)
+    base = {
+        ("s1", "op1", "t1"),
+        ("s1", "op2", "t1"),
+        ("s1", "op2", "t2"),
+        ("s2", "op2", "t1"),
+        ("s2", "op2", "t2"),
+    }
+    # MINUS on two shared variables (s, t): stores pairs are
+    # (s1,t1) and (s2,t2)
+    out = match_bgp(
+        t,
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        minus=[[("?s", "stores", "?t")]],
+    )
+    stores = {("s1", "t1"), ("s2", "t2")}
+    assert {(r.s, r.o, r.t) for r in out.collect()} == {
+        b for b in base if (b[0], b[2]) not in stores
+    }
+    # a group binding extra variables anti-joins on the SHARED ones
+    # only: every s stores something, so everything is removed
+    assert (
+        match_bgp(
+            t,
+            [("?s", "executes", "?o")],
+            minus=[[("?s", "stores", "?x")]],
+        ).count()
+        == 0
+    )
+    # a domain-disjoint group is a silent no-op per the SPARQL spec —
+    # refused as an almost-certain authoring error
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(
+            t, [("?s", "executes", "?o")], minus=[[("?a", "stores", "?b")]]
+        )
+
+
+def test_match_bgp_filter_minus_optional_order(spark):
+    # algebra order: BGP -> FILTER -> MINUS -> DISTINCT -> OPTIONAL.
+    # Filter keeps s1 rows, minus removes (s1 stores t1) bindings, and
+    # the OPTIONAL group still left-joins afterwards with NULLs intact.
+    t = _triples_df(spark)
+    out = match_bgp(
+        t,
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        filters=["s = 's1'"],
+        minus=[[("?s", "stores", "?t")]],
+        optional=[[("?t", "locatedIn", "?r")]],
+    )
+    assert sorted(out.columns) == ["o", "r", "s", "t"]
+    got = {(r.s, r.o, r.t, r.r) for r in out.collect()}
+    # s1 bindings: (s1,op1,t1) (s1,op2,t1) (s1,op2,t2); minus (s1,t1)
+    # leaves only (s1,op2,t2); no locatedIn triples exist -> r = NULL
+    assert got == {("s1", "op2", "t2", None)}
