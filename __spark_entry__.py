@@ -2621,6 +2621,57 @@ def q_kg_owl(spark, sf_dir):
     return owl_entailment(triples, ont)
 
 
+_FIX_RDFS_ONT = [
+    # both flow preds fold into flowsTo, which OWL declares transitive
+    # — the cross-vocabulary interaction that NEEDS the joint fixpoint
+    # (rdfs7 must surface flowsTo edges before the OWL closure sees
+    # them); range/domain then type every flow endpoint.
+    ("precedes", "subPropertyOf", "flowsTo"),
+    ("feedsInto", "subPropertyOf", "flowsTo"),
+    ("flowsTo", "domain", "NODE"),
+    ("flowsTo", "range", "NODE"),
+    ("NODE", "subClassOf", "ENTITY"),
+]
+_FIX_OWL_ONT = [("flowsTo", "type", "TransitiveProperty")]
+
+
+def q_kg_entailed(spark, sf_dir):
+    """JOINT RDFS+OWL entailment fixpoint (operators/reason.py
+    entailment_fixpoint): precedes/feedsInto fold into flowsTo (rdfs7)
+    which is OWL-transitive — one pass in either order under-closes, so
+    the engine alternates the two stratified passes to the observed
+    fixpoint (converges in 2 alternations here; count equality on a
+    growing set = set equality). Endpoints typed NODE/ENTITY via
+    domain/range + subClassOf."""
+    from spacy_llm_spark.operators.reason import entailment_fixpoint
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj")
+    rdfs_ont = spark.createDataFrame(_FIX_RDFS_ONT, ["subj", "pred", "obj"])
+    owl_ont = spark.createDataFrame(_FIX_OWL_ONT, ["subj", "pred", "obj"])
+    return entailment_fixpoint(triples, rdfs_ont, owl_ont)
+
+
+def q_kg_entailed_incremental(spark, sf_dir):
+    """Incremental joint-closure maintenance (operators/reason.py
+    entailment_fixpoint_append): the stored fixpoint of the ~80% triple
+    slice (crc32 on subj, so flow chains DO cross the cut) folded with
+    the rest — the joint closure is a closure operator, so
+    E(E(T) u D) = E(T u D) bit-equal (shares kg_entailed's oracle)."""
+    from spacy_llm_spark.operators.reason import (
+        entailment_fixpoint,
+        entailment_fixpoint_append,
+    )
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj")
+    rdfs_ont = spark.createDataFrame(_FIX_RDFS_ONT, ["subj", "pred", "obj"])
+    owl_ont = spark.createDataFrame(_FIX_OWL_ONT, ["subj", "pred", "obj"])
+    cut = F.crc32(F.col("subj")) % 5 < 4
+    stored = entailment_fixpoint(triples.where(cut), rdfs_ont, owl_ont)
+    return entailment_fixpoint_append(
+        stored, triples.where(~cut), rdfs_ont, owl_ont
+    )
+
+
 def q_kg_scc(spark, sf_dir):
     """Strongly connected components over the DIRECTED KG edge set
     (operators/graph.py strongly_connected_components — FW-Trim-
@@ -3012,6 +3063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_rdfs_incremental": q_kg_rdfs_incremental,
         "kg_owl": q_kg_owl,
+        # joint RDFS+OWL fixpoint + its incremental twin (closure
+        # idempotence; shares kg_entailed's oracle)
+        "kg_entailed": q_kg_entailed,
+        "kg_entailed_incremental": q_kg_entailed_incremental,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
         "kg_ppr": q_kg_ppr,
@@ -4894,6 +4949,31 @@ SELECT subj, pred, obj FROM mir
 UNION
 SELECT subj, pred, obj FROM clo
 """,
+        # joint RDFS+OWL fixpoint de-sugared: flowsTo = recursive
+        # closure of the subproperty-folded flow preds; endpoints typed
+        # NODE + ENTITY (domain/range + subClassOf)
+        "kg_entailed": m.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+f0 AS (
+  SELECT DISTINCT subj, obj FROM de
+  WHERE pred IN ('precedes', 'feedsInto', 'flowsTo')
+),
+fc AS (
+  SELECT subj, obj FROM f0
+  UNION
+  SELECT fc.subj, f0.obj FROM fc JOIN f0 ON f0.subj = fc.obj
+),
+nodes AS (SELECT subj AS node FROM fc UNION SELECT obj FROM fc)
+SELECT subj, pred, obj FROM de
+UNION
+SELECT subj, 'flowsTo' AS pred, obj FROM fc
+UNION
+SELECT node, 'type', 'NODE' FROM nodes
+UNION
+SELECT node, 'type', 'ENTITY' FROM nodes
+""",
         "kg_triangles": m
         + _EDGES_CTE
         + """
@@ -5995,6 +6075,7 @@ FROM events GROUP BY 1
     sql["kg_canonical_edges_incremental"] = sql["kg_canonical_edges"]
     sql["kg_closure_incremental"] = sql["kg_closure"]
     sql["kg_rdfs_incremental"] = sql["kg_rdfs"]
+    sql["kg_entailed_incremental"] = sql["kg_entailed"]
     sql["kg_edge_support_incremental"] = sql["kg_edge_support"]
     sql["lsh_dedup_incremental"] = sql["lsh_dedup_verified"]
     sql["embedding_lsh_incremental"] = sql["embedding_dup_pairs"]

@@ -384,6 +384,37 @@ def entailment_fixpoint(
     )
 
 
+def entailment_fixpoint_append(
+    entailed: DataFrame,
+    new_triples: DataFrame,
+    rdfs_ontology: DataFrame,
+    owl_ontology: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Incremental maintenance of the JOINT RDFS+OWL closure under
+    FIXED ontologies — the fixpoint twin of
+    :func:`rdfs_entailment_append`, same correctness argument lifted
+    one level: each pass is monotone and idempotent, so the joint
+    closure is a closure operator and ``E(E(T) u D) = E(T u D)``
+    (test-pinned bit-equal to the full recompute). Efficiency shape is
+    also inherited: the stored set is already jointly closed, so the
+    first alternation re-derives only what the delta adds and the
+    second observes the fixpoint — history re-shuffles through the
+    distincts but is never re-extracted, and the transitive-pred
+    doubling loops restart from already-closed edge sets (one round to
+    converge). An ontology change invalidates the store exactly as in
+    the RDFS-only form.
+    """
+    return entailment_fixpoint(
+        entailed.select("subj", "pred", "obj").unionByName(
+            new_triples.select("subj", "pred", "obj")
+        ),
+        rdfs_ontology,
+        owl_ontology,
+        **kwargs,
+    )
+
+
 def rdfs_entailment_append(
     entailed: DataFrame,
     new_triples: DataFrame,

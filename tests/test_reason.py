@@ -256,3 +256,40 @@ def test_empty_ontology_is_identity_modulo_distinct(spark):
         for r in rdfs_entailment(_df(spark, triples), _df(spark, [])).collect()
     }
     assert got == set(triples)
+
+
+def test_fixpoint_append_equals_full(spark):
+    from spacy_llm_spark.operators.reason import (
+        entailment_fixpoint,
+        entailment_fixpoint_append,
+    )
+
+    rdfs_ont = [
+        ("executes", "subPropertyOf", "flows"),
+        ("fedBy", "domain", "SINK"),
+    ]
+    owl_ont = [
+        ("flows", TYPE, "TransitiveProperty"),
+        ("feeds", "inverseOf", "fedBy"),
+    ]
+    triples = [
+        ("a", "executes", "b"), ("b", "executes", "c"),
+        ("x", "feeds", "y"),
+        # the delta EXTENDS the flows chain through stored nodes, so
+        # the joint closure must derive cross-batch (a, flows, d)
+        ("c", "executes", "d"), ("y", "feeds", "z"),
+    ]
+    old, new = triples[:3], triples[3:]
+    stored = entailment_fixpoint(
+        _df(spark, old), _df(spark, rdfs_ont), _df(spark, owl_ont)
+    )
+    inc = entailment_fixpoint_append(
+        stored, _df(spark, new), _df(spark, rdfs_ont), _df(spark, owl_ont)
+    )
+    full = entailment_fixpoint(
+        _df(spark, triples), _df(spark, rdfs_ont), _df(spark, owl_ont)
+    )
+    got = {tuple(r) for r in inc.collect()}
+    assert got == {tuple(r) for r in full.collect()}
+    assert ("a", "flows", "d") in got  # cross-batch transitive edge
+    assert ("z", TYPE, "SINK") in got  # delta-only inverse+domain typing
