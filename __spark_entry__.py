@@ -1345,6 +1345,25 @@ def q_kg_bgp_filter_minus(spark, sf_dir):
     )
 
 
+def q_kg_bgp_star_exists_values(spark, sf_dir):
+    """SPARQL zero-or-more path + FILTER EXISTS + VALUES
+    (operators/graph.match_bgp): ops reachable from executed ops by
+    precedes* (the + closure unioned with the zero-length identity over
+    all graph terms, per the SPARQL ALP rule — so every executed op
+    reaches at least itself), kept only where the reached op applies to
+    something (correlated EXISTS = ONE left_semi), with ?s pinned to
+    two systems by an inline VALUES table (broadcast inner join)."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [("?s", "executes", "?o"), ("?o", "precedes*", "?p2")],
+        exists=[[("?p2", "appliesTo", "?t")]],
+        values=(["?s"], [("K300",), ("K310",)]),
+    )
+
+
 def q_kg_entity_names(spark, sf_dir):
     """Canonical display-name selection
     (operators/canonicalize.modal_label): the modal surface form per
@@ -3044,6 +3063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_alt_inverse": q_kg_bgp_alt_inverse,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_filter_minus": q_kg_bgp_filter_minus,
+        "kg_bgp_star_exists_values": q_kg_bgp_star_exists_values,
         "kg_bgp_construct": q_kg_bgp_construct,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
@@ -4687,6 +4707,29 @@ WHERE NOT EXISTS (
   SELECT 1 FROM de x
   WHERE x.pred = 'hasSegment' AND x.obj = 'AUTOMOBILE' AND x.subj = q.c
 )
+""",
+        # p* = recursive closure UNION the term identity; EXISTS = IN
+        # subquery on the shared variable; VALUES = literal IN list
+        "kg_bgp_star_exists_values": m.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+terms AS (SELECT subj AS t FROM de UNION SELECT obj FROM de),
+pe AS (SELECT subj AS s, obj AS o2 FROM de WHERE pred = 'precedes'),
+clo AS (
+  SELECT s, o2 FROM pe
+  UNION
+  SELECT clo.s, pe.o2 FROM clo JOIN pe ON pe.s = clo.o2
+),
+star AS (SELECT s, o2 FROM clo UNION SELECT t, t FROM terms)
+SELECT DISTINCT e.obj AS o, st.o2 AS p2, e.subj AS s
+FROM de e
+JOIN star st ON st.s = e.obj
+WHERE e.pred = 'executes'
+  AND e.subj IN ('K300', 'K310')
+  AND st.o2 IN (SELECT DISTINCT subj FROM de WHERE pred = 'appliesTo')
 """,
         # BGP triangle as explicit self-joins over the distinct triple
         # set — the de-sugared form of the engine's pattern compiler

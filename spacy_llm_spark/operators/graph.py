@@ -1491,15 +1491,47 @@ def _compile_bgp(
             if p_term.startswith("^"):
                 term_cols = (obj, pred, subj)
             plus = core.endswith("+") and len(core) > 1
-            alts = (core[:-1] if plus else core).split("|")
+            star = core.endswith("*") and len(core) > 1
+            opt = core.endswith("?") and len(core) > 1
+            alts = (core[:-1] if plus or star or opt else core).split("|")
             if not core or not all(alts):
                 raise ValueError(
                     f"match_bgp: bad predicate path {p_term!r} in "
                     f"pattern {i}"
                 )
         else:
-            plus, alts = False, None
-        if plus:
+            plus = star = opt = False
+            alts = None
+
+        def _identity_rows():
+            # SPARQL zero-length path: every graph TERM matches itself,
+            # plus any constant this pattern anchors on (the spec's ALP
+            # evaluation starts from the given term whether or not it
+            # occurs in the graph). Term-scale, one union-distinct —
+            # identity is symmetric, so the ^ column swap is a no-op
+            # on these rows.
+            terms = (
+                triples.select(F.col(subj).alias("_t"))
+                .unionByName(triples.select(F.col(obj).alias("_t")))
+                .distinct()
+            )
+            consts = [
+                t for t in (pat[0], pat[2])
+                if isinstance(t, str) and not is_var(t)
+            ]
+            if consts:
+                terms = terms.unionByName(
+                    triples.sparkSession.createDataFrame(
+                        [(c,) for c in sorted(set(consts))], "_t string"
+                    )
+                ).distinct()
+            return terms.select(
+                F.col("_t").alias(subj),
+                F.lit(p_term).alias(pred),
+                F.col("_t").alias(obj),
+            )
+
+        if plus or star:
             # SPARQL property path pred+ : one-or-more steps. The
             # pred-filtered subgraph is closed by path doubling HERE, at
             # compile time (transitive_closure runs its fixpoint jobs
@@ -1511,6 +1543,18 @@ def _compile_bgp(
                 src=subj,
                 dst=obj,
             ).withColumn(pred, F.lit(p_term))
+            if star:  # pred* = pred+ ∪ zero-length
+                df = df.select(subj, pred, obj).unionByName(
+                    _identity_rows()
+                ).distinct()
+        elif opt:
+            # pred? = one step ∪ zero-length
+            df = (
+                triples.where(F.col(pred).isin(alts))
+                .select(subj, F.lit(p_term).alias(pred), obj)
+                .unionByName(_identity_rows())
+                .distinct()
+            )
         elif alts is not None and (len(alts) > 1 or p_term != alts[0]):
             # alternation and/or bare inverse: one scan with an isin
             # pushdown filter (single isin is a plain equality filter),
@@ -1578,6 +1622,9 @@ def match_bgp(
     optional: list | None = None,
     filters: list | None = None,
     minus: list | None = None,
+    exists: list | None = None,
+    not_exists: list | None = None,
+    values: tuple | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching over the materialized KG —
     the SPARQL basic-graph-pattern (BGP) core, compiled to DataFrame
@@ -1622,11 +1669,18 @@ def match_bgp(
     leading ``^`` (``"^stores"``) is the inverse path — the pattern's
     subject and object swap roles, a zero-cost column remap; ``|``
     (``"appliesTo|emits"``) is alternation — ONE scan with an ``isin``
-    pushdown filter, never a union of scans. They compose without
-    parentheses — the whole constant parses as ``[^] names [+]``, so
-    ``"^p|q+"`` means ``^((p|q)+)``, which equals ``((^p)|(^q))+``
-    because closure commutes with edge reversal; other groupings need
-    separate patterns.
+    pushdown filter, never a union of scans; trailing ``*``
+    (zero-or-more) is the ``+`` closure unioned with the zero-length
+    identity, and trailing ``?`` (zero-or-one) the single step unioned
+    with it — the identity being, per the SPARQL ALP evaluation, every
+    graph TERM matched to itself plus any constant the pattern anchors
+    on (term-scale, one union-distinct; an open ``("?x", "p*", "?y")``
+    therefore deliberately returns every term reflexively, as the spec
+    requires). They compose without parentheses — the whole constant
+    parses as ``[^] names [+*?]``, so ``"^p|q+"`` means ``^((p|q)+)``,
+    which equals ``((^p)|(^q))+`` because closure commutes with edge
+    reversal (and identity is symmetric, so the same holds for ``*`` /
+    ``?``); other groupings need separate patterns.
 
     ``filters`` is a list of SPARQL ``FILTER`` expressions as SQL
     boolean strings over the required-bound variable columns (without
@@ -1651,12 +1705,34 @@ def match_bgp(
     a variable-name typo — the error message cites the rule so a user
     who truly wants the no-op can just delete the group.
 
+    ``exists`` / ``not_exists`` are lists of pattern GROUPS with SPARQL
+    ``FILTER EXISTS`` / ``FILTER NOT EXISTS`` semantics: a binding
+    survives iff the group, correlated on its shared variables, has
+    (resp. lacks) at least one solution — one ``left_semi`` /
+    ``left_anti`` equi-join per group. Unlike MINUS, a domain-disjoint
+    group is well-defined in SPARQL (the inner pattern is evaluated
+    uncorrelated and the filter is all-or-nothing), so it is supported:
+    one driver-side emptiness probe of the group decides between
+    identity and the empty result. On nonnull required bindings the
+    shared-variable case of ``not_exists`` coincides with ``minus`` —
+    the forms diverge in standard SPARQL only via unbound variables and
+    inner FILTERs, neither of which reaches this restricted surface.
+
+    ``values`` is ``(vars, rows)`` with SPARQL ``VALUES`` semantics
+    restricted to required-bound variables: an inline table of allowed
+    term combinations inner-joined (broadcast — VALUES blocks are
+    query-literal-sized) against the bindings. Variable names may
+    carry or omit the ``?``; rows must match the vars arity; ``UNDEF``
+    wildcards are not supported (filter per-variable instead).
+
     Algebra order (matching the SPARQL group translation): required
-    BGP join -> FILTER -> MINUS -> DISTINCT -> OPTIONAL left-joins.
-    FILTER and MINUS only remove rows and add no columns, so this
-    order is also the cheapest: everything downstream (the distinct's
-    Exchange, the OPTIONAL joins) sees the already-thinned binding
-    set. Reference analogue:
+    BGP join -> VALUES -> FILTER -> EXISTS -> NOT EXISTS -> MINUS ->
+    DISTINCT -> OPTIONAL left-joins.
+    Every pre-DISTINCT stage only removes rows and adds no columns
+    (the row-removing stages therefore commute — the order is the
+    spec's, not load-bearing), so everything downstream (the
+    distinct's Exchange, the OPTIONAL joins) sees the already-thinned
+    binding set. Reference analogue:
     none — the reference constructs triples but has no query layer over
     them; cited for parity accounting.
     """
@@ -1665,6 +1741,26 @@ def match_bgp(
     bound_vars, bound = _compile_bgp(
         triples, patterns, subj, pred, obj, allow_cartesian
     )
+    if values is not None:
+        vvars, vrows = values
+        vvars = [v[1:] if v.startswith("?") else v for v in vvars]
+        unknown = set(vvars) - bound_vars
+        if not vvars or unknown:
+            raise ValueError(
+                f"match_bgp: values variables {sorted(unknown) or vvars} "
+                f"not among the required-bound {sorted(bound_vars)}"
+            )
+        bad = [r for r in vrows if len(r) != len(vvars)]
+        if bad:
+            raise ValueError(
+                f"match_bgp: values row {bad[0]!r} does not match the "
+                f"{len(vvars)} declared variables"
+            )
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in vrows],
+            ", ".join(f"{v} string" for v in vvars),
+        ).distinct()
+        bound = bound.join(F.broadcast(vdf), on=vvars)
     for fi, expr in enumerate(filters or []):
         try:
             bound = bound.where(F.expr(expr))
@@ -1674,6 +1770,25 @@ def match_bgp(
                 f"the required-bound variables {sorted(bound_vars)} — "
                 "FILTER may reference required variables only"
             ) from exc
+    for want, groups in ((True, exists), (False, not_exists)):
+        kind = "exists" if want else "not_exists"
+        for gi, group in enumerate(groups or []):
+            gvars, gdf = _compile_bgp(
+                triples, group, subj, pred, obj, allow_cartesian,
+                what=f"{kind} group {gi}",
+            )
+            shared = sorted(gvars & bound_vars)
+            if shared:
+                bound = bound.join(
+                    gdf.select(*shared).distinct(),
+                    on=shared,
+                    how="left_semi" if want else "left_anti",
+                )
+            elif gdf.isEmpty() == want:
+                # uncorrelated EXISTS over an empty group / NOT EXISTS
+                # over a nonempty one: all-or-nothing per the spec —
+                # the probe is one limit-1 job over the group's scans
+                bound = bound.limit(0)
     for gi, group in enumerate(minus or []):
         gvars, gdf = _compile_bgp(
             triples, group, subj, pred, obj, allow_cartesian,

@@ -830,3 +830,135 @@ def test_match_bgp_filter_minus_optional_order(spark):
     # s1 bindings: (s1,op1,t1) (s1,op2,t1) (s1,op2,t2); minus (s1,t1)
     # leaves only (s1,op2,t2); no locatedIn triples exist -> r = NULL
     assert got == {("s1", "op2", "t2", None)}
+
+
+def test_match_bgp_star_and_opt_paths(spark):
+    t = _triples_df(spark)
+    terms = {x for s, p, o in TRIPLES for x in (s, o)}
+    # precedes edges: only (op1, op2); closure adds nothing new
+    star = {
+        (r.a, r.b)
+        for r in match_bgp(t, [("?a", "precedes*", "?b")]).collect()
+    }
+    assert star == {(x, x) for x in terms} | {("op1", "op2")}
+    qmark = {
+        (r.a, r.b)
+        for r in match_bgp(t, [("?a", "precedes?", "?b")]).collect()
+    }
+    assert qmark == star  # single edge: ? == * here
+    # constant anchor NOT in the graph still matches itself (SPARQL ALP
+    # starts from the given term)
+    ghost = match_bgp(t, [("ghost", "precedes*", "?b")])
+    assert [r.b for r in ghost.collect()] == ["ghost"]
+    # * composes with ^ and joins like any pattern: zero-length rows
+    # keep s2 (which precedes nothing) in the result
+    out = {
+        (r.s, r.x)
+        for r in match_bgp(
+            t, [("?s", "executes", "?o"), ("?o", "^appliesTo*", "?x")]
+        ).collect()
+    }
+    assert ("s2", "op2") in out  # zero-length: x = o itself
+    # bare "*" is a literal predicate name (same convention as bare
+    # "+"); a malformed alternation under * still raises
+    assert match_bgp(t, [("?a", "*", "?b")]).count() == 0
+    with pytest.raises(ValueError, match="bad predicate path"):
+        match_bgp(t, [("?a", "a||b*", "?b")])
+
+
+def test_match_bgp_star_multi_hop(spark):
+    # chain a->b->c->d under p: p* = identity + full closure
+    t = spark.createDataFrame(
+        [Row(subj=s, pred="p", obj=o) for s, o in
+         [("a", "b"), ("b", "c"), ("c", "d")]],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.x, r.y) for r in match_bgp(t, [("?x", "p*", "?y")]).collect()}
+    closure = {("a", "b"), ("a", "c"), ("a", "d"),
+               ("b", "c"), ("b", "d"), ("c", "d")}
+    ident = {(v, v) for v in "abcd"}
+    assert got == closure | ident
+
+
+def test_match_bgp_exists_not_exists(spark):
+    t = _triples_df(spark)
+    base = {(r.s, r.o) for r in match_bgp(t, [("?s", "executes", "?o")]).collect()}
+    # correlated EXISTS: keep systems that store something
+    ex = {
+        (r.s, r.o)
+        for r in match_bgp(
+            t, [("?s", "executes", "?o")], exists=[[("?s", "stores", "?z")]]
+        ).collect()
+    }
+    assert ex == base  # s1 and s2 both store
+    # correlated NOT EXISTS on two shared vars: drop bindings whose
+    # (o, t)-free projection... here drop (s,o) where o appliesTo t2
+    ne = {
+        (r.s, r.o)
+        for r in match_bgp(
+            t,
+            [("?s", "executes", "?o")],
+            not_exists=[[("?o", "appliesTo", "t2")]],
+        ).collect()
+    }
+    assert ne == {p for p in base if p[1] == "op1"}  # op2 appliesTo t2
+    # uncorrelated (domain-disjoint) groups are all-or-nothing
+    assert (
+        match_bgp(
+            t, [("?s", "executes", "?o")],
+            exists=[[("?a", "precedes", "?b")]],
+        ).count()
+        == len(base)
+    )
+    assert (
+        match_bgp(
+            t, [("?s", "executes", "?o")],
+            exists=[[("?a", "locatedIn", "?b")]],
+        ).count()
+        == 0
+    )
+    assert (
+        match_bgp(
+            t, [("?s", "executes", "?o")],
+            not_exists=[[("?a", "precedes", "?b")]],
+        ).count()
+        == 0
+    )
+    assert (
+        match_bgp(
+            t, [("?s", "executes", "?o")],
+            not_exists=[[("?a", "locatedIn", "?b")]],
+        ).count()
+        == len(base)
+    )
+
+
+def test_match_bgp_values(spark):
+    t = _triples_df(spark)
+    out = match_bgp(
+        t,
+        [("?s", "executes", "?o")],
+        values=(["?s"], [("s1",)]),
+    )
+    assert {(r.s, r.o) for r in out.collect()} == {
+        ("s1", "op1"), ("s1", "op2")
+    }
+    # multi-variable rows constrain combinations, not columns
+    out2 = match_bgp(
+        t,
+        [("?s", "executes", "?o")],
+        values=(["s", "o"], [("s1", "op2"), ("s2", "op2"), ("s2", "op9")]),
+    )
+    assert {(r.s, r.o) for r in out2.collect()} == {
+        ("s1", "op2"), ("s2", "op2")
+    }
+    # zero rows -> empty result; unknown var refused; arity refused
+    assert match_bgp(
+        t, [("?s", "executes", "?o")], values=(["s"], [])
+    ).count() == 0
+    with pytest.raises(ValueError, match="values variables"):
+        match_bgp(t, [("?s", "executes", "?o")], values=(["zz"], [("a",)]))
+    with pytest.raises(ValueError, match="does not match"):
+        match_bgp(
+            t, [("?s", "executes", "?o")], values=(["s", "o"], [("s1",)])
+        )
