@@ -582,6 +582,23 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["rdfs_entailment_1m_triples_sec"] = round(time.time() - t0, 3)
     extras["rdfs_n_entailed"] = n_rdfs
 
+    # joint RDFS+OWL fixpoint over the same set: rdfs7 folds the 20k
+    # precedes edges (a functional graph, cycles 8/40/200) into
+    # flowsTo, which OWL closes transitively (~3.3M pairs) — the
+    # cross-vocabulary interaction needs the alternation, converging in
+    # 2 rounds + 1 observation
+    t0 = time.time()
+    from spacy_llm_spark.operators.reason import entailment_fixpoint
+
+    oont = spark.createDataFrame(
+        [("flowsTo", "type", "TransitiveProperty")], ["subj", "pred", "obj"]
+    )
+    n_fix = entailment_fixpoint(
+        bgp_triples.unionByName(rtypes), ront, oont
+    ).count()
+    extras["entailment_fixpoint_1m_sec"] = round(time.time() - t0, 3)
+    extras["fixpoint_n_entailed"] = n_fix
+
     # Brandes betweenness from ~10 sampled sources over a 200k-edge
     # shuffle-exchange graph (diameter ~17): ~2·ecc level-synchronous
     # rounds, each one (source, vertex)-keyed join + aggregate
