@@ -1389,6 +1389,30 @@ def q_kg_bgp_construct(spark, sf_dir):
     )
 
 
+def q_kg_bgp_agg(spark, sf_dir):
+    """SPARQL aggregation (operators/graph.match_bgp_agg): per-subject
+    stats over the executes/appliesTo two-hop solution multiset —
+    COUNT(*), COUNT(DISTINCT ?t), MIN(?o), sorted GROUP_CONCAT(?t) with
+    HAVING n_paths >= 2. The BGP's pushdown scans + equi-join feed ONE
+    partial+final hash aggregate keyed on ?s; HAVING prunes group-scale
+    rows post-aggregate."""
+    from spacy_llm_spark.operators.graph import match_bgp_agg
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp_agg(
+        triples,
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        group_by=["?s"],
+        aggregates=[
+            ("count", "*", "n_paths"),
+            ("count_distinct", "?t", "n_targets"),
+            ("min", "?o", "first_op"),
+            ("group_concat", "?t", "targets", ","),
+        ],
+        having=["n_paths >= 2"],
+    )
+
+
 def q_kg_betweenness(spark, sf_dir):
     """Betweenness centrality (operators/graph.betweenness — distributed
     Brandes, level-synchronous forward sigma + backward delta, undirected
@@ -3064,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_filter_minus": q_kg_bgp_filter_minus,
         "kg_bgp_star_exists_values": q_kg_bgp_star_exists_values,
+        "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_construct": q_kg_bgp_construct,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
@@ -4730,6 +4755,24 @@ JOIN star st ON st.s = e.obj
 WHERE e.pred = 'executes'
   AND e.subj IN ('K300', 'K310')
   AND st.o2 IN (SELECT DISTINCT subj FROM de WHERE pred = 'appliesTo')
+""",
+        # SPARQL aggregation: GROUP BY over the two-hop solution
+        # multiset; GROUP_CONCAT is pinned sorted in both engines
+        # (SPARQL leaves element order undefined)
+        "kg_bgp_agg": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT a.subj AS s,
+       COUNT(*) AS n_paths,
+       COUNT(DISTINCT b.obj) AS n_targets,
+       MIN(a.obj) AS first_op,
+       STRING_AGG(b.obj, ',' ORDER BY b.obj) AS targets
+FROM de a
+JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+WHERE a.pred = 'executes'
+GROUP BY a.subj
+HAVING COUNT(*) >= 2
 """,
         # BGP triangle as explicit self-joins over the distinct triple
         # set — the de-sugared form of the engine's pattern compiler

@@ -1890,6 +1890,158 @@ def match_bgp_union(
     return out.distinct() if distinct else out
 
 
+_BGP_AGGS = {
+    "count", "count_distinct", "sum", "avg", "min", "max",
+    "sample", "group_concat",
+}
+
+
+def match_bgp_agg(
+    triples: DataFrame,
+    patterns: list,
+    group_by: list,
+    aggregates: list,
+    having: list | None = None,
+    order_by: list | None = None,
+    limit: int | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = False,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL aggregation over BGP solutions — ``SELECT (COUNT(?x) AS
+    ?n) ... WHERE { ... } GROUP BY ?g HAVING(...) ORDER BY ... LIMIT k``
+    compiled to the BGP join followed by ONE hash aggregate.
+
+    ``patterns`` (and any ``match_bgp`` keyword — ``optional``,
+    ``filters``, ``minus``, ``exists``/``not_exists``, ``values`` —
+    passed through ``bgp_kwargs``) define the solution set exactly as
+    :func:`match_bgp` does, with ``distinct=False`` by default because
+    SPARQL aggregates evaluate over the solution MULTISET (the bag the
+    group pattern produces), not its distinct projection; pass
+    ``distinct=True`` for the ``SELECT DISTINCT`` inner form.
+
+    ``group_by`` is a list of variables (``?`` optional); empty means
+    the SPARQL implicit single group (one global row). ``aggregates``
+    is a list of ``(func, var, alias)`` tuples — ``func`` one of
+    ``count`` (``var="*"`` for COUNT(*), else counts bound/non-NULL
+    solutions per the SPARQL COUNT(?x) rule), ``count_distinct``,
+    ``sum`` / ``avg`` (terms try_cast to double; non-numeric terms
+    become NULL and are skipped, SPARQL's error-solution elision — a
+    plain cast would THROW under Spark 4's default ANSI mode),
+    ``min`` / ``max`` (lexicographic on terms, numeric after an
+    explicit cast in a FILTER/projection upstream), ``sample``
+    (SPARQL leaves the choice open — pinned to MIN for determinism),
+    and ``group_concat`` (optionally ``(func, var, alias, sep)`` —
+    SPARQL leaves element order undefined, so the elements are sorted
+    before joining, making the result reproducible across engines and
+    partitionings). Aliases must not collide with group variables.
+
+    ``having`` is a list of SQL boolean strings over the group
+    variables and aggregate aliases (one post-aggregate Filter each);
+    ``order_by`` a list of ``"col"`` / ``"col desc"`` strings and
+    ``limit`` an int — together they compile to TakeOrderedAndProject
+    (top-k without a global sort) when both are present. ``order_by``
+    without ``limit`` is a full sort and is only worth it on
+    group-scale (already aggregated) output.
+
+    Plan shape: the BGP's pushdown scans + equi-joins feed ONE
+    partial+final hash aggregate keyed on ``group_by`` — no extra
+    shuffle beyond the aggregate's own Exchange; HAVING prunes
+    group-scale rows after the final aggregate. Reference analogue:
+    none — the reference has no query layer; cited for parity
+    accounting.
+    """
+    group_by = [v[1:] if v.startswith("?") else v for v in group_by]
+    if not aggregates:
+        raise ValueError("match_bgp_agg: need at least one aggregate")
+    bound = match_bgp(
+        triples, patterns, subj=subj, pred=pred, obj=obj,
+        distinct=distinct, **bgp_kwargs,
+    )
+    cols = set(bound.columns)
+    missing = [g for g in group_by if g not in cols]
+    if missing:
+        raise ValueError(
+            f"match_bgp_agg: group_by variable(s) {missing} not among "
+            f"the bound variables {sorted(cols)}"
+        )
+    exprs = []
+    seen_aliases = set(group_by)
+    for spec in aggregates:
+        func, var, alias, *rest = spec
+        sep = rest[0] if rest else " "
+        if rest and func != "group_concat":
+            raise ValueError(
+                f"match_bgp_agg: only group_concat takes a separator: {spec!r}"
+            )
+        var = var[1:] if isinstance(var, str) and var.startswith("?") else var
+        if func not in _BGP_AGGS:
+            raise ValueError(
+                f"match_bgp_agg: unknown aggregate {func!r} "
+                f"(supported: {sorted(_BGP_AGGS)})"
+            )
+        if alias in seen_aliases:
+            raise ValueError(
+                f"match_bgp_agg: alias {alias!r} collides with a group "
+                "variable or earlier alias"
+            )
+        seen_aliases.add(alias)
+        if var == "*":
+            if func != "count":
+                raise ValueError(
+                    f"match_bgp_agg: '*' is only valid for count, not {func}"
+                )
+            exprs.append(F.count(F.lit(1)).alias(alias))
+            continue
+        if var not in cols:
+            raise ValueError(
+                f"match_bgp_agg: aggregate variable ?{var} not among "
+                f"the bound variables {sorted(cols)}"
+            )
+        c = F.col(var)
+        if func == "count":
+            exprs.append(F.count(c).alias(alias))
+        elif func == "count_distinct":
+            exprs.append(F.count_distinct(c).alias(alias))
+        elif func == "sum":
+            exprs.append(F.sum(c.try_cast("double")).alias(alias))
+        elif func == "avg":
+            exprs.append(F.avg(c.try_cast("double")).alias(alias))
+        elif func == "min" or func == "sample":
+            exprs.append(F.min(c).alias(alias))
+        elif func == "max":
+            exprs.append(F.max(c).alias(alias))
+        else:  # group_concat — sorted for cross-engine determinism
+            exprs.append(
+                F.array_join(F.array_sort(F.collect_list(c)), sep).alias(alias)
+            )
+    out = bound.groupBy(*[F.col(g) for g in group_by]).agg(*exprs)
+    for hi, expr in enumerate(having or []):
+        try:
+            out = out.where(F.expr(expr))
+        except Exception as exc:
+            raise ValueError(
+                f"match_bgp_agg: having {hi} ({expr!r}) failed analysis "
+                f"over {sorted(seen_aliases)}"
+            ) from exc
+    if order_by:
+        sort_cols = []
+        for spec in order_by:
+            parts = spec.split()
+            col = F.col(parts[0])
+            if len(parts) == 2 and parts[1].lower() == "desc":
+                col = col.desc()
+            elif len(parts) > 1:
+                raise ValueError(f"match_bgp_agg: bad order_by spec {spec!r}")
+            sort_cols.append(col)
+        out = out.orderBy(*sort_cols)
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
 def construct_triples(
     bindings: DataFrame,
     templates: list,

@@ -962,3 +962,123 @@ def test_match_bgp_values(spark):
         match_bgp(
             t, [("?s", "executes", "?o")], values=(["s", "o"], [("s1",)])
         )
+
+
+def test_match_bgp_agg_grouped(spark):
+    from spacy_llm_spark.operators.graph import match_bgp_agg
+
+    out = match_bgp_agg(
+        _triples_df(spark),
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        group_by=["?s"],
+        aggregates=[
+            ("count", "*", "n"),
+            ("count_distinct", "?t", "nt"),
+            ("min", "?o", "first_o"),
+            ("group_concat", "?t", "ts", ","),
+        ],
+    )
+    got = {(r.s, r.n, r.nt, r.first_o, r.ts) for r in out.collect()}
+    assert got == {
+        ("s1", 3, 2, "op1", "t1,t1,t2"),
+        ("s2", 2, 2, "op2", "t1,t2"),
+    }
+
+
+def test_match_bgp_agg_global_and_numeric(spark):
+    from spacy_llm_spark.operators.graph import match_bgp_agg
+
+    # implicit single group; numeric terms cast for sum/avg
+    weighted = spark.createDataFrame(
+        [Row(subj=s, pred="weighs", obj=o)
+         for s, o in [("a", "3"), ("b", "5"), ("c", "4")]],
+        "subj string, pred string, obj string",
+    )
+    row = match_bgp_agg(
+        weighted,
+        [("?x", "weighs", "?w")],
+        group_by=[],
+        aggregates=[
+            ("count", "?w", "n"),
+            ("sum", "?w", "total"),
+            ("avg", "?w", "mean"),
+            ("max", "?x", "last_x"),
+            ("sample", "?x", "any_x"),
+        ],
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.n, r.total, r.mean, r.last_x, r.any_x) == (3, 12.0, 4.0, "c", "a")
+    # non-numeric terms become NULL under sum (SPARQL error elision)
+    bad = match_bgp_agg(
+        _triples_df(spark),
+        [("?s", "executes", "?o")],
+        group_by=[],
+        aggregates=[("sum", "?o", "total")],
+    ).collect()[0]
+    assert bad.total is None
+
+
+def test_match_bgp_agg_having_order_limit(spark):
+    from spacy_llm_spark.operators.graph import match_bgp_agg
+
+    out = match_bgp_agg(
+        _triples_df(spark),
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        group_by=["?s"],
+        aggregates=[("count", "*", "n")],
+        having=["n >= 3"],
+    ).collect()
+    assert [(r.s, r.n) for r in out] == [("s1", 3)]
+    top = match_bgp_agg(
+        _triples_df(spark),
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        group_by=["?s"],
+        aggregates=[("count", "*", "n")],
+        order_by=["n desc", "s"],
+        limit=1,
+    ).collect()
+    assert [(r.s, r.n) for r in top] == [("s1", 3)]
+
+
+def test_match_bgp_agg_bag_vs_distinct(spark):
+    from spacy_llm_spark.operators.graph import match_bgp_agg
+
+    dup = _triples_df(spark).unionByName(_triples_df(spark))
+    args = dict(
+        patterns=[("?s", "executes", "?o")],
+        group_by=["?s"],
+        aggregates=[("count", "*", "n")],
+    )
+    bag = {(r.s, r.n) for r in match_bgp_agg(dup, **args).collect()}
+    assert bag == {("s1", 4), ("s2", 2)}  # solution multiset
+    dis = {(r.s, r.n)
+           for r in match_bgp_agg(dup, distinct=True, **args).collect()}
+    assert dis == {("s1", 2), ("s2", 1)}
+
+
+def test_match_bgp_agg_guards(spark):
+    from spacy_llm_spark.operators.graph import match_bgp_agg
+
+    t = _triples_df(spark)
+    pats = [("?s", "executes", "?o")]
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        match_bgp_agg(t, pats, group_by=["?s"], aggregates=[])
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        match_bgp_agg(t, pats, ["?s"], [("median", "?o", "m")])
+    with pytest.raises(ValueError, match="only valid for count"):
+        match_bgp_agg(t, pats, ["?s"], [("sum", "*", "x")])
+    with pytest.raises(ValueError, match="collides"):
+        match_bgp_agg(t, pats, ["?s"], [("count", "*", "s")])
+    with pytest.raises(ValueError, match="group_by variable"):
+        match_bgp_agg(t, pats, ["?zz"], [("count", "*", "n")])
+    with pytest.raises(ValueError, match="aggregate variable"):
+        match_bgp_agg(t, pats, ["?s"], [("count", "?zz", "n")])
+    with pytest.raises(ValueError, match="separator"):
+        match_bgp_agg(t, pats, ["?s"], [("count", "?o", "n", ",")])
+    with pytest.raises(ValueError, match="bad order_by"):
+        match_bgp_agg(t, pats, ["?s"], [("count", "*", "n")],
+                      order_by=["n descending extra"])
+    with pytest.raises(ValueError, match="having 0"):
+        match_bgp_agg(t, pats, ["?s"], [("count", "*", "n")],
+                      having=["nope > 1"])
