@@ -2664,6 +2664,67 @@ def q_kg_owl(spark, sf_dir):
     return owl_entailment(triples, ont)
 
 
+def _sameas_doc_triples(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    node = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    head = F.concat(F.lit("head:"), F.substring("text", 1, 32))
+    shape = F.concat(
+        F.lit("shape:"), F.col("lang"), F.lit(":"),
+        F.col("n_chars").cast("string"),
+    )
+    return (
+        docs.select(node.alias("subj"), F.lit("hasHead").alias("pred"),
+                    head.alias("obj"))
+        .unionByName(docs.select(node.alias("subj"),
+                                 F.lit("hasShape").alias("pred"),
+                                 shape.alias("obj")))
+        .unionByName(docs.select(node.alias("subj"),
+                                 F.lit("inLang").alias("pred"),
+                                 F.col("lang").alias("obj")))
+    )
+
+
+_SAMEAS_ONT = [
+    ("hasHead", "type", "InverseFunctionalProperty"),
+    ("hasShape", "type", "InverseFunctionalProperty"),
+]
+
+
+def q_kg_sameas(spark, sf_dir):
+    """owl:sameAs canonicalization (operators/reason.py
+    sameas_canonicalize — WebPIE-style merge-onto-representative, NOT
+    quadratic replacement materialization): doc nodes carry two
+    InverseFunctionalProperty keys (32-char head, lang:len shape);
+    docs sharing either key merge, classes close transitively through
+    CROSS-key chains (connected components, lexicographic-min rep), and
+    the triple set rewrites onto representatives via the size-gated
+    canonical_edges remap — reasoning-driven entity resolution. With
+    only IFP keys (objects never merge) the fixpoint converges in one
+    derivation round, which is what makes the oracle ONE recursive
+    closure; multi-round FP feedback is pinned in tests/test_reason.py
+    against a brute-force reference."""
+    from spacy_llm_spark.operators.reason import sameas_canonicalize
+
+    ont = spark.createDataFrame(_SAMEAS_ONT, ["subj", "pred", "obj"])
+    triples, _ = sameas_canonicalize(
+        _sameas_doc_triples(spark, sf_dir), ont
+    )
+    return triples
+
+
+def q_kg_sameas_map(spark, sf_dir):
+    """The (node, component) merge map from q_kg_sameas — the merged
+    nodes only (rep != node), i.e. which extracted doc nodes the sameAs
+    reasoning fused and onto which representative."""
+    from spacy_llm_spark.operators.reason import sameas_canonicalize
+
+    ont = spark.createDataFrame(_SAMEAS_ONT, ["subj", "pred", "obj"])
+    _, mapping = sameas_canonicalize(
+        _sameas_doc_triples(spark, sf_dir), ont
+    )
+    return mapping
+
+
 _FIX_RDFS_ONT = [
     # both flow preds fold into flowsTo, which OWL declares transitive
     # — the cross-vocabulary interaction that NEEDS the joint fixpoint
@@ -3112,6 +3173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # idempotence; shares kg_entailed's oracle)
         "kg_entailed": q_kg_entailed,
         "kg_entailed_incremental": q_kg_entailed_incremental,
+        # owl:sameAs canonicalization (reasoning-driven ER) + its map
+        "kg_sameas": q_kg_sameas,
+        "kg_sameas_map": q_kg_sameas_map,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_kcore": q_kg_kcore,
         "kg_ppr": q_kg_ppr,
@@ -4934,6 +4998,59 @@ reach AS (
 )
 SELECT verts.v AS vertex, least(verts.v, coalesce(mutual.m, verts.v)) AS scc
 FROM verts LEFT JOIN mutual ON verts.v = mutual.v
+""",
+        # owl:sameAs canonicalization: star pairs per IFP key (group
+        # min via window), recursive undirected closure -> min-label
+        # representative, LEFT-join rewrite — the engine's fixpoint
+        # collapses to one derivation round here because objects never
+        # merge under IFP-only ontologies (see q_kg_sameas docstring)
+        "kg_sameas": """
+WITH RECURSIVE d AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS n,
+         'head:' || substr(text, 1, 32) AS head,
+         'shape:' || lang || ':' || CAST(n_chars AS VARCHAR) AS shape,
+         lang
+  FROM documents
+),
+hp AS (SELECT MIN(n) OVER (PARTITION BY head) AS a, n AS b FROM d),
+sp AS (SELECT MIN(n) OVER (PARTITION BY shape) AS a, n AS b FROM d),
+e AS (SELECT a, b FROM hp WHERE a <> b
+      UNION SELECT a, b FROM sp WHERE a <> b),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+),
+rep AS (SELECT a AS node, LEAST(MIN(b), a) AS rep FROM reach GROUP BY a),
+t AS (
+  SELECT n AS subj, 'hasHead' AS pred, head AS obj FROM d
+  UNION ALL SELECT n, 'hasShape', shape FROM d
+  UNION ALL SELECT n, 'inLang', lang FROM d
+)
+SELECT DISTINCT COALESCE(r.rep, t.subj) AS subj, pred, obj
+FROM t LEFT JOIN rep r ON r.node = t.subj
+""",
+        "kg_sameas_map": """
+WITH RECURSIVE d AS (
+  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS n,
+         'head:' || substr(text, 1, 32) AS head,
+         'shape:' || lang || ':' || CAST(n_chars AS VARCHAR) AS shape
+  FROM documents
+),
+hp AS (SELECT MIN(n) OVER (PARTITION BY head) AS a, n AS b FROM d),
+sp AS (SELECT MIN(n) OVER (PARTITION BY shape) AS a, n AS b FROM d),
+e AS (SELECT a, b FROM hp WHERE a <> b
+      UNION SELECT a, b FROM sp WHERE a <> b),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b
+)
+SELECT a AS node, LEAST(MIN(b), a) AS component
+FROM reach GROUP BY a
+HAVING LEAST(MIN(b), a) <> a
 """,
         # RDFS/rhoDF entailment: the stratified evaluation de-sugared —
         # recursive closures of the two schema hierarchies, then

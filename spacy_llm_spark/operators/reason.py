@@ -444,3 +444,151 @@ def rdfs_entailment_append(
         ontology,
         **kwargs,
     )
+
+
+def sameas_canonicalize(
+    triples: DataFrame,
+    ontology: DataFrame,
+    type_pred: str = "type",
+    sameas_pred: str = "sameAs",
+    functional_class: str = "FunctionalProperty",
+    inverse_functional_class: str = "InverseFunctionalProperty",
+    max_rounds: int = 10,
+    cc_max_iter: int = 25,
+    broadcast_threshold: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """owl:sameAs reasoning by CANONICALIZATION — the scalable
+    replacement-rule semantics (WebPIE, Urbani et al. 2010): instead of
+    materializing every sameAs-replacement triple (quadratic in class
+    size), merge each sameAs-equivalence class onto one representative
+    and rewrite the instance triples once. This is reasoning-driven
+    entity resolution, the step that fuses duplicate KG nodes the
+    extractor produced under different ids.
+
+    Rules implemented (the OWL-Horst sameAs fragment):
+
+    - asserted        (x sameAs y)                      -> merge x, y
+    - owl:Functional  (p type FunctionalProperty),
+                      (x p y), (x p z)                  -> merge y, z
+    - owl:InverseFunctional (p type InverseFunctionalProperty),
+                      (y p x), (z p x)                  -> merge y, z
+    - sameAs symmetry/transitivity: classes are CONNECTED COMPONENTS of
+      the pair graph (``canonicalize.connected_components`` — label =
+      lexicographic min, so representatives are deterministic);
+    - replacement: every instance triple's endpoints rewrite onto their
+      representatives (``canonicalize.canonical_edges`` — the same
+      size-gated broadcast remap the canonical triple table uses).
+
+    Evaluation is the honest FIXPOINT: merging subjects can create new
+    functional collisions (x p a), (y p b) under merged {x,y} derive
+    (a sameAs b), so each round re-derives collisions over the
+    REWRITTEN triples and stops when none are new. Collision pairs are
+    emitted star-shaped — every member pairs with its group's min via
+    ONE window aggregate inside the grouping shuffle, never the
+    quadratic all-pairs within a group — which is exactly the edge
+    shape connected_components contracts fastest. Each round strictly
+    merges at least two classes, so the round count is bounded by the
+    initial class count; ``max_rounds`` raises rather than returning a
+    partial merge (data with no FP/IFP feedback converges in 1 round +
+    1 empty-check).
+
+    Returns ``(canonical_triples, mapping)``: the rewritten distinct
+    instance triples (sameAs triples consumed, not re-emitted) and the
+    (node, rep) map restricted to merged nodes (rep != node) — entity-
+    scale, the join side the size gate guards.
+
+    Scale shape per round: CC over pair edges (pair-scale, log-depth
+    star rounds above the driver threshold), two groupBy+window passes
+    over only the FP/IFP-declared pred slices (pred-pushed isin
+    filters), and ONE corpus-scale rewrite pass whose map side is
+    broadcast only under the ``canonical_edges`` byte gate. The raw
+    triple set is never self-joined.
+
+    Reference analogue: none — spacy_llm's EL (tasks/entity_linker)
+    links mentions to KB ids but never fuses KB nodes; cited for parity
+    accounting.
+    """
+    from .canonicalize import (
+        _BROADCAST_VMAP_DEFAULT,
+        canonical_edges,
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    if broadcast_threshold is None:
+        broadcast_threshold = _BROADCAST_VMAP_DEFAULT
+    rows = ontology.select("subj", "pred", "obj").distinct().collect()
+    fp, ifp, bad = set(), set(), []
+    for s, p, o in rows:  # schema-scale driver pass
+        if p == type_pred and o == functional_class:
+            fp.add(s)
+        elif p == type_pred and o == inverse_functional_class:
+            ifp.add(s)
+        else:
+            bad.append(f"{s} {p} {o}")
+    if bad:
+        raise ValueError(
+            f"sameas_canonicalize: unsupported ontology rows "
+            f"{sorted(bad)[:5]}; expected (p, {type_pred}, "
+            f"{functional_class}|{inverse_functional_class})"
+        )
+
+    base = triples.select("subj", "pred", "obj").distinct()
+    inst = base.where(F.col("pred") != sameas_pred)
+    pairs = (
+        base.where(F.col("pred") == sameas_pred)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+    def _star_pairs(df: DataFrame, preds: set, part_col: str,
+                    emit_col: str) -> DataFrame:
+        """(group-min, member) collision pairs for the declared preds —
+        one window aggregate inside the grouping shuffle."""
+        w = Window.partitionBy("pred", part_col)
+        return (
+            df.where(F.col("pred").isin(sorted(preds)))
+            .select(
+                F.min(emit_col).over(w).alias("src"),
+                F.col(emit_col).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+
+    def _derive(df: DataFrame) -> DataFrame:
+        parts = []
+        if fp:
+            parts.append(_star_pairs(df, fp, "subj", "obj"))
+        if ifp:
+            parts.append(_star_pairs(df, ifp, "obj", "subj"))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    spark = triples.sparkSession
+    empty_map = spark.createDataFrame([], "node string, component string")
+    derived = _derive(inst)
+    if derived is not None:
+        pairs = pairs.unionByName(derived).distinct()
+    if pairs.isEmpty():
+        return inst.distinct(), empty_map
+    for _ in range(max_rounds):
+        comp = connected_components(
+            pairs.select("src", "dst"), max_iter=cc_max_iter
+        )
+        mapping = comp.where(F.col("node") != F.col("component"))
+        rewritten = canonical_edges(
+            inst, mapping, broadcast_threshold=broadcast_threshold
+        )
+        # post-rewrite collisions with src != dst connect two CURRENT
+        # classes (merged groups collapse onto one rep and filter out),
+        # so emptiness here IS the fixpoint test
+        new = _derive(rewritten)
+        if new is None or new.isEmpty():
+            return rewritten.distinct(), mapping
+        pairs = fs.cut_lineage(pairs.unionByName(new).distinct())
+    raise RuntimeError(
+        f"sameas_canonicalize: not converged within max_rounds={max_rounds}"
+    )

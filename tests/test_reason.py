@@ -293,3 +293,142 @@ def test_fixpoint_append_equals_full(spark):
     assert got == {tuple(r) for r in full.collect()}
     assert ("a", "flows", "d") in got  # cross-batch transitive edge
     assert ("z", TYPE, "SINK") in got  # delta-only inverse+domain typing
+
+
+# ---------- owl:sameAs canonicalization ----------
+
+
+def _py_sameas(triples, fp, ifp):
+    """Naive sameAs fixpoint: union-find with lexicographic-min roots,
+    re-deriving FP/IFP collisions over the rewritten set until stable."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            return True
+        return False
+
+    inst = {(s, p, o) for s, p, o in triples if p != "sameAs"}
+    for s, p, o in triples:
+        if p == "sameAs":
+            union(s, o)
+    changed = True
+    while changed:
+        changed = False
+        rw = {(find(s), p, find(o)) for s, p, o in inst}
+        groups = {}
+        for s, p, o in rw:
+            if p in fp:
+                groups.setdefault(("f", p, s), set()).add(o)
+            if p in ifp:
+                groups.setdefault(("i", p, o), set()).add(s)
+        for members in groups.values():
+            members = sorted(members)
+            for m in members[1:]:
+                changed |= union(members[0], m)
+    rewritten = {(find(s), p, find(o)) for s, p, o in inst}
+    mapping = {x: find(x) for x in parent if find(x) != x}
+    return rewritten, mapping
+
+
+def _sameas_frames(spark, triples, fp=(), ifp=()):
+    t = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in triples],
+        "subj string, pred string, obj string",
+    )
+    ont_rows = [(p, TYPE, "FunctionalProperty") for p in fp] + [
+        (p, TYPE, "InverseFunctionalProperty") for p in ifp
+    ]
+    ont = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in ont_rows] or [],
+        "subj string, pred string, obj string",
+    )
+    return t, ont
+
+
+@pytest.mark.parametrize(
+    "triples,fp,ifp",
+    [
+        # asserted chain: a~b~c, facts rewrite onto a, sameAs consumed
+        (
+            [("a", "sameAs", "b"), ("b", "sameAs", "c"),
+             ("c", "likes", "x"), ("b", "inLang", "en")],
+            (), (),
+        ),
+        # IFP: subjects sharing a key merge
+        (
+            [("d1", "hasSha", "s1"), ("d2", "hasSha", "s1"),
+             ("d3", "hasSha", "s2"), ("d2", "inLang", "en")],
+            (), ("hasSha",),
+        ),
+        # FP: objects of one subject merge, downstream facts follow
+        (
+            [("x", "bornIn", "paris"), ("x", "bornIn", "lutetia"),
+             ("lutetia", "inCountry", "fr")],
+            ("bornIn",), (),
+        ),
+        # 2-round feedback: asserted merge creates an FP collision
+        (
+            [("x1", "sameAs", "x2"), ("x1", "mother", "a"),
+             ("x2", "mother", "b"), ("a", "mother", "c"),
+             ("b", "mother", "d"), ("c", "likes", "tea")],
+            ("mother",), (),
+        ),
+        # cross-key IFP transitivity: d1~d2 via k, d2~d3 via h
+        (
+            [("d1", "hasK", "k1"), ("d2", "hasK", "k1"),
+             ("d2", "hasH", "h1"), ("d3", "hasH", "h1"),
+             ("d3", "cites", "d1")],
+            (), ("hasK", "hasH"),
+        ),
+        # no pairs at all: identity modulo distinct
+        ([("a", "likes", "b"), ("a", "likes", "b")], ("p",), ("q",)),
+    ],
+)
+def test_sameas_matches_bruteforce(spark, triples, fp, ifp):
+    from spacy_llm_spark.operators.reason import sameas_canonicalize
+
+    t, ont = _sameas_frames(spark, triples, fp, ifp)
+    got_t, got_m = sameas_canonicalize(t, ont)
+    want_t, want_m = _py_sameas(triples, set(fp), set(ifp))
+    assert {(r.subj, r.pred, r.obj) for r in got_t.collect()} == want_t
+    assert {(r.node, r.component) for r in got_m.collect()} == set(
+        want_m.items()
+    )
+
+
+def test_sameas_guards(spark):
+    from spacy_llm_spark.operators.reason import sameas_canonicalize
+
+    t, _ = _sameas_frames(spark, [("a", "likes", "b")])
+    bad = spark.createDataFrame(
+        [Row(subj="p", pred="domain", obj="C")],
+        "subj string, pred string, obj string",
+    )
+    with pytest.raises(ValueError, match="unsupported ontology"):
+        sameas_canonicalize(t, bad)
+    # 3-level FP feedback chain cannot finish in 1 round
+    deep = [
+        ("x1", "sameAs", "x2"),
+        ("x1", "f", "a"), ("x2", "f", "b"),
+        ("a", "f", "c"), ("b", "f", "d"),
+        ("c", "f", "e"), ("d", "f", "g"),
+    ]
+    td, ont = _sameas_frames(spark, deep, fp=("f",))
+    with pytest.raises(RuntimeError, match="not converged"):
+        sameas_canonicalize(td, ont, max_rounds=1)
+    got_t, got_m = sameas_canonicalize(td, ont)
+    want_t, want_m = _py_sameas(deep, {"f"}, set())
+    assert {(r.subj, r.pred, r.obj) for r in got_t.collect()} == want_t
+    assert {(r.node, r.component) for r in got_m.collect()} == set(
+        want_m.items()
+    )
