@@ -1482,6 +1482,21 @@ def q_kg_pred_stats(spark, sf_dir):
     )
 
 
+def q_kg_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function (operators/graph.hyperball —
+    Boldi-Vigna per-vertex HyperLogLog balls, DataSketches columns
+    merged JVM-side, one edge join + one union-merge aggregate per
+    round) in its certificate form over the undirected KG triple graph:
+    the exact N(t) curve plus a boolean certifying the sketch estimate
+    per round — the sketches.approx_distinct_certificate contract, so
+    the DuckDB oracle is the exact recursive-BFS curve + literal
+    true."""
+    from spacy_llm_spark.operators.graph import hyperball_certificate
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "obj").distinct()
+    return hyperball_certificate(triples)
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Harmonic centrality (operators/graph.harmonic_centrality —
     multi-source BFS with 1/hop contributions, Boldi-Vigna closeness
@@ -3155,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
         "kg_harmonic": q_kg_harmonic,
+        "kg_hyperball": q_kg_hyperball,
         # incremental twin of kg_closure (shares its oracle verbatim)
         "kg_closure_incremental": q_kg_closure_incremental,
         # profiling-family variant (profile_documents holds the stamped
@@ -4647,6 +4663,31 @@ FROM contrib GROUP BY vertex
         "kg_pagerank": _pagerank_oracle_sql(iters=5, d=0.85, q=10),
         "kg_betweenness": _betweenness_oracle_sql(levels=18),
         "kg_harmonic": _harmonic_oracle_sql(levels=18),
+        # HyperBall certificate: the exact neighborhood function via
+        # recursive BFS (min hop distance per pair, then the cumulative
+        # curve — distinct d values are contiguous 0..ecc because every
+        # shortest-path prefix realizes each smaller distance) + the
+        # literal true the certificate asserts
+        "kg_hyperball": m.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, obj FROM edges),
+e0 AS (SELECT subj AS src, obj AS dst FROM de
+       UNION SELECT obj, subj FROM de),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+r(v, u, t) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT r.v, e.dst, r.t + 1 FROM r JOIN e ON e.src = r.u WHERE r.t < 64
+),
+md AS (SELECT v, u, MIN(t) AS d FROM r GROUP BY v, u),
+ts AS (SELECT DISTINCT d AS t FROM md)
+SELECT CAST(ts.t AS INTEGER) AS t,
+       (SELECT COUNT(*) FROM md WHERE md.d <= ts.t) AS n_pairs,
+       true AS ok
+FROM ts
+""",
         # transitive closure of the binary part hierarchy — DuckDB's
         # recursive CTE vs the engine's path doubling; UNION (distinct)
         # recursion terminates because the hierarchy is a tree

@@ -623,6 +623,18 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     betweenness(bedges, bseeds, max_hops=60).count()
     extras["betweenness_200k_edges_10src_sec"] = round(time.time() - t0, 3)
 
+    # HyperBall neighborhood function over the same 200k-edge
+    # shuffle-exchange graph (undirected diameter ~17): ~17 rounds of
+    # one edge join + one hll_union_agg merge; lg_k=8 keeps per-vertex
+    # sketches ~hundreds of bytes even once every ball covers all 100k
+    # vertices — the fixed-state property that IS HyperBall
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import effective_diameter, hyperball
+
+    nf = hyperball(bedges, lg_k=8, max_t=40)
+    extras["hyperball_200k_edges_sec"] = round(time.time() - t0, 3)
+    extras["hyperball_eff_diameter"] = round(effective_diameter(nf), 2)
+
     # N-Triples serialization of 1M triples: pure codegen projection —
     # measures serialize throughput (no shuffle; the agg is the sink)
     t0 = time.time()

@@ -2362,3 +2362,218 @@ def harmonic_centrality(
     return nodes.join(h, nodes["vertex"] == h["v"], "left").select(
         "vertex", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
     )
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    directed: bool = False,
+    max_t: int = 64,
+    lg_k: int = 12,
+    return_balls: bool = False,
+):
+    """HyperBall (Boldi–Vigna 2013): the neighborhood function
+    ``N(t) = |{(v, u) : d(v, u) <= t}|`` estimated with per-vertex
+    HyperLogLog counters — the algorithm that computed Facebook's
+    "four degrees of separation". Exact N(t) needs the full distance
+    multiset (quadratic state); HyperBall keeps ONE mergeable fixed-size
+    sketch per vertex and runs BFS-style rounds, so the state is
+    O(|V| * 2^lg_k) bytes no matter how dense reachability gets —
+    the only neighborhood-function algorithm that survives a
+    billion-vertex KG.
+
+    Sketches are Spark's built-in Apache DataSketches HLL columns
+    (``hll_sketch_agg`` / ``hll_union_agg`` — JVM-side, mergeable,
+    deterministic), so every round is ONE equi-join of the ball frame
+    through the edge list plus ONE keyed union-merge aggregate — both
+    on the vertex key, partitioning reused round to round; lineage is
+    cut per round with the fixpoint signature (row count +
+    order-insensitive fold of per-vertex estimates) observed DURING the
+    cut's materialization job, zero extra scans (the
+    ``connected_components`` discipline). Iteration stops when NO
+    vertex's estimate changed — in principle a round can grow a ball
+    without moving its rounded estimate (register collision or
+    sub-rounding growth) making the stop early; the certificate form
+    sidesteps this by iterating to the EXACT side's fixpoint.
+
+    Returns a (t, n_pairs_estimate) frame with one row per round until
+    the fixpoint (t = 0 is |V|); with ``return_balls=True``, a tuple of
+    that and the converged (node, ball) sketch frame for downstream
+    per-vertex reuse (centrality estimation, ball-size joins).
+    ``directed=True`` follows edge direction (out-balls); default
+    symmetrizes. Raises after ``max_t`` rounds without convergence
+    (t exceeds the graph's eccentricity bound only on adversarial
+    inputs; N(t) is monotone so a partial curve is NOT returned).
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    from pyspark.sql import Observation
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.where(F.col("src") != F.col("dst")).distinct()
+    e = fs.cut_lineage(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    balls = nodes.groupBy("node").agg(
+        F.hll_sketch_agg("node", F.lit(lg_k)).alias("ball")
+    )
+
+    def _cut_with_signature(df: DataFrame):
+        obs = Observation()
+        # the signature folds PER-NODE estimates, not sketch bytes:
+        # DataSketches' sparse-mode serialization is insertion-order-
+        # dependent, so byte equality never stabilizes across rounds —
+        # estimate stability per vertex is the practical HyperBall stop
+        # rule (and the documented early-stop caveat's actual boundary)
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr(
+                "bit_xor(xxhash64(node, hll_sketch_estimate(ball)))"
+            ).alias("hsh"),
+            F.sum(F.hll_sketch_estimate("ball")).alias("est"),
+        )
+        cut = fs.cut_lineage(observed)
+        got = obs.get
+        return cut, (got["cnt"], got["hsh"]), got["est"]
+
+    balls, sig, est = _cut_with_signature(balls)
+    curve = [(0, int(est))]
+    for t in range(1, max_t + 1):
+        contrib = e.join(balls, e["dst"] == balls["node"]).select(
+            F.col("src").alias("node"), "ball"
+        )
+        merged = balls.unionByName(contrib).groupBy("node").agg(
+            F.hll_union_agg("ball").alias("ball")
+        )
+        merged, new_sig, est = _cut_with_signature(merged)
+        if new_sig == sig:
+            spark = edges.sparkSession
+            nf = spark.createDataFrame(curve, "t int, n_pairs_estimate long")
+            return (nf, merged) if return_balls else nf
+        balls, sig = merged, new_sig
+        curve.append((t, int(est)))
+    raise RuntimeError(
+        f"hyperball: not converged within max_t={max_t} rounds"
+    )
+
+
+def hyperball_certificate(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    directed: bool = False,
+    max_t: int = 64,
+    lg_k: int = 12,
+    sigma: float = 4.0,
+) -> DataFrame:
+    """Exact neighborhood function + a boolean certifying the HyperBall
+    estimate per round — the cross-engine contract for sketch-valued
+    results (the ``sketches.approx_distinct_certificate`` pattern: the
+    oracle side is the exact curve plus a literal ``true``).
+
+    The exact side materializes the reachable-pair set round by round
+    (p_t = p_{t-1} ∪ p_{t-1}⋈edges, one join + one distinct per round —
+    quadratic state, test/audit scale ONLY; production uses
+    :func:`hyperball` alone) and iterates to ITS fixpoint, so the
+    certified curve covers every t up to the true eccentricity bound
+    regardless of sketch-collision early stops. ``ok`` asserts
+    ``|est - exact| <= sigma * rsd * exact`` with the HLL rsd
+    ``1.04 / sqrt(2^lg_k)`` — conservative for a SUM of per-vertex
+    estimates whose errors partially cancel.
+
+    Output: (t, n_pairs, ok) — ``n_pairs`` exact, one row per round
+    until the exact fixpoint.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.where(F.col("src") != F.col("dst")).distinct()
+    e = fs.cut_lineage(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    balls = nodes.groupBy("node").agg(
+        F.hll_sketch_agg("node", F.lit(lg_k)).alias("ball")
+    )
+    balls = fs.cut_lineage(balls)
+    pairs = nodes.select(F.col("node").alias("v"), F.col("node").alias("u"))
+    pairs = fs.cut_lineage(pairs)
+    n_prev = pairs.count()
+    est = balls.agg(
+        F.sum(F.hll_sketch_estimate("ball")).alias("e")
+    ).collect()[0]["e"]
+    curve = [(0, n_prev, int(est))]
+    for t in range(1, max_t + 1):
+        stepped = pairs.join(e, pairs["u"] == e["src"]).select(
+            "v", F.col("dst").alias("u")
+        )
+        pairs = fs.cut_lineage(pairs.unionByName(stepped).distinct())
+        n = pairs.count()
+        if n == n_prev:
+            break
+        contrib = e.join(balls, e["dst"] == balls["node"]).select(
+            F.col("src").alias("node"), "ball"
+        )
+        balls = fs.cut_lineage(
+            balls.unionByName(contrib).groupBy("node").agg(
+                F.hll_union_agg("ball").alias("ball")
+            )
+        )
+        est = balls.agg(
+            F.sum(F.hll_sketch_estimate("ball")).alias("e")
+        ).collect()[0]["e"]
+        curve.append((t, n, int(est)))
+        n_prev = n
+    else:
+        raise RuntimeError(
+            f"hyperball_certificate: not converged within max_t={max_t}"
+        )
+    rsd = 1.04 / (2 ** (lg_k / 2.0))
+    spark = edges.sparkSession
+    nf = spark.createDataFrame(curve, "t int, n_pairs long, est long")
+    return nf.select(
+        "t",
+        "n_pairs",
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_pairs").cast("double"))
+            <= F.lit(sigma * rsd) * F.col("n_pairs").cast("double")
+        ).alias("ok"),
+    )
+
+
+def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> float:
+    """Effective diameter at fraction ``alpha`` from a neighborhood-
+    function frame (``t`` + a pair-count column, :func:`hyperball` /
+    :func:`hyperball_certificate` output): the smallest t whose N(t)
+    reaches ``alpha`` of the final N — the "90% of pairs within t hops"
+    number HyperBall exists to compute. Linear interpolation between
+    the bracketing rounds (Boldi–Vigna's convention), driver-side over
+    the round-count-sized curve."""
+    cnt = [c for c in nf.columns if c != "t" and not c.endswith("ok")][0]
+    rows = sorted(
+        (r["t"], r[cnt]) for r in nf.select("t", cnt).collect()
+    )  # bounded: one row per BFS round
+    if not rows:
+        raise ValueError("effective_diameter: empty neighborhood function")
+    target = alpha * rows[-1][1]
+    prev_t, prev_n = rows[0]
+    if prev_n >= target:
+        return float(prev_t)
+    for t, n in rows[1:]:
+        if n >= target:
+            return prev_t + (target - prev_n) / (n - prev_n) * (t - prev_t)
+        prev_t, prev_n = t, n
+    return float(rows[-1][0])

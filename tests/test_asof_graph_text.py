@@ -1570,3 +1570,91 @@ def test_scc_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="max_rounds"):
         # two chained SCCs need 2 outer rounds; 1 must refuse
         graph.strongly_connected_components(edges, max_rounds=1)
+
+
+# ---------- HyperBall neighborhood function ----------
+
+
+def _py_neighborhood(pairs, directed=False):
+    """Exact N(t) per BFS round, list of (t, n_pairs)."""
+    adj = {}
+    nodes = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    reach = {v: {v} for v in nodes}
+    curve = [(0, len(nodes))]
+    t = 0
+    while True:
+        t += 1
+        new = {
+            v: r | set().union(*(reach[u] for u in adj.get(v, ()) )) if adj.get(v) else set(r)
+            for v, r in ((v, reach[v]) for v in nodes)
+        }
+        n = sum(len(s) for s in new.values())
+        if n == curve[-1][1]:
+            return curve
+        curve.append((t, n))
+        reach = new
+
+
+@pytest.mark.parametrize(
+    "pairs,directed",
+    [
+        ([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], False),  # path
+        ([("a", "b"), ("b", "c"), ("c", "a")], True),  # directed cycle
+        ([("r", "a"), ("r", "b"), ("a", "c"), ("b", "d")], True),  # out-tree
+        ([("a", "b"), ("x", "y")], False),  # disconnected
+    ],
+)
+def test_hyperball_certificate_exact_curve(spark, pairs, directed):
+    from spacy_llm_spark.operators.graph import (
+        effective_diameter,
+        hyperball_certificate,
+    )
+
+    e = spark.createDataFrame(pairs, "subj string, obj string")
+    got = hyperball_certificate(e, directed=directed)
+    rows = sorted((r.t, r.n_pairs, r.ok) for r in got.collect())
+    want = _py_neighborhood(pairs, directed)
+    assert [(t, n) for t, n, _ in rows] == want
+    # at test scale (far below 2.5 * 2^12) HLL is in exact mode
+    assert all(ok for _, _, ok in rows)
+    # effective diameter of the 5-path: N = [5, 13, 19, 23, 25];
+    # 0.9 * 25 = 22.5 lands between t=2 (19) and t=3 (23)
+    if not directed and len(pairs) == 4 and ("d", "e") in pairs:
+        d = effective_diameter(got)
+        assert abs(d - (2 + (22.5 - 19) / 4)) < 1e-9
+
+
+def test_hyperball_estimate_matches_exact_at_test_scale(spark):
+    from spacy_llm_spark.operators.graph import hyperball
+
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    e = spark.createDataFrame(pairs, "subj string, obj string")
+    nf, balls = hyperball(e, return_balls=True)
+    want = _py_neighborhood(pairs)
+    got = sorted((r.t, r.n_pairs_estimate) for r in nf.collect())
+    # sketches hold <= 13 items each — far inside HLL exact mode, so
+    # the "estimate" is the exact curve and the sketch fixpoint lands
+    # exactly at the eccentricity
+    assert got == want
+    assert balls.count() == 13
+
+
+def test_hyperball_guards(spark):
+    from spacy_llm_spark.operators.graph import (
+        hyperball,
+        hyperball_certificate,
+    )
+
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    e = spark.createDataFrame(pairs, "subj string, obj string")
+    with pytest.raises(RuntimeError, match="not converged"):
+        hyperball(e, max_t=2)
+    with pytest.raises(RuntimeError, match="not converged"):
+        hyperball_certificate(e, max_t=2)
