@@ -1413,6 +1413,44 @@ def q_kg_bgp_agg(spark, sf_dir):
     )
 
 
+def q_kg_bgp_seq_nps(spark, sf_dir):
+    """SPARQL sequence path + negated property set
+    (operators/graph.match_bgp): ?s executes/appliesTo ?t — the spec's
+    fresh-variable rewrite into two chained patterns whose internal
+    junction variable is projected away — joined with the NPS pattern
+    ?s !(executes|precedes) ?u, ONE not-isin scan matching every other
+    edge kind leaving ?s (stores/emits/feedsInto here). Three pushdown
+    scans, two equi-joins, DISTINCT bindings."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [
+            ("?s", "executes/appliesTo", "?t"),
+            ("?s", "!(executes|precedes)", "?u"),
+        ],
+    )
+
+
+def q_kg_ask(spark, sf_dir):
+    """SPARQL ASK (operators/graph.ask_bgp): two existence probes over
+    the constructed KG — does any executes/appliesTo sequence solution
+    exist (yes by construction), and any stores/appliesTo one (no:
+    stored tables are never appliesTo-subjects)? Each probe is ONE
+    limit-1 job over the compiled BGP plan, so the scans stop at the
+    first binding; the two driver-side booleans come back as a 1-row
+    frame."""
+    from spacy_llm_spark.operators.graph import ask_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    pos = ask_bgp(triples, [("?s", "executes/appliesTo", "?t")])
+    neg = ask_bgp(triples, [("?s", "stores/appliesTo", "?t")])
+    return spark.createDataFrame(
+        [(pos, neg)], "ask_pos boolean, ask_neg boolean"
+    )
+
+
 def q_kg_betweenness(spark, sf_dir):
     """Betweenness centrality (operators/graph.betweenness — distributed
     Brandes, level-synchronous forward sigma + backward delta, undirected
@@ -1495,6 +1533,66 @@ def q_kg_hyperball(spark, sf_dir):
 
     triples = q_kg_edges(spark, sf_dir).select("subj", "obj").distinct()
     return hyperball_certificate(triples)
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.degree_assortativity,
+    Newman 2002): Pearson correlation of endpoint degrees over both
+    orientations of the distinct KG triple edges — vertex-scale degree
+    groupBy joined back twice (AQE broadcasts the builds), ONE
+    partial+final moment aggregate; the hub-to-leaf prior that tells a
+    skew-join planner what KG fan-outs look like. corr is spelled
+    covar/(sd*sd) via try_divide so a degenerate (constant-degree)
+    graph yields NULL, not an ANSI divide-by-zero."""
+    from spacy_llm_spark.operators.graph import degree_assortativity
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return degree_assortativity(triples, src="subj", dst="obj")
+
+
+def q_kg_reciprocity(spark, sf_dir):
+    """Edge reciprocity (operators/graph.reciprocity): the fraction of
+    distinct non-loop (subj, obj) pairs of the KG whose reverse pair
+    also exists — one distinct, one self-swap left join, ONE aggregate;
+    with assortativity the two standard one-number digraph structure
+    summaries."""
+    from spacy_llm_spark.operators.graph import reciprocity
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return reciprocity(triples, src="subj", dst="obj")
+
+
+def q_kg_ranking_metrics(spark, sf_dir):
+    """Link-prediction ranking evaluation
+    (operators/scoring.ranking_metrics — filtered MRR / Hits@k / mean
+    rank, the Bordes et al. TransE protocol): each (pred, subj) of the
+    executes/stores slices queried against its per-pred candidate
+    object set (candidate fan-out = one equi-join on pred, never a
+    cross join), scored by a deterministic md5-prefix pseudo-model both
+    engines compute identically, gold label = the edge exists. Ranks
+    use the explicit (score DESC, candidate ASC) tie-break; the
+    filtered setting skips other positives when ranking each one. ONE
+    window shuffle on the query key + ONE global aggregate."""
+    from spacy_llm_spark.operators.scoring import ranking_metrics
+
+    de = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    base = de.where(F.col("pred").isin("executes", "stores"))
+    qs = base.select("pred", "subj").distinct()
+    cs = base.select("pred", "obj").distinct()
+    scored = (
+        qs.join(cs, on="pred")
+        .join(base.withColumn("_pos", F.lit(True)),
+              on=["pred", "subj", "obj"], how="left")
+        .select(
+            F.concat_ws("|", "pred", "subj").alias("qid"),
+            F.col("obj").alias("cand"),
+            F.substring(
+                F.md5(F.concat_ws("|", "pred", "subj", "obj")), 1, 8
+            ).alias("score"),
+            F.coalesce(F.col("_pos"), F.lit(False)).alias("label"),
+        )
+    )
+    return ranking_metrics(scored, "qid", "cand", "score", "label")
 
 
 def q_kg_harmonic(spark, sf_dir):
@@ -3166,11 +3264,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_star_exists_values": q_kg_bgp_star_exists_values,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_construct": q_kg_bgp_construct,
+        "kg_bgp_seq_nps": q_kg_bgp_seq_nps,
+        "kg_ask": q_kg_ask,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
         "kg_harmonic": q_kg_harmonic,
         "kg_hyperball": q_kg_hyperball,
+        "kg_assortativity": q_kg_assortativity,
+        "kg_reciprocity": q_kg_reciprocity,
+        # KG-embedding evaluation (negative_triples is the training
+        # side; this is the filtered-MRR/Hits@k eval side)
+        "kg_ranking_metrics": q_kg_ranking_metrics,
         # incremental twin of kg_closure (shares its oracle verbatim)
         "kg_closure_incremental": q_kg_closure_incremental,
         # profiling-family variant (profile_documents holds the stamped
@@ -4878,6 +4983,107 @@ JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
 WHERE a.pred = 'executes'
 GROUP BY a.subj
 HAVING COUNT(*) >= 2
+""",
+        # assortativity: Pearson over both orientations of each edge;
+        # corr() NULL-on-degenerate matches the engine's try_divide
+        "kg_assortativity": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+e AS (SELECT subj AS u, obj AS v FROM de),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+),
+p AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+)
+SELECT 'undirected' AS mode,
+       CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       round(corr(x, y), 6) AS assortativity
+FROM p
+""",
+        # reciprocity: distinct non-loop pairs left-joined to their swap
+        "kg_reciprocity": m
+        + _EDGES_CTE
+        + """
+, pe AS (SELECT DISTINCT subj AS u, obj AS v FROM edges WHERE subj <> obj)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocated,
+       round(CAST(sum(CASE WHEN r.u IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS reciprocity
+FROM pe LEFT JOIN pe r ON r.u = pe.v AND r.v = pe.u
+""",
+        # filtered ranking metrics: same md5 pseudo-scores, same
+        # (score DESC, cand ASC) tie-break, rank = 1 + negatives ahead
+        "kg_ranking_metrics": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+b AS (SELECT * FROM de WHERE pred IN ('executes', 'stores')),
+qs AS (SELECT DISTINCT pred, subj FROM b),
+cs AS (SELECT DISTINCT pred, obj FROM b),
+sc AS (
+  SELECT qs.pred AS pred, qs.subj AS subj, cs.obj AS obj,
+         substr(md5(qs.pred || '|' || qs.subj || '|' || cs.obj), 1, 8)
+           AS score,
+         (b.subj IS NOT NULL) AS label
+  FROM qs
+  JOIN cs ON cs.pred = qs.pred
+  LEFT JOIN b ON b.pred = qs.pred AND b.subj = qs.subj
+             AND b.obj = cs.obj
+),
+r AS (
+  SELECT pred, subj, label,
+         coalesce(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) OVER (
+           PARTITION BY pred, subj ORDER BY score DESC, obj
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS rank
+  FROM sc
+)
+SELECT CAST(count(DISTINCT (pred, subj)) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_positives,
+       round(avg(CAST(1.0 AS DOUBLE) / rank), 6) AS mrr,
+       round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits_1,
+       round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits_3,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits_10,
+       round(avg(CAST(rank AS DOUBLE)), 6) AS mean_rank
+FROM r WHERE label
+""",
+        # sequence path = chained join through the (projected-away)
+        # junction; NPS = NOT IN filter over the pred column
+        "kg_bgp_seq_nps": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT DISTINCT a.subj AS s, b.obj AS t, c.obj AS u
+FROM de a
+JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+JOIN de c ON c.subj = a.subj
+         AND c.pred NOT IN ('executes', 'precedes')
+WHERE a.pred = 'executes'
+""",
+        # ASK = EXISTS over the de-sugared sequence joins
+        "kg_ask": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT
+  EXISTS (
+    SELECT 1 FROM de a JOIN de b
+    ON b.subj = a.obj AND b.pred = 'appliesTo'
+    WHERE a.pred = 'executes'
+  ) AS ask_pos,
+  EXISTS (
+    SELECT 1 FROM de a JOIN de b
+    ON b.subj = a.obj AND b.pred = 'appliesTo'
+    WHERE a.pred = 'stores'
+  ) AS ask_neg
 """,
         # BGP triangle as explicit self-joins over the distinct triple
         # set — the de-sugared form of the engine's pattern compiler

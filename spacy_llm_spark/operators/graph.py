@@ -1453,6 +1453,42 @@ def transitive_closure(
     )
 
 
+def _split_path(s: str, sep: str) -> list:
+    """Split a property-path term on ``sep`` at top level only —
+    separators inside ``<...>`` IRI brackets or ``(...)`` groups don't
+    split, so ``<http://a/b>/p`` is a two-step sequence whose first
+    step is the literal IRI pred."""
+    parts, buf, iri, paren = [], [], 0, 0
+    for ch in s:
+        if ch == "<":
+            iri += 1
+        elif ch == ">":
+            iri = max(0, iri - 1)
+        elif iri == 0 and ch == "(":
+            paren += 1
+        elif iri == 0 and ch == ")":
+            paren = max(0, paren - 1)
+        if ch == sep and iri == 0 and paren == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _unbracket(name: str) -> tuple:
+    """Strip one layer of ``<...>`` from a path step name. Returns
+    (bare_name, was_bracketed) — bracketed names are literal pred
+    values (SPARQL IRIs) and exempt from the path-syntax char check."""
+    if name.startswith("<") and name.endswith(">") and len(name) > 2:
+        return name[1:-1], True
+    return name, False
+
+
+_PATH_META = set("^!()/|?*+<>")
+
+
 def _compile_bgp(
     triples: DataFrame,
     patterns: list,
@@ -1474,6 +1510,54 @@ def _compile_bgp(
             raise ValueError(f"match_bgp: bad variable name {t!r}")
         return name
 
+    # sequence-path pre-expansion: a constant pred with a top-level /
+    # is SPARQL's PathSequence — rewritten, exactly as the spec's
+    # algebra translation does, into chained patterns joined through
+    # fresh internal variables (?__seq{i}_{j}, projected away below, so
+    # solution multiplicities are preserved like the spec's projection
+    # of the fresh variables). ^ was already parsed per-step by the
+    # split (SPARQL gives ^ tighter binding than /, so ^a/b means
+    # (^a)/b — which is what per-segment parsing yields). A bare | in a
+    # segment is refused: SPARQL binds | LOOSER than /, so a/b|c means
+    # (a/b)|c — an alternation of sequences this single-chain rewrite
+    # cannot express; per-step alternation must be parenthesised
+    # (a/(b|c)), whole-sequence alternation needs match_bgp_union.
+    expanded = []
+    for i, pat in enumerate(patterns):
+        for t in pat:
+            if isinstance(t, str) and t.startswith("?__seq"):
+                raise ValueError(
+                    "match_bgp: variable prefix ?__seq is reserved for "
+                    f"sequence-path expansion (pattern {i}: {t!r})"
+                )
+        p = pat[1] if len(pat) == 3 else None
+        if isinstance(p, str) and not is_var(p):
+            segs = _split_path(p, "/")
+        else:
+            segs = [p]
+        if len(segs) > 1:
+            if not all(segs):
+                raise ValueError(
+                    f"match_bgp: bad sequence path {p!r} in pattern {i}"
+                )
+            for seg in segs:
+                if len(_split_path(seg, "|")) > 1:
+                    raise ValueError(
+                        f"match_bgp: bare | inside sequence step {seg!r} "
+                        f"(pattern {i}) — SPARQL parses a/b|c as (a/b)|c, "
+                        "which one pattern chain cannot express; "
+                        "parenthesise a per-step alternation (a/(b|c)) or "
+                        "use match_bgp_union for alternated sequences"
+                    )
+            mids = [f"?__seq{i}_{j}" for j in range(len(segs) - 1)]
+            chain = [pat[0], *mids, pat[2]]
+            expanded.extend(
+                (chain[j], seg, chain[j + 1]) for j, seg in enumerate(segs)
+            )
+        else:
+            expanded.append(pat)
+    patterns = expanded
+
     compiled = []  # (vars frozenset, n_constants, DataFrame)
     for i, pat in enumerate(patterns):
         if len(pat) != 3:
@@ -1490,17 +1574,41 @@ def _compile_bgp(
             core = p_term[1:] if p_term.startswith("^") else p_term
             if p_term.startswith("^"):
                 term_cols = (obj, pred, subj)
-            plus = core.endswith("+") and len(core) > 1
-            star = core.endswith("*") and len(core) > 1
-            opt = core.endswith("?") and len(core) > 1
-            alts = (core[:-1] if plus or star or opt else core).split("|")
+            bracketed = core.startswith("<") and core.endswith(">")
+            plus = not bracketed and core.endswith("+") and len(core) > 1
+            star = not bracketed and core.endswith("*") and len(core) > 1
+            opt = not bracketed and core.endswith("?") and len(core) > 1
+            body = core[:-1] if plus or star or opt else core
+            neg = body.startswith("!")
+            if neg:
+                if plus or star or opt:
+                    raise ValueError(
+                        f"match_bgp: negated property set {p_term!r} "
+                        f"(pattern {i}) cannot take a closure modifier — "
+                        "a SPARQL NPS is a single step; parenthesised "
+                        "path grouping is not supported here"
+                    )
+                body = body[1:]
+            if body.startswith("(") and body.endswith(")") and len(body) > 2:
+                body = body[1:-1]
+            alts = []
+            for a in _split_path(body, "|"):
+                bare, was_iri = _unbracket(a)
+                if not was_iri and set(bare) & _PATH_META:
+                    raise ValueError(
+                        f"match_bgp: unsupported path syntax {a!r} in "
+                        f"predicate {p_term!r} (pattern {i}) — wrap a "
+                        "literal pred name containing path metacharacters "
+                        "in <...>"
+                    )
+                alts.append(bare)
             if not core or not all(alts):
                 raise ValueError(
                     f"match_bgp: bad predicate path {p_term!r} in "
                     f"pattern {i}"
                 )
         else:
-            plus = star = opt = False
+            plus = star = opt = neg = False
             alts = None
 
         def _identity_rows():
@@ -1555,6 +1663,13 @@ def _compile_bgp(
                 .unionByName(_identity_rows())
                 .distinct()
             )
+        elif neg:
+            # negated property set !p / !(p|q): ONE scan keeping every
+            # edge whose pred is NOT in the set — the SPARQL NPS, a
+            # single not-isin filter, never a diff of scans
+            df = triples.where(~F.col(pred).isin(alts)).select(
+                subj, F.lit(p_term).alias(pred), obj
+            )
         elif alts is not None and (len(alts) > 1 or p_term != alts[0]):
             # alternation and/or bare inverse: one scan with an isin
             # pushdown filter (single isin is a plain equality filter),
@@ -1608,6 +1723,20 @@ def _compile_bgp(
             bound = bound.join(pick[2], on=shared)
         bound_vars = bound_vars | pick[0]
         todo.remove(pick)
+    internal = {v for v in bound_vars if v.startswith("__seq")}
+    if internal:
+        keep = frozenset(bound_vars - internal)
+        if not keep:
+            raise ValueError(
+                f"match_bgp: {what} bind no variable beyond the "
+                "sequence-path internals (pure existence checks are not "
+                "bindings)"
+            )
+        # project the fresh sequence variables away WITHOUT distinct —
+        # SPARQL's sequence-path translation keeps the multiplicities
+        # of the projected solutions (set semantics is applied, if
+        # asked for, by the caller at query level)
+        bound_vars, bound = keep, bound.select(*sorted(keep))
     return bound_vars, bound
 
 
@@ -1681,6 +1810,27 @@ def match_bgp(
     which equals ``((^p)|(^q))+`` because closure commutes with edge
     reversal (and identity is symmetric, so the same holds for ``*`` /
     ``?``); other groupings need separate patterns.
+
+    Three more SPARQL path forms complete the grammar. ``/`` is the
+    sequence path (``"imports/defines"``): the pattern is rewritten —
+    exactly as the spec's algebra translation does — into chained
+    patterns joined through fresh internal variables that are projected
+    away before the query-level stages, preserving solution
+    multiplicities; each step parses with the full per-step grammar, so
+    ``"^a/b+"`` means ``(^a)/(b+)`` (SPARQL gives ``^`` and closures
+    tighter binding than ``/``). A BARE ``|`` inside a sequence step is
+    refused because SPARQL binds ``|`` looser than ``/`` (``a/b|c`` is
+    ``(a/b)|c``, inexpressible as one chain) — parenthesise a per-step
+    alternation (``"a/(b|c)"``, one isin scan for that step) or use
+    :func:`match_bgp_union` for alternated sequences. ``!`` is the
+    negated property set (``"!p"``, ``"!(p|q)"``): ONE scan keeping
+    every edge whose pred is NOT in the set; per the SPARQL grammar an
+    NPS is a single step, so closure modifiers on it are refused.
+    ``<...>`` quotes a literal pred name (a SPARQL IRI) — path
+    metacharacters inside the brackets are literal, so
+    ``"<http://a/b>/p"`` is a two-step sequence whose first pred is
+    the IRI itself; unquoted names containing path metacharacters are
+    refused rather than silently misparsed.
 
     ``filters`` is a list of SPARQL ``FILTER`` expressions as SQL
     boolean strings over the required-bound variable columns (without
@@ -2040,6 +2190,24 @@ def match_bgp_agg(
     if limit is not None:
         out = out.limit(int(limit))
     return out
+
+
+def ask_bgp(triples: DataFrame, patterns: list, **kwargs) -> bool:
+    """SPARQL ``ASK``: does the group pattern have at least one
+    solution? Compiled exactly like :func:`match_bgp` (every keyword —
+    ``optional``/``filters``/``minus``/``exists``/``not_exists``/
+    ``values`` — passes through) with ``distinct=False`` forced, since
+    existence doesn't care about multiplicities and the final
+    distinct's Exchange would be pure waste; the answer is ONE
+    limit-1 probe job over the compiled plan, so Catalyst stops the
+    scans at the first binding found. Completes the SPARQL query-form
+    set next to SELECT (:func:`match_bgp`), CONSTRUCT
+    (:func:`construct_triples`) and aggregation
+    (:func:`match_bgp_agg`). Reference analogue: none — the reference
+    constructs triples but has no query layer; cited for parity
+    accounting."""
+    kwargs["distinct"] = False
+    return not match_bgp(triples, patterns, **kwargs).isEmpty()
 
 
 def construct_triples(
@@ -2577,3 +2745,153 @@ def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> float:
             return prev_t + (target - prev_n) / (n - prev_n) * (t - prev_t)
         prev_t, prev_n = t, n
     return float(rows[-1][0])
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    mode: str = "undirected",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) — the Pearson
+    correlation of the degrees at the two endpoints of each edge, the
+    one-number summary of whether hubs attach to hubs (assortative,
+    r > 0: social-graph shape) or to leaves (disassortative, r < 0:
+    web/KG shape — a strong prior for skew-join planning, since
+    disassortative hubs fan out to low-degree neighborhoods).
+
+    ``mode="undirected"`` treats each row as an undirected edge: one
+    degree table over both endpoint columns, and the correlation is
+    taken over BOTH orientations of every row — the standard
+    symmetrization that makes r orientation-invariant. Directed modes
+    ``"out_in"`` / ``"in_out"`` / ``"out_out"`` / ``"in_in"`` correlate
+    the chosen source-side degree with the chosen target-side degree
+    over each directed row once (out_in is the classic directed
+    assortativity). The edge list is used AS GIVEN — dedupe upstream
+    for simple-graph semantics; self-loops count like any edge.
+
+    Plan shape: degree tables are ONE groupBy each over vertex-scale
+    keys; they join back onto the edge list as two hash equi-joins
+    (vertex-scale build sides — AQE broadcasts them when they fit),
+    then ONE partial+final corr aggregate. Nothing is ever collected;
+    no window. Returns one row (mode, n_edges, assortativity) with the
+    coefficient rounded to 6 dp (NULL when degenerate: fewer than two
+    distinct degree values on either side). Reference analogue: none —
+    cited for parity accounting.
+    """
+    modes = ("undirected", "out_in", "in_out", "out_out", "in_in")
+    if mode not in modes:
+        raise ValueError(
+            f"degree_assortativity: mode {mode!r} not in {modes}"
+        )
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    out_deg = e.groupBy(F.col("_u").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    in_deg = e.groupBy(F.col("_v").alias("_n")).agg(
+        F.count(F.lit(1)).alias("_d")
+    )
+    if mode == "undirected":
+        deg = (
+            e.select(F.col("_u").alias("_n"))
+            .unionAll(e.select(F.col("_v").alias("_n")))
+            .groupBy("_n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        pairs = (
+            e.unionAll(e.select(F.col("_v").alias("_u"),
+                                F.col("_u").alias("_v")))
+            .join(deg.select(F.col("_n").alias("_u"),
+                             F.col("_d").alias("_du")), on="_u")
+            .join(deg.select(F.col("_n").alias("_v"),
+                             F.col("_d").alias("_dv")), on="_v")
+        )
+        n_edges = F.count(F.lit(1)) / 2
+    else:
+        sdeg = out_deg if mode.startswith("out") else in_deg
+        tdeg = in_deg if mode.endswith("in") else out_deg
+        # LEFT joins + coalesce-0: a pure-source vertex has in-degree
+        # 0 (and a pure-sink out-degree 0) — a legitimate value the
+        # correlation must see, not a dropped edge
+        pairs = (
+            e.join(
+                sdeg.select(F.col("_n").alias("_u"),
+                            F.col("_d").alias("_du")),
+                on="_u",
+                how="left",
+            )
+            .join(
+                tdeg.select(F.col("_n").alias("_v"),
+                            F.col("_d").alias("_dv")),
+                on="_v",
+                how="left",
+            )
+            .select(
+                F.coalesce("_du", F.lit(0)).alias("_du"),
+                F.coalesce("_dv", F.lit(0)).alias("_dv"),
+            )
+        )
+        n_edges = F.count(F.lit(1))
+    # corr() written out as covar/(sd*sd) through try_divide: under
+    # ANSI mode (Spark 4 default) corr itself THROWS DIVIDE_BY_ZERO on
+    # a zero-variance side, where the metric's contract (and the SQL
+    # oracle's corr) is NULL-on-degenerate
+    return pairs.agg(
+        F.lit(mode).alias("mode"),
+        n_edges.cast("long").alias("n_edges"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("_du", "_dv"),
+                F.stddev_samp("_du") * F.stddev_samp("_dv"),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """Edge reciprocity of a directed graph: the fraction of distinct
+    non-loop edges (u, v) whose reverse (v, u) is also present — near 0
+    for hierarchies and citation-shaped KGs, near 1 for mutual-follow
+    social graphs; with :func:`degree_assortativity` the two standard
+    one-number structure summaries.
+
+    Plan shape: ONE distinct over the deduped non-loop edge set, one
+    left join against its own swap (same shuffle key width), ONE
+    global aggregate. Returns one row (n_edges, n_reciprocated,
+    reciprocity) — counts over the distinct simple digraph, ratio
+    rounded to 6 dp, 0.0 on an edgeless input. Reference analogue:
+    none — cited for parity accounting.
+    """
+    de = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    rev = de.select(
+        F.col("_v").alias("_u"), F.col("_u").alias("_v")
+    ).withColumn("_r", F.lit(1))
+    return (
+        de.join(rev, on=["_u", "_v"], how="left")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum("_r"), F.lit(0)).cast("long").alias(
+                "n_reciprocated"
+            ),
+        )
+        .select(
+            "n_edges",
+            "n_reciprocated",
+            F.round(
+                F.when(
+                    F.col("n_edges") > 0,
+                    F.col("n_reciprocated") / F.col("n_edges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("reciprocity"),
+        )
+    )

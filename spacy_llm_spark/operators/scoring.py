@@ -222,3 +222,87 @@ def bcubed_prf(
             ).alias("bcubed_f1"),
         )
     )
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    query_col: str,
+    cand_col: str,
+    score_col: str,
+    label_col: str,
+    ks: Sequence[int] = (1, 3, 10),
+    filtered: bool = True,
+) -> DataFrame:
+    """Link-prediction ranking evaluation — MRR / Hits@k / mean rank
+    over a scored candidate table, the standard KG-embedding metric set
+    (Bordes et al. 2013 TransE evaluation protocol).
+
+    ``scored`` has one row per (query, candidate) with a model score
+    and a boolean gold label; typically the output of scoring every
+    (head, relation) query against its candidate tail set (e.g. the
+    :func:`~spacy_llm_spark.operators.graph.negative_triples` training
+    complement). Candidates are ranked per query by
+    ``(score DESC, candidate ASC)`` — the explicit tie-break makes the
+    metric deterministic and oracle-reproducible, where the common
+    "ties rank arbitrarily" convention is not. Each POSITIVE row gets:
+
+    - ``filtered=True`` (the protocol's *filtered* setting): rank =
+      1 + the number of NEGATIVES ordered ahead of it — other
+      positives of the same query are skipped over, so a query whose
+      gold set is {a, b} doesn't penalize a for the model (correctly)
+      ranking b high.
+    - ``filtered=False`` (*raw*): rank = its row_number among ALL
+      candidates of the query.
+
+    Returned as ONE row: n_queries, n_positives, mrr (mean 1/rank),
+    hits_{k} per requested k (fraction of positives with rank <= k),
+    mean_rank — ratios rounded to 6 dp.
+
+    Plan shape: ONE shuffle keyed on the query column feeds both the
+    row_number and the running negatives-ahead count (same window
+    spec), then one global partial+final aggregate — per-query
+    candidate lists are bounded by the upstream candidate generator
+    (top-n candidates, A4/O1 family), so window state is small and the
+    only skew axis is a query with an outsized candidate set.
+    Reference analogue: none (the reference scores EL accuracy only,
+    spacy_llm/tasks/entity_linker/scorer.py) — cited for parity
+    accounting.
+    """
+    from pyspark.sql import Window
+
+    if not ks or any(int(k) < 1 for k in ks):
+        raise ValueError(f"ranking_metrics: bad ks {ks!r}")
+    lab = F.col(label_col).cast("boolean")
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc()
+    )
+    if filtered:
+        rank = (
+            F.coalesce(
+                F.sum(F.when(~lab, 1).otherwise(0)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + 1
+        )
+    else:
+        rank = F.row_number().over(w)
+    pos = (
+        scored.withColumn("_rank", rank.cast("long"))
+        .where(lab)
+        .select(query_col, "_rank")
+    )
+    aggs = [
+        F.count_distinct(F.col(query_col)).alias("n_queries"),
+        F.count(F.lit(1)).alias("n_positives"),
+        F.round(F.avg(1.0 / F.col("_rank")), 6).alias("mrr"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.round(
+                F.avg((F.col("_rank") <= int(k)).cast("double")), 6
+            ).alias(f"hits_{int(k)}")
+        )
+    aggs.append(F.round(F.avg(F.col("_rank")), 6).alias("mean_rank"))
+    return pos.agg(*aggs)

@@ -1,0 +1,185 @@
+"""Graph structure metrics (assortativity, reciprocity) and
+link-prediction ranking metrics, checked against pure-Python
+references on hand graphs and deterministic pseudo-random tables."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from spacy_llm_spark.operators.graph import degree_assortativity, reciprocity
+from spacy_llm_spark.operators.scoring import ranking_metrics
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(subj=u, obj=v) for u, v in pairs], "subj string, obj string"
+    )
+
+
+def _pearson(xy):
+    n = len(xy)
+    mx = sum(x for x, _ in xy) / n
+    my = sum(y for _, y in xy) / n
+    cov = sum((x - mx) * (y - my) for x, y in xy)
+    vx = sum((x - mx) ** 2 for x, _ in xy)
+    vy = sum((y - my) ** 2 for _, y in xy)
+    if vx == 0 or vy == 0:
+        return None
+    return cov / math.sqrt(vx * vy)
+
+
+def _py_assortativity(pairs, mode):
+    out, inn, deg = {}, {}, {}
+    for u, v in pairs:
+        out[u] = out.get(u, 0) + 1
+        inn[v] = inn.get(v, 0) + 1
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    if mode == "undirected":
+        xy = [(deg[u], deg[v]) for u, v in pairs]
+        xy += [(y, x) for x, y in xy]
+    else:
+        s = out if mode.startswith("out") else inn
+        t = inn if mode.endswith("in") else out
+        xy = [(s.get(u, 0), t.get(v, 0)) for u, v in pairs]
+    return _pearson(xy)
+
+
+STAR = [("c", "l1"), ("c", "l2"), ("c", "l3")]
+MIXED = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+    ("d", "a"), ("d", "b"), ("e", "d"), ("e", "a"),
+    ("f", "f"), ("b", "d"),
+]
+
+
+@pytest.mark.parametrize("mode", ["undirected", "out_in", "in_out",
+                                  "out_out", "in_in"])
+@pytest.mark.parametrize("pairs", [STAR, MIXED])
+def test_assortativity_matches_reference(spark, pairs, mode):
+    row = degree_assortativity(_edges(spark, pairs), mode=mode).collect()[0]
+    assert row.mode == mode
+    assert row.n_edges == len(pairs)
+    want = _py_assortativity(pairs, mode)
+    if want is None:
+        assert row.assortativity is None
+    else:
+        assert row.assortativity == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_assortativity_star_and_degenerate(spark):
+    # star: hubs attach only to leaves -> perfectly disassortative
+    row = degree_assortativity(_edges(spark, STAR)).collect()[0]
+    assert row.assortativity == -1.0
+    # 3-cycle: every degree equal -> zero variance -> NULL coefficient
+    cyc = degree_assortativity(
+        _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    ).collect()[0]
+    assert cyc.assortativity is None
+    with pytest.raises(ValueError, match="mode"):
+        degree_assortativity(_edges(spark, STAR), mode="sideways")
+
+
+def test_reciprocity_hand_cases(spark):
+    # 2 mutual pairs out of 4 non-loop distinct edges; loop + dup ignored
+    pairs = [("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"),
+             ("c", "d"), ("e", "e")]
+    row = reciprocity(_edges(spark, pairs)).collect()[0]
+    assert (row.n_edges, row.n_reciprocated) == (4, 2)
+    assert row.reciprocity == 0.5
+    # empty graph: defined 0.0, no division blowup
+    row0 = reciprocity(_edges(spark, [("x", "x")])).collect()[0]
+    assert (row0.n_edges, row0.n_reciprocated, row0.reciprocity) == (0, 0, 0.0)
+
+
+def _py_ranking(rows, filtered, ks=(1, 3, 10)):
+    by_q = {}
+    for q, c, s, l in rows:
+        by_q.setdefault(q, []).append((c, s, l))
+    ranks = []
+    for cl in by_q.values():
+        # (score DESC, cand ASC): stable sort by cand, then by score
+        order = sorted(sorted(cl, key=lambda t: t[0]),
+                       key=lambda t: t[1], reverse=True)
+        for i, (c, s, l) in enumerate(order):
+            if l:
+                if filtered:
+                    ranks.append(
+                        1 + sum(1 for c2, s2, l2 in order[:i] if not l2)
+                    )
+                else:
+                    ranks.append(i + 1)
+    n_q = len({q for q, c, s, l in rows if l})
+    mrr = sum(1.0 / r for r in ranks) / len(ranks)
+    out = {"n_queries": n_q, "n_positives": len(ranks),
+           "mrr": round(mrr, 6),
+           "mean_rank": round(sum(ranks) / len(ranks), 6)}
+    for k in ks:
+        out[f"hits_{k}"] = round(
+            sum(1 for r in ranks if r <= k) / len(ranks), 6
+        )
+    return out
+
+
+def _scored_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(qid=q, cand=c, score=s, label=l) for q, c, s, l in rows],
+        "qid string, cand string, score double, label boolean",
+    )
+
+
+def test_ranking_metrics_hand_case(spark):
+    rows = [
+        # q1: positive ranked 2nd raw; 2nd filtered too (one neg ahead)
+        ("q1", "a", 0.9, False), ("q1", "b", 0.8, True),
+        ("q1", "c", 0.1, False),
+        # q2: two positives lead -> filtered ranks 1 and 1
+        ("q2", "a", 0.9, True), ("q2", "b", 0.8, True),
+        ("q2", "c", 0.5, False),
+    ]
+    got = ranking_metrics(
+        _scored_df(spark, rows), "qid", "cand", "score", "label"
+    ).collect()[0]
+    assert (got.n_queries, got.n_positives) == (2, 3)
+    assert got.mrr == pytest.approx(round((0.5 + 1 + 1) / 3, 6))
+    assert got.hits_1 == pytest.approx(round(2 / 3, 6))
+    assert got.hits_3 == 1.0
+    # raw setting: q2's second positive ranks 2nd
+    raw = ranking_metrics(
+        _scored_df(spark, rows), "qid", "cand", "score", "label",
+        filtered=False,
+    ).collect()[0]
+    assert raw.mrr == pytest.approx(round((0.5 + 1 + 0.5) / 3, 6))
+    # deterministic tie-break: equal scores rank by candidate ASC
+    ties = [("q", "x", 1.0, False), ("q", "y", 1.0, True)]
+    t = ranking_metrics(
+        _scored_df(spark, ties), "qid", "cand", "score", "label"
+    ).collect()[0]
+    assert t.mean_rank == 2.0
+    with pytest.raises(ValueError, match="bad ks"):
+        ranking_metrics(
+            _scored_df(spark, ties), "qid", "cand", "score", "label", ks=[]
+        )
+
+
+def test_ranking_metrics_matches_reference(spark):
+    # deterministic pseudo-random table: 7 queries x 12 candidates,
+    # hash-derived scores and labels — no RNG, reproducible everywhere
+    rows = []
+    for qi in range(7):
+        for ci in range(12):
+            h = (qi * 31 + ci * 17 + 7) % 97
+            rows.append(
+                (f"q{qi}", f"c{ci:02d}", float(h),
+                 (h % 5 == 0) or ci == qi)
+            )
+    for filtered in (True, False):
+        got = ranking_metrics(
+            _scored_df(spark, rows), "qid", "cand", "score", "label",
+            filtered=filtered,
+        ).collect()[0]
+        want = _py_ranking(rows, filtered)
+        for k, v in want.items():
+            assert getattr(got, k) == pytest.approx(v, abs=1e-9), (
+                filtered, k)

@@ -1082,3 +1082,120 @@ def test_match_bgp_agg_guards(spark):
     with pytest.raises(ValueError, match="having 0"):
         match_bgp_agg(t, pats, ["?s"], [("count", "*", "n")],
                       having=["nope > 1"])
+
+
+def test_match_bgp_sequence_path(spark):
+    # a/b == the spec's fresh-variable rewrite: two chained patterns,
+    # internal variable projected away, multiplicities preserved
+    t = _triples_df(spark)
+    out = match_bgp(t, [("?s", "executes/appliesTo", "?t")])
+    assert sorted(out.columns) == ["s", "t"]
+    got = {(r.s, r.t) for r in out.collect()}
+    # same bindings as the explicit two-pattern form, minus the mid var
+    two = match_bgp(
+        t, [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")]
+    )
+    assert got == {(r.s, r.t) for r in two.select("s", "t").collect()}
+    # bag semantics: s1 reaches t1 via op1 AND op2 -> multiplicity 2
+    bag = match_bgp(
+        t, [("?s", "executes/appliesTo", "?t")], distinct=False
+    ).collect()
+    assert sorted((r.s, r.t) for r in bag).count(("s1", "t1")) == 2
+    # per-step modifiers: inverse and closure inside a sequence,
+    # ^a/b == (^a)/b per SPARQL precedence
+    inv = match_bgp(t, [("?x", "^appliesTo/^executes", "?y")])
+    assert {(r.x, r.y) for r in inv.collect()} == {
+        (b, a) for a, b in got
+    }
+    clo = match_bgp(t, [("?s", "executes/precedes+/appliesTo", "?t")])
+    # only op1 precedes op2; s1 executes op1; op2 applies to t1, t2
+    assert {(r.s, r.t) for r in clo.collect()} == {("s1", "t1"), ("s1", "t2")}
+    # a sequence pattern joins with ordinary patterns on its real vars
+    joined = match_bgp(
+        t,
+        [("?s", "executes/appliesTo", "?t"), ("?s", "stores", "?t")],
+    )
+    assert {(r.s, r.t) for r in joined.collect()} == {
+        ("s1", "t1"), ("s2", "t2")
+    }
+
+
+def test_match_bgp_sequence_path_guards(spark):
+    t = _triples_df(spark)
+    # bare | inside a step: SPARQL parses a/b|c as (a/b)|c -> refused
+    with pytest.raises(ValueError, match="bare .* inside sequence step"):
+        match_bgp(t, [("?x", "executes/appliesTo|precedes", "?y")])
+    # parenthesised per-step alternation is fine (one isin scan)
+    ok = match_bgp(t, [("?x", "executes/(appliesTo|precedes)", "?y")])
+    assert {(r.x, r.y) for r in ok.collect()} == {
+        ("s1", "t1"), ("s1", "t2"), ("s2", "t1"), ("s2", "t2"),
+        ("s1", "op2"),
+    }
+    # const/const sequence binds only internals -> refused
+    with pytest.raises(ValueError, match="beyond the sequence-path"):
+        match_bgp(t, [("s1", "executes/appliesTo", "t1")])
+    # the internal prefix is reserved
+    with pytest.raises(ValueError, match="reserved"):
+        match_bgp(t, [("?__seq0_0", "executes", "?y")])
+    # empty step
+    with pytest.raises(ValueError, match="bad sequence path"):
+        match_bgp(t, [("?x", "executes/", "?y")])
+
+
+def test_match_bgp_negated_property_set(spark):
+    t = _triples_df(spark)
+    # !p: every edge whose pred is not p
+    out = match_bgp(t, [("?x", "!executes", "?y")])
+    want = {(s, o) for s, p, o in TRIPLES if p != "executes"}
+    assert {(r.x, r.y) for r in out.collect()} == want
+    # !(p|q) and composition with ^ (whole-step inverse)
+    out2 = match_bgp(t, [("?x", "!(executes|appliesTo)", "?y")])
+    want2 = {(s, o) for s, p, o in TRIPLES
+             if p not in ("executes", "appliesTo")}
+    assert {(r.x, r.y) for r in out2.collect()} == want2
+    inv = match_bgp(t, [("?x", "^!(executes|appliesTo)", "?y")])
+    assert {(r.x, r.y) for r in inv.collect()} == {
+        (b, a) for a, b in want2
+    }
+    # NPS inside a sequence step
+    seq = match_bgp(t, [("?x", "executes/!appliesTo", "?y")])
+    assert {(r.x, r.y) for r in seq.collect()} == {("s1", "op2")}
+    # closure modifier on an NPS is refused
+    with pytest.raises(ValueError, match="negated property set"):
+        match_bgp(t, [("?x", "!(executes)+", "?y")])
+
+
+def test_match_bgp_bracketed_literal_preds(spark):
+    rows = [("a", "w/e", "b"), ("a", "p+q", "c"), ("b", "p", "d")]
+    t = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+    # <...> quotes path metacharacters: the pred IS "w/e"
+    got = match_bgp(t, [("?x", "<w/e>", "?y")])
+    assert {(r.x, r.y) for r in got.collect()} == {("a", "b")}
+    # quoted step inside a sequence
+    seq = match_bgp(t, [("?x", "<w/e>/p", "?y")])
+    assert {(r.x, r.y) for r in seq.collect()} == {("a", "d")}
+    # quoted name in an alternation
+    alt = match_bgp(t, [("?x", "<p+q>|p", "?y")])
+    assert {(r.x, r.y) for r in alt.collect()} == {("a", "c"), ("b", "d")}
+    # unquoted metacharacters are refused, not misparsed
+    with pytest.raises(ValueError, match="unsupported path syntax"):
+        match_bgp(t, [("?x", "p+q", "?y")])
+
+
+def test_ask_bgp(spark):
+    from spacy_llm_spark.operators.graph import ask_bgp
+
+    t = _triples_df(spark)
+    assert ask_bgp(t, [("?s", "executes/appliesTo", "?t")]) is True
+    assert ask_bgp(t, [("?s", "stores", "op1")]) is False
+    # keyword passthrough: filters narrow the existence check
+    assert ask_bgp(
+        t, [("?s", "executes", "?o")], filters=["s = 's2'"]
+    ) is True
+    assert ask_bgp(
+        t, [("?s", "executes", "?o")],
+        filters=["s = 's2'"], not_exists=[[("?s", "stores", "?u")]],
+    ) is False
