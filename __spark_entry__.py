@@ -1433,6 +1433,64 @@ def q_kg_bgp_seq_nps(spark, sf_dir):
     )
 
 
+def q_kg_bgp_bind_order(spark, sf_dir):
+    """SPARQL BIND + ORDER BY / OFFSET / LIMIT solution modifiers
+    (operators/graph.match_bgp, bind/order_by/limit/offset): the
+    executes/appliesTo two-hop bindings extended with two BIND columns
+    (a concat route label and a length) — pure projections inside the
+    group, participating in DISTINCT per the algebra's Extend — then
+    totally ordered on (route, s, o, t) and paged with LIMIT 25
+    OFFSET 5. ORDER BY + LIMIT compiles to TakeOrderedAndProject
+    (per-partition top-k + one merge), never a full global sort; the
+    total order makes the page deterministic, which the operator
+    ENFORCES (limit/offset without order_by raises)."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")],
+        bind=[
+            ("concat(s, '->', t)", "route"),
+            ("length(o)", "olen"),
+        ],
+        order_by=["route", "s", "o", "t"],
+        limit=25,
+        offset=5,
+    )
+
+
+def q_kg_bgp_bounded_path(spark, sf_dir):
+    """Bounded path repetition precedes{2,3}
+    (operators/graph.match_bgp, the draft-SPARQL / Jena elt{n,m}
+    extension): pairs exactly 2 or 3 precedes-steps apart joined with
+    the emits pattern. Unlike precedes+ (eager fixpoint closure), the
+    bounded form compiles to a STATIC tree of two self-joins with
+    per-level distincts — fully lazy, Catalyst reuses the step scan and
+    AQE sizes the shuffles, so at 100 TB the cost is exactly the two
+    joins asked for, never an open-ended reachability."""
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return match_bgp(
+        triples,
+        [("?a", "precedes{2,3}", "?b"), ("?b", "emits", "?x")],
+    )
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (operators/graph.describe_nodes): the symmetric
+    star of two systems — every canonical triple where the node is
+    subject OR object, ONE scan with an (subj IN .. OR obj IN ..)
+    pushdown filter, no join. With skolemized IRIs (no blank nodes)
+    this IS the Concise Bounded Description; completes the fourth
+    SPARQL query form next to SELECT/ASK/CONSTRUCT."""
+    from spacy_llm_spark.operators.graph import describe_nodes
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return describe_nodes(triples, ["K300", "K310"])
+
+
 def q_kg_ask(spark, sf_dir):
     """SPARQL ASK (operators/graph.ask_bgp): two existence probes over
     the constructed KG — does any executes/appliesTo sequence solution
@@ -3266,6 +3324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_construct": q_kg_bgp_construct,
         "kg_bgp_seq_nps": q_kg_bgp_seq_nps,
         "kg_ask": q_kg_ask,
+        "kg_bgp_bind_order": q_kg_bgp_bind_order,
+        "kg_bgp_bounded_path": q_kg_bgp_bounded_path,
+        "kg_describe": q_kg_describe,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
@@ -5084,6 +5145,45 @@ SELECT
     ON b.subj = a.obj AND b.pred = 'appliesTo'
     WHERE a.pred = 'stores'
   ) AS ask_neg
+""",
+        # BIND = computed columns inside the distinct solution set;
+        # ORDER BY + LIMIT/OFFSET = the SQL modifiers verbatim (total
+        # order, so both engines pick the same page). olen cast to
+        # INTEGER to match Spark's length() type.
+        "kg_bgp_bind_order": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+sol AS (
+  SELECT DISTINCT a.subj AS s, a.obj AS o, b.obj AS t,
+         a.subj || '->' || b.obj AS route,
+         CAST(length(a.obj) AS INTEGER) AS olen
+  FROM de a JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+  WHERE a.pred = 'executes'
+)
+SELECT o, olen, route, s, t FROM sol
+ORDER BY route, s, o, t LIMIT 25 OFFSET 5
+""",
+        # precedes{2,3} = 2-hop UNION 3-hop over the pred subgraph
+        "kg_bgp_bounded_path": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges),
+pe AS (SELECT subj AS s, obj AS t FROM de WHERE pred = 'precedes'),
+p2 AS (SELECT DISTINCT a.s, b.t FROM pe a JOIN pe b ON b.s = a.t),
+p3 AS (SELECT DISTINCT a.s, b.t FROM p2 a JOIN pe b ON b.s = a.t),
+rep AS (SELECT s, t FROM p2 UNION SELECT s, t FROM p3),
+em AS (SELECT DISTINCT subj AS b, obj AS x FROM de WHERE pred = 'emits')
+SELECT DISTINCT rep.s AS a, rep.t AS b, em.x AS x
+FROM rep JOIN em ON em.b = rep.t
+""",
+        # DESCRIBE = the symmetric star filter
+        "kg_describe": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+SELECT subj, pred, obj FROM de
+WHERE subj IN ('K300', 'K310') OR obj IN ('K300', 'K310')
 """,
         # BGP triangle as explicit self-joins over the distinct triple
         # set — the de-sugared form of the engine's pattern compiler

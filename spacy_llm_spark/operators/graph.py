@@ -28,6 +28,8 @@ the quantum.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -1486,7 +1488,46 @@ def _unbracket(name: str) -> tuple:
     return name, False
 
 
-_PATH_META = set("^!()/|?*+<>")
+_PATH_META = set("^!()/|?*+<>{}")
+
+# Bounded path repetition p{n,m} — see _compile_bgp. Each extra step is
+# one self-join in the plan, so the cap keeps an errant {2,1000} from
+# compiling a thousand-join tree; real bounded-path queries are short.
+_MAX_PATH_REPEAT = 16
+_PATH_REPEAT_RE = re.compile(r"\{(\d+)(,(\d+)?)?\}$")
+
+
+def _bounded_path(
+    step: DataFrame, lo: int, hi: int, subj: str, obj: str
+) -> DataFrame:
+    """Pairs connected by a path of length in ``[max(lo,1), hi]`` over
+    the single-step edge set ``step`` — the draft-SPARQL / Jena
+    ``elt{n,m}`` bounded repetition. Unlike the ``+``/``*`` closures
+    (whose fixpoint needs eager jobs), the bounded form is a STATIC
+    plan: ``hi - 1`` self-joins with a distinct per level, fully lazy
+    and Catalyst-owned — at 100 TB the optimizer sees one tree, reuses
+    the step scan via its own subquery reuse, and AQE sizes every
+    shuffle. The zero-length case (``lo == 0``) is unioned in by the
+    CALLER via the pattern's identity rows, matching how ``*`` / ``?``
+    compose."""
+    pairs = step.select(subj, obj).distinct()
+    cur = pairs
+    acc = pairs if lo <= 1 else None
+    right = pairs.select(
+        F.col(subj).alias("__bp_mid"), F.col(obj).alias("__bp_dst")
+    )
+    for k in range(2, hi + 1):
+        cur = (
+            cur.select(subj, F.col(obj).alias("__bp_mid"))
+            .join(right, "__bp_mid")
+            .select(subj, F.col("__bp_dst").alias(obj))
+            .distinct()
+        )
+        if k >= max(lo, 1):
+            acc = cur if acc is None else acc.unionByName(cur)
+    if acc is None:  # lo > hi can't happen (validated); lo==hi==0 ditto
+        raise AssertionError("bounded path with empty step range")
+    return acc.distinct()
 
 
 def _compile_bgp(
@@ -1578,10 +1619,40 @@ def _compile_bgp(
             plus = not bracketed and core.endswith("+") and len(core) > 1
             star = not bracketed and core.endswith("*") and len(core) > 1
             opt = not bracketed and core.endswith("?") and len(core) > 1
-            body = core[:-1] if plus or star or opt else core
+            rep = None if bracketed else _PATH_REPEAT_RE.search(core)
+            repeat = None
+            if rep:
+                # bounded repetition p{n,m} / p{n} — the draft-SPARQL /
+                # Jena extension. {n,} (unbounded) is the + / * closure
+                # in disguise; {0} is the bare zero-length identity —
+                # both refused toward the canonical spelling.
+                lo = int(rep.group(1))
+                if rep.group(2) and rep.group(3) is None:
+                    raise ValueError(
+                        f"match_bgp: unbounded repetition {p_term!r} "
+                        f"(pattern {i}) — use p+ (one-or-more) or p* "
+                        "(zero-or-more) for the unbounded closures"
+                    )
+                hi = int(rep.group(3)) if rep.group(2) else lo
+                if hi < max(lo, 1):
+                    raise ValueError(
+                        f"match_bgp: bad repetition bounds {p_term!r} "
+                        f"(pattern {i}) — need 0 <= n <= m and m >= 1"
+                    )
+                if hi > _MAX_PATH_REPEAT:
+                    raise ValueError(
+                        f"match_bgp: repetition bound {hi} in {p_term!r} "
+                        f"(pattern {i}) exceeds the {_MAX_PATH_REPEAT}-"
+                        "join cap — each step compiles to one self-join; "
+                        "use the + / * closure for long reachability"
+                    )
+                repeat = (lo, hi)
+                body = core[: rep.start()]
+            else:
+                body = core[:-1] if plus or star or opt else core
             neg = body.startswith("!")
             if neg:
-                if plus or star or opt:
+                if plus or star or opt or repeat:
                     raise ValueError(
                         f"match_bgp: negated property set {p_term!r} "
                         f"(pattern {i}) cannot take a closure modifier — "
@@ -1609,7 +1680,7 @@ def _compile_bgp(
                 )
         else:
             plus = star = opt = neg = False
-            alts = None
+            alts = repeat = None
 
         def _identity_rows():
             # SPARQL zero-length path: every graph TERM matches itself,
@@ -1639,7 +1710,24 @@ def _compile_bgp(
                 F.col("_t").alias(obj),
             )
 
-        if plus or star:
+        if repeat:
+            # bounded repetition pred{n,m}: paths of length n..m over
+            # the (possibly alternated) step subgraph — a STATIC tree of
+            # m-1 self-joins (_bounded_path), no eager fixpoint jobs,
+            # composing with ^ (reversal commutes with repetition) and
+            # | (the step scan is the union subgraph) exactly like the
+            # closures; n == 0 unions in the zero-length identity per
+            # the same ALP rule * uses.
+            lo_, hi_ = repeat
+            df = _bounded_path(
+                triples.where(F.col(pred).isin(alts)).select(subj, obj),
+                lo_, hi_, subj, obj,
+            ).withColumn(pred, F.lit(p_term))
+            if lo_ == 0:
+                df = df.select(subj, pred, obj).unionByName(
+                    _identity_rows()
+                ).distinct()
+        elif plus or star:
             # SPARQL property path pred+ : one-or-more steps. The
             # pred-filtered subgraph is closed by path doubling HERE, at
             # compile time (transitive_closure runs its fixpoint jobs
@@ -1754,6 +1842,10 @@ def match_bgp(
     exists: list | None = None,
     not_exists: list | None = None,
     values: tuple | None = None,
+    bind: list | None = None,
+    order_by: list | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
 ) -> DataFrame:
     """Conjunctive triple-pattern matching over the materialized KG —
     the SPARQL basic-graph-pattern (BGP) core, compiled to DataFrame
@@ -1875,9 +1967,31 @@ def match_bgp(
     carry or omit the ``?``; rows must match the vars arity; ``UNDEF``
     wildcards are not supported (filter per-variable instead).
 
+    ``bind`` is a list of ``(sql_expr, name)`` pairs with SPARQL
+    ``BIND (expr AS ?v)`` semantics: each extends every binding with a
+    computed column (the algebra's ``Extend``) — pure projections, zero
+    extra plan nodes beyond the expression itself. Expressions may
+    reference required variables and earlier binds; a name that
+    collides with an existing variable is refused (SPARQL makes
+    rebinding a syntax error). Binds are evaluated after the
+    row-removing stages and BEFORE ``DISTINCT``, so bound columns
+    participate in the solution-set identity exactly as the spec's
+    group translation has it.
+
+    ``order_by`` / ``limit`` / ``offset`` are the SPARQL solution
+    modifiers, applied last (after OPTIONAL): ``order_by`` is a list of
+    SQL sort expressions over the output columns (``"n DESC"``, ``"s"``
+    ...); ``limit``/``offset`` require ``order_by`` — an unordered
+    LIMIT is engine-nondeterministic on a distributed table, which this
+    surface refuses rather than silently varying between runs (give a
+    total order for reproducible results). ``ORDER BY + LIMIT``
+    compiles to Spark's ``TakeOrderedAndProject`` — a per-partition
+    top-k plus one k-row merge, never a global sort of the full
+    solution set.
+
     Algebra order (matching the SPARQL group translation): required
     BGP join -> VALUES -> FILTER -> EXISTS -> NOT EXISTS -> MINUS ->
-    DISTINCT -> OPTIONAL left-joins.
+    BIND -> DISTINCT -> OPTIONAL left-joins -> ORDER/OFFSET/LIMIT.
     Every pre-DISTINCT stage only removes rows and adds no columns
     (the row-removing stages therefore commute — the order is the
     spec's, not load-bearing), so everything downstream (the
@@ -1954,6 +2068,35 @@ def match_bgp(
             )
         bound = bound.join(gdf.select(*shared).distinct(), on=shared,
                            how="left_anti")
+    for bi, item in enumerate(bind or []):
+        try:
+            expr, name = item
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"match_bgp: bind {bi} must be an (sql_expr, name) "
+                f"pair, got {item!r}"
+            ) from None
+        if not isinstance(name, str) or not name.isidentifier():
+            raise ValueError(f"match_bgp: bad bind name {name!r}")
+        if name.lower() in {v.lower() for v in bound_vars}:
+            # case-INSENSITIVE: Spark resolves columns case-insensitively
+            # by default, so a bind named "S" would silently shadow a
+            # variable "s" in every later expression and the projection
+            raise ValueError(
+                f"match_bgp: bind {bi} rebinds {name!r} — SPARQL BIND "
+                "may only introduce a fresh variable (checked "
+                "case-insensitively: Spark column resolution is "
+                "case-insensitive)"
+            )
+        try:
+            bound = bound.withColumn(name, F.expr(expr))
+        except Exception as exc:
+            raise ValueError(
+                f"match_bgp: bind {bi} ({expr!r}) failed analysis over "
+                f"{sorted(bound_vars)} — BIND may reference required "
+                "variables and earlier binds only"
+            ) from exc
+        bound_vars = bound_vars | {name}
     all_vars = set(bound_vars)
     # OPTIONAL groups left-join AFTER the required distinct — SPARQL
     # evaluates OPTIONAL against the BGP solution multiset, and the
@@ -1985,7 +2128,26 @@ def match_bgp(
             gdf = gdf.distinct()
         bound = bound.join(gdf, on=shared, how="left")
         all_vars |= gvars
-    return bound.select(*sorted(all_vars))
+    out = bound.select(*sorted(all_vars))
+    if (limit is not None or offset is not None) and not order_by:
+        raise ValueError(
+            "match_bgp: limit/offset without order_by is "
+            "nondeterministic on a distributed solution set — give a "
+            "total sort order"
+        )
+    if order_by:
+        try:
+            out = out.orderBy(*[F.expr(e) for e in order_by])
+        except Exception as exc:
+            raise ValueError(
+                f"match_bgp: order_by {order_by!r} failed analysis over "
+                f"the output columns {sorted(all_vars)}"
+            ) from exc
+        if offset:
+            out = out.offset(int(offset))
+        if limit is not None:
+            out = out.limit(int(limit))
+    return out
 
 
 def match_bgp_union(
@@ -2208,6 +2370,55 @@ def ask_bgp(triples: DataFrame, patterns: list, **kwargs) -> bool:
     accounting."""
     kwargs["distinct"] = False
     return not match_bgp(triples, patterns, **kwargs).isEmpty()
+
+
+def describe_nodes(
+    triples: DataFrame,
+    nodes,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SPARQL ``DESCRIBE``: every triple touching the given nodes —
+    the spec leaves the description form to the engine; this one
+    returns the symmetric star (all triples where the node is subject
+    OR object), which is the Concise Bounded Description for a graph
+    with no blank nodes (this engine skolemizes everything to IRIs, so
+    there is no bnode closure to chase). Completes the fourth SPARQL
+    query form next to SELECT (:func:`match_bgp`), ASK
+    (:func:`ask_bgp`) and CONSTRUCT (:func:`construct_triples`).
+
+    ``nodes`` is either a list of constants — compiled to ONE scan with
+    an ``(subj IN ... OR obj IN ...)`` pushdown filter, no join — or a
+    single-column DataFrame of node ids, compiled to two ``left_semi``
+    equi-joins (subject side, object side) unioned and deduped; the
+    node side of each semi-join is binding-scale, so AQE broadcasts it
+    and the triple table never shuffles. Reference analogue: none —
+    the reference has no query layer; cited for parity accounting."""
+    out_cols = (subj, pred, obj)
+    if isinstance(nodes, DataFrame):
+        if len(nodes.columns) != 1:
+            raise ValueError(
+                "describe_nodes: the node DataFrame must have exactly "
+                f"one column, got {nodes.columns}"
+            )
+        ncol = nodes.columns[0]
+        ids = nodes.select(F.col(ncol).alias("__dn_id")).distinct()
+        by_subj = triples.join(
+            ids, triples[subj] == F.col("__dn_id"), "left_semi"
+        )
+        by_obj = triples.join(
+            ids, triples[obj] == F.col("__dn_id"), "left_semi"
+        )
+        return by_subj.select(*out_cols).unionByName(
+            by_obj.select(*out_cols)
+        ).distinct()
+    nodes = sorted(set(nodes))
+    if not nodes:
+        raise ValueError("describe_nodes: empty node list")
+    return triples.where(
+        F.col(subj).isin(nodes) | F.col(obj).isin(nodes)
+    ).select(*out_cols)
 
 
 def construct_triples(

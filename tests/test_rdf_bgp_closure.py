@@ -408,8 +408,12 @@ def test_match_bgp_property_path(spark):
         ("op1", "op3", "sys9"),
         ("op2", "op3", "sys9"),
     }
-    # a bare "+" predicate is a constant named "+", not a path
-    none = match_bgp(tri, [("?a", "+", "?b")])
+    # a bare "+" predicate is a path metacharacter: the grammar refuses
+    # it unquoted (never misparses), and the <...>-quoted form is the
+    # literal constant pred named "+" — which matches nothing here
+    with pytest.raises(ValueError, match="path"):
+        match_bgp(tri, [("?a", "+", "?b")])
+    none = match_bgp(tri, [("?a", "<+>", "?b")])
     assert none.count() == 0
 
 
@@ -859,9 +863,12 @@ def test_match_bgp_star_and_opt_paths(spark):
         ).collect()
     }
     assert ("s2", "op2") in out  # zero-length: x = o itself
-    # bare "*" is a literal predicate name (same convention as bare
-    # "+"); a malformed alternation under * still raises
-    assert match_bgp(t, [("?a", "*", "?b")]).count() == 0
+    # bare "*" is a path metacharacter: refused unquoted (same
+    # convention as bare "+"), constant as <*>; a malformed
+    # alternation under * still raises
+    with pytest.raises(ValueError, match="path"):
+        match_bgp(t, [("?a", "*", "?b")])
+    assert match_bgp(t, [("?a", "<*>", "?b")]).count() == 0
     with pytest.raises(ValueError, match="bad predicate path"):
         match_bgp(t, [("?a", "a||b*", "?b")])
 
@@ -1199,3 +1206,83 @@ def test_ask_bgp(spark):
         t, [("?s", "executes", "?o")],
         filters=["s = 's2'"], not_exists=[[("?s", "stores", "?u")]],
     ) is False
+
+
+def test_match_bgp_bounded_repetition(spark):
+    # chain a->b->c->d->e on pred p, plus a q edge for alternation
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),
+            ("d", "p", "e"), ("b", "q", "d")]
+    t = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.s, r.o) for r in
+           match_bgp(t, [("?s", "p{2,3}", "?o")]).collect()}
+    assert got == {("a", "c"), ("a", "d"), ("b", "d"), ("b", "e"),
+                   ("c", "e")}
+    # {n} exact, {0,m} unions the zero-length identity (anchored const)
+    got1 = {(r.o,) for r in match_bgp(t, [("a", "p{2}", "?o")]).collect()}
+    assert got1 == {("c",)}
+    got0 = {r.o for r in match_bgp(t, [("a", "p{0,2}", "?o")]).collect()}
+    assert got0 == {"a", "b", "c"}
+    # composes with ^ (reversal commutes) and | (union subgraph step)
+    gotr = {(r.s, r.o) for r in
+            match_bgp(t, [("?s", "^p{2}", "?o")]).collect()}
+    assert gotr == {("c", "a"), ("d", "b"), ("e", "c")}
+    gota = {(r.s, r.o) for r in
+            match_bgp(t, [("?s", "(p|q){2}", "?o")]).collect()}
+    # two steps over the p∪q subgraph: a->c, b->d(pp), a->d? a->b->d(q)
+    assert gota == {("a", "c"), ("b", "d"), ("a", "d"), ("b", "e"),
+                    ("c", "e")}
+    # guards: bad bounds, unbounded form, cap, NPS combination
+    for bad in ("p{3,2}", "p{1,}", "p{0}", "p{2,99}", "!p{2}"):
+        with pytest.raises(ValueError):
+            match_bgp(t, [("?s", bad, "?o")])
+
+
+def test_match_bgp_bind_and_modifiers(spark):
+    t = _triples_df(spark)
+    out = match_bgp(
+        t, [("?s", "executes", "?o")],
+        bind=[("concat(s, ':', o)", "tag"), ("length(tag)", "tlen")],
+    )
+    assert sorted(out.columns) == ["o", "s", "tag", "tlen"]
+    got = {(r.s, r.o, r.tag, r.tlen) for r in out.collect()}
+    assert got == {("s1", "op1", "s1:op1", 6), ("s1", "op2", "s1:op2", 6),
+                   ("s2", "op2", "s2:op2", 6)}
+    # order/limit/offset: total order pages deterministically
+    page = match_bgp(
+        t, [("?s", "executes", "?o")],
+        order_by=["s", "o"], limit=2, offset=1,
+    ).collect()
+    assert [(r.s, r.o) for r in page] == [("s1", "op2"), ("s2", "op2")]
+    # guards: rebind (case-insensitive), unknown column, missing order
+    with pytest.raises(ValueError, match="rebinds"):
+        match_bgp(t, [("?s", "executes", "?o")], bind=[("1", "S")])
+    with pytest.raises(ValueError, match="failed analysis"):
+        match_bgp(t, [("?s", "executes", "?o")], bind=[("nope + 1", "x")])
+    with pytest.raises(ValueError, match="nondeterministic"):
+        match_bgp(t, [("?s", "executes", "?o")], limit=1)
+    with pytest.raises(ValueError, match="order_by"):
+        match_bgp(t, [("?s", "executes", "?o")],
+                  order_by=["zzz asc"], limit=1).collect()
+
+
+def test_describe_nodes(spark):
+    from spacy_llm_spark.operators.graph import describe_nodes
+
+    t = _triples_df(spark)
+    star = {(r.subj, r.pred, r.obj)
+            for r in describe_nodes(t, ["op2"]).collect()}
+    assert star == {("s1", "executes", "op2"), ("s2", "executes", "op2"),
+                    ("op2", "appliesTo", "t1"), ("op2", "appliesTo", "t2"),
+                    ("op1", "precedes", "op2")}
+    # DataFrame node set gives the same star, deduped across both ends
+    nodes = spark.createDataFrame([("op2",), ("t2",)], "id string")
+    star2 = {(r.subj, r.pred, r.obj)
+             for r in describe_nodes(t, nodes).collect()}
+    assert star2 == star | {("s2", "stores", "t2")}
+    with pytest.raises(ValueError, match="one column"):
+        describe_nodes(t, t)
+    with pytest.raises(ValueError, match="empty"):
+        describe_nodes(t, [])
