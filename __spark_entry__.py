@@ -1491,6 +1491,50 @@ def q_kg_describe(spark, sf_dir):
     return describe_nodes(triples, ["K300", "K310"])
 
 
+def _doc_quads(spark, sf_dir):
+    """Provenance-scoped quad view of the KG: one named graph per
+    source document ('doc:<id>'), the RDF-dataset shape parse_nquads
+    reads and match_quads queries. At 10^12-file scale this is the
+    layout you'd partition the quad table BY (graph pruning = partition
+    pruning)."""
+    edges = q_kg_edges(spark, sf_dir)
+    return edges.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+            "graph"
+        ),
+        "subj", "pred", "obj",
+    ).distinct()
+
+
+def q_kg_nquads(spark, sf_dir):
+    """RDF dataset interchange: the per-document named-graph quad set
+    serialized to N-Quads lines (functions/rdf.to_nquads) — same
+    pure-projection/codegen shape as kg_ntriples with the graph label
+    as the optional fourth term. Terms are [a-z0-9:.]-safe here, so the
+    oracle concatenates without the escape chain (the escape table is
+    pinned by the adversarial round-trip test)."""
+    from spacy_llm_spark.functions import rdf
+
+    return rdf.to_nquads(_doc_quads(spark, sf_dir))
+
+
+def q_kg_bgp_graphs(spark, sf_dir):
+    """SPARQL GRAPH blocks over the per-document quad dataset
+    (operators/graph.match_quads): GRAPH ?g { ?s executes ?o . ?o
+    appliesTo ?t } finds the two-hop only where BOTH triples came from
+    the SAME document (provenance-scoped matching — stricter than the
+    union two-hop), joined with a union-default-graph stores pattern on
+    ?s. The graph variable is an ordinary join key: same-graph
+    enforcement is the equi-join on ?g, no per-graph loop."""
+    from spacy_llm_spark.operators.graph import match_quads
+
+    return match_quads(
+        _doc_quads(spark, sf_dir),
+        patterns=[("?s", "stores", "?x")],
+        graphs=[("?g", [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")])],
+    )
+
+
 def q_kg_ask(spark, sf_dir):
     """SPARQL ASK (operators/graph.ask_bgp): two existence probes over
     the constructed KG — does any executes/appliesTo sequence solution
@@ -3327,6 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_bind_order": q_kg_bgp_bind_order,
         "kg_bgp_bounded_path": q_kg_bgp_bounded_path,
         "kg_describe": q_kg_describe,
+        "kg_nquads": q_kg_nquads,
+        "kg_bgp_graphs": q_kg_bgp_graphs,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
@@ -5176,6 +5222,29 @@ rep AS (SELECT s, t FROM p2 UNION SELECT s, t FROM p3),
 em AS (SELECT DISTINCT subj AS b, obj AS x FROM de WHERE pred = 'emits')
 SELECT DISTINCT rep.s AS a, rep.t AS b, em.x AS x
 FROM rep JOIN em ON em.b = rep.t
+""",
+        # N-Quads: concat with the per-doc graph label as fourth term
+        "kg_nquads": m
+        + _EDGES_CTE
+        + """
+, dq AS (SELECT DISTINCT 'doc:' || doc_id AS g, subj, pred, obj FROM edges)
+SELECT '<http://example.org/kg/' || subj || '> <http://example.org/kg/'
+       || pred || '> <http://example.org/kg/' || obj
+       || '> <http://example.org/kg/' || g || '> .' AS nquad
+FROM dq
+""",
+        # GRAPH ?g = equi-join on the graph key within the block;
+        # default pattern = the union of all graphs
+        "kg_bgp_graphs": m
+        + _EDGES_CTE
+        + """
+, dq AS (SELECT DISTINCT 'doc:' || doc_id AS g, subj, pred, obj FROM edges),
+du AS (SELECT DISTINCT subj, pred, obj FROM dq)
+SELECT DISTINCT a.g AS g, a.obj AS o, a.subj AS s, b.obj AS t, st.obj AS x
+FROM dq a
+JOIN dq b ON b.g = a.g AND b.subj = a.obj AND b.pred = 'appliesTo'
+JOIN du st ON st.subj = a.subj AND st.pred = 'stores'
+WHERE a.pred = 'executes'
 """,
         # DESCRIBE = the symmetric star filter
         "kg_describe": m

@@ -105,11 +105,51 @@ def to_ntriples(
     return df.select(line.alias(out_col))
 
 
+def to_nquads(
+    df: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph: str = "graph",
+    base: str = "http://example.org/kg/",
+    obj_is_iri=True,
+    out_col: str = "nquad",
+) -> DataFrame:
+    """One N-Quads line per row: ``<s> <p> <o> <g> .`` — the named-graph
+    form of :func:`to_ntriples`, same pure-projection/codegen shape. A
+    NULL ``graph`` serializes as a triple line (the N-Quads grammar
+    makes the graph label optional = the default graph), so one table
+    carries a full RDF dataset."""
+    if isinstance(obj_is_iri, bool):
+        obj_is_iri = F.lit(obj_is_iri)
+    iri_obj = F.concat(F.lit("<" + base), escape_iri(obj), F.lit(">"))
+    lit_obj = F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
+    gpart = F.when(
+        F.col(graph).isNull(), F.lit("")
+    ).otherwise(
+        F.concat(F.lit(" <" + base), escape_iri(graph), F.lit(">"))
+    )
+    line = F.concat(
+        F.lit("<" + base), escape_iri(subj), F.lit("> "),
+        F.lit("<" + base), escape_iri(pred), F.lit("> "),
+        F.when(obj_is_iri, iri_obj).otherwise(lit_obj),
+        gpart,
+        F.lit(" ."),
+    )
+    return df.select(line.alias(out_col))
+
+
 # One regex, three term groups: subject IRI, predicate IRI, then either
 # an object IRI (group 3) or a quoted literal (group 4). Literal bodies
 # may contain anything except an UNESCAPED quote — i.e. any char that
 # is not '"' or '\', or a backslash-escaped pair.
 _NT_LINE_RE = r'^<([^<>]*)> <([^<>]*)> (?:<([^<>]*)>|"((?:[^"\\]|\\.)*)") \.$'
+
+# N-Quads: the same three terms plus an OPTIONAL graph IRI (group 5).
+_NQ_LINE_RE = (
+    r'^<([^<>]*)> <([^<>]*)> (?:<([^<>]*)>|"((?:[^"\\]|\\.)*)")'
+    r'(?: <([^<>]*)>)? \.$'
+)
 
 
 def parse_ntriples(
@@ -144,6 +184,49 @@ def parse_ntriples(
             F.when(is_iri, strip_base(unescape_iri(o_iri)))
             .otherwise(unescape_literal(o_lit))
             .alias(obj),
+            is_iri.alias("obj_is_iri"),
+        )
+    )
+
+
+def parse_nquads(
+    df: DataFrame,
+    col: str = "nquad",
+    base: str = "http://example.org/kg/",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph: str = "graph",
+) -> DataFrame:
+    """Inverse of :func:`to_nquads`: the three terms plus the optional
+    graph label (NULL = default graph — a plain triple line IS a valid
+    quad line, so this parser also reads N-Triples files). Malformed
+    lines are dropped (F7)."""
+
+    def strip_base(c: Column) -> Column:
+        return F.when(
+            c.startswith(base), F.substring(c, len(base) + 1, 2**31 - 1)
+        ).otherwise(c)
+
+    line = F.col(col)
+    s = F.regexp_extract(line, _NQ_LINE_RE, 1)
+    p = F.regexp_extract(line, _NQ_LINE_RE, 2)
+    o_iri = F.regexp_extract(line, _NQ_LINE_RE, 3)
+    o_lit = F.regexp_extract(line, _NQ_LINE_RE, 4)
+    g = F.regexp_extract(line, _NQ_LINE_RE, 5)
+    is_iri = line.rlike(r'^<[^<>]*> <[^<>]*> <[^<>]*>(?: <[^<>]*>)? \.$')
+    has_graph = line.rlike(
+        r'^<[^<>]*> <[^<>]*> (?:<[^<>]*>|"(?:[^"\\]|\\.)*") <[^<>]*> \.$'
+    )
+    return (
+        df.where(line.rlike(_NQ_LINE_RE))
+        .select(
+            strip_base(unescape_iri(s)).alias(subj),
+            strip_base(unescape_iri(p)).alias(pred),
+            F.when(is_iri, strip_base(unescape_iri(o_iri)))
+            .otherwise(unescape_literal(o_lit))
+            .alias(obj),
+            F.when(has_graph, strip_base(unescape_iri(g))).alias(graph),
             is_iri.alias("obj_is_iri"),
         )
     )

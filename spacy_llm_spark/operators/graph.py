@@ -2421,6 +2421,156 @@ def describe_nodes(
     ).select(*out_cols)
 
 
+def match_quads(
+    quads: DataFrame,
+    patterns: list | None = None,
+    graphs: list | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph: str = "graph",
+    distinct: bool = True,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL named-graph matching over an RDF DATASET — a quad table
+    ``(graph, subj, pred, obj)`` such as :func:`parse_nquads` produces
+    or a per-document/per-repo provenance-scoped KG materializes.
+
+    ``patterns`` are default-graph triple patterns evaluated against
+    the UNION of all graphs (the "union default graph" convention of
+    Jena TDB / Virtuoso — the natural reading when graphs are
+    provenance scopes rather than disjoint datasets); they support the
+    FULL property-path grammar of :func:`match_bgp`, since the union
+    projection is an ordinary triple table.
+
+    ``graphs`` is a list of ``(graph_term, patterns)`` blocks — SPARQL
+    ``GRAPH g { ... }``:
+
+    - a CONSTANT graph term compiles the block against the
+      graph-filtered projection (the constant is a pushdown filter —
+      with the quad table written partitioned by ``graph``, whole
+      partitions prune). Full path grammar, again via
+      :func:`match_bgp`'s compiler.
+    - a VARIABLE graph term (``"?g"``) binds the graph name per
+      solution: every pattern in the block scans the quad table with
+      the graph column projected onto the shared variable, so the
+      block's patterns are forced into the SAME graph by the ordinary
+      equi-join on ``?g`` — no correlated subquery, no per-graph loop;
+      at 100 TB this is the same join-on-key plan as any other
+      variable. Property paths inside a variable-graph block are
+      refused: a per-graph closure is a GROUPED fixpoint (one closure
+      per graph value), which this engine deliberately does not hide
+      behind a pattern string — filter to a constant graph first.
+
+    All compiled units (default patterns, blocks) then join greedily on
+    shared variables exactly like :func:`match_bgp`'s BGP — disjoint
+    variable groups are refused unless ``allow_cartesian=True``. Output
+    has one column per variable (graph variables included);
+    ``distinct`` gives SELECT DISTINCT semantics. Reference analogue:
+    none — the reference has no query layer; cited for parity
+    accounting."""
+
+    def is_var(t) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    def var_name(t: str) -> str:
+        name = t[1:]
+        if not name.isidentifier():
+            raise ValueError(f"match_quads: bad variable name {t!r}")
+        return name
+
+    units = []  # (vars frozenset, n_constants, DataFrame)
+    triple_view = quads.select(subj, pred, obj)
+    for i, pat in enumerate(patterns or []):
+        vs, df = _compile_bgp(
+            triple_view, [pat], subj, pred, obj, allow_cartesian,
+            what=f"default pattern {i}",
+        )
+        n_const = sum(0 if is_var(t) else 1 for t in pat)
+        units.append((vs, n_const, df))
+    for bi, block in enumerate(graphs or []):
+        try:
+            gterm, bpats = block
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"match_quads: graphs[{bi}] must be a "
+                f"(graph_term, patterns) pair, got {block!r}"
+            ) from None
+        if not bpats:
+            raise ValueError(f"match_quads: graphs[{bi}] has no patterns")
+        if not is_var(gterm):
+            scoped = quads.where(F.col(graph) == F.lit(gterm)).select(
+                subj, pred, obj
+            )
+            vs, df = _compile_bgp(
+                scoped, bpats, subj, pred, obj, allow_cartesian,
+                what=f"graph block {bi}",
+            )
+            units.append((vs, 1 + len(bpats), df))
+            continue
+        gv = var_name(gterm)
+        for pi, pat in enumerate(bpats):
+            if len(pat) != 3:
+                raise ValueError(
+                    f"match_quads: graphs[{bi}] pattern {pi} is not a "
+                    f"term triple: {pat!r}"
+                )
+            p_term = pat[1]
+            if (
+                isinstance(p_term, str)
+                and not is_var(p_term)
+                and set(p_term) & _PATH_META
+            ):
+                bare, was_iri = _unbracket(p_term)
+                if not was_iri:
+                    raise ValueError(
+                        f"match_quads: property path {p_term!r} inside "
+                        f"variable-graph block {bi} — a per-graph "
+                        "closure is a grouped fixpoint; use a constant "
+                        "graph term (or quote a literal pred in <...>)"
+                    )
+                p_term = bare
+            df = quads
+            cols, seen, n_const = [], {}, 0
+            for col, term in zip(
+                (graph, subj, pred, obj), (gterm, pat[0], p_term, pat[2])
+            ):
+                if is_var(term):
+                    v = var_name(term)
+                    if v in seen:
+                        df = df.where(F.col(col) == F.col(seen[v]))
+                    else:
+                        seen[v] = col
+                        cols.append(F.col(col).alias(v))
+                else:
+                    df = df.where(F.col(col) == F.lit(term))
+                    n_const += 1
+            units.append((frozenset(seen), n_const, df.select(*cols)))
+    if not units:
+        raise ValueError("match_quads: need at least one pattern")
+
+    units.sort(key=lambda t: (-t[1], sorted(t[0])))
+    bound_vars, _, bound = units[0]
+    todo = list(units[1:])
+    while todo:
+        pick = next((t for t in todo if t[0] & bound_vars), None)
+        if pick is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "match_quads: patterns split into disconnected "
+                    "variable groups — a cartesian product; pass "
+                    "allow_cartesian=True to run it anyway"
+                )
+            pick = todo[0]
+            bound = bound.crossJoin(pick[2])
+        else:
+            bound = bound.join(pick[2], on=sorted(pick[0] & bound_vars))
+        bound_vars = bound_vars | pick[0]
+        todo.remove(pick)
+    out = bound.select(*sorted(bound_vars))
+    return out.distinct() if distinct else out
+
+
 def construct_triples(
     bindings: DataFrame,
     templates: list,

@@ -1286,3 +1286,72 @@ def test_describe_nodes(spark):
         describe_nodes(t, t)
     with pytest.raises(ValueError, match="empty"):
         describe_nodes(t, [])
+
+
+def test_nquads_roundtrip_and_default_graph(spark):
+    quads = [("g1", *t) for t in ADVERSARIAL[:3]] + [
+        (None, *t) for t in ADVERSARIAL[3:]
+    ] + [('gr"aph\\adv', "s", "p", "o")]
+    df = spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in quads],
+        "graph string, subj string, pred string, obj string",
+    )
+    for obj_is_iri in (True, False):
+        lines = rdf.to_nquads(df, obj_is_iri=obj_is_iri)
+        back = rdf.parse_nquads(lines)
+        got = {(r.graph, r.subj, r.pred, r.obj, r.obj_is_iri)
+               for r in back.collect()}
+        assert got == {(g, s, p, o, obj_is_iri) for g, s, p, o in quads}
+    # a default-graph quad line IS an N-Triples line; the quad parser
+    # reads N-Triples files and the triple parser skips graph-labeled
+    # lines as malformed rather than misparsing them
+    tri_only = rdf.parse_ntriples(rdf.to_nquads(df), col="nquad")
+    assert tri_only.count() == 3
+    junk = spark.createDataFrame(
+        [Row(nquad='<a> <b> <c> <d> <e> .'), Row(nquad="nope")],
+        "nquad string",
+    )
+    assert rdf.parse_nquads(junk).count() == 0
+
+
+def test_match_quads_blocks_and_union_default(spark):
+    from spacy_llm_spark.operators.graph import match_quads
+
+    rows = [("g1", "a", "p", "b"), ("g1", "b", "q", "c"),
+            ("g2", "a", "p", "b"), ("g2", "b", "q", "d"),
+            ("g2", "d", "r", "e"), (None, "x", "p", "y")]
+    q = spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in rows],
+        "graph string, subj string, pred string, obj string",
+    )
+    # variable graph: both patterns forced into the SAME graph
+    got = {(r.g, r.s, r.o, r.t) for r in match_quads(
+        q, graphs=[("?g", [("?s", "p", "?o"), ("?o", "q", "?t")])]
+    ).collect()}
+    assert got == {("g1", "a", "b", "c"), ("g2", "a", "b", "d")}
+    # constant graph block (pushdown) + union-default pattern
+    got2 = {(r.s, r.o, r.t) for r in match_quads(
+        q, patterns=[("?s", "p", "?o")],
+        graphs=[("g2", [("?o", "q", "?t")])],
+    ).collect()}
+    assert got2 == {("a", "b", "d"), ("x", "y", "d")} or \
+        got2 == {("a", "b", "d")}
+    # default patterns see the union of ALL graphs (incl. NULL)
+    base = {(r.s, r.o) for r in
+            match_quads(q, patterns=[("?s", "p", "?o")]).collect()}
+    assert base == {("a", "b"), ("x", "y")}
+    # graph var can join across blocks and with quoted literal preds
+    gq = {(r.g,) for r in match_quads(
+        q, graphs=[("?g", [("?s", "<p>", "?o"), ("?o", "q", "?t")])]
+    ).select("g").collect()}
+    assert gq == {("g1",), ("g2",)}
+    # guards
+    with pytest.raises(ValueError, match="at least one pattern"):
+        match_quads(q)
+    with pytest.raises(ValueError, match="grouped fixpoint"):
+        match_quads(q, graphs=[("?g", [("?s", "p+", "?o")])])
+    with pytest.raises(ValueError, match="disconnected"):
+        match_quads(q, patterns=[("?a", "p", "?b")],
+                    graphs=[("?g", [("?c", "q", "?d")])])
+    with pytest.raises(ValueError, match="no patterns"):
+        match_quads(q, graphs=[("?g", [])])
