@@ -3041,6 +3041,38 @@ def q_kg_communities(spark, sf_dir):
     return graph.label_propagation(edges, rounds=3)
 
 
+def q_kg_modularity(spark, sf_dir):
+    """Newman modularity (operators/graph.modularity): per-community
+    q_c = m_in/m − (d_tot/2m)², quantized 10 dp, summing to the
+    partition's Q — the quality score for community assignments (pairs
+    with kg_communities' LPA, whose labels collapse on the dense
+    synthetic KG, so the stamped check scores a partition with real
+    per-community variance instead: the bounded part hierarchy
+    p → p DIV 2 with key-block communities v DIV 64 — the doubling
+    tree makes most edges cross blocks, so the per-block q values are
+    small and signed, a sharper cross-engine float check than a
+    degenerate all-intra split; the two-triangle hand test pins the
+    semantics where Q is known). Two vertex-keyed joins, one
+    edge-scale union, three
+    label-keyed aggregates, ONE broadcast 1-row total."""
+    from spacy_llm_spark.operators import graph
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = part.where(
+        (F.col("p_partkey") >= 2) & (F.col("p_partkey") < 512)
+    ).select(
+        F.col("p_partkey").cast("long").alias("subj"),
+        F.expr("CAST(p_partkey DIV 2 AS BIGINT)").alias("obj"),
+    )
+    verts = (
+        edges.select(F.col("subj").alias("vertex"))
+        .unionByName(edges.select(F.col("obj").alias("vertex")))
+        .distinct()
+    )
+    asn = verts.withColumn("label", F.expr("vertex DIV 64"))
+    return graph.modularity(edges, asn)
+
+
 def q_dsir_topk(spark, sf_dir):
     """DSIR greedy data selection (operators/importance.py, Xie et al.
     2023 arXiv:2302.03169): the 100 raw documents whose hashed-bigram
@@ -3446,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the stamped reps)
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_communities": q_kg_communities,
+        "kg_modularity": q_kg_modularity,
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
@@ -3830,6 +3863,49 @@ lab{i} AS (
         )
     parts.append(f"\nSELECT v AS vertex, label FROM lab{rounds}")
     return "".join(parts)
+
+
+def _modularity_oracle_sql() -> str:
+    """Newman modularity over the planted part-hierarchy partition —
+    mirrors operators/graph.modularity term for term: label-joined
+    simple edge set, degree mass via UNION ALL, per-community q
+    quantized 10 dp."""
+    return (
+        """
+WITH ed AS (
+  SELECT CAST(p_partkey AS BIGINT) AS c, CAST(p_partkey // 2 AS BIGINT) AS p
+  FROM part WHERE p_partkey >= 2 AND p_partkey < 512
+), und AS (
+  SELECT DISTINCT least(c, p) AS lo, greatest(c, p) AS hi
+  FROM ed WHERE c <> p
+), asn AS (
+  SELECT v AS vertex, v // 64 AS label
+  FROM (SELECT lo AS v FROM und UNION SELECT hi FROM und)
+),
+je AS (
+  SELECT u.lo, u.hi, a.label AS la, b.label AS lb
+  FROM und u JOIN asn a ON a.vertex = u.lo JOIN asn b ON b.vertex = u.hi
+), tot AS (SELECT count(*) AS m FROM je),
+deg AS (
+  SELECT lab, count(*) AS d_tot FROM (
+    SELECT la AS lab FROM je UNION ALL SELECT lb AS lab FROM je
+  ) GROUP BY lab
+), intra AS (
+  SELECT la AS lab, count(*) AS m_in FROM je WHERE la = lb GROUP BY la
+), gv AS (SELECT lo AS v FROM und UNION SELECT hi FROM und),
+nn AS (
+  SELECT label AS lab, count(*) AS n_nodes FROM asn
+  WHERE vertex IN (SELECT v FROM gv) GROUP BY label
+)
+SELECT d.lab AS label, nn.n_nodes, coalesce(i.m_in, 0) AS m_in, d.d_tot,
+  round(coalesce(i.m_in, 0) / CAST(tot.m AS DOUBLE)
+        - pow(d.d_tot / (2 * CAST(tot.m AS DOUBLE)), 2), 10) AS q
+FROM deg d
+CROSS JOIN tot
+LEFT JOIN intra i ON i.lab = d.lab
+JOIN nn ON nn.lab = d.lab
+"""
+    )
 
 
 #: DSIR per-document log importance weights (raw = documents, target =
@@ -5358,6 +5434,7 @@ LEFT JOIN und e ON e.lo = p.id_a AND e.hi = p.id_b
 WHERE e.lo IS NULL
 """,
         "kg_communities": _lpa_oracle_sql(rounds=3),
+        "kg_modularity": _modularity_oracle_sql(),
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)

@@ -781,6 +781,90 @@ def label_propagation(
     return labels.select(F.col("v").alias("vertex"), "label")
 
 
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    vertex: str = "vertex",
+    label: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community ``assignment`` over the
+    undirected simple graph — the standard quality score for
+    :func:`label_propagation` output (Newman & Girvan 2004): per
+    community c, ``q_c = m_in/m - (d_tot/(2m))^2`` where ``m`` is the
+    total edge count, ``m_in`` the intra-community edge count and
+    ``d_tot`` the community's degree mass; the graph's modularity Q is
+    the sum of the ``q`` column (each term quantized to 10 dp so float
+    summation order cannot drift a cross-engine compare — same
+    convention as pagerank).
+
+    Self-loops and parallel edges are dropped (``_undirected_edges``,
+    the same simple-graph convention as triangles/LPA). Everything is
+    computed from the label-JOINED edge set, so a partial assignment
+    scores the INDUCED subgraph consistently (m, degrees, and intra
+    counts all agree) rather than mixing a full-graph m with
+    partial-graph numerators; ``n_nodes`` counts the community's
+    vertices that appear in that graph.
+
+    Scale shape: one edge⋈label join per endpoint (vertex-keyed — AQE
+    broadcasts the label map when it fits, shuffles otherwise), one
+    edge-scale union for degree mass, three label-keyed aggregates with
+    map-side partials, and ONE broadcast 1-row total — no window, no
+    driver loop. Reference analogue: none (no graph layer in the
+    reference); cited for parity accounting."""
+    und = _undirected_edges(edges, src, dst)
+    asn = assignment.select(
+        F.col(vertex).alias("__mv"), F.col(label).alias("lab")
+    ).distinct()
+    je = (
+        und.join(asn.withColumnRenamed("__mv", "lo").withColumnRenamed(
+            "lab", "la"), "lo")
+        .join(asn.withColumnRenamed("__mv", "hi").withColumnRenamed(
+            "lab", "lb"), "hi")
+        .select("lo", "hi", "la", "lb")
+    )
+    tot = je.agg(F.count(F.lit(1)).alias("__m"))
+    deg = (
+        je.select(F.col("la").alias("lab"))
+        .unionByName(je.select(F.col("lb").alias("lab")))
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("d_tot"))
+    )
+    intra = (
+        je.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("m_in"))
+    )
+    gverts = (
+        und.select(F.col("lo").alias("__mv"))
+        .unionByName(und.select(F.col("hi").alias("__mv")))
+        .distinct()
+    )
+    n_nodes = (
+        asn.join(gverts, "__mv", "left_semi")
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    m = F.col("__m").cast("double")
+    return (
+        deg.join(intra, "lab", "left")
+        .join(n_nodes, "lab")
+        .crossJoin(broadcast(tot))
+        .select(
+            F.col("lab").alias(label),
+            "n_nodes",
+            F.coalesce(F.col("m_in"), F.lit(0)).alias("m_in"),
+            "d_tot",
+            F.round(
+                F.coalesce(F.col("m_in"), F.lit(0)) / m
+                - F.pow(F.col("d_tot") / (2 * m), F.lit(2)),
+                10,
+            ).alias("q"),
+        )
+    )
+
+
 def negative_triples(
     edges: DataFrame,
     *,

@@ -183,3 +183,45 @@ def test_ranking_metrics_matches_reference(spark):
         for k, v in want.items():
             assert getattr(got, k) == pytest.approx(v, abs=1e-9), (
                 filtered, k)
+
+
+def _asn(spark, pairs):
+    return spark.createDataFrame(
+        [Row(vertex=v, label=l) for v, l in pairs],
+        "vertex string, label string",
+    )
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from spacy_llm_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge: m = 7; each community has
+    # m_in = 3, d_tot = 7 -> q_c = 3/7 - (7/14)^2, Q = 2 * q_c
+    tri = [("a", "b"), ("b", "c"), ("a", "c"),
+           ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    asn = _asn(spark, [(v, "L") for v in "abc"] + [(v, "R") for v in "def"])
+    out = {r.label: r for r in
+           modularity(_edges(spark, tri), asn).collect()}
+    assert set(out) == {"L", "R"}
+    for lab in ("L", "R"):
+        r = out[lab]
+        assert (r.n_nodes, r.m_in, r.d_tot) == (3, 3, 7)
+        assert r.q == round(3 / 7 - (7 / 14) ** 2, 10)
+    # the perfect-split Q beats the all-in-one partition's Q (== 0)
+    allone = modularity(
+        _edges(spark, tri), _asn(spark, [(v, "X") for v in "abcdef"])
+    ).collect()
+    assert len(allone) == 1 and allone[0].q == 0.0
+    # self-loops and parallel edges are dropped; a PARTIAL assignment
+    # scores the induced subgraph consistently (m shrinks with it)
+    noisy = tri + [("a", "a"), ("b", "a")]
+    out2 = {r.label: (r.n_nodes, r.m_in, r.d_tot, r.q) for r in
+            modularity(_edges(spark, noisy), asn).collect()}
+    assert out2 == {lab: (3, 3, 7, round(3 / 7 - 0.25, 10))
+                    for lab in ("L", "R")}
+    part = modularity(
+        _edges(spark, tri), _asn(spark, [(v, "L") for v in "abc"])
+    ).collect()
+    # induced subgraph = the left triangle alone: one community holding
+    # every edge -> q = 1/1 - 1 = 0 over m = 3
+    assert [(r.n_nodes, r.m_in, r.d_tot, r.q) for r in part] == [(3, 3, 6, 0.0)]
