@@ -3073,6 +3073,63 @@ def q_kg_modularity(spark, sf_dir):
     return graph.modularity(edges, asn)
 
 
+def _order_priority_log(spark, sf_dir):
+    """Versioned assertion log derived from orders: each order
+    re-asserts its customer's order_priority fact at o_orderdate, with
+    o_orderkey as the total tie-break — the (subj, pred, obj, ts, seq)
+    shape operators/temporal.py consumes."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        F.col("o_custkey").cast("string").alias("subj"),
+        F.lit("order_priority").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+
+
+def q_kg_snapshot_asof(spark, sf_dir):
+    """Valid-time KG snapshot (operators/temporal.snapshot_asof): each
+    customer's order_priority fact as it stood on 1996-06-30 — latest
+    assertion per (subj, pred) under the (ts, seq) version order, ONE
+    grouped max-struct argmax over the ts-filtered log (predicate
+    pushdown; a day-partitioned log prunes everything after the
+    instant). No window, no self-join."""
+    from spacy_llm_spark.operators import temporal
+
+    return temporal.snapshot_asof(
+        _order_priority_log(spark, sf_dir), "1996-06-30", seq="seq"
+    )
+
+
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Temporal KG diff (operators/temporal.snapshot_diff): facts
+    added / removed / changed between the 1996-06-30 and 1997-06-30
+    snapshots (851 changed / 117 added / 496 unchanged-dropped at
+    sf0.01; removed needs a retraction, which the unit tests pin) — two key-scale snapshots full-outer-joined on the key,
+    never a join of the raw log."""
+    from spacy_llm_spark.operators import temporal
+
+    return temporal.snapshot_diff(
+        _order_priority_log(spark, sf_dir), "1996-06-30", "1997-06-30",
+        seq="seq",
+    )
+
+
+def q_kg_triple_intervals(spark, sf_dir):
+    """Assertion validity windows (operators/temporal.triple_intervals):
+    [valid_from, valid_to) per version via one lead() over the
+    (subj, pred) key in (ts, seq) order — NULL valid_to = still
+    current; snapshot_asof at any t equals the interval containing t.
+    Bounded to 3 customers so the stamped frame stays small."""
+    from spacy_llm_spark.operators import temporal
+
+    log = _order_priority_log(spark, sf_dir).where(
+        F.col("subj").isin("1", "2", "5")
+    )
+    return temporal.triple_intervals(log, seq="seq")
+
+
 def q_dsir_topk(spark, sf_dir):
     """DSIR greedy data selection (operators/importance.py, Xie et al.
     2023 arXiv:2302.03169): the 100 raw documents whose hashed-bigram
@@ -3479,6 +3536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
+        "kg_snapshot_asof": q_kg_snapshot_asof,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_triple_intervals": q_kg_triple_intervals,
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
@@ -5435,6 +5495,58 @@ WHERE e.lo IS NULL
 """,
         "kg_communities": _lpa_oracle_sql(rounds=3),
         "kg_modularity": _modularity_oracle_sql(),
+        # snapshot = max-struct argmax under the (ts, seq) version
+        # order — struct comparison is lexicographic by field position
+        # in both engines, so the expression mirrors 1:1
+        "kg_snapshot_asof": """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+)
+SELECT subj, pred, max(struct_pack(t := ts, q := seq, o := obj)).o AS obj
+FROM log WHERE ts <= DATE '1996-06-30'
+GROUP BY subj, pred
+""",
+        "kg_snapshot_diff": """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+),
+old AS (
+  SELECT subj, pred,
+         max(struct_pack(t := ts, q := seq, o := obj)).o AS obj_old
+  FROM log WHERE ts <= DATE '1996-06-30' GROUP BY subj, pred
+),
+new AS (
+  SELECT subj, pred,
+         max(struct_pack(t := ts, q := seq, o := obj)).o AS obj_new
+  FROM log WHERE ts <= DATE '1997-06-30' GROUP BY subj, pred
+)
+SELECT coalesce(old.subj, new.subj) AS subj,
+       coalesce(old.pred, new.pred) AS pred,
+       obj_old, obj_new,
+       CASE WHEN obj_old IS NULL THEN 'added'
+            WHEN obj_new IS NULL THEN 'removed'
+            WHEN obj_old <> obj_new THEN 'changed' END AS change
+FROM old FULL OUTER JOIN new USING (subj, pred)
+WHERE CASE WHEN obj_old IS NULL THEN 'added'
+           WHEN obj_new IS NULL THEN 'removed'
+           WHEN obj_old <> obj_new THEN 'changed' END IS NOT NULL
+""",
+        # validity windows: one lead() per (subj, pred) key in (ts, seq)
+        # order, identical window spec in both engines
+        "kg_triple_intervals": """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders WHERE o_custkey IN (1, 2, 5)
+)
+SELECT subj, pred, obj, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, seq) AS valid_to
+FROM log
+""",
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)

@@ -1,0 +1,142 @@
+"""Valid-time (temporal) views over a versioned triple log.
+
+Source-code KGs are inherently versioned: every commit re-asserts or
+retracts facts, so the natural storage shape is an append-only
+ASSERTION LOG ``(subj, pred, obj, ts, seq)`` — one row per (re-)
+assertion, ``obj`` NULL marking a retraction of the key — and the
+queries people actually ask are temporal: "the KG as of T", "what
+changed between T1 and T2", "how long was this fact true". The three
+operators here answer exactly those over functional keys
+(one live ``obj`` per ``(subj, pred)`` at any instant):
+
+- :func:`snapshot_asof` — the KG at an instant: ONE key-grouped
+  max-struct argmax (no window, no self-join) over the log filtered to
+  ``ts <= at``; the filter is a pushdown predicate, so a log table
+  partitioned by day prunes everything after the snapshot instant.
+- :func:`triple_intervals` — each assertion's validity window
+  ``[valid_from, valid_to)`` via one ``lead()`` over the per-key
+  version order (the single window this family uses — it is keyed on
+  ``(subj, pred)``, the same key the snapshot groups on, so one shuffle
+  serves it).
+- :func:`snapshot_diff` — added / removed / changed facts between two
+  instants: two snapshots + one full-outer equi-join on the key.
+
+Determinism across engines: the version order is ``(ts, seq)`` with
+``seq`` a caller-supplied total tie-break (commit counter, orderkey…).
+Struct comparison is lexicographic by field position in BOTH Spark and
+DuckDB, so the argmax is the same one-aggregation expression in engine
+and oracle.
+
+At 100 TB: everything is keyed on ``(subj, pred)`` — one hash shuffle
+with map-side partial aggregation for snapshots (partials keep only
+their max struct, so a hot key costs its row count, never memory), and
+the diff joins two key-scale snapshot frames, not the log. Reference
+analogue: none — the reference annotates documents and has no temporal
+layer; cited for parity accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _version_struct(ts: str, seq: str | None, obj: str):
+    fields = [F.col(ts).alias("_t")]
+    if seq is not None:
+        fields.append(F.col(seq).alias("_q"))
+    fields.append(F.col(obj).alias("_o"))
+    return F.struct(*fields)
+
+
+def snapshot_asof(
+    log: DataFrame,
+    at,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """The triple set valid at instant ``at``: per ``(subj, pred)`` the
+    ``obj`` of the latest assertion with ``ts <= at`` (version order
+    ``(ts, seq)``; without ``seq``, equal-``ts`` ties break by greatest
+    ``obj`` — pass a total tie-break column for log shapes that can
+    collide). Retractions (NULL ``obj``) participate in the ordering
+    and then drop their key from the snapshot, so "deleted as of T"
+    means gone, not resurrected from an older version.
+
+    One filtered scan + ONE grouped max-struct aggregation; the
+    ``ts <= at`` predicate pushes to the scan.
+    """
+    latest = (
+        log.where(F.col(ts) <= F.lit(at))
+        .groupBy(F.col(subj).alias(subj), F.col(pred).alias(pred))
+        .agg(F.max(_version_struct(ts, seq, obj))["_o"].alias(obj))
+    )
+    return latest.where(F.col(obj).isNotNull())
+
+
+def triple_intervals(
+    log: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """Validity windows: every assertion row becomes ``(subj, pred,
+    obj, valid_from, valid_to)`` with ``valid_to`` the next version's
+    timestamp (NULL = still current) — the half-open ``[from, to)``
+    interval convention, so instants match exactly one version and
+    :func:`snapshot_asof` at any ``t`` equals the interval containing
+    ``t``. Retraction rows close the previous interval and emit no row
+    themselves. One window ``lead(ts)`` over the ``(subj, pred)`` key
+    ordered by ``(ts, seq)``."""
+    order = [F.col(ts)] + ([F.col(seq)] if seq is not None else [])
+    w = Window.partitionBy(subj, pred).orderBy(*order)
+    return (
+        log.withColumn("valid_to", F.lead(F.col(ts)).over(w))
+        .where(F.col(obj).isNotNull())
+        .select(
+            subj,
+            pred,
+            obj,
+            F.col(ts).alias("valid_from"),
+            "valid_to",
+        )
+    )
+
+
+def snapshot_diff(
+    log: DataFrame,
+    at_old,
+    at_new,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """What changed between two instants: ``(subj, pred, obj_old,
+    obj_new, change)`` with ``change`` in ``added`` / ``removed`` /
+    ``changed`` — unchanged keys are omitted. Two snapshots + one
+    full-outer equi-join on the key (key-scale frames, never the
+    log)."""
+    old = snapshot_asof(log, at_old, subj, pred, obj, ts, seq).withColumnRenamed(
+        obj, "obj_old"
+    )
+    new = snapshot_asof(log, at_new, subj, pred, obj, ts, seq).withColumnRenamed(
+        obj, "obj_new"
+    )
+    joined = old.join(new, on=[subj, pred], how="full_outer")
+    return (
+        joined.withColumn(
+            "change",
+            F.when(F.col("obj_old").isNull(), F.lit("added"))
+            .when(F.col("obj_new").isNull(), F.lit("removed"))
+            .when(F.col("obj_old") != F.col("obj_new"), F.lit("changed")),
+        )
+        .where(F.col("change").isNotNull())
+        .select(subj, pred, "obj_old", "obj_new", "change")
+    )

@@ -1,0 +1,88 @@
+"""Valid-time triple log operators (operators/temporal.py): snapshot
+argmax, validity intervals, and snapshot diff — hand logs exercising
+re-assertion, retraction (NULL obj), same-instant tie-breaks, and the
+interval/snapshot consistency invariant."""
+
+import pytest
+from pyspark.sql import Row
+
+from spacy_llm_spark.operators.temporal import (
+    snapshot_asof,
+    snapshot_diff,
+    triple_intervals,
+)
+
+LOG = [
+    # (subj, pred, obj, ts, seq)
+    ("e1", "owner", "alice", 1, 1),
+    ("e1", "owner", "bob", 3, 2),       # re-assertion supersedes
+    ("e1", "lang", "py", 2, 3),
+    ("e1", "lang", None, 5, 4),         # retraction
+    ("e2", "owner", "carol", 4, 5),
+    ("e3", "owner", "dan", 6, 6),
+    ("e3", "owner", "erin", 6, 7),      # same instant: seq breaks tie
+]
+
+
+def _log(spark):
+    return spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o, ts=t, seq=q) for s, p, o, t, q in LOG],
+        "subj string, pred string, obj string, ts int, seq int",
+    )
+
+
+def _snap(spark, at):
+    return {
+        (r.subj, r.pred): r.obj
+        for r in snapshot_asof(_log(spark), at, seq="seq").collect()
+    }
+
+
+def test_snapshot_asof_versions_retraction_ties(spark):
+    assert _snap(spark, 1) == {("e1", "owner"): "alice"}
+    assert _snap(spark, 2) == {("e1", "owner"): "alice", ("e1", "lang"): "py"}
+    # re-assertion supersedes at its instant (<= boundary inclusive)
+    assert _snap(spark, 3)[("e1", "owner")] == "bob"
+    # retraction drops the key — not resurrected from the older version
+    s5 = _snap(spark, 5)
+    assert ("e1", "lang") not in s5 and s5[("e1", "owner")] == "bob"
+    # same-ts collision: the greater seq wins
+    assert _snap(spark, 6)[("e3", "owner")] == "erin"
+    # before everything: empty snapshot
+    assert _snap(spark, 0) == {}
+
+
+def test_triple_intervals_halfopen_and_consistency(spark):
+    out = {
+        (r.subj, r.pred, r.obj): (r.valid_from, r.valid_to)
+        for r in triple_intervals(_log(spark), seq="seq").collect()
+    }
+    assert out[("e1", "owner", "alice")] == (1, 3)
+    assert out[("e1", "owner", "bob")] == (3, None)   # still current
+    assert out[("e1", "lang", "py")] == (2, 5)        # closed by retraction
+    assert ("e1", "lang", None) not in out            # retractions emit no row
+    assert out[("e3", "owner", "dan")] == (6, 6)      # zero-length: superseded
+    assert out[("e3", "owner", "erin")] == (6, None)
+    # invariant: snapshot at t == the interval containing t
+    for t in range(1, 8):
+        snap = _snap(spark, t)
+        from_intervals = {
+            (s, p): o
+            for (s, p, o), (lo, hi) in out.items()
+            if lo <= t and (hi is None or t < hi)
+        }
+        assert snap == from_intervals, f"t={t}"
+
+
+def test_snapshot_diff_added_removed_changed(spark):
+    got = {
+        (r.subj, r.pred): (r.obj_old, r.obj_new, r.change)
+        for r in snapshot_diff(_log(spark), 2, 5, seq="seq").collect()
+    }
+    assert got == {
+        ("e1", "owner"): ("alice", "bob", "changed"),
+        ("e1", "lang"): ("py", None, "removed"),
+        ("e2", "owner"): (None, "carol", "added"),
+    }
+    # identical instants: empty diff (unchanged keys are omitted)
+    assert snapshot_diff(_log(spark), 4, 4, seq="seq").count() == 0
