@@ -649,6 +649,70 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     ).agg(F.sum(F.length("ntriple"))).collect()
     extras["ntriples_serialize_1m_sec"] = round(time.time() - t0, 3)
 
+    # named-graph BGP over the same 1M triples scoped into 1000 graphs:
+    # GRAPH ?g {executes . appliesTo} — same-graph enforcement is one
+    # extra equi-join key, so the cost should track the plain two-hop
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import match_quads
+
+    # graph scoped by the statement's BASE node (20 bases/graph): both
+    # rows of a base's executes/appliesTo chain inherit the base's
+    # graph, so every chain is same-graph by construction — a graph
+    # label derived from the row's own subject would scatter the chain
+    # across graphs and match ~nothing
+    quads_1m = fact.select(
+        F.concat(
+            F.lit("doc:"), F.floor(base / 20).cast("string")
+        ).alias("graph"),
+        F.when(F.col("pred") == "appliesTo", _n(base + 1))
+        .otherwise(_n(base))
+        .alias("subj"),
+        "pred",
+        F.when(F.col("pred") == "executes", _n(base + 1))
+        .when(F.col("pred").isin("appliesTo", "stores"), _n(base + 2))
+        .otherwise(_n(base * 7 + 3))
+        .alias("obj"),
+    )
+    n_qd = match_quads(
+        quads_1m,
+        graphs=[("?g", [("?s", "executes", "?o"), ("?o", "appliesTo", "?t")])],
+    ).count()
+    extras["quads_graph_bgp_1m_sec"] = round(time.time() - t0, 3)
+    extras["quads_n_bindings"] = n_qd
+
+    # valid-time snapshot over a 1M-row assertion log (100k keys x 10
+    # versions): ONE grouped max-struct argmax — partial aggregation
+    # keeps only the running max per key, so a hot key costs its rows,
+    # never memory
+    t0 = time.time()
+    from spacy_llm_spark.operators.temporal import snapshot_asof
+
+    vlog = spark.range(1_000_000).select(
+        F.format_string("e%06d", F.col("id") % 100_000).alias("subj"),
+        F.lit("state").alias("pred"),
+        F.format_string("v%02d", F.col("id") % 17).alias("obj"),
+        (F.col("id") / 100_000).cast("long").alias("ts"),
+        F.col("id").alias("seq"),
+    )
+    n_snap = snapshot_asof(vlog, 7, seq="seq").count()
+    extras["snapshot_asof_1m_log_sec"] = round(time.time() - t0, 3)
+    extras["snapshot_n_facts"] = n_snap
+
+    # bounded path repetition parent{2,3} over the 200k-node hierarchy:
+    # a STATIC 2-join tree (lazy, Catalyst-owned) vs the eager
+    # path-doubling closure above — the {n,m} scale story in one row
+    t0 = time.time()
+    n_bp = match_bgp(
+        hier.select(
+            F.col("child").alias("subj"),
+            F.lit("parent").alias("pred"),
+            F.col("parent").alias("obj"),
+        ),
+        [("?a", "parent{2,3}", "?b")],
+    ).count()
+    extras["bounded_path_200k_sec"] = round(time.time() - t0, 3)
+    extras["bounded_path_n_pairs"] = n_bp
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
