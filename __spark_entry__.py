@@ -1535,6 +1535,28 @@ def q_kg_bgp_graphs(spark, sf_dir):
     )
 
 
+def q_kg_wl_fingerprints(spark, sf_dir):
+    """Weisfeiler–Leman structural fingerprints per document subgraph
+    (operators/graph.wl_fingerprints, 2 refinement rounds): documents
+    whose extracted KGs share the same TEMPLATE (same edge-label
+    structure, different entities) hash identically — the KG-shaped
+    dedup primitive. All hashing is sha2 over sorted-string encodings,
+    mirrored verbatim in the oracle's string_agg ORDER BY."""
+    from spacy_llm_spark.operators.graph import wl_fingerprints
+
+    return wl_fingerprints(_doc_quads(spark, sf_dir), rounds=2)
+
+
+def q_kg_struct_dup_docs(spark, sf_dir):
+    """Template-duplicate report (operators/graph.
+    structural_duplicate_graphs): groups of >= 2 documents with
+    identical WL fingerprints — ONE fingerprint-keyed aggregate over
+    kg_wl_fingerprints with the member list sorted for determinism."""
+    from spacy_llm_spark.operators.graph import structural_duplicate_graphs
+
+    return structural_duplicate_graphs(_doc_quads(spark, sf_dir), rounds=2)
+
+
 def q_kg_ask(spark, sf_dir):
     """SPARQL ASK (operators/graph.ask_bgp): two existence probes over
     the constructed KG — does any executes/appliesTo sequence solution
@@ -3462,6 +3484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_nquads": q_kg_nquads,
         "kg_bgp_graphs": q_kg_bgp_graphs,
+        "kg_wl_fingerprints": q_kg_wl_fingerprints,
+        "kg_struct_dup_docs": q_kg_struct_dup_docs,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
@@ -3922,6 +3946,59 @@ lab{i} AS (
 )""".format(i=i, p=i - 1)
         )
     parts.append(f"\nSELECT v AS vertex, label FROM lab{rounds}")
+    return "".join(parts)
+
+
+def _wl_oracle_sql(rounds: int = 2, final: str = "fingerprints") -> str:
+    """Unrolled WL color refinement over the per-doc quad view — one
+    CTE pair (messages, colors) per round, mirroring
+    operators/graph.wl_fingerprints: sorted-string message multisets
+    via string_agg ORDER BY, sha256 color updates, isolated nodes kept
+    by the LEFT join. ``final`` picks the fingerprint table or the
+    duplicate-group report."""
+    parts = [
+        _MENTIONS_CTE,
+        _EDGES_CTE,
+        """
+, dq AS (SELECT DISTINCT 'doc:' || doc_id AS g, subj, pred, obj FROM edges),
+nodes AS (SELECT DISTINCT g, subj AS v FROM dq UNION
+          SELECT DISTINCT g, obj FROM dq),
+c0 AS (SELECT g, v, '0' AS c FROM nodes)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            """,
+m{i} AS (
+  SELECT g, v, string_agg(m, ',' ORDER BY m) AS ms FROM (
+    SELECT e.g, e.subj AS v, e.pred || '>out>' || c.c AS m
+    FROM dq e JOIN c{p} c ON c.g = e.g AND c.v = e.obj
+    UNION ALL
+    SELECT e.g, e.obj AS v, e.pred || '>in>' || c.c AS m
+    FROM dq e JOIN c{p} c ON c.g = e.g AND c.v = e.subj
+  ) GROUP BY g, v
+),
+c{i} AS (
+  SELECT n.g, n.v, sha256(n.c || '|' || coalesce(m{i}.ms, '')) AS c
+  FROM c{p} n LEFT JOIN m{i} ON m{i}.g = n.g AND m{i}.v = n.v
+)""".format(i=i, p=i - 1)
+        )
+    parts.append(
+        """,
+fps AS (
+  SELECT g, sha256(string_agg(c, ',' ORDER BY c)) AS fingerprint,
+         count(*) AS n_nodes
+  FROM c{r} GROUP BY g
+)""".format(r=rounds)
+    )
+    if final == "fingerprints":
+        parts.append("\nSELECT g AS graph, fingerprint, n_nodes FROM fps")
+    else:
+        parts.append(
+            """
+SELECT fingerprint, count(*) AS n_graphs, min(n_nodes) AS n_nodes,
+       string_agg(g, ',' ORDER BY g) AS graphs
+FROM fps GROUP BY fingerprint HAVING count(*) >= 2"""
+        )
     return "".join(parts)
 
 
@@ -5495,6 +5572,8 @@ WHERE e.lo IS NULL
 """,
         "kg_communities": _lpa_oracle_sql(rounds=3),
         "kg_modularity": _modularity_oracle_sql(),
+        "kg_wl_fingerprints": _wl_oracle_sql(rounds=2, final="fingerprints"),
+        "kg_struct_dup_docs": _wl_oracle_sql(rounds=2, final="groups"),
         # snapshot = max-struct argmax under the (ts, seq) version
         # order — struct comparison is lexicographic by field position
         # in both engines, so the expression mirrors 1:1

@@ -225,3 +225,59 @@ def test_modularity_two_triangles_bridge(spark):
     # induced subgraph = the left triangle alone: one community holding
     # every edge -> q = 1/1 - 1 = 0 over m = 3
     assert [(r.n_nodes, r.m_in, r.d_tot, r.q) for r in part] == [(3, 3, 6, 0.0)]
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in rows],
+        "graph string, subj string, pred string, obj string",
+    )
+
+
+def test_wl_fingerprints_templates_and_limits(spark):
+    from spacy_llm_spark.operators.graph import (
+        structural_duplicate_graphs,
+        wl_fingerprints,
+    )
+
+    rows = [
+        # g1 / g2: same template (a -p-> b -q-> c), different entities
+        ("g1", "a", "p", "b"), ("g1", "b", "q", "c"),
+        ("g2", "x", "p", "y"), ("g2", "y", "q", "z"),
+        # g3 / g4: isomorphic p-chains
+        ("g3", "m", "p", "n"), ("g3", "n", "p", "o"),
+        ("g4", "u", "p", "v"), ("g4", "v", "p", "w"),
+        # g5: same edge-label multiset as g1 but star wiring, not chain
+        ("g5", "h", "p", "i"), ("g5", "h", "q", "j"),
+    ]
+    fp = {r.graph: (r.fingerprint, r.n_nodes)
+          for r in wl_fingerprints(_quads(spark, rows), rounds=2).collect()}
+    assert fp["g1"] == fp["g2"]          # entity names don't matter
+    assert fp["g3"] == fp["g4"]          # isomorphic
+    assert fp["g1"][0] != fp["g3"][0]    # pred labels matter
+    assert fp["g1"][0] != fp["g5"][0]    # wiring matters, not just counts
+    assert all(n == 3 for _, n in fp.values())
+    dups = {r.graphs: r.n_graphs for r in
+            structural_duplicate_graphs(_quads(spark, rows)).collect()}
+    assert dups == {"g1,g2": 2, "g3,g4": 2}
+    with pytest.raises(ValueError, match="rounds"):
+        wl_fingerprints(_quads(spark, rows), rounds=0)
+    with pytest.raises(NotImplementedError):
+        wl_fingerprints(_quads(spark, rows), node_label="x")
+
+
+def test_wl_known_equivalence_limit(spark):
+    from spacy_llm_spark.operators.graph import wl_fingerprints
+
+    # the classic WL blind spot: two directed 3-cycles vs one directed
+    # 6-cycle — every node sees in=1/out=1 uniformly forever, so the
+    # fingerprints MUST collide (documented: WL-equivalence, not
+    # isomorphism). If a future change makes these differ, the operator
+    # stopped being WL and the docstring is lying.
+    c33 = [("h6", f"a{i}", "p", f"a{(i + 1) % 3}") for i in range(3)] + [
+        ("h6", f"b{i}", "p", f"b{(i + 1) % 3}") for i in range(3)
+    ]
+    c6 = [("h7", f"c{i}", "p", f"c{(i + 1) % 6}") for i in range(6)]
+    fp = {r.graph: r.fingerprint for r in
+          wl_fingerprints(_quads(spark, c33 + c6), rounds=3).collect()}
+    assert fp["h6"] == fp["h7"]
