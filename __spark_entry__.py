@@ -3341,12 +3341,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING CONTRACT: the driver's CORRECTNESS harness stamps only
     the FIRST 50 entries of this dict, so the first 50 are curated to
     hold at least one representative of EVERY operator family — KG core,
-    KG query (BGP) + ontology closure + RDFS entailment,
+    KG query (BGP + named-graph quads + BIND/ORDER-LIMIT-OFFSET
+    modifiers) + ontology closure + RDFS entailment,
     all three incremental dedup paths + both incremental KG maintenance
-    paths, cache/checkpoint, exact/minhash/simhash/embedding dedup
-    (the simhash/embedding slots held by their incremental reps), ANN
-    (brute/LSH/IVF), graph analytics, graph traversal (BFS), corpus
-    hygiene (PII/decontam/clean/quality/lang-ID), relevance scoring
+    paths, cache/checkpoint, valid-time temporal KG,
+    exact/minhash/simhash/embedding/WL-structural dedup (the
+    minhash/simhash/embedding slots held by their incremental reps),
+    ANN (brute/LSH), graph analytics, corpus
+    hygiene (PII/decontam/quality), relevance scoring
     (BM25), sub-document span dedup, sampling, sequence packing,
     quantiles+sketches, temporal joins, task-parity parsers,
     windows/skew/agg, EL, multimodal.
@@ -3386,10 +3388,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_incremental": q_embedding_lsh_incremental,
         # --- cache / checkpoint / sinks ---
         "cache_probe_anti_join": q_cache_probe_anti_join,
-        "save_io_counts": q_save_io_counts,
+        # --- valid-time temporal KG (new family, this session):
+        # save_io_counts moved below 50 — the checkpoint family keeps
+        # cache_probe_anti_join stamped ---
+        "kg_snapshot_asof": q_kg_snapshot_asof,
         # --- dedup (one per modality + clustering) ---
         "dedup_exact": q_dedup_exact,
-        "lsh_dedup_verified": q_lsh_dedup_verified,
+        # WL structural (template) dedup — new family, this session;
+        # lsh_dedup_verified moved below 50: lsh_dedup_incremental
+        # shares its oracle VERBATIM (pairs(old) ∪ probe(new) ≡ full
+        # recompute), so the MinHash-LSH family stays stamped
+        "kg_wl_fingerprints": q_kg_wl_fingerprints,
         # --- fuzzy entity resolution (deletion-neighborhood blocking) ---
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # --- sub-document (span) dedup ---
@@ -3405,8 +3414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph analytics ---
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
-        # --- graph traversal (multi-source BFS) ---
-        "kg_bfs_levels": q_kg_bfs_levels,
+        # --- named-graph (quad) matching — new family, this
+        # session; kg_bfs_levels moved below 50 (analytics keeps
+        # degree_stats + pagerank stamped) ---
+        "kg_bgp_graphs": q_kg_bgp_graphs,
         # --- tokenizer induction (BPE round-0 statistics) ---
         # (kg_clustering_coeff moved below 50 to make room: it shares
         # the oriented-wedge machinery with kg_triangles, so the graph
@@ -3418,7 +3429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- relevance scoring (BM25) ---
         "bm25_topk": q_bm25_topk,
         "quality_score": q_quality_score,
-        "detect_language": q_detect_language,
+        # SPARQL solution modifiers (BIND/ORDER/LIMIT/OFFSET) — new
+        # family, this session; detect_language moved below 50 (text
+        # analysis keeps quality_score + token_count stamped)
+        "kg_bgp_bind_order": q_kg_bgp_bind_order,
         # --- dataset profiling (corpus card) ---
         # (corpus_clean moved below 50 to make room: it composes the
         # same quality_exprs machinery quality_score stamps)
@@ -3450,6 +3464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         # ================= position 50 boundary =================
         # family variants below — oracle-checked, not driver-stamped
+        # (displaced this session for the four new families above)
+        "save_io_counts": q_save_io_counts,
+        "lsh_dedup_verified": q_lsh_dedup_verified,
+        "kg_bfs_levels": q_kg_bfs_levels,
+        "detect_language": q_detect_language,
         # (lemma/sentiment are parse-family variants of textcat_binary;
         # regional_revenue is a join-family variant of salted_repo_stats
         # — swapped out in round 5 for the three new families above;
@@ -3479,12 +3498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_construct": q_kg_bgp_construct,
         "kg_bgp_seq_nps": q_kg_bgp_seq_nps,
         "kg_ask": q_kg_ask,
-        "kg_bgp_bind_order": q_kg_bgp_bind_order,
         "kg_bgp_bounded_path": q_kg_bgp_bounded_path,
         "kg_describe": q_kg_describe,
         "kg_nquads": q_kg_nquads,
-        "kg_bgp_graphs": q_kg_bgp_graphs,
-        "kg_wl_fingerprints": q_kg_wl_fingerprints,
         "kg_struct_dup_docs": q_kg_struct_dup_docs,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
@@ -3560,7 +3576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
-        "kg_snapshot_asof": q_kg_snapshot_asof,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_triple_intervals": q_kg_triple_intervals,
         "kg_hits": q_kg_hits,
