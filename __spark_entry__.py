@@ -3152,6 +3152,32 @@ def q_kg_triple_intervals(spark, sf_dir):
     return temporal.triple_intervals(log, seq="seq")
 
 
+def q_kg_ktruss(spark, sf_dir):
+    """5-truss (operators/graph.k_truss): K5 cliques planted on
+    part-key blocks (v DIV 5) survive (every clique edge closes
+    exactly 3 triangles), the doubling-tree edges and the partial
+    boundary blocks peel in round one — fixpoint by construction in
+    two rounds at every SF, which is what lets the oracle unroll the
+    peel as chained CTEs. Synchronous batch peeling is exact (removals
+    only lower supports, unique fixpoint)."""
+    from spacy_llm_spark.operators.graph import k_truss
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.where(F.col("p_partkey") < 512).select(
+        F.col("p_partkey").cast("long").alias("v")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cliques = a.join(
+        b,
+        (F.expr("a.v DIV 5") == F.expr("b.v DIV 5"))
+        & (F.col("a.v") < F.col("b.v")),
+    ).select(F.col("a.v").alias("subj"), F.col("b.v").alias("obj"))
+    tree = n.where(F.col("v") >= 2).select(
+        F.col("v").alias("subj"), F.expr("v DIV 2").alias("obj")
+    )
+    return k_truss(cliques.unionByName(tree), k=5)
+
+
 def q_dsir_topk(spark, sf_dir):
     """DSIR greedy data selection (operators/importance.py, Xie et al.
     2023 arXiv:2302.03169): the 100 raw documents whose hashed-bigram
@@ -3576,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_adamic_adar": q_kg_adamic_adar,
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
+        "kg_ktruss": q_kg_ktruss,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_triple_intervals": q_kg_triple_intervals,
         "kg_hits": q_kg_hits,
@@ -4014,6 +4041,60 @@ SELECT fingerprint, count(*) AS n_graphs, min(n_nodes) AS n_nodes,
        string_agg(g, ',' ORDER BY g) AS graphs
 FROM fps GROUP BY fingerprint HAVING count(*) >= 2"""
         )
+    return "".join(parts)
+
+
+def _ktruss_oracle_sql(rounds: int = 3, need: int = 3) -> str:
+    """Unrolled synchronous truss peeling over the planted clique+tree
+    graph — one (triangles, supports, edges) CTE triple per round; the
+    graph's peel depth is 2 by construction (see q_kg_ktruss), so 3
+    unrolled rounds bound it with margin and the final support join is
+    the converged edge set's own support."""
+    parts = [
+        """
+WITH n AS (
+  SELECT CAST(p_partkey AS BIGINT) AS v FROM part WHERE p_partkey < 512
+),
+cl AS (
+  SELECT a.v AS lo, b.v AS hi FROM n a JOIN n b
+  ON a.v // 5 = b.v // 5 AND a.v < b.v
+),
+tr AS (
+  SELECT least(v, v // 2) AS lo, greatest(v, v // 2) AS hi
+  FROM n WHERE v >= 2
+),
+e0 AS (
+  SELECT DISTINCT lo, hi FROM (
+    SELECT lo, hi FROM cl UNION ALL SELECT lo, hi FROM tr
+  ) WHERE lo < hi
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            """,
+t{i} AS (
+  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+  FROM e{p} a JOIN e{p} b ON b.lo = a.hi
+  JOIN e{p} c ON c.lo = a.lo AND c.hi = b.hi
+),
+s{i} AS (
+  SELECT lo, hi, count(*) AS sup FROM (
+    SELECT x AS lo, y AS hi FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}
+    UNION ALL SELECT x, z FROM t{i}
+  ) GROUP BY lo, hi
+),
+e{i} AS (
+  SELECT e.lo, e.hi FROM e{p} e
+  JOIN s{i} s ON s.lo = e.lo AND s.hi = e.hi AND s.sup >= {need}
+)""".format(i=i, p=i - 1, need=need)
+        )
+    parts.append(
+        """
+SELECT e.lo, e.hi, s.sup AS support
+FROM e{r} e JOIN s{r} s ON s.lo = e.lo AND s.hi = e.hi
+""".format(r=rounds)
+    )
     return "".join(parts)
 
 
@@ -5587,6 +5668,7 @@ WHERE e.lo IS NULL
 """,
         "kg_communities": _lpa_oracle_sql(rounds=3),
         "kg_modularity": _modularity_oracle_sql(),
+        "kg_ktruss": _ktruss_oracle_sql(rounds=3, need=3),
         "kg_wl_fingerprints": _wl_oracle_sql(rounds=2, final="fingerprints"),
         "kg_struct_dup_docs": _wl_oracle_sql(rounds=2, final="groups"),
         # snapshot = max-struct argmax under the (ts, seq) version

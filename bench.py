@@ -680,6 +680,37 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["quads_graph_bgp_1m_sec"] = round(time.time() - t0, 3)
     extras["quads_n_bindings"] = n_qd
 
+    # 5-truss over 300k edges: 20k planted K5 cliques (200k clique
+    # edges, support exactly 3 — all survive) + a 100k-edge chain
+    # threading the cliques together (support 0 — peels in round one);
+    # fixpoint in 2 rounds, each one oriented-wedge enumeration + one
+    # closing join + one edge-keyed count
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import k_truss
+
+    tn = spark.range(100_000)
+    tcl = (
+        tn.select((F.col("id") - F.col("id") % 5).alias("b"),
+                  (F.col("id") % 5).alias("i"))
+        .join(
+            tn.select((F.col("id") - F.col("id") % 5).alias("b"),
+                      (F.col("id") % 5).alias("j")),
+            "b",
+        )
+        .where(F.col("i") < F.col("j"))
+        .select(
+            F.format_string("k%06d", F.col("b") + F.col("i")).alias("subj"),
+            F.format_string("k%06d", F.col("b") + F.col("j")).alias("obj"),
+        )
+    )
+    tch = tn.where(F.col("id") < 99_999).select(
+        F.format_string("k%06d", "id").alias("subj"),
+        F.format_string("k%06d", F.col("id") + 1).alias("obj"),
+    )
+    n_truss = k_truss(tcl.unionByName(tch), k=5).count()
+    extras["ktruss_300k_edges_sec"] = round(time.time() - t0, 3)
+    extras["ktruss_n_edges"] = n_truss
+
     # valid-time snapshot over a 1M-row assertion log (100k keys x 10
     # versions): ONE grouped max-struct argmax — partial aggregation
     # keeps only the running max per key, so a hot key costs its rows,

@@ -281,3 +281,35 @@ def test_wl_known_equivalence_limit(spark):
     fp = {r.graph: r.fingerprint for r in
           wl_fingerprints(_quads(spark, c33 + c6), rounds=3).collect()}
     assert fp["h6"] == fp["h7"]
+
+
+def test_k_truss_cliques_and_cascade(spark):
+    from spacy_llm_spark.operators.graph import k_truss
+    import itertools
+
+    k5 = [(f"a{i}", f"a{j}") for i, j in itertools.combinations(range(5), 2)]
+    k4 = [(f"b{i}", f"b{j}") for i, j in itertools.combinations(range(4), 2)]
+    tail = [("a0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    e = _edges(spark, k5 + k4 + tail)
+    # k=5 keeps only the K5 (support exactly 3 on every edge); the K4
+    # (support 2) and the triangle-free tail peel off
+    out = {(r.lo, r.hi): r.support for r in k_truss(e, 5).collect()}
+    assert len(out) == 10 and set(out.values()) == {3}
+    assert all(v.startswith("a") for pair in out for v in pair)
+    # k=4 keeps K5 and K4; k=2 keeps the whole simple graph; k=6 empty
+    assert k_truss(e, 4).count() == 16
+    assert k_truss(e, 2).count() == 19
+    assert k_truss(e, 6).count() == 0
+    # cascade: a triangle strip where each peel exposes the next —
+    # fan {c, x1..x4}: edges (c,xi) and (xi,xi+1); every edge has
+    # support >= 1 initially, but a 3-truss (support >= 1) keeps it
+    # all while a 4-truss (support >= 2) must cascade to empty
+    fan = [("c", f"x{i}") for i in range(4)] + [
+        (f"x{i}", f"x{i+1}") for i in range(3)
+    ]
+    assert k_truss(_edges(spark, fan), 3).count() == 7
+    assert k_truss(_edges(spark, fan), 4).count() == 0
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        k_truss(e, 1)
+    with pytest.raises(RuntimeError, match="converge"):
+        k_truss(_edges(spark, fan), 4, max_rounds=1)
