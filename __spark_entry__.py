@@ -3152,6 +3152,26 @@ def q_kg_triple_intervals(spark, sf_dir):
     return temporal.triple_intervals(log, seq="seq")
 
 
+def q_kg_bgp_asof(spark, sf_dir):
+    """Temporal BGP — the layering payoff: match_bgp runs UNCHANGED
+    over snapshot_asof's output (the KG as it stood on 1996-06-30),
+    finding customers whose priority fact was then URGENT or HIGH and
+    binding the value. One snapshot aggregate feeding one
+    pushdown-filtered pattern scan; no temporal logic leaks into the
+    query layer."""
+    from spacy_llm_spark.operators import temporal
+    from spacy_llm_spark.operators.graph import match_bgp
+
+    snap = temporal.snapshot_asof(
+        _order_priority_log(spark, sf_dir), "1996-06-30", seq="seq"
+    )
+    return match_bgp(
+        snap,
+        [("?c", "order_priority", "?p")],
+        filters=["p IN ('1-URGENT', '2-HIGH')"],
+    )
+
+
 def q_kg_ktruss(spark, sf_dir):
     """5-truss (operators/graph.k_truss): K5 cliques planted on
     part-key blocks (v DIV 5) survive (every clique edge closes
@@ -3603,6 +3623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_modularity": q_kg_modularity,
         "kg_ktruss": q_kg_ktruss,
+        "kg_bgp_asof": q_kg_bgp_asof,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_triple_intervals": q_kg_triple_intervals,
         "kg_hits": q_kg_hits,
@@ -5669,6 +5690,21 @@ WHERE e.lo IS NULL
         "kg_communities": _lpa_oracle_sql(rounds=3),
         "kg_modularity": _modularity_oracle_sql(),
         "kg_ktruss": _ktruss_oracle_sql(rounds=3, need=3),
+        # temporal BGP: the snapshot CTE feeding a plain pattern filter
+        "kg_bgp_asof": """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+),
+snap AS (
+  SELECT subj, pred, max(struct_pack(t := ts, q := seq, o := obj)).o AS obj
+  FROM log WHERE ts <= DATE '1996-06-30'
+  GROUP BY subj, pred
+)
+SELECT DISTINCT subj AS c, obj AS p FROM snap
+WHERE obj IN ('1-URGENT', '2-HIGH')
+""",
         "kg_wl_fingerprints": _wl_oracle_sql(rounds=2, final="fingerprints"),
         "kg_struct_dup_docs": _wl_oracle_sql(rounds=2, final="groups"),
         # snapshot = max-struct argmax under the (ts, seq) version
