@@ -3152,6 +3152,26 @@ def q_kg_triple_intervals(spark, sf_dir):
     return temporal.triple_intervals(log, seq="seq")
 
 
+def q_kg_snapshot_incremental(spark, sf_dir):
+    """Incremental snapshot maintenance
+    (operators/temporal.snapshot_state/_append/_view): the maintained
+    key-scale state from the pre-1996 slice merged with the 1996-H1
+    batch — per-key argmax is associative+commutative, so the merged
+    view must equal the full recompute at 1996-06-30. Shares
+    kg_snapshot_asof's oracle VERBATIM (the maintenance-equivalence
+    pattern used by every incremental family here)."""
+    from spacy_llm_spark.operators import temporal
+
+    log = _order_priority_log(spark, sf_dir).where(
+        F.col("ts") <= F.lit("1996-06-30")
+    )
+    early = log.where(F.col("ts") <= F.lit("1995-12-31"))
+    late = log.where(F.col("ts") > F.lit("1995-12-31"))
+    state = temporal.snapshot_state(early, seq="seq")
+    merged = temporal.snapshot_state_append(state, late, seq="seq")
+    return temporal.snapshot_view(merged)
+
+
 def q_kg_bgp_asof(spark, sf_dir):
     """Temporal BGP — the layering payoff: match_bgp runs UNCHANGED
     over snapshot_asof's output (the KG as it stood on 1996-06-30),
@@ -3624,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": q_kg_modularity,
         "kg_ktruss": q_kg_ktruss,
         "kg_bgp_asof": q_kg_bgp_asof,
+        "kg_snapshot_incremental": q_kg_snapshot_incremental,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_triple_intervals": q_kg_triple_intervals,
         "kg_hits": q_kg_hits,
@@ -4010,6 +4031,20 @@ lab{i} AS (
         )
     parts.append(f"\nSELECT v AS vertex, label FROM lab{rounds}")
     return "".join(parts)
+
+
+#: The as-of snapshot oracle — shared VERBATIM by kg_snapshot_asof and
+#: kg_snapshot_incremental (merge ≡ full recompute is the contract).
+_SNAPSHOT_ASOF_ORACLE = """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+)
+SELECT subj, pred, max(struct_pack(t := ts, q := seq, o := obj)).o AS obj
+FROM log WHERE ts <= DATE '1996-06-30'
+GROUP BY subj, pred
+"""
 
 
 def _wl_oracle_sql(rounds: int = 2, final: str = "fingerprints") -> str:
@@ -5710,16 +5745,10 @@ WHERE obj IN ('1-URGENT', '2-HIGH')
         # snapshot = max-struct argmax under the (ts, seq) version
         # order — struct comparison is lexicographic by field position
         # in both engines, so the expression mirrors 1:1
-        "kg_snapshot_asof": """
-WITH log AS (
-  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
-         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
-  FROM orders
-)
-SELECT subj, pred, max(struct_pack(t := ts, q := seq, o := obj)).o AS obj
-FROM log WHERE ts <= DATE '1996-06-30'
-GROUP BY subj, pred
-""",
+        "kg_snapshot_asof": _SNAPSHOT_ASOF_ORACLE,
+        # the incremental state merge must equal the full recompute —
+        # the SAME oracle string, verbatim (maintenance equivalence)
+        "kg_snapshot_incremental": _SNAPSHOT_ASOF_ORACLE,
         "kg_snapshot_diff": """
 WITH log AS (
   SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,

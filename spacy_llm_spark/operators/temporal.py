@@ -108,6 +108,78 @@ def triple_intervals(
     )
 
 
+def snapshot_state(
+    log: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """The maintainable CURRENT-state table: per ``(subj, pred)`` the
+    latest version row — ``(subj, pred, obj, ts, seq)`` — INCLUDING
+    retraction tombstones (NULL ``obj``). Tombstones must stay in the
+    state: drop them and a late-arriving older assertion would
+    resurrect a deleted fact on the next merge. The queryable fact set
+    is :func:`snapshot_view`; the incremental merge is
+    :func:`snapshot_state_append`.
+
+    Same ONE grouped max-struct argmax as :func:`snapshot_asof`, kept
+    whole-row (the version columns ride inside the struct) so the
+    result is mergeable. Note the state is LOSSY below the latest
+    version — as-of queries at arbitrary past instants still need the
+    log; the state answers "now" in key-scale instead of log-scale."""
+    ver = [F.col(ts).alias("_t")]
+    if seq is not None:
+        ver.append(F.col(seq).alias("_q"))
+    ver.append(F.col(obj).alias("_o"))
+    out = (
+        log.groupBy(F.col(subj).alias(subj), F.col(pred).alias(pred))
+        .agg(F.max(F.struct(*ver)).alias("_v"))
+    )
+    cols = [subj, pred, F.col("_v._o").alias(obj), F.col("_v._t").alias(ts)]
+    if seq is not None:
+        cols.append(F.col("_v._q").alias(seq))
+    return out.select(*cols)
+
+
+def snapshot_state_append(
+    state: DataFrame,
+    batch: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ts: str = "ts",
+    seq: str | None = None,
+) -> DataFrame:
+    """Merge a new assertion batch into a maintained state table
+    WITHOUT re-reading the log: the per-key argmax is associative and
+    commutative, so ``state_append(snapshot_state(A), B) ==
+    snapshot_state(A ∪ B)`` for ANY split — including out-of-order and
+    late batches (older versions lose the argmax; tombstones in the
+    state keep deleted keys dead). One union of the key-scale state
+    with the batch-scale increment + the same single argmax — history
+    never re-shuffles. Oracle-shared equivalence is pinned by the
+    ``kg_snapshot_incremental`` query."""
+    cols = [subj, pred, obj, ts] + ([seq] if seq is not None else [])
+    return snapshot_state(
+        state.select(*cols).unionByName(batch.select(*cols)),
+        subj, pred, obj, ts, seq,
+    )
+
+
+def snapshot_view(
+    state: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """The queryable fact set of a maintained state table: project the
+    triple columns and drop tombstones — a pure filter+projection, so
+    BGP queries over the live KG run at key-scale."""
+    return state.where(F.col(obj).isNotNull()).select(subj, pred, obj)
+
+
 def snapshot_diff(
     log: DataFrame,
     at_old,

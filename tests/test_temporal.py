@@ -86,3 +86,41 @@ def test_snapshot_diff_added_removed_changed(spark):
     }
     # identical instants: empty diff (unchanged keys are omitted)
     assert snapshot_diff(_log(spark), 4, 4, seq="seq").count() == 0
+
+
+def test_snapshot_state_merge_equals_full(spark):
+    from spacy_llm_spark.operators.temporal import (
+        snapshot_state,
+        snapshot_state_append,
+        snapshot_view,
+    )
+
+    full = _log(spark)
+
+    def view_rows(df):
+        return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+    want = view_rows(snapshot_view(snapshot_state(full, seq="seq")))
+    # every split point — including splits that put the retraction and
+    # its older assertion in DIFFERENT batches — must merge to the full
+    # recompute (argmax associativity)
+    for cut in range(0, 8):
+        early = full.where(full.ts <= cut)
+        late = full.where(full.ts > cut)
+        merged = snapshot_state_append(
+            snapshot_state(early, seq="seq"), late, seq="seq"
+        )
+        assert view_rows(snapshot_view(merged)) == want, f"cut={cut}"
+    # OUT-OF-ORDER: apply the late half first, then the early half — a
+    # late-arriving OLD batch must not resurrect the retracted fact
+    swapped = snapshot_state_append(
+        snapshot_state(full.where(full.ts > 3), seq="seq"),
+        full.where(full.ts <= 3),
+        seq="seq",
+    )
+    assert view_rows(snapshot_view(swapped)) == want
+    # the state keeps the tombstone row itself (obj NULL)
+    state = snapshot_state(full, seq="seq")
+    tomb = [r for r in state.collect()
+            if (r.subj, r.pred) == ("e1", "lang")]
+    assert len(tomb) == 1 and tomb[0].obj is None and tomb[0].ts == 5
