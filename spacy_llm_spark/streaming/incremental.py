@@ -61,6 +61,8 @@ def run_incremental(
     lsh_snapshot_retention: int | None = 3,
     maintain_edgesupport: bool = False,
     edgesupport_snapshot_retention: int | None = 3,
+    maintain_snapshot: bool = False,
+    snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -102,6 +104,8 @@ def run_incremental(
         lsh_snapshot_retention=lsh_snapshot_retention,
         maintain_edgesupport=maintain_edgesupport,
         edgesupport_snapshot_retention=edgesupport_snapshot_retention,
+        maintain_snapshot=maintain_snapshot,
+        snapshot_retention=snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -137,6 +141,8 @@ def make_batch_processor(
     lsh_snapshot_retention: int | None = 3,
     maintain_edgesupport: bool = False,
     edgesupport_snapshot_retention: int | None = 3,
+    maintain_snapshot: bool = False,
+    snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -175,6 +181,7 @@ def make_batch_processor(
     dsirindex_path = posixpath.join(output_dir, "dsirindex")
     lsh_path = posixpath.join(output_dir, "lsh")
     edgesupport_path = posixpath.join(output_dir, "edgesupport")
+    factstate_path = posixpath.join(output_dir, "factstate")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -601,6 +608,40 @@ def make_batch_processor(
             snap.write.mode("overwrite").parquet(
                 posixpath.join(edgesupport_path, f"batch_id={batch_id}")
             )
+        if maintain_snapshot:
+            # Live current-fact state: this batch's edges are treated
+            # as (re-)assertions at ts=batch_id — the latest obj per
+            # (subj, pred) across all committed batches is the live KG
+            # fact set (temporal.snapshot_state semantics; same-batch
+            # multi-obj ties break by greatest obj, deterministic). The
+            # merge base EXCLUDES this batch_id and the argmax merge is
+            # idempotent even under overlap, so a crash-replay
+            # overwrites bit-identically — strictly safer than the
+            # additive merges above, which need the keys anti-join's
+            # disjointness.
+            from ..operators import temporal as _temporal
+
+            batch_edges = spark.read.schema(edges_df.schema).parquet(
+                posixpath.join(output_dir, "edges", f"batch_id={batch_id}")
+            )
+            batch_log = batch_edges.select(
+                "subj", "pred", "obj",
+                F.lit(batch_id).cast("long").alias("ts"),
+            )
+            prior_fs = _committed_before(factstate_path, batch_id)
+            if prior_fs:
+                latest_fs = max(
+                    prior_fs,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                fstate = _temporal.snapshot_state_append(
+                    spark.read.parquet(latest_fs), batch_log
+                )
+            else:
+                fstate = _temporal.snapshot_state(batch_log)
+            fstate.write.mode("overwrite").parquet(
+                posixpath.join(factstate_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -636,6 +677,8 @@ def make_batch_processor(
             )
         if maintain_edgesupport and edgesupport_snapshot_retention is not None:
             _prune_to_newest(edgesupport_path, edgesupport_snapshot_retention)
+        if maintain_snapshot and snapshot_retention is not None:
+            _prune_to_newest(factstate_path, snapshot_retention)
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -740,6 +783,20 @@ def latest_edge_support(spark: SparkSession, output_dir: str):
     Divide n_docs by the reader's current corpus count for support."""
     dirs = fs.committed_subdirs(
         spark, posixpath.join(output_dir, "edgesupport")
+    )
+    if not dirs:
+        return None
+    latest = max(dirs, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]))
+    return spark.read.parquet(latest)
+
+
+def latest_fact_state(spark: SparkSession, output_dir: str):
+    """The newest committed live-KG fact state maintained by a
+    ``maintain_snapshot`` stream, as (subj, pred, obj, ts=last asserting
+    batch_id) — or None if no batch committed yet. Filter nothing:
+    this stream has no retractions, so the state IS the view."""
+    dirs = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "factstate")
     )
     if not dirs:
         return None

@@ -1608,3 +1608,66 @@ def test_edgesupport_maintenance_live_and_replay(spark, tmp_path):
 
     dirs = sorted(os.listdir(out / "edgesupport"))
     assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+
+def test_factstate_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_snapshot=True keeps the live current-fact state
+    (latest obj per (subj, pred), ts = last asserting batch) equal to
+    the full temporal recompute over every committed batch's edges; a
+    keys-erased crash replay leaves it bit-identical, and retention
+    keeps only the newest snapshots."""
+    from spacy_llm_spark.operators.temporal import snapshot_state
+    from spacy_llm_spark.streaming.incremental import (
+        latest_fact_state,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_snapshot=True)
+    schema = "doc_id long, content string, lang string"
+    batches = [
+        [(1, "join reads table then filter writes table", "python"),
+         (2, "window sort table scan join", "java")],
+        [(3, "join reads table then join writes table", "python"),
+         (4, "merge part region scan filter", "go")],
+        [(5, "filter scan batch emits metrics", "rust")],
+    ]
+    frames = [
+        spark.createDataFrame(rows, schema).withColumn(
+            "content_sha256", F.sha2("content", 256)
+        )
+        for rows in batches
+    ]
+    cols = ("subj", "pred", "obj", "ts")
+
+    def state_rows(df):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    for bid, frame in enumerate(frames):
+        proc(frame, bid)
+        got = state_rows(latest_fact_state(spark, str(out)))
+        # full recompute over every committed batch's edges sink
+        all_edges = spark.read.parquet(str(out / "edges"))
+        log = all_edges.select(
+            "subj", "pred", "obj", F.col("batch_id").cast("long").alias("ts")
+        )
+        want = state_rows(snapshot_state(log))
+        assert got == want and len(got) > 0, f"batch {bid}"
+
+    # crash replay of the last batch with the keys marker erased
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(frames[-1], len(frames) - 1)
+    assert state_rows(latest_fact_state(spark, str(out))) == got
+
+    # facts re-asserted later carry the later batch ts
+    latest = latest_fact_state(spark, str(out))
+    by_key = {(r.subj, r.pred, r.obj): r.ts for r in latest.collect()}
+    reasserted = [k for k, ts in by_key.items() if ts == 1]
+    assert reasserted, "batch 1 re-asserts at least one batch-0 fact"
+
+    import os
+
+    dirs = sorted(os.listdir(out / "factstate"))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
