@@ -1557,6 +1557,49 @@ def q_kg_struct_dup_docs(spark, sf_dir):
     return structural_duplicate_graphs(_doc_quads(spark, sf_dir), rounds=2)
 
 
+def q_kg_ntriples_typed(spark, sf_dir):
+    """Full-term-grammar N-Triples (functions/rdf.to_ntriples_typed):
+    datatyped literals (p_size^^xsd:integer), language-tagged literals
+    (p_name@en), plain literals, and blank-node objects serialized from
+    part-derived facts — still one pure codegen projection. The part
+    string columns are escape-free by construction (lowercase words,
+    spaces, digits), so the oracle concatenates directly; the escape
+    table itself is pinned by the adversarial round-trip test."""
+    from spacy_llm_spark.functions import rdf
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_partkey") <= 200
+    )
+    key = F.concat(F.lit("part:"), F.col("p_partkey").cast("string"))
+
+    def fact(pred, obj, kind, lang, dt):
+        return part.select(
+            key.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(lang) if lang else F.lit(None)).cast("string").alias("lang"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("dt"),
+        )
+
+    t = (
+        fact("size", F.col("p_size").cast("string"), "literal", None,
+             "http://www.w3.org/2001/XMLSchema#integer")
+        .unionByName(fact("name", F.col("p_name"), "literal", "en", None))
+        .unionByName(
+            fact("brand", F.col("p_brand"), "literal", None, None)
+        )
+        .unionByName(
+            fact(
+                "anon",
+                F.concat(F.lit("bnode:b"), F.col("p_partkey").cast("string")),
+                "bnode", None, None,
+            )
+        )
+    )
+    return rdf.to_ntriples_typed(t, lang="lang", datatype="dt")
+
+
 def q_kg_ask(spark, sf_dir):
     """SPARQL ASK (operators/graph.ask_bgp): two existence probes over
     the constructed KG — does any executes/appliesTo sequence solution
@@ -3568,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_nquads": q_kg_nquads,
         "kg_struct_dup_docs": q_kg_struct_dup_docs,
+        "kg_ntriples_typed": q_kg_ntriples_typed,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
@@ -5742,6 +5786,38 @@ WHERE obj IN ('1-URGENT', '2-HIGH')
 """,
         "kg_wl_fingerprints": _wl_oracle_sql(rounds=2, final="fingerprints"),
         "kg_struct_dup_docs": _wl_oracle_sql(rounds=2, final="groups"),
+        # full-term-grammar serialization: direct concat (escape-free
+        # part columns), CASE picking the @lang / ^^<dt> suffix
+        "kg_ntriples_typed": """
+WITH t AS (
+  SELECT 'part:' || p_partkey AS subj, 'size' AS pred,
+         CAST(p_size AS VARCHAR) AS obj, 'literal' AS kind,
+         CAST(NULL AS VARCHAR) AS lang,
+         'http://www.w3.org/2001/XMLSchema#integer' AS dt
+  FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT 'part:' || p_partkey, 'name', p_name, 'literal', 'en', NULL
+  FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT 'part:' || p_partkey, 'brand', p_brand, 'literal',
+         NULL, NULL
+  FROM part WHERE p_partkey <= 200
+  UNION ALL
+  SELECT 'part:' || p_partkey, 'anon', 'b' || p_partkey, 'bnode',
+         NULL, NULL
+  FROM part WHERE p_partkey <= 200
+)
+SELECT '<http://example.org/kg/' || subj || '> <http://example.org/kg/'
+  || pred || '> '
+  || CASE WHEN kind = 'bnode' THEN '_:' || obj
+          ELSE '"' || obj || '"'
+            || CASE WHEN lang IS NOT NULL THEN '@' || lang
+                    WHEN dt IS NOT NULL THEN '^^<' || dt || '>'
+                    ELSE '' END
+     END
+  || ' .' AS ntriple
+FROM t
+""",
         # snapshot = max-struct argmax under the (ts, seq) version
         # order — struct comparison is lexicographic by field position
         # in both engines, so the expression mirrors 1:1

@@ -189,6 +189,164 @@ def parse_ntriples(
     )
 
 
+_BNODE = r"_:[A-Za-z][A-Za-z0-9]*"
+_SUBJ = rf"(?:<[^<>]*>|{_BNODE})"
+_LIT = r'"(?:[^"\\]|\\.)*"'
+_LANG = r"[a-zA-Z][a-zA-Z0-9]*(?:-[a-zA-Z0-9]+)*"
+
+# full-grammar line: subject IRI or bnode; object IRI, bnode, or
+# literal with optional @lang / ^^<datatype> suffix
+_NT_TYPED_RE = (
+    rf"^(?:<([^<>]*)>|({_BNODE})) <([^<>]*)> "
+    rf'(?:<([^<>]*)>|({_BNODE})|"((?:[^"\\]|\\.)*)"'
+    rf"(?:@({_LANG})|\^\^<([^<>]*)>)?) \.$"
+)
+
+
+def to_ntriples_typed(
+    df: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    obj_kind: str = "obj_kind",
+    lang: str | None = None,
+    datatype: str | None = None,
+    base: str = "http://example.org/kg/",
+    bnode_prefix: str = "bnode:",
+    out_col: str = "ntriple",
+) -> DataFrame:
+    """Full-term-grammar N-Triples serialization: per-row ``obj_kind``
+    in ``iri`` / ``bnode`` / ``literal`` chooses the object form, an
+    optional ``lang`` column renders ``"lit"@tag`` and an optional
+    ``datatype`` column (an ABSOLUTE IRI — xsd types are not
+    base-prefixed) renders ``"lit"^^<dt>``; per the RDF data model a
+    language tag and a datatype are mutually exclusive, so a row with
+    both REFUSES at plan time via a raise_error branch rather than
+    silently picking one. Subjects (and bnode objects) whose value
+    starts with ``bnode_prefix`` serialize as ``_:label`` — the inverse
+    of :func:`parse_ntriples_typed`'s skolemization, making the round
+    trip exact. Same pure-projection/codegen shape as
+    :func:`to_ntriples`."""
+    def term_subj(col: str):
+        c = F.col(col)
+        return F.when(
+            c.startswith(bnode_prefix),
+            F.concat(
+                F.lit("_:"), F.substring(c, len(bnode_prefix) + 1, 2**31 - 1)
+            ),
+        ).otherwise(F.concat(F.lit("<" + base), escape_iri(c), F.lit(">")))
+
+    lit_body = F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
+    lang_c = F.col(lang) if lang else F.lit(None).cast("string")
+    dt_c = F.col(datatype) if datatype else F.lit(None).cast("string")
+    literal = (
+        F.when(
+            lang_c.isNotNull() & dt_c.isNotNull(),
+            F.raise_error(
+                F.lit(
+                    "to_ntriples_typed: a literal cannot carry BOTH a "
+                    "language tag and a datatype (RDF 1.1 data model)"
+                )
+            ),
+        )
+        .when(lang_c.isNotNull(), F.concat(lit_body, F.lit("@"), lang_c))
+        .when(
+            dt_c.isNotNull(),
+            F.concat(lit_body, F.lit("^^<"), escape_iri(dt_c), F.lit(">")),
+        )
+        .otherwise(lit_body)
+    )
+    bnode_label = F.when(
+        F.col(obj).startswith(bnode_prefix),
+        F.substring(F.col(obj), len(bnode_prefix) + 1, 2**31 - 1),
+    ).otherwise(F.col(obj))
+    obj_term = (
+        F.when(
+            F.col(obj_kind) == "iri",
+            F.concat(F.lit("<" + base), escape_iri(obj), F.lit(">")),
+        )
+        .when(
+            F.col(obj_kind) == "bnode",
+            F.concat(F.lit("_:"), bnode_label),
+        )
+        .when(F.col(obj_kind) == "literal", literal)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("to_ntriples_typed: bad obj_kind "),
+                    F.col(obj_kind),
+                )
+            )
+        )
+    )
+    line = F.concat(
+        term_subj(subj),
+        F.lit(" "),
+        F.lit("<" + base),
+        escape_iri(pred),
+        F.lit("> "),
+        obj_term,
+        F.lit(" ."),
+    )
+    return df.select(line.alias(out_col))
+
+
+def parse_ntriples_typed(
+    df: DataFrame,
+    col: str = "ntriple",
+    base: str = "http://example.org/kg/",
+    bnode_prefix: str = "bnode:",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Full-term-grammar N-Triples parsing: subjects may be IRIs or
+    blank nodes, objects may be IRIs, blank nodes, plain literals,
+    language-tagged literals (``"x"@en-US``) or datatyped literals
+    (``"1"^^<...#integer>``). Blank node labels SKOLEMIZE to
+    ``bnode_prefix + label`` (deterministic, per the W3C skolemization
+    rule — a distributed engine cannot carry document-scoped anonymous
+    terms through joins); :func:`to_ntriples_typed` inverts it.
+    Output: (subj, pred, obj, obj_kind in iri/bnode/literal, lang,
+    datatype) with NULL lang/datatype where absent. Malformed lines are
+    dropped (F7)."""
+
+    def strip_base(c: Column) -> Column:
+        return F.when(
+            c.startswith(base), F.substring(c, len(base) + 1, 2**31 - 1)
+        ).otherwise(c)
+
+    def skolem(c: Column) -> Column:
+        return F.concat(F.lit(bnode_prefix), F.substring(c, 3, 2**31 - 1))
+
+    line = F.col(col)
+    g = [F.regexp_extract(line, _NT_TYPED_RE, i) for i in range(9)]
+    is_subj_bnode = line.rlike(rf"^{_BNODE} ")
+    is_obj_iri = line.rlike(rf"^{_SUBJ} <[^<>]*> <[^<>]*> \.$")
+    is_obj_bnode = line.rlike(rf"^{_SUBJ} <[^<>]*> {_BNODE} \.$")
+    has_lang = line.rlike(rf"^{_SUBJ} <[^<>]*> {_LIT}@{_LANG} \.$")
+    has_dtype = line.rlike(rf"^{_SUBJ} <[^<>]*> {_LIT}\^\^<[^<>]*> \.$")
+    return (
+        df.where(line.rlike(_NT_TYPED_RE))
+        .select(
+            F.when(is_subj_bnode, skolem(g[2]))
+            .otherwise(strip_base(unescape_iri(g[1])))
+            .alias(subj),
+            strip_base(unescape_iri(g[3])).alias(pred),
+            F.when(is_obj_iri, strip_base(unescape_iri(g[4])))
+            .when(is_obj_bnode, skolem(g[5]))
+            .otherwise(unescape_literal(g[6]))
+            .alias(obj),
+            F.when(is_obj_iri, F.lit("iri"))
+            .when(is_obj_bnode, F.lit("bnode"))
+            .otherwise(F.lit("literal"))
+            .alias("obj_kind"),
+            F.when(has_lang, g[7]).alias("lang"),
+            F.when(has_dtype, unescape_iri(g[8])).alias("datatype"),
+        )
+    )
+
+
 def parse_nquads(
     df: DataFrame,
     col: str = "nquad",

@@ -1355,3 +1355,98 @@ def test_match_quads_blocks_and_union_default(spark):
                     graphs=[("?g", [("?c", "q", "?d")])])
     with pytest.raises(ValueError, match="no patterns"):
         match_quads(q, graphs=[("?g", [])])
+
+
+def test_match_quads_constant_graph_paths(spark):
+    from spacy_llm_spark.operators.graph import match_quads
+
+    rows = [("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
+            ("g1", "c", "p", "d"),
+            ("g2", "a", "p", "b"), ("g2", "b", "p", "c")]
+    q = spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in rows],
+        "graph string, subj string, pred string, obj string",
+    )
+    # constant graph blocks delegate to the FULL match_bgp grammar —
+    # the closure runs over the graph-filtered projection only
+    got1 = {(r.s, r.o) for r in match_quads(
+        q, graphs=[("g1", [("?s", "p+", "?o")])]
+    ).collect()}
+    assert got1 == {("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                    ("b", "d"), ("c", "d")}
+    got2 = {(r.s, r.o) for r in match_quads(
+        q, graphs=[("g2", [("?s", "p{2}", "?o")])]
+    ).collect()}
+    assert got2 == {("a", "c")}
+    # default patterns close over the UNION graph — strictly more pairs
+    gotu = {(r.s, r.o) for r in
+            match_quads(q, patterns=[("?s", "p+", "?o")]).collect()}
+    assert got1 <= gotu
+
+
+def test_ntriples_typed_roundtrip_full_grammar(spark):
+    from pyspark.sql import Row as R
+
+    rows = [
+        # (subj, pred, obj, obj_kind, lang, datatype)
+        ("K1", "label", "chat", "literal", "en", None),
+        ("K1", "label", "conversation", "literal", "en-US", None),
+        ("K2", "size", "42", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("K2", "knows", "K3", "iri", None, None),
+        ("bnode:b0", "type", "Thing", "iri", None, None),
+        ("K3", "part", "bnode:b1", "bnode", None, None),
+        ("K4", "note", 'es"cape\\me', "literal", "fr", None),
+        ("K4", "plain", "no suffix", "literal", None, None),
+    ]
+    df = spark.createDataFrame(
+        [R(subj=s, pred=p, obj=o, obj_kind=k, lang=l, datatype=d)
+         for s, p, o, k, l, d in rows],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string",
+    )
+    lines = rdf.to_ntriples_typed(df, lang="lang", datatype="datatype")
+    text = {r[0] for r in lines.collect()}
+    assert (
+        '<http://example.org/kg/K1> <http://example.org/kg/label> '
+        '"chat"@en .' in text
+    )
+    assert (
+        '<http://example.org/kg/K2> <http://example.org/kg/size> '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .' in text
+    )
+    assert any(t.startswith("_:b0 <") for t in text)
+    assert any(t.endswith("_:b1 .") for t in text)
+    back = rdf.parse_ntriples_typed(lines)
+    got = {(r.subj, r.pred, r.obj, r.obj_kind, r.lang, r.datatype)
+           for r in back.collect()}
+    assert got == set(rows)
+    # malformed / rejected shapes drop; lang+datatype together raises
+    junk = spark.createDataFrame(
+        [R(ntriple=x) for x in [
+            '<a> <b> "x"@ .',           # empty lang tag
+            '<a> <b> "x"^^y .',         # unbracketed datatype
+            '_:1bad <b> <c> .',         # bnode label starts with digit
+            '<a> <b> "x"@en',           # missing final dot
+        ]],
+        "ntriple string",
+    )
+    assert rdf.parse_ntriples_typed(junk).count() == 0
+    bad = spark.createDataFrame(
+        [R(subj="s", pred="p", obj="x", obj_kind="literal",
+           lang="en", datatype="http://dt")],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string",
+    )
+    with pytest.raises(Exception, match="BOTH"):
+        rdf.to_ntriples_typed(bad, lang="lang", datatype="datatype").collect()
+    badkind = spark.createDataFrame(
+        [R(subj="s", pred="p", obj="x", obj_kind="nope",
+           lang=None, datatype=None)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string",
+    )
+    with pytest.raises(Exception, match="bad obj_kind"):
+        rdf.to_ntriples_typed(
+            badkind, lang="lang", datatype="datatype"
+        ).collect()
