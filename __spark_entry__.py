@@ -394,6 +394,32 @@ def q_el_candidates_topn(spark, sf_dir):
     )
 
 
+def q_el_calibration(spark, sf_dir):
+    """Reliability-diagram bins over the EL candidate priors
+    (operators/scoring.calibration_bins): score = KB prior, label =
+    "this candidate is the one EL selects" — on this synthetic KB the
+    selection IS the top prior (no model noise), so the table measures
+    how the prior mass maps onto selection frequency; the cross-engine
+    value is the binning/ECE arithmetic, which the oracle mirrors
+    term for term. One n_bins-ary groupBy with map-side partials."""
+    from spacy_llm_spark.operators import scoring
+
+    kb = build_code_kb()
+    surfaces = (
+        q_kg_mentions(spark, sf_dir).select("surface").distinct()
+        .withColumnRenamed("surface", "mention")
+    )
+    cands = el.candidates_df(
+        surfaces, kb.aliases_df(spark), key_cols=("mention",),
+        surface_col="mention", top_n=5,
+    ).where(F.col("qid").isNotNull())
+    scored = cands.select(
+        F.col("prior").cast("double").alias("score"),
+        (F.col("cand_rank") == 1).cast("double").alias("label"),
+    )
+    return scoring.calibration_bins(scored, "score", "label", n_bins=10)
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3612,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": q_kg_nquads,
         "kg_struct_dup_docs": q_kg_struct_dup_docs,
         "kg_ntriples_typed": q_kg_ntriples_typed,
+        "el_calibration": q_el_calibration,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
@@ -4747,6 +4774,35 @@ JOIN (SELECT alias, qid, prior,
       FROM aliases) a
 ON msurf.surface = a.alias
 WHERE rnk <= 2
+""",
+        # calibration bins: equal-width buckets over the prior, label =
+        # rank-1 selection; rounding order mirrors calibration_bins
+        "el_calibration": m
+        + """
+, cands AS (
+  SELECT msurf.surface, a.qid, CAST(a.prior AS DOUBLE) AS prior, rnk
+  FROM (SELECT DISTINCT surface FROM mentions) msurf
+  JOIN (SELECT alias, qid, prior,
+               row_number() OVER (PARTITION BY alias
+                                  ORDER BY prior DESC, qid) AS rnk
+        FROM aliases) a
+  ON msurf.surface = a.alias
+  WHERE rnk <= 5
+),
+lab AS (
+  SELECT prior AS s,
+         CASE WHEN rnk = 1 THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM cands
+),
+bb AS (
+  SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin, s, y FROM lab
+)
+SELECT bin, round(bin / 10.0e0, 6) AS lo,
+       round((bin + 1) / 10.0e0, 6) AS hi,
+       count(*) AS n, round(avg(s), 6) AS mean_score,
+       round(avg(y), 6) AS frac_pos,
+       round(round(avg(y), 6) - round(avg(s), 6), 6) AS gap
+FROM bb GROUP BY bin
 """,
         "cosine_topk": """
 WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),

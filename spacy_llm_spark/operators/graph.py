@@ -2756,6 +2756,7 @@ def match_quads(
     graph: str = "graph",
     distinct: bool = True,
     allow_cartesian: bool = False,
+    filters: list | None = None,
 ) -> DataFrame:
     """SPARQL named-graph matching over an RDF DATASET — a quad table
     ``(graph, subj, pred, obj)`` such as :func:`parse_nquads` produces
@@ -2789,7 +2790,10 @@ def match_quads(
 
     All compiled units (default patterns, blocks) then join greedily on
     shared variables exactly like :func:`match_bgp`'s BGP — disjoint
-    variable groups are refused unless ``allow_cartesian=True``. Output
+    variable groups are refused unless ``allow_cartesian=True``.
+    ``filters`` are SPARQL FILTER expressions as SQL boolean strings
+    over the bound variables (graph variables included) — same
+    semantics and pushdown behavior as :func:`match_bgp`'s. Output
     has one column per variable (graph variables included);
     ``distinct`` gives SELECT DISTINCT semantics. Reference analogue:
     none — the reference has no query layer; cited for parity
@@ -2892,6 +2896,14 @@ def match_quads(
             bound = bound.join(pick[2], on=sorted(pick[0] & bound_vars))
         bound_vars = bound_vars | pick[0]
         todo.remove(pick)
+    for fi, expr in enumerate(filters or []):
+        try:
+            bound = bound.where(F.expr(expr))
+        except Exception as exc:
+            raise ValueError(
+                f"match_quads: filter {fi} ({expr!r}) failed analysis "
+                f"over the bound variables {sorted(bound_vars)}"
+            ) from exc
     out = bound.select(*sorted(bound_vars))
     return out.distinct() if distinct else out
 

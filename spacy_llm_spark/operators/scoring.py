@@ -306,3 +306,61 @@ def ranking_metrics(
         )
     aggs.append(F.round(F.avg(F.col("_rank")), 6).alias("mean_rank"))
     return pos.agg(*aggs)
+
+
+def calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer — the
+    monitoring table behind expected calibration error (Guo et al.
+    2017): scores in [0, 1] bucket into ``n_bins`` equal-width bins
+    (``floor(score * n)``, score 1.0 folded into the top bin), each row
+    reporting (bin, lo, hi, n, mean_score, frac_pos, gap). ECE is then
+    ``sum(n * abs(gap)) / sum(n)`` — derivable from the table, so the
+    aggregate never hides the shape. One ``n_bins``-ary groupBy with
+    map-side partials; means quantized 6 dp like every cross-engine
+    float here. Scores outside [0, 1] raise at the first action (a lazy
+    per-row guard — an out-of-range "probability" is a caller bug worth
+    stopping for, not clamping silently).
+
+    Reference analogue: none — the reference's scorers return point
+    metrics (spacy_llm/tasks/entity_linker/scorer.py); calibration of
+    the candidate priors is the 100-TB-monitoring extension."""
+    if n_bins < 1:
+        raise ValueError(f"calibration_bins: n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    guarded = F.when(
+        s.isNull() | (s < 0) | (s > 1),
+        F.raise_error(
+            F.concat(
+                F.lit("calibration_bins: score outside [0, 1]: "),
+                F.coalesce(s.cast("string"), F.lit("NULL")),
+            )
+        ),
+    ).otherwise(s)
+    b = F.least(F.floor(guarded * n_bins), F.lit(n_bins - 1)).cast("long")
+    return (
+        scored.select(
+            b.alias("bin"),
+            guarded.alias("_s"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+            F.round(F.avg("_y"), 6).alias("frac_pos"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / n_bins, 6).alias("lo"),
+            F.round((F.col("bin") + 1) / n_bins, 6).alias("hi"),
+            "n",
+            "mean_score",
+            "frac_pos",
+            F.round(F.col("frac_pos") - F.col("mean_score"), 6).alias("gap"),
+        )
+    )

@@ -313,3 +313,38 @@ def test_k_truss_cliques_and_cascade(spark):
         k_truss(e, 1)
     with pytest.raises(RuntimeError, match="converge"):
         k_truss(_edges(spark, fan), 4, max_rounds=1)
+
+
+def test_calibration_bins_hand_case(spark):
+    from spacy_llm_spark.operators.scoring import calibration_bins
+
+    rows = [
+        # bin 9 hosts 0.95-scores: 1 of 2 positive -> gap -0.45
+        (0.95, 1.0), (0.95, 0.0),
+        # bin 1 hosts 0.15: all negative, well calibrated-ish
+        (0.15, 0.0), (0.15, 0.0),
+        # score exactly 1.0 folds into the TOP bin, not bin 10
+        (1.0, 1.0),
+        # bin 0
+        (0.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = {r.bin: r for r in
+           calibration_bins(df, "score", "label", n_bins=10).collect()}
+    assert set(out) == {0, 1, 9}
+    assert (out[9].n, out[9].mean_score) == (3, round((0.95 + 0.95 + 1.0) / 3, 6))
+    assert out[9].frac_pos == round(2 / 3, 6)
+    assert out[9].gap == round(out[9].frac_pos - out[9].mean_score, 6)
+    assert (out[1].n, out[1].frac_pos) == (2, 0.0)
+    assert (out[0].lo, out[0].hi) == (0.0, 0.1)
+    # ECE derivable: sum(n * |gap|) / sum(n)
+    ece = sum(r.n * abs(r.gap) for r in out.values()) / sum(
+        r.n for r in out.values()
+    )
+    assert ece > 0
+    # out-of-range scores raise instead of clamping silently
+    bad = spark.createDataFrame([(1.5, 1.0)], "score double, label double")
+    with pytest.raises(Exception, match="outside"):
+        calibration_bins(bad, "score", "label").collect()
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "score", "label", n_bins=0)

@@ -1450,3 +1450,22 @@ def test_ntriples_typed_roundtrip_full_grammar(spark):
         rdf.to_ntriples_typed(
             badkind, lang="lang", datatype="datatype"
         ).collect()
+
+
+def test_match_quads_filters(spark):
+    from spacy_llm_spark.operators.graph import match_quads
+
+    rows = [("g1", "a", "p", "b"), ("g2", "a", "p", "c"),
+            ("g10", "a", "p", "d")]
+    q = spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in rows],
+        "graph string, subj string, pred string, obj string",
+    )
+    got = {(r.g, r.o) for r in match_quads(
+        q, graphs=[("?g", [("?s", "p", "?o")])],
+        filters=["length(g) = 2", "o != 'c'"],
+    ).collect()}
+    assert got == {("g1", "b")}
+    with pytest.raises(ValueError, match="failed analysis"):
+        match_quads(q, graphs=[("?g", [("?s", "p", "?o")])],
+                    filters=["nope = 1"])
