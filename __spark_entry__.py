@@ -420,6 +420,34 @@ def q_el_calibration(spark, sf_dir):
     return scoring.calibration_bins(scored, "score", "label", n_bins=10)
 
 
+def q_el_auc(spark, sf_dir):
+    """Tie-aware ROC-AUC of the KB prior as a selection predictor
+    (operators/scoring.roc_auc, Mann–Whitney U over DISTINCT-score
+    groups — the window runs at score cardinality, never row
+    cardinality): same candidate table as el_calibration. This KB's
+    rank-1 priors all dominate every lower-rank prior ACROSS surfaces
+    too, so the measured auc is 1.0 here — the cross-engine value is
+    the tie-aware rank-sum arithmetic (non-trivial AUCs are pinned by
+    the hand tests); threshold-free companion to the calibration
+    bins."""
+    from spacy_llm_spark.operators import scoring
+
+    kb = build_code_kb()
+    surfaces = (
+        q_kg_mentions(spark, sf_dir).select("surface").distinct()
+        .withColumnRenamed("surface", "mention")
+    )
+    cands = el.candidates_df(
+        surfaces, kb.aliases_df(spark), key_cols=("mention",),
+        surface_col="mention", top_n=5,
+    ).where(F.col("qid").isNotNull())
+    scored = cands.select(
+        F.col("prior").cast("double").alias("score"),
+        (F.col("cand_rank") == 1).cast("double").alias("label"),
+    )
+    return scoring.roc_auc(scored, "score", "label")
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3639,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_struct_dup_docs": q_kg_struct_dup_docs,
         "kg_ntriples_typed": q_kg_ntriples_typed,
         "el_calibration": q_el_calibration,
+        "el_auc": q_el_auc,
         # graph-analytics family variants (degree/pagerank/triangles/BFS
         # stamped): Brandes betweenness; harmonic centrality
         "kg_betweenness": q_kg_betweenness,
@@ -4803,6 +4832,35 @@ SELECT bin, round(bin / 10.0e0, 6) AS lo,
        round(avg(y), 6) AS frac_pos,
        round(round(avg(y), 6) - round(avg(s), 6), 6) AS gap
 FROM bb GROUP BY bin
+""",
+        # tie-aware Mann–Whitney AUC over distinct-score groups
+        "el_auc": m
+        + """
+, cands AS (
+  SELECT a.qid, CAST(a.prior AS DOUBLE) AS prior, rnk
+  FROM (SELECT DISTINCT surface FROM mentions) msurf
+  JOIN (SELECT alias, qid, prior,
+               row_number() OVER (PARTITION BY alias
+                                  ORDER BY prior DESC, qid) AS rnk
+        FROM aliases) a
+  ON msurf.surface = a.alias
+  WHERE rnk <= 5
+),
+lab AS (
+  SELECT prior AS s,
+         CASE WHEN rnk = 1 THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM cands
+),
+ps AS (SELECT s, sum(y) AS p, sum(1.0e0 - y) AS n FROM lab GROUP BY s),
+c AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM ps
+)
+SELECT round(sum(p * (below + n / 2)) / (sum(p) * sum(n)), 6) AS auc,
+       CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+FROM c
 """,
         "cosine_topk": """
 WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),

@@ -364,3 +364,55 @@ def calibration_bins(
             F.round(F.col("frac_pos") - F.col("mean_score"), 6).alias("gap"),
         )
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Tie-aware ROC-AUC as ONE row (auc, n_pos, n_neg) — the
+    Mann–Whitney U form: AUC = P(score_pos > score_neg) + 0.5 ·
+    P(equal). Computed WITHOUT ranking the row space: scores group to
+    their distinct values first (one map-side-combined aggregate), the
+    cumulative negative mass below each value is a window over the
+    DISTINCT-score rows only (score cardinality, not corpus
+    cardinality — priors/probabilities have few distinct values at any
+    scale), and the final dot product is one tiny aggregate:
+    AUC = Σ_s p_s · (neg_below(s) + n_s/2) / (P·N). Quantized 6 dp.
+    Degenerate inputs (no positives or no negatives) return NULL auc
+    rather than a divide-by-zero — the caller should know, not crash.
+
+    Reference analogue: none — point P/R/F only
+    (spacy_llm/tasks/*/scorer.py); threshold-free ranking quality is
+    the monitoring extension. Pairs with :func:`calibration_bins`."""
+    from pyspark.sql import Window
+
+    per_score = (
+        scored.select(
+            F.col(score_col).cast("double").alias("_s"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").alias("_p"),
+            F.sum(1 - F.col("_y")).alias("_n"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per_score.select(
+        "_p",
+        "_n",
+        F.coalesce(F.sum("_n").over(w), F.lit(0.0)).alias("_below"),
+    )
+    return contrib.agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col("_p") * (F.col("_below") + F.col("_n") / 2)),
+                F.sum("_p") * F.sum("_n"),
+            ),
+            6,
+        ).alias("auc"),
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_n").cast("long").alias("n_neg"),
+    )

@@ -348,3 +348,25 @@ def test_calibration_bins_hand_case(spark):
         calibration_bins(bad, "score", "label").collect()
     with pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "score", "label", n_bins=0)
+
+
+def test_roc_auc_hand_cases(spark):
+    from spacy_llm_spark.operators.scoring import roc_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score double, label double")
+        return roc_auc(df, "score", "label").collect()[0]
+
+    # perfect separation
+    r = auc_of([(0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)])
+    assert (r.auc, r.n_pos, r.n_neg) == (1.0, 2, 2)
+    # perfectly wrong
+    assert auc_of([(0.1, 1.0), (0.9, 0.0)]).auc == 0.0
+    # all-tied scores: AUC = 0.5 regardless of labels
+    assert auc_of([(0.5, 1.0), (0.5, 0.0), (0.5, 0.0)]).auc == 0.5
+    # mixed with a tie: pairs = (pos .9 > both negs) = 2,
+    # (pos .4 vs neg .4) = 0.5, (pos .4 < neg .6) = 0 -> (2+0.5)/4
+    r = auc_of([(0.9, 1.0), (0.4, 1.0), (0.6, 0.0), (0.4, 0.0)])
+    assert r.auc == round(2.5 / 4, 6)
+    # degenerate: single-class input -> NULL auc, not a crash
+    assert auc_of([(0.9, 1.0), (0.5, 1.0)]).auc is None
