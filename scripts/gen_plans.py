@@ -920,6 +920,82 @@ def main():
         explain_str(bp),
     ))
 
+    from spacy_llm_spark.operators.graph import (
+        _oriented_wedges,
+        _undirected_edges,
+        wl_fingerprints,
+    )
+
+    wlq = spark.range(10_000).select(
+        F.concat(F.lit("doc:"), (F.col("id") % 500).cast("string")).alias(
+            "graph"
+        ),
+        F.concat(F.lit("n"), (F.col("id") % 2_000).cast("string")).alias(
+            "subj"
+        ),
+        F.element_at(
+            F.array(F.lit("p"), F.lit("q")), (F.col("id") % 2 + 1).cast("int")
+        ).alias("pred"),
+        F.concat(F.lit("n"), ((F.col("id") + 1) % 2_000).cast("string")).alias(
+            "obj"
+        ),
+    )
+    sections.append((
+        "WL fingerprint round: keyed joins + ONE sort-aggregate, all native",
+        "One Weisfeiler-Leman refinement round per graph is two "
+        "(graph, node)-keyed joins (colors onto each endpoint), one "
+        "(graph, node)-keyed aggregate building the SORTED message string "
+        "(array_sort + array_join — ObjectHashAggregate on collect_list), "
+        "and a left join back onto the node set; every hash is sha2 inside "
+        "codegen, no Python anywhere, and the per-round key is constant so "
+        "partitionings reuse across rounds.",
+        explain_str(wl_fingerprints(wlq, rounds=1)),
+    ))
+
+    tr_edges = spark.range(50_000).select(
+        F.format_string("k%06d", (F.col("id") - F.col("id") % 5)).alias(
+            "subj"
+        ),
+        F.format_string(
+            "k%06d", (F.col("id") - F.col("id") % 5) + F.col("id") % 5
+        ).alias("obj"),
+    )
+    und = _undirected_edges(tr_edges, "subj", "obj")
+    tri = _oriented_wedges(und).join(
+        und.withColumnRenamed("lo", "a").withColumnRenamed("hi", "b"),
+        ["a", "b"],
+    )
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("w", "a").alias("lo"),
+                        F.greatest("w", "a").alias("hi"),
+                    ),
+                    F.struct(
+                        F.least("w", "b").alias("lo"),
+                        F.greatest("w", "b").alias("hi"),
+                    ),
+                    F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+                )
+            ).alias("e")
+        )
+        .select("e.lo", "e.hi")
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    sections.append((
+        "k-truss support round: oriented wedges, one closing join, edge-keyed count",
+        "One truss-peel round's support computation: the degree-oriented "
+        "wedge enumeration (hub fan-out bounded by arboricity — the same "
+        "orientation triangle_count uses), ONE closing-edge hash equi-join, "
+        "a 3-per-triangle Generate (explode), and one (lo, hi)-keyed count "
+        "with map-side partials. No BroadcastNestedLoopJoin, no quadratic "
+        "hub term anywhere in the plan.",
+        explain_str(sup),
+    ))
+
     spark.stop()
 
 
