@@ -197,6 +197,7 @@ def owl_entailment(
     symmetric_class: str = "SymmetricProperty",
     transitive_class: str = "TransitiveProperty",
     max_rounds: int = 30,
+    closed_slice_count: int | None = None,
 ) -> DataFrame:
     """OWL-Horst-lite property entailment: the three property-algebra
     rules practical reasoners add on top of RDFS —
@@ -241,6 +242,21 @@ def owl_entailment(
     per-pred closure shuffles only the TRANSITIVE-declared slice of the
     instance set (pred-pushed filter), with the same output-bound
     caveat as ``graph.transitive_closure``.
+
+    ``closed_slice_count`` is the count-certified closure skip used by
+    :func:`entailment_fixpoint`: a caller that KNOWS the transitive
+    slice it last saw was already transitively CLOSED passes that
+    slice's exact row count; this pass counts its own closure input
+    (one aggregate over the slice) and, when the counts match, replaces
+    the path-doubling loop with the identity — sound because all the
+    sets here only grow, so ⊇ plus equal counts means set equality and
+    the closure of a closed set is itself. Any mismatch (the mirror or
+    an upstream pass added slice rows) runs the closure normally, so a
+    WRONG hint can cost time, never correctness... as long as the hint
+    really was a closed slice's count — that precondition is the
+    caller's proof obligation, which entailment_fixpoint discharges by
+    construction (its hint is the previous OWL pass's own closure
+    output count).
     """
     spark = triples.sparkSession
     rows = ontology.select("subj", "pred", "obj").distinct().collect()
@@ -328,9 +344,18 @@ def owl_entailment(
             F.col("pred").alias("p"), F.col("obj").alias("n")
         ).alias("pobj"),
     )
-    closed = transitive_closure(
-        t_edges, src="psubj", dst="pobj", max_rounds=max_rounds
-    ).select(
+    if (
+        closed_slice_count is not None
+        and t_edges.count() == closed_slice_count
+    ):
+        # count-certified: the slice IS the previous closure output, so
+        # closing again is the identity — skip the doubling loop
+        closed = t_edges
+    else:
+        closed = transitive_closure(
+            t_edges, src="psubj", dst="pobj", max_rounds=max_rounds
+        )
+    closed = closed.select(
         F.col("psubj.n").alias("subj"),
         F.col("psubj.p").alias("pred"),
         F.col("pobj.n").alias("obj"),
@@ -364,19 +389,60 @@ def entailment_fixpoint(
     so a round trips only on cross-vocabulary feedback); lineage is cut
     between rounds and non-convergence raises rather than returning a
     partial closure.
+
+    The dominant cost of the LAST (confirming) alternation — re-closing
+    a transitive slice that is already closed, where path doubling's
+    midpoint join runs at full closed density just to add nothing — is
+    eliminated by a count-certified skip: each round records its OWL
+    pass's closure-output slice count and hands it to the next round as
+    ``closed_slice_count``; when the next round's closure INPUT matches
+    that count, the sets are equal (everything grows monotonically), so
+    the input is already closed and the doubling loop is the identity.
+    Any growth (the RDFS pass folding new edges into a transitive pred,
+    a mirror image appearing) breaks the count match and the closure
+    runs normally — the skip can never change the result, only the
+    plan. Slice counts use the SATURATED transitive-pred set (the
+    inverse of a transitive pred is transitive), mirroring
+    owl_entailment's own schema saturation.
     """
+    # saturated transitive-pred set (schema-scale driver pass — the
+    # same saturation owl_entailment applies)
+    orows = owl_ontology.select("subj", "pred", "obj").distinct().collect()
+    inv_pairs, trans = set(), set()
+    for s, p, o in orows:
+        if p == "inverseOf":
+            inv_pairs.add((s, o))
+        elif p == type_pred and o == "TransitiveProperty":
+            trans.add(s)
+    for a, b in inv_pairs:
+        if a in trans:
+            trans.add(b)
+        if b in trans:
+            trans.add(a)
     cur = fs.cut_lineage(triples.select("subj", "pred", "obj").distinct())
     n = cur.count()
+    hint = None
     for _ in range(max_alternations):
-        nxt = rdfs_entailment(
-            owl_entailment(cur, owl_ontology, type_pred=type_pred),
-            rdfs_ontology,
-            type_pred=type_pred,
+        owl_out = fs.cut_lineage(
+            owl_entailment(
+                cur, owl_ontology, type_pred=type_pred,
+                closed_slice_count=hint,
+            )
         )
-        nxt = fs.cut_lineage(nxt)
+        nxt = fs.cut_lineage(
+            rdfs_entailment(owl_out, rdfs_ontology, type_pred=type_pred)
+        )
         m = nxt.count()
         if m == n:
             return nxt
+        # the OWL pass's transitive slice IS its closure output (the
+        # mirrored inputs are a subset of the closed pairs) — its count
+        # certifies next round's skip
+        hint = (
+            owl_out.where(F.col("pred").isin(sorted(trans))).count()
+            if trans
+            else None
+        )
         cur, n = nxt, m
     raise RuntimeError(
         f"entailment_fixpoint: not converged within "

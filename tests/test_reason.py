@@ -432,3 +432,71 @@ def test_sameas_guards(spark):
     assert {(r.node, r.component) for r in got_m.collect()} == set(
         want_m.items()
     )
+
+
+def test_owl_count_certified_skip(spark, monkeypatch):
+    """The closed_slice_count certificate: a matching count on an
+    already-closed transitive slice skips the doubling loop entirely
+    (pinned by making transitive_closure raise), and any mismatch runs
+    the closure normally with an unchanged result."""
+    from spacy_llm_spark.operators import reason as R
+    from spacy_llm_spark.operators.reason import owl_entailment
+
+    ont = _df(spark, [("precedes", TYPE, "TransitiveProperty")])
+    open_t = [("x", "precedes", "y"), ("y", "precedes", "z")]
+    closed = owl_entailment(_df(spark, open_t), ont)
+    closed_rows = sorted(tuple(r) for r in closed.collect())
+    assert ("x", "precedes", "z") in {tuple(r) for r in closed_rows}
+    n_closed = len(closed_rows)  # slice == whole set here (one pred)
+
+    # correct certificate: closure must NOT be invoked
+    def _boom(*a, **k):
+        raise AssertionError("doubling loop ran despite certificate")
+
+    monkeypatch.setattr(R, "transitive_closure", _boom)
+    skipped = owl_entailment(
+        _df(spark, closed_rows), ont, closed_slice_count=n_closed
+    )
+    assert sorted(tuple(r) for r in skipped.collect()) == closed_rows
+    monkeypatch.undo()
+
+    # mismatched certificate (input grew): closure runs, result is the
+    # true closure — a stale hint can never change the output
+    grown = closed_rows + [("z", "precedes", "w")]
+    full = sorted(
+        tuple(r)
+        for r in owl_entailment(_df(spark, grown), ont).collect()
+    )
+    hinted = sorted(
+        tuple(r)
+        for r in owl_entailment(
+            _df(spark, grown), ont, closed_slice_count=n_closed
+        ).collect()
+    )
+    assert hinted == full
+    assert ("x", "precedes", "w") in {tuple(r) for r in hinted}
+
+
+def test_fixpoint_hint_saturation_matches_owl(spark):
+    """The fixpoint's driver-side transitive-pred saturation must agree
+    with owl_entailment's (a divergent pred set would certify the wrong
+    slice): inverse-declared transitivity propagates both ways."""
+    from spacy_llm_spark.operators.reason import entailment_fixpoint
+
+    owl_ont = [
+        ("feedsInto", "inverseOf", "fedBy"),
+        # transitivity declared only on the INVERSE side
+        ("fedBy", TYPE, "TransitiveProperty"),
+    ]
+    rdfs_ont = [("pipes", "subPropertyOf", "feedsInto")]
+    triples = [("a", "pipes", "b"), ("b", "feedsInto", "c")]
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in entailment_fixpoint(
+            _df(spark, triples), _df(spark, rdfs_ont), _df(spark, owl_ont)
+        ).collect()
+    }
+    want = _py_joint(triples, rdfs_ont, owl_ont)
+    assert got == want
+    assert ("a", "feedsInto", "c") in got  # needs saturated transitivity
+    assert ("c", "fedBy", "a") in got
