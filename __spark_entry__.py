@@ -1443,6 +1443,30 @@ def q_kg_bgp_construct(spark, sf_dir):
     )
 
 
+def q_kg_update_where(spark, sf_dir):
+    """SPARQL Update DELETE/INSERT WHERE (operators/graph.update_where):
+    predicate migration scoped by a graph pattern — stores edges that
+    participate in the executes/appliesTo/stores triangle are deleted
+    and re-asserted as storedIn, in ONE update against the pre-update
+    graph (spec order: both template sets instantiated from the same
+    WHERE solutions; deletes before inserts). Physical shape: the
+    triangle BGP join, then two solution-scale hash anti-joins against
+    the graph — the graph itself is never re-distincted or collected."""
+    from spacy_llm_spark.operators.graph import update_where
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return update_where(
+        triples,
+        [
+            ("?s", "executes", "?o"),
+            ("?o", "appliesTo", "?t"),
+            ("?s", "stores", "?t"),
+        ],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "storedIn", "?t")],
+    )
+
+
 def q_kg_bgp_agg(spark, sf_dir):
     """SPARQL aggregation (operators/graph.match_bgp_agg): per-subject
     stats over the executes/appliesTo two-hop solution multiset —
@@ -3659,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_star_exists_values": q_kg_bgp_star_exists_values,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_construct": q_kg_bgp_construct,
+        "kg_update_where": q_kg_update_where,
         "kg_bgp_seq_nps": q_kg_bgp_seq_nps,
         "kg_ask": q_kg_ask,
         "kg_bgp_bounded_path": q_kg_bgp_bounded_path,
@@ -5471,6 +5496,26 @@ FROM de a
 JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
 JOIN de c ON c.subj = a.subj AND c.obj = b.obj AND c.pred = 'stores'
 WHERE a.pred = 'executes'
+""",
+        # DELETE/INSERT WHERE: (G \ D) UNION I over the distinct triple
+        # set — UNION's set semantics mirror the engine's anti-join
+        # survivors + set-insert
+        "kg_update_where": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, sol AS (
+  SELECT DISTINCT a.subj AS s, b.obj AS t
+  FROM de a
+  JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+  JOIN de c ON c.subj = a.subj AND c.obj = b.obj AND c.pred = 'stores'
+  WHERE a.pred = 'executes')
+SELECT subj, pred, obj FROM de
+WHERE NOT EXISTS (SELECT 1 FROM sol
+                  WHERE de.subj = sol.s AND de.pred = 'stores'
+                    AND de.obj = sol.t)
+UNION
+SELECT s AS subj, 'storedIn' AS pred, t AS obj FROM sol
 """,
         # modal surface per entity: row_number over grouped counts ==
         # the engine's (max n, min label) min-struct argmax

@@ -2966,6 +2966,87 @@ def construct_triples(
     return out.distinct() if distinct else out
 
 
+def update_where(
+    triples: DataFrame,
+    patterns: list,
+    delete: list | None = None,
+    insert: list | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    with_delta: bool = False,
+    **match_kwargs,
+):
+    """SPARQL Update ``DELETE/INSERT WHERE`` over the materialized KG —
+    the graph-MUTATION form that completes the query layer (SELECT =
+    :func:`match_bgp`, CONSTRUCT = :func:`construct_triples`, ASK =
+    :func:`ask_bgp`): evaluate the WHERE pattern group ONCE against the
+    current graph, instantiate the ``delete`` and ``insert`` templates
+    from the same solution set, and return ``(G \\ D) ∪ I`` — the spec's
+    order (both template sets computed against the PRE-update graph;
+    deletes applied before inserts, so a triple in both sets survives).
+
+    ``patterns`` and ``match_kwargs`` (filters / optional / minus /
+    values / ...) pass straight to :func:`match_bgp`; ``delete`` /
+    ``insert`` are :func:`construct_triples` template lists (``?var``
+    terms bind solution columns, other terms are constants; solutions
+    with a NULL templated term drop per SPARQL's incomplete-solution
+    rule). At least one of the two must be non-empty.
+
+    The input graph is treated as a SET (an RDF graph is one; the
+    canonical triple tables here are distinct by construction — rows
+    duplicated in a non-set input pass through untouched unless
+    deleted). Physical shape: one binding-frame computation, then one
+    hash anti-join of G against the delete set on ``(s, p, o)`` and one
+    anti-join of the insert set against the survivors (set-insert
+    without re-distincting the 100-TB graph — D and I are
+    solution-scale, so AQE broadcasts them when small while G itself is
+    never shuffled beyond the join's own exchange). ``with_delta=True``
+    additionally returns the applied delta frames
+    ``(new_graph, deleted, inserted)`` — deleted = D ∩ G, inserted =
+    I \\ (G \\ D) — the exact increments a downstream persisted
+    index/maintenance consumer needs.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    delete = list(delete or [])
+    insert = list(insert or [])
+    if not delete and not insert:
+        raise ValueError("update_where: need delete and/or insert templates")
+    graph = triples.select(subj, pred, obj)
+    bindings = match_bgp(
+        triples, patterns, subj=subj, pred=pred, obj=obj, **match_kwargs
+    )
+    cols = [subj, pred, obj]
+    if delete:
+        d_set = construct_triples(
+            bindings, delete, subj=subj, pred=pred, obj=obj, distinct=True
+        )
+        survivors = graph.join(d_set, on=cols, how="left_anti")
+    else:
+        d_set = None
+        survivors = graph
+    if insert:
+        i_set = construct_triples(
+            bindings, insert, subj=subj, pred=pred, obj=obj, distinct=True
+        )
+        i_new = i_set.join(survivors, on=cols, how="left_anti")
+        new_graph = survivors.unionByName(i_new)
+    else:
+        i_new = None
+        new_graph = survivors
+    if not with_delta:
+        return new_graph
+    empty = graph.limit(0)
+    deleted = (
+        graph.join(d_set, on=cols, how="left_semi").distinct()
+        if d_set is not None
+        else empty
+    )
+    inserted = i_new if i_new is not None else empty
+    return new_graph, deleted, inserted
+
+
 def betweenness(
     edges: DataFrame,
     sources: DataFrame,

@@ -1469,3 +1469,97 @@ def test_match_quads_filters(spark):
     with pytest.raises(ValueError, match="failed analysis"):
         match_quads(q, graphs=[("?g", [("?s", "p", "?o")])],
                     filters=["nope = 1"])
+
+
+def _g(rows):
+    return {(r.subj, r.pred, r.obj) for r in rows}
+
+
+def test_update_where_delete_only(spark):
+    from spacy_llm_spark.operators.graph import update_where
+
+    out = update_where(
+        _triples_df(spark),
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+         ("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+    )
+    got = _g(out.collect())
+    assert got == set(TRIPLES) - {("s1", "stores", "t1"),
+                                  ("s2", "stores", "t2")}
+
+
+def test_update_where_insert_only_and_idempotent(spark):
+    from spacy_llm_spark.operators.graph import update_where
+
+    where = [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+             ("?s", "stores", "?t")]
+    ins = [("?s", "runsOn", "?t")]
+    out1 = update_where(_triples_df(spark), where, insert=ins)
+    got1 = _g(out1.collect())
+    assert got1 == set(TRIPLES) | {("s1", "runsOn", "t1"),
+                                   ("s2", "runsOn", "t2")}
+    # set-insert: applying the same update to the updated graph is a
+    # no-op (the WHERE still matches; inserts already present)
+    got2 = _g(update_where(out1, where, insert=ins).collect())
+    assert got2 == got1
+
+
+def test_update_where_rename_pred_and_both_sets_survival(spark):
+    from spacy_llm_spark.operators.graph import update_where
+
+    # schema migration: stores -> storedIn
+    out = update_where(
+        _triples_df(spark),
+        [("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "storedIn", "?t")],
+    )
+    got = _g(out.collect())
+    expect = (set(TRIPLES) - {("s1", "stores", "t1"), ("s2", "stores", "t2")}
+              ) | {("s1", "storedIn", "t1"), ("s2", "storedIn", "t2")}
+    assert got == expect
+    # a triple in BOTH template sets survives (spec: delete, then insert)
+    same = update_where(
+        _triples_df(spark),
+        [("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "stores", "?t")],
+    )
+    assert _g(same.collect()) == set(TRIPLES)
+
+
+def test_update_where_delta_and_guards(spark):
+    from spacy_llm_spark.operators.graph import update_where
+    import pytest as _pytest
+
+    # insert template hitting an EXISTING triple: delta excludes it;
+    # delete template instantiating absent triples: delta excludes them
+    new_graph, deleted, inserted = update_where(
+        _triples_df(spark),
+        [("?s", "executes", "?o")],
+        delete=[("?o", "obsoletes", "?s")],      # none of these exist
+        insert=[("?s", "uses", "?o"), ("s1", "executes", "op1")],
+        with_delta=True,
+    )
+    assert _g(deleted.collect()) == set()
+    assert _g(inserted.collect()) == {
+        ("s1", "uses", "op1"), ("s1", "uses", "op2"), ("s2", "uses", "op2"),
+    }
+    assert _g(new_graph.collect()) == set(TRIPLES) | {
+        ("s1", "uses", "op1"), ("s1", "uses", "op2"), ("s2", "uses", "op2"),
+    }
+    with _pytest.raises(ValueError, match="delete and/or insert"):
+        update_where(_triples_df(spark), [("?s", "executes", "?o")])
+    # NULL solutions (OPTIONAL miss) drop only the incomplete template rows
+    g2, d2, i2 = update_where(
+        _triples_df(spark),
+        [("?s", "executes", "?o")],
+        optional=[[("?o", "appliesTo", "?t")]],
+        insert=[("?s", "reaches", "?t")],
+        with_delta=True,
+    )
+    assert _g(i2.collect()) == {
+        ("s1", "reaches", "t1"), ("s1", "reaches", "t2"),
+        ("s2", "reaches", "t1"), ("s2", "reaches", "t2"),
+    }
