@@ -1879,6 +1879,23 @@ def q_kg_ntriples(spark, sf_dir):
     return rdf.to_ntriples(triples)
 
 
+def q_kg_turtle(spark, sf_dir):
+    """RDF interchange, human form: the distinct canonical triple set
+    as prefix-compressed subject-grouped Turtle blocks
+    (functions/rdf.to_turtle) — objects sorted under each predicate,
+    predicates sorted within each subject, so the document is
+    deterministic; physically two degree-bounded hash aggregations
+    keyed on the subject. Every term on this corpus is PN_LOCAL-safe
+    (same [a-z0-9:.]-safe construction the kg_ntriples oracle relies
+    on), so the oracle compresses by pure concat; the safety regex's
+    full-IRI fallback is pinned by the adversarial round-trip and
+    compression unit tests in tests/test_rdf_bgp_closure.py."""
+    from spacy_llm_spark.functions import rdf
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return rdf.to_turtle(triples)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-25 against a fixed query-term set (one rare + two common
     terms) — corpus stats in ONE reduce, scoring as a pure projection
@@ -3673,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RDF interchange (serde-family variant; escape table pinned by
         # the adversarial round-trip test)
         "kg_ntriples": q_kg_ntriples,
+        "kg_turtle": q_kg_turtle,
         # KG-query family variants (kg_bgp_match holds the stamped
         # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -5845,6 +5863,25 @@ WHERE a.pred = 'executes'
 SELECT '<http://example.org/kg/' || subj || '> <http://example.org/kg/'
        || pred || '> <http://example.org/kg/' || obj || '> .' AS ntriple
 FROM de
+""",
+        # Turtle serialization: prefixed-name concat (terms PN-safe on
+        # this corpus, see q_kg_turtle docstring) with nested ordered
+        # string_aggs mirroring the engine's sorted collects
+        "kg_turtle": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, pp AS (
+  SELECT subj, pred,
+         string_agg('kg:' || obj, ',' || chr(10) || '        '
+                    ORDER BY obj) AS objs
+  FROM de GROUP BY subj, pred)
+SELECT subj,
+       'kg:' || subj || ' ' ||
+       string_agg('kg:' || pred || ' ' || objs,
+                  ' ;' || chr(10) || '    ' ORDER BY pred)
+       || ' .' AS turtle
+FROM pp GROUP BY subj
 """,
         # NOTE: this oracle (like kg_vertices') applies the ONE-HOP
         # surface->kb map, which equals the engine's connected components

@@ -1563,3 +1563,66 @@ def test_update_where_delta_and_guards(spark):
         ("s1", "reaches", "t1"), ("s1", "reaches", "t2"),
         ("s2", "reaches", "t1"), ("s2", "reaches", "t2"),
     }
+
+
+TURTLE_EXTRA = [
+    ("K1.2", "a.b.", "x"),        # inner dots safe; trailing dot unsafe
+    ("9start", "has:colon", "-lead"),  # digit start safe; '-' lead unsafe
+]
+
+
+def test_turtle_flat_roundtrip_adversarial(spark):
+    rows = ADVERSARIAL + TURTLE_EXTRA
+    df = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+    for obj_is_iri in (True, False):
+        lines = rdf.to_turtle(df, grouped=False, obj_is_iri=obj_is_iri)
+        assert lines.columns == ["turtle"]
+        back = rdf.parse_turtle(lines)
+        got = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in back.collect()}
+        assert got == {(s, p, o, obj_is_iri) for s, p, o in rows}
+
+
+def test_turtle_prefix_compression_and_fallback(spark):
+    df = spark.createDataFrame(
+        [Row(subj="K1", pred="sp ace", obj="surface:row")],
+        "subj string, pred string, obj string",
+    )
+    line = rdf.to_turtle(df, grouped=False).head()[0]
+    # safe terms compress; the space forces a full escaped IRI
+    assert line == (
+        "kg:K1 <http://example.org/kg/sp%20ace> kg:surface:row ."
+    )
+    assert rdf.turtle_header() == "@prefix kg: <http://example.org/kg/> ."
+    # header + malformed lines drop in the parser
+    junk = spark.createDataFrame(
+        [Row(turtle=x) for x in [
+            rdf.turtle_header(), line, "kg:a kg:b", 'kg:a kg:b "unclosed .',
+        ]],
+        "turtle string",
+    )
+    ok = rdf.parse_turtle(junk).collect()
+    assert len(ok) == 1 and ok[0].obj == "surface:row" and ok[0].obj_is_iri
+
+
+def test_turtle_grouped_blocks_deterministic(spark):
+    rows = [("s1", "p", "a"), ("s1", "p", "b"), ("s1", "q", "c"),
+            ("s2", "p", "a"), ("s1", "p", "b")]  # dup object collapses
+    df = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+    out = {r.subj: r.turtle for r in rdf.to_turtle(df).collect()}
+    assert out["s1"] == (
+        "kg:s1 kg:p kg:a,\n        kg:b ;\n    kg:q kg:c ."
+    )
+    assert out["s2"] == "kg:s2 kg:p kg:a ."
+    # literal objects quote + escape inside a grouped block
+    lit = spark.createDataFrame(
+        [Row(subj="s3", pred="label", obj='say "hi"')],
+        "subj string, pred string, obj string",
+    )
+    got = rdf.to_turtle(lit, obj_is_iri=False).head().turtle
+    assert got == 'kg:s3 kg:label "say \\"hi\\"" .'
