@@ -2911,6 +2911,21 @@ _SHAPES = [
 ]
 
 
+def q_kg_ontology(spark, sf_dir):
+    """Ontology INDUCTION from the labeled canonical triples
+    (operators/audit.induce_ontology) — the inverse of kg_shape_audit:
+    per predicate, the modal domain/range class with support fractions
+    plus PARIS functionality / inverse-functionality. Everything
+    reduces before it joins: two (pred, label) partial-aggregate
+    argmaxes and one distinct-count aggregate meet at predicate scale."""
+    from spacy_llm_spark.operators.audit import induce_ontology
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "subj", "pred", "obj", "subj_label", "obj_label"
+    )
+    return induce_ontology(edges)
+
+
 def q_kg_shape_audit(spark, sf_dir):
     """SHACL-style domain/range validation of the labeled triple table
     against a literal ontology (operators/audit.py
@@ -3793,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
+        "kg_ontology": q_kg_ontology,
         # dedup-family variant: the EXACT prefix-filtered all-pairs
         # Jaccard join (LSH reps are stamped; this is the certainty
         # complement)
@@ -6063,6 +6079,55 @@ FROM log
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)
+        # ontology induction: distinct labeled triples -> per-pred
+        # modal domain/range (row_number mirrors the engine's
+        # (max n, min label) min-struct argmax) + PARIS functionality
+        "kg_ontology": m
+        + """
+, le AS (
+  SELECT r.relation AS pred,
+    CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
+         ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
+    CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
+         ELSE 'surface:' || lower(trim(lo.surface)) END AS obj,
+    ld.label AS subj_label, lo.label AS obj_label
+  FROM rels r
+  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+)
+, de AS (SELECT DISTINCT subj, pred, obj, subj_label, obj_label FROM le)
+, dd AS (
+  SELECT pred, lab, count(*) AS n FROM
+    (SELECT DISTINCT pred, subj, subj_label AS lab FROM de)
+  GROUP BY pred, lab)
+, dt AS (
+  SELECT pred, lab,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY pred) AS conf,
+         row_number() OVER (PARTITION BY pred ORDER BY n DESC, lab) AS rk
+  FROM dd)
+, rr AS (
+  SELECT pred, lab, count(*) AS n FROM
+    (SELECT DISTINCT pred, obj, obj_label AS lab FROM de)
+  GROUP BY pred, lab)
+, rt AS (
+  SELECT pred, lab,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY pred) AS conf,
+         row_number() OVER (PARTITION BY pred ORDER BY n DESC, lab) AS rk
+  FROM rr)
+, fu AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         count(DISTINCT (subj, obj)) AS pairs,
+         count(DISTINCT subj) AS ns, count(DISTINCT obj) AS no
+  FROM de GROUP BY pred)
+SELECT fu.pred AS pred, fu.n_triples AS n_triples,
+       dt.lab AS domain, round(dt.conf, 6) AS domain_conf,
+       rt.lab AS range, round(rt.conf, 6) AS range_conf,
+       round(CAST(fu.ns AS DOUBLE) / fu.pairs, 6) AS functionality,
+       round(CAST(fu.no AS DOUBLE) / fu.pairs, 6) AS inv_functionality
+FROM fu
+JOIN dt ON dt.pred = fu.pred AND dt.rk = 1
+JOIN rt ON rt.pred = fu.pred AND rt.rk = 1
+""",
         "kg_shape_audit": m
         + """
 , ledges AS (

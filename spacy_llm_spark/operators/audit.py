@@ -191,3 +191,80 @@ def triple_shape_violations(
         .drop("_known", "_dom", "_rng", "_combo")
     )
     return out
+
+
+def induce_ontology(
+    edges: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    subj_label: str = "subj_label",
+    obj_label: str = "obj_label",
+) -> DataFrame:
+    """Schema DISCOVERY from instance data — the inverse of
+    ``triple_shape_violations`` (which audits against a GIVEN
+    ontology): per predicate, induce the dominant domain and range
+    class with support fractions, plus the functionality /
+    inverse-functionality statistics of PARIS-style ontology alignment
+    (Suchanek et al., VLDB 2012: fun(p) = #distinct subjects /
+    #distinct (s,o) pairs — 1.0 means each subject has one object).
+
+    One row per predicate: ``n_triples`` (distinct (s,p,o)),
+    ``domain`` / ``domain_conf`` (modal subject label and its fraction
+    of distinct (subj, label) occurrences), ``range`` / ``range_conf``
+    (same over objects), ``functionality``, ``inv_functionality`` —
+    fractions rounded 6 dp. Argmax ties break toward the
+    lexicographically smallest label (the engine-wide min-struct
+    discipline).
+
+    Physical shape: everything reduces BEFORE it joins — two two-level
+    label-count aggregates (map-side partials on (pred, label)) and one
+    distinct-count aggregate, equi-joined at PREDICATE scale, so no
+    table-scale row survives the first exchange. The induced frame is
+    the input ``triple_shape_violations`` wants: feed discovery into
+    enforcement.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    triples = edges.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"),
+        F.col(obj).alias("o"), F.col(subj_label).alias("sl"),
+        F.col(obj_label).alias("ol"),
+    ).distinct()
+
+    def modal(frame: DataFrame, lab: str, out: str, conf: str) -> DataFrame:
+        counts = frame.groupBy("p", lab).agg(F.count(F.lit(1)).alias("n"))
+        tot = counts.groupBy("p").agg(F.sum("n").alias("tot"))
+        top = counts.groupBy("p").agg(
+            F.min(
+                F.struct((-F.col("n")).alias("neg"), F.col(lab).alias("lab"))
+            ).alias("_t")
+        )
+        return top.join(tot, "p").select(
+            "p",
+            F.col("_t.lab").alias(out),
+            F.round(-F.col("_t.neg") / F.col("tot"), 6).alias(conf),
+        )
+
+    dom = modal(triples.select("p", "s", "sl").distinct(), "sl",
+                "domain", "domain_conf")
+    rng = modal(triples.select("p", "o", "ol").distinct(), "ol",
+                "range", "range_conf")
+    fun = triples.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s", "o").alias("_pairs"),
+        F.countDistinct("s").alias("_ns"),
+        F.countDistinct("o").alias("_no"),
+    ).select(
+        "p", "n_triples",
+        F.round(F.col("_ns") / F.col("_pairs"), 6).alias("functionality"),
+        F.round(F.col("_no") / F.col("_pairs"), 6).alias("inv_functionality"),
+    )
+    return (
+        fun.join(dom, "p").join(rng, "p")
+        .select(
+            F.col("p").alias(pred), "n_triples",
+            "domain", "domain_conf", "range", "range_conf",
+            "functionality", "inv_functionality",
+        )
+    )

@@ -1181,3 +1181,47 @@ def test_quantized_topk_recall_and_edge_cases(spark, sf_dir):
     assert got[1] == ([0, 0, 0], 0.0)
     top = cosine_topk_quantized(zq, [1.0, 2.0, 2.0], k=5).collect()
     assert [r["vec_id"] for r in top if r["cosine"] is not None] == [2]
+
+
+def test_induce_ontology_domain_range_functionality(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import audit
+
+    rows = [
+        # worksAt: 3 PERSON subjects, 1 mislabeled BOT; ranges all ORG;
+        # p2 has two jobs -> functionality < 1
+        ("p1", "worksAt", "o1", "PERSON", "ORG"),
+        ("p2", "worksAt", "o1", "PERSON", "ORG"),
+        ("p2", "worksAt", "o2", "PERSON", "ORG"),
+        ("p3", "worksAt", "o2", "BOT", "ORG"),
+        ("p4", "worksAt", "o2", "PERSON", "ORG"),
+        # ceoOf: 1:1 both ways
+        ("p1", "ceoOf", "o1", "PERSON", "ORG"),
+        # duplicate triple collapses before any counting
+        ("p1", "ceoOf", "o1", "PERSON", "ORG"),
+    ]
+    edges = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o, subj_label=sl, obj_label=ol)
+         for s, p, o, sl, ol in rows],
+        "subj string, pred string, obj string, "
+        "subj_label string, obj_label string",
+    )
+    got = {r.pred: r for r in audit.induce_ontology(edges).collect()}
+    w = got["worksAt"]
+    assert w.n_triples == 5
+    assert (w.domain, w.domain_conf) == ("PERSON", 0.75)  # 3 of 4 subjects
+    assert (w.range, w.range_conf) == ("ORG", 1.0)
+    assert w.functionality == 0.8        # 4 subjects / 5 pairs
+    assert w.inv_functionality == 0.4    # 2 objects / 5 pairs
+    c = got["ceoOf"]
+    assert c.n_triples == 1
+    assert (c.functionality, c.inv_functionality) == (1.0, 1.0)
+    # argmax tie breaks toward the lexicographically smaller label
+    tie = spark.createDataFrame(
+        [Row(subj="a", pred="p", obj="x", subj_label="Z", obj_label="T"),
+         Row(subj="b", pred="p", obj="x", subj_label="A", obj_label="T")],
+        "subj string, pred string, obj string, "
+        "subj_label string, obj_label string",
+    )
+    t = audit.induce_ontology(tie).head()
+    assert (t.domain, t.domain_conf) == ("A", 0.5)
