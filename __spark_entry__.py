@@ -2911,6 +2911,22 @@ _SHAPES = [
 ]
 
 
+def q_kg_fused_facts(spark, sf_dir):
+    """Truth-discovery fusion (operators/fusion.fuse_facts): each DOC
+    is a source asserting its extracted triples; two TruthFinder
+    rounds (probabilistic-OR fact confidence <-> mean source trust,
+    10 dp quantized per aggregate — the pagerank/hits determinism
+    discipline) then one (max confidence, min obj) argmax per
+    (subj, pred) data item. iters=2 keeps confidences off the 6 dp
+    saturation ceiling so the compare is informative."""
+    from spacy_llm_spark.operators.fusion import fuse_facts
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        F.col("doc_id").cast("string").alias("source"), "subj", "pred", "obj"
+    )
+    return fuse_facts(edges, iters=2)
+
+
 def q_kg_ontology(spark, sf_dir):
     """Ontology INDUCTION from the labeled canonical triples
     (operators/audit.induce_ontology) — the inverse of kg_shape_audit:
@@ -3566,7 +3582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paths, cache/checkpoint, valid-time temporal KG,
     exact/minhash/simhash/embedding/WL-structural dedup (the
     minhash/simhash/embedding slots held by their incremental reps),
-    ANN (brute/LSH), graph analytics, corpus
+    ANN (brute; the banded-LSH machinery stays stamped via
+    lsh_dedup_incremental), truth-discovery fusion, ontology
+    induction, graph analytics, corpus
     hygiene (PII/decontam/quality), relevance scoring
     (BM25), sub-document span dedup, sampling, sequence packing,
     quantiles+sketches, temporal joins, task-parity parsers,
@@ -3627,7 +3645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN keeps brute-force + LSH stamped reps, and ivf_topk stays
         # judge-sweep-checked with its incremental twin)
         "cosine_topk": q_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        # --- truth-discovery fact fusion ---
+        # (new family this session; ann_lsh_topk moved below 50 — ANN
+        # keeps the brute-force rep and the banded-LSH machinery stays
+        # stamped via lsh_dedup_incremental)
+        "kg_fused_facts": q_kg_fused_facts,
         # --- importance-weighted data selection (DSIR) ---
         "dsir_topk": q_dsir_topk,
         # --- graph analytics ---
@@ -3676,7 +3698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textcat_binary": q_textcat_binary,
         # --- windows / aggregation / skew ---
         "events_hourly": q_events_hourly,
-        "topk_orders_per_customer": q_topk_orders_per_customer,
+        # --- ontology induction (schema discovery) ---
+        # (new family this session; topk_orders_per_customer moved
+        # below 50 — the top-n shape keeps el_candidates_topn stamped)
+        "kg_ontology": q_kg_ontology,
         "salted_repo_stats": q_salted_repo_stats,
         # --- entity linking + multimodal ---
         "el_candidates_topn": q_el_candidates_topn,
@@ -3808,7 +3833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
-        "kg_ontology": q_kg_ontology,
+        # (ann_lsh_topk / topk_orders_per_customer displaced from the
+        # first 50 by the fusion + ontology-induction families)
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
         # dedup-family variant: the EXACT prefix-filtered all-pairs
         # Jaccard join (LSH reps are stamped; this is the certainty
         # complement)
@@ -6079,6 +6107,31 @@ FROM log
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)
+        # truth-discovery fusion, 2 rounds unrolled: product() mirrors
+        # the engine's F.product, every aggregate quantized 10 dp,
+        # row_number mirrors the (max c, min obj) min-struct argmax
+        "kg_fused_facts": m
+        + _EDGES_CTE
+        + """
+, cl AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, subj, pred, obj
+         FROM edges)
+, t0 AS (SELECT DISTINCT src, 0.8 AS t FROM cl)
+, f1 AS (SELECT subj, pred, obj, round(1 - product(1 - t), 10) AS c
+         FROM cl JOIN t0 USING (src) GROUP BY subj, pred, obj)
+, t1 AS (SELECT src, least(round(avg(c), 10), 0.999999) AS t
+         FROM cl JOIN f1 USING (subj, pred, obj) GROUP BY src)
+, f2 AS (SELECT subj, pred, obj, round(1 - product(1 - t), 10) AS c
+         FROM cl JOIN t1 USING (src) GROUP BY subj, pred, obj)
+, ns AS (SELECT subj, pred, obj,
+                CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+         FROM cl GROUP BY subj, pred, obj)
+, topf AS (SELECT subj, pred, obj, c,
+                  row_number() OVER (PARTITION BY subj, pred
+                                     ORDER BY c DESC, obj) AS rk
+           FROM f2)
+SELECT t.subj, t.pred, t.obj, round(t.c, 6) AS confidence, ns.n_sources
+FROM topf t JOIN ns USING (subj, pred, obj) WHERE t.rk = 1
+""",
         # ontology induction: distinct labeled triples -> per-pred
         # modal domain/range (row_number mirrors the engine's
         # (max n, min label) min-struct argmax) + PARIS functionality
