@@ -2911,6 +2911,53 @@ _SHAPES = [
 ]
 
 
+def q_kg_entity_alignment(spark, sf_dir):
+    """Instance-based entity alignment (operators/audit.align_entities)
+    across two KGs built from DISJOINT doc partitions (even vs odd
+    doc_id) — the cross-source sameAs-candidate scorer: shared
+    assertion features (outgoing + incoming), each discounted
+    1/ln(1+df) by its cross-corpus document frequency, min_shared=2.
+    One feature-keyed equi-join bounded by the df cap; pair-keyed sum."""
+    from spacy_llm_spark.operators.audit import align_entities
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "doc_id", "subj", "pred", "obj"
+    )
+    left = edges.where(F.col("doc_id") % 2 == 0).select("subj", "pred", "obj")
+    right = edges.where(F.col("doc_id") % 2 == 1).select("subj", "pred", "obj")
+    return align_entities(left, right, min_shared=2)
+
+
+def q_kg_quotient(spark, sf_dir):
+    """SNAP-style label quotient of the instance KG
+    (operators/graph.quotient_graph): the schema graph the ABox
+    implies — (subj_label, pred, obj_label) super-edges with instance
+    triple/endpoint counts and bipartite density, in ONE aggregate
+    over the distinct labeled triple set."""
+    from spacy_llm_spark.operators.graph import quotient_graph
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "subj", "pred", "obj", "subj_label", "obj_label"
+    )
+    return quotient_graph(edges)
+
+
+def q_kg_pred_alignment(spark, sf_dir):
+    """PARIS-style instance-based predicate alignment
+    (operators/audit.align_predicates), here as SELF-alignment of the
+    constructed KG with inverse discovery: predicate pairs scored by
+    distinct-instance-pair overlap (jaccard + directed containments),
+    plus every predicate against the REVERSED pair sets — high inverse
+    containment = owl:inverseOf evidence, the declared-inverse input
+    reason.owl_entailment consumes. One (subj, obj)-keyed equi-join
+    producing overlap-scale rows; the per-pred counts join at
+    predicate-pair scale."""
+    from spacy_llm_spark.operators.audit import align_predicates
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return align_predicates(triples, triples, include_inverse=True)
+
+
 def q_kg_fused_facts(spark, sf_dir):
     """Truth-discovery fusion (operators/fusion.fuse_facts): each DOC
     is a source asserting its extracted triples; two TruthFinder
@@ -3833,6 +3880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
+        "kg_pred_alignment": q_kg_pred_alignment,
+        "kg_quotient": q_kg_quotient,
+        "kg_entity_alignment": q_kg_entity_alignment,
         # (ann_lsh_topk / topk_orders_per_customer displaced from the
         # first 50 by the fusion + ontology-induction families)
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -6107,6 +6157,87 @@ FROM log
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)
+        # entity alignment across the even/odd doc split: feature
+        # UNIONs (set = distinct), cross-side df, ln-discounted sum —
+        # same 10 dp pre-sum / 6 dp final quantization as the engine
+        "kg_entity_alignment": m
+        + _EDGES_CTE
+        + """
+, l AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 0)
+, r AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 1)
+, fl AS (
+  SELECT subj AS e, 'out' AS dir, pred AS p, obj AS v FROM l
+  UNION SELECT obj, 'in', pred, subj FROM l)
+, fr AS (
+  SELECT subj AS e, 'out' AS dir, pred AS p, obj AS v FROM r
+  UNION SELECT obj, 'in', pred, subj FROM r)
+, dfq AS (
+  SELECT dir, p, v, round(1.0 / ln(1 + df), 10) AS w FROM (
+    SELECT dir, p, v, count(DISTINCT (side, e)) AS df FROM (
+      SELECT 'l' AS side, * FROM fl
+      UNION ALL SELECT 'r' AS side, * FROM fr)
+    GROUP BY dir, p, v)
+  WHERE df <= 1000)
+SELECT fl.e AS left_id, fr.e AS right_id,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(sum(w), 6) AS score
+FROM fl
+JOIN dfq ON dfq.dir = fl.dir AND dfq.p = fl.p AND dfq.v = fl.v
+JOIN fr ON fr.dir = fl.dir AND fr.p = fl.p AND fr.v = fl.v
+GROUP BY fl.e, fr.e HAVING count(*) >= 2
+""",
+        # label quotient: one grouped aggregate over the distinct
+        # labeled triple set
+        "kg_quotient": m
+        + """
+, le AS (
+  SELECT r.relation AS pred,
+    CASE WHEN ld.kb_id <> 'NIL' THEN ld.kb_id
+         ELSE 'surface:' || lower(trim(ld.surface)) END AS subj,
+    CASE WHEN lo.kb_id <> 'NIL' THEN lo.kb_id
+         ELSE 'surface:' || lower(trim(lo.surface)) END AS obj,
+    ld.label AS subj_label, lo.label AS obj_label
+  FROM rels r
+  JOIN links ld ON r.doc_id = ld.doc_id AND r.dep = ld.ent_idx
+  JOIN links lo ON r.doc_id = lo.doc_id AND r.dest = lo.ent_idx
+)
+, de AS (SELECT DISTINCT subj, pred, obj, subj_label, obj_label FROM le)
+SELECT subj_label, pred, obj_label,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       round(CAST(count(*) AS DOUBLE)
+             / (count(DISTINCT subj) * count(DISTINCT obj)), 6) AS density
+FROM de GROUP BY subj_label, pred, obj_label
+""",
+        # PARIS predicate self-alignment: distinct-pair overlap joins
+        # (fwd + reversed) grouped to predicate-pair scale
+        "kg_pred_alignment": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, ln AS (SELECT pred AS p, count(*) AS n FROM de GROUP BY pred)
+, ov AS (
+  SELECT a.pred AS lp, b.pred AS rp, 'fwd' AS direction,
+         count(*) AS n_overlap
+  FROM de a JOIN de b ON a.subj = b.subj AND a.obj = b.obj
+  GROUP BY a.pred, b.pred
+  UNION ALL
+  SELECT a.pred AS lp, b.pred AS rp, 'inv' AS direction,
+         count(*) AS n_overlap
+  FROM de a JOIN de b ON a.subj = b.obj AND a.obj = b.subj
+  GROUP BY a.pred, b.pred
+)
+SELECT ov.lp AS left_pred, ov.rp AS right_pred, ov.direction,
+       CAST(ov.n_overlap AS BIGINT) AS n_overlap,
+       CAST(l.n AS BIGINT) AS n_left, CAST(r.n AS BIGINT) AS n_right,
+       round(CAST(ov.n_overlap AS DOUBLE)
+             / (l.n + r.n - ov.n_overlap), 6) AS jaccard,
+       round(CAST(ov.n_overlap AS DOUBLE) / l.n, 6) AS left_in_right,
+       round(CAST(ov.n_overlap AS DOUBLE) / r.n, 6) AS right_in_left
+FROM ov JOIN ln l ON ov.lp = l.p JOIN ln r ON ov.rp = r.p
+WHERE ov.n_overlap >= 1
+""",
         # truth-discovery fusion, 2 rounds unrolled: product() mirrors
         # the engine's F.product, every aggregate quantized 10 dp,
         # row_number mirrors the (max c, min obj) min-struct argmax

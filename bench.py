@@ -744,6 +744,63 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["bounded_path_200k_sec"] = round(time.time() - t0, 3)
     extras["bounded_path_n_pairs"] = n_bp
 
+    # DELETE/INSERT WHERE over the noise frame's distinct triple set
+    # (1M rows reduce to ~100k distinct triples): the triangle WHERE
+    # (20k solutions) drives two solution-scale anti-joins against the
+    # graph — cost ~ BGP + two hash joins, never a re-distinct of the
+    # graph inside the operator
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import update_where
+
+    n_upd = update_where(
+        bgp_triples.distinct(),
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+         ("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "derivedStores", "?t")],
+    ).count()
+    extras["update_where_100k_distinct_sec"] = round(time.time() - t0, 3)
+    extras["update_where_n_triples"] = n_upd
+
+    # grouped Turtle of the same 1M triples: term compression is a
+    # projection; the blocks are two subject-keyed hash aggregates
+    t0 = time.time()
+    from spacy_llm_spark.functions.rdf import to_turtle
+
+    to_turtle(bgp_triples).agg(F.sum(F.length("turtle"))).collect()
+    extras["turtle_grouped_1m_sec"] = round(time.time() - t0, 3)
+
+    # ontology induction over the labeled 1M frame: label-count
+    # argmaxes + distinct counts meet at predicate scale (5 rows out)
+    t0 = time.time()
+    from spacy_llm_spark.operators.audit import induce_ontology
+
+    induce_ontology(
+        fact.select(
+            _n(base).alias("subj"), "pred",
+            _n(base * 3 + 1).alias("obj"), "subj_label", "obj_label",
+        )
+    ).count()
+    extras["ontology_induction_1m_sec"] = round(time.time() - t0, 3)
+
+    # truth-discovery fusion: 1M claims (200k data items x ~5 sources,
+    # mixed corroboration/conflict), 3 trust rounds
+    t0 = time.time()
+    from spacy_llm_spark.operators.fusion import fuse_facts
+
+    cl = spark.range(1_000_000).select(
+        F.format_string("s%03d", F.col("id") % 997).alias("source"),
+        F.format_string("i%06d", F.col("id") % 200_000).alias("subj"),
+        F.lit("val").alias("pred"),
+        F.when(
+            (F.col("id") % 10 + F.floor(F.col("id") / 200_000)) % 10 < 7,
+            F.format_string("right%06d", F.col("id") % 200_000),
+        ).otherwise(F.format_string("wrong%d", F.col("id") % 3)).alias("obj"),
+    )
+    n_fused = fuse_facts(cl, iters=3).count()
+    extras["fuse_facts_1m_claims_sec"] = round(time.time() - t0, 3)
+    extras["fuse_facts_n_items"] = n_fused
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

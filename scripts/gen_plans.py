@@ -996,6 +996,77 @@ def main():
         explain_str(sup),
     ))
 
+    # SPARQL update: WHERE once, two solution-scale anti-joins
+    from spacy_llm_spark.operators.graph import update_where
+
+    trip_upd = edges.select("subj", "pred", "obj").distinct()
+    upd = update_where(
+        trip_upd,
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+         ("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "storedIn", "?t")],
+    )
+    sections.append((
+        "DELETE/INSERT WHERE: one BGP evaluation, two anti-joins, no re-distinct",
+        "update_where evaluates the WHERE pattern group once (the same "
+        "pushdown-scan + hash-equi-join shape as match_bgp), instantiates "
+        "both template sets from it, and applies them as two hash "
+        "LeftAnti joins on (subj, pred, obj) — delete set against the "
+        "graph, insert set against the survivors. The graph-scale side "
+        "is never re-distincted or collected; D and I are solution-scale "
+        "and AQE broadcasts them when small. No Window, no cartesian.",
+        explain_str(upd),
+    ))
+
+    # Turtle grouped serialization
+    from spacy_llm_spark.functions import rdf as rdffn
+
+    sections.append((
+        "Turtle grouped blocks: two degree-bounded hash aggregates",
+        "to_turtle(grouped=True): term compression (PN_LOCAL regex + "
+        "escape-chain fallback) is a pure projection; the subject blocks "
+        "are ONE (subj, pred) sort-collect aggregate then ONE subj "
+        "aggregate — both with map-side partials, both keyed on the "
+        "subject so a document shard serializes with a single exchange "
+        "chain. The flat form (grouped=False) plans like to_ntriples: "
+        "zero Exchange, pure whole-stage codegen.",
+        explain_str(rdffn.to_turtle(trip_upd)),
+    ))
+
+    # Ontology induction: pred-scale meeting point
+    from spacy_llm_spark.operators.audit import induce_ontology
+
+    led = mat.edges_table(annotated).select(
+        "subj", "pred", "obj", "subj_label", "obj_label"
+    )
+    sections.append((
+        "Ontology induction: everything reduces before it joins",
+        "induce_ontology: two (pred, label) count aggregates argmaxed by "
+        "min-struct, one distinct-count aggregate — each with map-side "
+        "partials over the distinct labeled triple set — equi-joined at "
+        "PREDICATE scale. No table-scale row crosses the final joins; "
+        "no Window anywhere.",
+        explain_str(induce_ontology(led)),
+    ))
+
+    # Truth-discovery fusion: one round's plan
+    from spacy_llm_spark.operators.fusion import fuse_facts
+
+    claims = edges.select(
+        F.col("doc_id").cast("string").alias("source"), "subj", "pred", "obj"
+    )
+    sections.append((
+        "Truth-discovery fusion: claims-scale joins, keyed aggregates, no Window",
+        "fuse_facts (final round + argmax shown; earlier rounds are "
+        "lineage-cut at source scale): the claims frame joins the "
+        "source-scale trust table, reduces to fact confidence with "
+        "map-side partials, and the winner per (subj, pred) is the "
+        "engine-wide min-struct argmax — a hash aggregate, not a "
+        "row_number Window. The n_sources join runs at fact scale.",
+        explain_str(fuse_facts(claims, iters=2)),
+    ))
+
     spark.stop()
 
 

@@ -268,3 +268,180 @@ def induce_ontology(
             "functionality", "inv_functionality",
         )
     )
+
+
+def align_predicates(
+    left: DataFrame,
+    right: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    min_overlap: int = 1,
+    include_inverse: bool = False,
+) -> DataFrame:
+    """Instance-based PREDICATE alignment between two KGs — the
+    ontology-alignment step of PARIS (Suchanek et al., VLDB 2012 §5):
+    two predicates align to the degree their distinct ``(subj, obj)``
+    instance-pair sets overlap. For each ``(left_pred, right_pred)``
+    pair sharing >= ``min_overlap`` instance pairs: ``n_overlap``,
+    each side's pair count, ``jaccard``, and the directed containments
+    ``left_in_right`` = P(right | left) (high == left is a
+    SUBPROPERTY of right) and ``right_in_left`` — all fractions 6 dp.
+
+    ``include_inverse=True`` additionally scores every left predicate
+    against the REVERSED right pairs (``direction = 'inv'`` vs
+    ``'fwd'``) — a high inverse containment is ``owl:inverseOf``
+    DISCOVERY from instance data (the declared-inverse input
+    ``operators/reason.owl_entailment`` consumes). Self-alignment
+    (``left is right``) keeps the trivial fwd self-pairs; filter
+    ``left_pred != right_pred`` downstream when only cross-predicate
+    structure matters.
+
+    Scale shape: each side reduces to its distinct (pred, subj, obj)
+    set, the overlap is ONE (subj, obj)-keyed hash equi-join whose
+    output is overlap-scale, and everything after runs at
+    predicate-pair scale (two broadcast-sized per-pred count joins).
+    The inverse variant reuses the SAME left scan against a column-swap
+    of the right — a projection, not a second shuffle of left.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    lp = left.select(
+        F.col(pred).alias("lp"), F.col(subj).alias("s"), F.col(obj).alias("o")
+    ).distinct()
+    rp = right.select(
+        F.col(pred).alias("rp"), F.col(subj).alias("s"), F.col(obj).alias("o")
+    ).distinct()
+    ln = lp.groupBy("lp").agg(F.count(F.lit(1)).alias("n_left"))
+    rn = rp.groupBy("rp").agg(F.count(F.lit(1)).alias("n_right"))
+
+    def overlap(rside: DataFrame, direction: str) -> DataFrame:
+        return (
+            lp.join(rside, ["s", "o"])
+            .groupBy("lp", "rp")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .where(F.col("n_overlap") >= min_overlap)
+            .select("lp", "rp", "n_overlap",
+                    F.lit(direction).alias("direction"))
+        )
+
+    out = overlap(rp, "fwd")
+    if include_inverse:
+        out = out.unionByName(
+            overlap(
+                rp.select("rp", F.col("o").alias("s"), F.col("s").alias("o")),
+                "inv",
+            )
+        )
+    return (
+        out.join(ln, "lp").join(rn, "rp")
+        .select(
+            F.col("lp").alias("left_pred"),
+            F.col("rp").alias("right_pred"),
+            "direction", "n_overlap", "n_left", "n_right",
+            F.round(
+                F.col("n_overlap")
+                / (F.col("n_left") + F.col("n_right") - F.col("n_overlap")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_overlap") / F.col("n_left"), 6)
+            .alias("left_in_right"),
+            F.round(F.col("n_overlap") / F.col("n_right"), 6)
+            .alias("right_in_left"),
+        )
+    )
+
+
+def align_entities(
+    left: DataFrame,
+    right: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    max_feature_df: int = 1000,
+    min_shared: int = 1,
+    include_incoming: bool = True,
+    exclude_self: bool = False,
+    quantum: int = 10,
+) -> DataFrame:
+    """Instance-based ENTITY alignment across two KGs — the sameAs-
+    candidate scorer completing :func:`align_predicates` (PARIS-style
+    evidence, additively simplified): a left and a right entity score
+    by the assertion FEATURES they share, each feature discounted by
+    how common it is (the Adamic–Adar rare-evidence principle — two
+    entities sharing ``bornIn -> smallville`` is strong evidence,
+    sharing ``type -> person`` is none).
+
+    A feature is an outgoing ``(pred, obj)`` — and, with
+    ``include_incoming`` (default), an incoming ``(pred, subj)`` — of
+    a distinct triple. Feature document-frequency ``df`` counts the
+    DISTINCT carrying entities across BOTH sides; features with
+    ``df > max_feature_df`` are dropped (ubiquitous features carry no
+    signal AND would quadratically blow up the join — the same
+    hot-bucket cap discipline as the LSH families, and here the cap is
+    also the precision lever). Each surviving shared feature adds
+    ``1/ln(1 + df)`` (quantized ``quantum`` dp pre-sum — both engines
+    then sum bit-comparable addends); pairs return with ``n_shared``
+    and ``score`` (6 dp) when ``n_shared >= min_shared``.
+    ``exclude_self`` drops identity pairs for self-alignment runs.
+
+    Output is candidate-scale: feed it a min-struct argmax / mutual-
+    best filter for final sameAs links, or the streaming pipe for
+    incremental re-scoring. Scale shape: two distinct projections,
+    one (feature)-keyed df aggregate, one feature-keyed equi-join
+    whose per-feature fan-out the cap bounds, one pair-keyed sum.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if max_feature_df < 1:
+        raise ValueError(f"max_feature_df must be >= 1, got {max_feature_df}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+
+    def feats(df: DataFrame, side: str) -> DataFrame:
+        de = df.select(subj, pred, obj).distinct()
+        out = de.select(
+            F.col(subj).alias("e"), F.lit("out").alias("dir"),
+            F.col(pred).alias("p"), F.col(obj).alias("v"),
+        )
+        if include_incoming:
+            out = out.unionByName(
+                de.select(
+                    F.col(obj).alias("e"), F.lit("in").alias("dir"),
+                    F.col(pred).alias("p"), F.col(subj).alias("v"),
+                )
+            )
+        return out.distinct().withColumn("side", F.lit(side))
+
+    fl = feats(left, "l")
+    fr = feats(right, "r")
+    dfreq = (
+        fl.unionByName(fr)
+        .groupBy("dir", "p", "v")
+        .agg(F.countDistinct("side", "e").alias("df"))
+        .where(F.col("df") <= max_feature_df)
+        .select(
+            "dir", "p", "v",
+            F.round(1.0 / F.log(1.0 + F.col("df")), quantum).alias("w"),
+        )
+    )
+    pairs = (
+        fl.select(F.col("e").alias("left_id"), "dir", "p", "v")
+        .join(dfreq, ["dir", "p", "v"])
+        .join(
+            fr.select(F.col("e").alias("right_id"), "dir", "p", "v"),
+            ["dir", "p", "v"],
+        )
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col("left_id") != F.col("right_id"))
+    return (
+        pairs.groupBy("left_id", "right_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+        .where(F.col("n_shared") >= int(min_shared))
+    )

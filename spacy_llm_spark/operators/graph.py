@@ -3674,3 +3674,53 @@ def reciprocity(
             ).alias("reciprocity"),
         )
     )
+
+
+def quotient_graph(
+    edges: DataFrame,
+    subj_label: str = "subj_label",
+    obj_label: str = "obj_label",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SNAP-style label QUOTIENT of the instance graph — the schema
+    graph an ABox implies: one supernode per class label, one row per
+    ``(subj_label, pred, obj_label)`` super-edge with ``n_triples``
+    (distinct instance triples it summarizes), ``n_subjects`` /
+    ``n_objects`` (distinct instance endpoints), and ``density`` =
+    n_triples / (n_subjects * n_objects), 6 dp — how close the
+    class-pair is to complete-bipartite under this predicate (1.0 on
+    this engine's dictionary-driven synthetic KG, which is exactly why
+    structural MINUS needed a TPC-H view — the quotient makes that
+    property measurable).
+
+    The 100 TB visualization/planning primitive: a trillion-edge
+    instance graph reduces to a label-pair-scale summary in ONE
+    aggregate over the distinct triple set (map-side partials; two
+    distinct-counts share the same grouping shuffle).
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    de = edges.select(
+        F.col(subj_label).alias("sl"), F.col(pred).alias("p"),
+        F.col(obj_label).alias("ol"), F.col(subj).alias("s"),
+        F.col(obj).alias("o"),
+    ).distinct()
+    return (
+        de.groupBy("sl", "p", "ol")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("s").alias("n_subjects"),
+            F.countDistinct("o").alias("n_objects"),
+        )
+        .select(
+            F.col("sl").alias(subj_label), F.col("p").alias(pred),
+            F.col("ol").alias(obj_label),
+            "n_triples", "n_subjects", "n_objects",
+            F.round(
+                F.col("n_triples")
+                / (F.col("n_subjects") * F.col("n_objects")), 6
+            ).alias("density"),
+        )
+    )

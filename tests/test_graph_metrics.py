@@ -370,3 +370,35 @@ def test_roc_auc_hand_cases(spark):
     assert r.auc == round(2.5 / 4, 6)
     # degenerate: single-class input -> NULL auc, not a crash
     assert auc_of([(0.9, 1.0), (0.5, 1.0)]).auc is None
+
+
+def test_quotient_graph_density_and_counts(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.graph import quotient_graph
+
+    rows = [
+        # OP -executes-> TABLE: 2x2 complete bipartite = density 1.0
+        ("a", "executes", "t1", "OP", "TABLE"),
+        ("a", "executes", "t2", "OP", "TABLE"),
+        ("b", "executes", "t1", "OP", "TABLE"),
+        ("b", "executes", "t2", "OP", "TABLE"),
+        # OP -executes-> SYS: 1 of 2 possible pairs = density 0.5
+        ("a", "executes", "s1", "OP", "SYS"),
+        ("b", "executes", "s2", "OP", "SYS"),
+        ("a", "executes", "s1", "OP", "SYS"),  # dup collapses
+    ]
+    edges = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o, subj_label=sl, obj_label=ol)
+         for s, p, o, sl, ol in rows],
+        "subj string, pred string, obj string, "
+        "subj_label string, obj_label string",
+    )
+    got = {
+        (r.subj_label, r.pred, r.obj_label): r
+        for r in quotient_graph(edges).collect()
+    }
+    t = got[("OP", "executes", "TABLE")]
+    assert (t.n_triples, t.n_subjects, t.n_objects, t.density) == (4, 2, 2, 1.0)
+    s = got[("OP", "executes", "SYS")]
+    assert (s.n_triples, s.n_subjects, s.n_objects, s.density) == (2, 2, 2, 0.5)
+    assert len(got) == 2

@@ -1225,3 +1225,120 @@ def test_induce_ontology_domain_range_functionality(spark):
     )
     t = audit.induce_ontology(tie).head()
     assert (t.domain, t.domain_conf) == ("A", 0.5)
+
+
+def test_align_predicates_containment_jaccard_inverse(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import audit
+
+    def kg(rows):
+        return spark.createDataFrame(
+            [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+            "subj string, pred string, obj string",
+        )
+
+    left = kg([("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"),
+               ("a", "q", "b"), ("a", "p", "b")])  # dup collapses
+    right = kg([("a", "P", "b"), ("c", "P", "d"), ("b", "R", "a")])
+    got = {
+        (r.left_pred, r.right_pred, r.direction): r
+        for r in audit.align_predicates(
+            left, right, include_inverse=True
+        ).collect()
+    }
+    pP = got[("p", "P", "fwd")]
+    assert (pP.n_overlap, pP.n_left, pP.n_right) == (2, 3, 2)
+    assert pP.jaccard == 0.666667          # 2 / (3 + 2 - 2)
+    assert pP.left_in_right == 0.666667
+    assert pP.right_in_left == 1.0         # P is a subproperty of p
+    qP = got[("q", "P", "fwd")]
+    assert (qP.n_overlap, qP.left_in_right) == (1, 1.0)  # q ⊑ P
+    # inverse discovery: R's reversed pairs hit p and q
+    assert got[("p", "R", "inv")].n_overlap == 1
+    assert got[("q", "R", "inv")].right_in_left == 1.0   # R ≡ q⁻
+    assert ("p", "R", "fwd") not in got    # un-reversed R never matches
+    # min_overlap prunes pair-count-1 alignments
+    pruned = {
+        (r.left_pred, r.right_pred)
+        for r in audit.align_predicates(
+            left, right, min_overlap=2, include_inverse=True
+        ).collect()
+    }
+    assert pruned == {("p", "P")}
+    # self-alignment keeps trivial self rows; q ⊑ p shows as containment
+    self_got = {
+        (r.left_pred, r.right_pred): r
+        for r in audit.align_predicates(left, left).collect()
+    }
+    assert self_got[("p", "p")].jaccard == 1.0
+    assert self_got[("q", "p")].left_in_right == 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_overlap"):
+        audit.align_predicates(left, right, min_overlap=0)
+
+
+def test_align_entities_rare_feature_weighting(spark):
+    import math
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import audit
+
+    def kg(rows):
+        return spark.createDataFrame(
+            [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+            "subj string, pred string, obj string",
+        )
+
+    # left KG: x1 is clark; right KG: y1 is clark under another id.
+    # bornIn->smallville is rare (df=2: x1, y1); type->person is
+    # carried by everyone (df=4) — weights must differ accordingly.
+    left = kg([
+        ("x1", "bornIn", "smallville"), ("x1", "type", "person"),
+        ("x2", "type", "person"),
+        ("metropolis", "locatedIn", "x2"),   # incoming feature for x2
+    ])
+    right = kg([
+        ("y1", "bornIn", "smallville"), ("y1", "type", "person"),
+        ("y2", "type", "person"),
+        ("metropolis", "locatedIn", "y2"),
+    ])
+    got = {
+        (r.left_id, r.right_id): (r.n_shared, r.score)
+        for r in audit.align_entities(left, right).collect()
+    }
+    w_rare = round(1 / math.log(1 + 2), 10)     # bornIn df=2
+    w_type = round(1 / math.log(1 + 4), 10)     # type df=4
+    w_in = round(1 / math.log(1 + 2), 10)       # incoming locatedIn df=2
+    assert got[("x1", "y1")] == (2, round(w_rare + w_type, 6))
+    assert got[("x2", "y2")] == (2, round(w_type + w_in, 6))
+    # cross pairs share only the ubiquitous type feature
+    assert got[("x1", "y2")] == (1, round(w_type, 6))
+    # the true pairs outscore the impostors
+    assert got[("x1", "y1")][1] > got[("x1", "y2")][1]
+    # df cap drops the ubiquitous feature entirely
+    capped = {
+        (r.left_id, r.right_id)
+        for r in audit.align_entities(left, right, max_feature_df=3).collect()
+    }
+    assert capped == {("x1", "y1"), ("x2", "y2")}
+    # min_shared prunes single-feature evidence
+    strong = {
+        (r.left_id, r.right_id)
+        for r in audit.align_entities(left, right, min_shared=2).collect()
+    }
+    assert strong == {("x1", "y1"), ("x2", "y2")}
+    # incoming features off: x2/y2 drop to the type feature only
+    noin = {
+        (r.left_id, r.right_id): r.n_shared
+        for r in audit.align_entities(
+            left, right, include_incoming=False
+        ).collect()
+    }
+    assert noin[("x2", "y2")] == 1
+    # self-alignment: identity pairs dominate, exclude_self drops them
+    selfed = audit.align_entities(left, left, exclude_self=True).collect()
+    assert all(r.left_id != r.right_id for r in selfed)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_feature_df"):
+        audit.align_entities(left, right, max_feature_df=0)
+    with _pytest.raises(ValueError, match="min_shared"):
+        audit.align_entities(left, right, min_shared=0)
