@@ -2911,6 +2911,45 @@ _SHAPES = [
 ]
 
 
+def q_kg_transe_epoch(spark, sf_dir):
+    """KG-embedding training step (operators/kgembed.py): deterministic
+    full-batch TransE — negative_triples pairs over the distinct
+    canonical triple set, xxhash-seeded init, ONE L1 margin-hinge
+    epoch with 8 dp pre-sum gradient quantization (order-free: any
+    cluster size yields bit-identical embeddings), L2-renormalized
+    entity table returned. No SQL oracle (array-state training is not
+    SQL-expressible) — the driver records the rows-only check; the
+    numpy-reference parity lives in tests/test_kgembed.py."""
+    from spacy_llm_spark.operators import kgembed
+    from spacy_llm_spark.operators.graph import negative_triples
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    pairs = negative_triples(triples)
+    ents = (
+        pairs.select(F.col("subj").alias("id"))
+        .unionByName(pairs.select(F.col("obj").alias("id")))
+        .unionByName(pairs.select(F.col("neg_obj").alias("id")))
+    )
+    ent0 = kgembed.init_embeddings(ents, "id", dim=8)
+    rel0 = kgembed.init_embeddings(
+        pairs.select(F.col("pred").alias("id")), "id", dim=8
+    )
+    new_ent, _ = kgembed.transe_epoch(pairs, ent0, rel0, lr=0.05)
+    return new_ent
+
+
+def q_kg_sameas_links(spark, sf_dir):
+    """Greedy 1:1 sameAs selection (operators/audit.mutual_best_alignment)
+    over the even/odd-split entity-alignment scores: each side keeps
+    exactly its mutual best match — two key-scale min-struct argmaxes
+    joined, no Window. The end of the cross-source identity pipeline:
+    align_entities scores -> mutual-best links -> owl:sameAs input for
+    canonicalization."""
+    from spacy_llm_spark.operators.audit import mutual_best_alignment
+
+    return mutual_best_alignment(q_kg_entity_alignment(spark, sf_dir))
+
+
 def q_kg_entity_alignment(spark, sf_dir):
     """Instance-based entity alignment (operators/audit.align_entities)
     across two KGs built from DISJOINT doc partitions (even vs odd
@@ -3883,6 +3922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_alignment": q_kg_pred_alignment,
         "kg_quotient": q_kg_quotient,
         "kg_entity_alignment": q_kg_entity_alignment,
+        "kg_sameas_links": q_kg_sameas_links,
+        "kg_transe_epoch": q_kg_transe_epoch,
         # (ann_lsh_topk / topk_orders_per_customer displaced from the
         # first 50 by the fusion + ontology-induction families)
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -6157,6 +6198,49 @@ FROM log
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)
+        # mutual-best sameAs links: the alignment CTE + two
+        # row_number argmaxes (mirroring the min-struct halves) joined
+        "kg_sameas_links": m
+        + _EDGES_CTE
+        + """
+, l AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 0)
+, r AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 1)
+, fl AS (
+  SELECT subj AS e, 'out' AS dir, pred AS p, obj AS v FROM l
+  UNION SELECT obj, 'in', pred, subj FROM l)
+, fr AS (
+  SELECT subj AS e, 'out' AS dir, pred AS p, obj AS v FROM r
+  UNION SELECT obj, 'in', pred, subj FROM r)
+, dfq AS (
+  SELECT dir, p, v, round(1.0 / ln(1 + df), 10) AS w FROM (
+    SELECT dir, p, v, count(DISTINCT (side, e)) AS df FROM (
+      SELECT 'l' AS side, * FROM fl
+      UNION ALL SELECT 'r' AS side, * FROM fr)
+    GROUP BY dir, p, v)
+  WHERE df <= 1000)
+, al AS (
+SELECT fl.e AS left_id, fr.e AS right_id,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(sum(w), 6) AS score
+FROM fl
+JOIN dfq ON dfq.dir = fl.dir AND dfq.p = fl.p AND dfq.v = fl.v
+JOIN fr ON fr.dir = fl.dir AND fr.p = fl.p AND fr.v = fl.v
+GROUP BY fl.e, fr.e HAVING count(*) >= 2)
+, lb AS (
+  SELECT left_id, right_id, score,
+         row_number() OVER (PARTITION BY left_id
+                            ORDER BY score DESC, right_id) AS rk
+  FROM al)
+, rb AS (
+  SELECT left_id, right_id,
+         row_number() OVER (PARTITION BY right_id
+                            ORDER BY score DESC, left_id) AS rk
+  FROM al)
+SELECT l.left_id, l.right_id, l.score
+FROM lb l JOIN rb r
+  ON r.left_id = l.left_id AND r.right_id = l.right_id AND r.rk = 1
+WHERE l.rk = 1
+""",
         # entity alignment across the even/odd doc split: feature
         # UNIONs (set = distinct), cross-side df, ln-discounted sum —
         # same 10 dp pre-sum / 6 dp final quantization as the engine

@@ -445,3 +445,46 @@ def align_entities(
         )
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def mutual_best_alignment(
+    scores: DataFrame,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    score: str = "score",
+) -> DataFrame:
+    """Greedy 1:1 link selection over an alignment-score frame
+    (:func:`align_entities` output or any ``(left, right, score)``
+    candidates): keep exactly the pairs where each side is the other's
+    BEST match — the standard mutual-best-match sameAs decision rule
+    (stable against the one-sided hub absorption a plain per-left
+    argmax suffers). Ties break toward the lexicographically smallest
+    partner id (min-struct discipline), so the result is deterministic.
+
+    Two key-scale min-struct aggregates (no Window) + one equi-join of
+    their agreeing halves; output is link-scale.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+
+    def best(frame: DataFrame, key: str, other: str, out: str) -> DataFrame:
+        return frame.groupBy(key).agg(
+            F.min(
+                F.struct(
+                    (-F.col(score)).alias("neg"), F.col(other).alias("pick")
+                )
+            ).alias(out)
+        )
+
+    lb = best(scores, left_id, right_id, "_lb")
+    rb = best(scores, right_id, left_id, "_rb")
+    return (
+        lb.select(
+            left_id, F.col("_lb.pick").alias(right_id),
+            F.round(-F.col("_lb.neg"), 6).alias(score),
+        )
+        .join(
+            rb.select(F.col("_rb.pick").alias(left_id), right_id),
+            [left_id, right_id],
+        )
+    )

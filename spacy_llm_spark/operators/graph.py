@@ -2930,12 +2930,47 @@ def construct_triples(
     set). Rows where any templated term is NULL are dropped, matching
     SPARQL's incomplete-solution rule for OPTIONAL-derived NULLs.
 
+    A ``_:label`` term is a BLANK-NODE template (SPARQL CONSTRUCT's
+    third term kind): it instantiates one fresh node per solution —
+    skolemized deterministically as
+    ``_:label_<sha256(all binding columns)[:16]>``, so the same
+    solution yields the same node across every template (the spec's
+    within-solution sharing) and different solutions never collide.
+    Skolemization is per DISTINCT solution: a bag-semantics duplicate
+    solution reuses its twin's node (the standard skolem reading;
+    spec-fresh bnodes per duplicate would make the output
+    non-deterministic anyway). NULL binding columns hash as a reserved
+    sentinel, not as absent, so NULL-shift twins cannot collide.
+
     Reference analogue: none — cited for parity accounting.
     """
     if not templates:
         raise ValueError("construct_triples: need at least one template")
 
+    _solution_hash = F.substring(
+        F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in bindings.columns
+                ],
+            ),
+            256,
+        ),
+        1,
+        16,
+    )
+
     def term_col(t, i):
+        if isinstance(t, str) and t.startswith("_:"):
+            label = t[2:]
+            if not label or not label.replace("_", "").isalnum():
+                raise ValueError(
+                    f"construct_triples: template {i} bnode label {t!r} "
+                    "must be alphanumeric/underscore"
+                )
+            return F.concat(F.lit("_:" + label + "_"), _solution_hash)
         if isinstance(t, str) and t.startswith("?"):
             v = t[1:]
             if v not in bindings.columns:

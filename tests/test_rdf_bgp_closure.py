@@ -1626,3 +1626,54 @@ def test_turtle_grouped_blocks_deterministic(spark):
     )
     got = rdf.to_turtle(lit, obj_is_iri=False).head().turtle
     assert got == 'kg:s3 kg:label "say \\"hi\\"" .'
+
+
+def test_construct_triples_bnode_templates(spark):
+    import hashlib
+    from spacy_llm_spark.operators.graph import construct_triples
+
+    bind = spark.createDataFrame(
+        [Row(s="a", t=None), Row(s="b", t="x")], "s string, t string"
+    )
+    out = construct_triples(
+        bind, [("?s", "gen", "_:ev"), ("_:ev", "of", "?t")]
+    ).collect()
+    got = {(r.subj, r.pred, r.obj) for r in out}
+
+    def skolem(label, *cols):
+        payload = "\x1f".join("\x00null" if c is None else c for c in cols)
+        return f"_:{label}_" + hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    b_a = skolem("ev", "a", None)
+    b_b = skolem("ev", "b", "x")
+    # per-solution node shared across templates; NULL-t drops only the
+    # second template's row for solution a
+    assert got == {("a", "gen", b_a), ("b", "gen", b_b), (b_b, "of", "x")}
+    assert b_a != b_b
+    # NULL-shift twins cannot collide: (None,'q') vs ('q',None)
+    twin = spark.createDataFrame(
+        [Row(s=None, t="q"), Row(s="q", t=None)], "s string, t string"
+    )
+    ids = {r.obj for r in
+           construct_triples(twin, [("x", "p", "_:n")]).collect()}
+    assert len(ids) == 2
+    with pytest.raises(ValueError, match="bnode label"):
+        construct_triples(bind, [("?s", "p", "_:bad-label")])
+
+
+def test_mutual_best_alignment(spark):
+    from spacy_llm_spark.operators.audit import mutual_best_alignment
+
+    rows = [
+        ("l1", "r1", 0.9), ("l1", "r2", 0.5),
+        ("l2", "r1", 0.8),              # r1 prefers l1 -> l2 unmatched
+        ("l3", "r3", 0.7),
+        ("l4", "r4", 0.6), ("l4", "r5", 0.6),  # tie -> min right_id
+        ("l5", "r5", 0.4),  # l5's best is r5, but r5's best is l4: out
+    ]
+    scores = spark.createDataFrame(
+        rows, "left_id string, right_id string, score double"
+    )
+    got = {(r.left_id, r.right_id): r.score
+           for r in mutual_best_alignment(scores).collect()}
+    assert got == {("l1", "r1"): 0.9, ("l3", "r3"): 0.7, ("l4", "r4"): 0.6}
