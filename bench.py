@@ -785,6 +785,28 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
 
     # truth-discovery fusion: 1M claims (200k data items x ~5 sources,
     # mixed corroboration/conflict), 3 trust rounds
+    # TransE epoch over ~100k distinct triples (dim 16): negatives,
+    # init, one full-batch quantized-gradient epoch — the dim-x
+    # posexplode is the honest parameter-server-free cost
+    t0 = time.time()
+    from spacy_llm_spark.operators import kgembed
+    from spacy_llm_spark.operators.graph import negative_triples
+
+    te_pairs = negative_triples(bgp_triples.distinct())
+    te_ents = (
+        te_pairs.select(F.col("subj").alias("id"))
+        .unionByName(te_pairs.select(F.col("obj").alias("id")))
+        .unionByName(te_pairs.select(F.col("neg_obj").alias("id")))
+    )
+    te_e0 = kgembed.init_embeddings(te_ents, "id", dim=16)
+    te_r0 = kgembed.init_embeddings(
+        te_pairs.select(F.col("pred").alias("id")), "id", dim=16
+    )
+    te_e1, _ = kgembed.transe_epoch(te_pairs, te_e0, te_r0, lr=0.05)
+    n_te = te_e1.count()
+    extras["transe_epoch_100k_triples_sec"] = round(time.time() - t0, 3)
+    extras["transe_n_entities"] = n_te
+
     t0 = time.time()
     from spacy_llm_spark.operators.fusion import fuse_facts
 

@@ -1067,6 +1067,37 @@ def main():
         explain_str(fuse_facts(claims, iters=2)),
     ))
 
+    # TransE epoch: gradients as projections, one (id, component) sum
+    from spacy_llm_spark.operators import kgembed
+    from spacy_llm_spark.operators.graph import negative_triples
+
+    te_pairs = negative_triples(trip_upd)
+    te_ents = (
+        te_pairs.select(F.col("subj").alias("id"))
+        .unionByName(te_pairs.select(F.col("obj").alias("id")))
+        .unionByName(te_pairs.select(F.col("neg_obj").alias("id")))
+    )
+    te_e, _ = kgembed.transe_epoch(
+        te_pairs,
+        kgembed.init_embeddings(te_ents, "id", dim=8),
+        kgembed.init_embeddings(
+            te_pairs.select(F.col("pred").alias("id")), "id", dim=8
+        ),
+        lr=0.05,
+    )
+    sections.append((
+        "TransE epoch: gradient arrays as projections, one keyed component sum",
+        "transe_epoch (entity-table output shown; the epoch itself ran "
+        "eagerly at the lineage cut): per-pair L1 sign subgradients are "
+        "pure zip_with/transform projections over the embedding joins; "
+        "contributions posexplode to (entity, component) rows — the dim-x "
+        "cost, quantized 8 dp pre-sum so the per-key hash aggregate is "
+        "order-free — and reassemble via array_sort(collect_list). "
+        "Untouched entities pass through a left join; no Window, no "
+        "driver-side weights.",
+        explain_str(te_e),
+    ))
+
     spark.stop()
 
 
