@@ -3013,6 +3013,27 @@ def q_kg_fused_facts(spark, sf_dir):
     return fuse_facts(edges, iters=2)
 
 
+def q_kg_fused_facts_incremental(spark, sf_dir):
+    """Incremental truth discovery (operators/fusion.py
+    source_trust_table + fuse_facts_with_trust — the stale-index
+    pattern): the trust table trains on the STANDING corpus (even
+    doc_id, 2 rounds) and the full claim set — standing plus the odd
+    "new batch" — fuses against it FROZEN, in one probabilistic-OR
+    pass + argmax, no iteration. Odd-only sources cold-start at the
+    prior. fuse==full equivalence on identical claims and the
+    retrain-diff drift metric are pinned in tests/test_fusion.py."""
+    from spacy_llm_spark.operators.fusion import (
+        fuse_facts_with_trust, source_trust_table,
+    )
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        F.col("doc_id").cast("string").alias("source"), "subj", "pred", "obj"
+    )
+    standing = edges.where(F.col("source").cast("long") % 2 == 0)
+    trust = source_trust_table(standing, iters=2)
+    return fuse_facts_with_trust(edges, trust)
+
+
 def q_kg_ontology(spark, sf_dir):
     """Ontology INDUCTION from the labeled canonical triples
     (operators/audit.induce_ontology) — the inverse of kg_shape_audit:
@@ -3736,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the brute-force rep and the banded-LSH machinery stays
         # stamped via lsh_dedup_incremental)
         "kg_fused_facts": q_kg_fused_facts,
+        "kg_fused_facts_incremental": q_kg_fused_facts_incremental,
         # --- importance-weighted data selection (DSIR) ---
         "dsir_topk": q_dsir_topk,
         # --- graph analytics ---
@@ -6337,6 +6359,33 @@ WHERE ov.n_overlap >= 1
          FROM cl JOIN f1 USING (subj, pred, obj) GROUP BY src)
 , f2 AS (SELECT subj, pred, obj, round(1 - product(1 - t), 10) AS c
          FROM cl JOIN t1 USING (src) GROUP BY subj, pred, obj)
+, ns AS (SELECT subj, pred, obj,
+                CAST(count(DISTINCT src) AS BIGINT) AS n_sources
+         FROM cl GROUP BY subj, pred, obj)
+, topf AS (SELECT subj, pred, obj, c,
+                  row_number() OVER (PARTITION BY subj, pred
+                                     ORDER BY c DESC, obj) AS rk
+           FROM f2)
+SELECT t.subj, t.pred, t.obj, round(t.c, 6) AS confidence, ns.n_sources
+FROM topf t JOIN ns USING (subj, pred, obj) WHERE t.rk = 1
+""",
+        # incremental fusion: trust trained on even docs (1 update),
+        # all claims scored against it frozen (odd sources at prior)
+        "kg_fused_facts_incremental": m
+        + _EDGES_CTE
+        + """
+, cl AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, subj, pred, obj
+         FROM edges)
+, cle AS (SELECT * FROM cl WHERE CAST(src AS BIGINT) % 2 = 0)
+, t0 AS (SELECT DISTINCT src, 0.8 AS t FROM cle)
+, f1 AS (SELECT subj, pred, obj, round(1 - product(1 - t), 10) AS c
+         FROM cle JOIN t0 USING (src) GROUP BY subj, pred, obj)
+, t1 AS (SELECT src, least(round(avg(c), 10), 0.999999) AS t
+         FROM cle JOIN f1 USING (subj, pred, obj) GROUP BY src)
+, f2 AS (SELECT cl.subj, cl.pred, cl.obj,
+                round(1 - product(1 - coalesce(t1.t, 0.8)), 10) AS c
+         FROM cl LEFT JOIN t1 USING (src)
+         GROUP BY cl.subj, cl.pred, cl.obj)
 , ns AS (SELECT subj, pred, obj,
                 CAST(count(DISTINCT src) AS BIGINT) AS n_sources
          FROM cl GROUP BY subj, pred, obj)

@@ -121,3 +121,48 @@ def test_fuse_facts_ties_and_guards(spark):
         fuse_facts(_df(spark, rows), iters=0)
     with pytest.raises(ValueError, match="prior"):
         fuse_facts(_df(spark, rows), prior=1.5)
+
+
+def test_fuse_with_trust_equals_full_on_same_claims(spark):
+    from spacy_llm_spark.operators.fusion import (
+        fuse_facts, fuse_facts_with_trust, source_trust_table,
+    )
+
+    cdf = _df(spark, CLAIMS)
+    for iters in (1, 2, 4):
+        full = {(r.subj, r.pred): (r.obj, r.confidence, r.n_sources)
+                for r in fuse_facts(cdf, iters=iters).collect()}
+        trust = source_trust_table(cdf, iters=iters)
+        inc = {(r.subj, r.pred): (r.obj, r.confidence, r.n_sources)
+               for r in fuse_facts_with_trust(cdf, trust).collect()}
+        assert inc == full, iters
+
+
+def test_fuse_with_trust_append_and_drift(spark):
+    from spacy_llm_spark.operators.fusion import (
+        fuse_facts_with_trust, source_trust_table, trust_drift,
+    )
+
+    standing = _df(spark, CLAIMS)
+    trust = source_trust_table(standing, iters=3)
+    # appended batch: a NEW source (cold-start at prior) + new item
+    batch = [("e", "e9", "k", "v"), ("a", "e9", "k", "v")]
+    allc = _df(spark, CLAIMS + batch)
+    out = {(r.subj, r.pred): r for r in
+           fuse_facts_with_trust(allc, trust).collect()}
+    assert ("e9", "k") in out and out[("e9", "k")].obj == "v"
+    assert out[("e9", "k")].n_sources == 2
+    # standing winners unchanged by the disjoint batch (frozen trust)
+    base = {(r.subj, r.pred): r.obj for r in
+            fuse_facts_with_trust(standing, trust).collect()}
+    for k, v in base.items():
+        assert out[k].obj == v
+    # drift = |retrained - frozen|: ZERO on the table's own training
+    # claims (deterministic retrain), positive once the appended batch
+    # shifts the retrained trust
+    d0 = {r.source: r.drift for r in
+          trust_drift(standing, trust, iters=3).collect()}
+    assert all(v == 0.0 for v in d0.values())
+    d1 = {r.source: r for r in trust_drift(allc, trust, iters=3).collect()}
+    assert "e" in d1            # cold-start source reported vs prior
+    assert any(r.drift > 0 for r in d1.values())
