@@ -2938,6 +2938,27 @@ def q_kg_transe_epoch(spark, sf_dir):
     return new_ent
 
 
+def q_kg_entity_alignment_incremental(spark, sf_dir):
+    """Incremental entity alignment (operators/audit.alignment_index +
+    align_entities_probe): the odd-doc standing KG is indexed ONCE —
+    features + per-feature entity counts, _fmt-stamped — and the
+    even-doc batch probes it. Feature frequency is side-separable
+    (df = df_index + df_batch), so this is EXACTLY
+    align_entities(batch, standing): shares kg_entity_alignment's
+    oracle VERBATIM. The standing corpus is never re-scanned at probe
+    time; append == rebuild is test-pinned."""
+    from spacy_llm_spark.operators.audit import (
+        align_entities_probe, alignment_index,
+    )
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        "doc_id", "subj", "pred", "obj"
+    )
+    left = edges.where(F.col("doc_id") % 2 == 0).select("subj", "pred", "obj")
+    right = edges.where(F.col("doc_id") % 2 == 1).select("subj", "pred", "obj")
+    return align_entities_probe(left, alignment_index(right), min_shared=2)
+
+
 def q_kg_sameas_links(spark, sf_dir):
     """Greedy 1:1 sameAs selection (operators/audit.mutual_best_alignment)
     over the even/odd-split entity-alignment scores: each side keeps
@@ -3944,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_alignment": q_kg_pred_alignment,
         "kg_quotient": q_kg_quotient,
         "kg_entity_alignment": q_kg_entity_alignment,
+        "kg_entity_alignment_incremental": q_kg_entity_alignment_incremental,
         "kg_sameas_links": q_kg_sameas_links,
         "kg_transe_epoch": q_kg_transe_epoch,
         # (ann_lsh_topk / topk_orders_per_customer displaced from the
@@ -6267,6 +6289,34 @@ WHERE l.rk = 1
         # UNIONs (set = distinct), cross-side df, ln-discounted sum —
         # same 10 dp pre-sum / 6 dp final quantization as the engine
         "kg_entity_alignment": m
+        + _EDGES_CTE
+        + """
+, l AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 0)
+, r AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 1)
+, fl AS (
+  SELECT subj AS e, 'out' AS dir, pred AS p, obj AS v FROM l
+  UNION SELECT obj, 'in', pred, subj FROM l)
+, fr AS (
+  SELECT subj AS e, 'out' AS dir, pred AS p, obj AS v FROM r
+  UNION SELECT obj, 'in', pred, subj FROM r)
+, dfq AS (
+  SELECT dir, p, v, round(1.0 / ln(1 + df), 10) AS w FROM (
+    SELECT dir, p, v, count(DISTINCT (side, e)) AS df FROM (
+      SELECT 'l' AS side, * FROM fl
+      UNION ALL SELECT 'r' AS side, * FROM fr)
+    GROUP BY dir, p, v)
+  WHERE df <= 1000)
+SELECT fl.e AS left_id, fr.e AS right_id,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       round(sum(w), 6) AS score
+FROM fl
+JOIN dfq ON dfq.dir = fl.dir AND dfq.p = fl.p AND dfq.v = fl.v
+JOIN fr ON fr.dir = fl.dir AND fr.p = fl.p AND fr.v = fl.v
+GROUP BY fl.e, fr.e HAVING count(*) >= 2
+""",
+        # incremental form: EXACT equivalence (side-separable df),
+        # so the oracle is shared verbatim
+"kg_entity_alignment_incremental": m
         + _EDGES_CTE
         + """
 , l AS (SELECT DISTINCT subj, pred, obj FROM edges WHERE doc_id % 2 = 0)

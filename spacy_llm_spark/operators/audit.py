@@ -354,6 +354,28 @@ def align_predicates(
     )
 
 
+def _entity_features(
+    df: DataFrame, subj: str, pred: str, obj: str, include_incoming: bool
+) -> DataFrame:
+    """Distinct (e, dir, p, v) assertion features of a triple frame —
+    outgoing (pred, obj) per subject and, with ``include_incoming``,
+    incoming (pred, subj) per object. Shared by :func:`align_entities`
+    and the persisted-index forms so both compute identical features."""
+    de = df.select(subj, pred, obj).distinct()
+    out = de.select(
+        F.col(subj).alias("e"), F.lit("out").alias("dir"),
+        F.col(pred).alias("p"), F.col(obj).alias("v"),
+    )
+    if include_incoming:
+        out = out.unionByName(
+            de.select(
+                F.col(obj).alias("e"), F.lit("in").alias("dir"),
+                F.col(pred).alias("p"), F.col(subj).alias("v"),
+            )
+        )
+    return out.distinct()
+
+
 def align_entities(
     left: DataFrame,
     right: DataFrame,
@@ -401,19 +423,9 @@ def align_entities(
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
 
     def feats(df: DataFrame, side: str) -> DataFrame:
-        de = df.select(subj, pred, obj).distinct()
-        out = de.select(
-            F.col(subj).alias("e"), F.lit("out").alias("dir"),
-            F.col(pred).alias("p"), F.col(obj).alias("v"),
-        )
-        if include_incoming:
-            out = out.unionByName(
-                de.select(
-                    F.col(obj).alias("e"), F.lit("in").alias("dir"),
-                    F.col(pred).alias("p"), F.col(subj).alias("v"),
-                )
-            )
-        return out.distinct().withColumn("side", F.lit(side))
+        return _entity_features(
+            df, subj, pred, obj, include_incoming
+        ).withColumn("side", F.lit(side))
 
     fl = feats(left, "l")
     fr = feats(right, "r")
@@ -487,4 +499,126 @@ def mutual_best_alignment(
             rb.select(F.col("_rb.pick").alias(left_id), right_id),
             [left_id, right_id],
         )
+    )
+
+
+def alignment_index(
+    right: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    include_incoming: bool = True,
+) -> DataFrame:
+    """The PERSISTED standing-side artifact for incremental entity
+    alignment: the right corpus's distinct features
+    ``(right_id, dir, p, v)`` with the per-feature right-side entity
+    count ``df_r`` — everything a probe needs, so the right corpus is
+    never re-scanned. Because :func:`align_entities`' feature frequency
+    counts distinct ``(side, entity)`` it is SIDE-SEPARABLE:
+    ``df = df_r (from this index) + df_batch (computed on the probe
+    batch alone)``, which is what makes
+    :func:`align_entities_probe` EXACTLY equal to a full
+    ``align_entities(batch, right)`` — the strong equivalence, not the
+    stale-index approximation. Stamped with the engine-wide
+    ``_fmt_*`` column-name discipline (format + ``include_incoming``
+    baked in; df caps are probe-time parameters and stay free)."""
+    from .dedup import LSH_INDEX_FORMAT, _index_stamp
+
+    fr = _entity_features(right, subj, pred, obj, include_incoming)
+    dfr = fr.groupBy("dir", "p", "v").agg(
+        F.countDistinct("e").alias("df_r")
+    )
+    stamp = _index_stamp("alif", inc=int(include_incoming))
+    return (
+        fr.select(F.col("e").alias("right_id"), "dir", "p", "v")
+        .join(dfr, ["dir", "p", "v"])
+        .withColumn(stamp, F.lit(LSH_INDEX_FORMAT))
+    )
+
+
+def alignment_index_append(
+    index: DataFrame,
+    batch: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    include_incoming: bool = True,
+) -> DataFrame:
+    """Merge a new standing-side batch into a persisted
+    :func:`alignment_index` WITHOUT re-reading the old corpus: union
+    the old feature rows with the batch's, recount ``df_r`` per
+    feature (index-scale work), restamp. Bit-equal to rebuilding from
+    the concatenated corpus (test-pinned) — the house incremental
+    contract."""
+    from .dedup import _check_index_format, _index_stamp
+
+    stamp = _index_stamp("alif", inc=int(include_incoming))
+    _check_index_format(index, "alignment_index_append", stamp)
+    old = index.select("right_id", "dir", "p", "v")
+    new = _entity_features(batch, subj, pred, obj, include_incoming).select(
+        F.col("e").alias("right_id"), "dir", "p", "v"
+    )
+    merged = old.unionByName(new).distinct()
+    dfr = merged.groupBy("dir", "p", "v").agg(
+        F.countDistinct("right_id").alias("df_r")
+    )
+    from .dedup import LSH_INDEX_FORMAT
+
+    return merged.join(dfr, ["dir", "p", "v"]).withColumn(
+        stamp, F.lit(LSH_INDEX_FORMAT)
+    )
+
+
+def align_entities_probe(
+    batch: DataFrame,
+    index: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    max_feature_df: int = 1000,
+    min_shared: int = 1,
+    include_incoming: bool = True,
+    exclude_self: bool = False,
+    quantum: int = 10,
+) -> DataFrame:
+    """Incremental entity alignment: score a probe batch against a
+    persisted :func:`alignment_index` — EXACTLY
+    ``align_entities(batch, right_corpus)`` (side-separable df, see
+    the index docstring; equivalence test-pinned) at batch cost. The
+    stamp refuses an index built with a different format or
+    ``include_incoming`` BEFORE any probe-side work."""
+    from .dedup import _check_index_format, _index_stamp
+
+    if max_feature_df < 1:
+        raise ValueError(f"max_feature_df must be >= 1, got {max_feature_df}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    stamp = _index_stamp("alif", inc=int(include_incoming))
+    _check_index_format(index, "align_entities_probe", stamp)
+    fl = _entity_features(batch, subj, pred, obj, include_incoming)
+    dfl = fl.groupBy("dir", "p", "v").agg(
+        F.countDistinct("e").alias("df_l")
+    )
+    pairs = (
+        fl.select(F.col("e").alias("left_id"), "dir", "p", "v")
+        .join(dfl, ["dir", "p", "v"])
+        .join(
+            index.select("right_id", "dir", "p", "v", "df_r"),
+            ["dir", "p", "v"],
+        )
+        .withColumn("_df", F.col("df_l") + F.col("df_r"))
+        .where(F.col("_df") <= max_feature_df)
+        .withColumn(
+            "w", F.round(1.0 / F.log(1.0 + F.col("_df")), quantum)
+        )
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col("left_id") != F.col("right_id"))
+    return (
+        pairs.groupBy("left_id", "right_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+        .where(F.col("n_shared") >= int(min_shared))
     )

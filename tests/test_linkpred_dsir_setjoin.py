@@ -1342,3 +1342,52 @@ def test_align_entities_rare_feature_weighting(spark):
         audit.align_entities(left, right, max_feature_df=0)
     with _pytest.raises(ValueError, match="min_shared"):
         audit.align_entities(left, right, min_shared=0)
+
+
+def test_alignment_index_probe_equals_full(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import audit
+
+    def kg(rows):
+        return spark.createDataFrame(
+            [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+            "subj string, pred string, obj string",
+        )
+
+    left = kg([
+        ("x1", "bornIn", "smallville"), ("x1", "type", "person"),
+        ("x2", "type", "person"), ("metropolis", "locatedIn", "x2"),
+    ])
+    right = kg([
+        ("y1", "bornIn", "smallville"), ("y1", "type", "person"),
+        ("y2", "type", "person"), ("metropolis", "locatedIn", "y2"),
+    ])
+
+    def rows_of(df):
+        return {(r.left_id, r.right_id): (r.n_shared, r.score)
+                for r in df.collect()}
+
+    idx = audit.alignment_index(right)
+    for kw in ({}, {"max_feature_df": 3}, {"min_shared": 2}):
+        full = rows_of(audit.align_entities(left, right, **kw))
+        inc = rows_of(audit.align_entities_probe(left, idx, **kw))
+        assert inc == full, kw
+    # append == rebuild from the concatenated corpus, bit-for-bit
+    batch = kg([("y3", "bornIn", "smallville"), ("y3", "type", "person")])
+    both = right.unionByName(batch)
+    a = audit.alignment_index_append(idx, batch)
+    b = audit.alignment_index(both)
+    key = lambda df: {tuple(r) for r in df.collect()}
+    assert key(a) == key(b)
+    assert rows_of(audit.align_entities_probe(left, a)) == rows_of(
+        audit.align_entities(left, both))
+    # stamp guards: include_incoming mismatch and unstamped frames refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stamp mismatch"):
+        audit.align_entities_probe(left, idx, include_incoming=False)
+    with _pytest.raises(ValueError, match="no _fmt"):
+        audit.align_entities_probe(
+            left, idx.select("right_id", "dir", "p", "v", "df_r"))
+    with _pytest.raises(ValueError, match="stamp mismatch"):
+        audit.alignment_index_append(
+            audit.alignment_index(right, include_incoming=False), batch)
