@@ -63,6 +63,8 @@ def run_incremental(
     edgesupport_snapshot_retention: int | None = 3,
     maintain_snapshot: bool = False,
     snapshot_retention: int | None = 3,
+    maintain_alignment: bool = False,
+    alignment_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -105,7 +107,9 @@ def run_incremental(
         maintain_edgesupport=maintain_edgesupport,
         edgesupport_snapshot_retention=edgesupport_snapshot_retention,
         maintain_snapshot=maintain_snapshot,
+        maintain_alignment=maintain_alignment,
         snapshot_retention=snapshot_retention,
+        alignment_snapshot_retention=alignment_snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -143,6 +147,8 @@ def make_batch_processor(
     edgesupport_snapshot_retention: int | None = 3,
     maintain_snapshot: bool = False,
     snapshot_retention: int | None = 3,
+    maintain_alignment: bool = False,
+    alignment_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -182,6 +188,7 @@ def make_batch_processor(
     lsh_path = posixpath.join(output_dir, "lsh")
     edgesupport_path = posixpath.join(output_dir, "edgesupport")
     factstate_path = posixpath.join(output_dir, "factstate")
+    alignidx_path = posixpath.join(output_dir, "alignidx")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -642,6 +649,35 @@ def make_batch_processor(
             fstate.write.mode("overwrite").parquet(
                 posixpath.join(factstate_path, f"batch_id={batch_id}")
             )
+        if maintain_alignment:
+            # Live standing-side alignment index (audit.alignment_index
+            # over ALL committed edges): append unions the batch's
+            # feature rows and recounts df_r at index scale — the old
+            # corpus is never re-read, and distinct+recount makes the
+            # merge IDEMPOTENT under overlap, so a crash-replay
+            # overwrites bit-identically (the snapshot-argmax safety
+            # class, not the additive one). Probe new batches against
+            # it with audit.align_entities_probe — exactly equal to a
+            # full align_entities against the whole committed KG.
+            from ..operators import audit as _audit
+
+            batch_edges = spark.read.schema(edges_df.schema).parquet(
+                posixpath.join(output_dir, "edges", f"batch_id={batch_id}")
+            )
+            prior_ai = _committed_before(alignidx_path, batch_id)
+            if prior_ai:
+                latest_ai = max(
+                    prior_ai,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                snap_ai = _audit.alignment_index_append(
+                    spark.read.parquet(latest_ai), batch_edges
+                )
+            else:
+                snap_ai = _audit.alignment_index(batch_edges)
+            snap_ai.write.mode("overwrite").parquet(
+                posixpath.join(alignidx_path, f"batch_id={batch_id}")
+            )
         annotated.select("content_sha256").distinct().write.mode(
             "overwrite"
         ).parquet(
@@ -679,6 +715,8 @@ def make_batch_processor(
             _prune_to_newest(edgesupport_path, edgesupport_snapshot_retention)
         if maintain_snapshot and snapshot_retention is not None:
             _prune_to_newest(factstate_path, snapshot_retention)
+        if maintain_alignment and alignment_snapshot_retention is not None:
+            _prune_to_newest(alignidx_path, alignment_snapshot_retention)
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -797,6 +835,20 @@ def latest_fact_state(spark: SparkSession, output_dir: str):
     this stream has no retractions, so the state IS the view."""
     dirs = fs.committed_subdirs(
         spark, posixpath.join(output_dir, "factstate")
+    )
+    if not dirs:
+        return None
+    latest = max(dirs, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]))
+    return spark.read.parquet(latest)
+
+
+def latest_alignment_index(spark: SparkSession, output_dir: str):
+    """The newest committed standing-side alignment feature index
+    maintained by a ``maintain_alignment`` stream (stamped, probe-ready
+    for ``audit.align_entities_probe``) — or None if no batch
+    committed yet."""
+    dirs = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "alignidx")
     )
     if not dirs:
         return None

@@ -1671,3 +1671,75 @@ def test_factstate_maintenance_live_and_replay(spark, tmp_path):
 
     dirs = sorted(os.listdir(out / "factstate"))
     assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+
+def test_alignment_index_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_alignment=True keeps the standing feature index equal
+    to audit.alignment_index over EVERY committed batch's edges (the
+    append==rebuild contract, live); a keys-erased crash replay leaves
+    it bit-identical; probing the maintained index == a full
+    align_entities against the whole committed KG; retention prunes."""
+    from spacy_llm_spark.operators import audit
+    from spacy_llm_spark.streaming.incremental import (
+        latest_alignment_index,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_alignment=True)
+    schema = "doc_id long, content string, lang string"
+    batches = [
+        [(1, "join reads table then filter writes table", "python"),
+         (2, "window sort table scan join", "java")],
+        [(3, "join reads table then join writes table", "python"),
+         (4, "merge part region scan filter", "go")],
+        [(5, "filter scan batch emits metrics", "rust")],
+    ]
+    frames = [
+        spark.createDataFrame(rows, schema).withColumn(
+            "content_sha256", F.sha2("content", 256)
+        )
+        for rows in batches
+    ]
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    for bid, frame in enumerate(frames):
+        proc(frame, bid)
+        got = latest_alignment_index(spark, str(out))
+        all_edges = spark.read.parquet(str(out / "edges")).select(
+            "subj", "pred", "obj"
+        )
+        want = audit.alignment_index(all_edges)
+        assert rows_of(got) == rows_of(want), f"batch {bid}"
+        assert len(got.take(1)) == 1
+
+    # crash replay with the keys marker erased: bit-identical
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(frames[-1], len(frames) - 1)
+    # re-read AFTER the replay rewrote batch files (fresh listings)
+    all_edges = spark.read.parquet(str(out / "edges")).select(
+        "subj", "pred", "obj"
+    )
+    want = audit.alignment_index(all_edges)
+    assert rows_of(latest_alignment_index(spark, str(out))) == rows_of(want)
+
+    # probing the live index == full alignment against the committed KG
+    probe_kg = spark.createDataFrame(
+        [("pX", "executes", "K110")], "subj string, pred string, obj string"
+    )
+    via_index = rows_of(
+        audit.align_entities_probe(
+            probe_kg, latest_alignment_index(spark, str(out))
+        )
+    )
+    full = rows_of(audit.align_entities(probe_kg, all_edges))
+    assert via_index == full
+
+    import os
+
+    dirs = sorted(os.listdir(out / "alignidx"))
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
