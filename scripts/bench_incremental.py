@@ -221,6 +221,150 @@ def stream_maintenance_main() -> None:
     }))
 
 
+def alignment_main() -> None:
+    """Incremental entity alignment vs full recompute over K append
+    batches of synthetic triples: the incremental curve merges each
+    batch into the standing feature index (index-scale recount) and
+    probes the NEXT batch against it, while the full curve re-scans all
+    accumulated history per probe. Probe == full is asserted at the
+    final batch (the side-separable-df exact equivalence).
+    Usage: bench_incremental.py --alignment [k_batches]
+    """
+    from spacy_llm_spark.operators.audit import (
+        align_entities,
+        align_entities_probe,
+        alignment_index,
+        alignment_index_append,
+    )
+
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    if k < 1:
+        raise SystemExit("--alignment needs k_batches >= 1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    n_per = int(os.environ.get("SPARK_GRAFT_ALIGN_BATCH", "100000"))
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    def batch(i):
+        # entity namespace e{batch}_{n}: features overlap via shared
+        # object values v{n%5000}, so cross-batch alignment is real
+        return spark.range(n_per).select(
+            F.format_string(f"e{i}_%06d", F.col("id") % (n_per // 5)).alias("subj"),
+            F.element_at(
+                F.array(F.lit("hasValue"), F.lit("linksTo"), F.lit("typed")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("pred"),
+            F.format_string("v%05d", F.col("id") % 5000).alias("obj"),
+        ).localCheckpoint()
+
+    base = batch(0)
+    index = alignment_index(base).localCheckpoint()
+    history = base
+    inc_secs, full_secs, n_cand = [], [], []
+    probe = None
+    for i in range(1, k + 1):
+        nb = batch(i)
+        t0 = time.time()
+        probe = align_entities_probe(nb, index, min_shared=2)
+        n_cand.append(probe.count())
+        index = alignment_index_append(index, nb).localCheckpoint()
+        inc_secs.append(round(time.time() - t0, 3))
+        t0 = time.time()
+        full = align_entities(nb, history, min_shared=2)
+        full.count()
+        full_secs.append(round(time.time() - t0, 3))
+        history = history.unionByName(nb).localCheckpoint()
+    cols = ["left_id", "right_id", "n_shared", "score"]
+    diff = (
+        probe.join(full, cols, "left_anti").count()
+        + full.join(probe, cols, "left_anti").count()
+    )
+    print(json.dumps({
+        "metric": "incremental_vs_full_alignment",
+        "triples_per_batch": n_per, "k_batches": k,
+        "incremental_per_batch_sec": inc_secs,
+        "full_recompute_per_batch_sec": full_secs,
+        "total_incremental_sec": round(sum(inc_secs), 3),
+        "total_full_sec": round(sum(full_secs), 3),
+        "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
+        "n_candidates_per_batch": n_cand,
+        "probe_equals_full_final": diff == 0,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+def fusion_main() -> None:
+    """Incremental truth discovery vs full refusion over K claim
+    batches: the incremental curve scores each batch against the
+    FROZEN standing trust table (one probabilistic-OR pass), the full
+    curve re-runs the 3-round iteration over all accumulated claims.
+    The frozen trust is stale by design (fuse==full equivalence on
+    identical claims is test-pinned in test_fusion.py; the drift
+    metric is the retrain trigger) — this measures the COST gap the
+    frozen-probe pattern buys. Usage: bench_incremental.py --fusion [k]
+    """
+    from spacy_llm_spark.operators.fusion import (
+        fuse_facts,
+        fuse_facts_with_trust,
+        source_trust_table,
+    )
+
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    if k < 1:
+        raise SystemExit("--fusion needs k_batches >= 1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    n_per = int(os.environ.get("SPARK_GRAFT_FUSION_BATCH", "200000"))
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    def batch(i):
+        # disjoint item namespaces per batch; sources SHARED across
+        # batches (the standing-trust reuse that makes freezing work)
+        return spark.range(n_per).select(
+            F.format_string("s%03d", F.col("id") % 997).alias("source"),
+            F.format_string(f"i{i}_%06d", F.col("id") % (n_per // 5)).alias("subj"),
+            F.lit("val").alias("pred"),
+            F.when(
+                (F.col("id") % 10 + F.floor(F.col("id") / (n_per // 5))) % 10 < 7,
+                F.format_string("right%06d", F.col("id") % (n_per // 5)),
+            ).otherwise(
+                F.format_string("wrong%d", F.col("id") % 3)
+            ).alias("obj"),
+        ).localCheckpoint()
+
+    base = batch(0)
+    trust = source_trust_table(base, iters=3).localCheckpoint()
+    history = base
+    inc_secs, full_secs, n_items = [], [], []
+    for i in range(1, k + 1):
+        nb = batch(i)
+        t0 = time.time()
+        n_items.append(fuse_facts_with_trust(nb, trust).count())
+        inc_secs.append(round(time.time() - t0, 3))
+        history = history.unionByName(nb).localCheckpoint()
+        t0 = time.time()
+        fuse_facts(history, iters=3).count()
+        full_secs.append(round(time.time() - t0, 3))
+    print(json.dumps({
+        "metric": "incremental_vs_full_fusion",
+        "claims_per_batch": n_per, "k_batches": k,
+        "incremental_per_batch_sec": inc_secs,
+        "full_refusion_per_batch_sec": full_secs,
+        "total_incremental_sec": round(sum(inc_secs), 3),
+        "total_full_sec": round(sum(full_secs), 3),
+        "speedup": round(sum(full_secs) / max(sum(inc_secs), 1e-9), 2),
+        "n_items_per_batch": n_items,
+        "trust_frozen_note": "stale by design; retrain on trust_drift",
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
@@ -691,7 +835,11 @@ def closure_main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--wordindex":
+    if len(sys.argv) > 1 and sys.argv[1] == "--alignment":
+        alignment_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--fusion":
+        fusion_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--wordindex":
         wordindex_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--lsh":
         lsh_main()
