@@ -3778,7 +3778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps the brute-force rep and the banded-LSH machinery stays
         # stamped via lsh_dedup_incremental)
         "kg_fused_facts": q_kg_fused_facts,
-        "kg_fused_facts_incremental": q_kg_fused_facts_incremental,
         # --- importance-weighted data selection (DSIR) ---
         "dsir_topk": q_dsir_topk,
         # --- graph analytics ---
@@ -3963,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
         "kg_pred_alignment": q_kg_pred_alignment,
+        "kg_fused_facts_incremental": q_kg_fused_facts_incremental,
         "kg_quotient": q_kg_quotient,
         "kg_entity_alignment": q_kg_entity_alignment,
         "kg_entity_alignment_incremental": q_kg_entity_alignment_incremental,
