@@ -3070,6 +3070,25 @@ def q_kg_ontology(spark, sf_dir):
     return induce_ontology(edges)
 
 
+def q_kg_cardinality_audit(spark, sf_dir):
+    """SHACL-core cardinality validation (operators/audit.
+    shape_cardinality_violations): per-subject distinct-object bounds
+    — executes requires >= 1 (surface nodes appearing only as
+    feedsInto subjects fail it), stores caps at 2, emits requires
+    >= 3. One (subj, pred) distinct-count aggregate + a broadcast
+    vocabulary-scale constraint grid; zero-count (missing required
+    property) violations included via the subjects x constraints
+    grid."""
+    from spacy_llm_spark.operators.audit import shape_cardinality_violations
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    cons = spark.createDataFrame(
+        [("executes", 1, None), ("stores", None, 2), ("emits", 3, None)],
+        "pred string, min_count int, max_count int",
+    )
+    return shape_cardinality_violations(triples, cons)
+
+
 def q_kg_shape_audit(spark, sf_dir):
     """SHACL-style domain/range validation of the labeled triple table
     against a literal ontology (operators/audit.py
@@ -3961,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
+        "kg_cardinality_audit": q_kg_cardinality_audit,
         "kg_pred_alignment": q_kg_pred_alignment,
         "kg_fused_facts_incremental": q_kg_fused_facts_incremental,
         "kg_quotient": q_kg_quotient,
@@ -6445,6 +6465,28 @@ FROM topf t JOIN ns USING (subj, pred, obj) WHERE t.rk = 1
            FROM f2)
 SELECT t.subj, t.pred, t.obj, round(t.c, 6) AS confidence, ns.n_sources
 FROM topf t JOIN ns USING (subj, pred, obj) WHERE t.rk = 1
+""",
+        # cardinality audit: distinct-object counts vs the bound grid
+        "kg_cardinality_audit": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, cons(p, lo, hi) AS (VALUES ('executes', 1, NULL),
+                             ('stores', NULL, 2), ('emits', 3, NULL))
+, cnt AS (SELECT subj AS s, pred AS p, count(DISTINCT obj) AS n
+          FROM de GROUP BY subj, pred)
+, subs AS (SELECT DISTINCT subj AS s FROM de)
+, obs AS (
+  SELECT g.s, g.p, coalesce(c.n, 0) AS n, g.lo, g.hi
+  FROM (SELECT s, p, lo, hi FROM subs CROSS JOIN cons) g
+  LEFT JOIN cnt c ON c.s = g.s AND c.p = g.p)
+SELECT s AS subj, p AS pred, CAST(n AS BIGINT) AS n_objects,
+       CASE WHEN lo IS NOT NULL AND n < lo THEN 'min_count'
+            ELSE 'max_count' END AS kind,
+       CAST(CASE WHEN lo IS NOT NULL AND n < lo THEN lo
+                 ELSE hi END AS BIGINT) AS bound
+FROM obs
+WHERE (lo IS NOT NULL AND n < lo) OR (hi IS NOT NULL AND n > hi)
 """,
         # ontology induction: distinct labeled triples -> per-pred
         # modal domain/range (row_number mirrors the engine's

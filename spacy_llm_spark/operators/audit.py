@@ -622,3 +622,85 @@ def align_entities_probe(
         )
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def shape_cardinality_violations(
+    edges: DataFrame,
+    constraints: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """SHACL-core cardinality validation, the counting complement of
+    ``triple_shape_violations``' class checks: ``constraints`` lists
+    ``(pred, min_count, max_count)`` — per SUBJECT bounds on distinct
+    objects (sh:minCount / sh:maxCount; NULL = unbounded on that
+    side). Every ``(subj, pred)`` outside its bounds returns with the
+    observed ``n_objects``, the violated bound, and ``kind``
+    ('min_count' | 'max_count'). minCount violations include subjects
+    with ZERO objects for a constrained predicate — entities missing a
+    required property entirely — via the subject-universe × constraint
+    grid anti-semantics (a subject is anyone appearing in subject
+    position anywhere; grid rows are |subjects| x |constraints|,
+    vocabulary-bounded on one side).
+
+    One (subj, pred)-keyed distinct-count aggregate, one broadcast
+    join of the vocabulary-scale constraint table, one
+    subjects x constraints grid for the zero-count rule — output is
+    violation-scale. Constraints with NULL pred, non-positive bounds,
+    or min > max raise at build time (a malformed bound would silently
+    allow everything).
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    for c in ("min_count", "max_count"):
+        if c not in constraints.columns:
+            raise ValueError(f"constraints is missing column {c!r}")
+    con = constraints.select(
+        F.col(pred).alias("p"),
+        F.col("min_count").cast("long").alias("lo"),
+        F.col("max_count").cast("long").alias("hi"),
+    )
+    bad = con.where(
+        F.col("p").isNull()
+        | (F.col("lo").isNotNull() & (F.col("lo") < 0))
+        | (F.col("hi").isNotNull() & (F.col("hi") < 1))
+        | (
+            F.col("lo").isNotNull()
+            & F.col("hi").isNotNull()
+            & (F.col("lo") > F.col("hi"))
+        )
+    ).count()  # bounded: vocabulary-scale frame
+    if bad:
+        raise ValueError(
+            f"constraints has {bad} malformed row(s): pred must be "
+            "non-NULL, min_count >= 0, max_count >= 1, min <= max"
+        )
+    counts = (
+        edges.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                     F.col(obj).alias("o"))
+        .groupBy("s", "p")
+        .agg(F.countDistinct("o").alias("n_objects"))
+    )
+    subjects = edges.select(F.col(subj).alias("s")).distinct()
+    grid = subjects.crossJoin(F.broadcast(con))
+    observed = grid.join(counts, ["s", "p"], "left").withColumn(
+        "n_objects", F.coalesce("n_objects", F.lit(0))
+    )
+    viol = observed.select(
+        "s", "p", "n_objects",
+        F.when(
+            F.col("lo").isNotNull() & (F.col("n_objects") < F.col("lo")),
+            F.struct(F.lit("min_count").alias("kind"),
+                     F.col("lo").alias("bound")),
+        ).when(
+            F.col("hi").isNotNull() & (F.col("n_objects") > F.col("hi")),
+            F.struct(F.lit("max_count").alias("kind"),
+                     F.col("hi").alias("bound")),
+        ).alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    return viol.select(
+        F.col("s").alias(subj), F.col("p").alias(pred),
+        "n_objects",
+        F.col("_v.kind").alias("kind"), F.col("_v.bound").alias("bound"),
+    )

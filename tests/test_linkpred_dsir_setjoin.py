@@ -1391,3 +1391,40 @@ def test_alignment_index_probe_equals_full(spark):
     with _pytest.raises(ValueError, match="stamp mismatch"):
         audit.alignment_index_append(
             audit.alignment_index(right, include_incoming=False), batch)
+
+
+def test_shape_cardinality_violations(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import audit
+
+    edges = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in [
+            ("s1", "executes", "a"), ("s1", "executes", "b"),
+            ("s1", "executes", "b"),              # dup object collapses
+            ("s1", "stores", "x"), ("s1", "stores", "y"),
+            ("s2", "emits", "m"),
+            ("s1", "untracked", "z"),             # no constraint -> ignored
+        ]],
+        "subj string, pred string, obj string",
+    )
+    cons = spark.createDataFrame(
+        [("executes", 1, 2), ("stores", None, 1), ("emits", 2, None)],
+        "pred string, min_count int, max_count int",
+    )
+    got = {(r.subj, r.pred): (r.n_objects, r.kind, r.bound)
+           for r in audit.shape_cardinality_violations(edges, cons).collect()}
+    assert got == {
+        ("s1", "stores"): (2, "max_count", 1),     # over the cap
+        ("s1", "emits"): (0, "min_count", 2),      # required, absent
+        ("s2", "executes"): (0, "min_count", 1),   # required, absent
+        ("s2", "emits"): (1, "min_count", 2),      # present, too few
+        # NOT here: (s2, stores) — stores has no min bound, so a
+        # subject without it violates nothing; untracked pred ignored
+    }
+    import pytest as _pytest
+    for bad in ([(None, 1, 2)], [("p", -1, 2)], [("p", 3, 2)],
+                [("p", 0, 0)]):
+        bad_cons = spark.createDataFrame(
+            bad, "pred string, min_count int, max_count int")
+        with _pytest.raises(ValueError, match="malformed"):
+            audit.shape_cardinality_violations(edges, bad_cons)
