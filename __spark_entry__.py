@@ -1896,6 +1896,20 @@ def q_kg_turtle(spark, sf_dir):
     return rdf.to_turtle(triples)
 
 
+def q_kg_jsonld(spark, sf_dir):
+    """JSON-LD expanded-form export (functions/rdf.to_jsonld): one
+    JSON object per subject over the distinct canonical triple set —
+    predicates and objects sorted (deterministic document), the same
+    two subject-keyed aggregates as kg_turtle. Terms are
+    [a-z0-9:.]-safe on this corpus so the oracle concatenates; the
+    escape chain + control-char percent-encoding are pinned by the
+    json.loads round-trip test in tests/test_rdf_bgp_closure.py."""
+    from spacy_llm_spark.functions import rdf
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return rdf.to_jsonld(triples)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-25 against a fixed query-term set (one rare + two common
     terms) — corpus stats in ONE reduce, scoring as a pure projection
@@ -3878,6 +3892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the adversarial round-trip test)
         "kg_ntriples": q_kg_ntriples,
         "kg_turtle": q_kg_turtle,
+        "kg_jsonld": q_kg_jsonld,
         # KG-query family variants (kg_bgp_match holds the stamped
         # slot): SPARQL OPTIONAL left-join groups; pred+ property paths
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -6062,6 +6077,25 @@ WHERE a.pred = 'executes'
 SELECT '<http://example.org/kg/' || subj || '> <http://example.org/kg/'
        || pred || '> <http://example.org/kg/' || obj || '> .' AS ntriple
 FROM de
+""",
+        # JSON-LD export: prefixless concat (terms corpus-safe),
+        # nested ordered string_aggs mirroring the sorted collects
+        "kg_jsonld": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, pp AS (
+  SELECT subj, pred,
+         '[' || string_agg(
+             '{"@id":"http://example.org/kg/' || obj || '"}',
+             ',' ORDER BY obj) || ']' AS objs
+  FROM de GROUP BY subj, pred)
+SELECT subj,
+       '{"@id":"http://example.org/kg/' || subj || '",' ||
+       string_agg('"http://example.org/kg/' || pred || '":' || objs,
+                  ',' ORDER BY pred)
+       || '}' AS jsonld
+FROM pp GROUP BY subj
 """,
         # Turtle serialization: prefixed-name concat (terms PN-safe on
         # this corpus, see q_kg_turtle docstring) with nested ordered

@@ -562,3 +562,85 @@ def parse_turtle(
             (~is_lit).alias("obj_is_iri"),
         )
     )
+
+
+def to_jsonld(
+    df: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    base: str = "http://example.org/kg/",
+    obj_is_iri=True,
+    out_col: str = "jsonld",
+) -> DataFrame:
+    """JSON-LD (expanded form) export of the canonical triple set —
+    the web-consumer interchange format beside N-Triples (machine) and
+    Turtle (human): ONE JSON object per subject,
+    ``{"@id": "<iri>", "<pred iri>": [{"@id": ...} | {"@value": ...},
+    ...], ...}`` — predicates and objects sorted, so the document is
+    deterministic; same two subject-keyed hash aggregates as
+    :func:`to_turtle`. The ECHAR table doubles as the JSON escape
+    table (``\\ " \\n \\r \\t`` spell identically), and IRIs are
+    JSON-safe after :func:`escape_iri` (quote and backslash
+    percent-encode). Serialize-ONLY by design: generic JSON-LD parsing
+    needs a real JSON parser (dynamic keys defeat ``from_json``
+    schemas, and a grammar regex cannot balance brackets inside string
+    values) — ingest through N-Triples/Turtle instead; the round trip
+    is pinned in tests via ``json.loads``.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if isinstance(obj_is_iri, bool):
+        obj_is_iri = F.lit(obj_is_iri)
+
+    # escape_iri leaves control characters alone (the N-Triples IRI
+    # round trip carries them verbatim); JSON forbids raw controls in
+    # strings, so the JSON-LD path percent-encodes the ones this
+    # engine's escape table can produce — still IRI-flavored, and
+    # urllib-unquotable together with the rest of the chain
+    def _json_iri(col):
+        return _chain_replace(
+            escape_iri(col), [("\n", "%0A"), ("\r", "%0D"), ("\t", "%09")]
+        )
+
+    s_t = F.concat(F.lit('"' + base), _json_iri(subj), F.lit('"'))
+    p_t = F.concat(F.lit('"' + base), _json_iri(pred), F.lit('"'))
+    o_t = F.when(
+        obj_is_iri,
+        F.concat(F.lit('{"@id":"' + base), _json_iri(obj), F.lit('"}')),
+    ).otherwise(
+        F.concat(F.lit('{"@value":"'), escape_literal(obj), F.lit('"}'))
+    )
+    per_pred = (
+        df.select(
+            F.col(subj).alias("_s"), s_t.alias("_st"),
+            p_t.alias("_pt"), o_t.alias("_ot"),
+        )
+        .groupBy("_s", "_st", "_pt")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(F.array_sort(F.collect_set("_ot")), ","),
+                F.lit("]"),
+            ).alias("_objs")
+        )
+    )
+    return (
+        per_pred.groupBy("_s", "_st")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pt", "_objs"))),
+                    lambda r: F.concat(r["_pt"], F.lit(":"), r["_objs"]),
+                ),
+                ",",
+            ).alias("_preds")
+        )
+        .select(
+            F.col("_s").alias(subj),
+            F.concat(
+                F.lit('{"@id":'), F.col("_st"), F.lit(","),
+                F.col("_preds"), F.lit("}"),
+            ).alias(out_col),
+        )
+    )

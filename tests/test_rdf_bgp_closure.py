@@ -1677,3 +1677,35 @@ def test_mutual_best_alignment(spark):
     got = {(r.left_id, r.right_id): r.score
            for r in mutual_best_alignment(scores).collect()}
     assert got == {("l1", "r1"): 0.9, ("l3", "r3"): 0.7, ("l4", "r4"): 0.6}
+
+
+def test_jsonld_export_parses_and_roundtrips(spark):
+    import json as _json
+    from urllib.parse import unquote
+
+    base = "http://example.org/kg/"
+    rows = ADVERSARIAL + [("s1", "p", "o2"), ("s1", "p", "o1")]
+    df = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+    for obj_is_iri in (True, False):
+        out = rdf.to_jsonld(df, obj_is_iri=obj_is_iri).collect()
+        got = set()
+        for r in out:
+            doc = _json.loads(r.jsonld)  # every row is valid JSON
+            sid = unquote(doc.pop("@id")[len(base):])
+            assert sid == r.subj
+            for pk, objs in doc.items():
+                p = unquote(pk[len(base):])
+                for o in objs:
+                    if "@id" in o:
+                        assert obj_is_iri
+                        got.add((sid, p, unquote(o["@id"][len(base):])))
+                    else:
+                        assert not obj_is_iri
+                        got.add((sid, p, o["@value"]))
+        assert got == set(rows)
+    # deterministic: objects sorted within a predicate array
+    one = {r.subj: r.jsonld for r in rdf.to_jsonld(df).collect()}["s1"]
+    assert one.index("o1") < one.index("o2")
