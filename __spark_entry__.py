@@ -2925,6 +2925,38 @@ _SHAPES = [
 ]
 
 
+def q_kg_embedding_alignment(spark, sf_dir):
+    """Procrustes embedding-space alignment (operators/kgembed.
+    procrustes_align): the destination space is the source rotated by
+    a KNOWN signed-reversal permutation (orthogonal and exactly
+    representable), anchors are every 5th vector — the recovered
+    rotation is numerically that permutation, so the rotated source
+    equals the directly-permuted space and the oracle applies the
+    permutation in SQL. dim x dim cross-covariance reduces
+    distributedly (10 dp pre-sum); the SVD is dim^3 driver work; the
+    rotation re-enters as literal codegen coefficients. 4 dp output
+    quantization + sign-of-zero normalization keep both engines'
+    float paths comparable."""
+    from spacy_llm_spark.operators.kgembed import procrustes_align
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    dst = emb.select(
+        "id",
+        F.expr(
+            "transform(sequence(0, 63), j -> element_at(vec, 64 - j)"
+            " * CASE WHEN j % 2 = 0 THEN 1.0D ELSE -1.0D END)"
+        ).alias("vec"),
+    )
+    anchors = emb.select(
+        F.col("id").alias("src_id"), F.col("id").alias("dst_id")
+    ).where(F.col("id").cast("long") % 5 == 0)
+    rotated, _r = procrustes_align(emb, dst, anchors, quantum=4)
+    return rotated
+
+
 def q_kg_transe_epoch(spark, sf_dir):
     """KG-embedding training step (operators/kgembed.py): deterministic
     full-batch TransE — negative_triples pairs over the distinct
@@ -4003,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_alignment_incremental": q_kg_entity_alignment_incremental,
         "kg_sameas_links": q_kg_sameas_links,
         "kg_transe_epoch": q_kg_transe_epoch,
+        "kg_embedding_alignment": q_kg_embedding_alignment,
         # (ann_lsh_topk / topk_orders_per_customer displaced from the
         # first 50 by the fusion + ontology-induction families)
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -6096,6 +6129,18 @@ SELECT subj,
                   ',' ORDER BY pred)
        || '}' AS jsonld
 FROM pp GROUP BY subj
+""",
+        # Procrustes alignment: the recovered rotation IS the planted
+        # signed-reversal permutation, applied directly in SQL; + 0.0
+        # normalizes -0.0 on both sides
+        "kg_embedding_alignment": m
+        + """
+SELECT CAST(vec_id AS VARCHAR) AS id,
+       list_transform(range(0, 64), j ->
+         round(CAST(embedding[64 - j] AS DOUBLE)
+               * CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END, 4) + 0.0
+       ) AS vec
+FROM embeddings
 """,
         # Turtle serialization: prefixed-name concat (terms PN-safe on
         # this corpus, see q_kg_turtle docstring) with nested ordered

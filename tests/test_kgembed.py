@@ -166,3 +166,40 @@ def test_transe_epoch_missing_embedding_raises(spark):
             _pairs_df(spark, [("a", "r", "b", "b")]),
             _emb_df(spark, ent), _emb_df(spark, rel), lr=0.0,
         )
+
+
+def test_procrustes_recovers_signed_permutation(spark):
+    # dst space = src rotated by a known signed permutation (orthogonal
+    # and exactly representable): Procrustes must recover it from a
+    # SUBSET of anchors and map non-anchor entities correctly too
+    ids = spark.createDataFrame([Row(id=f"e{i}") for i in range(30)],
+                                "id string")
+    src = kgembed.init_embeddings(ids, "id", dim=4)
+    src_py = {r.id: np.array(r.vec) for r in src.collect()}
+    R_true = np.array([
+        [0, 1, 0, 0],
+        [0, 0, -1, 0],
+        [1, 0, 0, 0],
+        [0, 0, 0, -1],
+    ], dtype=float)
+    dst = spark.createDataFrame(
+        [Row(id=k, vec=[float(x) for x in v @ R_true])
+         for k, v in src_py.items()],
+        "id string, vec array<double>",
+    )
+    anchors = spark.createDataFrame(
+        [Row(src_id=f"e{i}", dst_id=f"e{i}") for i in range(10)],
+        "src_id string, dst_id string",
+    )
+    rotated, R = kgembed.procrustes_align(src, dst, anchors)
+    np.testing.assert_allclose(R, R_true, atol=1e-9)
+    got = {r.id: np.array(r.vec) for r in rotated.collect()}
+    for k, v in src_py.items():       # includes the 20 non-anchor ids
+        np.testing.assert_allclose(got[k], v @ R_true, atol=1e-6, err_msg=k)
+    # guards
+    with pytest.raises(ValueError, match="anchors is empty"):
+        kgembed.procrustes_align(src, dst, anchors.limit(0))
+    bad = spark.createDataFrame([Row(src_id="e1", dst_id="nope")],
+                                "src_id string, dst_id string")
+    with pytest.raises(ValueError, match="missing"):
+        kgembed.procrustes_align(src, dst, bad)
