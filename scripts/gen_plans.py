@@ -1098,6 +1098,59 @@ def main():
         explain_str(te_e),
     ))
 
+    # Procrustes rotation application: literal coefficients, no UDF
+    from spacy_llm_spark.operators.kgembed import procrustes_align
+
+    pa_src = kgembed.init_embeddings(te_ents.limit(200), "id", dim=8)
+    pa_dst = pa_src.select(
+        "id",
+        F.expr(
+            "transform(sequence(0, 7), j -> element_at(vec, 8 - j)"
+            " * CASE WHEN j % 2 = 0 THEN 1.0D ELSE -1.0D END)"
+        ).alias("vec"),
+    )
+    pa_anchor = pa_src.select(
+        F.col("id").alias("src_id"), F.col("id").alias("dst_id")
+    ).limit(50)
+    pa_rot, _ = procrustes_align(pa_src, pa_dst, pa_anchor)
+    sections.append((
+        "Procrustes rotation: literal codegen coefficients, no UDF, no join",
+        "procrustes_align's apply step (shown): each rotated component "
+        "is a dim-term arithmetic projection whose coefficients are "
+        "LITERALS baked in after the driver-side dim^3 SVD — the table "
+        "never leaves the executors and nothing joins. The dim^2 "
+        "cross-covariance reduced distributedly beforehand (two "
+        "posexplodes + one keyed sum over anchor-scale rows).",
+        explain_str(pa_rot),
+    ))
+
+    # Cardinality audit: one keyed aggregate + broadcast constraint grid
+    from spacy_llm_spark.operators.audit import shape_cardinality_violations
+
+    card_cons = spark.createDataFrame(
+        [("executes", 1, None), ("stores", None, 2)],
+        "pred string, min_count int, max_count int",
+    )
+    sections.append((
+        "Cardinality audit: keyed distinct-count + broadcast grid, no Window",
+        "shape_cardinality_violations: one (subj, pred) distinct-count "
+        "aggregate with map-side partials; the subjects x constraints "
+        "grid is a BroadcastNestedLoopJoin against the VOCABULARY-scale "
+        "constraint table (|subjects| x |constraints| rows — the "
+        "unavoidable linear cost of seeing zero-count missing-property "
+        "subjects); violations emerge from a pure CASE projection.",
+        explain_str(shape_cardinality_violations(trip_upd, card_cons)),
+    ))
+
+    sections.append((
+        "JSON-LD export: the Turtle aggregate shape with JSON term framing",
+        "to_jsonld grouped blocks: identical physical shape to "
+        "to_turtle — term framing is a pure projection (ECHAR table "
+        "doubling as JSON escapes; control chars percent-encoded), "
+        "then the two subject-keyed sort-collect hash aggregates.",
+        explain_str(rdffn.to_jsonld(trip_upd)),
+    ))
+
     spark.stop()
 
 
