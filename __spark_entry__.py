@@ -3116,6 +3116,19 @@ def q_kg_ontology(spark, sf_dir):
     return induce_ontology(edges)
 
 
+def q_kg_entity_cards(spark, sf_dir):
+    """Entity summarization (operators/audit.summarize_entities): the
+    top-3 most characteristic facts per KG entity — informativeness =
+    1/ln(1+df) of the (pred, obj) value across subjects, the same
+    rare-evidence weight the alignment family uses. One value-scale df
+    aggregate + one subject-partitioned row_number (single shuffle,
+    no global sort)."""
+    from spacy_llm_spark.operators.audit import summarize_entities
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return summarize_entities(triples, k=3)
+
+
 def q_kg_cardinality_audit(spark, sf_dir):
     """SHACL-core cardinality validation (operators/audit.
     shape_cardinality_violations): per-subject distinct-object bounds
@@ -4028,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
         "kg_cardinality_audit": q_kg_cardinality_audit,
+        "kg_entity_cards": q_kg_entity_cards,
         "kg_pred_alignment": q_kg_pred_alignment,
         "kg_fused_facts_incremental": q_kg_fused_facts_incremental,
         "kg_quotient": q_kg_quotient,
@@ -6544,6 +6558,26 @@ FROM topf t JOIN ns USING (subj, pred, obj) WHERE t.rk = 1
            FROM f2)
 SELECT t.subj, t.pred, t.obj, round(t.c, 6) AS confidence, ns.n_sources
 FROM topf t JOIN ns USING (subj, pred, obj) WHERE t.rk = 1
+""",
+        # entity cards: (pred, obj) df -> 1/ln(1+df) weights,
+        # row_number per subject mirrors the engine exactly
+        "kg_entity_cards": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, dfq AS (SELECT pred, obj, count(DISTINCT subj) AS df
+          FROM de GROUP BY pred, obj)
+, scored AS (
+  SELECT de.subj, de.pred, de.obj,
+         round(1.0 / ln(1 + dfq.df), 10) AS informativeness
+  FROM de JOIN dfq ON dfq.pred = de.pred AND dfq.obj = de.obj)
+SELECT subj, pred, obj, informativeness, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY subj
+                               ORDER BY informativeness DESC, pred, obj)
+            AS rank
+  FROM scored)
+WHERE rank <= 3
 """,
         # cardinality audit: distinct-object counts vs the bound grid
         "kg_cardinality_audit": m

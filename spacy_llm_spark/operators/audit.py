@@ -704,3 +704,55 @@ def shape_cardinality_violations(
         "n_objects",
         F.col("_v.kind").alias("kind"), F.col("_v.bound").alias("bound"),
     )
+
+
+def summarize_entities(
+    triples: DataFrame,
+    k: int = 5,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """Entity summarization — the top-``k`` most CHARACTERISTIC facts
+    per entity (the entity-card / preview problem; RELIN-family
+    informativeness, simplified to the same rare-evidence weight the
+    alignment ops use): a fact ``(s, p, o)`` is informative to the
+    degree its ``(p, o)`` value is rare across entities —
+    ``informativeness = 1/ln(1 + df)`` with ``df`` = distinct subjects
+    carrying that (pred, obj), 10 dp. ``type -> person`` (df = corpus)
+    ranks last; ``bornIn -> smallville`` (df = 2) ranks first. Output:
+    ``(subj, pred, obj, informativeness, rank)``, rank 1..k per
+    subject, ties broken (pred, obj) lexicographic — deterministic.
+
+    One (pred, obj)-keyed df aggregate joined back (value-scale), then
+    a subject-PARTITIONED row_number — partitioned windows shuffle
+    once on the subject and never sort globally; per-partition state
+    is one counter.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    de = triples.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+    dfreq = de.groupBy("p", "o").agg(F.countDistinct("s").alias("df"))
+    w = Window.partitionBy("s").orderBy(
+        F.desc("informativeness"), F.col("p"), F.col("o")
+    )
+    return (
+        de.join(dfreq, ["p", "o"])
+        .withColumn(
+            "informativeness",
+            F.round(1.0 / F.log(1.0 + F.col("df")), 10),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("s").alias(subj), F.col("p").alias(pred),
+            F.col("o").alias(obj), "informativeness",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1428,3 +1428,39 @@ def test_shape_cardinality_violations(spark):
             bad, "pred string, min_count int, max_count int")
         with _pytest.raises(ValueError, match="malformed"):
             audit.shape_cardinality_violations(edges, bad_cons)
+
+
+def test_summarize_entities_rare_facts_first(spark):
+    import math
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import audit
+
+    rows = [
+        # everyone is a person (df=3); rare facts identify
+        ("a", "type", "person"), ("b", "type", "person"),
+        ("c", "type", "person"),
+        ("a", "bornIn", "smallville"),          # df=1
+        ("b", "bornIn", "metropolis"), ("c", "bornIn", "metropolis"),
+        ("a", "worksAt", "planet"), ("b", "worksAt", "planet"),
+        ("a", "type", "person"),                # dup collapses
+    ]
+    t = spark.createDataFrame(
+        [Row(subj=s, pred=p, obj=o) for s, p, o in rows],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.rank): (r.pred, r.obj, r.informativeness)
+           for r in audit.summarize_entities(t, k=2).collect()}
+    w1 = round(1 / math.log(2), 10)   # df=1
+    w2 = round(1 / math.log(3), 10)   # df=2
+    w3 = round(1 / math.log(4), 10)   # df=3
+    assert got[("a", 1)] == ("bornIn", "smallville", w1)
+    assert got[("a", 2)] == ("worksAt", "planet", w2)
+    # b: bornIn metropolis (df=2) ties worksAt planet (df=2) -> pred tie-break
+    assert got[("b", 1)] == ("bornIn", "metropolis", w2)
+    assert got[("b", 2)] == ("worksAt", "planet", w2)
+    # c has only 2 facts; k=2 returns both, type last
+    assert got[("c", 2)] == ("type", "person", w3)
+    assert max(r for (_, r) in got) == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        audit.summarize_entities(t, k=0)
