@@ -3101,6 +3101,24 @@ def q_kg_fused_facts_incremental(spark, sf_dir):
     return fuse_facts_with_trust(edges, trust)
 
 
+def q_kg_conflict_report(spark, sf_dir):
+    """Fusion audit view (operators/fusion.conflict_report): every
+    claimed value per data item with frozen-trust confidence, source
+    and competing-value counts, and the winner flag — the
+    rejected-conflict queue a curation workflow reviews, explaining
+    exactly what the incremental fusion path decided. Same aggregates
+    as the probe plus one item-keyed count."""
+    from spacy_llm_spark.operators.fusion import (
+        conflict_report, source_trust_table,
+    )
+
+    edges = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        F.col("doc_id").cast("string").alias("source"), "subj", "pred", "obj"
+    )
+    standing = edges.where(F.col("source").cast("long") % 2 == 0)
+    return conflict_report(edges, source_trust_table(standing, iters=2))
+
+
 def q_kg_ontology(spark, sf_dir):
     """Ontology INDUCTION from the labeled canonical triples
     (operators/audit.induce_ontology) — the inverse of kg_shape_audit:
@@ -4044,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cards": q_kg_entity_cards,
         "kg_pred_alignment": q_kg_pred_alignment,
         "kg_fused_facts_incremental": q_kg_fused_facts_incremental,
+        "kg_conflict_report": q_kg_conflict_report,
         "kg_quotient": q_kg_quotient,
         "kg_entity_alignment": q_kg_entity_alignment,
         "kg_entity_alignment_incremental": q_kg_entity_alignment_incremental,
@@ -6600,6 +6619,33 @@ SELECT s AS subj, p AS pred, CAST(n AS BIGINT) AS n_objects,
                  ELSE hi END AS BIGINT) AS bound
 FROM obs
 WHERE (lo IS NOT NULL AND n < lo) OR (hi IS NOT NULL AND n > hi)
+""",
+        # fusion audit view: the incremental oracle minus the rk filter,
+        # plus per-item value counts; rk=1 == the engine's winner flag
+        "kg_conflict_report": m
+        + _EDGES_CTE
+        + """
+, cl AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, subj, pred, obj
+         FROM edges)
+, cle AS (SELECT * FROM cl WHERE CAST(src AS BIGINT) % 2 = 0)
+, t0 AS (SELECT DISTINCT src, 0.8 AS t FROM cle)
+, f1 AS (SELECT subj, pred, obj, round(1 - product(1 - t), 10) AS c
+         FROM cle JOIN t0 USING (src) GROUP BY subj, pred, obj)
+, t1 AS (SELECT src, least(round(avg(c), 10), 0.999999) AS t
+         FROM cle JOIN f1 USING (subj, pred, obj) GROUP BY src)
+, f2 AS (SELECT cl.subj, cl.pred, cl.obj,
+                round(1 - product(1 - coalesce(t1.t, 0.8)), 10) AS c,
+                CAST(count(DISTINCT cl.src) AS BIGINT) AS n_sources
+         FROM cl LEFT JOIN t1 USING (src)
+         GROUP BY cl.subj, cl.pred, cl.obj)
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY subj, pred
+                               ORDER BY c DESC, obj) AS rk,
+         count(*) OVER (PARTITION BY subj, pred) AS nv
+  FROM f2)
+SELECT subj, pred, obj, round(c, 6) AS confidence, n_sources,
+       CAST(nv AS BIGINT) AS n_values, (rk = 1) AS is_winner
+FROM ranked
 """,
         # ontology induction: distinct labeled triples -> per-pred
         # modal domain/range (row_number mirrors the engine's

@@ -260,3 +260,60 @@ def trust_drift(
             F.round(F.abs(F.col("t_new") - F.col("t")), 6).alias("drift"),
         )
     )
+
+
+def conflict_report(
+    claims: DataFrame,
+    trust: DataFrame,
+    source: str = "source",
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    prior: float = 0.8,
+    quantum: int = 10,
+) -> DataFrame:
+    """The AUDIT view of a fusion run — every claimed value per data
+    item with its confidence and the decision, not just the winner
+    :func:`fuse_facts_with_trust` keeps: one row per ``(subj, pred,
+    obj)`` with ``confidence``, ``n_sources``, ``n_values`` (how many
+    distinct objects compete for the item), and ``is_winner``. Filter
+    ``NOT is_winner AND n_values > 1`` for the rejected-conflict
+    queue a curation workflow reviews; items with ``n_values = 1``
+    were never contested. Same frozen-trust scoring as the
+    incremental probe (unseen sources at ``prior``), so the report
+    explains exactly what that path decided. Adds ONE item-keyed
+    count to the probe's aggregates; no extra shuffles."""
+    if not (0.0 < prior <= _TRUST_CAP):
+        raise ValueError(f"prior must be in (0, {_TRUST_CAP}], got {prior}")
+    c = claims.select(
+        F.col(source).alias("src"), F.col(subj).alias("s"),
+        F.col(pred).alias("p"), F.col(obj).alias("o"),
+    ).distinct()
+    tr = trust.select(F.col(source).alias("src"), F.col("trust").alias("t"))
+    joined = c.join(tr, "src", "left").withColumn(
+        "t", F.coalesce("t", F.lit(float(prior)))
+    )
+    conf = joined.groupBy("s", "p", "o").agg(
+        F.round(1.0 - F.product(1.0 - F.col("t")), quantum).alias("c"),
+        F.countDistinct("src").alias("n"),
+    )
+    per_item = conf.groupBy("s", "p").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("negc"), F.col("o").alias("obj"))
+        ).alias("_t"),
+        F.count(F.lit(1)).alias("n_values"),
+    )
+    return (
+        conf.join(per_item, ["s", "p"])
+        .select(
+            F.col("s").alias(subj), F.col("p").alias(pred),
+            F.col("o").alias(obj),
+            F.round("c", 6).alias("confidence"),
+            F.col("n").alias("n_sources"),
+            "n_values",
+            (
+                (F.col("c") == -F.col("_t.negc"))
+                & (F.col("o") == F.col("_t.obj"))
+            ).alias("is_winner"),
+        )
+    )

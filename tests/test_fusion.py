@@ -166,3 +166,29 @@ def test_fuse_with_trust_append_and_drift(spark):
     d1 = {r.source: r for r in trust_drift(allc, trust, iters=3).collect()}
     assert "e" in d1            # cold-start source reported vs prior
     assert any(r.drift > 0 for r in d1.values())
+
+
+def test_conflict_report_flags_winners_and_losers(spark):
+    from spacy_llm_spark.operators.fusion import (
+        conflict_report, fuse_facts_with_trust, source_trust_table,
+    )
+
+    cdf = _df(spark, CLAIMS)
+    trust = source_trust_table(cdf, iters=2)
+    rep = conflict_report(cdf, trust)
+    rows = {(r.subj, r.pred, r.obj): r for r in rep.collect()}
+    # exactly one winner per data item, and it IS the probe's winner
+    winners = {(r.subj, r.pred): r.obj
+               for r in rep.where("is_winner").collect()}
+    probe = {(r.subj, r.pred): r.obj
+             for r in fuse_facts_with_trust(cdf, trust).collect()}
+    assert winners == probe
+    # losing conflict rows carry the contested count
+    mars = rows[("e2", "hq", "mars")]
+    assert (not mars.is_winner) and mars.n_values == 2
+    assert mars.confidence < rows[("e2", "hq", "berlin")].confidence
+    # uncontested items: n_values == 1 and winner
+    assert rows[("e3", "lang", "de")].n_values == 1
+    assert rows[("e3", "lang", "de")].is_winner
+    # every claimed value appears — report is claims-complete
+    assert set(rows) == {(s, p, o) for _, s, p, o in CLAIMS}
