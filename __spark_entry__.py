@@ -3545,6 +3545,32 @@ def q_kg_triple_intervals(spark, sf_dir):
     return temporal.triple_intervals(log, seq="seq")
 
 
+def q_kg_allen_relations(spark, sf_dir):
+    """Allen interval algebra (operators/temporal.allen_relations):
+    every pair of validity windows per (subj, pred) key from the
+    3-customer assertion log, classified into the 13 relations —
+    functional-key version chains read as meets/before chains, with
+    equals on self-pairs and finished_by/finishes against the live
+    tail. One key-equi join + a pure CASE cascade; bounds converted to
+    day-epoch longs (the operator takes numeric bounds; NULL = +inf =
+    still live)."""
+    from spacy_llm_spark.operators.temporal import allen_relations
+
+    iv = q_kg_triple_intervals(spark, sf_dir).select(
+        "subj", "pred",
+        F.unix_date(F.col("valid_from").cast("date"))
+        .cast("long").alias("valid_from"),
+        F.unix_date(F.col("valid_to").cast("date"))
+        .cast("long").alias("valid_to"),
+    ).where(
+        # same-instant superseded versions have EMPTY validity windows
+        # — no temporal extent, and Allen's algebra is undefined on
+        # them (the operator refuses rather than misclassify)
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    return allen_relations(iv, iv, ["subj", "pred"])
+
+
 def q_kg_snapshot_incremental(spark, sf_dir):
     """Incremental snapshot maintenance
     (operators/temporal.snapshot_state/_append/_view): the maintained
@@ -4055,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_incremental": q_kg_snapshot_incremental,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_triple_intervals": q_kg_triple_intervals,
+        "kg_allen_relations": q_kg_allen_relations,
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
@@ -6370,6 +6397,47 @@ WITH log AS (
 SELECT subj, pred, obj, ts AS valid_from,
        lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, seq) AS valid_to
 FROM log
+""",
+        # Allen relations: the intervals CTE self-joined, the same
+        # CASE cascade, +inf as a sentinel beyond any day-epoch
+        "kg_allen_relations": """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders WHERE o_custkey IN (1, 2, 5)
+), iv AS (
+  SELECT subj, pred,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS valid_from,
+         CAST(CAST(lead(ts) OVER (PARTITION BY subj, pred
+                                  ORDER BY ts, seq) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS valid_to
+  FROM log
+  QUALIFY valid_to IS NULL OR valid_to > valid_from
+), pr AS (
+  SELECT a.subj, a.pred,
+         a.valid_from AS left_start, a.valid_to AS left_end,
+         b.valid_from AS right_start, b.valid_to AS right_end,
+         CAST(a.valid_from AS DOUBLE) AS ls,
+         coalesce(CAST(a.valid_to AS DOUBLE), 1e308) AS le,
+         CAST(b.valid_from AS DOUBLE) AS rs,
+         coalesce(CAST(b.valid_to AS DOUBLE), 1e308) AS re
+  FROM iv a JOIN iv b ON a.subj = b.subj AND a.pred = b.pred)
+SELECT subj, pred, left_start, left_end, right_start, right_end,
+       CASE WHEN le < rs THEN 'before'
+            WHEN le = rs THEN 'meets'
+            WHEN re < ls THEN 'after'
+            WHEN re = ls THEN 'met_by'
+            WHEN ls = rs AND le = re THEN 'equals'
+            WHEN ls = rs AND le < re THEN 'starts'
+            WHEN ls = rs THEN 'started_by'
+            WHEN le = re AND ls > rs THEN 'finishes'
+            WHEN le = re THEN 'finished_by'
+            WHEN ls > rs AND le < re THEN 'during'
+            WHEN ls < rs AND le > re THEN 'contains'
+            WHEN ls < rs THEN 'overlaps'
+            ELSE 'overlapped_by' END AS relation
+FROM pr
 """,
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         # SHACL shape audit: same literal ontology as _SHAPES (generated

@@ -212,3 +212,83 @@ def snapshot_diff(
         .where(F.col("change").isNotNull())
         .select(subj, pred, "obj_old", "obj_new", "change")
     )
+
+
+_ALLEN_RELATIONS = (
+    "before", "meets", "overlaps", "starts", "during", "finishes",
+    "equals", "finished_by", "contains", "started_by", "overlapped_by",
+    "met_by", "after",
+)
+
+
+def allen_relations(
+    left: DataFrame,
+    right: DataFrame,
+    on: list | str,
+    left_start: str = "valid_from",
+    left_end: str = "valid_to",
+    right_start: str = "valid_from",
+    right_end: str = "valid_to",
+) -> DataFrame:
+    """Allen's interval algebra (Allen 1983) over two validity-interval
+    frames — the temporal-REASONING complement of the bucketized
+    ``interval_join`` (which only finds overlap): every key-matched
+    interval pair classified into exactly one of the 13 relations
+    (``before / meets / overlaps / starts / during / finishes /
+    equals`` and their inverses), the vocabulary for questions like
+    "did this fact's validity ABUT the release window or straddle it".
+
+    Half-open ``[start, end)`` convention throughout, matching
+    :func:`triple_intervals` (ends comparing equal mean the intervals
+    share a boundary instant — ``meets`` — never an overlap); NULL
+    ``valid_to`` (still-live) is treated as +infinity on both sides.
+    Degenerate (empty/negative) intervals raise rather than classify.
+
+    Physical shape: ONE hash equi-join on ``on`` (at KG scale the key
+    is ``(subj, pred)`` and per-key interval counts are version
+    counts — small by construction; a hot key costs its own pair
+    square, the caller's retention policy bounds it) and the relation
+    is a pure CASE cascade — no inequality join, no window.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    inf = F.lit(float("inf"))
+    l_s = F.col("_ls").cast("double")
+    l_e = F.coalesce(F.col("_le").cast("double"), inf)
+    r_s = F.col("_rs").cast("double")
+    r_e = F.coalesce(F.col("_re").cast("double"), inf)
+    lf = left.select(
+        *keys, F.col(left_start).alias("_ls"), F.col(left_end).alias("_le")
+    )
+    rf = right.select(
+        *keys, F.col(right_start).alias("_rs"), F.col(right_end).alias("_re")
+    )
+    joined = lf.join(rf, keys)
+    bad = joined.where((l_s >= l_e) | (r_s >= r_e)).count()
+    if bad:
+        raise ValueError(
+            f"allen_relations: {bad} pair(s) involve empty or negative "
+            "intervals (start >= end under the half-open convention)"
+        )
+    rel = (
+        F.when(l_e < r_s, "before")
+        .when(l_e == r_s, "meets")
+        .when(r_e < l_s, "after")
+        .when(r_e == l_s, "met_by")
+        .when((l_s == r_s) & (l_e == r_e), "equals")
+        .when((l_s == r_s) & (l_e < r_e), "starts")
+        .when((l_s == r_s), "started_by")
+        .when((l_e == r_e) & (l_s > r_s), "finishes")
+        .when((l_e == r_e), "finished_by")
+        .when((l_s > r_s) & (l_e < r_e), "during")
+        .when((l_s < r_s) & (l_e > r_e), "contains")
+        .when(l_s < r_s, "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return joined.select(
+        *keys,
+        F.col("_ls").alias("left_start"), F.col("_le").alias("left_end"),
+        F.col("_rs").alias("right_start"), F.col("_re").alias("right_end"),
+        rel.alias("relation"),
+    )

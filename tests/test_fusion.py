@@ -192,3 +192,70 @@ def test_conflict_report_flags_winners_and_losers(spark):
     assert rows[("e3", "lang", "de")].is_winner
     # every claimed value appears — report is claims-complete
     assert set(rows) == {(s, p, o) for _, s, p, o in CLAIMS}
+
+
+ALLEN_CASES = {
+    # name: (left interval, right interval) -> relation == name
+    "before": ((1, 3), (4, 6)),
+    "meets": ((1, 3), (3, 6)),
+    "overlaps": ((1, 4), (2, 6)),
+    "starts": ((2, 4), (2, 6)),
+    "during": ((3, 4), (2, 6)),
+    "finishes": ((4, 6), (2, 6)),
+    "equals": ((2, 6), (2, 6)),
+    "finished_by": ((2, 6), (4, 6)),
+    "contains": ((2, 6), (3, 4)),
+    "started_by": ((2, 6), (2, 4)),
+    "overlapped_by": ((2, 6), (1, 4)),
+    "met_by": ((3, 6), (1, 3)),
+    "after": ((4, 6), (1, 3)),
+}
+
+
+def test_allen_relations_full_matrix(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.temporal import allen_relations
+
+    left = spark.createDataFrame(
+        [Row(k=n, valid_from=a, valid_to=b)
+         for n, ((a, b), _) in ALLEN_CASES.items()],
+        "k string, valid_from long, valid_to long",
+    )
+    right = spark.createDataFrame(
+        [Row(k=n, valid_from=a, valid_to=b)
+         for n, (_, (a, b)) in ALLEN_CASES.items()],
+        "k string, valid_from long, valid_to long",
+    )
+    got = {r.k: r.relation
+           for r in allen_relations(left, right, "k").collect()}
+    assert got == {n: n for n in ALLEN_CASES}
+    # NULL valid_to = still live (+inf): two live intervals SHARE the
+    # infinite end, so the earlier-started one finished_by the later —
+    # the correct Allen reading, not a mere overlap
+    live = spark.createDataFrame(
+        [Row(k="x", valid_from=1, valid_to=None)],
+        "k string, valid_from long, valid_to long",
+    )
+    later_live = spark.createDataFrame(
+        [Row(k="x", valid_from=3, valid_to=None)],
+        "k string, valid_from long, valid_to long",
+    )
+    assert allen_relations(
+        live, later_live, "k").head().relation == "finished_by"
+    assert allen_relations(
+        later_live, live, "k").head().relation == "finishes"
+    # a closed interval straddling a live one's start overlaps it
+    closed = spark.createDataFrame(
+        [Row(k="x", valid_from=2, valid_to=5)],
+        "k string, valid_from long, valid_to long",
+    )
+    assert allen_relations(
+        closed, later_live, "k").head().relation == "overlaps"
+    # degenerate interval raises
+    import pytest as _pytest
+    bad = spark.createDataFrame(
+        [Row(k="x", valid_from=5, valid_to=5)],
+        "k string, valid_from long, valid_to long",
+    )
+    with _pytest.raises(ValueError, match="empty or negative"):
+        allen_relations(bad, live, "k")
