@@ -1212,6 +1212,61 @@ def q_kg_degree_stats(spark, sf_dir):
     return graph.degree_stats(edges)
 
 
+def _wpr_oracle_sql(iters: int = 3, d: float = 0.85, q: int = 10) -> str:
+    """Round-unrolled weighted-PageRank oracle (mention-count edge
+    weights over the canonical KG) — mirrors graph.weighted_pagerank:
+    per-edge shares quantized q dp PRE-sum, rank quantized q dp per
+    round, dangling mass as a scalar."""
+    parts = [
+        """
+, ew AS (SELECT subj AS s, obj AS t, CAST(count(*) AS DOUBLE) AS w
+         FROM edges GROUP BY subj, obj)
+, nodes AS (SELECT DISTINCT v AS vertex FROM
+            (SELECT s AS v FROM ew UNION ALL SELECT t FROM ew))
+, ws AS (SELECT s, sum(w) AS W FROM ew GROUP BY s)
+, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)
+, r0 AS (SELECT vertex, round(1.0 / (SELECT n FROM nn), %d) AS rank
+         FROM nodes)""" % q
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+, c{k} AS (SELECT ew.t AS vertex,
+                  sum(round(r.rank * ew.w / ws.W, {q})) AS contrib
+           FROM r{k - 1} r
+           JOIN ew ON ew.s = r.vertex JOIN ws ON ws.s = ew.s
+           GROUP BY ew.t)
+, d{k} AS (SELECT coalesce(sum(CASE WHEN ws.s IS NULL THEN r.rank END),
+                           0) AS dm
+           FROM r{k - 1} r LEFT JOIN ws ON ws.s = r.vertex)
+, r{k} AS (SELECT n.vertex,
+                  round((1 - {d}) / (SELECT n FROM nn)
+                        + {d} * (coalesce(c.contrib, 0)
+                                 + (SELECT dm FROM d{k})
+                                   / (SELECT n FROM nn)), {q}) AS rank
+           FROM nodes n LEFT JOIN c{k} c ON c.vertex = n.vertex)""")
+    parts.append(f"\nSELECT vertex, rank FROM r{iters}\n")
+    return "".join(parts)
+
+
+def q_kg_weighted_pagerank(spark, sf_dir):
+    """Support-weighted PageRank (operators/graph.weighted_pagerank):
+    edge weight = raw mention count per (subj, obj) over the canonical
+    KG — the random surfer follows well-attested edges, tying the
+    provenance family (edge_support) to analytics. Same shape as
+    pagerank (out-weight folded once, one join + one aggregate +
+    broadcast dangling scalar per round) with per-edge shares
+    quantized PRE-sum since weighted addends are all different."""
+    from spacy_llm_spark.operators.graph import weighted_pagerank
+
+    mention_edges = mat.edges_table(
+        _annotated(spark, sf_dir), ("doc_id",)
+    ).select("subj", "obj")
+    weights = mention_edges.groupBy("subj", "obj").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    return weighted_pagerank(weights, iters=3)
+
+
 def q_kg_pagerank(spark, sf_dir):
     """Damped PageRank (5 rounds, d=0.85) over the distinct KG edge set;
     ranks quantized at 10 dp per round in engine AND oracle so float
@@ -3905,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph analytics ---
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
+        "kg_weighted_pagerank": q_kg_weighted_pagerank,
         # --- named-graph (quad) matching — new family, this
         # session; kg_bfs_levels moved below 50 (analytics keeps
         # degree_stats + pagerank stamped) ---
@@ -6440,6 +6496,7 @@ SELECT subj, pred, left_start, left_end, right_start, right_end,
 FROM pr
 """,
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
+        "kg_weighted_pagerank": m + _EDGES_CTE + _wpr_oracle_sql(iters=3),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)
         # mutual-best sameAs links: the alignment CTE + two

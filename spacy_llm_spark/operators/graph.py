@@ -3759,3 +3759,104 @@ def quotient_graph(
             ).alias("density"),
         )
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "weight",
+    iters: int = 5,
+    damping: float = 0.85,
+    quantum: int = 10,
+) -> DataFrame:
+    """PageRank with WEIGHTED transitions — entity importance where an
+    edge's pull is proportional to its evidence (feed it
+    ``materialize.edge_support``'s per-triple mention/doc counts and
+    the random surfer follows well-attested edges): a vertex's rank
+    flows to its out-neighbors proportionally to
+    ``w(s, t) / W(s)`` (``W`` = the vertex's total out-weight) instead
+    of uniformly. Duplicate ``(src, dst)`` rows SUM their weights;
+    weights must be positive (zero/negative/NULL raise — a zero-weight
+    edge is a deleted edge, not a 0-probability one, and NULL would
+    silently drop mass).
+
+    Same scale/determinism discipline as :func:`pagerank`: out-weight
+    folded into the rank frame once, per-round one vertex-keyed join +
+    one aggregate + broadcast dangling scalar. Because weighted shares
+    are all DIFFERENT values (unlike the uniform case), each per-edge
+    share is quantized ``quantum`` dp BEFORE the destination sum — the
+    DSIR pre-sum rule — so both engines aggregate bit-comparable
+    addends.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    e = fs.cut_lineage(
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("t"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("s", "t")
+        .agg(F.sum("w").alias("w"))
+    )
+    n_bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).count()
+    if n_bad:
+        raise ValueError(
+            f"weighted_pagerank: {n_bad} edge(s) have NULL or"
+            " non-positive total weight"
+        )
+    nodes = fs.cut_lineage(
+        e.select(F.col("s").alias("vertex"))
+        .unionByName(e.select(F.col("t").alias("vertex")))
+        .distinct()
+    )
+    out_w = e.groupBy("s").agg(F.sum("w").alias("_W"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = fs.cut_lineage(
+        nodes.join(out_w, nodes["vertex"] == out_w["s"], "left").select(
+            "vertex", "_W", F.round(F.lit(1.0 / n), quantum).alias("rank")
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.where(F.col("_W").isNotNull())
+            .join(e, F.col("vertex") == e["s"])
+            .select(
+                "t",
+                F.round(
+                    F.col("rank") * F.col("w") / F.col("_W"), quantum
+                ).alias("share"),
+            )
+            .groupBy(F.col("t").alias("vertex"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_W").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("dm")
+        )
+        ranks = fs.cut_lineage(
+            ranks.select("vertex", "_W")
+            .join(contrib, "vertex", "left")
+            .crossJoin(broadcast(dangling))
+            .select(
+                "vertex",
+                "_W",
+                F.round(
+                    F.lit(base)
+                    + F.lit(d)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    ),
+                    quantum,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("vertex", "rank")

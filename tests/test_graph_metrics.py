@@ -402,3 +402,67 @@ def test_quotient_graph_density_and_counts(spark):
     s = got[("OP", "executes", "SYS")]
     assert (s.n_triples, s.n_subjects, s.n_objects, s.density) == (2, 2, 2, 0.5)
     assert len(got) == 2
+
+
+def _wpr_reference(edges, iters=5, d=0.85, q=10):
+    agg = {}
+    for s, t, w in edges:
+        agg[(s, t)] = agg.get((s, t), 0.0) + w
+    nodes = sorted({x for s, t, _ in edges for x in (s, t)})
+    W = {}
+    for (s, t), w in agg.items():
+        W[s] = W.get(s, 0.0) + w
+    n = len(nodes)
+    base = (1 - d) / n
+    rank = {v: round(1.0 / n, q) for v in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for (s, t), w in agg.items():
+            contrib[t] = contrib.get(t, 0.0) + round(rank[s] * w / W[s], q)
+        dm = sum(rank[v] for v in nodes if v not in W)
+        rank = {
+            v: round(base + d * (contrib.get(v, 0.0) + dm / n), q)
+            for v in nodes
+        }
+    return rank
+
+
+def test_weighted_pagerank_reference_and_weight_pull(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.graph import pagerank, weighted_pagerank
+
+    edges = [
+        ("a", "b", 9.0), ("a", "c", 1.0),   # a pulls 90% toward b
+        ("b", "a", 1.0), ("c", "a", 1.0),
+        ("a", "b", 1.0),                    # duplicate sums -> 10.0
+        ("d", "a", 2.0),                    # d dangles nothing in
+    ]
+    df = spark.createDataFrame(
+        [Row(subj=s, obj=t, weight=w) for s, t, w in edges],
+        "subj string, obj string, weight double",
+    )
+    got = {r.vertex: r.rank for r in weighted_pagerank(df).collect()}
+    want = _wpr_reference([(s, t, w) for s, t, w in edges])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # weights matter: b (weight 10 of 11) far outranks c (1 of 11)
+    assert got["b"] > 2 * got["c"]
+    # uniform weights ~= unweighted pagerank (same transition matrix;
+    # only the pre-sum share quantization differs)
+    from pyspark.sql import functions as F
+    # distinct first: weighted SUMS duplicate rows (w(a,b)=2), while
+    # pagerank distincts them — same matrix only on the distinct set
+    uni = df.select("subj", "obj").distinct().select(
+        "subj", "obj", F.lit(1.0).alias("weight"))
+    wu = {r.vertex: r.rank for r in weighted_pagerank(uni).collect()}
+    pu = {r.vertex: r.rank for r in pagerank(df).collect()}
+    for v in pu:
+        assert wu[v] == pytest.approx(pu[v], abs=1e-8), v
+    # guards: zero / NULL weights refuse
+    bad = spark.createDataFrame(
+        [Row(subj="a", obj="b", weight=0.0)],
+        "subj string, obj string, weight double",
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        weighted_pagerank(bad)
