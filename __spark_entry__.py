@@ -1212,13 +1212,19 @@ def q_kg_degree_stats(spark, sf_dir):
     return graph.degree_stats(edges)
 
 
-def _wpr_oracle_sql(iters: int = 3, d: float = 0.85, q: int = 10) -> str:
-    """Round-unrolled weighted-PageRank oracle (mention-count edge
-    weights over the canonical KG) — mirrors graph.weighted_pagerank:
-    per-edge shares quantized q dp PRE-sum, rank quantized q dp per
-    round, dangling mass as a scalar."""
+def _wpr_oracle_sql(iters: int = 3, d: float = 0.85, q: int = 10,
+                    ew_sql: str | None = None,
+                    final_sql: str | None = None) -> str:
+    """Round-unrolled weighted-PageRank oracle — mirrors
+    graph.weighted_pagerank: per-edge shares quantized q dp PRE-sum,
+    rank quantized q dp per round, dangling mass as a scalar.
+    ``ew_sql`` overrides the weighted-edge CTE (default: mention-count
+    weights over the canonical KG); ``final_sql`` overrides the final
+    SELECT (default: the full rank table)."""
     parts = [
-        """
+        ew_sql
+        if ew_sql is not None
+        else """
 , ew AS (SELECT subj AS s, obj AS t, CAST(count(*) AS DOUBLE) AS w
          FROM edges GROUP BY subj, obj)
 , nodes AS (SELECT DISTINCT v AS vertex FROM
@@ -1226,8 +1232,17 @@ def _wpr_oracle_sql(iters: int = 3, d: float = 0.85, q: int = 10) -> str:
 , ws AS (SELECT s, sum(w) AS W FROM ew GROUP BY s)
 , nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)
 , r0 AS (SELECT vertex, round(1.0 / (SELECT n FROM nn), %d) AS rank
-         FROM nodes)""" % q
+         FROM nodes)"""
     ]
+    if ew_sql is not None:
+        parts.append("""
+, nodes AS (SELECT DISTINCT v AS vertex FROM
+            (SELECT s AS v FROM ew UNION ALL SELECT t FROM ew))
+, ws AS (SELECT s, sum(w) AS W FROM ew GROUP BY s)
+, nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)
+, r0 AS (SELECT vertex, round(1.0 / (SELECT n FROM nn), %d) AS rank
+         FROM nodes)""")
+    parts = [p % q if "%d" in p else p for p in parts]
     for k in range(1, iters + 1):
         parts.append(f"""
 , c{k} AS (SELECT ew.t AS vertex,
@@ -1244,8 +1259,42 @@ def _wpr_oracle_sql(iters: int = 3, d: float = 0.85, q: int = 10) -> str:
                                  + (SELECT dm FROM d{k})
                                    / (SELECT n FROM nn)), {q}) AS rank
            FROM nodes n LEFT JOIN c{k} c ON c.vertex = n.vertex)""")
-    parts.append(f"\nSELECT vertex, rank FROM r{iters}\n")
+    parts.append(
+        final_sql
+        if final_sql is not None
+        else f"\nSELECT vertex, rank FROM r{iters}\n"
+    )
     return "".join(parts)
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) as pure
+    operator COMPOSITION — no new kernel: the corpus co-occurrence
+    graph (functions/cooccur.cooccurrence_counts, window 2, pruned to
+    n_ab >= 10) symmetrized into weighted edges, ranked by
+    graph.weighted_pagerank (3 rounds), top-20 tokens by rank with a
+    deterministic tie-break. TakeOrderedAndProject on the vertex-scale
+    rank table."""
+    from spacy_llm_spark.functions.cooccur import cooccurrence_counts
+    from spacy_llm_spark.operators.graph import weighted_pagerank
+
+    co = cooccurrence_counts(_docs(spark, sf_dir), window=2).where(
+        F.col("n_ab") >= 10
+    )
+    sym = co.select(
+        F.col("a").alias("subj"), F.col("b").alias("obj"),
+        F.col("n_ab").cast("double").alias("weight"),
+    ).unionByName(
+        co.select(
+            F.col("b").alias("subj"), F.col("a").alias("obj"),
+            F.col("n_ab").cast("double").alias("weight"),
+        )
+    )
+    return (
+        weighted_pagerank(sym, iters=3)
+        .orderBy(F.desc("rank"), "vertex")
+        .limit(20)
+    )
 
 
 def q_kg_weighted_pagerank(spark, sf_dir):
@@ -3961,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
         "kg_weighted_pagerank": q_kg_weighted_pagerank,
+        "textrank_keywords": q_textrank_keywords,
         # --- named-graph (quad) matching — new family, this
         # session; kg_bfs_levels moved below 50 (analytics keeps
         # degree_stats + pagerank stamped) ---
@@ -6497,6 +6547,10 @@ FROM pr
 """,
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         "kg_weighted_pagerank": m + _EDGES_CTE + _wpr_oracle_sql(iters=3),
+        # TextRank: the token_pmi co-occurrence CTEs feeding the same
+        # unrolled weighted-pagerank rounds, top-20
+        "textrank_keywords": _wpr_oracle_sql(
+            iters=3, ew_sql="\nWITH toks AS (\n  SELECT doc_id, string_split(text, ' ') AS arr FROM documents\n), pos AS (\n  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord\n  FROM toks\n), co AS (\n  SELECT a, b, count(*) AS n_ab FROM (\n    SELECT p1.tok AS a, p2.tok AS b\n    FROM pos p1 JOIN pos p2\n      ON p2.doc_id = p1.doc_id\n     AND p2.ord > p1.ord AND p2.ord <= p1.ord + 2)\n  GROUP BY a, b HAVING count(*) >= 10\n), ew AS (\n  SELECT s, t, CAST(sum(n_ab) AS DOUBLE) AS w FROM (\n    SELECT a AS s, b AS t, n_ab FROM co\n    UNION ALL SELECT b AS s, a AS t, n_ab FROM co)\n  GROUP BY s, t)", final_sql='\nSELECT vertex, rank FROM r3 ORDER BY rank DESC, vertex LIMIT 20\n'),
         # SHACL shape audit: same literal ontology as _SHAPES (generated
         # from the one Python list so engine and oracle cannot drift)
         # mutual-best sameAs links: the alignment CTE + two
