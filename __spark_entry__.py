@@ -1297,6 +1297,65 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+def _katz_oracle_sql(iters: int = 3, alpha: float = 0.1,
+                     beta: float = 1.0, q: int = 10) -> str:
+    """Round-unrolled Katz-centrality oracle mirroring
+    graph.katz_centrality over the distinct canonical edge set."""
+    parts = ["""
+, de AS (SELECT DISTINCT subj AS s, obj AS t FROM edges)
+, nodes AS (SELECT DISTINCT v AS vertex FROM
+            (SELECT s AS v FROM de UNION ALL SELECT t FROM de))
+, k0 AS (SELECT vertex, round(CAST(%s AS DOUBLE), %d) AS katz
+         FROM nodes)""" % (beta, q)]
+    for k in range(1, iters + 1):
+        parts.append(f"""
+, i{k} AS (SELECT de.t AS vertex, sum(p.katz) AS inflow
+           FROM k{k - 1} p JOIN de ON de.s = p.vertex GROUP BY de.t)
+, k{k} AS (SELECT n.vertex,
+                  round(CAST({beta} AS DOUBLE)
+                        + CAST({alpha} AS DOUBLE)
+                          * coalesce(i.inflow, 0), {q}) AS katz
+           FROM nodes n LEFT JOIN i{k} i ON i.vertex = n.vertex)""")
+    parts.append(f"\nSELECT vertex, katz FROM k{iters}\n")
+    return "".join(parts)
+
+
+def q_blocking_quality(spark, sf_dir):
+    """Blocking-scheme evaluation (operators/blocking.blocking_quality):
+    candidates = doc pairs sharing a 2-hex sha256 prefix (256 blocks),
+    gold = exact-duplicate pairs (equal full sha) — pair completeness
+    is 1.0 BY CONSTRUCTION (equal sha implies equal prefix; the
+    metric proves it), reduction ratio ~1 shows the quadratic space
+    pruned. One distinct + one semi-join + count-scale aggregates."""
+    from spacy_llm_spark.operators.blocking import blocking_quality
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.sha2(F.col("text"), 256).alias("h")
+    )
+    n = d.count()
+    a = d.select(F.col("id").alias("id_a"), F.col("h").alias("ha"),
+                 F.substring("h", 1, 2).alias("pa"))
+    b = d.select(F.col("id").alias("id_b"), F.col("h").alias("hb"),
+                 F.substring("h", 1, 2).alias("pb"))
+    cand = a.join(b, (F.col("pa") == F.col("pb"))
+                  & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
+    gold = a.join(b, (F.col("ha") == F.col("hb"))
+                  & (F.col("id_a") < F.col("id_b"))).select("id_a", "id_b")
+    return blocking_quality(cand, gold, total_records=n)
+
+
+def q_kg_katz(spark, sf_dir):
+    """Katz centrality (operators/graph.katz_centrality): walk-count
+    entity importance over the canonical KG, alpha=0.05 (safely under
+    1/max_indegree on this corpus), 3 rounds — one edge join + one
+    destination-keyed sum + one left join per round, rank quantized
+    10 dp (the pagerank discipline)."""
+    from spacy_llm_spark.operators.graph import katz_centrality
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return katz_centrality(triples, alpha=0.05, iters=3)
+
+
 def q_kg_weighted_pagerank(spark, sf_dir):
     """Support-weighted PageRank (operators/graph.weighted_pagerank):
     edge weight = raw mention count per (subj, obj) over the canonical
@@ -4010,6 +4069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
         "kg_weighted_pagerank": q_kg_weighted_pagerank,
+        "kg_katz": q_kg_katz,
+        "blocking_quality": q_blocking_quality,
         "textrank_keywords": q_textrank_keywords,
         # --- named-graph (quad) matching — new family, this
         # session; kg_bfs_levels moved below 50 (analytics keeps
@@ -6504,6 +6565,29 @@ SELECT subj, pred, obj, ts AS valid_from,
        lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, seq) AS valid_to
 FROM log
 """,
+        # blocking metrics: prefix-block + exact-dup pair sets, counts
+        "blocking_quality": """
+WITH d AS (SELECT doc_id AS id, sha256(text) AS h FROM documents),
+cand AS (
+  SELECT DISTINCT least(a.id, b.id) AS lo, greatest(a.id, b.id) AS hi
+  FROM d a JOIN d b
+    ON substr(a.h, 1, 2) = substr(b.h, 1, 2) AND a.id < b.id),
+g AS (
+  SELECT DISTINCT least(a.id, b.id) AS lo, greatest(a.id, b.id) AS hi
+  FROM d a JOIN d b ON a.h = b.h AND a.id < b.id),
+c AS (SELECT
+  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT count(*) FROM g) AS BIGINT) AS n_gold,
+  CAST((SELECT count(*) FROM g SEMI JOIN cand
+        ON g.lo = cand.lo AND g.hi = cand.hi) AS BIGINT) AS n_found,
+  (SELECT count(*) FROM d) AS n)
+SELECT n_candidates, n_gold, n_found,
+       round(CAST(n_found AS DOUBLE) / n_gold, 6) AS pair_completeness,
+       round(1.0 - CAST(n_candidates AS DOUBLE)
+                   / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
+         AS reduction_ratio
+FROM c
+""",
         # Allen relations: the intervals CTE self-joined, the same
         # CASE cascade, +inf as a sentinel beyond any day-epoch
         "kg_allen_relations": """
@@ -6547,6 +6631,7 @@ FROM pr
 """,
         "kg_hits": _hits_oracle_sql(iters=5, q=10),
         "kg_weighted_pagerank": m + _EDGES_CTE + _wpr_oracle_sql(iters=3),
+        "kg_katz": m + _EDGES_CTE + _katz_oracle_sql(iters=3, alpha=0.05),
         # TextRank: the token_pmi co-occurrence CTEs feeding the same
         # unrolled weighted-pagerank rounds, top-20
         "textrank_keywords": _wpr_oracle_sql(

@@ -154,3 +154,59 @@ def sorted_neighborhood_pairs(
         *[f"{c}_a" for c in keep_cols],
         *[f"{c}_b" for c in keep_cols],
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold: DataFrame,
+    total_records: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Blocking-scheme evaluation (the standard ER metrics, e.g.
+    Christen 2012): given the CANDIDATE pair set a blocker produced
+    (sorted-neighborhood, LSH buckets, set-join prefixes...) and the
+    GOLD match pairs, one row with
+
+    - ``pair_completeness`` = |candidates ∩ gold| / |gold| — recall of
+      the blocker (matches it did not lose);
+    - ``reduction_ratio`` = 1 − |candidates| / C(n, 2) — how much of
+      the quadratic comparison space it pruned (``total_records`` = n,
+      a count the caller already has);
+    - the raw ``n_candidates`` / ``n_gold`` / ``n_found`` counts.
+
+    Pairs are treated as UNordered (each side normalized to
+    (min, max) and deduplicated, so orientation and duplicates cannot
+    inflate either metric). One distinct + one semi-join + count-scale
+    aggregates; fractions 6 dp.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if total_records < 2:
+        raise ValueError(
+            f"total_records must be >= 2, got {total_records}"
+        )
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        ).where(F.col("lo") != F.col("hi")).distinct()
+
+    cand = norm(candidates)
+    g = norm(gold)
+    n_cand = cand.count()
+    n_gold = g.count()
+    n_found = g.join(cand, ["lo", "hi"], "left_semi").count()
+    n = int(total_records)
+    total_pairs = n * (n - 1) // 2
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_cand, n_gold, n_found,
+            round(n_found / n_gold, 6) if n_gold else None,
+            round(1.0 - n_cand / total_pairs, 6),
+        )],
+        "n_candidates long, n_gold long, n_found long, "
+        "pair_completeness double, reduction_ratio double",
+    )

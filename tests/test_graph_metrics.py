@@ -466,3 +466,41 @@ def test_weighted_pagerank_reference_and_weight_pull(spark):
     )
     with pytest.raises(ValueError, match="non-positive"):
         weighted_pagerank(bad)
+
+
+def _katz_reference(pairs, alpha, beta, iters, q=10):
+    de = sorted(set(pairs))
+    nodes = sorted({x for e in de for x in e})
+    c = {v: round(beta, q) for v in nodes}
+    for _ in range(iters):
+        inflow = {}
+        for s, t in de:
+            inflow[t] = inflow.get(t, 0.0) + c[s]
+        c = {v: round(beta + alpha * inflow.get(v, 0.0), q) for v in nodes}
+    return c
+
+
+def test_katz_centrality_reference_and_walk_counting(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.graph import katz_centrality
+
+    # star into h plus a chain into c: h gets many direct walks, c gets
+    # length-2 walks through b — Katz counts both, damped by alpha
+    pairs = [("a", "h"), ("b", "h"), ("c", "h"), ("d", "h"),
+             ("a", "b"), ("b", "c"), ("a", "h")]  # dup collapses
+    df = spark.createDataFrame(
+        [Row(subj=s, obj=t) for s, t in pairs], "subj string, obj string"
+    )
+    for iters in (0, 1, 3, 5):
+        got = {r.vertex: r.katz
+               for r in katz_centrality(df, iters=iters).collect()}
+        want = _katz_reference(pairs, 0.1, 1.0, iters)
+        assert got == want, iters
+    got = {r.vertex: r.katz for r in katz_centrality(df, iters=5).collect()}
+    # the 4-source hub outranks everything; chain endpoint c beats the
+    # sourceless a (walks through a->b->c accumulate)
+    assert got["h"] == max(got.values())
+    assert got["c"] > got["a"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="iters"):
+        katz_centrality(df, iters=-1)

@@ -1464,3 +1464,29 @@ def test_summarize_entities_rare_facts_first(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         audit.summarize_entities(t, k=0)
+
+
+def test_blocking_quality_metrics(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators import blocking
+
+    cand = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [
+            ("r1", "r2"), ("r2", "r1"),   # orientation dedups
+            ("r3", "r4"), ("r5", "r6"), ("r1", "r1"),  # self drops
+        ]],
+        "id_a string, id_b string",
+    )
+    gold = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [
+            ("r1", "r2"), ("r3", "r4"), ("r7", "r8"),
+        ]],
+        "id_a string, id_b string",
+    )
+    row = blocking.blocking_quality(cand, gold, total_records=8).head()
+    assert (row.n_candidates, row.n_gold, row.n_found) == (3, 3, 2)
+    assert row.pair_completeness == round(2 / 3, 6)
+    assert row.reduction_ratio == round(1 - 3 / 28, 6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="total_records"):
+        blocking.blocking_quality(cand, gold, total_records=1)
