@@ -1747,6 +1747,26 @@ def _doc_quads(spark, sf_dir):
     ).distinct()
 
 
+def q_kg_graph_mgmt(spark, sf_dir):
+    """SPARQL Update graph management (operators/graph.manage_graphs):
+    the canonical triples scoped into provenance graphs (doc_id%4
+    buckets; bucket 0 = the DEFAULT graph), then ADD doc:2 TO DEFAULT
+    — the set-merge lands only triples the default graph lacks, with
+    the NULL-graph destination handled null-safely (the anti-join runs
+    on the triple columns; a NULL graph key would never equi-join).
+    One pushdown filter per affected graph + one solution-scale
+    anti-join; the dataset is never re-distincted."""
+    from spacy_llm_spark.operators.graph import manage_graphs
+
+    e = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("doc:"), (F.col("doc_id") % 4)))
+        .alias("graph"),
+        "subj", "pred", "obj",
+    ).distinct()
+    return manage_graphs(e, "add", "doc:2", to=None)
+
+
 def q_kg_nquads(spark, sf_dir):
     """RDF dataset interchange: the per-document named-graph quad set
     serialized to N-Quads lines (functions/rdf.to_nquads) — same
@@ -4165,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_bounded_path": q_kg_bgp_bounded_path,
         "kg_describe": q_kg_describe,
         "kg_nquads": q_kg_nquads,
+        "kg_graph_mgmt": q_kg_graph_mgmt,
         "kg_struct_dup_docs": q_kg_struct_dup_docs,
         "kg_ntriples_typed": q_kg_ntriples_typed,
         "el_calibration": q_el_calibration,
@@ -6564,6 +6585,26 @@ WITH log AS (
 SELECT subj, pred, obj, ts AS valid_from,
        lead(ts) OVER (PARTITION BY subj, pred ORDER BY ts, seq) AS valid_to
 FROM log
+""",
+        # graph management ADD-to-default: UNION ALL + NOT EXISTS on
+        # the triple columns mirrors the null-safe set-merge
+        "kg_graph_mgmt": m
+        + _EDGES_CTE
+        + """
+, q AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 4 = 0 THEN NULL
+         ELSE 'doc:' || CAST(doc_id % 4 AS VARCHAR) END AS graph,
+    subj, pred, obj
+  FROM edges)
+SELECT graph, subj, pred, obj FROM q
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS graph, s.subj, s.pred, s.obj
+FROM q s
+WHERE s.graph = 'doc:2'
+  AND NOT EXISTS (SELECT 1 FROM q d
+                  WHERE d.graph IS NULL AND d.subj = s.subj
+                    AND d.pred = s.pred AND d.obj = s.obj)
 """,
         # blocking metrics: prefix-block + exact-dup pair sets, counts
         "blocking_quality": """

@@ -3920,3 +3920,81 @@ def katz_centrality(
             )
         )
     return cent
+
+
+_GRAPH_MGMT_OPS = ("clear", "drop", "copy", "move", "add")
+_UNSET = object()
+
+
+def manage_graphs(
+    quads: DataFrame,
+    op: str,
+    graph: str | None = None,
+    to=_UNSET,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph_col: str = "graph",
+) -> DataFrame:
+    """SPARQL Update graph MANAGEMENT over an RDF dataset (the quad
+    table :func:`match_quads` queries): ``CLEAR``/``DROP`` empty a
+    graph, ``COPY`` replaces the destination with the source's
+    triples, ``ADD`` merges the source into the destination (set
+    semantics), ``MOVE`` is COPY + source removal — the spec's five
+    graph operations as pure filter/projection/anti-join/union
+    algebra, returning the updated dataset. ``graph=None`` addresses
+    the DEFAULT graph (NULL graph label), per the N-Quads convention
+    used throughout.
+
+    In this engine's quad model CLEAR and DROP coincide (a graph
+    EXISTS iff it has quads — there is no empty-graph row to keep),
+    which is exactly the spec's behavior on implicitly-created graphs;
+    both spellings are accepted.
+
+    Physical shape: one pushdown-filter scan per affected graph plus,
+    for ADD, one solution-scale anti-join for the set-insert (the
+    :func:`update_where` discipline — the dataset is never
+    re-distincted). COPY/MOVE replace the destination wholesale:
+    filter + union, no join at all.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    o = op.lower()
+    if o not in _GRAPH_MGMT_OPS:
+        raise ValueError(
+            f"manage_graphs: unknown op {op!r} (one of {_GRAPH_MGMT_OPS})"
+        )
+    g = F.col(graph_col)
+
+    def is_g(label):
+        # eqNullSafe: a NULL (default-graph) label must compare FALSE
+        # against a named graph, not NULL — ~NULL would silently drop
+        # default-graph quads from every complement filter
+        return g.isNull() if label is None else g.eqNullSafe(F.lit(label))
+
+    cols = [graph_col, subj, pred, obj]
+    ds = quads.select(*cols)
+    if o in ("clear", "drop"):
+        return ds.where(~is_g(graph))
+    if to is _UNSET:
+        raise ValueError(
+            f"manage_graphs: {op!r} needs a 'to' graph "
+            "(None addresses the default graph)"
+        )
+    if graph == to:
+        return ds  # spec: same-graph COPY/MOVE/ADD is a no-op
+    src_triples = ds.where(is_g(graph)).select(
+        F.lit(to).cast("string").alias(graph_col), subj, pred, obj
+    )
+    if o == "copy" or o == "move":
+        out = ds.where(~is_g(to)).unionByName(src_triples)
+        if o == "move":
+            out = out.where(~is_g(graph))
+        return out
+    # add: set-merge into the destination — the anti-join runs on the
+    # triple columns only (both sides are already destination-filtered,
+    # and a NULL default-graph key would never equi-join, letting
+    # duplicates through)
+    dst = ds.where(is_g(to)).select(subj, pred, obj)
+    new = src_triples.join(dst, [subj, pred, obj], "left_anti")
+    return ds.unionByName(new)

@@ -1709,3 +1709,57 @@ def test_jsonld_export_parses_and_roundtrips(spark):
     # deterministic: objects sorted within a predicate array
     one = {r.subj: r.jsonld for r in rdf.to_jsonld(df).collect()}["s1"]
     assert one.index("o1") < one.index("o2")
+
+
+def test_manage_graphs_spec_operations(spark):
+    from spacy_llm_spark.operators.graph import manage_graphs
+
+    rows = [
+        (None, "a", "p", "b"),      # default graph
+        ("g1", "a", "p", "b"), ("g1", "c", "p", "d"),
+        ("g2", "a", "p", "b"), ("g2", "e", "p", "f"),
+    ]
+    ds = spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in rows],
+        "graph string, subj string, pred string, obj string",
+    )
+
+    def quads(df):
+        return {(r.graph, r.subj, r.pred, r.obj) for r in df.collect()}
+
+    full = quads(ds)
+    # CLEAR g1 == DROP g1 in the implicit-graph model
+    assert quads(manage_graphs(ds, "clear", "g1")) == {
+        q for q in full if q[0] != "g1"}
+    assert quads(manage_graphs(ds, "drop", "g1")) == quads(
+        manage_graphs(ds, "CLEAR", "g1"))
+    # CLEAR DEFAULT
+    assert quads(manage_graphs(ds, "clear", None)) == {
+        q for q in full if q[0] is not None}
+    # COPY g1 TO g2: g2 replaced wholesale
+    got = quads(manage_graphs(ds, "copy", "g1", to="g2"))
+    assert got == {q for q in full if q[0] != "g2"} | {
+        ("g2", "a", "p", "b"), ("g2", "c", "p", "d")}
+    # MOVE default TO g3: default emptied, g3 created
+    got = quads(manage_graphs(ds, "move", None, to="g3"))
+    assert got == {q for q in full if q[0] is not None} | {
+        ("g3", "a", "p", "b")}
+    # MOVE g1 TO DEFAULT: legal; default replaced by g1's triples
+    got = quads(manage_graphs(ds, "move", "g1", to=None))
+    assert got == {q for q in full if q[0] not in (None, "g1")} | {
+        (None, "a", "p", "b"), (None, "c", "p", "d")}
+    # ADD g1 TO g2: set-merge (shared (a,p,b) not duplicated)
+    got_df = manage_graphs(ds, "add", "g1", to="g2")
+    assert quads(got_df) == full | {("g2", "c", "p", "d")}
+    assert got_df.count() == len(full) + 1  # no duplicate rows either
+    # ADD g2 TO DEFAULT: NULL-graph destination still set-merges
+    # ((a,p,b) already in default -> only (e,p,f) lands)
+    got_df2 = manage_graphs(ds, "add", "g2", to=None)
+    assert quads(got_df2) == full | {(None, "e", "p", "f")}
+    assert got_df2.count() == len(full) + 1
+    # same-graph ops are no-ops; guards
+    assert quads(manage_graphs(ds, "copy", "g1", to="g1")) == full
+    with pytest.raises(ValueError, match="needs a 'to'"):
+        manage_graphs(ds, "copy", "g1")
+    with pytest.raises(ValueError, match="unknown op"):
+        manage_graphs(ds, "truncate", "g1")
