@@ -3728,6 +3728,26 @@ def q_kg_triple_intervals(spark, sf_dir):
     return temporal.triple_intervals(log, seq="seq")
 
 
+def q_kg_fact_lifetimes(spark, sf_dir):
+    """Fact volatility (operators/temporal.fact_lifetimes): per-pred
+    churn/retention profile of the order-priority assertion log —
+    versions per key, live fraction, avg/max closed-version duration
+    in days. ONE grouped aggregate over the day-epoch intervals (empty
+    same-instant windows excluded, as in kg_allen_relations)."""
+    from spacy_llm_spark.operators.temporal import fact_lifetimes
+
+    iv = q_kg_triple_intervals(spark, sf_dir).select(
+        "subj", "pred",
+        F.unix_date(F.col("valid_from").cast("date"))
+        .cast("long").alias("valid_from"),
+        F.unix_date(F.col("valid_to").cast("date"))
+        .cast("long").alias("valid_to"),
+    ).where(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    )
+    return fact_lifetimes(iv)
+
+
 def q_kg_allen_relations(spark, sf_dir):
     """Allen interval algebra (operators/temporal.allen_relations):
     every pair of validity windows per (subj, pred) key from the
@@ -4270,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_triple_intervals": q_kg_triple_intervals,
         "kg_allen_relations": q_kg_allen_relations,
+        "kg_fact_lifetimes": q_kg_fact_lifetimes,
         "kg_hits": q_kg_hits,
         "kg_scc": q_kg_scc,
         "kg_shape_audit": q_kg_shape_audit,
@@ -6628,6 +6649,36 @@ SELECT n_candidates, n_gold, n_found,
                    / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
          AS reduction_ratio
 FROM c
+""",
+        # fact volatility: one grouped aggregate over the same
+        # empty-window-pruned day-epoch intervals
+        "kg_fact_lifetimes": """
+WITH log AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS subj, 'order_priority' AS pred,
+         o_orderpriority AS obj, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders WHERE o_custkey IN (1, 2, 5)
+), iv AS (
+  SELECT subj, pred,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS valid_from,
+         CAST(CAST(lead(ts) OVER (PARTITION BY subj, pred
+                                  ORDER BY ts, seq) AS DATE)
+              - DATE '1970-01-01' AS BIGINT) AS valid_to
+  FROM log
+  QUALIFY valid_to IS NULL OR valid_to > valid_from
+)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_keys,
+       round(CAST(count(*) AS DOUBLE) / count(DISTINCT subj), 6)
+         AS versions_per_key,
+       CAST(count(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT)
+         AS n_live,
+       round(CAST(count(CASE WHEN valid_to IS NULL THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS live_fraction,
+       round(avg(valid_to - valid_from), 6) AS avg_duration,
+       CAST(max(valid_to - valid_from) AS BIGINT) AS max_duration
+FROM iv GROUP BY pred
 """,
         # Allen relations: the intervals CTE self-joined, the same
         # CASE cascade, +inf as a sentinel beyond any day-epoch

@@ -292,3 +292,51 @@ def allen_relations(
         F.col("_rs").alias("right_start"), F.col("_re").alias("right_end"),
         rel.alias("relation"),
     )
+
+
+def fact_lifetimes(
+    intervals: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Fact VOLATILITY per predicate — the retention/churn profile of a
+    versioned KG, over a numeric-bounds validity frame
+    (:func:`triple_intervals` output with timestamps converted
+    upstream, the :func:`allen_relations` convention): one row per
+    predicate with ``n_versions``, ``n_keys`` (distinct subjects),
+    ``versions_per_key`` (churn, 6 dp), ``n_live`` (NULL ``valid_to``
+    — still-current versions), ``live_fraction``, and
+    ``avg_duration`` / ``max_duration`` over the CLOSED versions
+    (NULL when a predicate has no closed version yet — a live-only
+    predicate has no duration evidence, and 0 would be a lie).
+
+    The operational read: high churn + short durations = volatile
+    predicates (re-crawl often, cache never); live_fraction ~1 =
+    stable reference facts. ONE grouped aggregate with map-side
+    partials; distinct-count shares the grouping shuffle.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    dur = F.col(valid_to) - F.col(valid_from)
+    return (
+        intervals.groupBy(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.countDistinct(subj).alias("n_keys"),
+            F.count(F.when(F.col(valid_to).isNull(), 1)).alias("n_live"),
+            F.round(F.avg(dur), 6).alias("avg_duration"),
+            F.max(dur).alias("max_duration"),
+        )
+        .select(
+            pred, "n_versions", "n_keys",
+            F.round(
+                F.col("n_versions") / F.col("n_keys"), 6
+            ).alias("versions_per_key"),
+            "n_live",
+            F.round(F.col("n_live") / F.col("n_versions"), 6)
+            .alias("live_fraction"),
+            "avg_duration", "max_duration",
+        )
+    )

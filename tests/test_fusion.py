@@ -259,3 +259,31 @@ def test_allen_relations_full_matrix(spark):
     )
     with _pytest.raises(ValueError, match="empty or negative"):
         allen_relations(bad, live, "k")
+
+
+def test_fact_lifetimes_churn_profile(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.temporal import fact_lifetimes
+
+    rows = [
+        # volatile: s1 has 3 versions (2 closed: 2 and 5), s2 one live
+        ("s1", "p", 0, 2), ("s1", "p", 2, 7), ("s1", "p", 7, None),
+        ("s2", "p", 1, None),
+        # stable: one live version only -> durations NULL, not 0
+        ("s3", "q", 0, None),
+    ]
+    iv = spark.createDataFrame(
+        [Row(subj=s, pred=p, valid_from=a, valid_to=b)
+         for s, p, a, b in rows],
+        "subj string, pred string, valid_from long, valid_to long",
+    )
+    got = {r.pred: r for r in fact_lifetimes(iv).collect()}
+    p = got["p"]
+    assert (p.n_versions, p.n_keys, p.n_live) == (4, 2, 2)
+    assert p.versions_per_key == 2.0
+    assert p.live_fraction == 0.5
+    assert p.avg_duration == 3.5     # (2 + 5) / 2, NULLs excluded
+    assert p.max_duration == 5
+    q = got["q"]
+    assert (q.n_versions, q.n_live) == (1, 1)
+    assert q.avg_duration is None and q.max_duration is None
