@@ -3140,6 +3140,30 @@ def q_kg_embedding_alignment(spark, sf_dir):
     return rotated
 
 
+def q_embedding_smoothing(spark, sf_dir):
+    """GraphSAGE-mean neighborhood aggregation (operators/kgembed.
+    aggregate_neighbors): embedding vectors smoothed over a
+    deterministic 2-out-regular modular graph on the vec_id space —
+    in-neighbor element-wise means with 8 dp pre-sum quantization,
+    one posexplode to (vertex, component) + one keyed avg."""
+    from spacy_llm_spark.operators.kgembed import aggregate_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    n = emb.count()
+    edges = emb.select(
+        F.col("id").alias("subj"), ((F.col("id") * 7 + 1) % n).alias("obj")
+    ).unionByName(
+        emb.select(
+            F.col("id").alias("subj"),
+            ((F.col("id") * 13 + 2) % n).alias("obj"),
+        )
+    )
+    return aggregate_neighbors(emb, edges, direction="in")
+
+
 def q_kg_transe_epoch(spark, sf_dir):
     """KG-embedding training step (operators/kgembed.py): deterministic
     full-batch TransE — negative_triples pairs over the distinct
@@ -4305,6 +4329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_links": q_kg_sameas_links,
         "kg_transe_epoch": q_kg_transe_epoch,
         "kg_embedding_alignment": q_kg_embedding_alignment,
+        "embedding_smoothing": q_embedding_smoothing,
         # (ann_lsh_topk / topk_orders_per_customer displaced from the
         # first 50 by the fusion + ontology-induction families)
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -6410,6 +6435,30 @@ SELECT CAST(vec_id AS VARCHAR) AS id,
                * CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END, 4) + 0.0
        ) AS vec
 FROM embeddings
+""",
+        # neighborhood mean: unnest positions -> keyed avg -> ordered
+        # list, mirroring the posexplode/avg/array_sort pipeline
+        "embedding_smoothing": """
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+e AS (
+  SELECT vec_id AS s, (vec_id * 7 + 1) % (SELECT n FROM nn) AS t
+  FROM embeddings
+  UNION
+  SELECT vec_id, (vec_id * 13 + 2) % (SELECT n FROM nn)
+  FROM embeddings),
+nbr AS (SELECT DISTINCT t AS v, s AS nb FROM e WHERE t <> s),
+cells AS (
+  SELECT nbr.v, generate_subscripts(emb.embedding, 1) AS j,
+         unnest(emb.embedding) AS x
+  FROM nbr JOIN embeddings emb ON emb.vec_id = nbr.nb),
+agg AS (
+  SELECT v, j,
+         round(sum(round(CAST(x AS DOUBLE), 8)), 8) / count(*) AS m,
+         count(*) AS c
+  FROM cells GROUP BY v, j)
+SELECT v AS id, list(m ORDER BY j) AS vec,
+       CAST(max(c) AS BIGINT) AS n_neighbors
+FROM agg GROUP BY v
 """,
         # Turtle serialization: prefixed-name concat (terms PN-safe on
         # this corpus, see q_kg_turtle docstring) with nested ordered

@@ -346,3 +346,84 @@ def procrustes_align(
     ]
     rotated = src.select(F.col(id_col), F.array(*rot_cols).alias(vec))
     return rotated, R
+
+
+def aggregate_neighbors(
+    features: DataFrame,
+    edges: DataFrame,
+    direction: str = "in",
+    id_col: str = "id",
+    vec: str = "vec",
+    src: str = "subj",
+    dst: str = "obj",
+    quantum: int = 8,
+) -> DataFrame:
+    """One round of mean neighborhood aggregation — the message-passing
+    primitive under GraphSAGE-mean / GCN-style feature propagation
+    (Hamilton et al. 2017), KG reading: smooth entity features over
+    the graph, or build structure-aware inputs for a downstream
+    classifier. For each vertex with >= 1 neighbor, the element-wise
+    MEAN of its neighbors' vectors plus ``n_neighbors``; ``direction``
+    picks the neighbor set (``in`` = sources of in-edges, ``out`` =
+    targets of out-edges, ``both`` = union, duplicates collapsed so a
+    reciprocal edge is one neighbor). Vertices without neighbors are
+    ABSENT from the output (a mean over nothing is not a zero vector)
+    — left-join + coalesce downstream to keep them.
+
+    Determinism: each contribution is quantized ``quantum`` dp pre-sum
+    (addends differ per neighbor — the DSIR rule); the mean is the
+    ROUNDED SUM divided by the count, with NO post-division rounding —
+    a mean of k quantized values sits exactly on a half-quantum
+    boundary whenever k is even, where HALF_UP (Spark) and the C
+    rounding (DuckDB) disagree, while the quantized sum is tie-free
+    and identical doubles divide identically in both engines. Shape: one neighbor-pair distinct, one
+    features equi-join, ONE posexplode to (vertex, component) rows —
+    the same honest dim-x cost as ``transe_epoch`` — and one keyed
+    avg re-assembled via array_sort(collect_list).
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if direction not in ("in", "out", "both"):
+        raise ValueError(
+            f"direction must be in/out/both, got {direction!r}"
+        )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    if direction == "in":
+        nbr = e.select(F.col("_t").alias("_v"), F.col("_s").alias("_n"))
+    elif direction == "out":
+        nbr = e.select(F.col("_s").alias("_v"), F.col("_t").alias("_n"))
+    else:
+        nbr = e.select(
+            F.col("_t").alias("_v"), F.col("_s").alias("_n")
+        ).unionByName(
+            e.select(F.col("_s").alias("_v"), F.col("_t").alias("_n"))
+        )
+    nbr = nbr.where(F.col("_v") != F.col("_n")).distinct()
+    fv = features.select(F.col(id_col).alias("_n"), F.col(vec).alias("_nv"))
+    cells = (
+        nbr.join(fv, "_n")
+        .select(
+            "_v",
+            F.posexplode(
+                F.transform("_nv", lambda x: F.round(x, quantum))
+            ).alias("_j", "_x"),
+        )
+        .groupBy("_v", "_j")
+        .agg(
+            (
+                F.round(F.sum("_x"), quantum) / F.count(F.lit(1))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("_n_nbr"),
+        )
+    )
+    return (
+        cells.groupBy("_v")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_j", "_m"))),
+                lambda s: s["_m"],
+            ).alias(vec),
+            F.max("_n_nbr").alias("n_neighbors"),
+        )
+        .select(F.col("_v").alias(id_col), vec, "n_neighbors")
+    )

@@ -203,3 +203,34 @@ def test_procrustes_recovers_signed_permutation(spark):
                                 "src_id string, dst_id string")
     with pytest.raises(ValueError, match="missing"):
         kgembed.procrustes_align(src, dst, bad)
+
+
+def test_aggregate_neighbors_mean_and_directions(spark):
+    feats = _emb_df(spark, {
+        "a": [1.0, 0.0], "b": [3.0, 2.0], "c": [5.0, 4.0],
+        "d": [7.0, 6.0],
+    })
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d"), ("a", "c")],  # dup collapses
+        "subj string, obj string",
+    )
+    got_in = {r.id: (r.vec, r.n_neighbors)
+              for r in kgembed.aggregate_neighbors(feats, edges).collect()}
+    # c's in-neighbors {a, b} -> mean ([1,0],[3,2]) = [2,1]
+    assert got_in["c"] == ([2.0, 1.0], 2)
+    assert got_in["d"] == ([5.0, 4.0], 1)
+    assert set(got_in) == {"c", "d"}  # a, b have no in-neighbors
+    got_out = {r.id: r.vec for r in kgembed.aggregate_neighbors(
+        feats, edges, direction="out").collect()}
+    assert got_out["a"] == [5.0, 4.0]      # a -> c
+    assert got_out["c"] == [7.0, 6.0]      # c -> d
+    got_both = {r.id: (r.vec, r.n_neighbors)
+                for r in kgembed.aggregate_neighbors(
+                    feats, edges, direction="both").collect()}
+    # c's undirected neighbors {a, b, d} -> mean = [11/3, 8/3]
+    assert got_both["c"][1] == 3
+    np.testing.assert_allclose(
+        got_both["c"][0], [11 / 3, 8 / 3], atol=1e-7)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="direction"):
+        kgembed.aggregate_neighbors(feats, edges, direction="up")
