@@ -1767,6 +1767,31 @@ def q_kg_graph_mgmt(spark, sf_dir):
     return manage_graphs(e, "add", "doc:2", to=None)
 
 
+def q_kg_update_in_graph(spark, sf_dir):
+    """Graph-scoped SPARQL Update (operators/graph.
+    update_where_in_graph — WITH g DELETE/INSERT WHERE): the stores ->
+    storedIn migration of kg_update_where applied ONLY inside the
+    doc:2 provenance graph of the kg_graph_mgmt quad view; every other
+    graph (incl. the NULL default) passes through untouched. One
+    pushdown graph filter + the update_where algebra + a constant
+    relabel."""
+    from spacy_llm_spark.operators.graph import update_where_in_graph
+
+    e = mat.edges_table(_annotated(spark, sf_dir), ("doc_id",)).select(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("doc:"), (F.col("doc_id") % 4)))
+        .alias("graph"),
+        "subj", "pred", "obj",
+    ).distinct()
+    return update_where_in_graph(
+        e, "doc:2",
+        [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+         ("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "storedIn", "?t")],
+    )
+
+
 def q_kg_nquads(spark, sf_dir):
     """RDF dataset interchange: the per-document named-graph quad set
     serialized to N-Quads lines (functions/rdf.to_nquads) — same
@@ -4230,6 +4255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_nquads": q_kg_nquads,
         "kg_graph_mgmt": q_kg_graph_mgmt,
+        "kg_update_in_graph": q_kg_update_in_graph,
         "kg_struct_dup_docs": q_kg_struct_dup_docs,
         "kg_ntriples_typed": q_kg_ntriples_typed,
         "el_calibration": q_el_calibration,
@@ -6675,6 +6701,35 @@ WHERE s.graph = 'doc:2'
   AND NOT EXISTS (SELECT 1 FROM q d
                   WHERE d.graph IS NULL AND d.subj = s.subj
                     AND d.pred = s.pred AND d.obj = s.obj)
+""",
+        # WITH-graph update: the scoped slice runs the kg_update_where
+        # algebra; complement passes through (NULL-safe)
+        "kg_update_in_graph": m
+        + _EDGES_CTE
+        + """
+, q AS (
+  SELECT DISTINCT
+    CASE WHEN doc_id % 4 = 0 THEN NULL
+         ELSE 'doc:' || CAST(doc_id % 4 AS VARCHAR) END AS graph,
+    subj, pred, obj
+  FROM edges)
+, de AS (SELECT subj, pred, obj FROM q WHERE graph = 'doc:2')
+, sol AS (
+  SELECT DISTINCT a.subj AS s, b.obj AS t
+  FROM de a
+  JOIN de b ON b.subj = a.obj AND b.pred = 'appliesTo'
+  JOIN de c ON c.subj = a.subj AND c.obj = b.obj AND c.pred = 'stores'
+  WHERE a.pred = 'executes')
+SELECT graph, subj, pred, obj FROM q
+WHERE graph IS NULL OR graph <> 'doc:2'
+UNION ALL
+SELECT 'doc:2' AS graph, subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM de
+  WHERE NOT EXISTS (SELECT 1 FROM sol
+                    WHERE de.subj = sol.s AND de.pred = 'stores'
+                      AND de.obj = sol.t)
+  UNION
+  SELECT s AS subj, 'storedIn' AS pred, t AS obj FROM sol)
 """,
         # blocking metrics: prefix-block + exact-dup pair sets, counts
         "blocking_quality": """

@@ -3998,3 +3998,40 @@ def manage_graphs(
     dst = ds.where(is_g(to)).select(subj, pred, obj)
     new = src_triples.join(dst, [subj, pred, obj], "left_anti")
     return ds.unionByName(new)
+
+
+def update_where_in_graph(
+    quads: DataFrame,
+    graph: str | None,
+    patterns: list,
+    delete: list | None = None,
+    insert: list | None = None,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph_col: str = "graph",
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL Update's ``WITH <g> DELETE/INSERT WHERE`` — the
+    graph-scoped form of :func:`update_where` completing the Update
+    surface (:func:`manage_graphs` covers the dataset operations):
+    the WHERE matches ONLY against graph ``g`` (``None`` = the default
+    graph), the template sets apply only to ``g``'s triples, and every
+    other graph passes through untouched. One pushdown graph filter
+    splits the dataset; the scoped slice runs the exact
+    :func:`update_where` algebra; the label is a constant re-attach.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    g = F.col(graph_col)
+    in_g = g.isNull() if graph is None else g.eqNullSafe(F.lit(graph))
+    ds = quads.select(graph_col, subj, pred, obj)
+    scoped = ds.where(in_g).select(subj, pred, obj)
+    updated = update_where(
+        scoped, patterns, delete=delete, insert=insert,
+        subj=subj, pred=pred, obj=obj, **match_kwargs,
+    )
+    relabeled = updated.select(
+        F.lit(graph).cast("string").alias(graph_col), subj, pred, obj
+    )
+    return ds.where(~in_g).unionByName(relabeled)

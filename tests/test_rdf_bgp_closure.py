@@ -1763,3 +1763,40 @@ def test_manage_graphs_spec_operations(spark):
         manage_graphs(ds, "copy", "g1")
     with pytest.raises(ValueError, match="unknown op"):
         manage_graphs(ds, "truncate", "g1")
+
+
+def test_update_where_in_graph_scoping(spark):
+    from spacy_llm_spark.operators.graph import update_where_in_graph
+
+    rows = [
+        (None, "s1", "stores", "t1"),
+        ("g1", "s1", "stores", "t1"), ("g1", "s2", "stores", "t2"),
+        ("g2", "s1", "stores", "t1"),
+    ]
+    ds = spark.createDataFrame(
+        [Row(graph=g, subj=s, pred=p, obj=o) for g, s, p, o in rows],
+        "graph string, subj string, pred string, obj string",
+    )
+
+    def quads(df):
+        return {(r.graph, r.subj, r.pred, r.obj) for r in df.collect()}
+
+    # WITH g1: rename stores -> storedIn ONLY inside g1
+    got = quads(update_where_in_graph(
+        ds, "g1", [("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+        insert=[("?s", "storedIn", "?t")],
+    ))
+    assert got == {
+        (None, "s1", "stores", "t1"), ("g2", "s1", "stores", "t1"),
+        ("g1", "s1", "storedIn", "t1"), ("g1", "s2", "storedIn", "t2"),
+    }
+    # WITH DEFAULT: only the NULL-graph triple mutates; named survive
+    got = quads(update_where_in_graph(
+        ds, None, [("?s", "stores", "?t")],
+        delete=[("?s", "stores", "?t")],
+    ))
+    assert got == {
+        ("g1", "s1", "stores", "t1"), ("g1", "s2", "stores", "t2"),
+        ("g2", "s1", "stores", "t1"),
+    }
