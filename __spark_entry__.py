@@ -1344,6 +1344,24 @@ def q_blocking_quality(spark, sf_dir):
     return blocking_quality(cand, gold, total_records=n)
 
 
+def q_kg_ego_network(spark, sf_dir):
+    """Ego-network extraction (operators/graph.ego_network): the
+    radius-2 induced subgraph around K300 — BFS levels over the
+    undirected distinct triple set, then two inner equi-joins attach
+    endpoint levels and keep exactly the edges with BOTH endpoints in
+    range (boundary chords induced, never re-traversed)."""
+    from spacy_llm_spark.operators.graph import ego_network
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    seeds = spark.createDataFrame([("K300",)], ["vertex"])
+    out = ego_network(triples, seeds, radius=2)
+    return out.select(
+        "subj", "pred", "obj",
+        F.col("subj_level").cast("long").alias("subj_level"),
+        F.col("obj_level").cast("long").alias("obj_level"),
+    )
+
+
 def q_kg_katz(spark, sf_dir):
     """Katz centrality (operators/graph.katz_centrality): walk-count
     entity importance over the canonical KG, alpha=0.05 (safely under
@@ -4159,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_weighted_pagerank": q_kg_weighted_pagerank,
         "kg_katz": q_kg_katz,
+        "kg_ego_network": q_kg_ego_network,
         "blocking_quality": q_blocking_quality,
         "textrank_keywords": q_textrank_keywords,
         # --- named-graph (quad) matching — new family, this
@@ -6753,6 +6772,25 @@ SELECT n_candidates, n_gold, n_found,
                    / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
          AS reduction_ratio
 FROM c
+""",
+        # ego network: the bfs unroll to radius 2 + two induced joins
+        "kg_ego_network": m
+        + _EDGES_CTE
+        + """
+, dt AS (SELECT DISTINCT subj, pred, obj FROM edges)
+, de AS (SELECT DISTINCT subj AS s, obj AS t FROM dt WHERE subj <> obj)
+, und AS (SELECT s, t FROM de UNION SELECT t, s FROM de)
+, r0 AS (SELECT 'K300' AS v, 0 AS level)
+, f1 AS (SELECT DISTINCT u.t AS v FROM und u JOIN r0 ON u.s = r0.v
+         WHERE u.t NOT IN (SELECT v FROM r0))
+, r1 AS (SELECT v, level FROM r0 UNION ALL SELECT v, 1 FROM f1)
+, f2 AS (SELECT DISTINCT u.t AS v FROM und u JOIN f1 ON u.s = f1.v
+         WHERE u.t NOT IN (SELECT v FROM r1))
+, lv AS (SELECT v, level FROM r1 UNION ALL SELECT v, 2 FROM f2)
+SELECT dt.subj, dt.pred, dt.obj,
+       CAST(a.level AS BIGINT) AS subj_level,
+       CAST(b.level AS BIGINT) AS obj_level
+FROM dt JOIN lv a ON a.v = dt.subj JOIN lv b ON b.v = dt.obj
 """,
         # fact volatility: one grouped aggregate over the same
         # empty-window-pruned day-epoch intervals

@@ -4035,3 +4035,42 @@ def update_where_in_graph(
         F.lit(graph).cast("string").alias(graph_col), subj, pred, obj
     )
     return ds.where(~in_g).unionByName(relabeled)
+
+
+def ego_network(
+    edges: DataFrame,
+    seeds: DataFrame,
+    radius: int = 2,
+    src: str = "subj",
+    dst: str = "obj",
+) -> DataFrame:
+    """The ``radius``-hop EGO network of a seed set — the induced
+    subgraph debugging/visualization/sampling primitive ("show me
+    everything within 2 hops of this entity"; also the subgraph
+    sampler GNN mini-batching wants): every original edge whose BOTH
+    endpoints lie within ``radius`` undirected hops of a seed
+    (:func:`bfs_levels` distances), with the endpoint levels attached
+    — ``(subj, pred?, obj, subj_level, obj_level)`` keeps whatever
+    extra columns the edge frame carries.
+
+    Induced-subgraph semantics: an edge between two radius-boundary
+    vertices IS included (both endpoints qualify) even though the BFS
+    never traversed it — two inner equi-joins against the
+    vertex-scale level frame, not a re-traversal. Work is
+    O(reachable + touched edges) from the BFS plus the two joins; the
+    full edge table streams through them once.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    levels = bfs_levels(edges, seeds, max_hops=radius, src=src, dst=dst)
+    ls = levels.select(
+        F.col("vertex").alias(src), F.col("level").alias("subj_level")
+    )
+    lt = levels.select(
+        F.col("vertex").alias(dst), F.col("level").alias("obj_level")
+    )
+    return edges.join(ls, src).join(lt, dst).select(
+        *edges.columns, "subj_level", "obj_level"
+    )

@@ -504,3 +504,32 @@ def test_katz_centrality_reference_and_walk_counting(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="iters"):
         katz_centrality(df, iters=-1)
+
+
+def test_ego_network_induced_subgraph(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.graph import ego_network
+
+    # path a-b-c-d-e plus boundary chord c-x, x-c2 where both c,x at
+    # radius<=2 of seed a: chord (c,x) must be INDUCED even though BFS
+    # reached x via it; edge (d,e) beyond radius drops
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("b", "x"), ("c", "x")]
+    edges = spark.createDataFrame(
+        [Row(subj=s, pred="p", obj=t) for s, t in pairs],
+        "subj string, pred string, obj string",
+    )
+    seeds = spark.createDataFrame([Row(vertex="a")], "vertex string")
+    got = {(r.subj, r.obj): (r.subj_level, r.obj_level)
+           for r in ego_network(edges, seeds, radius=2).collect()}
+    assert got == {
+        ("a", "b"): (0, 1), ("b", "c"): (1, 2), ("b", "x"): (1, 2),
+        ("c", "x"): (2, 2),   # induced boundary chord
+    }
+    # radius 0: only edges among the seeds themselves (none here)
+    assert ego_network(edges, seeds, radius=0).count() == 0
+    # pred column carried through
+    assert "pred" in ego_network(edges, seeds, radius=1).columns
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="radius"):
+        ego_network(edges, seeds, radius=-1)
