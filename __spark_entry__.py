@@ -1344,6 +1344,17 @@ def q_blocking_quality(spark, sf_dir):
     return blocking_quality(cand, gold, total_records=n)
 
 
+def q_kg_degree_histogram(spark, sf_dir):
+    """Log-binned degree distribution (operators/graph.
+    degree_histogram): the power-law/hub diagnostic over the canonical
+    KG's undirected degree — two map-side-partial aggregates, output
+    ~log(max_degree) rows."""
+    from spacy_llm_spark.operators.graph import degree_histogram
+
+    triples = q_kg_edges(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    return degree_histogram(triples)
+
+
 def q_kg_ego_network(spark, sf_dir):
     """Ego-network extraction (operators/graph.ego_network): the
     radius-2 induced subgraph around K300 — BFS levels over the
@@ -4178,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_weighted_pagerank": q_kg_weighted_pagerank,
         "kg_katz": q_kg_katz,
         "kg_ego_network": q_kg_ego_network,
+        "kg_degree_histogram": q_kg_degree_histogram,
         "blocking_quality": q_blocking_quality,
         "textrank_keywords": q_textrank_keywords,
         # --- named-graph (quad) matching — new family, this
@@ -6772,6 +6784,23 @@ SELECT n_candidates, n_gold, n_found,
                    / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
          AS reduction_ratio
 FROM c
+""",
+        # degree histogram: vertex degrees -> log2 bins, two aggregates
+        "kg_degree_histogram": m
+        + _EDGES_CTE
+        + """
+, de AS (SELECT DISTINCT subj AS s, obj AS t FROM edges WHERE subj <> obj)
+, und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM de)
+, inc AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+, deg AS (SELECT v, count(*) AS degree FROM inc GROUP BY v)
+, binned AS (
+  SELECT CAST(floor(log2(degree)) AS BIGINT) AS bin, degree FROM deg)
+SELECT bin,
+       CAST(power(2.0, bin) AS BIGINT) AS degree_lo,
+       CAST(power(2.0, bin + 1) - 1 AS BIGINT) AS degree_hi,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(max(degree) AS BIGINT) AS max_degree
+FROM binned GROUP BY bin
 """,
         # ego network: the bfs unroll to radius 2 + two induced joins
         "kg_ego_network": m

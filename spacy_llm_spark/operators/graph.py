@@ -4074,3 +4074,55 @@ def ego_network(
     return edges.join(ls, src).join(lt, dst).select(
         *edges.columns, "subj_level", "obj_level"
     )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    directed: bool = False,
+) -> DataFrame:
+    """Log-binned degree distribution — the power-law / hub diagnostic
+    behind every skew decision this engine makes (salting thresholds,
+    LSH hot-bucket caps, broadcast gates): one row per log2 bin with
+    ``bin`` (floor(log2(degree))), the bin's ``[degree_lo, degree_hi]``
+    range, ``n_vertices``, and the bin's ``max_degree`` — a straight
+    line over these bins on log-log axes is the scale-free signature,
+    and the top bin's mass says how hard the salting has to work.
+    ``directed=False`` (default) uses undirected degree over the
+    distinct edge set (self-loops dropped); ``directed=True`` bins
+    OUT-degree. Two keyed aggregates (vertex, then bin) — both
+    map-side-partial, output is ~log(max_degree) rows.
+
+    Reference analogue: none — cited for parity accounting.
+    """
+    de = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).where(F.col("s") != F.col("t")).distinct()
+    if directed:
+        inc = de.select(F.col("s").alias("v"))
+    else:
+        und = de.select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        ).distinct()
+        inc = und.select(F.col("a").alias("v")).unionByName(
+            und.select(F.col("b").alias("v"))
+        )
+    deg = inc.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    binned = deg.select(
+        F.floor(F.log2("degree")).cast("long").alias("bin"), "degree"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.max("degree").alias("max_degree"),
+        )
+        .select(
+            "bin",
+            F.pow(F.lit(2.0), F.col("bin")).cast("long").alias("degree_lo"),
+            (F.pow(F.lit(2.0), F.col("bin") + 1) - 1)
+            .cast("long").alias("degree_hi"),
+            "n_vertices", "max_degree",
+        )
+    )

@@ -533,3 +533,27 @@ def test_ego_network_induced_subgraph(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="radius"):
         ego_network(edges, seeds, radius=-1)
+
+
+def test_degree_histogram_log_bins(spark):
+    from pyspark.sql import Row
+    from spacy_llm_spark.operators.graph import degree_histogram
+
+    # hub h with degree 5 (bin 2), spokes degree 1 (bin 0) except s1
+    # which also links s2 -> degree 2 (bin 1); self-loop dropped
+    pairs = [("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"),
+             ("h", "s5"), ("s1", "s2"), ("h", "h"), ("s1", "h")]
+    edges = spark.createDataFrame(
+        [Row(subj=a, obj=b) for a, b in pairs], "subj string, obj string"
+    )
+    got = {r.bin: r for r in degree_histogram(edges).collect()}
+    assert got[0].n_vertices == 3          # s3, s4, s5 (degree 1)
+    assert (got[0].degree_lo, got[0].degree_hi) == (1, 1)
+    assert got[1].n_vertices == 2          # s1, s2 (degree 2)
+    assert (got[1].degree_lo, got[1].degree_hi) == (2, 3)
+    assert got[2].n_vertices == 1 and got[2].max_degree == 5
+    assert (got[2].degree_lo, got[2].degree_hi) == (4, 7)
+    # directed: out-degree only (h -> 5 spokes + dup (s1,h)=... )
+    got_d = {r.bin: r for r in
+             degree_histogram(edges, directed=True).collect()}
+    assert got_d[2].max_degree == 5        # h's out-degree
