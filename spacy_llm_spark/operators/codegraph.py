@@ -1,0 +1,318 @@
+"""Code-structure KG construction over the source-file corpus.
+
+The input table is source code — (repo, path, commit, lang, content)
+per BASELINE.json's input_hint — and the deterministic structure a
+code corpus carries (import statements, identifiers) is the cheapest
+high-precision KG signal there is: no model call, pure line grammar.
+This family extracts it Spark-natively:
+
+- ``extract_imports``: per-language line-grammar import extraction
+  (python / java / go / rust, dispatched on the file extension) as ONE
+  narrow codegen projection — ``regexp_extract_all`` + explode, no
+  Python, no shuffle. Output: one row per distinct (file, module).
+- ``module_providers``: which repo "owns" each module — one
+  module-keyed aggregation (min-doc_id file claims the module; any
+  deterministic claim rule works, the point is the shape: corpus-scale
+  rows reduce to a module-scale dimension before any join).
+- ``dependency_edges``: file imports ⋈ providers → repo→repo edge list
+  with import counts — the code dependency graph that the graph
+  analytics family (pagerank / topological_levels / cycles) then
+  consumes. The provider dimension join is size-gated broadcast, same
+  discipline as canonicalize.canonical_edges.
+- ``split_identifiers`` / ``identifier_stats``: camelCase / snake_case
+  subtoken splitting and corpus-wide subtoken frequency — the
+  code-search vocabulary primitive — again pure codegen projections
+  (two explodes + one count aggregation).
+
+Scale shape: extraction is embarrassingly parallel over file splits
+(no shuffle until the dimension join); ``identifier_stats`` is one
+map-side-combined count shuffle; ``dependency_edges`` shuffles only
+module-scale and repo-scale frames. At 10^12 files nothing here ever
+materializes more than (files × imports-per-file) narrow rows.
+
+Determinism across engines: every rule (grammars, ext dispatch,
+last-vs-first segment normalization) is mirrored in ANSI-ish SQL by the
+DuckDB oracles; the synthetic test corpus renders import headers from
+doc_id by pure arithmetic (``with_import_header``) so the oracle can
+derive the expected modules INDEPENDENTLY of the regex path.
+
+Reference analogue: none — spacy-llm's tasks are prose-NLP only; this
+family is the code-payload counterpart of its mention→edge path
+(deterministic structure extraction instead of model inference). Cited
+for parity accounting only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CODE_EXTS = ("py", "java", "go", "rs")
+
+# 256 MiB — same reasoning as canonicalize._BROADCAST_VMAP_DEFAULT: a
+# provider dimension under this clears a multi-GiB executor even after
+# broadcast-hashmap expansion; above it (or unknown stats) AQE decides.
+_BROADCAST_PROVIDERS_DEFAULT = 256 * 1024 * 1024
+
+
+def _ext(path_col: str) -> F.Column:
+    # substring_index, not a regexp: this expression gets duplicated
+    # into every per-language when() branch by projection collapse, so
+    # it must be CHEAP or whole-stage codegen blows past janino's
+    # method-size limit. Dotless paths yield the whole path, which
+    # matches no known extension — same outcome as "no extension".
+    return F.substring_index(F.col(path_col), ".", -1)
+
+
+def with_import_header(
+    files: DataFrame,
+    n_modules: int = 50,
+    imports_per_file: int = 3,
+    content: str = "content",
+    path: str = "path",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Render a deterministic code VIEW of the corpus for tests/benches.
+
+    The driver-provided documents are word-salad, so the synthetic
+    corpus gets an import header derived from ``doc_id`` by pure
+    arithmetic — module i of a file is ``mod((doc_id*7 + i*13) %
+    n_modules)``, rendered in the file's own language syntax. The
+    arithmetic is mirrorable in the DuckDB oracle verbatim, which lets
+    the oracle derive expected imports WITHOUT sharing the extraction
+    regexes. On a real code corpus this step is simply skipped.
+
+    The body vocabulary (TESTDATA.md: 31 fixed words, single line, no
+    ``import``/``from``/``use``) cannot collide with the line-anchored
+    grammars, so header lines are the complete ground truth.
+    """
+    # stage the ext into a REAL column first: every dependent when()
+    # then references one attribute instead of re-inlining the regexp —
+    # without this the expression tree blows past janino's method-size
+    # limit and whole-stage codegen falls back to interpreted
+    staged = files.select("*", _ext(path).alias("_e"))
+    e = F.col("_e")
+    mods = [
+        F.concat(
+            F.lit("mod"),
+            ((F.col(doc_id) * 7 + i * 13) % n_modules).cast("string"),
+        )
+        for i in range(imports_per_file)
+    ]
+
+    def stmt(m: F.Column) -> F.Column:
+        return (
+            F.when(e == "py", F.concat(F.lit("import "), m))
+            .when(e == "java", F.concat(F.lit("import dep."), m, F.lit(";")))
+            .when(e == "go", F.concat(F.lit('import "dep/'), m, F.lit('"')))
+            .when(e == "rs", F.concat(F.lit("use dep::"), m, F.lit(";")))
+        )
+
+    header = F.concat_ws("\n", *[stmt(m) for m in mods])
+    rendered = F.when(
+        e.isin(*_CODE_EXTS), F.concat(header, F.lit("\n"), F.col(content))
+    ).otherwise(F.col(content))
+    return staged.withColumn(content, rendered).drop("_e")
+
+
+# Import extraction is TWO-staged so the (possibly expensive) content
+# column is referenced by exactly ONE regex pass:
+#   1. one (?m) alternation pulls every candidate statement LINE out of
+#      content (import/from/use starts, plus go-block quoted entries);
+#   2. the exploded per-line rows — tiny strings — are parsed by the
+#      per-language grammars below with plain regexp_extract.
+# Besides being the 100×-friendly shape (one scan of the heavy column,
+# then row-scale work), this keeps Catalyst's projection collapse from
+# duplicating the content expression into every grammar branch, which
+# otherwise blows whole-stage codegen past janino's method-size limit
+# when content is itself computed (as in the synthetic test corpus).
+#
+# These are grammar REGEXES, not parsers: they cover the dominant
+# single-line forms (plus go block entries and java static imports) and
+# normalize what they match; exotic forms (parenthesized python
+# from-imports, rust use-trees beyond one brace group) fall through
+# silently — acceptable for KG signal extraction, documented here.
+_STMT_LINE_PATTERN = (
+    r'(?m)^(?:(?:import|from|use)\b[^\n]*|[ \t]+(?:[A-Za-z_][A-Za-z0-9_]*[ \t]+)?"[^"\n]+")'
+)
+
+# per-language line grammars, tried in order; first non-empty wins
+_LINE_PATTERNS: dict[str, list[str]] = {
+    "py": [
+        r"^import\s+([A-Za-z_][A-Za-z0-9_.]*)",
+        r"^from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import\b",
+    ],
+    "java": [r"^import\s+(?:static\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*;"],
+    "go": [
+        # single-line form: import "path" / import alias "path"
+        r'^import\s+(?:[A-Za-z_][A-Za-z0-9_]*\s+)?"([A-Za-z0-9_/.\-]+)"',
+        # block-form entry: an indented, optionally aliased quoted line
+        r'^\s+(?:[A-Za-z_][A-Za-z0-9_]*\s+)?"([A-Za-z0-9_/.\-]+)"\s*$',
+    ],
+    "rs": [r"^use\s+([A-Za-z_][A-Za-z0-9_:]*)(?:::\{[^}]*\})?\s*;"],
+}
+
+
+def _normalized_module(ext: F.Column, raw: F.Column) -> F.Column:
+    """python → FIRST dotted segment (the top-level package, python's
+    distribution unit); java/go/rust → LAST segment (class / package
+    dir / item path head). One rule per language, mirrored in SQL."""
+    segs = F.split(raw, r"\.|/|::")
+    return F.when(ext == F.lit("py"), F.element_at(segs, 1)).otherwise(
+        F.element_at(segs, -1)
+    )
+
+
+def extract_imports(
+    files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+) -> DataFrame:
+    """One row per DISTINCT (file, module): the file's import set.
+
+    Stage 1 scans ``content`` ONCE (``regexp_extract_all`` with the
+    statement-line alternation, gated to code extensions) and explodes
+    the candidate lines; stage 2 parses each line with the per-language
+    grammar and normalizes the module name. All codegen, zero shuffle
+    except the final distinct, zero Python; files with a non-code
+    extension (or no imports) produce no rows. Output: every input
+    column except ``content``, plus ``module``.
+    """
+    keep = [c for c in files.columns if c != content]
+    e = _ext(path)
+    # stage 1: ONE pass over content -> candidate statement lines
+    lines = F.when(
+        e.isin(*_CODE_EXTS),
+        F.regexp_extract_all(
+            F.col(content), F.lit(_STMT_LINE_PATTERN), F.lit(0)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = files.select(
+        *keep, e.alias("_e"), F.explode(lines).alias("_line")
+    )
+    # stage 2: per-language grammar over the tiny exploded line strings
+    def parse(ext: str) -> F.Column:
+        pats = _LINE_PATTERNS[ext]
+        raw = F.regexp_extract(F.col("_line"), pats[0], 1)
+        for p in pats[1:]:
+            nxt = F.regexp_extract(F.col("_line"), p, 1)
+            raw = F.when(raw != "", raw).otherwise(nxt)
+        return raw
+
+    raw = F.when(F.col("_e") == "py", parse("py"))
+    for ext in ("java", "go", "rs"):
+        raw = raw.when(F.col("_e") == ext, parse(ext))
+    raw = raw.otherwise(F.lit(""))
+    return (
+        exploded.select(*keep, F.col("_e"), raw.alias("_raw"))
+        .where(F.col("_raw") != "")
+        .select(
+            *keep,
+            _normalized_module(F.col("_e"), F.col("_raw")).alias("module"),
+        )
+        .distinct()
+    )
+
+
+def module_providers(
+    files: DataFrame,
+    n_modules: int = 50,
+    repo: str = "repo",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """(module, provider_repo): the synthetic ownership dimension —
+    module j is provided by the repo of the min-``doc_id`` file in
+    residue class j. Any deterministic claim rule works (a real corpus
+    derives providers from packaging metadata); what matters is the
+    SHAPE: one corpus-scale aggregation down to a module-scale
+    dimension, map-side combined, before any join touches it."""
+    return (
+        files.groupBy(((F.col(doc_id) % n_modules)).alias("_j"))
+        .agg(F.min_by(repo, F.col(doc_id)).alias("provider_repo"))
+        .select(
+            F.concat(F.lit("mod"), F.col("_j").cast("string")).alias("module"),
+            "provider_repo",
+        )
+    )
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def dependency_edges(
+    imports: DataFrame,
+    providers: DataFrame,
+    repo: str = "repo",
+    *,
+    broadcast_threshold: int | None = _BROADCAST_PROVIDERS_DEFAULT,
+) -> DataFrame:
+    """Repo-level dependency edges: (src_repo, dst_repo, n_imports,
+    n_files), self-dependencies dropped.
+
+    ``imports`` is file-scale (from ``extract_imports``); ``providers``
+    is module-scale. The join is hinted broadcast only when Catalyst's
+    plan-time estimate of the provider dimension clears
+    ``broadcast_threshold`` (same gate discipline as
+    canonicalize.canonical_edges — a web-scale module universe can stop
+    fitting executor memory, and AQE's measured-size decision is the
+    correct fallback). The aggregation after the join is repo×repo
+    scale with map-side partials.
+    """
+    dim = providers.select("module", "provider_repo")
+    if broadcast_threshold is None or (
+        broadcast_threshold > 0
+        and _plan_size_bytes(dim) <= broadcast_threshold
+    ):
+        dim = F.broadcast(dim)
+    return (
+        imports.join(dim, "module")
+        .where(F.col(repo) != F.col("provider_repo"))
+        .groupBy(
+            F.col(repo).alias("src_repo"),
+            F.col("provider_repo").alias("dst_repo"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_imports"),
+            F.countDistinct("path").cast("long").alias("n_files"),
+        )
+    )
+
+
+def split_identifiers(col: F.Column) -> F.Column:
+    """identifier string → array of lowercase subtokens.
+
+    camelCase humps (incl. the ACRONYMCase boundary: ``HTTPServer`` →
+    ``http`` + ``server``) and snake_case underscores both become
+    separators; the result is lowercased and empty fragments drop out.
+    Pure codegen: two global regexp_replace passes + split + filter —
+    the exact pipeline DuckDB mirrors with its own regexp_replace(...,
+    'g')."""
+    spaced = F.regexp_replace(col, r"([a-z0-9])([A-Z])", r"$1 $2")
+    spaced = F.regexp_replace(spaced, r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
+    return F.filter(
+        F.split(F.lower(spaced), r"[_\s]+"), lambda t: t != F.lit("")
+    )
+
+
+def identifier_stats(
+    files: DataFrame,
+    content: str = "content",
+    min_count: int = 1,
+) -> DataFrame:
+    """(subtoken, n_occurrences) over the whole corpus: extract every
+    identifier-shaped token (``[A-Za-z_][A-Za-z0-9_]*``), split it into
+    camel/snake subtokens, count occurrences. Two explodes + ONE
+    map-side-combined count shuffle; output is vocabulary-scale."""
+    idents = F.regexp_extract_all(
+        F.col(content), F.lit("[A-Za-z_][A-Za-z0-9_]*"), F.lit(0)
+    )
+    out = (
+        files.select(F.explode(idents).alias("_ident"))
+        .select(F.explode(split_identifiers(F.col("_ident"))).alias("subtoken"))
+        .groupBy("subtoken")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_occurrences") >= min_count)
+    return out

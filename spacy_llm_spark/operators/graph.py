@@ -4126,3 +4126,98 @@ def degree_histogram(
             "n_vertices", "max_degree",
         )
     )
+
+
+def topological_levels(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    max_rounds: int = 1000,
+) -> DataFrame:
+    """(vertex, level): Kahn-style topological layering of a DAG —
+    level(v) = length of the LONGEST path from any root (in-degree-0
+    vertex) to v, the build-order / dependency-depth primitive for
+    import graphs and ontology hierarchies.
+
+    Synchronous peel rounds: round r assigns level r to every vertex
+    whose unpeeled in-degree is 0, then removes its outgoing edges.
+    A vertex is peeled exactly when its last predecessor was peeled in
+    the previous round, so the round index IS the longest-path depth —
+    which is what makes the synchronous distributed rounds exact.
+
+    Scale shape: per round ONE distinct over the remaining edges' dst
+    column (vertex-scale, map-side combined) + two anti-joins keyed on
+    the vertex id; the edge set shrinks monotonically and is
+    lineage-cut per round with the remaining-edge count observed
+    DURING the cut (``df.observe`` — zero extra scans, same discipline
+    as ``k_core``). Rounds = longest-path depth, so dependency graphs
+    (depth tens) converge fast; a pathological chain needs depth
+    rounds, which ``max_rounds`` bounds.
+
+    CYCLES ARE REFUSED: a round that peels nobody while edges remain
+    means every remaining vertex has an unpeeled predecessor — a cycle
+    — and a partial layering would silently misreport depths, so the
+    operator raises instead (condense SCCs first — see
+    ``strongly_connected_components`` — if a cyclic graph needs
+    layering).
+
+    Reference analogue: none — driver-memory KBs (reference
+    spacy_llm/tasks/entity_linker/registry.py) cannot express
+    corpus-scale dependency layering; cited for parity accounting only.
+    """
+    from pyspark.sql import Observation
+
+    rem = fs.cut_lineage(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    n_edges = rem.count()
+    unassigned = fs.cut_lineage(
+        rem.select(F.col("s").alias("v"))
+        .union(rem.select(F.col("t").alias("v")))
+        .distinct()
+    )
+    assigned = None
+    for rnd in range(max_rounds):
+        # zero-in-degree = unassigned vertices that are no remaining dst
+        zero = unassigned.join(
+            rem.select(F.col("t").alias("v")).distinct(), "v", "left_anti"
+        )
+        layer = zero.withColumn("level", F.lit(rnd).cast("long"))
+        # assigned stays a PLAIN union of already-cut layer frames
+        # (same reasoning as bfs_levels.visited)
+        cut_layer = fs.cut_lineage(layer)
+        assigned = (
+            cut_layer if assigned is None else assigned.unionByName(cut_layer)
+        )
+        if n_edges == 0:
+            # everything still unassigned is in-degree 0 by definition;
+            # the layer above was final
+            return assigned.select("v", "level").withColumnRenamed(
+                "v", "vertex"
+            )
+        obs = Observation()
+        nxt = rem.join(
+            cut_layer.select(F.col("v").alias("s")), "s", "left_anti"
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        nxt = fs.cut_lineage(nxt)
+        n_next = obs.get["n"]
+        if n_next == n_edges:
+            # nobody peeled but edges remain -> cycle
+            raise ValueError(
+                "topological_levels: the graph contains a cycle "
+                f"({n_next} edges form strongly connected structure); "
+                "condense SCCs first (strongly_connected_components) "
+                "or layer an acyclic subset"
+            )
+        unassigned = fs.cut_lineage(
+            unassigned.join(cut_layer.select("v"), "v", "left_anti")
+        )
+        rem, n_edges = nxt, n_next
+    raise RuntimeError(
+        f"topological_levels did not converge within max_rounds="
+        f"{max_rounds}; the longest dependency chain is deeper — raise "
+        "max_rounds (each round peels >= 1 vertex, so max_rounds=|V| "
+        "always suffices on a DAG)"
+    )

@@ -1,0 +1,297 @@
+"""Code-structure KG family: import extraction, dependency edges,
+identifier splitting (operators/codegraph.py) and DAG layering
+(operators/graph.topological_levels)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.corpus import corpus_from_documents
+from spacy_llm_spark.operators import codegraph as cg
+from spacy_llm_spark.operators.graph import topological_levels
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+# --- synthetic header rendering -------------------------------------------
+
+
+def test_header_rendering_per_lang(spark):
+    rows = [
+        (0, "r", "src/doc_0.py", "en", "body"),
+        (1, "r", "src/doc_1.java", "de", "body"),
+        (2, "r", "src/doc_2.go", "fr", "body"),
+        (3, "r", "src/doc_3.rs", "es", "body"),
+        (4, "r", "src/doc_4.md", "zh", "body"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, lang string, content string"
+    )
+    out = {
+        r.path: r.content
+        for r in cg.with_import_header(df, n_modules=50).collect()
+    }
+    assert out["src/doc_0.py"] == "import mod0\nimport mod13\nimport mod26\nbody"
+    assert out["src/doc_1.java"] == (
+        "import dep.mod7;\nimport dep.mod20;\nimport dep.mod33;\nbody"
+    )
+    assert out["src/doc_2.go"] == (
+        'import "dep/mod14"\nimport "dep/mod27"\nimport "dep/mod40"\nbody'
+    )
+    assert out["src/doc_3.rs"] == (
+        "use dep::mod21;\nuse dep::mod34;\nuse dep::mod47;\nbody"
+    )
+    assert out["src/doc_4.md"] == "body"  # non-code: untouched
+
+
+# --- import extraction: real-language snippets ----------------------------
+
+
+def test_extract_imports_python(spark):
+    content = (
+        "import os.path\n"
+        "from collections import abc\n"
+        "import numpy as np\n"
+        "x = 1  # import nothing: not line-anchored\n"
+    )
+    df = _files(spark, [("r1", "a/b.py", content)])
+    mods = {r.module for r in cg.extract_imports(df).collect()}
+    # python rule: FIRST dotted segment (top-level package)
+    assert mods == {"os", "collections", "numpy"}
+
+
+def test_extract_imports_java(spark):
+    content = (
+        "package x.y;\n"
+        "import java.util.List;\n"
+        "import static org.junit.Assert.assertEquals;\n"
+        "class A {}\n"
+    )
+    df = _files(spark, [("r1", "A.java", content)])
+    mods = {r.module for r in cg.extract_imports(df).collect()}
+    # java rule: LAST dotted segment
+    assert mods == {"List", "assertEquals"}
+
+
+def test_extract_imports_go_block_and_alias(spark):
+    content = (
+        "package main\n"
+        'import "fmt"\n'
+        "import (\n"
+        '\t"strings"\n'
+        '\tstr "os/exec"\n'
+        ")\n"
+        "func main() {}\n"
+    )
+    df = _files(spark, [("r1", "m.go", content)])
+    mods = {r.module for r in cg.extract_imports(df).collect()}
+    assert mods == {"fmt", "strings", "exec"}
+
+
+def test_extract_imports_rust_use_tree(spark):
+    content = (
+        "use std::collections::HashMap;\n"
+        "use serde::{Serialize, Deserialize};\n"
+        "use dep::mod4;\n"
+        "fn main() {}\n"
+    )
+    df = _files(spark, [("r1", "m.rs", content)])
+    mods = {r.module for r in cg.extract_imports(df).collect()}
+    assert mods == {"HashMap", "serde", "mod4"}
+
+
+def test_extract_imports_non_code_and_dedup(spark):
+    df = _files(
+        spark,
+        [
+            ("r1", "notes.md", "import os\nuse x;\n"),  # non-code ext: no rows
+            ("r1", "a.py", "import os\nimport os\n"),  # duplicate import
+        ],
+    )
+    rows = cg.extract_imports(df).collect()
+    assert [(r.path, r.module) for r in rows] == [("a.py", "os")]
+
+
+def test_extract_imports_matches_arithmetic_derivation(spark, sf_dir):
+    """End-to-end against the INDEPENDENT doc_id arithmetic — the regex
+    path never sees the arithmetic, the arithmetic never sees the
+    regexes."""
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_import_header(files)
+    got = {
+        (r.doc_id, r.module)
+        for r in cg.extract_imports(view).select("doc_id", "module").collect()
+    }
+    code_langs = {"en", "de", "fr", "es"}  # zh -> md: no imports
+    expected = {
+        (r.doc_id, f"mod{(r.doc_id * 7 + i * 13) % 50}")
+        for r in files.select("doc_id", "lang").collect()
+        if r.lang in code_langs
+        for i in range(3)
+    }
+    assert got == expected
+
+
+def test_extract_imports_plan_is_narrow(spark):
+    """Extraction before the terminal distinct: no join, no shuffle."""
+    df = _files(spark, [("r1", "a.py", "import os\n")])
+    plan = cg.extract_imports(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1  # the distinct only
+
+
+# --- providers + dependency edges -----------------------------------------
+
+
+def test_module_providers_min_doc_id_claims(spark):
+    df = spark.createDataFrame(
+        [(0, "rA"), (50, "rB"), (1, "rC")], "doc_id long, repo string"
+    )
+    prov = {
+        r.module: r.provider_repo
+        for r in cg.module_providers(df, n_modules=50).collect()
+    }
+    assert prov == {"mod0": "rA", "mod1": "rC"}  # doc 0 < 50 claims mod0
+
+
+def test_dependency_edges_hand_case(spark):
+    imports = spark.createDataFrame(
+        [
+            ("rA", "a.py", "m1"),
+            ("rA", "b.py", "m1"),
+            ("rA", "a.py", "m2"),
+            ("rB", "c.py", "m1"),
+        ],
+        "repo string, path string, module string",
+    )
+    providers = spark.createDataFrame(
+        [("m1", "rB"), ("m2", "rA")], "module string, provider_repo string"
+    )
+    rows = {
+        (r.src_repo, r.dst_repo): (r.n_imports, r.n_files)
+        for r in cg.dependency_edges(imports, providers).collect()
+    }
+    # rA->rB via m1 from two files; rA->rA (m2) and rB->rB (m1) dropped
+    assert rows == {("rA", "rB"): (2, 2)}
+
+
+def test_dependency_edges_broadcast_gated(spark):
+    imports = spark.createDataFrame(
+        [("rA", "a.py", "m1")], "repo string, path string, module string"
+    )
+    providers = spark.createDataFrame(
+        [("m1", "rB")], "module string, provider_repo string"
+    )
+    # None = unconditional hint -> broadcast join planned
+    hinted = cg.dependency_edges(imports, providers, broadcast_threshold=None)
+    plan = hinted._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # default gate: LogicalRDD has UNKNOWN plan-time stats -> no hint
+    # planted (AQE's measured-size decision takes over at runtime)
+    gated = cg.dependency_edges(imports, providers)
+    plang = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "hint" not in plang.lower()
+    assert sorted(hinted.collect()) == sorted(gated.collect())
+
+
+# --- identifiers -----------------------------------------------------------
+
+
+def test_split_identifiers_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            ("fooBarBaz",),
+            ("snake_case_name",),
+            ("HTTPServerV2",),
+            ("_leading",),
+            ("x",),
+        ],
+        "s string",
+    )
+    got = {
+        r.s: r.toks
+        for r in df.select(
+            "s", cg.split_identifiers(F.col("s")).alias("toks")
+        ).collect()
+    }
+    assert got["fooBarBaz"] == ["foo", "bar", "baz"]
+    assert got["snake_case_name"] == ["snake", "case", "name"]
+    assert got["HTTPServerV2"] == ["http", "server", "v2"]
+    assert got["_leading"] == ["leading"]
+    assert got["x"] == ["x"]
+
+
+def test_identifier_stats_counts(spark):
+    df = _files(
+        spark,
+        [("r1", "a.py", "fooBar foo_bar 123 foo")],  # 123 is not an identifier
+    )
+    got = {
+        r.subtoken: r.n_occurrences
+        for r in cg.identifier_stats(df).collect()
+    }
+    assert got == {"foo": 3, "bar": 2}
+    filtered = {
+        r.subtoken: r.n_occurrences
+        for r in cg.identifier_stats(df, min_count=3).collect()
+    }
+    assert filtered == {"foo": 3}
+
+
+# --- topological levels ----------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "subj string, obj string")
+
+
+def test_topological_levels_diamond_longest_path(spark):
+    # a -> b -> d, a -> c -> d, a -> d: level(d) = LONGEST path = 2
+    e = _edges(
+        spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]
+    )
+    got = {r.vertex: r.level for r in topological_levels(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_topological_levels_chain_and_island_root(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    got = {r.vertex: r.level for r in topological_levels(e).collect()}
+    assert got == {"a": 0, "x": 0, "b": 1, "y": 1, "c": 2}
+
+
+def test_topological_levels_cycle_raises(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")])
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(e).collect()
+
+
+def test_topological_levels_self_loop_ignored(spark):
+    # self-loops carry no ordering constraint and are dropped up front
+    e = _edges(spark, [("a", "a"), ("a", "b")])
+    got = {r.vertex: r.level for r in topological_levels(e).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_topological_levels_max_rounds_raises(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        topological_levels(e, max_rounds=2)
+
+
+def test_dep_graph_end_to_end_layering(spark, sf_dir):
+    """corpus -> imports -> dep edges -> filtered DAG -> levels: the
+    composition the code_dep_layers entry query runs."""
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_import_header(files)
+    imps = cg.extract_imports(view)
+    edges = cg.dependency_edges(imps, cg.module_providers(files))
+    dag = edges.where(F.col("src_repo") < F.col("dst_repo"))
+    levels = topological_levels(dag, src="src_repo", dst="dst_repo")
+    rows = {r.vertex: r.level for r in levels.collect()}
+    assert rows  # non-empty
+    # mega/monorepo sorts before every org/repo-*: it is always a root
+    assert rows.get("mega/monorepo") == 0
+    # level bound: longest path in a DAG < n_vertices
+    assert max(rows.values()) < len(rows)
