@@ -4092,6 +4092,62 @@ def q_jaccard_join_exact(spark, sf_dir):
     return setjoin.jaccard_join_exact(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _code_view(spark, sf_dir):
+    """The deterministic code view: corpus + arithmetic import headers
+    (operators/codegraph.with_import_header) — the oracle re-derives
+    the headers in SQL from doc_id, so extraction is checked end-to-end
+    against an independent derivation."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    return cg.with_import_header(corpus_from_documents(spark, sf_dir))
+
+
+def q_code_imports(spark, sf_dir):
+    """Per-language import extraction over the source-file corpus
+    (operators/codegraph.extract_imports): ONE content scan pulls
+    candidate statement lines, the exploded lines are parsed by the
+    py/java/go/rs grammars and normalized — all codegen, the only
+    shuffle is the terminal per-file distinct."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    return cg.extract_imports(_code_view(spark, sf_dir)).select(
+        "doc_id", "repo", "path", "lang", "module"
+    )
+
+
+def q_code_dep_edges(spark, sf_dir):
+    """Repo-level dependency graph: file imports ⋈ module-provider
+    dimension (size-gated broadcast) → (src_repo, dst_repo) edges with
+    import/file counts (operators/codegraph.dependency_edges)."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    files = corpus_from_documents(spark, sf_dir)
+    imps = cg.extract_imports(cg.with_import_header(files))
+    return cg.dependency_edges(imps, cg.module_providers(files))
+
+
+def q_code_identifier_stats(spark, sf_dir):
+    """camelCase/snake_case identifier subtoken frequencies over the
+    code view (operators/codegraph.identifier_stats): two explodes +
+    ONE map-side-combined count shuffle."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    return cg.identifier_stats(_code_view(spark, sf_dir))
+
+
+def q_code_dep_layers(spark, sf_dir):
+    """Dependency-depth layering: the repo dependency graph restricted
+    to src_repo < dst_repo (a DAG by construction) layered with
+    graph.topological_levels — Kahn peel rounds, longest-path levels,
+    cycles refused."""
+    from spacy_llm_spark.operators.graph import topological_levels
+
+    dag = q_code_dep_edges(spark, sf_dir).where(
+        F.col("src_repo") < F.col("dst_repo")
+    )
+    return topological_levels(dag, src="src_repo", dst="dst_repo")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4187,7 +4243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_stats": q_kg_degree_stats,
         "kg_pagerank": q_kg_pagerank,
         "kg_weighted_pagerank": q_kg_weighted_pagerank,
-        "kg_katz": q_kg_katz,
+        # --- code-structure KG (new family, this session): import
+        # extraction over the source-code corpus — kg_katz moved below
+        # 50 (analytics keeps degree_stats/pagerank/weighted_pagerank
+        # stamped) ---
+        "code_imports": q_code_imports,
         "kg_ego_network": q_kg_ego_network,
         "kg_degree_histogram": q_kg_degree_histogram,
         "blocking_quality": q_blocking_quality,
@@ -4247,6 +4307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family variants below — oracle-checked, not driver-stamped
         # (displaced this session for the four new families above)
         "save_io_counts": q_save_io_counts,
+        "kg_katz": q_kg_katz,
+        # code-structure family variants (code_imports is stamped)
+        "code_dep_edges": q_code_dep_edges,
+        "code_identifier_stats": q_code_identifier_stats,
+        "code_dep_layers": q_code_dep_layers,
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -8615,4 +8680,96 @@ SELECT CAST(p_partkey AS BIGINT) AS record_id,
 FROM part LEFT JOIN mn ON p_partkey = mn.id
 """
     )
+    # --- code-structure KG family -------------------------------------
+    # The oracle derives the expected imports INDEPENDENTLY of the
+    # extraction regexes: the code view's headers come from doc_id
+    # arithmetic (corpus.with_import_header mirror), so these CTEs
+    # reconstruct the same arithmetic instead of re-running grammars —
+    # extraction is checked end-to-end against a derivation that never
+    # saw a regex. (code_identifier_stats is the exception: identifier
+    # splitting has no arithmetic form, so its oracle mirrors the regex
+    # pipeline step for step.)
+    _code_cte = f"""
+corpus AS ({CORPUS_ORACLE_SQL}),
+imports AS (
+  SELECT c.doc_id, c.repo, c.path, c.lang,
+         'mod' || CAST((c.doc_id * 7 + t.i * 13) % 50 AS VARCHAR) AS module
+  FROM corpus c CROSS JOIN (VALUES (0), (1), (2)) AS t(i)
+  WHERE c.lang IN ('en', 'de', 'fr', 'es')
+),
+prov AS (
+  SELECT 'mod' || CAST(doc_id % 50 AS VARCHAR) AS module,
+         min_by(repo, doc_id) AS provider_repo
+  FROM corpus GROUP BY doc_id % 50
+),
+dep AS (
+  SELECT i.repo AS src_repo, p.provider_repo AS dst_repo,
+         COUNT(*) AS n_imports, COUNT(DISTINCT i.path) AS n_files
+  FROM imports i JOIN prov p USING (module)
+  WHERE i.repo <> p.provider_repo
+  GROUP BY i.repo, p.provider_repo
+)
+"""
+    sql["code_imports"] = (
+        "WITH " + _code_cte
+        + "SELECT doc_id, repo, path, lang, module FROM imports"
+    )
+    sql["code_dep_edges"] = "WITH " + _code_cte + "SELECT * FROM dep"
+    sql["code_dep_layers"] = (
+        "WITH RECURSIVE " + _code_cte
+        + """,
+e AS (SELECT src_repo AS s, dst_repo AS t FROM dep WHERE src_repo < dst_repo),
+roots AS (SELECT DISTINCT s AS v FROM e WHERE s NOT IN (SELECT t FROM e)),
+-- UNION (distinct), not UNION ALL: dedup per (v, depth) keeps the
+-- recursion V*depth-bounded instead of enumerating every DAG path
+walk AS (
+  SELECT v, 0 AS d FROM roots
+  UNION
+  SELECT e.t, w.d + 1 FROM walk w JOIN e ON e.s = w.v
+)
+SELECT v AS vertex, CAST(MAX(d) AS BIGINT) AS level FROM walk GROUP BY v
+"""
+    )
+    sql["code_identifier_stats"] = rf"""
+WITH corpus AS ({CORPUS_ORACLE_SQL}),
+mods AS (
+  SELECT lang, content,
+         CAST((doc_id * 7) % 50 AS VARCHAR) AS m0,
+         CAST((doc_id * 7 + 13) % 50 AS VARCHAR) AS m1,
+         CAST((doc_id * 7 + 26) % 50 AS VARCHAR) AS m2
+  FROM corpus
+),
+rendered AS (
+  SELECT CASE
+    WHEN lang = 'en' THEN 'import mod' || m0 || chr(10) ||
+      'import mod' || m1 || chr(10) || 'import mod' || m2 ||
+      chr(10) || content
+    WHEN lang = 'de' THEN 'import dep.mod' || m0 || ';' || chr(10) ||
+      'import dep.mod' || m1 || ';' || chr(10) ||
+      'import dep.mod' || m2 || ';' || chr(10) || content
+    WHEN lang = 'fr' THEN 'import "dep/mod' || m0 || '"' || chr(10) ||
+      'import "dep/mod' || m1 || '"' || chr(10) ||
+      'import "dep/mod' || m2 || '"' || chr(10) || content
+    WHEN lang = 'es' THEN 'use dep::mod' || m0 || ';' || chr(10) ||
+      'use dep::mod' || m1 || ';' || chr(10) ||
+      'use dep::mod' || m2 || ';' || chr(10) || content
+    ELSE content END AS content
+  FROM mods
+),
+idents AS (
+  SELECT unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*'))
+    AS ident
+  FROM rendered
+),
+subs AS (
+  SELECT unnest(string_split_regex(
+    lower(regexp_replace(regexp_replace(ident,
+      '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+      '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g')),
+    '[_\s]+')) AS subtoken
+  FROM idents
+)
+SELECT subtoken, COUNT(*) AS n_occurrences FROM subs
+WHERE subtoken <> '' GROUP BY subtoken
+"""
     return sql
