@@ -823,6 +823,25 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     extras["fuse_facts_1m_claims_sec"] = round(time.time() - t0, 3)
     extras["fuse_facts_n_items"] = n_fused
 
+    # code-structure KG: import extraction (one content scan -> line
+    # grammar) + provider join + repo dependency edges + DAG layering
+    # over the replicated corpus
+    t0 = time.time()
+    from spacy_llm_spark.operators import codegraph as _cg
+    from spacy_llm_spark.operators.graph import topological_levels
+
+    _imps = _cg.extract_imports(_cg.with_import_header(corpus))
+    _dep = _cg.dependency_edges(_imps, _cg.module_providers(corpus))
+    n_dep = _dep.count()
+    extras["code_dep_edges_sec"] = round(time.time() - t0, 3)
+    extras["code_dep_n_edges"] = n_dep
+    t0 = time.time()
+    topological_levels(
+        _dep.where(F.col("src_repo") < F.col("dst_repo")),
+        src="src_repo", dst="dst_repo",
+    ).count()
+    extras["code_dep_layers_sec"] = round(time.time() - t0, 3)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
