@@ -1151,6 +1151,33 @@ def main():
         explain_str(rdffn.to_jsonld(trip_upd)),
     ))
 
+    from spacy_llm_spark.operators import codegraph as cg
+
+    code_view = cg.with_import_header(corpus)
+    code_imps = cg.extract_imports(code_view)
+    sections.append((
+        "Code import extraction: one content scan, no join, one distinct",
+        "extract_imports two-stage shape: ONE regexp_extract_all over "
+        "content pulls candidate statement lines (Generate/explode), the "
+        "per-language grammars run on the exploded row-scale strings — "
+        "no Join anywhere, and the only Exchange is the terminal "
+        "per-file distinct. The heavy content column is referenced by "
+        "exactly one regex pass, keeping the projection codegen-sized "
+        "even when content is itself computed.",
+        explain_str(code_imps),
+    ))
+    sections.append((
+        "Code dependency edges: module-scale dimension join + repo aggregate",
+        "dependency_edges: the corpus reduces to a module-scale provider "
+        "dimension before any join (module_providers: one min_by "
+        "aggregate); the file-imports join against it is size-gated "
+        "broadcast (unknown-stats sources left to AQE), then one "
+        "repo-x-repo aggregate with map-side partials.",
+        explain_str(
+            cg.dependency_edges(code_imps, cg.module_providers(corpus))
+        ),
+    ))
+
     spark.stop()
 
 
