@@ -4135,6 +4135,28 @@ def q_code_identifier_stats(spark, sf_dir):
     return cg.identifier_stats(_code_view(spark, sf_dir))
 
 
+def q_code_dep_edges_incremental(spark, sf_dir):
+    """Dependency edges from the PERSISTED import/provider indexes,
+    grown by a disjoint append (odd doc_ids appended onto the even
+    half) — the corpus is never re-read; output shares the full
+    code_dep_edges oracle VERBATIM (index path ≡ full recompute)."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_import_header(files)
+    old_v = view.where(F.col("doc_id") % 2 == 0)
+    new_v = view.where(F.col("doc_id") % 2 == 1)
+    old_f = files.where(F.col("doc_id") % 2 == 0)
+    new_f = files.where(F.col("doc_id") % 2 == 1)
+    imp = cg.import_index_append(
+        cg.import_index(old_v).localCheckpoint(), new_v
+    )
+    prov = cg.provider_index_append(
+        cg.provider_index(old_f).localCheckpoint(), new_f
+    )
+    return cg.dependency_edges_from_index(imp, prov)
+
+
 def q_code_dep_layers(spark, sf_dir):
     """Dependency-depth layering: the repo dependency graph restricted
     to src_repo < dst_repo (a DAG by construction) layered with
@@ -4310,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_katz": q_kg_katz,
         # code-structure family variants (code_imports is stamped)
         "code_dep_edges": q_code_dep_edges,
+        "code_dep_edges_incremental": q_code_dep_edges_incremental,
         "code_identifier_stats": q_code_identifier_stats,
         "code_dep_layers": q_code_dep_layers,
         "lsh_dedup_verified": q_lsh_dedup_verified,
@@ -8715,6 +8738,9 @@ dep AS (
         + "SELECT doc_id, repo, path, lang, module FROM imports"
     )
     sql["code_dep_edges"] = "WITH " + _code_cte + "SELECT * FROM dep"
+    # index path ≡ full recompute: the incremental form shares the full
+    # oracle VERBATIM (the strong contract, as in the dedup families)
+    sql["code_dep_edges_incremental"] = sql["code_dep_edges"]
     sql["code_dep_layers"] = (
         "WITH RECURSIVE " + _code_cte
         + """,

@@ -316,3 +316,143 @@ def identifier_stats(
     if min_count > 1:
         out = out.where(F.col("n_occurrences") >= min_count)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index / incremental form (the daily-crawl shape)
+# ---------------------------------------------------------------------------
+# Import extraction is embarrassingly incremental: a file's import set
+# depends on nothing but the file, so the per-file import table of a
+# grown corpus is EXACTLY the disjoint union of per-batch extractions —
+# no history ever re-scanned. The provider dimension is a keyed min,
+# which merges associatively. Both persisted frames carry the dedup
+# family's schema-level stamp (_fmt_v2_ci_* / _fmt_v2_cp_*): the column
+# NAME encodes format + everything the derivation depends on (grammar
+# revision / n_modules + claim rule), so a probe built with different
+# params refuses the frame instead of silently mismapping modules.
+
+# bump when _STMT_LINE_PATTERN / _LINE_PATTERNS / normalization change:
+# a stale index extracted with an older grammar must be refused
+_GRAMMAR_REV = 1
+
+from .dedup import _check_index_format, _index_stamp  # noqa: E402
+
+
+def _import_stamp() -> str:
+    return _index_stamp("ci", g=_GRAMMAR_REV)
+
+
+def _provider_stamp(n_modules: int) -> str:
+    return _index_stamp("cp", g=_GRAMMAR_REV, m=n_modules)
+
+
+def import_index(
+    files: DataFrame, content: str = "content", path: str = "path"
+) -> DataFrame:
+    """The persistable per-file import table: ``extract_imports`` plus
+    the grammar-revision stamp column. Persist it (parquet/bucketed);
+    new batches extend it via ``import_index_append`` without touching
+    history."""
+    return extract_imports(files, content=content, path=path).withColumn(
+        _import_stamp(), F.lit(_GRAMMAR_REV)
+    )
+
+
+def import_index_append(
+    index: DataFrame,
+    new_files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+) -> DataFrame:
+    """index ∪ extract(new_files) — bit-equal to ``import_index`` over
+    the full corpus when batches partition the file set (the same
+    disjoint-batch contract as the checkpoint store; a re-delivered
+    file duplicates its rows, so route replays through the cache-probe
+    anti-join first)."""
+    _check_index_format(index, "import_index_append", _import_stamp())
+    return index.unionByName(import_index(new_files, content, path))
+
+
+def provider_index(
+    files: DataFrame,
+    n_modules: int = 50,
+    repo: str = "repo",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """The persistable provider dimension: ``module_providers`` keeping
+    the claiming doc_id so the min-claim merges associatively across
+    batches. Stamp encodes n_modules — a mismatched residue universe
+    would silently mismap every module."""
+    return (
+        files.groupBy(((F.col(doc_id) % n_modules)).alias("_j"))
+        .agg(
+            F.min(
+                F.struct(F.col(doc_id).alias("d"), F.col(repo).alias("r"))
+            ).alias("_c")
+        )
+        .select(
+            F.concat(F.lit("mod"), F.col("_j").cast("string")).alias("module"),
+            F.col("_c.r").alias("provider_repo"),
+            F.col("_c.d").alias("claim_doc_id"),
+        )
+        .withColumn(_provider_stamp(n_modules), F.lit(_GRAMMAR_REV))
+    )
+
+
+def provider_index_append(
+    index: DataFrame,
+    new_files: DataFrame,
+    n_modules: int = 50,
+    repo: str = "repo",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Merge the new batch's claims into the standing dimension — one
+    module-scale min-struct aggregate; bit-equal to ``provider_index``
+    over the full corpus (keyed min is associative/commutative)."""
+    stamp = _provider_stamp(n_modules)
+    _check_index_format(index, "provider_index_append", stamp)
+    fresh = provider_index(new_files, n_modules, repo, doc_id)
+    return (
+        index.unionByName(fresh)
+        .groupBy("module")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("claim_doc_id").alias("d"),
+                    F.col("provider_repo").alias("r"),
+                )
+            ).alias("_c")
+        )
+        .select(
+            "module",
+            F.col("_c.r").alias("provider_repo"),
+            F.col("_c.d").alias("claim_doc_id"),
+        )
+        .withColumn(stamp, F.lit(_GRAMMAR_REV))
+    )
+
+
+def dependency_edges_from_index(
+    imports_idx: DataFrame,
+    providers_idx: DataFrame,
+    n_modules: int = 50,
+    repo: str = "repo",
+    *,
+    broadcast_threshold: int | None = _BROADCAST_PROVIDERS_DEFAULT,
+) -> DataFrame:
+    """Repo dependency edges from the two persisted indexes — the
+    corpus is never re-read. Both stamps are validated schema-level
+    first; output is bit-equal to ``dependency_edges`` over a full
+    recompute (shared oracle in the entry contract)."""
+    _check_index_format(
+        imports_idx, "dependency_edges_from_index", _import_stamp()
+    )
+    _check_index_format(
+        providers_idx, "dependency_edges_from_index", _provider_stamp(n_modules)
+    )
+    return dependency_edges(
+        imports_idx.drop(_import_stamp()),
+        providers_idx.select("module", "provider_repo"),
+        repo=repo,
+        broadcast_threshold=broadcast_threshold,
+    )

@@ -295,3 +295,60 @@ def test_dep_graph_end_to_end_layering(spark, sf_dir):
     assert rows.get("mega/monorepo") == 0
     # level bound: longest path in a DAG < n_vertices
     assert max(rows.values()) < len(rows)
+
+
+# --- persisted-index / incremental form ------------------------------------
+
+
+def test_import_and_provider_append_equal_full(spark, sf_dir):
+    """Disjoint-batch appends are bit-equal to the full recompute for
+    both indexes AND the edges derived from them — the strong contract
+    the dedup/alignment families pin."""
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_import_header(files)
+    old_v = view.where(F.col("doc_id") % 2 == 0)
+    new_v = view.where(F.col("doc_id") % 2 == 1)
+    old_f = files.where(F.col("doc_id") % 2 == 0)
+    new_f = files.where(F.col("doc_id") % 2 == 1)
+
+    full_imp = cg.import_index(view)
+    inc_imp = cg.import_index_append(cg.import_index(old_v), new_v)
+    assert sorted(map(tuple, full_imp.collect())) == sorted(
+        map(tuple, inc_imp.collect())
+    )
+
+    full_prov = cg.provider_index(files)
+    inc_prov = cg.provider_index_append(cg.provider_index(old_f), new_f)
+    assert sorted(map(tuple, full_prov.collect())) == sorted(
+        map(tuple, inc_prov.collect())
+    )
+
+    full_edges = cg.dependency_edges_from_index(full_imp, full_prov)
+    inc_edges = cg.dependency_edges_from_index(inc_imp, inc_prov)
+    assert sorted(map(tuple, full_edges.collect())) == sorted(
+        map(tuple, inc_edges.collect())
+    )
+    # and the index path == the direct path
+    direct = cg.dependency_edges(
+        cg.extract_imports(view), cg.module_providers(files)
+    )
+    assert sorted(map(tuple, full_edges.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_index_stamps_refuse_mismatches(spark):
+    files = spark.createDataFrame(
+        [(1, "r", "a.py", "import os\n")],
+        "doc_id long, repo string, path string, content string",
+    )
+    imp = cg.import_index(files)
+    prov = cg.provider_index(files, n_modules=50)
+    # unversioned frames refused
+    with pytest.raises(ValueError, match="stamp"):
+        cg.import_index_append(imp.drop(cg._import_stamp()), files)
+    # mismatched n_modules -> different expected stamp -> refused
+    with pytest.raises(ValueError, match="mismatch"):
+        cg.provider_index_append(prov, files, n_modules=64)
+    with pytest.raises(ValueError, match="mismatch"):
+        cg.dependency_edges_from_index(imp, prov, n_modules=64)
