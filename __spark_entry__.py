@@ -4170,6 +4170,36 @@ def q_code_dep_layers(spark, sf_dir):
     return topological_levels(dag, src="src_repo", dst="dst_repo")
 
 
+def q_kg_msf(spark, sf_dir):
+    """Boruvka minimum spanning forest (graph.minimum_spanning_forest)
+    over a deterministic weighted graph derived from part (k -> k//2
+    and k -> k//3 chords, injective scrambled weights so the MSF is
+    unique); the oracle is the INDEPENDENT cycle-property
+    characterization — an edge is in the MSF iff no path with strictly
+    smaller bottleneck connects its endpoints (distinct weights make
+    the two definitions provably equivalent; the oracle never runs
+    Boruvka)."""
+    from spacy_llm_spark.operators.graph import minimum_spanning_forest
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = part.where(
+        (F.col("p_partkey") >= 2) & (F.col("p_partkey") <= 60)
+    ).select(F.col("p_partkey").cast("long").alias("k"))
+    e_a = base.select(
+        F.format_string("n%03d", F.col("k")).alias("a"),
+        F.format_string("n%03d", F.floor(F.col("k") / 2).cast("long")).alias("b"),
+        (((F.col("k") * 37) % 101) * 1000 + 2 * F.col("k")).alias("w"),
+    )
+    e_b = base.where(F.col("k") >= 3).select(
+        F.format_string("n%03d", F.col("k")).alias("a"),
+        F.format_string("n%03d", F.floor(F.col("k") / 3).cast("long")).alias("b"),
+        (((F.col("k") * 59 + 1) % 101) * 1000 + 2 * F.col("k") + 1).alias("w"),
+    )
+    return minimum_spanning_forest(
+        e_a.unionByName(e_b), src="a", dst="b", weight="w"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4330,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaced this session for the four new families above)
         "save_io_counts": q_save_io_counts,
         "kg_katz": q_kg_katz,
+        "kg_msf": q_kg_msf,
         # code-structure family variants (code_imports is stamped)
         "code_dep_edges": q_code_dep_edges,
         "code_dep_edges_incremental": q_code_dep_edges_incremental,
@@ -8756,6 +8787,42 @@ walk AS (
 SELECT v AS vertex, CAST(MAX(d) AS BIGINT) AS level FROM walk GROUP BY v
 """
     )
+    # MSF oracle: cycle-property characterization over bottleneck paths
+    # (NOT a Boruvka re-run) — with all-distinct weights, e is in the
+    # MSF iff no path between its endpoints has a strictly smaller
+    # bottleneck. reach explores (u, v, bottleneck) states with UNION
+    # dedup: bounded by V^2 x |weights| on this 60-node graph.
+    sql["kg_msf"] = """
+WITH RECURSIVE base AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k FROM part
+  WHERE p_partkey BETWEEN 2 AND 60
+),
+e0 AS (
+  SELECT printf('n%03d', k) AS a, printf('n%03d', k // 2) AS b,
+         ((k * 37) % 101) * 1000 + 2 * k AS w
+  FROM base
+  UNION ALL
+  SELECT printf('n%03d', k), printf('n%03d', k // 3),
+         ((k * 59 + 1) % 101) * 1000 + 2 * k + 1
+  FROM base WHERE k >= 3
+),
+e AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi, MIN(w) AS w
+  FROM e0 WHERE a <> b GROUP BY 1, 2
+),
+ue AS (SELECT lo AS u, hi AS v, w FROM e UNION ALL SELECT hi, lo, w FROM e),
+reach AS (
+  SELECT u, v, w AS b FROM ue
+  UNION
+  SELECT r.u, ue.v, GREATEST(r.b, ue.w) AS b
+  FROM reach r JOIN ue ON r.v = ue.u
+  WHERE ue.v <> r.u
+)
+SELECT lo, hi, w FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r WHERE r.u = e.lo AND r.v = e.hi AND r.b < e.w
+)
+"""
     sql["code_identifier_stats"] = rf"""
 WITH corpus AS ({CORPUS_ORACLE_SQL}),
 mods AS (

@@ -842,6 +842,29 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     ).count()
     extras["code_dep_layers_sec"] = round(time.time() - t0, 3)
 
+    # Boruvka MSF over 100 chains of 1000 + skip-7 chords (~200k edges,
+    # cycles everywhere): log2(1000) pick/contract rounds, per-round
+    # contraction on the geometrically shrinking picked-edge graph
+    t0 = time.time()
+    from spacy_llm_spark.operators.graph import minimum_spanning_forest
+
+    mids = spark.range(100_000)
+    m_chain = mids.where(F.col("id") % 1000 != 999).select(
+        F.format_string("m%08d", "id").alias("src"),
+        F.format_string("m%08d", F.col("id") + 1).alias("dst"),
+        ((F.col("id") * 37) % 1000 + 1).alias("w"),
+    )
+    m_chord = mids.where(F.col("id") % 1000 < 993).select(
+        F.format_string("m%08d", "id").alias("src"),
+        F.format_string("m%08d", F.col("id") + 7).alias("dst"),
+        ((F.col("id") * 53) % 1000 + 1).alias("w"),
+    )
+    n_msf = minimum_spanning_forest(
+        m_chain.unionByName(m_chord), src="src", dst="dst", weight="w"
+    ).count()
+    extras["msf_200k_edges_sec"] = round(time.time() - t0, 3)
+    extras["msf_n_edges"] = n_msf
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

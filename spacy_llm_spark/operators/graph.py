@@ -4221,3 +4221,105 @@ def topological_levels(
         "max_rounds (each round peels >= 1 vertex, so max_rounds=|V| "
         "always suffices on a DAG)"
     )
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    src: str = "subj",
+    dst: str = "obj",
+    weight: str = "weight",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(lo, hi, weight): the minimum spanning forest of the undirected
+    weighted graph — the single-linkage backbone primitive (cutting it
+    at a threshold IS single-linkage clustering; it is also the cheapest
+    skeleton for visualizing an entity-similarity graph).
+
+    Boruvka's algorithm, the distributed-native MST: each round every
+    component picks its minimum outgoing edge under the DETERMINISTIC
+    total order (weight, lo, hi) — ties cannot make the result
+    engine-dependent, and a consistent total order also guarantees the
+    per-round picks are acyclic — then picked components contract.
+    Component count at least halves per round, so log2(V) rounds
+    suffice.
+
+    Scale shape per round: two label-attach equi-joins keyed on the
+    vertex id, one min-struct aggregate over 2x the crossing edges
+    (map-side combined), and a contraction of the PICKED-edge graph —
+    component-scale, geometrically shrinking — delegated to
+    ``connected_components`` (driver union-find under its threshold,
+    exact star rounds above). Edge frames are lineage-cut per round
+    with the pick count observed during the cut (``df.observe`` — the
+    k_core discipline). Parallel edges collapse to their min weight up
+    front; self-loops drop.
+
+    Reference analogue: none — driver-memory KBs (reference
+    spacy_llm/tasks/entity_linker/registry.py) cannot express
+    corpus-scale spanning structure; cited for parity accounting only.
+    """
+    from pyspark.sql import Observation
+
+    from .canonicalize import connected_components
+
+    e = fs.cut_lineage(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.col(weight).alias("w"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+    )
+    labels = fs.cut_lineage(
+        e.select(F.col("lo").alias("node"))
+        .union(e.select(F.col("hi").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    empty = e.select("lo", "hi", F.col("w").alias(weight)).limit(0)
+    forest_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        el = (
+            e.join(
+                labels.select(F.col("node").alias("lo"), F.col("comp").alias("cl")),
+                "lo",
+            )
+            .join(
+                labels.select(F.col("node").alias("hi"), F.col("comp").alias("ch")),
+                "hi",
+            )
+            .where(F.col("cl") != F.col("ch"))
+        )
+        pick = F.struct("w", "lo", "hi", "cl", "ch")
+        sel = (
+            el.select(F.col("cl").alias("comp"), pick.alias("p"))
+            .union(el.select(F.col("ch").alias("comp"), pick.alias("p")))
+            .groupBy("comp")
+            .agg(F.min("p").alias("p"))
+            .select("p.*")
+            .distinct()  # both endpoints picking the same edge collapse
+        )
+        obs = Observation()
+        sel = fs.cut_lineage(sel.observe(obs, F.count(F.lit(1)).alias("n")))
+        if obs.get["n"] == 0:
+            out = empty
+            for part_df in forest_parts:
+                out = out.unionByName(part_df)
+            return out
+        forest_parts.append(sel.select("lo", "hi", F.col("w").alias(weight)))
+        cc = connected_components(
+            sel.select(F.col("cl").alias("src"), F.col("ch").alias("dst"))
+        )
+        labels = fs.cut_lineage(
+            labels.join(
+                cc.withColumnRenamed("node", "comp"), "comp", "left"
+            ).select(
+                "node", F.coalesce("component", "comp").alias("comp")
+            )
+        )
+    raise RuntimeError(
+        f"minimum_spanning_forest did not converge within max_rounds="
+        f"{max_rounds}; component count at least halves per round, so "
+        "max_rounds=ceil(log2(|V|)) always suffices — raise max_rounds"
+    )

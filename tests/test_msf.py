@@ -1,0 +1,100 @@
+"""Boruvka minimum spanning forest (operators/graph.minimum_spanning_forest)
+against a pure-python Kruskal reference under the same (w, lo, hi)
+total order — distinct total order => unique MSF => the two algorithms
+must agree bit-for-bit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spacy_llm_spark.operators.graph import minimum_spanning_forest
+
+
+def _kruskal(edges):
+    best = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        lo, hi = (a, b) if a < b else (b, a)
+        if (lo, hi) not in best or w < best[(lo, hi)]:
+            best[(lo, hi)] = w
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    out = []
+    for w, lo, hi in sorted((w, lo, hi) for (lo, hi), w in best.items()):
+        rl, rh = find(lo), find(hi)
+        if rl != rh:
+            parent[rl] = rh
+            out.append((lo, hi, w))
+    return sorted(out)
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    got = minimum_spanning_forest(df, src="a", dst="b", weight="w").collect()
+    return sorted((r.lo, r.hi, r.w) for r in got)
+
+
+def test_msf_triangle_drops_heaviest(spark):
+    edges = [("a", "b", 1), ("b", "c", 2), ("a", "c", 3)]
+    assert _run(spark, edges) == [("a", "b", 1), ("b", "c", 2)]
+
+
+def test_msf_square_with_diagonal(spark):
+    edges = [
+        ("a", "b", 4), ("b", "c", 1), ("c", "d", 2),
+        ("d", "a", 3), ("a", "c", 5),
+    ]
+    assert _run(spark, edges) == _kruskal(edges)
+
+
+def test_msf_parallel_edges_and_self_loops(spark):
+    edges = [("a", "b", 9), ("b", "a", 2), ("a", "a", 1), ("b", "c", 5)]
+    assert _run(spark, edges) == [("a", "b", 2), ("b", "c", 5)]
+
+
+def test_msf_disconnected_forest(spark):
+    edges = [("a", "b", 1), ("b", "c", 2), ("x", "y", 7)]
+    got = _run(spark, edges)
+    assert got == _kruskal(edges)
+    assert len(got) == 3  # 5 vertices, 2 components -> 3 forest edges
+
+
+def test_msf_all_ties_still_deterministic(spark):
+    # every weight equal: the (w, lo, hi) total order decides alone
+    edges = [("a", "b", 5), ("b", "c", 5), ("a", "c", 5), ("c", "d", 5)]
+    assert _run(spark, edges) == _kruskal(edges)
+
+
+def test_msf_empty(spark):
+    df = spark.createDataFrame([], "a string, b string, w long")
+    assert minimum_spanning_forest(df, src="a", dst="b", weight="w").count() == 0
+
+
+def test_msf_seeded_random_parity(spark):
+    """~60 nodes / 150 edges, deterministic pseudo-random weights WITH
+    collisions (w % 13) so the tie-break path is exercised."""
+    edges = []
+    for k in range(2, 62):
+        edges.append((f"n{k:03d}", f"n{k // 2:03d}", (k * 37) % 13))
+        if k >= 3:
+            edges.append((f"n{k:03d}", f"n{k // 3:03d}", (k * 59 + 1) % 13))
+        if k % 4 == 0:
+            edges.append((f"n{k:03d}", f"n{(k // 5) + 1:03d}", (k * 17) % 13))
+    assert _run(spark, edges) == _kruskal(edges)
+
+
+def test_msf_spanning_property(spark):
+    """The forest connects exactly what the input connects, with
+    |V| - #components edges."""
+    edges = [(f"n{k}", f"n{k // 2}", (k * 7) % 11) for k in range(2, 40)]
+    got = _run(spark, edges)
+    nodes = {x for e in edges for x in e[:2]}
+    assert len(got) == len(nodes) - 1  # the k//2 graph is connected
