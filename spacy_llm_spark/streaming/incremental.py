@@ -65,6 +65,8 @@ def run_incremental(
     snapshot_retention: int | None = 3,
     maintain_alignment: bool = False,
     alignment_snapshot_retention: int | None = 3,
+    maintain_imports: bool = False,
+    imports_provider_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -110,6 +112,8 @@ def run_incremental(
         maintain_alignment=maintain_alignment,
         snapshot_retention=snapshot_retention,
         alignment_snapshot_retention=alignment_snapshot_retention,
+        maintain_imports=maintain_imports,
+        imports_provider_retention=imports_provider_retention,
         compact_every=compact_every,
     )
 
@@ -149,6 +153,8 @@ def make_batch_processor(
     snapshot_retention: int | None = 3,
     maintain_alignment: bool = False,
     alignment_snapshot_retention: int | None = 3,
+    maintain_imports: bool = False,
+    imports_provider_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -189,6 +195,7 @@ def make_batch_processor(
     edgesupport_path = posixpath.join(output_dir, "edgesupport")
     factstate_path = posixpath.join(output_dir, "factstate")
     alignidx_path = posixpath.join(output_dir, "alignidx")
+    imports_path = posixpath.join(output_dir, "imports")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -515,6 +522,50 @@ def make_batch_processor(
             di.write.mode("overwrite").parquet(
                 posixpath.join(dsirindex_path, f"batch_id={batch_id}")
             )
+        if maintain_imports:
+            # Live code-import index maintenance, split into the two
+            # persisted shapes of operators/codegraph.py:
+            # - imports/batches/batch_id=N holds ONLY this batch's
+            #   import_index rows (append-structured like the LSH
+            #   bands: per-file extraction depends on nothing but the
+            #   file, so the standing index IS the union of committed
+            #   subdirs; replay overwrites its own subdir
+            #   bit-identically). Lives forever — it is the index.
+            # - imports/providers/batch_id=N holds the FULL merged
+            #   provider dimension (module-scale, tiny) via
+            #   provider_index_append on the latest committed prior
+            #   snapshot; retention-pruned like the word index.
+            # Within-batch duplicate files would double both shapes —
+            # dropped on the file identity (doc_id) like every counted
+            # maintenance.
+            from ..operators import codegraph as cgr
+
+            for col in ("doc_id", "repo", "path", "content"):
+                if col not in batch_df.columns:
+                    raise ValueError(
+                        "maintain_imports needs corpus-shaped batches "
+                        f"with (doc_id, repo, path, content); missing {col!r}"
+                    )
+            ci_docs = batch_df.dropDuplicates(["doc_id"])
+            cgr.import_index(ci_docs).write.mode("overwrite").parquet(
+                posixpath.join(imports_path, "batches", f"batch_id={batch_id}")
+            )
+            prior_ci = _committed_before(
+                posixpath.join(imports_path, "providers"), batch_id
+            )
+            if prior_ci:
+                latest_ci = max(
+                    prior_ci,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                ci_prov = cgr.provider_index_append(
+                    spark.read.parquet(latest_ci), ci_docs
+                )
+            else:
+                ci_prov = cgr.provider_index(ci_docs)
+            ci_prov.write.mode("overwrite").parquet(
+                posixpath.join(imports_path, "providers", f"batch_id={batch_id}")
+            )
         if maintain_lsh:
             # Live MinHash-LSH near-dup maintenance: the banded index is
             # append-structured — lsh/bands/batch_id=N holds ONLY this
@@ -717,6 +768,13 @@ def make_batch_processor(
             _prune_to_newest(factstate_path, snapshot_retention)
         if maintain_alignment and alignment_snapshot_retention is not None:
             _prune_to_newest(alignidx_path, alignment_snapshot_retention)
+        if maintain_imports and imports_provider_retention is not None:
+            # only the merged PROVIDER snapshots prune; the per-batch
+            # import subdirs are the standing index in append form
+            _prune_to_newest(
+                posixpath.join(imports_path, "providers"),
+                imports_provider_retention,
+            )
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -759,6 +817,39 @@ def latest_word_index(spark: SparkSession, output_dir: str):
     snapshot has committed yet."""
     committed = fs.committed_subdirs(
         spark, posixpath.join(output_dir, "wordindex")
+    )
+    if not committed:
+        return None
+    latest = max(
+        committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+    )
+    return spark.read.parquet(latest)
+
+
+def standing_import_index(spark: SparkSession, output_dir: str):
+    """The standing per-file import index maintained by a
+    ``maintain_imports`` stream: the union of every COMMITTED per-batch
+    extraction (append-structured — per-file extraction depends on
+    nothing but the file, so the union IS codegraph.import_index over
+    everything delivered). None if nothing has committed yet."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "imports", "batches")
+    )
+    if not committed:
+        return None
+    out = spark.read.parquet(committed[0])
+    for sub in committed[1:]:
+        out = out.unionByName(spark.read.parquet(sub))
+    return out
+
+
+def latest_provider_index(spark: SparkSession, output_dir: str):
+    """The most recent committed module-provider dimension maintained
+    by a ``maintain_imports`` stream (stamped, ready for
+    ``codegraph.dependency_edges_from_index`` / further appends) — or
+    None if no snapshot has committed yet."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "imports", "providers")
     )
     if not committed:
         return None

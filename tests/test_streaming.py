@@ -1743,3 +1743,97 @@ def test_alignment_index_maintenance_live_and_replay(spark, tmp_path):
 
     dirs = sorted(os.listdir(out / "alignidx"))
     assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+
+def test_imports_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_imports=True keeps the per-file import index (append
+    form) and the module-provider dimension (merged snapshots) current
+    across micro-batch deliveries — standing index == import_index over
+    ALL files, provider snapshot == provider_index over ALL files, and
+    edges derived from the maintained frames == the direct recompute. A
+    keys-erased crash replay leaves everything bit-identical."""
+    import os
+
+    from spacy_llm_spark.operators import codegraph as cg
+    from spacy_llm_spark.streaming.incremental import (
+        latest_provider_index,
+        make_batch_processor,
+        standing_import_index,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_imports=True)
+    schema = "doc_id long, repo string, path string, lang string, content string"
+    rows1 = [
+        (1, "rA", "src/a.py", "en", "import mod1\nimport mod2\nspark join"),
+        (2, "rB", "src/b.rs", "es", "use dep::mod1;\nwindow sort"),
+    ]
+    rows2 = [
+        (3, "rA", "src/c.go", "fr", 'import "dep/mod3"\nmerge part'),
+        (51, "rC", "src/d.py", "en", "import mod1\nfilter scan"),
+    ]
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "content_sha256", F.sha2("content", 256)
+        )
+
+    proc(batch(rows1), 0)
+    proc(batch(rows2), 1)
+
+    def rows_of(df):
+        # the processor reorders columns (sha probe); compare
+        # column-name-aligned
+        return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+    full = batch(rows1 + rows2)
+    want_imp = rows_of(cg.import_index(full))
+    got_imp = rows_of(standing_import_index(spark, str(out)))
+    assert got_imp == want_imp
+
+    want_prov = rows_of(cg.provider_index(full))
+    got_prov = rows_of(latest_provider_index(spark, str(out)))
+    assert got_prov == want_prov
+
+    # the maintained frames are probe-ready: derived edges == direct
+    want_edges = sorted(map(tuple, cg.dependency_edges(
+        cg.extract_imports(full), cg.module_providers(full)
+    ).collect()))
+    got_edges = sorted(map(tuple, cg.dependency_edges_from_index(
+        standing_import_index(spark, str(out)),
+        latest_provider_index(spark, str(out)),
+    ).collect()))
+    assert got_edges == want_edges
+
+    # crash replay of batch 1, keys erased (worst case)
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(batch(rows2), 1)
+    assert rows_of(standing_import_index(spark, str(out))) == want_imp
+    assert rows_of(latest_provider_index(spark, str(out))) == want_prov
+
+    # missing corpus columns refused
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(9, "x")], "doc_id long, content string"
+    ).withColumn("content_sha256", F.sha2("content", 256))
+    with _pytest.raises(ValueError, match="maintain_imports"):
+        proc(bad, 2)
+
+    # retention: 4 provider snapshots with retention=3 -> oldest pruned;
+    # the per-batch import subdirs (the standing index) all survive
+    # distinct contents: identical text would be dropped by the
+    # content-sha idempotence probe before maintenance sees it
+    for i, r in enumerate(
+        [[(60 + j, "rD", f"src/e{j}.py", "en", f"import mod9\nrow {j}")]
+         for j in range(2)]
+    ):
+        proc(batch(r), 2 + i)
+    prov_dirs = sorted(os.listdir(out / "imports" / "providers"))
+    assert prov_dirs == ["batch_id=1", "batch_id=2", "batch_id=3"]
+    batch_dirs = sorted(os.listdir(out / "imports" / "batches"))
+    assert batch_dirs == [
+        "batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"
+    ]
