@@ -4200,6 +4200,23 @@ def q_kg_msf(spark, sf_dir):
     )
 
 
+def q_kg_single_linkage(spark, sf_dir):
+    """Single-linkage clustering as an MSF threshold cut
+    (graph.single_linkage_clusters over q_kg_msf's forest): clusters =
+    components of the sub-threshold edge set, computed over FOREST-scale
+    edges. The oracle cuts the ORIGINAL graph instead and runs a
+    min-label closure — the classic MSF invariant (components of
+    G_{w<=t} == components of MSF_{w<=t}) makes the two independently
+    defined answers provably equal."""
+    from spacy_llm_spark.operators.graph import single_linkage_clusters
+
+    forest = q_kg_msf(spark, sf_dir)
+    nodes = forest.select(F.col("lo").alias("v")).union(
+        forest.select(F.col("hi").alias("v"))
+    )
+    return single_linkage_clusters(forest, 50_000, nodes=nodes, weight="w")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -4361,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_io_counts": q_save_io_counts,
         "kg_katz": q_kg_katz,
         "kg_msf": q_kg_msf,
+        "kg_single_linkage": q_kg_single_linkage,
         # code-structure family variants (code_imports is stamped)
         "code_dep_edges": q_code_dep_edges,
         "code_dep_edges_incremental": q_code_dep_edges_incremental,
@@ -8822,6 +8840,39 @@ SELECT lo, hi, w FROM e
 WHERE NOT EXISTS (
   SELECT 1 FROM reach r WHERE r.u = e.lo AND r.v = e.hi AND r.b < e.w
 )
+"""
+    # single-linkage oracle: min-label closure over the sub-threshold
+    # ORIGINAL graph (never sees the MSF) — equality with the
+    # forest-cut path is the MSF invariant the operator documents
+    sql["kg_single_linkage"] = """
+WITH RECURSIVE base AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k FROM part
+  WHERE p_partkey BETWEEN 2 AND 60
+),
+e0 AS (
+  SELECT printf('n%03d', k) AS a, printf('n%03d', k // 2) AS b,
+         ((k * 37) % 101) * 1000 + 2 * k AS w
+  FROM base
+  UNION ALL
+  SELECT printf('n%03d', k), printf('n%03d', k // 3),
+         ((k * 59 + 1) % 101) * 1000 + 2 * k + 1
+  FROM base WHERE k >= 3
+),
+e AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi, MIN(w) AS w
+  FROM e0 WHERE a <> b GROUP BY 1, 2
+),
+nodes AS (SELECT lo AS v FROM e UNION SELECT hi FROM e),
+sub AS (SELECT lo, hi FROM e WHERE w <= 50000),
+ue AS (SELECT lo AS a, hi AS b FROM sub UNION SELECT hi, lo FROM sub),
+reach AS (
+  SELECT a, b FROM ue
+  UNION
+  SELECT r.a, ue.b FROM reach r JOIN ue ON r.b = ue.a
+)
+SELECT n.v AS node, LEAST(n.v, COALESCE(MIN(r.b), n.v)) AS cluster
+FROM nodes n LEFT JOIN reach r ON r.a = n.v
+GROUP BY n.v
 """
     sql["code_identifier_stats"] = rf"""
 WITH corpus AS ({CORPUS_ORACLE_SQL}),

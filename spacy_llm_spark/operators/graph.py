@@ -4323,3 +4323,50 @@ def minimum_spanning_forest(
         f"{max_rounds}; component count at least halves per round, so "
         "max_rounds=ceil(log2(|V|)) always suffices — raise max_rounds"
     )
+
+
+def single_linkage_clusters(
+    forest: DataFrame,
+    threshold,
+    nodes: DataFrame | None = None,
+    src: str = "lo",
+    dst: str = "hi",
+    weight: str = "weight",
+) -> DataFrame:
+    """(node, cluster): single-linkage clustering at a distance
+    threshold — clusters are the connected components of the
+    sub-threshold (``weight <= threshold``) edge set, labeled by their
+    lexicographically smallest member.
+
+    Pass the ``minimum_spanning_forest`` output as ``forest`` and the
+    cut runs over FOREST-scale edges (|V|-1, not |E|): single linkage
+    at every threshold is a classic MSF invariant (components of
+    G restricted to w<=t equal components of MSF(G) restricted to
+    w<=t), so one MSF pays for any number of threshold sweeps — the
+    dendrogram-cut primitive for ER cluster tuning. Passing the raw
+    edge set instead is legal and gives the same answer, just at
+    edge-scale cost.
+
+    ``nodes`` (single-column, optional) adds isolated vertices as
+    singleton clusters — the forest alone cannot know about vertices
+    whose every incident edge is above the cut... or that had no edges
+    at all. Without it, only vertices on sub-threshold edges appear.
+
+    Reference analogue: none — cited for parity accounting only
+    (driver-memory KBs cannot express corpus-scale clustering).
+    """
+    from .canonicalize import connected_components
+
+    cut = forest.where(F.col(weight) <= threshold).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    cc = connected_components(cut).select(
+        F.col("node"), F.col("component").alias("cluster")
+    )
+    if nodes is None:
+        return cc
+    col = nodes.columns[0]
+    all_nodes = nodes.select(F.col(col).alias("node")).distinct()
+    return all_nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("cluster", "node").alias("cluster")
+    )

@@ -98,3 +98,56 @@ def test_msf_spanning_property(spark):
     got = _run(spark, edges)
     nodes = {x for e in edges for x in e[:2]}
     assert len(got) == len(nodes) - 1  # the k//2 graph is connected
+
+
+# --- single-linkage threshold cut ------------------------------------------
+
+
+def test_single_linkage_msf_equals_raw_graph(spark):
+    """The MSF invariant the operator relies on: cutting the FOREST at
+    any threshold gives the same clusters as cutting the full graph."""
+    from spacy_llm_spark.operators.canonicalize import connected_components
+    from spacy_llm_spark.operators.graph import single_linkage_clusters
+
+    edges = []
+    for k in range(2, 40):
+        edges.append((f"n{k:03d}", f"n{k // 2:03d}", (k * 37) % 19))
+        if k >= 3:
+            edges.append((f"n{k:03d}", f"n{k // 3:03d}", (k * 59 + 1) % 19))
+    df = spark.createDataFrame(edges, "a string, b string, w long")
+    forest = minimum_spanning_forest(df, src="a", dst="b", weight="w")
+    nodes = df.select("a").union(df.select("b")).distinct()
+    for t in (0, 4, 9, 18):
+        via_msf = sorted(map(tuple, single_linkage_clusters(
+            forest, t, nodes=nodes, weight="w"
+        ).collect()))
+        sub = df.where(F.col("w") <= t).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        cc = connected_components(sub)
+        raw = {r.node: r.component for r in cc.collect()}
+        via_raw = sorted(
+            (r[0], raw.get(r[0], r[0]))
+            for r in nodes.distinct().collect()
+        )
+        assert via_msf == via_raw, f"threshold {t}"
+
+
+def test_single_linkage_hand_case(spark):
+    from spacy_llm_spark.operators.graph import single_linkage_clusters
+
+    forest = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 5), ("x", "y", 2)],
+        "lo string, hi string, weight long",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",), ("z",)], "v string"
+    )
+    got = {
+        r.node: r.cluster
+        for r in single_linkage_clusters(forest, 2, nodes=nodes).collect()
+    }
+    # cut at 2: {a,b} merge, {x,y} merge; c and z are singletons
+    assert got == {
+        "a": "a", "b": "a", "c": "c", "x": "x", "y": "x", "z": "z"
+    }
