@@ -4200,6 +4200,24 @@ def q_kg_msf(spark, sf_dir):
     )
 
 
+def q_code_dep_rank(spark, sf_dir):
+    """Cross-family composition: the code dependency graph feeds the
+    analytics family — repo importance via graph.weighted_pagerank over
+    code_dep_edges (an edge's pull ∝ its import count, so heavily
+    depended-on repos rank high: the 'criticality' signal of OSS
+    dependency analysis). No new kernel; oracle = the code CTEs + the
+    round-unrolled _wpr_oracle_sql generator."""
+    from spacy_llm_spark.operators.graph import weighted_pagerank
+
+    dep = q_code_dep_edges(spark, sf_dir)
+    edges = dep.select(
+        F.col("src_repo").alias("s"),
+        F.col("dst_repo").alias("t"),
+        F.col("n_imports").cast("double").alias("w"),
+    )
+    return weighted_pagerank(edges, src="s", dst="t", weight="w", iters=3)
+
+
 def q_kg_single_linkage(spark, sf_dir):
     """Single-linkage clustering as an MSF threshold cut
     (graph.single_linkage_clusters over q_kg_msf's forest): clusters =
@@ -4384,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dep_edges_incremental": q_code_dep_edges_incremental,
         "code_identifier_stats": q_code_identifier_stats,
         "code_dep_layers": q_code_dep_layers,
+        "code_dep_rank": q_code_dep_rank,
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -8841,6 +8860,17 @@ WHERE NOT EXISTS (
   SELECT 1 FROM reach r WHERE r.u = e.lo AND r.v = e.hi AND r.b < e.w
 )
 """
+    # weighted PageRank over the code dependency graph: the code CTEs
+    # feed the shared round-unrolled generator
+    sql["code_dep_rank"] = (
+        "WITH " + _code_cte
+        + _wpr_oracle_sql(
+            iters=3,
+            ew_sql="""
+, ew AS (SELECT src_repo AS s, dst_repo AS t,
+                CAST(n_imports AS DOUBLE) AS w FROM dep)""",
+        )
+    )
     # single-linkage oracle: min-label closure over the sub-threshold
     # ORIGINAL graph (never sees the MSF) — equality with the
     # forest-cut path is the MSF invariant the operator documents
