@@ -4200,6 +4200,19 @@ def q_kg_msf(spark, sf_dir):
     )
 
 
+def q_code_quality_stats(spark, sf_dir):
+    """The Stack-style code-corpus curation signals per file
+    (codegraph.code_quality_stats): line-length profile, alphanumeric
+    fraction, per-language comment-line fraction, autogen marker — one
+    narrow codegen projection over the code view."""
+    from spacy_llm_spark.operators.codegraph import code_quality_stats
+
+    return code_quality_stats(_code_view(spark, sf_dir)).select(
+        "doc_id", "path", "n_lines", "max_line_len", "avg_line_len",
+        "alnum_frac", "comment_line_frac", "autogen",
+    )
+
+
 def q_code_dep_rank(spark, sf_dir):
     """Cross-family composition: the code dependency graph feeds the
     analytics family — repo importance via graph.weighted_pagerank over
@@ -4415,6 +4428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_identifier_stats": q_code_identifier_stats,
         "code_dep_layers": q_code_dep_layers,
         "code_dep_rank": q_code_dep_rank,
+        "code_quality_stats": q_code_quality_stats,
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -8871,6 +8885,63 @@ SELECT lo, hi, w FROM e
 WHERE NOT EXISTS (
   SELECT 1 FROM reach r WHERE r.u = e.lo AND r.v = e.hi AND r.b < e.w
 )
+"""
+    # code quality stats: the array pipeline mirrored step-for-step
+    # (string_split lines, per-line lengths, marker-gated comment count)
+    sql["code_quality_stats"] = rf"""
+WITH corpus AS ({CORPUS_ORACLE_SQL}),
+mods AS (
+  SELECT doc_id, path, lang, content,
+         CASE lang WHEN 'en' THEN 'py' WHEN 'de' THEN 'java'
+                   WHEN 'fr' THEN 'go' WHEN 'es' THEN 'rs'
+                   WHEN 'zh' THEN 'md' ELSE 'txt' END AS ext,
+         CAST((doc_id * 7) % 50 AS VARCHAR) AS m0,
+         CAST((doc_id * 7 + 13) % 50 AS VARCHAR) AS m1,
+         CAST((doc_id * 7 + 26) % 50 AS VARCHAR) AS m2
+  FROM corpus
+),
+rendered AS (
+  SELECT doc_id, path, ext, CASE
+    WHEN ext = 'py' THEN 'import mod' || m0 || chr(10) ||
+      'import mod' || m1 || chr(10) || 'import mod' || m2 ||
+      chr(10) || content
+    WHEN ext = 'java' THEN 'import dep.mod' || m0 || ';' || chr(10) ||
+      'import dep.mod' || m1 || ';' || chr(10) ||
+      'import dep.mod' || m2 || ';' || chr(10) || content
+    WHEN ext = 'go' THEN 'import "dep/mod' || m0 || '"' || chr(10) ||
+      'import "dep/mod' || m1 || '"' || chr(10) ||
+      'import "dep/mod' || m2 || '"' || chr(10) || content
+    WHEN ext = 'rs' THEN 'use dep::mod' || m0 || ';' || chr(10) ||
+      'use dep::mod' || m1 || ';' || chr(10) ||
+      'use dep::mod' || m2 || ';' || chr(10) || content
+    ELSE content END AS content
+  FROM mods
+),
+base AS (
+  SELECT doc_id, path, content,
+         string_split(content, chr(10)) AS lines,
+         CASE ext WHEN 'py' THEN '#' WHEN 'java' THEN '//'
+                  WHEN 'go' THEN '//' WHEN 'rs' THEN '//'
+                  ELSE '' END AS marker
+  FROM rendered
+)
+SELECT doc_id, path,
+  len(lines) AS n_lines,
+  list_aggregate(list_transform(lines, l -> len(l)), 'max')
+    AS max_line_len,
+  round(list_aggregate(list_transform(lines, l -> len(l)), 'sum')
+        / len(lines), 6) AS avg_line_len,
+  round(CASE WHEN len(content) > 0
+             THEN len(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+                  / len(content)
+             ELSE 0.0 END, 6) AS alnum_frac,
+  round(CASE WHEN marker = '' THEN 0.0
+             ELSE len(list_filter(lines,
+                                  l -> starts_with(ltrim(l), marker)))
+                  / len(lines) END, 6) AS comment_line_frac,
+  (contains(lower(content), 'auto-generated')
+   OR contains(lower(content), 'do not edit')) AS autogen
+FROM base
 """
     # weighted PageRank over the code dependency graph: the code CTEs
     # feed the shared round-unrolled generator

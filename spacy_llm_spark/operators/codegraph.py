@@ -456,3 +456,112 @@ def dependency_edges_from_index(
         repo=repo,
         broadcast_threshold=broadcast_threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-corpus quality filters (The Stack / StarCoder curation signals)
+# ---------------------------------------------------------------------------
+
+# per-extension line-comment marker (the block-comment forms are not
+# line-classifiable without a parser and are deliberately out of scope)
+_COMMENT_PREFIX = {"py": "#", "java": "//", "go": "//", "rs": "//", "md": ""}
+
+# The published Stack-v1 defaults (Kocetkov et al. 2022): files with a
+# line over 1000 chars, an average line over 100 chars, or under 25%
+# alphanumeric content are overwhelmingly minified/generated/binary-ish
+_MAX_LINE_LEN = 1000
+_AVG_LINE_LEN = 100.0
+_MIN_ALNUM_FRAC = 0.25
+
+
+def code_quality_stats(
+    files: DataFrame, content: str = "content", path: str = "path"
+) -> DataFrame:
+    """Per-file code-quality signals, the curation battery of The Stack
+    / StarCoder data pipelines: line-length profile (minified/generated
+    detector), alphanumeric fraction (binary-blob detector), per-language
+    comment-line fraction (docs-vs-code mix), and the auto-generated
+    marker flag. ONE narrow codegen projection — array ops over the
+    split lines, no Python, no shuffle, no extra scan of content beyond
+    the split.
+
+    Output adds: ``n_lines``, ``max_line_len``, ``avg_line_len`` (6 dp),
+    ``alnum_frac`` (6 dp; 0.0 for empty files), ``comment_line_frac``
+    (6 dp; 0.0 where the language has no line marker), ``autogen``
+    (case-insensitive 'auto-generated' / 'do not edit' marker).
+    """
+    lines = F.split(F.col(content), "\n")
+    lens = F.transform(lines, lambda l: F.length(l))
+    n_lines = F.size(lines)
+    total = F.length(F.col(content))
+    alnum = F.length(F.regexp_replace(F.col(content), "[^A-Za-z0-9]", ""))
+    e = _ext(path)
+    marker = F.coalesce(
+        *[
+            F.when(e == k, F.lit(v))
+            for k, v in _COMMENT_PREFIX.items()
+            if v
+        ],
+        F.lit(""),
+    )
+    staged = files.select(
+        "*",
+        lens.alias("_lens"),
+        n_lines.alias("n_lines"),
+        total.alias("_total"),
+        alnum.alias("_alnum"),
+        marker.alias("_marker"),
+        lines.alias("_lines"),
+    )
+    n_comment = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda l: (F.col("_marker") != "")
+            & F.ltrim(l).startswith(F.col("_marker")),
+        )
+    )
+    return staged.select(
+        *files.columns,
+        "n_lines",
+        F.array_max("_lens").alias("max_line_len"),
+        F.round(
+            F.aggregate("_lens", F.lit(0), lambda a, x: a + x)
+            / F.col("n_lines"),
+            6,
+        ).alias("avg_line_len"),
+        F.round(
+            F.when(F.col("_total") > 0, F.col("_alnum") / F.col("_total"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("alnum_frac"),
+        F.round(n_comment / F.col("n_lines"), 6).alias("comment_line_frac"),
+        (
+            F.lower(F.col(content)).contains("auto-generated")
+            | F.lower(F.col(content)).contains("do not edit")
+        ).alias("autogen"),
+    )
+
+
+def code_quality_filter(
+    files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+    max_line_len: int = _MAX_LINE_LEN,
+    avg_line_len: float = _AVG_LINE_LEN,
+    min_alnum_frac: float = _MIN_ALNUM_FRAC,
+    drop_autogen: bool = True,
+) -> DataFrame:
+    """Apply the published Stack-v1 thresholds over
+    ``code_quality_stats``: drop likely-minified/generated/binary files.
+    Pure filter over the stats projection — Catalyst fuses it into the
+    same narrow stage; returns the surviving rows with their stats kept
+    (curation decisions should stay auditable)."""
+    stats = code_quality_stats(files, content=content, path=path)
+    keep = (
+        (F.col("max_line_len") <= max_line_len)
+        & (F.col("avg_line_len") <= avg_line_len)
+        & (F.col("alnum_frac") >= min_alnum_frac)
+    )
+    if drop_autogen:
+        keep = keep & ~F.col("autogen")
+    return stats.where(keep)

@@ -352,3 +352,77 @@ def test_index_stamps_refuse_mismatches(spark):
         cg.provider_index_append(prov, files, n_modules=64)
     with pytest.raises(ValueError, match="mismatch"):
         cg.dependency_edges_from_index(imp, prov, n_modules=64)
+
+
+# --- code-corpus quality filters -------------------------------------------
+
+
+def test_code_quality_stats_hand_case(spark):
+    content = "# header comment\nimport os\n\nx = 1  # trailing\n#done"
+    # lines: ['# header comment', 'import os', '', 'x = 1  # trailing',
+    #         '#done'] -> 5 lines, 3 start with '#' after ltrim... no:
+    # 'x = 1...' doesn't; '' doesn't. comment lines = 2 + '#done' = 3? no:
+    # '# header comment' and '#done' -> 2... plus none others = 2/5
+    df = spark.createDataFrame(
+        [(1, "r", "a.py", content)],
+        "doc_id long, repo string, path string, content string",
+    )
+    from spacy_llm_spark.operators.codegraph import code_quality_stats
+
+    r = code_quality_stats(df).collect()[0]
+    assert r.n_lines == 5
+    assert r.max_line_len == len("x = 1  # trailing")
+    total = sum(len(l) for l in content.split("\n"))
+    assert r.avg_line_len == round(total / 5, 6)
+    alnum = sum(c.isalnum() for c in content)
+    assert r.alnum_frac == round(alnum / len(content), 6)
+    assert r.comment_line_frac == round(2 / 5, 6)
+    assert r.autogen is False
+
+
+def test_code_quality_comment_marker_per_lang(spark):
+    rows = [
+        (1, "r", "a.go", "// c\ncode\n"),
+        (2, "r", "b.py", "// not python comment\n# yes\n"),
+        (3, "r", "c.md", "# md has no line marker here\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, content string"
+    )
+    from spacy_llm_spark.operators.codegraph import code_quality_stats
+
+    got = {r.path: r.comment_line_frac for r in code_quality_stats(df).collect()}
+    assert got["a.go"] == round(1 / 3, 6)  # ['// c', 'code', '']
+    assert got["b.py"] == round(1 / 3, 6)  # only '# yes'
+    assert got["c.md"] == 0.0  # no marker for md
+
+
+def test_code_quality_filter_thresholds(spark):
+    from spacy_llm_spark.operators.codegraph import code_quality_filter
+
+    long_line = "x" * 1500
+    rows = [
+        (1, "r", "ok.py", "import os\nx = 1\n# fine"),
+        (2, "r", "minified.py", long_line),
+        (3, "r", "gen.py", "# AUTO-GENERATED file, DO NOT EDIT\nx = 1"),
+        (4, "r", "blob.py", "%%%% ---- !!!! ''''"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, content string"
+    )
+    kept = {r.path for r in code_quality_filter(df).collect()}
+    assert kept == {"ok.py"}
+    # autogen kept when drop_autogen=False
+    kept2 = {r.path for r in code_quality_filter(df, drop_autogen=False).collect()}
+    assert kept2 == {"ok.py", "gen.py"}
+
+
+def test_code_quality_empty_file_safe(spark):
+    from spacy_llm_spark.operators.codegraph import code_quality_stats
+
+    df = spark.createDataFrame(
+        [(1, "r", "e.py", "")],
+        "doc_id long, repo string, path string, content string",
+    )
+    r = code_quality_stats(df).collect()[0]
+    assert r.alnum_frac == 0.0 and r.n_lines == 1 and r.max_line_len == 0
