@@ -4231,6 +4231,30 @@ def q_code_dep_rank(spark, sf_dir):
     return weighted_pagerank(edges, src="s", dst="t", weight="w", iters=3)
 
 
+def q_code_dep_cycles(spark, sf_dir):
+    """Dependency-cycle lint: repos on a mutual-dependency cycle —
+    SCCs of the repo dependency graph (graph.strongly_connected_
+    components) restricted to components of size > 1, the report every
+    monorepo build tool ships. Oracle = the code CTEs + the recursive
+    mutual-reachability min-label characterization (kg_scc's pattern),
+    with the size filter as a windowless grouped semi-join."""
+    from spacy_llm_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    dep = q_code_dep_edges(spark, sf_dir)
+    scc = strongly_connected_components(
+        dep, src="src_repo", dst="dst_repo"
+    )
+    big = (
+        scc.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("scc")
+    )
+    return scc.join(big, "scc", "left_semi").select("vertex", "scc")
+
+
 def q_kg_single_linkage(spark, sf_dir):
     """Single-linkage clustering as an MSF threshold cut
     (graph.single_linkage_clusters over q_kg_msf's forest): clusters =
@@ -4429,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dep_layers": q_code_dep_layers,
         "code_dep_rank": q_code_dep_rank,
         "code_quality_stats": q_code_quality_stats,
+        "code_dep_cycles": q_code_dep_cycles,
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -8943,6 +8968,35 @@ SELECT doc_id, path,
    OR contains(lower(content), 'do not edit')) AS autogen
 FROM base
 """
+    # dependency cycles: mutual-reachability min-label SCCs (the kg_scc
+    # oracle pattern) over the code dep graph, size>1 components only
+    sql["code_dep_cycles"] = (
+        "WITH RECURSIVE " + _code_cte
+        + """,
+de AS (SELECT DISTINCT src_repo AS s, dst_repo AS t FROM dep
+       WHERE src_repo <> dst_repo),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src_repo AS v FROM dep UNION ALL SELECT dst_repo FROM dep)
+),
+reach AS (
+  SELECT s, t FROM de
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN de e2 ON r.t = e2.s
+), mutual AS (
+  SELECT a.t AS v, min(a.s) AS m
+  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+  GROUP BY a.t
+),
+lab AS (
+  SELECT verts.v AS vertex,
+         least(verts.v, coalesce(mutual.m, verts.v)) AS scc
+  FROM verts LEFT JOIN mutual ON verts.v = mutual.v
+),
+big AS (SELECT scc FROM lab GROUP BY scc HAVING count(*) > 1)
+SELECT vertex, scc FROM lab WHERE scc IN (SELECT scc FROM big)
+"""
+    )
     # weighted PageRank over the code dependency graph: the code CTEs
     # feed the shared round-unrolled generator
     sql["code_dep_rank"] = (
