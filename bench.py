@@ -842,6 +842,13 @@ def run_bench(sf_dir: str, cpus: int, replicate: int) -> dict:
     ).count()
     extras["code_dep_layers_sec"] = round(time.time() - t0, 3)
 
+    # The Stack-style quality battery over the replicated corpus: one
+    # narrow projection (line profile + alnum + comment fractions)
+    t0 = time.time()
+    _cq = _cg.code_quality_stats(_cg.with_import_header(corpus))
+    _cq.count()
+    extras["code_quality_stats_sec"] = round(time.time() - t0, 3)
+
     # Boruvka MSF over 100 chains of 1000 + skip-7 chords (~200k edges,
     # cycles everywhere): log2(1000) pick/contract rounds, per-round
     # contraction on the geometrically shrinking picked-edge graph

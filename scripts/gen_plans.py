@@ -1177,6 +1177,14 @@ def main():
             cg.dependency_edges(code_imps, cg.module_providers(corpus))
         ),
     ))
+    sections.append((
+        "Code quality battery: one narrow projection, no shuffle",
+        "code_quality_stats: line profile, alnum fraction, marker-gated "
+        "comment fraction and the autogen flag all ride ONE Project over "
+        "the scan — array ops over the split lines, zero Exchange, zero "
+        "Python; code_quality_filter fuses as a Filter in the same stage.",
+        explain_str(cg.code_quality_stats(code_view)),
+    ))
 
     spark.stop()
 
