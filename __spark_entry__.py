@@ -4255,6 +4255,22 @@ def q_code_dep_cycles(spark, sf_dir):
     return scc.join(big, "scc", "left_semi").select("vertex", "scc")
 
 
+def q_code_dep_condensed_layers(spark, sf_dir):
+    """Build-order layering of the REAL (cyclic) dependency graph:
+    SCC condensation (graph.condensation — acyclic by construction)
+    then graph.topological_levels, total where raw layering would
+    refuse. Oracle composes the mutual-reachability SCC labels, the
+    condensed edge relabel, and the UNION-dedup walk layering."""
+    from spacy_llm_spark.operators.graph import (
+        condensation,
+        topological_levels,
+    )
+
+    dep = q_code_dep_edges(spark, sf_dir)
+    cond = condensation(dep, src="src_repo", dst="dst_repo")
+    return topological_levels(cond, src="src_repo", dst="dst_repo")
+
+
 def q_kg_single_linkage(spark, sf_dir):
     """Single-linkage clustering as an MSF threshold cut
     (graph.single_linkage_clusters over q_kg_msf's forest): clusters =
@@ -4454,6 +4470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dep_rank": q_code_dep_rank,
         "code_quality_stats": q_code_quality_stats,
         "code_dep_cycles": q_code_dep_cycles,
+        "code_dep_condensed_layers": q_code_dep_condensed_layers,
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -8995,6 +9012,46 @@ lab AS (
 ),
 big AS (SELECT scc FROM lab GROUP BY scc HAVING count(*) > 1)
 SELECT vertex, scc FROM lab WHERE scc IN (SELECT scc FROM big)
+"""
+    )
+    # condensation layering: SCC labels -> condensed edges -> the
+    # UNION-dedup walk layering, all composed in one statement
+    sql["code_dep_condensed_layers"] = (
+        "WITH RECURSIVE " + _code_cte
+        + """,
+de AS (SELECT DISTINCT src_repo AS s, dst_repo AS t FROM dep
+       WHERE src_repo <> dst_repo),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src_repo AS v FROM dep UNION ALL SELECT dst_repo FROM dep)
+),
+reach AS (
+  SELECT s, t FROM de
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN de e2 ON r.t = e2.s
+), mutual AS (
+  SELECT a.t AS v, min(a.s) AS m
+  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+  GROUP BY a.t
+),
+lab AS (
+  SELECT verts.v AS vertex,
+         least(verts.v, coalesce(mutual.m, verts.v)) AS scc
+  FROM verts LEFT JOIN mutual ON verts.v = mutual.v
+),
+ce AS (
+  SELECT DISTINCT la.scc AS s, lb.scc AS t
+  FROM de JOIN lab la ON la.vertex = de.s
+          JOIN lab lb ON lb.vertex = de.t
+  WHERE la.scc <> lb.scc
+),
+roots AS (SELECT DISTINCT s AS v FROM ce WHERE s NOT IN (SELECT t FROM ce)),
+walk AS (
+  SELECT v, 0 AS d FROM roots
+  UNION
+  SELECT ce.t, w.d + 1 FROM walk w JOIN ce ON ce.s = w.v
+)
+SELECT v AS vertex, CAST(MAX(d) AS BIGINT) AS level FROM walk GROUP BY v
 """
     )
     # weighted PageRank over the code dependency graph: the code CTEs
