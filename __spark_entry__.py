@@ -3128,6 +3128,39 @@ def q_distinct_users_approx(spark, sf_dir):
     )
 
 
+def q_distinct_users_sketch_incremental(spark, sf_dir):
+    """Distinct-user counts from the PERSISTED DataSketches HLL index
+    grown by an append (odd-user events appended onto the even half,
+    sketches.hll_index/_append/distinct_from_index) — history never
+    re-read. The estimate is engine- and merge-path-specific, so the
+    cross-engine contract is the certificate: exact count + a boolean
+    asserting the index's estimate sits within 4 sigma of it (rsd =
+    1.04/sqrt(2^12) ~1.6%); the oracle carries the exact count and
+    literal TRUE, the distinct_users_approx pattern."""
+    from spacy_llm_spark.operators import sketches
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = events.where(F.col("user_id") % 2 == 0)
+    new = events.where(F.col("user_id") % 2 == 1)
+    idx = sketches.hll_index(old, "user_id", ["event_type"]).localCheckpoint()
+    idx = sketches.hll_index_append(idx, new, "user_id", ["event_type"])
+    est = sketches.distinct_from_index(
+        idx, "user_id", ["event_type"], alias="_est"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct")
+    )
+    bound = 4 * 1.04 / (2 ** 12) ** 0.5
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_distinct",
+        (
+            F.abs(F.col("_est") - F.col("n_distinct"))
+            <= F.lit(bound) * F.col("n_distinct") + 1
+        ).alias("ok"),
+    )
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -4471,6 +4504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_stats": q_code_quality_stats,
         "code_dep_cycles": q_code_dep_cycles,
         "code_dep_condensed_layers": q_code_dep_condensed_layers,
+        "distinct_users_sketch_incremental": (
+            q_distinct_users_sketch_incremental
+        ),
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -9014,6 +9050,10 @@ big AS (SELECT scc FROM lab GROUP BY scc HAVING count(*) > 1)
 SELECT vertex, scc FROM lab WHERE scc IN (SELECT scc FROM big)
 """
     )
+    # the sketch-index incremental twin shares the certificate oracle:
+    # exact count + literal TRUE (estimates are engine/merge-path
+    # specific; the bound is the contract)
+    sql["distinct_users_sketch_incremental"] = sql["distinct_users_approx"]
     # condensation layering: SCC labels -> condensed edges -> the
     # UNION-dedup walk layering, all composed in one statement
     sql["code_dep_condensed_layers"] = (

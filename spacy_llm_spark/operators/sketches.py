@@ -216,3 +216,86 @@ def frequent_items_topk(
         .orderBy(F.desc("n"), F.asc("item"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index / incremental form (DataSketches HLL)
+# ---------------------------------------------------------------------------
+# approx_count_distinct's HLL++ sketch lives only inside the aggregate;
+# the Apache DataSketches functions (hll_sketch_agg / hll_union_agg,
+# Spark 3.5+) expose the sketch as a BINARY column, which makes the
+# distinct-count family incrementally maintainable like the dedup/BPE/
+# DSIR indexes: persist one sketch row per group, union new batches'
+# sketches in (register-wise max — associative and commutative, so any
+# batch order yields the same registers), never re-read history. The
+# frames carry the dedup family's schema-level stamp; lg_k AND the
+# sketched value column are encoded in it (a user_id index probed as a
+# content_sha index would silently estimate the wrong universe), and
+# hll_union_agg independently refuses mismatched lg_k at runtime.
+
+from .dedup import _check_index_format, _index_stamp  # noqa: E402
+
+
+def _hll_stamp(value_col: str, lg_k: int) -> str:
+    return _index_stamp("hll", k=lg_k, v=value_col)
+
+
+def hll_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """The persistable per-group HLL sketch table: one BINARY sketch of
+    ``value_col``'s distinct set per group (O(2^lg_k) bytes each),
+    stamped. ONE narrow sketch shuffle — values never shuffle."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col).cast("string"), F.lit(lg_k)).alias(
+            "sketch"
+        )
+    ).withColumn(_hll_stamp(value_col, lg_k), F.lit(lg_k))
+
+
+def hll_index_append(
+    index: DataFrame,
+    new_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """index ∪ sketch(new batch), merged per group with
+    ``hll_union_agg``. Re-delivered rows are absorbed, not
+    double-counted (register-wise max — replaying a batch into an index
+    that already holds it leaves every estimate unchanged, test-pinned;
+    the sketch index is idempotent under replay, unlike the counted
+    indexes). Estimates agree with a single-pass ``hll_index`` over the
+    full data WITHIN the sketch's error bound, not bit-for-bit:
+    DataSketches unions run through an HLL_8 gadget, so a merged sketch
+    can sit a register off a directly-built one (±1-in-600 at lg_k=12)
+    — both remain inside the same rsd envelope around the true count,
+    which is the only contract an approximate sketch ever offered."""
+    stamp = _hll_stamp(value_col, lg_k)
+    _check_index_format(index, "hll_index_append", stamp)
+    fresh = hll_index(new_df, value_col, group_cols, lg_k)
+    return (
+        index.drop(stamp)
+        .unionByName(fresh.drop(stamp))
+        .groupBy(*group_cols)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn(stamp, F.lit(lg_k))
+    )
+
+
+def distinct_from_index(
+    index: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lg_k: int = 12,
+    alias: str = "n_distinct_approx",
+) -> DataFrame:
+    """Per-group distinct estimates straight off the persisted sketch
+    table — the standing corpus is never re-read. Stamp-validated."""
+    _check_index_format(index, "distinct_from_index", _hll_stamp(value_col, lg_k))
+    return index.select(
+        *group_cols, F.hll_sketch_estimate("sketch").alias(alias)
+    )

@@ -1658,3 +1658,80 @@ def test_hyperball_guards(spark):
         hyperball(e, max_t=2)
     with pytest.raises(RuntimeError, match="not converged"):
         hyperball_certificate(e, max_t=2)
+
+
+def test_hll_index_append_within_bound_and_replay_stable(spark, tmp_path):
+    """The persisted-sketch form: estimates off the appended index stay
+    inside the sketch's error envelope around the exact counts in ANY
+    batch order (merged sketches can sit a register off a direct build
+    — the union gadget — so bit-equality is NOT the contract); a
+    replayed batch leaves estimates EXACTLY unchanged (register max is
+    idempotent); parquet round-trip preserves the sketch binary."""
+    from spacy_llm_spark.operators import sketches
+
+    df = spark.range(3000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 777).alias("v")
+    )
+    exact = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    # lg_k=12 -> rsd ~1.04/sqrt(4096) ~1.6%; 4 sigma ~6.5%
+    bound = 4 * 1.04 / (2 ** 12) ** 0.5
+
+    def assert_in_bound(rows):
+        for g, est in rows:
+            assert abs(est - exact[g]) <= bound * exact[g] + 1, (g, est)
+
+    full = sorted(map(tuple, sketches.distinct_from_index(
+        sketches.hll_index(df, "v", ["g"]), "v", ["g"]
+    ).collect()))
+    assert_in_bound(full)
+
+    a = df.where(F.col("id") % 3 == 0)
+    b = df.where(F.col("id") % 3 == 1)
+    c = df.where(F.col("id") % 3 == 2)
+    # order 1: a, b, c — with a parquet round-trip in the middle
+    idx = sketches.hll_index(a, "v", ["g"])
+    p = str(tmp_path / "hll_idx")
+    idx.write.mode("overwrite").parquet(p)
+    idx = sketches.hll_index_append(spark.read.parquet(p), b, "v", ["g"])
+    idx = sketches.hll_index_append(
+        idx.localCheckpoint(), c, "v", ["g"]
+    ).localCheckpoint()
+    got1 = sorted(map(tuple, sketches.distinct_from_index(
+        idx, "v", ["g"]
+    ).collect()))
+    assert_in_bound(got1)
+    # order 2: c, a, b
+    idx2 = sketches.hll_index(c, "v", ["g"])
+    idx2 = sketches.hll_index_append(idx2.localCheckpoint(), a, "v", ["g"])
+    idx2 = sketches.hll_index_append(idx2.localCheckpoint(), b, "v", ["g"])
+    got2 = sorted(map(tuple, sketches.distinct_from_index(
+        idx2, "v", ["g"]
+    ).collect()))
+    assert_in_bound(got2)
+    # replay: appending batch b AGAIN changes NOTHING (idempotent merge)
+    idx3 = sketches.hll_index_append(idx, b, "v", ["g"])
+    got3 = sorted(map(tuple, sketches.distinct_from_index(
+        idx3, "v", ["g"]
+    ).collect()))
+    assert got3 == got1
+
+
+def test_hll_index_stamp_refusals(spark):
+    from spacy_llm_spark.operators import sketches
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    idx = sketches.hll_index(df, "v", ["g"])
+    import pytest as _pytest
+
+    stamp = [c for c in idx.columns if c.startswith("_fmt")][0]
+    with _pytest.raises(ValueError, match="stamp"):
+        sketches.hll_index_append(idx.drop(stamp), df, "v", ["g"])
+    with _pytest.raises(ValueError, match="mismatch"):
+        sketches.hll_index_append(idx, df, "v", ["g"], lg_k=14)
+    with _pytest.raises(ValueError, match="mismatch"):
+        sketches.distinct_from_index(idx, "other_col", ["g"])
