@@ -67,6 +67,11 @@ def run_incremental(
     alignment_snapshot_retention: int | None = 3,
     maintain_imports: bool = False,
     imports_provider_retention: int | None = 3,
+    maintain_distinct: bool = False,
+    distinct_value_col: str = "content_sha256",
+    distinct_group_cols: tuple = ("lang",),
+    distinct_lg_k: int = 12,
+    distinct_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """Stream the corpus directory into KG sinks.
@@ -114,6 +119,11 @@ def run_incremental(
         alignment_snapshot_retention=alignment_snapshot_retention,
         maintain_imports=maintain_imports,
         imports_provider_retention=imports_provider_retention,
+        maintain_distinct=maintain_distinct,
+        distinct_value_col=distinct_value_col,
+        distinct_group_cols=distinct_group_cols,
+        distinct_lg_k=distinct_lg_k,
+        distinct_snapshot_retention=distinct_snapshot_retention,
         compact_every=compact_every,
     )
 
@@ -155,6 +165,11 @@ def make_batch_processor(
     alignment_snapshot_retention: int | None = 3,
     maintain_imports: bool = False,
     imports_provider_retention: int | None = 3,
+    maintain_distinct: bool = False,
+    distinct_value_col: str = "content_sha256",
+    distinct_group_cols: tuple = ("lang",),
+    distinct_lg_k: int = 12,
+    distinct_snapshot_retention: int | None = 3,
     compact_every: int | None = None,
 ):
     """The foreachBatch body, exposed so replay semantics are testable:
@@ -196,6 +211,7 @@ def make_batch_processor(
     factstate_path = posixpath.join(output_dir, "factstate")
     alignidx_path = posixpath.join(output_dir, "alignidx")
     imports_path = posixpath.join(output_dir, "imports")
+    hllindex_path = posixpath.join(output_dir, "hllindex")
 
     def _committed_before(path: str, batch_id: int) -> list:
         """Committed batch_id=N subdirs EXCLUDING this batch's own (a
@@ -566,6 +582,45 @@ def make_batch_processor(
             ci_prov.write.mode("overwrite").parquet(
                 posixpath.join(imports_path, "providers", f"batch_id={batch_id}")
             )
+        if maintain_distinct:
+            # Live distinct-count sketch maintenance: full merged
+            # per-group DataSketches HLL snapshots per batch at
+            # hllindex/batch_id=N (group-scale — a handful of binary
+            # sketches, the smallest snapshot in the family). Merge base
+            # is the latest committed snapshot excluding this batch_id;
+            # register-wise max makes the merge IDEMPOTENT under replay
+            # (re-absorbing the same rows changes no register), so this
+            # is the one maintenance that would be exactly-once even
+            # without the marker discipline. Within-batch duplicate ids
+            # are harmless for the same reason — no dedup needed.
+            from ..operators import sketches as sk
+
+            for col in (distinct_value_col, *distinct_group_cols):
+                if col not in batch_df.columns:
+                    raise ValueError(
+                        "maintain_distinct needs batches carrying "
+                        f"{col!r} (configure distinct_value_col / "
+                        "distinct_group_cols)"
+                    )
+            prior_hll = _committed_before(hllindex_path, batch_id)
+            if prior_hll:
+                latest_hll = max(
+                    prior_hll,
+                    key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1]),
+                )
+                hll = sk.hll_index_append(
+                    spark.read.parquet(latest_hll), batch_df,
+                    distinct_value_col, list(distinct_group_cols),
+                    distinct_lg_k,
+                )
+            else:
+                hll = sk.hll_index(
+                    batch_df, distinct_value_col,
+                    list(distinct_group_cols), distinct_lg_k,
+                )
+            hll.write.mode("overwrite").parquet(
+                posixpath.join(hllindex_path, f"batch_id={batch_id}")
+            )
         if maintain_lsh:
             # Live MinHash-LSH near-dup maintenance: the banded index is
             # append-structured — lsh/bands/batch_id=N holds ONLY this
@@ -775,6 +830,8 @@ def make_batch_processor(
                 posixpath.join(imports_path, "providers"),
                 imports_provider_retention,
             )
+        if maintain_distinct and distinct_snapshot_retention is not None:
+            _prune_to_newest(hllindex_path, distinct_snapshot_retention)
         if maintain_packing and packing_total_retention is not None:
             # segments are the packed table itself (append form, live
             # forever); only the 1-row running-total snapshots prune
@@ -850,6 +907,22 @@ def latest_provider_index(spark: SparkSession, output_dir: str):
     None if no snapshot has committed yet."""
     committed = fs.committed_subdirs(
         spark, posixpath.join(output_dir, "imports", "providers")
+    )
+    if not committed:
+        return None
+    latest = max(
+        committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
+    )
+    return spark.read.parquet(latest)
+
+
+def latest_hll_index(spark: SparkSession, output_dir: str):
+    """The most recent committed distinct-count sketch index maintained
+    by a ``maintain_distinct`` stream (stamped, ready for
+    ``sketches.distinct_from_index`` / further appends) — or None if no
+    snapshot has committed yet."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "hllindex")
     )
     if not committed:
         return None

@@ -1837,3 +1837,62 @@ def test_imports_maintenance_live_and_replay(spark, tmp_path):
     assert batch_dirs == [
         "batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"
     ]
+
+
+def test_distinct_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_distinct=True keeps the per-group HLL sketch index
+    current — the latest snapshot's estimates sit inside the 4-sigma
+    envelope of the exact distinct counts over ALL delivered rows — and
+    a keys-erased crash replay leaves the estimates EXACTLY unchanged
+    (register-wise max is idempotent)."""
+    import os
+
+    from spacy_llm_spark.operators import sketches
+    from spacy_llm_spark.streaming.incremental import (
+        latest_hll_index,
+        make_batch_processor,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_distinct=True)
+    schema = "doc_id long, content string, lang string"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "content_sha256", F.sha2("content", 256)
+        )
+
+    rows1 = [(i, f"text {i}", "en" if i % 2 else "de") for i in range(40)]
+    rows2 = [(i, f"text {i}", "en" if i % 2 else "de") for i in range(40, 90)]
+    proc(batch(rows1), 0)
+    proc(batch(rows2), 1)
+
+    idx = latest_hll_index(spark, str(out))
+    est = {
+        r.lang: r.n_distinct_approx
+        for r in sketches.distinct_from_index(
+            idx, "content_sha256", ["lang"]
+        ).collect()
+    }
+    exact = {"en": 45, "de": 45}
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= 4 * 1.04 / (2 ** 12) ** 0.5 * n + 1
+
+    # keys-erased replay: estimates EXACTLY unchanged
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(batch(rows2), 1)
+    est2 = {
+        r.lang: r.n_distinct_approx
+        for r in sketches.distinct_from_index(
+            latest_hll_index(spark, str(out)), "content_sha256", ["lang"]
+        ).collect()
+    }
+    assert est2 == est
+
+    # retention
+    proc(batch([(99, "text 99x", "en")]), 2)
+    proc(batch([(100, "text 100x", "de")]), 3)
+    dirs = sorted(os.listdir(out / "hllindex"))
+    assert dirs == ["batch_id=1", "batch_id=2", "batch_id=3"]
