@@ -4243,15 +4243,22 @@ def minimum_spanning_forest(
     Component count at least halves per round, so log2(V) rounds
     suffice.
 
-    Scale shape per round: two label-attach equi-joins keyed on the
-    vertex id, one min-struct aggregate over 2x the crossing edges
-    (map-side combined), and a contraction of the PICKED-edge graph —
-    component-scale, geometrically shrinking — delegated to
-    ``connected_components`` (driver union-find under its threshold,
-    exact star rounds above). Edge frames are lineage-cut per round
-    with the pick count observed during the cut (``df.observe`` — the
-    k_core discipline). Parallel edges collapse to their min weight up
-    front; self-loops drop.
+    Scale shape per round: one min-struct pick aggregate over 2x the
+    surviving inter-component edges (map-side combined), a merge of the
+    PICKED-edge graph — component-scale, geometrically shrinking —
+    delegated to ``connected_components`` (driver union-find under its
+    threshold, exact star rounds above), then the textbook edge
+    CONTRACTION: endpoints relabel onto merged components (two
+    component-keyed joins against the pick-scale label map),
+    intra-component edges drop, and parallel edges min-collapse (cut
+    property: only the minimum edge between two components can ever
+    join the MSF, so the collapse is lossless). The working edge set —
+    which carries both the original (lo, hi) identity and the
+    contracted (u, v) endpoints — therefore SHRINKS round over round;
+    no vertex-scale label map is ever joined. Frames are lineage-cut
+    per round with the pick count observed during the cut
+    (``df.observe`` — the k_core discipline). Parallel input edges
+    collapse to their min weight up front; self-loops drop.
 
     Reference analogue: none — driver-memory KBs (reference
     spacy_llm/tasks/entity_linker/registry.py) cannot express
@@ -4271,30 +4278,25 @@ def minimum_spanning_forest(
         .groupBy("lo", "hi")
         .agg(F.min("w").alias("w"))
     )
-    labels = fs.cut_lineage(
-        e.select(F.col("lo").alias("node"))
-        .union(e.select(F.col("hi").alias("node")))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+    # the working edge set carries BOTH identities: (lo, hi, w) = the
+    # original edge (what the forest emits) and (u, v) = its endpoints
+    # in the CONTRACTED graph. Contracting the edges themselves — the
+    # textbook Boruvka — makes every round's work proportional to the
+    # SURVIVING inter-component edges (geometrically shrinking in
+    # practice) instead of |E| + a vertex-scale label map join.
+    e = fs.cut_lineage(
+        e.select(
+            "lo", "hi", "w",
+            F.col("lo").alias("u"), F.col("hi").alias("v"),
+        )
     )
     empty = e.select("lo", "hi", F.col("w").alias(weight)).limit(0)
     forest_parts: list[DataFrame] = []
     for _ in range(max_rounds):
-        el = (
-            e.join(
-                labels.select(F.col("node").alias("lo"), F.col("comp").alias("cl")),
-                "lo",
-            )
-            .join(
-                labels.select(F.col("node").alias("hi"), F.col("comp").alias("ch")),
-                "hi",
-            )
-            .where(F.col("cl") != F.col("ch"))
-        )
-        pick = F.struct("w", "lo", "hi", "cl", "ch")
+        pick = F.struct("w", "lo", "hi", "u", "v")
         sel = (
-            el.select(F.col("cl").alias("comp"), pick.alias("p"))
-            .union(el.select(F.col("ch").alias("comp"), pick.alias("p")))
+            e.select(F.col("u").alias("comp"), pick.alias("p"))
+            .union(e.select(F.col("v").alias("comp"), pick.alias("p")))
             .groupBy("comp")
             .agg(F.min("p").alias("p"))
             .select("p.*")
@@ -4309,13 +4311,37 @@ def minimum_spanning_forest(
             return out
         forest_parts.append(sel.select("lo", "hi", F.col("w").alias(weight)))
         cc = connected_components(
-            sel.select(F.col("cl").alias("src"), F.col("ch").alias("dst"))
+            sel.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         )
-        labels = fs.cut_lineage(
-            labels.join(
-                cc.withColumnRenamed("node", "comp"), "comp", "left"
-            ).select(
-                "node", F.coalesce("component", "comp").alias("comp")
+        # contract: relabel endpoints onto the merged components, drop
+        # intra-component edges, and min-collapse parallel edges — only
+        # the minimum edge between two components can ever join the MSF
+        # (cut property under the unique total order), so the collapse
+        # is lossless AND what makes the edge set actually shrink
+        relabeled = (
+            e.join(
+                cc.select(F.col("node").alias("u"), F.col("component").alias("_nu")),
+                "u", "left",
+            )
+            .join(
+                cc.select(F.col("node").alias("v"), F.col("component").alias("_nv")),
+                "v", "left",
+            )
+            .select(
+                "lo", "hi", "w",
+                F.coalesce("_nu", "u").alias("u"),
+                F.coalesce("_nv", "v").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+        )
+        e = fs.cut_lineage(
+            relabeled.groupBy(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .agg(F.min(F.struct("w", "lo", "hi")).alias("m"))
+            .select(
+                F.col("m.lo").alias("lo"), F.col("m.hi").alias("hi"),
+                F.col("m.w").alias("w"), "u", "v",
             )
         )
     raise RuntimeError(
