@@ -3161,6 +3161,33 @@ def q_distinct_users_sketch_incremental(spark, sf_dir):
     )
 
 
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (audit.k_anonymity_violations): customer
+    quasi-identifier groups (nation, segment) smaller than k=10 — the
+    re-identification risk report beside the PII scrub."""
+    from spacy_llm_spark.operators import audit
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return audit.k_anonymity_violations(
+        customer, ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+def q_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit (audit.l_diversity_violations): (nation,
+    segment) groups whose coarse account-balance bucket takes fewer
+    than l=5 distinct values — homogeneous groups leak the sensitive
+    attribute even when k-anonymous."""
+    from spacy_llm_spark.operators import audit
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "_bal_bucket", F.floor(F.col("c_acctbal") / 2000).cast("int")
+    )
+    return audit.l_diversity_violations(
+        customer, ["c_nationkey", "c_mktsegment"], "_bal_bucket", l=5
+    )
+
+
 def q_save_io_counts(spark, sf_dir):
     """save_io retention (reference pipeline/llm.py:295-314 analog): with
     save_io=True every doc carries its raw prompts/responses per task.
@@ -4507,6 +4534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_sketch_incremental": (
             q_distinct_users_sketch_incremental
         ),
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "l_diversity_audit": q_l_diversity_audit,
         "lsh_dedup_verified": q_lsh_dedup_verified,
         "kg_bfs_levels": q_kg_bfs_levels,
         "detect_language": q_detect_language,
@@ -9050,6 +9079,20 @@ big AS (SELECT scc FROM lab GROUP BY scc HAVING count(*) > 1)
 SELECT vertex, scc FROM lab WHERE scc IN (SELECT scc FROM big)
 """
     )
+    sql["k_anonymity_audit"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM customer GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 10
+"""
+    sql["l_diversity_audit"] = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS INTEGER))
+            AS BIGINT) AS n_sensitive_values
+FROM customer GROUP BY c_nationkey, c_mktsegment
+HAVING count(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS INTEGER)) < 5
+"""
     # the sketch-index incremental twin shares the certificate oracle:
     # exact count + literal TRUE (estimates are engine/merge-path
     # specific; the bound is the contract)

@@ -756,3 +756,57 @@ def summarize_entities(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Quasi-identifier groups smaller than ``k`` — the k-anonymity
+    audit (Sweeney 2002): any combination of quasi-identifier values
+    shared by fewer than k rows re-identifies those rows. One
+    map-side-combined count aggregate + a filter; output is the
+    violating group keys with their sizes.
+
+    Releasing a table this audit flags requires generalizing or
+    suppressing the flagged groups; the audit itself is the cheap part
+    and belongs next to the PII scrub in the hygiene battery.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k} (k=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values (Machanavajjhala et al. 2007) — a
+    k-anonymous group where everyone shares the same diagnosis still
+    leaks it. One aggregate computing group size and distinct-sensitive
+    count together (the distinct count shares the shuffle); NULL
+    sensitive values count as a value (an attacker learns 'missing'
+    too, and silently dropping them would overstate diversity).
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l} (l=1 is vacuous)")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct(
+                F.coalesce(
+                    F.col(sensitive_col).cast("string"), F.lit(" null")
+                )
+            ).cast("long").alias("n_sensitive_values"),
+        )
+        .where(F.col("n_sensitive_values") < l)
+    )

@@ -1490,3 +1490,44 @@ def test_blocking_quality_metrics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="total_records"):
         blocking.blocking_quality(cand, gold, total_records=1)
+
+
+def test_k_anonymity_violations(spark):
+    """Groups under k flagged with sizes; compliant groups absent."""
+    from spacy_llm_spark.operators.audit import k_anonymity_violations
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("us", "a")] * 5       # compliant at k=5
+        + [("us", "b")] * 2     # violating
+        + [("de", "a")] * 1     # violating
+    )
+    df = spark.createDataFrame(rows, "country string, segment string")
+    got = {
+        (r.country, r.segment): r.group_size
+        for r in k_anonymity_violations(df, ["country", "segment"], k=5).collect()
+    }
+    assert got == {("us", "b"): 2, ("de", "a"): 1}
+    assert k_anonymity_violations(df, ["country", "segment"], k=2).count() == 1
+    with _pytest.raises(ValueError, match="vacuous"):
+        k_anonymity_violations(df, ["country"], k=1)
+
+
+def test_l_diversity_violations_null_counts_as_value(spark):
+    from spacy_llm_spark.operators.audit import l_diversity_violations
+    import pytest as _pytest
+
+    rows = [
+        ("us", "flu"), ("us", "flu"), ("us", "flu"),   # 1 value -> violates l=2
+        ("de", "flu"), ("de", None),                    # NULL is a 2nd value -> ok
+        ("fr", "flu"), ("fr", "cold"),                  # ok
+    ]
+    df = spark.createDataFrame(rows, "country string, diagnosis string")
+    got = {
+        r.country: (r.group_size, r.n_sensitive_values)
+        for r in l_diversity_violations(df, ["country"], "diagnosis", l=2).collect()
+    }
+    assert got == {"us": (3, 1)}
+    with _pytest.raises(ValueError, match="vacuous"):
+        l_diversity_violations(df, ["country"], "diagnosis", l=1)
