@@ -4273,6 +4273,20 @@ def q_code_quality_stats(spark, sf_dir):
     )
 
 
+def q_code_defs(spark, sf_dir):
+    """Definition extraction over the source-code corpus
+    (codegraph.extract_definitions): per-language function/type
+    grammars over ONE content scan — the code-entity NODES beside
+    code_imports' edges. Oracle re-derives the def-stub names from
+    doc_id arithmetic, independent of the grammars."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    view = cg.with_def_stub(corpus_from_documents(spark, sf_dir))
+    return cg.extract_definitions(view).select(
+        "doc_id", "repo", "path", "kind", "name"
+    )
+
+
 def q_code_dep_rank(spark, sf_dir):
     """Cross-family composition: the code dependency graph feeds the
     analytics family — repo importance via graph.weighted_pagerank over
@@ -4529,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dep_layers": q_code_dep_layers,
         "code_dep_rank": q_code_dep_rank,
         "code_quality_stats": q_code_quality_stats,
+        "code_defs": q_code_defs,
         "code_dep_cycles": q_code_dep_cycles,
         "code_dep_condensed_layers": q_code_dep_condensed_layers,
         "distinct_users_sketch_incremental": (
@@ -9049,6 +9064,13 @@ SELECT doc_id, path,
   (contains(lower(content), 'auto-generated')
    OR contains(lower(content), 'do not edit')) AS autogen
 FROM base
+"""
+    # definitions: the def-stub arithmetic, independent of the grammars
+    sql["code_defs"] = f"""
+WITH corpus AS ({CORPUS_ORACLE_SQL})
+SELECT doc_id, repo, path, 'function' AS kind,
+       'fn' || CAST(doc_id % 97 AS VARCHAR) AS name
+FROM corpus WHERE lang IN ('en', 'de', 'fr', 'es')
 """
     # dependency cycles: mutual-reachability min-label SCCs (the kg_scc
     # oracle pattern) over the code dep graph, size>1 components only

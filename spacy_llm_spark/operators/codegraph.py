@@ -459,6 +459,123 @@ def dependency_edges_from_index(
 
 
 # ---------------------------------------------------------------------------
+# Definition extraction (the code-entity NODES beside the import edges)
+# ---------------------------------------------------------------------------
+
+# candidate definition lines, ONE pass over content (the import
+# machinery's two-stage shape): def/class/func/fn starts plus
+# visibility-prefixed java members
+_DEF_LINE_PATTERN = (
+    r"(?m)^[ \t]*(?:(?:pub[ \t]+)?(?:def|class|func|fn|struct|type)\b[^\n]*"
+    r"|(?:public|private|protected)\b[^\n]*)"
+)
+
+# per-language (kind, name) grammars over the exploded candidate lines.
+# Grammar REGEXES, not parsers (decorated/annotated one-liners, nested
+# generics and multi-line signatures fall through silently); name = the
+# identifier introduced, kind in {function, type}.
+_DEF_PATTERNS: dict[str, list[tuple[str, str]]] = {
+    "py": [
+        ("function", r"^[ \t]*def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+        ("type", r"^[ \t]*class\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "go": [
+        # optional method receiver: func (r T) Name(
+        ("function", r"^func\s+(?:\([^)]*\)\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+        ("type", r"^type\s+([A-Za-z_][A-Za-z0-9_]*)\s+struct\b"),
+    ],
+    "rs": [
+        ("function", r"^[ \t]*(?:pub\s+)?fn\s+([A-Za-z_][A-Za-z0-9_]*)"),
+        ("type", r"^[ \t]*(?:pub\s+)?struct\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+    "java": [
+        # visibility-prefixed member with a parameter list: the name is
+        # the identifier directly before '('
+        ("function",
+         r"^[ \t]*(?:public|private|protected)\b[^=(\n]*?([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+        ("type", r"^[ \t]*(?:public\s+|private\s+|protected\s+)?class\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ],
+}
+
+
+def with_def_stub(
+    files: DataFrame,
+    n_names: int = 97,
+    content: str = "content",
+    path: str = "path",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Append one deterministic definition line per code file (name =
+    ``fn(doc_id % n_names)`` in the file's own syntax) — the def-stub
+    counterpart of ``with_import_header``, kept SEPARATE so the
+    identifier/quality oracles that mirror the header render stay
+    untouched. Real corpora skip it."""
+    staged = files.select("*", _ext(path).alias("_e"))
+    e = F.col("_e")
+    name = F.concat(F.lit("fn"), (F.col(doc_id) % n_names).cast("string"))
+    stub = (
+        F.when(e == "py", F.concat(F.lit("def "), name, F.lit("(x):\n    return x")))
+        .when(e == "java", F.concat(F.lit("  public void "), name, F.lit("() {}")))
+        .when(e == "go", F.concat(F.lit("func "), name, F.lit("() {}")))
+        .when(e == "rs", F.concat(F.lit("fn "), name, F.lit("() {}")))
+    )
+    rendered = F.when(
+        e.isin(*_CODE_EXTS), F.concat(F.col(content), F.lit("\n"), stub)
+    ).otherwise(F.col(content))
+    return staged.withColumn(content, rendered).drop("_e")
+
+
+def extract_definitions(
+    files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+) -> DataFrame:
+    """One row per DISTINCT (file, kind, name): the entities a file
+    defines — the nodes of the code KG (imports are its edges). Same
+    two-stage shape as ``extract_imports``: ONE regex pass over content
+    pulls candidate definition lines, the exploded row-scale lines are
+    parsed by the per-language grammars. Codegen only; the terminal
+    distinct is the single shuffle."""
+    keep = [c for c in files.columns if c != content]
+    e = _ext(path)
+    lines = F.when(
+        e.isin(*_CODE_EXTS),
+        F.regexp_extract_all(
+            F.col(content), F.lit(_DEF_LINE_PATTERN), F.lit(0)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = files.select(
+        *keep, e.alias("_e"), F.explode(lines).alias("_line")
+    )
+
+    def parse(ext: str) -> tuple:
+        kind = F.lit(None).cast("string")
+        name = F.lit("")
+        # later rules win only where earlier ones missed
+        for k, p in _DEF_PATTERNS[ext]:
+            cand = F.regexp_extract(F.col("_line"), p, 1)
+            name = F.when(name != "", name).otherwise(cand)
+            kind = F.when(kind.isNotNull(), kind).otherwise(
+                F.when(cand != "", F.lit(k))
+            )
+        return kind, name
+
+    kind = F.lit(None).cast("string")
+    name = F.lit("")
+    for ext in ("py", "java", "go", "rs"):
+        k, n = parse(ext)
+        kind = F.when(F.col("_e") == ext, k).otherwise(kind)
+        name = F.when(F.col("_e") == ext, n).otherwise(name)
+    return (
+        exploded.select(
+            *keep, kind.alias("kind"), name.alias("name")
+        )
+        .where(F.col("name") != "")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Code-corpus quality filters (The Stack / StarCoder curation signals)
 # ---------------------------------------------------------------------------
 

@@ -467,3 +467,81 @@ def test_condensation_pure_dag_unchanged(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
     got = sorted(map(tuple, condensation(e).collect()))
     assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+
+# --- definition extraction --------------------------------------------------
+
+
+def test_extract_definitions_python(spark):
+    content = (
+        "import os\n"
+        "class Foo:\n"
+        "    def bar(self):\n"
+        "        return 1\n"
+        "def baz(x): pass\n"
+    )
+    df = _files(spark, [("r1", "a.py", content)])
+    got = {(r.kind, r.name) for r in cg.extract_definitions(df).collect()}
+    assert got == {("type", "Foo"), ("function", "bar"), ("function", "baz")}
+
+
+def test_extract_definitions_go(spark):
+    content = (
+        "package main\n"
+        "type Server struct {\n"
+        "}\n"
+        "func NewServer() {}\n"
+        "func (s *Server) Run(x int) {}\n"
+    )
+    df = _files(spark, [("r1", "m.go", content)])
+    got = {(r.kind, r.name) for r in cg.extract_definitions(df).collect()}
+    assert got == {("type", "Server"), ("function", "NewServer"), ("function", "Run")}
+
+
+def test_extract_definitions_rust(spark):
+    content = (
+        "pub struct Config {}\n"
+        "fn helper() {}\n"
+        "pub fn public_api(x: u8) -> u8 { x }\n"
+    )
+    df = _files(spark, [("r1", "m.rs", content)])
+    got = {(r.kind, r.name) for r in cg.extract_definitions(df).collect()}
+    assert got == {
+        ("type", "Config"), ("function", "helper"), ("function", "public_api")
+    }
+
+
+def test_extract_definitions_java(spark):
+    content = (
+        "public class Widget {\n"
+        "  private int count = 5;\n"
+        "  public void render(int depth) {}\n"
+        "  protected static String name() { return null; }\n"
+        "}\n"
+    )
+    df = _files(spark, [("r1", "Widget.java", content)])
+    got = {(r.kind, r.name) for r in cg.extract_definitions(df).collect()}
+    # the field assignment (has '=') must NOT parse as a definition
+    assert got == {
+        ("type", "Widget"), ("function", "render"), ("function", "name")
+    }
+
+
+def test_extract_definitions_stub_matches_arithmetic(spark, sf_dir):
+    """End-to-end over the def-stub view against the independent
+    doc_id arithmetic (the code_defs oracle's derivation)."""
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_def_stub(files)
+    got = {
+        (r.doc_id, r.kind, r.name)
+        for r in cg.extract_definitions(view)
+        .select("doc_id", "kind", "name").collect()
+    }
+    code_langs = {"en", "de", "fr", "es"}
+    expected = {
+        (r.doc_id, "function", f"fn{r.doc_id % 97}")
+        for r in files.select("doc_id", "lang").collect()
+        if r.lang in code_langs
+    }
+    assert got == expected
