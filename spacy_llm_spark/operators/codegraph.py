@@ -575,6 +575,33 @@ def extract_definitions(
     )
 
 
+def definition_index(
+    files: DataFrame, content: str = "content", path: str = "path"
+) -> DataFrame:
+    """The persistable per-file definition table — ``extract_definitions``
+    plus the grammar-revision stamp, the exact contract of
+    ``import_index``: per-file extraction depends on nothing but the
+    file, so disjoint batches union into EXACTLY the full table."""
+    return extract_definitions(files, content=content, path=path).withColumn(
+        _index_stamp("cd", g=_GRAMMAR_REV), F.lit(_GRAMMAR_REV)
+    )
+
+
+def definition_index_append(
+    index: DataFrame,
+    new_files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+) -> DataFrame:
+    """index ∪ extract(new_files) — bit-equal to ``definition_index``
+    over the full corpus under the disjoint-batch contract (route
+    replays through the cache-probe anti-join, as with imports)."""
+    _check_index_format(
+        index, "definition_index_append", _index_stamp("cd", g=_GRAMMAR_REV)
+    )
+    return index.unionByName(definition_index(new_files, content, path))
+
+
 # ---------------------------------------------------------------------------
 # Code-corpus quality filters (The Stack / StarCoder curation signals)
 # ---------------------------------------------------------------------------

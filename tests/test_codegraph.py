@@ -545,3 +545,21 @@ def test_extract_definitions_stub_matches_arithmetic(spark, sf_dir):
         if r.lang in code_langs
     }
     assert got == expected
+
+
+
+def test_definition_index_append_equals_full(spark, sf_dir):
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_def_stub(files)
+    old_v = view.where(F.col("doc_id") % 2 == 0)
+    new_v = view.where(F.col("doc_id") % 2 == 1)
+    full = cg.definition_index(view)
+    inc = cg.definition_index_append(cg.definition_index(old_v), new_v)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, inc.collect())
+    )
+    import pytest as _pytest
+
+    stamp = [c for c in full.columns if c.startswith("_fmt")][0]
+    with _pytest.raises(ValueError, match="stamp"):
+        cg.definition_index_append(full.drop(stamp), new_v)
