@@ -23,6 +23,16 @@ This family extracts it Spark-natively:
   subtoken splitting and corpus-wide subtoken frequency — the
   code-search vocabulary primitive — again pure codegen projections
   (two explodes + one count aggregation).
+- ``extract_definitions``: per-language function/type grammars over the
+  same one-scan two-stage shape — the code-entity NODES beside the
+  import edges.
+- ``code_quality_stats`` / ``code_quality_filter``: The Stack-style
+  curation battery (line profile, alnum fraction, comment fraction,
+  autogen flag) as one narrow projection.
+- Persisted/incremental forms (``import_index``, ``provider_index``,
+  ``definition_index`` + appends, ``dependency_edges_from_index``) and
+  the live streaming hook (``maintain_imports``) follow the dedup
+  family's stamped-index contract.
 
 Scale shape: extraction is embarrassingly parallel over file splits
 (no shuffle until the dimension join); ``identifier_stats`` is one
