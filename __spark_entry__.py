@@ -4345,6 +4345,17 @@ def q_code_dep_condensed_layers(spark, sf_dir):
     return topological_levels(cond, src="src_repo", dst="dst_repo")
 
 
+def q_code_dep_dot(spark, sf_dir):
+    """Graphviz export of the condensed dependency DAG
+    (codegraph.to_dot over graph.condensation) — the diagram hand-off;
+    one deterministic sorted-lines document row."""
+    from spacy_llm_spark.operators.codegraph import to_dot
+    from spacy_llm_spark.operators.graph import condensation
+
+    dep = q_code_dep_edges(spark, sf_dir)
+    return to_dot(condensation(dep, src="src_repo", dst="dst_repo"))
+
+
 def q_kg_single_linkage(spark, sf_dir):
     """Single-linkage clustering as an MSF threshold cut
     (graph.single_linkage_clusters over q_kg_msf's forest): clusters =
@@ -4545,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality_stats": q_code_quality_stats,
         "code_defs": q_code_defs,
         "code_dep_cycles": q_code_dep_cycles,
+        "code_dep_dot": q_code_dep_dot,
         "code_dep_condensed_layers": q_code_dep_condensed_layers,
         "distinct_users_sketch_incremental": (
             q_distinct_users_sketch_incremental
@@ -9157,6 +9169,49 @@ walk AS (
   SELECT ce.t, w.d + 1 FROM walk w JOIN ce ON ce.s = w.v
 )
 SELECT v AS vertex, CAST(MAX(d) AS BIGINT) AS level FROM walk GROUP BY v
+"""
+    )
+    # DOT export: the condensed-edge CTEs + one ordered string_agg
+    sql["code_dep_dot"] = (
+        "WITH RECURSIVE " + _code_cte
+        + r"""
+,
+de AS (SELECT DISTINCT src_repo AS s, dst_repo AS t FROM dep
+       WHERE src_repo <> dst_repo),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src_repo AS v FROM dep UNION ALL SELECT dst_repo FROM dep)
+),
+reach AS (
+  SELECT s, t FROM de
+  UNION
+  SELECT r.s, e2.t FROM reach r JOIN de e2 ON r.t = e2.s
+), mutual AS (
+  SELECT a.t AS v, min(a.s) AS m
+  FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s
+  GROUP BY a.t
+),
+lab AS (
+  SELECT verts.v AS vertex,
+         least(verts.v, coalesce(mutual.m, verts.v)) AS scc
+  FROM verts LEFT JOIN mutual ON verts.v = mutual.v
+),
+ce AS (
+  SELECT DISTINCT la.scc AS s, lb.scc AS t
+  FROM de JOIN lab la ON la.vertex = de.s
+          JOIN lab lb ON lb.vertex = de.t
+  WHERE la.scc <> lb.scc
+),
+lines AS (
+  SELECT DISTINCT '  "' || replace(replace(s, '\', '\\'), '"', '\"')
+         || '" -> "' || replace(replace(t, '\', '\\'), '"', '\"')
+         || '";' AS line
+  FROM ce
+)
+SELECT 'digraph G {' || chr(10)
+       || string_agg(line, chr(10) ORDER BY line)
+       || chr(10) || '}' AS dot
+FROM lines
 """
     )
     # weighted PageRank over the code dependency graph: the code CTEs

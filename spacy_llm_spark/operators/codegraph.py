@@ -612,6 +612,45 @@ def definition_index_append(
     return index.unionByName(definition_index(new_files, content, path))
 
 
+def to_dot(
+    edges: DataFrame,
+    src: str = "src_repo",
+    dst: str = "dst_repo",
+    name: str = "G",
+) -> DataFrame:
+    """One-row DataFrame holding a deterministic Graphviz DOT document
+    of the (distinct) edge set — the visualization hand-off for
+    DIAGRAM-scale graphs (a condensation, an ego network, a module
+    neighborhood), NOT the corpus: the whole document is one row by
+    design, so feed it something you would actually draw. Edge lines
+    are binary-sorted (engine-independent), quotes and backslashes
+    escaped; one sort-collect aggregate, no driver loop."""
+
+    def esc(c):
+        return F.replace(
+            F.replace(F.col(c), F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'), F.lit('\\"'),
+        )
+
+    lines = (
+        edges.select(F.col(src), F.col(dst))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit('  "'), esc(src), F.lit('" -> "'), esc(dst), F.lit('";')
+            ).alias("line")
+        )
+    )
+    return lines.agg(
+        F.concat_ws(
+            "\n",
+            F.lit("digraph " + name + " {"),
+            F.concat_ws("\n", F.array_sort(F.collect_list("line"))),
+            F.lit("}"),
+        ).alias("dot")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Code-corpus quality filters (The Stack / StarCoder curation signals)
 # ---------------------------------------------------------------------------

@@ -563,3 +563,19 @@ def test_definition_index_append_equals_full(spark, sf_dir):
     stamp = [c for c in full.columns if c.startswith("_fmt")][0]
     with _pytest.raises(ValueError, match="stamp"):
         cg.definition_index_append(full.drop(stamp), new_v)
+
+
+
+def test_to_dot_deterministic_and_escaped(spark):
+    e = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("a", "b"), ('we"ird', "a\\x")],
+        "src_repo string, dst_repo string",
+    )
+    dot = cg.to_dot(e).collect()[0].dot
+    assert dot == (
+        'digraph G {\n'
+        '  "a" -> "b";\n'
+        '  "b" -> "c";\n'
+        '  "we\\"ird" -> "a\\\\x";\n'
+        '}'
+    )
