@@ -67,6 +67,7 @@ def run_incremental(
     alignment_snapshot_retention: int | None = 3,
     maintain_imports: bool = False,
     imports_provider_retention: int | None = 3,
+    maintain_defs: bool = False,
     maintain_distinct: bool = False,
     distinct_value_col: str = "content_sha256",
     distinct_group_cols: tuple = ("lang",),
@@ -119,6 +120,7 @@ def run_incremental(
         alignment_snapshot_retention=alignment_snapshot_retention,
         maintain_imports=maintain_imports,
         imports_provider_retention=imports_provider_retention,
+        maintain_defs=maintain_defs,
         maintain_distinct=maintain_distinct,
         distinct_value_col=distinct_value_col,
         distinct_group_cols=distinct_group_cols,
@@ -165,6 +167,7 @@ def make_batch_processor(
     alignment_snapshot_retention: int | None = 3,
     maintain_imports: bool = False,
     imports_provider_retention: int | None = 3,
+    maintain_defs: bool = False,
     maintain_distinct: bool = False,
     distinct_value_col: str = "content_sha256",
     distinct_group_cols: tuple = ("lang",),
@@ -211,6 +214,7 @@ def make_batch_processor(
     factstate_path = posixpath.join(output_dir, "factstate")
     alignidx_path = posixpath.join(output_dir, "alignidx")
     imports_path = posixpath.join(output_dir, "imports")
+    defs_path = posixpath.join(output_dir, "defs")
     hllindex_path = posixpath.join(output_dir, "hllindex")
 
     def _committed_before(path: str, batch_id: int) -> list:
@@ -582,6 +586,25 @@ def make_batch_processor(
             ci_prov.write.mode("overwrite").parquet(
                 posixpath.join(imports_path, "providers", f"batch_id={batch_id}")
             )
+        if maintain_defs:
+            # Live definition-index maintenance: pure append form like
+            # imports/batches (per-file extraction depends on nothing
+            # but the file; the standing entity table IS the union of
+            # committed subdirs; replay overwrites bit-identically).
+            # No merged dimension exists for defs, so nothing prunes.
+            from ..operators import codegraph as cgr2
+
+            for col in ("doc_id", "repo", "path", "content"):
+                if col not in batch_df.columns:
+                    raise ValueError(
+                        "maintain_defs needs corpus-shaped batches "
+                        f"with (doc_id, repo, path, content); missing {col!r}"
+                    )
+            cgr2.definition_index(
+                batch_df.dropDuplicates(["doc_id"])
+            ).write.mode("overwrite").parquet(
+                posixpath.join(defs_path, "batches", f"batch_id={batch_id}")
+            )
         if maintain_distinct:
             # Live distinct-count sketch maintenance: full merged
             # per-group DataSketches HLL snapshots per batch at
@@ -914,6 +937,22 @@ def latest_provider_index(spark: SparkSession, output_dir: str):
         committed, key=lambda p: int(p.rstrip("/").rsplit("=", 1)[-1])
     )
     return spark.read.parquet(latest)
+
+
+def standing_definition_index(spark: SparkSession, output_dir: str):
+    """The standing code-entity table maintained by a ``maintain_defs``
+    stream: union of every COMMITTED per-batch extraction — exactly
+    ``codegraph.definition_index`` over everything delivered. None if
+    nothing has committed yet."""
+    committed = fs.committed_subdirs(
+        spark, posixpath.join(output_dir, "defs", "batches")
+    )
+    if not committed:
+        return None
+    out = spark.read.parquet(committed[0])
+    for sub in committed[1:]:
+        out = out.unionByName(spark.read.parquet(sub))
+    return out
 
 
 def latest_hll_index(spark: SparkSession, output_dir: str):

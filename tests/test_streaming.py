@@ -1896,3 +1896,47 @@ def test_distinct_maintenance_live_and_replay(spark, tmp_path):
     proc(batch([(100, "text 100x", "de")]), 3)
     dirs = sorted(os.listdir(out / "hllindex"))
     assert dirs == ["batch_id=1", "batch_id=2", "batch_id=3"]
+
+
+
+def test_defs_maintenance_live_and_replay(spark, tmp_path):
+    """maintain_defs=True keeps the code-entity table current — the
+    standing union equals definition_index over ALL delivered files —
+    and a keys-erased crash replay leaves it bit-identical."""
+    from spacy_llm_spark.operators import codegraph as cg
+    from spacy_llm_spark.streaming.incremental import (
+        make_batch_processor,
+        standing_definition_index,
+    )
+
+    out = tmp_path / "kg_out"
+    proc = make_batch_processor(spark, str(out), maintain_defs=True)
+    schema = "doc_id long, repo string, path string, lang string, content string"
+    rows1 = [
+        (1, "rA", "src/a.py", "en", "class Foo:\n    def bar(self): pass"),
+        (2, "rB", "src/b.go", "fr", "func Run() {}\ntype T struct {}"),
+    ]
+    rows2 = [
+        (3, "rC", "src/c.rs", "es", "pub fn api() {}\nstruct S {}"),
+    ]
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "content_sha256", F.sha2("content", 256)
+        )
+
+    proc(batch(rows1), 0)
+    proc(batch(rows2), 1)
+
+    def rows_of(df):
+        return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+    want = rows_of(cg.definition_index(batch(rows1 + rows2)))
+    got = rows_of(standing_definition_index(spark, str(out)))
+    assert got == want
+
+    from spacy_llm_spark import fs as _fs
+
+    _fs.delete(spark, str(out / "_processed_keys"))
+    proc(batch(rows2), 1)
+    assert rows_of(standing_definition_index(spark, str(out))) == want
