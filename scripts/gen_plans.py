@@ -1178,6 +1178,15 @@ def main():
         ),
     ))
     sections.append((
+        "Code definition extraction: the import two-stage shape for entity nodes",
+        "extract_definitions over the def-stub view: ONE "
+        "regexp_extract_all pass over content pulls candidate "
+        "definition lines (Generate/explode), per-language function/"
+        "type grammars parse the exploded row-scale strings — no Join, "
+        "the terminal per-file distinct is the single Exchange.",
+        explain_str(cg.extract_definitions(cg.with_def_stub(corpus))),
+    ))
+    sections.append((
         "Code quality battery: one narrow projection, no shuffle",
         "code_quality_stats: line profile, alnum fraction, marker-gated "
         "comment fraction and the autogen flag all ride ONE Project over "
