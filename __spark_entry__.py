@@ -4287,6 +4287,21 @@ def q_code_defs(spark, sf_dir):
     )
 
 
+def q_code_ref_edges(spark, sf_dir):
+    """Lexical call-graph layer (codegraph.reference_edges): files
+    mentioning names other files define, resolved to the min-doc_id
+    definer — one content scan + a name-scale size-gated-broadcast
+    dimension join. Oracle re-derives both the mention set (def-stub +
+    call-stub arithmetic) and the definer claim independently of the
+    extraction path."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    view = cg.with_call_stub(
+        cg.with_def_stub(corpus_from_documents(spark, sf_dir))
+    )
+    return cg.reference_edges(view, cg.extract_definitions(view))
+
+
 def q_code_dep_rank(spark, sf_dir):
     """Cross-family composition: the code dependency graph feeds the
     analytics family — repo importance via graph.weighted_pagerank over
@@ -4557,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_defs": q_code_defs,
         "code_dep_cycles": q_code_dep_cycles,
         "code_dep_dot": q_code_dep_dot,
+        "code_ref_edges": q_code_ref_edges,
         "code_dep_condensed_layers": q_code_dep_condensed_layers,
         "distinct_users_sketch_incremental": (
             q_distinct_users_sketch_incremental
@@ -9076,6 +9092,30 @@ SELECT doc_id, path,
   (contains(lower(content), 'auto-generated')
    OR contains(lower(content), 'do not edit')) AS autogen
 FROM base
+"""
+    # reference edges: mention set (def-stub + call-stub residues) and
+    # the min-doc definer claim, both pure arithmetic
+    sql["code_ref_edges"] = f"""
+WITH corpus AS ({CORPUS_ORACLE_SQL}),
+code AS (SELECT doc_id, repo, path FROM corpus
+         WHERE lang IN ('en', 'de', 'fr', 'es')),
+definer AS (
+  SELECT doc_id % 97 AS j,
+         min_by(repo, doc_id) AS def_repo,
+         min_by(path, doc_id) AS def_path
+  FROM code GROUP BY doc_id % 97
+),
+mentions AS (
+  SELECT repo AS src_repo, path AS src_path,
+         (doc_id * 3 + 1) % 97 AS j
+  FROM code
+  UNION
+  SELECT repo, path, doc_id % 97 FROM code
+)
+SELECT m.src_repo, m.src_path, 'fn' || CAST(m.j AS VARCHAR) AS name,
+       d.def_repo, d.def_path
+FROM mentions m JOIN definer d USING (j)
+WHERE m.src_path <> d.def_path
 """
     # definitions: the def-stub arithmetic, independent of the grammars
     sql["code_defs"] = f"""

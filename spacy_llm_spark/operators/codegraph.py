@@ -612,6 +612,97 @@ def definition_index_append(
     return index.unionByName(definition_index(new_files, content, path))
 
 
+def reference_edges(
+    files: DataFrame,
+    definitions: DataFrame,
+    content: str = "content",
+    path: str = "path",
+    repo: str = "repo",
+    doc_id: str = "doc_id",
+    *,
+    broadcast_threshold: int | None = _BROADCAST_PROVIDERS_DEFAULT,
+) -> DataFrame:
+    """File→definition reference edges — the lexical call-graph layer:
+    a file that MENTIONS a name some other file DEFINES points at that
+    definition. Output: (src_repo, src_path, name, def_repo, def_path),
+    one row per distinct (file, resolved name), same-file self
+    references dropped.
+
+    Lexical, not semantic (no scoping/shadowing/aliasing — string-level
+    resolution, the GitHub-code-search notion of a reference); names
+    defined in several files resolve to the min-``doc_id`` definer, the
+    provider claim rule, so resolution is deterministic and the
+    definer table is name-scale BEFORE the join. The occurrences side
+    is one content scan (identifier ``regexp_extract_all`` + explode +
+    per-file distinct); the definer dimension join is size-gated
+    broadcast (canonical_edges discipline). Non-defined names drop in
+    the join — the word-salad sea never survives it.
+    """
+    idents = (
+        files.select(
+            F.col(repo).alias("src_repo"),
+            F.col(path).alias("src_path"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(content), F.lit("[A-Za-z_][A-Za-z0-9_]*"), F.lit(0)
+                )
+            ).alias("name"),
+        )
+        .distinct()
+    )
+    definers = (
+        definitions.groupBy("name")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(doc_id).alias("d"),
+                    F.col(repo).alias("r"),
+                    F.col(path).alias("p"),
+                )
+            ).alias("_c")
+        )
+        .select(
+            "name",
+            F.col("_c.r").alias("def_repo"),
+            F.col("_c.p").alias("def_path"),
+        )
+    )
+    if broadcast_threshold is None or (
+        broadcast_threshold > 0
+        and _plan_size_bytes(definers) <= broadcast_threshold
+    ):
+        definers = F.broadcast(definers)
+    return idents.join(definers, "name").where(
+        F.col("src_path") != F.col("def_path")
+    ).select("src_repo", "src_path", "name", "def_repo", "def_path")
+
+
+def with_call_stub(
+    files: DataFrame,
+    n_names: int = 97,
+    content: str = "content",
+    path: str = "path",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Append one deterministic call line per code file referencing
+    ANOTHER file's def-stub name (``fn((doc_id*3+1) % n_names)`` — a
+    bare ``name(0)`` line that every identifier scan sees and no
+    definition grammar parses, since ``fn\\b`` never matches ``fn3``).
+    The test/oracle scaffold for ``reference_edges``; real corpora
+    skip it."""
+    staged = files.select("*", _ext(path).alias("_e"))
+    call = F.concat(
+        F.lit("fn"),
+        ((F.col(doc_id) * 3 + 1) % n_names).cast("string"),
+        F.lit("(0)"),
+    )
+    rendered = F.when(
+        F.col("_e").isin(*_CODE_EXTS),
+        F.concat(F.col(content), F.lit("\n"), call),
+    ).otherwise(F.col(content))
+    return staged.withColumn(content, rendered).drop("_e")
+
+
 def to_dot(
     edges: DataFrame,
     src: str = "src_repo",

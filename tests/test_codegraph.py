@@ -579,3 +579,75 @@ def test_to_dot_deterministic_and_escaped(spark):
         '  "we\\"ird" -> "a\\\\x";\n'
         '}'
     )
+
+
+
+# --- reference (lexical call-graph) edges ----------------------------------
+
+
+def test_reference_edges_hand_case(spark):
+    files = spark.createDataFrame(
+        [
+            (1, "rA", "a.py", "def helper(x):\n    return x"),
+            (2, "rB", "b.py", "import os\ny = helper(1)"),
+            (3, "rC", "c.py", "helper = 5  # lexical: still a reference"),
+        ],
+        "doc_id long, repo string, path string, content string",
+    )
+    defs = cg.extract_definitions(files)
+    got = sorted(
+        map(tuple, cg.reference_edges(files, defs).collect())
+    )
+    # b.py and c.py mention helper; a.py defines it (self-ref dropped)
+    assert got == [
+        ("rB", "b.py", "helper", "rA", "a.py"),
+        ("rC", "c.py", "helper", "rA", "a.py"),
+    ]
+
+
+def test_reference_edges_min_doc_definer(spark):
+    files = spark.createDataFrame(
+        [
+            (5, "rX", "x.py", "def dup(): pass"),
+            (2, "rY", "y.py", "def dup(): pass"),  # min doc_id wins
+            (9, "rZ", "z.py", "dup()"),
+        ],
+        "doc_id long, repo string, path string, content string",
+    )
+    defs = cg.extract_definitions(files)
+    got = sorted(map(tuple, cg.reference_edges(files, defs).collect()))
+    # z references dup -> resolved to rY (doc 2); x's mention of dup
+    # resolves to y as well (cross-file), y's own drops as self-ref
+    assert got == [
+        ("rX", "x.py", "dup", "rY", "y.py"),
+        ("rZ", "z.py", "dup", "rY", "y.py"),
+    ]
+
+
+def test_reference_edges_stub_matches_arithmetic(spark, sf_dir):
+    """call-stub view end-to-end vs the independent arithmetic (the
+    code_ref_edges oracle derivation)."""
+    files = corpus_from_documents(spark, sf_dir)
+    view = cg.with_call_stub(cg.with_def_stub(files))
+    defs = cg.extract_definitions(view)
+    got = {
+        (r.src_path, r.name, r.def_path)
+        for r in cg.reference_edges(view, defs).collect()
+    }
+    code = [
+        (r.doc_id, r.path)
+        for r in files.select("doc_id", "path", "lang").collect()
+        if r.lang in {"en", "de", "fr", "es"}
+    ]
+    definer = {}
+    for d, p in sorted(code):
+        definer.setdefault(d % 97, (d, p))
+    expected = set()
+    for d, p in code:
+        # a file mentions BOTH its call-stub target and its OWN
+        # def-stub name; the latter cross-resolves when an earlier
+        # file claimed the same residue
+        for j in {(d * 3 + 1) % 97, d % 97}:
+            if j in definer and definer[j][1] != p:
+                expected.add((p, f"fn{j}", definer[j][1]))
+    assert got == expected
