@@ -677,6 +677,100 @@ def reference_edges(
     ).select("src_repo", "src_path", "name", "def_repo", "def_path")
 
 
+def mention_index(
+    files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+    repo: str = "repo",
+) -> DataFrame:
+    """The persistable per-file identifier-mention table (src_repo,
+    src_path, name), stamped — the occurrences side of
+    ``reference_edges`` in index form. Per-file extraction, so the
+    import_index disjoint-batch contract applies verbatim."""
+    return (
+        files.select(
+            F.col(repo).alias("src_repo"),
+            F.col(path).alias("src_path"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(content), F.lit("[A-Za-z_][A-Za-z0-9_]*"), F.lit(0)
+                )
+            ).alias("name"),
+        )
+        .distinct()
+        .withColumn(_index_stamp("cm", g=_GRAMMAR_REV), F.lit(_GRAMMAR_REV))
+    )
+
+
+def mention_index_append(
+    index: DataFrame,
+    new_files: DataFrame,
+    content: str = "content",
+    path: str = "path",
+    repo: str = "repo",
+) -> DataFrame:
+    """index ∪ mentions(new batch) — bit-equal to ``mention_index``
+    over the full corpus under the disjoint-batch contract."""
+    _check_index_format(
+        index, "mention_index_append", _index_stamp("cm", g=_GRAMMAR_REV)
+    )
+    return index.unionByName(mention_index(new_files, content, path, repo))
+
+
+def reference_edges_from_index(
+    mentions_idx: DataFrame,
+    definitions_idx: DataFrame,
+    repo: str = "repo",
+    path: str = "path",
+    doc_id: str = "doc_id",
+    *,
+    broadcast_threshold: int | None = _BROADCAST_PROVIDERS_DEFAULT,
+) -> DataFrame:
+    """Reference edges from the two persisted indexes — EXACTLY equal
+    to ``reference_edges`` over the full corpus, and the equality
+    survives LATE DEFINER CLAIMS: appending a batch whose file claims
+    an existing name with a smaller doc_id retroactively re-resolves
+    every standing mention of that name, because resolution is a
+    probe-time join against the (associative min-claim) definer
+    dimension, never a stored edge. The corpus is never re-read."""
+    _check_index_format(
+        mentions_idx, "reference_edges_from_index",
+        _index_stamp("cm", g=_GRAMMAR_REV),
+    )
+    _check_index_format(
+        definitions_idx, "reference_edges_from_index",
+        _index_stamp("cd", g=_GRAMMAR_REV),
+    )
+    definers = (
+        definitions_idx.groupBy("name")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(doc_id).alias("d"),
+                    F.col(repo).alias("r"),
+                    F.col(path).alias("p"),
+                )
+            ).alias("_c")
+        )
+        .select(
+            "name",
+            F.col("_c.r").alias("def_repo"),
+            F.col("_c.p").alias("def_path"),
+        )
+    )
+    if broadcast_threshold is None or (
+        broadcast_threshold > 0
+        and _plan_size_bytes(definers) <= broadcast_threshold
+    ):
+        definers = F.broadcast(definers)
+    return (
+        mentions_idx.drop(_index_stamp("cm", g=_GRAMMAR_REV))
+        .join(definers, "name")
+        .where(F.col("src_path") != F.col("def_path"))
+        .select("src_repo", "src_path", "name", "def_repo", "def_path")
+    )
+
+
 def with_call_stub(
     files: DataFrame,
     n_names: int = 97,

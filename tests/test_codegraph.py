@@ -651,3 +651,47 @@ def test_reference_edges_stub_matches_arithmetic(spark, sf_dir):
             if j in definer and definer[j][1] != p:
                 expected.add((p, f"fn{j}", definer[j][1]))
     assert got == expected
+
+
+
+def test_reference_edges_from_index_late_claim_rebinds(spark):
+    """index path == direct path, and a LATE definer claim (smaller
+    doc_id arriving in a later batch) retroactively re-resolves every
+    standing mention — resolution is probe-time, never stored."""
+    schema = "doc_id long, repo string, path string, content string"
+    b1 = spark.createDataFrame(
+        [(5, "rX", "x.py", "def dup(): pass"),
+         (9, "rZ", "z.py", "dup()")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(2, "rY", "y.py", "def dup(): pass")],  # late, smaller doc_id
+        schema,
+    )
+    m1 = cg.mention_index(b1)
+    d1 = cg.definition_index(b1)
+    first = sorted(map(tuple, cg.reference_edges_from_index(m1, d1).collect()))
+    assert ("rZ", "z.py", "dup", "rX", "x.py") in first
+
+    m2 = cg.mention_index_append(m1.localCheckpoint(), b2)
+    d2 = cg.definition_index_append(d1.localCheckpoint(), b2)
+    got = sorted(map(tuple, cg.reference_edges_from_index(m2, d2).collect()))
+    full = spark.createDataFrame(
+        [(5, "rX", "x.py", "def dup(): pass"),
+         (9, "rZ", "z.py", "dup()"),
+         (2, "rY", "y.py", "def dup(): pass")],
+        schema,
+    )
+    want = sorted(map(tuple, cg.reference_edges(
+        full, cg.extract_definitions(full)
+    ).collect()))
+    assert got == want
+    # z's standing mention now resolves to the NEW min-claim definer
+    assert ("rZ", "z.py", "dup", "rY", "y.py") in got
+    assert ("rZ", "z.py", "dup", "rX", "x.py") not in got
+
+    import pytest as _pytest
+
+    stamp = [c for c in m1.columns if c.startswith("_fmt")][0]
+    with _pytest.raises(ValueError, match="stamp"):
+        cg.reference_edges_from_index(m1.drop(stamp), d1)
