@@ -4302,6 +4302,43 @@ def q_code_ref_edges(spark, sf_dir):
     return cg.reference_edges(view, cg.extract_definitions(view))
 
 
+def q_code_repo_cards(spark, sf_dir):
+    """Per-repo summary card — the dataset-card view of the code KG:
+    file/language counts joined with definition counts and
+    dependency in/out degrees (all pre-aggregated to repo scale BEFORE
+    the joins, so every join is dimension×dimension)."""
+    from spacy_llm_spark.operators import codegraph as cg
+
+    files = corpus_from_documents(spark, sf_dir)
+    base = files.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    defs = (
+        cg.extract_definitions(cg.with_def_stub(files))
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_defs"))
+    )
+    dep = q_code_dep_edges(spark, sf_dir)
+    out_deg = dep.groupBy(F.col("src_repo").alias("repo")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_deps_out")
+    )
+    in_deg = dep.groupBy(F.col("dst_repo").alias("repo")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dependents")
+    )
+    return (
+        base.join(defs, "repo", "left")
+        .join(out_deg, "repo", "left")
+        .join(in_deg, "repo", "left")
+        .select(
+            "repo", "n_files", "n_langs",
+            F.coalesce("n_defs", F.lit(0)).alias("n_defs"),
+            F.coalesce("n_deps_out", F.lit(0)).alias("n_deps_out"),
+            F.coalesce("n_dependents", F.lit(0)).alias("n_dependents"),
+        )
+    )
+
+
 def q_code_dep_rank(spark, sf_dir):
     """Cross-family composition: the code dependency graph feeds the
     analytics family — repo importance via graph.weighted_pagerank over
@@ -4573,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_dep_cycles": q_code_dep_cycles,
         "code_dep_dot": q_code_dep_dot,
         "code_ref_edges": q_code_ref_edges,
+        "code_repo_cards": q_code_repo_cards,
         "code_dep_condensed_layers": q_code_dep_condensed_layers,
         "distinct_users_sketch_incremental": (
             q_distinct_users_sketch_incremental
@@ -9093,6 +9131,33 @@ SELECT doc_id, path,
    OR contains(lower(content), 'do not edit')) AS autogen
 FROM base
 """
+    # repo cards: every aggregate reduced to repo scale before joining
+    sql["code_repo_cards"] = (
+        "WITH " + _code_cte
+        + """,
+base AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM corpus GROUP BY repo
+),
+defs AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_defs
+  FROM corpus WHERE lang IN ('en', 'de', 'fr', 'es') GROUP BY repo
+),
+outd AS (SELECT src_repo AS repo, CAST(count(*) AS BIGINT) AS n_deps_out
+         FROM dep GROUP BY src_repo),
+ind AS (SELECT dst_repo AS repo, CAST(count(*) AS BIGINT) AS n_dependents
+        FROM dep GROUP BY dst_repo)
+SELECT b.repo, b.n_files, b.n_langs,
+       COALESCE(d.n_defs, 0) AS n_defs,
+       COALESCE(o.n_deps_out, 0) AS n_deps_out,
+       COALESCE(i.n_dependents, 0) AS n_dependents
+FROM base b
+LEFT JOIN defs d USING (repo)
+LEFT JOIN outd o USING (repo)
+LEFT JOIN ind i USING (repo)
+"""
+    )
     # reference edges: mention set (def-stub + call-stub residues) and
     # the min-doc definer claim, both pure arithmetic
     sql["code_ref_edges"] = f"""
