@@ -1,0 +1,138 @@
+"""Capture .explain("formatted") for the round-6 touched query shapes.
+
+Usage: python scripts/capture_plans_r06.py <suffix> [name ...]
+Writes plans/r06/<name>_<suffix>.txt. Shapes mirror bench.py /
+__spark_entry__.py; loop-based operators (fixpoint, closure) capture the
+plan of the RETURNED frame (the converged round), which is where the
+per-round shape shows.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spacy_llm_spark import get_spark  # noqa: E402
+
+
+def capture(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    suffix = sys.argv[1]
+    only = set(sys.argv[2:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=16,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r06")
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    shapes = {}
+
+    def jaccard_join_exact():
+        from spacy_llm_spark.operators.setjoin import jaccard_join_exact
+
+        return jaccard_join_exact(docs.where(F.col("doc_id") % 5 == 0), 0.8)
+
+    shapes["jaccard_join_exact"] = jaccard_join_exact
+
+    def hard_negatives():
+        from spacy_llm_spark.operators.similarity import hard_negatives
+
+        return hard_negatives(
+            emb.where(F.col("vec_id") % 100 == 0), emb, k=10,
+            sim_lo=0.2, sim_hi=0.99,
+        )
+
+    shapes["hard_negatives"] = hard_negatives
+
+    def kg_closure():
+        from spacy_llm_spark.operators.graph import transitive_closure
+
+        hier = spark.range(2, 60_000).select(
+            F.col("id").alias("child"), F.floor(F.col("id") / 2).alias("parent")
+        )
+        return transitive_closure(hier, src="child", dst="parent")
+
+    shapes["kg_closure"] = kg_closure
+
+    def kg_rdfs():
+        from spacy_llm_spark.operators.reason import rdfs_entailment
+
+        triples = spark.createDataFrame(
+            [("a", "executes", "b"), ("a", "type", "OP")],
+            ["subj", "pred", "obj"],
+        )
+        ront = spark.createDataFrame(
+            [("executes", "subPropertyOf", "dependsOn"),
+             ("OP", "subClassOf", "ENTITY")],
+            ["subj", "pred", "obj"],
+        )
+        return rdfs_entailment(triples, ront)
+
+    shapes["kg_rdfs"] = kg_rdfs
+
+    def transe_epoch():
+        from spacy_llm_spark.operators import kgembed
+        from spacy_llm_spark.operators.graph import negative_triples
+
+        triples = spark.createDataFrame(
+            [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")],
+            ["subj", "pred", "obj"],
+        )
+        pairs = negative_triples(triples)
+        ents = (
+            pairs.select(F.col("subj").alias("id"))
+            .unionByName(pairs.select(F.col("obj").alias("id")))
+            .unionByName(pairs.select(F.col("neg_obj").alias("id")))
+        )
+        e0 = kgembed.init_embeddings(ents, "id", dim=4)
+        r0 = kgembed.init_embeddings(
+            pairs.select(F.col("pred").alias("id")), "id", dim=4
+        )
+        e1, _ = kgembed.transe_epoch(pairs, e0, r0, lr=0.05)
+        return e1
+
+    shapes["transe_epoch"] = transe_epoch
+
+    def topological_levels():
+        from spacy_llm_spark.operators.graph import topological_levels
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+            ["subj", "obj"],
+        )
+        return topological_levels(e)
+
+    shapes["topological_levels"] = topological_levels
+
+    for name, fn in shapes.items():
+        if only and name not in only:
+            continue
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(capture(fn()))
+        print("wrote", path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

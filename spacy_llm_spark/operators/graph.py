@@ -1569,6 +1569,16 @@ def strongly_connected_components(
     return out
 
 
+# transitive_closure strategy switch (driver-known INPUT count, so the
+# choice is deterministic and never changes the result set): below this
+# many distinct edges the classic one-job-per-round squaring wins on
+# latency (schema/ontology hierarchies close in 2-3 trivial rounds);
+# above it the smart P/T recurrence wins on join volume — squaring a
+# closed 200-cycle re-derives 200^3 join rows per round, the smart form
+# 200^2 (before/after numbers in OPTIMIZATION_r06.md).
+_SMART_TC_MIN_PAIRS = 1024
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "subj",
@@ -1597,6 +1607,30 @@ def transitive_closure(
     is preserved as given. Output is the closure of the DISTINCT edge
     set — multiplicities carry no reachability information.
 
+    Two physical strategies, same result set and the same O(log d)
+    round count (a driver-known input-count switch, never a semantic
+    one):
+
+    - small inputs (< ``_SMART_TC_MIN_PAIRS`` distinct edges — schema
+      hierarchies, part trees): classic squaring ``R <- R ∪ (R ⋈ R)``,
+      ONE job per round.
+    - larger inputs: the Valduriez/Boral "smart" recurrence
+      ``T_{i+1} = T_i ∪ (P_i ⋈ T_i)``, ``P_{i+1} = P_i ⋈ P_i`` where
+      ``P_i`` holds pairs connected by a path of length EXACTLY ``2^i``
+      and ``T_i`` pairs at length ``<= 2^i``. Squaring the full closed
+      set re-derives every pair out of every split point — on a closed
+      c-cycle that is c^3 join rows per round just to add nothing —
+      while ``P`` stays edge-scale on bounded-out-degree graphs
+      (functional chains, hierarchies), so the per-round join output is
+      proportional to NEW pairs, not density. Correctness of the stop
+      rule is the standard midpoint argument: a pair at shortest
+      distance in (2^i, 2^{i+1}] splits at its 2^i-prefix into
+      P_i ⋈ T_i; if a round adds nothing, no pair at distance
+      > 2^i exists at all (its shortest path's inner vertex at
+      distance 2^i + 1 would itself be a new pair). Both frames ride
+      ONE tagged union-distinct job per round (the tag keys the
+      distinct, so T and P dedup independently in one shuffle).
+
     Scale note: the closure is output-bound — a single giant cycle of
     n vertices closes to n^2 pairs, so this is an operator for
     bounded-reachability relations (ontology DAGs, org charts,
@@ -1610,24 +1644,58 @@ def transitive_closure(
 
     reach = fs.cut_lineage(edges.select(src, dst).distinct())
     n_pairs = reach.count()
-    for _ in range(max_rounds):
-        if n_pairs == 0:
-            return reach
-        left = reach.withColumnRenamed(dst, "__mid")
-        right = reach.withColumnRenamed(src, "__mid")
-        obs = Observation()
-        nxt = (
-            left.join(right, "__mid")
-            .select(src, dst)
-            .unionByName(reach)
-            .distinct()
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-        )
-        nxt = fs.cut_lineage(nxt)
-        n_next = obs.get["n"]
-        if n_next == n_pairs:
-            return nxt
-        reach, n_pairs = nxt, n_next
+    if n_pairs == 0:
+        return reach
+    if n_pairs < _SMART_TC_MIN_PAIRS:
+        for _ in range(max_rounds):
+            left = reach.withColumnRenamed(dst, "__mid")
+            right = reach.withColumnRenamed(src, "__mid")
+            obs = Observation()
+            nxt = (
+                left.join(right, "__mid")
+                .select(src, dst)
+                .unionByName(reach)
+                .distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            nxt = fs.cut_lineage(nxt)
+            n_next = obs.get["n"]
+            if n_next == n_pairs:
+                return nxt
+            reach, n_pairs = nxt, n_next
+    else:
+        exact = reach  # paths of length exactly 2^i; i = 0 at entry
+        for _ in range(max_rounds):
+            p_left = exact.withColumnRenamed(dst, "__mid")
+            t_right = reach.withColumnRenamed(src, "__mid")
+            p_right = exact.withColumnRenamed(src, "__mid")
+            t_next = (
+                p_left.join(t_right, "__mid")
+                .select(src, dst)
+                .unionByName(reach)
+                .withColumn("__t", F.lit(True))
+            )
+            p_next = (
+                p_left.join(p_right, "__mid")
+                .select(src, dst)
+                .withColumn("__t", F.lit(False))
+            )
+            obs = Observation()
+            tagged = (
+                t_next.unionByName(p_next)
+                .distinct()
+                .observe(
+                    obs,
+                    F.sum(F.col("__t").cast("long")).alias("n"),
+                )
+            )
+            tagged = fs.cut_lineage(tagged)
+            n_next = obs.get["n"]
+            if n_next == n_pairs:
+                return tagged.where("__t").select(src, dst)
+            reach = tagged.where("__t").select(src, dst)
+            exact = tagged.where(~F.col("__t")).select(src, dst)
+            n_pairs = n_next
     raise RuntimeError(
         f"transitive_closure: not converged within max_rounds={max_rounds} "
         f"doubling rounds (reachability depth > 2^{max_rounds}); raise "
@@ -4128,6 +4196,103 @@ def degree_histogram(
     )
 
 
+# topological_levels strategy switch: below this many distinct edges the
+# longest-path doubling form (O(log depth) jobs) replaces the Kahn peel
+# (O(depth) jobs). Doubling materializes root-reachability pairs —
+# worst-case quadratic on deep graphs — so corpus-scale inputs keep the
+# edge-linear peel.
+_TOPO_DOUBLING_MAX_EDGES = 262_144
+
+
+def _topological_levels_doubling(
+    rem: DataFrame, n_edges: int, max_rounds: int
+) -> DataFrame:
+    """Longest-path layering via (s, t, max_len) path doubling — the
+    small-graph strategy of :func:`topological_levels` (same contract:
+    level(v) = longest path from any in-degree-0 root; ValueError on a
+    cycle, certified by a walk of length >= |V|). ``rem`` is the cut,
+    distinct, self-loop-free (s, t) edge set."""
+    import math
+
+    from pyspark.sql import Observation
+
+    all_v = fs.cut_lineage(
+        rem.select(F.col("s").alias("v"))
+        .union(rem.select(F.col("t").alias("v")))
+        .distinct()
+    )
+    n_v = all_v.count()
+    d = rem.select("s", "t", F.lit(1).cast("long").alias("len"))
+    sig = (n_edges, n_edges)  # (n_pairs, sum_len) fixpoint signature
+    # doubling covers depth 2^i after i rounds; a DAG's depth is < |V|
+    # and cycles certify within the same budget, so the bound is log|V|
+    budget = max(2, math.ceil(math.log2(max(2, n_v))) + 2)
+    for _ in range(budget):
+        left = d.select(
+            F.col("s"), F.col("t").alias("__m"), F.col("len").alias("__ll")
+        )
+        right = d.select(
+            F.col("s").alias("__m"), F.col("t"), F.col("len").alias("__lr")
+        )
+        obs = Observation()
+        nxt = (
+            d.unionByName(
+                left.join(right, "__m").select(
+                    "s", "t", (F.col("__ll") + F.col("__lr")).alias("len")
+                )
+            )
+            .groupBy("s", "t")
+            .agg(F.max("len").alias("len"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("len").alias("sl"),
+                F.max("len").alias("ml"),
+            )
+        )
+        nxt = fs.cut_lineage(nxt)
+        got = obs.get
+        if got["ml"] >= n_v:
+            # pigeonhole: a walk of length >= |V| repeats a vertex
+            raise ValueError(
+                "topological_levels: the graph contains a cycle "
+                f"(a walk of length {got['ml']} over {n_v} vertices); "
+                "condense SCCs first (strongly_connected_components) "
+                "or layer an acyclic subset"
+            )
+        d = nxt
+        depth = int(got["ml"])
+        if (got["n"], got["sl"]) == sig:
+            break
+        sig = (got["n"], got["sl"])
+    else:
+        raise RuntimeError(
+            "topological_levels: longest-path doubling did not converge "
+            f"within {budget} rounds — unexpected on an acyclic input"
+        )
+    if depth + 1 > max_rounds:
+        # same budget contract as the peel strategy: a depth-d layering
+        # uses d+1 peel rounds, so refuse identically
+        raise RuntimeError(
+            f"topological_levels did not converge within max_rounds="
+            f"{max_rounds}; the longest dependency chain is deeper — raise "
+            "max_rounds (each round peels >= 1 vertex, so max_rounds=|V| "
+            "always suffices on a DAG)"
+        )
+    roots = all_v.join(
+        rem.select(F.col("t").alias("v")).distinct(), "v", "left_anti"
+    )
+    from_roots = (
+        d.join(roots.select(F.col("v").alias("s")), "s", "left_semi")
+        .groupBy("t")
+        .agg(F.max("len").alias("level"))
+        .select(F.col("t").alias("vertex"), "level")
+    )
+    return roots.select(
+        F.col("v").alias("vertex"), F.lit(0).cast("long").alias("level")
+    ).unionByName(from_roots)
+
+
 def topological_levels(
     edges: DataFrame,
     src: str = "subj",
@@ -4161,6 +4326,18 @@ def topological_levels(
     ``strongly_connected_components`` — if a cyclic graph needs
     layering).
 
+    Two physical strategies behind the same contract (a driver-known
+    INPUT-count switch — never a semantic one): small edge sets
+    (< ``_TOPO_DOUBLING_MAX_EDGES``) use longest-path PATH DOUBLING —
+    level(v) is the longest path from any root, so closing (s, t,
+    max_len) pairs in O(log depth) rounds and max-reducing per target
+    gives the identical layering in ~6 jobs where a 60-deep dependency
+    graph pays 60 peel rounds of driver latency; a walk of length
+    >= |V| certifies a cycle (pigeonhole), raising the same ValueError.
+    Large edge sets keep the Kahn peel: doubling materializes the
+    all-pairs root-reachability relation, which is quadratic on deep
+    corpus-scale graphs, while peeling stays edge-linear per round.
+
     Reference analogue: none — driver-memory KBs (reference
     spacy_llm/tasks/entity_linker/registry.py) cannot express
     corpus-scale dependency layering; cited for parity accounting only.
@@ -4173,6 +4350,8 @@ def topological_levels(
         .distinct()
     )
     n_edges = rem.count()
+    if 0 < n_edges < _TOPO_DOUBLING_MAX_EDGES:
+        return _topological_levels_doubling(rem, n_edges, max_rounds)
     unassigned = fs.cut_lineage(
         rem.select(F.col("s").alias("v"))
         .union(rem.select(F.col("t").alias("v")))

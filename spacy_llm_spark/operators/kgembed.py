@@ -164,15 +164,36 @@ def transe_epoch(
     """
     if lr <= 0 or margin <= 0:
         raise ValueError(f"lr and margin must be > 0, got {lr}, {margin}")
+    from pyspark.sql import Observation
+
+    # cut the embedding tables once: ``ent`` feeds THREE scoring joins
+    # plus the final apply join, and callers routinely hand in a lazy
+    # init/distinct plan that would otherwise re-run per reference
+    ent = fs.cut_lineage(ent)
+    rel = fs.cut_lineage(rel)
     scored = transe_scores(
         pairs, ent, rel,
         subj=subj, pred=pred, obj=obj, neg_obj=neg_obj,
         id_col=id_col, vec=vec,
     )
-    n_missing = scored.where(
-        F.col("_h").isNull() | F.col("_r").isNull()
-        | F.col("_t").isNull() | F.col("_tn").isNull()
-    ).count()
+    # the missing-id guard rides the scored frame's own lineage-cut job
+    # (df.observe — zero extra scans) instead of a second full pass
+    # through the four joins and the distance folds
+    obs = Observation()
+    scored = fs.cut_lineage(
+        scored.observe(
+            obs,
+            F.sum(
+                (
+                    F.col("_h").isNull() | F.col("_r").isNull()
+                    | F.col("_t").isNull() | F.col("_tn").isNull()
+                ).cast("long")
+            ).alias("n_missing"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    got = obs.get
+    n_missing = int(got["n_missing"] or 0) if got["n_rows"] else 0
     if n_missing:
         raise ValueError(
             f"transe_epoch: {n_missing} pair(s) reference ids with no "

@@ -100,11 +100,18 @@ def rdfs_entailment(
     domain_pred: str = "domain",
     range_pred: str = "range",
     max_rounds: int = 30,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Materialize the rhoDF/RDFS entailment of ``triples`` (columns
     ``subj, pred, obj``) under ``ontology`` (same columns; ``pred``
     restricted to the four schema predicates — anything else raises,
     because a silently ignored schema triple is an incomplete closure).
+
+    ``assume_distinct=True`` is a PHYSICAL hint from a caller that
+    guarantees ``triples`` is already a distinct set (the fixpoint loop,
+    whose rounds always hand a distinct output to the next pass): it
+    skips the input re-distinct — one full instance-scale shuffle —
+    and nothing else. The result set is identical either way.
 
     Returns the DISTINCT instance-level entailed set: every asserted
     triple plus every rdfs2/3/7/9-derived one, with class memberships
@@ -119,18 +126,22 @@ def rdfs_entailment(
     """
     ont = ontology.select("subj", "pred", "obj").distinct()
     known = {subclass_pred, subproperty_pred, domain_pred, range_pred}
-    bad = [
-        r[0]
-        for r in ont.select("pred").distinct().collect()  # schema-scale
-        if r[0] not in known
-    ]
+    orows = ont.collect()  # schema-scale by contract
+    bad = sorted({p for _, p, _ in orows if p not in known})
     if bad:
         raise ValueError(
-            f"rdfs_entailment: ontology has non-schema predicates {sorted(bad)}; "
+            f"rdfs_entailment: ontology has non-schema predicates {bad}; "
             f"expected only {sorted(known)}"
         )
+    # every super of the subPropertyOf CLOSURE appears as an obj of some
+    # schema edge, so this driver-side set bounds the preds rdfs7 can
+    # emit — used below to skip the final output distinct when the
+    # property side and the type side are provably pred-disjoint
+    sp_objs = {o for _, p, o in orows if p == subproperty_pred}
 
-    base = triples.select("subj", "pred", "obj").distinct()
+    base = triples.select("subj", "pred", "obj")
+    if not assume_distinct:
+        base = base.distinct()
     props = base.where(F.col("pred") != type_pred)
     types0 = base.where(F.col("pred") == type_pred).select(
         F.col("subj").alias("node"), F.col("obj").alias("cls")
@@ -180,13 +191,19 @@ def rdfs_entailment(
     ).select("node", F.col("super").alias("cls"))
     types = types1.unionByName(inherited).distinct()
 
-    return derived.unionByName(
+    out = derived.unionByName(
         types.select(
             F.col("node").alias("subj"),
             F.lit(type_pred).alias("pred"),
             F.col("cls").alias("obj"),
         )
-    ).distinct()
+    )
+    if type_pred in sp_objs:
+        # rdfs7 can emit pred == type_pred rows, which may collide with
+        # the type side — the general (rare) case pays the full distinct
+        return out.distinct()
+    # pred-disjoint sides, each already distinct: the union IS distinct
+    return out
 
 
 def owl_entailment(
@@ -198,6 +215,7 @@ def owl_entailment(
     transitive_class: str = "TransitiveProperty",
     max_rounds: int = 30,
     closed_slice_count: int | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """OWL-Horst-lite property entailment: the three property-algebra
     rules practical reasoners add on top of RDFS —
@@ -257,6 +275,16 @@ def owl_entailment(
     caller's proof obligation, which entailment_fixpoint discharges by
     construction (its hint is the previous OWL pass's own closure
     output count).
+
+    ``assume_distinct`` is the same physical hint as on
+    :func:`rdfs_entailment` (skip the input re-distinct when the caller
+    guarantees a distinct set); the output set is identical either way.
+    Output assembly note: the three output slices — non-transitive
+    property triples, the closed transitive slice, type triples — are
+    pairwise pred-disjoint whenever ``type_pred`` is not itself
+    declared transitive (driver-checkable), and each slice is
+    internally distinct, so the final union skips its corpus-scale
+    distinct in that (overwhelmingly common) case.
     """
     spark = triples.sparkSession
     rows = ontology.select("subj", "pred", "obj").distinct().collect()
@@ -297,7 +325,9 @@ def owl_entailment(
         if x in trans_set:
             trans_set.add(y)
 
-    base = triples.select("subj", "pred", "obj").distinct()
+    base = triples.select("subj", "pred", "obj")
+    if not assume_distinct:
+        base = base.distinct()
     props = base.where(F.col("pred") != type_pred)
     types = base.where(F.col("pred") == type_pred)
 
@@ -323,13 +353,22 @@ def owl_entailment(
             F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
         )
         mirrored = mirrored.unionByName(sym_edges)
-    mirrored = mirrored.distinct()
+    if partner or sym_set:
+        # only the mirror/inverse unions can introduce duplicates;
+        # props alone is already a distinct set
+        mirrored = mirrored.distinct()
+    # props preds are != type_pred by the props filter, so the property
+    # and type sides are pred-disjoint and each is distinct — the final
+    # unions below skip their corpus-scale distinct unless type_pred is
+    # itself transitive-declared (then closed overlaps types).
+    disjoint_out = type_pred not in trans_set
 
     # one shared closure over every transitive-declared pred: the pair
     # set is keyed (pred, subj, obj) and the doubling join adds pred to
     # the midpoint key, so unrelated preds never cross.
     if not trans_set:
-        return mirrored.unionByName(types).distinct()
+        out = mirrored.unionByName(types)
+        return out if disjoint_out else out.distinct()
     trans = _lit(((t,) for t in trans_set), ["tp"])
     # struct keys (identical field names, so the doubling join's struct
     # equality type-checks) rather than delimited strings — node ids
@@ -361,6 +400,12 @@ def owl_entailment(
         F.col("pobj.n").alias("obj"),
     )
 
+    if disjoint_out:
+        # the transitive slice of ``mirrored`` is a subset of its own
+        # closure, so emit it only once — via ``closed``; the three
+        # slices are then pairwise disjoint and individually distinct
+        non_trans = mirrored.where(~F.col("pred").isin(sorted(trans_set)))
+        return non_trans.unionByName(closed).unionByName(types)
     return mirrored.unionByName(closed).unionByName(types).distinct()
 
 
@@ -437,13 +482,18 @@ def entailment_fixpoint(
     hint = None
     for i in range(max_alternations):
         # RDFS first (see docstring); cut so owl_entailment's several
-        # references to its input don't re-run the RDFS joins
+        # references to its input don't re-run the RDFS joins.
+        # assume_distinct: cur is distinct by the loop invariant (the
+        # initial distinct + every pass emitting a distinct set), so
+        # neither pass re-pays the input distinct.
         rdfs_out = fs.cut_lineage(
-            rdfs_entailment(cur, rdfs_ontology, type_pred=type_pred)
+            rdfs_entailment(
+                cur, rdfs_ontology, type_pred=type_pred, assume_distinct=True
+            )
         )
         owl_df = owl_entailment(
             rdfs_out, owl_ontology, type_pred=type_pred,
-            closed_slice_count=hint,
+            closed_slice_count=hint, assume_distinct=True,
         )
         # round count + next round's slice certificate in the SAME
         # materialization job as the lineage cut

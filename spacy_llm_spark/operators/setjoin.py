@@ -39,7 +39,106 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import fs
 from .dedup import token_set
+
+# Bitset-strategy gates for jaccard_join_exact (see its docstring): the
+# group cross compare is O(groups^2) codegen rows, so it engages only
+# when the measured distinct-set count keeps that quadratic small; the
+# bitmask itself needs the whole vocabulary inside one long.
+_BITSET_MAX_GROUPS = 32768
+
+
+def _jaccard_bitset_pairs(
+    exploded: DataFrame, dfreq: DataFrame, t: float, id_col: str
+):
+    """Exact all-pairs Jaccard for a <= 64-token vocabulary: documents
+    collapse into identical-token-set groups keyed by a 64-bit mask;
+    group pairs verify via bit_count in codegen (no candidate join, no
+    pair distinct); verified group pairs expand to document pairs.
+    Returns None when the group count exceeds ``_BITSET_MAX_GROUPS``
+    (the caller falls back to prefix filtering)."""
+    from pyspark.sql import Window
+
+    # <= 64 rows: the single-partition window is trivial by the gate
+    tid_map = dfreq.select(
+        "_tok",
+        (F.row_number().over(Window.orderBy("_tok")) - 1).alias("_tid"),
+    )
+    masks = (
+        exploded.join(F.broadcast(tid_map), "_tok")
+        .groupBy("_id")
+        .agg(F.bit_or(F.expr("shiftleft(1L, _tid)")).alias("_mask"))
+    )
+    groups = fs.cut_lineage(
+        masks.groupBy("_mask")
+        .agg(
+            F.sort_array(F.collect_list("_id")).alias("_ids"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("_m", F.bit_count("_mask"))
+    )
+    if groups.count() > _BITSET_MAX_GROUPS:
+        return None
+    slim = groups.select("_mask", "_m")
+    ga = slim.select(
+        F.col("_mask").alias("_mask_a"), F.col("_m").alias("_ma")
+    )
+    gb = slim.select(
+        F.col("_mask").alias("_mask_b"), F.col("_m").alias("_mb")
+    )
+    inter = F.bit_count(F.col("_mask_a").bitwiseAND(F.col("_mask_b")))
+    gpairs = (
+        ga.join(
+            gb,
+            (F.col("_mask_a") < F.col("_mask_b"))
+            & (F.lit(t) * F.col("_ma") <= F.col("_mb"))
+            & (F.lit(t) * F.col("_mb") <= F.col("_ma")),
+        )
+        .withColumn("_i", inter)
+        # identical division shape to the array verify: int/int in
+        # doubles, exact compare before the 6 dp round
+        .withColumn(
+            "_j",
+            F.col("_i").cast("double")
+            / (F.col("_ma") + F.col("_mb") - F.col("_i")).cast("double"),
+        )
+        .where(F.col("_j") >= F.lit(t))
+        .select("_mask_a", "_mask_b", "_i", "_j")
+    )
+    ids_a = groups.select(
+        F.col("_mask").alias("_mask_a"), F.col("_ids").alias("_ids_a")
+    )
+    ids_b = groups.select(
+        F.col("_mask").alias("_mask_b"), F.col("_ids").alias("_ids_b")
+    )
+    cross = (
+        gpairs.join(ids_a, "_mask_a")
+        .join(ids_b, "_mask_b")
+        .select(F.explode("_ids_a").alias("_a"), "_ids_b", "_i", "_j")
+        .select("_a", F.explode("_ids_b").alias("_b"), "_i", "_j")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            F.col("_i").cast("long").alias("common_tokens"),
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )
+    # identical sets pair at jaccard exactly 1.0 (m/m in the verify),
+    # passing any threshold <= 1
+    intra = (
+        groups.where(F.col("_n") >= 2)
+        .select(F.explode("_ids").alias("_a"), "_ids", "_m")
+        .select("_a", F.explode("_ids").alias("_b"), "_m")
+        .where(F.col("_a") < F.col("_b"))
+        .select(
+            F.col("_a").alias("id_a"),
+            F.col("_b").alias("id_b"),
+            F.col("_m").cast("long").alias("common_tokens"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def jaccard_join_exact(
@@ -51,48 +150,84 @@ def jaccard_join_exact(
     """All pairs ``(id_a, id_b, common_tokens, jaccard)`` with token-set
     Jaccard >= ``threshold`` (and ``id_a < id_b``, jaccard rounded to
     6 dp after the exact threshold compare) — exact, via prefix
-    filtering; empty-token documents pair with nothing."""
+    filtering; empty-token documents pair with nothing.
+
+    Physical layout (result-identical to the direct string form, §2.3
+    of the optimization playbook — shuffle fewer bytes): tokens are
+    densely re-encoded as ``long`` ids assigned in the global
+    (df asc, token asc) order, via a distributed sort + zipWithIndex
+    over the VOCABULARY (token-scale, never corpus-scale; no
+    single-partition window). The encoding is a bijection, so set
+    sizes, intersection counts and the rarest-first prefix order are
+    unchanged — but the prefix self-join keys, the candidate-pair
+    distinct and the verify arrays all become fixed-width ints instead
+    of strings, and ``array_sort(collect_list(tid))`` IS the
+    rarest-first ordering (int order == (df, token) order), so the
+    per-doc struct sort disappears too.
+
+    TINY-VOCABULARY strategy (driver-known switch on the measured
+    vocabulary and distinct-set counts — physical only, the result set
+    is identical): prefix filtering presumes rare tokens exist; a
+    corpus whose documents draw from <= 64 distinct tokens has NO rare
+    tokens, every prefix token is hot, and the candidate join
+    degenerates to a near-quadratic pair stream that the pair-distinct
+    then pays for (measured: 133M raw candidate rows for 26M distinct
+    pairs on the bench corpus, vocabulary 31). In that regime each
+    token set IS a <= 64-bit bitmask: documents collapse into
+    identical-set groups (one hash aggregate), group pairs compare by
+    ``bit_count(mask_a & mask_b)`` in codegen — no candidate
+    generation, no pair distinct — and verified group pairs expand
+    back to document pairs (output-bound by construction; identical
+    sets within a group pair at jaccard exactly 1). The group cross
+    compare is quadratic in the GROUP count, so it only engages below
+    ``_BITSET_MAX_GROUPS``; above that (or vocabulary > 64) the prefix
+    path runs unchanged."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
+    spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("_id"), token_set(F.col(text_col)).alias("_toks")
     ).where(F.size("_toks") > 0)
     exploded = toks.select("_id", F.explode("_toks").alias("_tok"))
-    dfreq = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    # global order = the (df, token) VALUE pair: sort_array on the
-    # struct gives each doc its rarest-first ordering with no global
-    # rank assignment (no window, no single-partition sort)
+    dfreq = fs.cut_lineage(
+        exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    if dfreq.count() <= 64:
+        out = _jaccard_bitset_pairs(exploded, dfreq, t, id_col)
+        if out is not None:
+            return out
+    # dense ids in (df, token) order: distributed range-partitioned sort
+    # + zipWithIndex (order-preserving across partitions, deterministic)
+    tid_map = spark.createDataFrame(
+        dfreq.orderBy("_df", "_tok")
+        .select("_tok")
+        .rdd.zipWithIndex()
+        .map(lambda kv: (kv[0][0], kv[1])),
+        "_tok string, _tid long",
+    )
+    enc = exploded.join(tid_map, "_tok").select("_id", "_tid")
     ordered = (
-        exploded.join(dfreq, "_tok")
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("_tok")))
-            ).alias("_ord")
-        )
-        .select(
-            "_id",
-            F.transform("_ord", lambda s: s["_tok"]).alias("_sorted"),
-            F.size("_ord").alias("_m"),
-        )
+        enc.groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_tid")).alias("_sorted"))
+        .select("_id", "_sorted", F.size("_sorted").alias("_m"))
     )
     prefix_len = F.col("_m") - F.floor(F.lit(t) * F.col("_m")).cast("int") + F.lit(1)
     prefixes = ordered.select(
         "_id",
         "_m",
         F.explode(F.slice("_sorted", F.lit(1), F.least(prefix_len, F.col("_m")))).alias(
-            "_tok"
+            "_tid"
         ),
     )
     pa = prefixes.select(
-        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_m").alias("_ma")
+        F.col("_tid"), F.col("_id").alias("id_a"), F.col("_m").alias("_ma")
     )
     pb = prefixes.select(
-        F.col("_tok"), F.col("_id").alias("id_b"), F.col("_m").alias("_mb")
+        F.col("_tid"), F.col("_id").alias("id_b"), F.col("_m").alias("_mb")
     )
     candidates = (
-        pa.join(pb, "_tok")
+        pa.join(pb, "_tid")
         .where(F.col("id_a") < F.col("id_b"))
         # length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
         .where(
@@ -102,8 +237,8 @@ def jaccard_join_exact(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = toks.select(F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"))
-    tb = toks.select(F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"))
+    ta = ordered.select(F.col("_id").alias("id_a"), F.col("_sorted").alias("_ta"))
+    tb = ordered.select(F.col("_id").alias("id_b"), F.col("_sorted").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
     return (

@@ -198,18 +198,13 @@ def hard_negatives(
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("_qv"))
-    scored = (
-        corpus.select(id_col, vec_col)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "query_id",
-            F.col(id_col),
-            cosine_expr(F.col(vec_col), F.col("_qv")).alias("_cos"),
-        )
-        .where(
-            (F.col("_cos") >= F.lit(float(sim_lo)))
-            & (F.col("_cos") < F.lit(float(sim_hi)))
-        )
+    scored = _scored_vs_queries_kernel(
+        corpus, q, id_col, vec_col,
+        sim_lo=float(sim_lo), sim_hi=float(sim_hi),
+        # per-partition pruning to k is only sound when nothing is
+        # dropped AFTER scoring; a positives anti-join runs downstream,
+        # so keep every band survivor in that case
+        local_k=None if positives is not None else k,
     )
     if positives is not None:
         gold = positives.select(
@@ -218,6 +213,143 @@ def hard_negatives(
         ).distinct()
         scored = scored.join(gold, ["query_id", id_col], "left_anti")
     return _topk_per_query(scored, k, id_col)
+
+
+def _scored_vs_queries_kernel(
+    corpus: DataFrame,
+    q: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    sim_lo: float,
+    sim_hi: float,
+    local_k: Optional[int],
+) -> DataFrame:
+    """(query_id, id, _cos) band survivors of corpus x query-batch
+    cosine scoring — an Arrow/numpy kernel replacement for the
+    crossJoin(broadcast) + interpreted zip_with/aggregate fold (guide
+    §4.2: Spark's higher-order functions do not participate in codegen,
+    so the fold runs row-at-a-time in the interpreter; the kernel runs
+    one fused numpy op per dimension per batch instead).
+
+    BIT-EXACT contract (the property the oracles pin): Catalyst
+    evaluates ``aggregate(zip_with(a, b, x*y), 0.0, acc+v)`` as
+    elementwise products in the ARRAY ELEMENT TYPE (float32 products
+    for array<float> columns) accumulated sequentially into a float64,
+    and norms the same way. The kernel reproduces exactly that: per
+    dimension j, one vectorized element-type multiply, then one float64
+    accumulate — sequential over j, vectorized over rows — so every
+    cosine, band compare and tie order is bit-identical to the
+    expression form. Rows whose vector is NULL or whose length differs
+    from the query's produce NULL cosine in the expression form (NULL
+    propagation through zip_with padding) and are likewise dropped
+    here; zero-norm vectors are dropped by try_divide semantics.
+
+    ``local_k``: when set, each task emits only its top-``local_k``
+    rows per query (sorted by (-cos, id) — the exact `_topk_per_query`
+    order), which cannot change the global top-k merge; when None,
+    every band survivor is emitted.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = q.collect()  # the query batch is the broadcast side by design
+    corpus_elem = corpus.schema[vec_col].dataType.elementType.simpleString()
+    q_elem = q.schema["_qv"].dataType.elementType.simpleString()
+    prod_t = (
+        np.float32 if (corpus_elem == "float" and q_elem == "float")
+        else np.float64
+    )
+
+    queries_np = []  # (query_id, qvec float64 view, |q| norm, dim)
+    for row in q_rows:
+        vq = row["_qv"]
+        if vq is None:
+            continue  # NULL query vector -> NULL cosine for every row
+        arr = np.asarray(vq, dtype=prod_t)
+        # query norm: sequential fold of element-type products into f64
+        nacc = 0.0
+        for x in arr:
+            nacc += float(x * x)
+        nq = float(np.sqrt(nacc))
+        queries_np.append((row["query_id"], arr, nq, len(arr)))
+
+    out_schema = StructType(
+        [
+            q.schema["query_id"],
+            corpus.schema[id_col],
+            StructField("_cos", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        tops = {i: [] for i in range(len(queries_np))} if local_k else None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col]
+            ids = pdf[id_col]
+            # group rows by vector length; each group scores as a matrix
+            lens = vecs.map(lambda v: -1 if v is None else len(v))
+            for dim, idx in lens.groupby(lens).groups.items():
+                if dim < 0:
+                    continue
+                V = np.asarray(
+                    [np.asarray(vecs[i], dtype=prod_t) for i in idx],
+                    dtype=prod_t,
+                ).reshape(len(idx), dim)
+                # corpus norms: sequential over j, vectorized over rows
+                nacc = np.zeros(len(idx), dtype=np.float64)
+                for j in range(dim):
+                    nacc += V[:, j] * V[:, j]
+                ncorp = np.sqrt(nacc)
+                id_vals = ids[idx].to_numpy()
+                for qi, (qid_v, qarr, qnorm, qdim) in enumerate(queries_np):
+                    if qdim != dim:
+                        continue  # length mismatch -> NULL cosine
+                    dot = np.zeros(len(idx), dtype=np.float64)
+                    for j in range(dim):
+                        dot += V[:, j] * qarr[j]
+                    denom = ncorp * qnorm
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dot / denom
+                    keep = (
+                        (denom != 0.0) & (cos >= sim_lo) & (cos < sim_hi)
+                    )
+                    if not keep.any():
+                        continue
+                    kcos = cos[keep]
+                    kids = id_vals[keep]
+                    if tops is None:
+                        yield pd.DataFrame(
+                            {
+                                "query_id": [qid_v] * len(kcos),
+                                id_col: kids,
+                                "_cos": kcos,
+                            }
+                        )
+                    else:
+                        lst = tops[qi]
+                        lst.extend(zip(-kcos, kids))
+                        if len(lst) > 8 * local_k:
+                            lst.sort()
+                            del lst[local_k:]
+        if tops is not None:
+            for qi, lst in tops.items():
+                if not lst:
+                    continue
+                lst.sort()
+                del lst[local_k:]
+                yield pd.DataFrame(
+                    {
+                        "query_id": [queries_np[qi][0]] * len(lst),
+                        id_col: [i for _, i in lst],
+                        "_cos": [-nc for nc, _ in lst],
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
 
 
 # ---------------------------------------------------------------------------
