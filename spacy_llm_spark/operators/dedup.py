@@ -268,7 +268,14 @@ def minhash_lsh_index(
 
 def _pair_est(pairs: DataFrame, n_hashes: int, threshold: float) -> DataFrame:
     """(id_a, id_b, jaccard_est) survivors: estimate + threshold BEFORE
-    the pair distinct (slim rows through the dedup shuffle)."""
+    the pair distinct (slim rows through the dedup shuffle).
+
+    Kept as the zip_with/filter EXPRESSION despite higher-order
+    functions being interpreter-only: an A/B against a vectorized numpy
+    kernel (r06) measured the kernel at parity when Python workers were
+    warm and ~3 s slower cold — the estimate is not where this
+    operator's time goes (the banded self-join is), so the dependency-
+    free expression stays."""
     est = (
         F.size(
             F.filter(

@@ -720,7 +720,14 @@ def hits(
     def _half_step(frame: DataFrame, in_col: str, join_on: str, group_to: str,
                    out_col: str) -> DataFrame:
         """One HITS half-step: push ``in_col`` across the edges joined on
-        ``join_on``, sum into ``group_to``, L1-normalize, quantize."""
+        ``join_on``, sum into ``group_to``, L1-normalize, quantize.
+
+        The frame is SUPPORT-ONLY (zero-score vertices are simply
+        absent, and a NULL score is the same as absent): a zero/missing
+        input contributes nothing to any sum (F.sum skips NULLs), and
+        the L1 total ignores it identically, so dropping the old
+        per-half-step vertex-scale zero-fill join changes no value —
+        zeros are restored once, at the end."""
         raw = (
             e.join(
                 frame.select(F.col("vertex").alias(join_on), in_col), join_on
@@ -730,8 +737,7 @@ def hits(
         )
         tot = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot"))
         return (
-            nodes.join(raw, "vertex", "left")
-            .crossJoin(broadcast(tot))
+            raw.crossJoin(broadcast(tot))
             .select(
                 "vertex",
                 F.round(
@@ -747,8 +753,16 @@ def hits(
     for _ in range(iters):
         auth = _half_step(scores, "hub", "s", "t", "authority")
         hubs = _half_step(auth, "authority", "t", "s", "hub")
-        scores = fs.cut_lineage(hubs.join(auth, "vertex"))
-    return scores.select("vertex", "hub", "authority")
+        # full outer: hub and authority supports differ on one-sided
+        # vertices; missing/NULL sides mean 0.0 (coalesced at the end)
+        scores = fs.cut_lineage(hubs.join(auth, "vertex", "full"))
+    if iters == 0:
+        return scores.select("vertex", "hub", "authority")
+    return nodes.join(scores, "vertex", "left").select(
+        "vertex",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+    )
 
 
 def adamic_adar(
@@ -1460,12 +1474,19 @@ def strongly_connected_components(
     for _ in range(max_rounds):
         if n_live == 0:
             break
-        # -- 1. trim singleton SCCs (no in- or no out-edge) to fixpoint
+        # -- 1. trim singleton SCCs (no in- or no out-edge) to fixpoint.
+        # The per-round edge restriction stays LAZY against this outer
+        # round's cut edge base — restriction by the latest live_v is
+        # the same set as restricting iteratively, live_v is cut every
+        # round so the lazy plan stays 2 semi-joins deep, and each trim
+        # round runs ONE materialization job instead of two.
+        base_e = live_e
         for _ in range(max_iter):
+            cur_e = _restrict(base_e, live_v)
             cyclic = live_v.join(
-                live_e.select(F.col("s").alias("vertex")), "vertex", "left_semi"
+                cur_e.select(F.col("s").alias("vertex")), "vertex", "left_semi"
             ).join(
-                live_e.select(F.col("t").alias("vertex")), "vertex", "left_semi"
+                cur_e.select(F.col("t").alias("vertex")), "vertex", "left_semi"
             )
             obs = Observation()
             cyclic = fs.cut_lineage(
@@ -1480,13 +1501,14 @@ def strongly_connected_components(
                 )
             )
             live_v, n_live = cyclic, n_cyclic
-            live_e = fs.cut_lineage(_restrict(live_e, live_v))
         else:
             raise RuntimeError(
                 f"scc: trim did not converge within max_iter={max_iter}"
             )
         if n_live == 0:
             break
+        # one cut of the trimmed edge set feeds coloring + extraction
+        live_e = fs.cut_lineage(_restrict(base_e, live_v))
         # -- 2. forward min-label coloring to fixpoint
         colors = fs.cut_lineage(live_v.withColumn("color", F.col("vertex")))
         for _ in range(max_iter):
@@ -1664,6 +1686,50 @@ def transitive_closure(
                 return nxt
             reach, n_pairs = nxt, n_next
     else:
+        # the per-round tagged distinct hashes and shuffles every pair
+        # key for every round; when keys are not already fixed-width
+        # integers (strings, structs), dictionary-encode the VERTICES
+        # once (vertex-scale, bijective, internal to this run) so the
+        # multi-million-pair rounds run on longs, and decode only the
+        # final closure (guide §2.3 "narrower types")
+        vtype = reach.schema[src].dataType.simpleString()
+        encode = vtype not in (
+            "tinyint", "smallint", "int", "bigint"
+        )
+        if encode:
+            verts = fs.cut_lineage(
+                reach.select(F.col(src).alias("__v"))
+                .union(reach.select(F.col(dst).alias("__v")))
+                .distinct()
+                .select("__v", F.monotonically_increasing_id().alias("__c"))
+            )
+            orig_src, orig_dst = src, dst
+            src, dst = "__cs", "__cd"
+            reach = fs.cut_lineage(
+                reach.join(
+                    verts.select(F.col("__v").alias(orig_src),
+                                 F.col("__c").alias("__cs")), orig_src
+                ).join(
+                    verts.select(F.col("__v").alias(orig_dst),
+                                 F.col("__c").alias("__cd")), orig_dst
+                ).select("__cs", "__cd")
+            )
+
+        def _decode(pairs_df: DataFrame) -> DataFrame:
+            if not encode:
+                return pairs_df
+            return (
+                pairs_df.join(
+                    verts.select(F.col("__c").alias("__cs"),
+                                 F.col("__v").alias(orig_src)), "__cs"
+                )
+                .join(
+                    verts.select(F.col("__c").alias("__cd"),
+                                 F.col("__v").alias(orig_dst)), "__cd"
+                )
+                .select(orig_src, orig_dst)
+            )
+
         exact = reach  # paths of length exactly 2^i; i = 0 at entry
         for _ in range(max_rounds):
             p_left = exact.withColumnRenamed(dst, "__mid")
@@ -1692,7 +1758,7 @@ def transitive_closure(
             tagged = fs.cut_lineage(tagged)
             n_next = obs.get["n"]
             if n_next == n_pairs:
-                return tagged.where("__t").select(src, dst)
+                return _decode(tagged.where("__t").select(src, dst))
             reach = tagged.where("__t").select(src, dst)
             exact = tagged.where(~F.col("__t")).select(src, dst)
             n_pairs = n_next
@@ -3203,17 +3269,40 @@ def betweenness(
         )
     adj = adj.where(F.col("u") != F.col("v")).distinct()
     adj = fs.cut_lineage(adj)
-    nodes = (
+    nodes_raw = (
         adj.select(F.col("u").alias("vertex"))
         .unionByName(adj.select(F.col("v").alias("vertex")))
         .distinct()
     )
+    # ~2·eccentricity rounds of (source, vertex)-keyed joins/aggregates
+    # follow; hashing and shuffling long keys instead of arbitrary-width
+    # vertex strings cuts every round's bytes and hash cost (guide §2.3
+    # "narrower types"), so vertices are dictionary-encoded ONCE up
+    # front and decoded once at the end. The code is internal to this
+    # run (monotonically_increasing_id over the cut nodes frame, itself
+    # cut so it never re-derives) — a bijection, so sigma counts, level
+    # sets and the quantized delta sums are unchanged.
+    vmap = fs.cut_lineage(
+        nodes_raw.select("vertex", F.monotonically_increasing_id().alias("_nid"))
+    )
+    adj = fs.cut_lineage(
+        adj.join(vmap.select(F.col("vertex").alias("u"),
+                             F.col("_nid").alias("_nu")), "u")
+        .join(vmap.select(F.col("vertex").alias("v"),
+                          F.col("_nid").alias("_nv")), "v")
+        .select(F.col("_nu").alias("u"), F.col("_nv").alias("v"))
+    )
+    nodes = vmap.select(F.col("_nid").alias("vertex"))
     seed_col = sources.columns[0]
     level0 = fs.cut_lineage(
         sources.select(F.col(seed_col).alias("s"))
         .distinct()
-        .join(nodes.withColumnRenamed("vertex", "s"), "s", "left_semi")
-        .select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma"))
+        .join(vmap.withColumnRenamed("vertex", "s"), "s")
+        .select(
+            F.col("_nid").alias("s"),
+            F.col("_nid").alias("v"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
     )
     levels = [level0]
     visited = level0.select("s", "v")
@@ -3239,7 +3328,11 @@ def betweenness(
                 "raise max_hops (needs >= the graph's source eccentricity)"
             )
         levels.append(nxt)
-        visited = fs.cut_lineage(visited.unionByName(nxt.select("s", "v")))
+        # visited stays a PLAIN union of the already-cut level frames
+        # (the bfs_levels discipline): each hop's plan is K checkpoint
+        # scans, so re-cutting it was one extra O(|visited|)
+        # materialization job per hop for no lineage benefit
+        visited = visited.unionByName(nxt.select("s", "v"))
     # backward dependency accumulation, deepest level first
     deltas = []
     delta_next = levels[-1].select(
@@ -3277,7 +3370,7 @@ def betweenness(
         if lvl >= 1:  # sources accumulate nothing
             deltas.append(delta_next.select("v", "delta"))
     if not deltas:
-        return nodes.select("vertex", F.lit(0.0).alias("betweenness"))
+        return vmap.select("vertex", F.lit(0.0).alias("betweenness"))
     acc = deltas[0]
     for d in deltas[1:]:
         acc = acc.unionByName(d)
@@ -3287,7 +3380,8 @@ def betweenness(
     bc = acc.groupBy("v").agg(
         F.round(F.sum("delta") * F.lit(half), 6).alias("betweenness")
     )
-    return nodes.join(bc, nodes["vertex"] == bc["v"], "left").select(
+    # decode the internal vertex code back to the caller's ids
+    return vmap.join(bc, vmap["_nid"] == bc["v"], "left").select(
         "vertex", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
 

@@ -206,6 +206,88 @@ def rdfs_entailment(
     return out
 
 
+def _rdfs_entailment_delta(
+    base: DataFrame,
+    ontology: DataFrame,
+    delta_preds: list,
+    type_pred: str = "type",
+    subclass_pred: str = "subClassOf",
+    subproperty_pred: str = "subPropertyOf",
+    domain_pred: str = "domain",
+    range_pred: str = "range",
+    max_rounds: int = 30,
+):
+    """Delta-restricted RDFS pass for :func:`entailment_fixpoint`.
+
+    Precondition (the CALLER's proof obligation): ``base`` is a
+    DISTINCT triple set that is already rdfs-closed under ``ontology``
+    EXCEPT possibly for rows whose pred is in ``delta_preds`` (which
+    must not contain ``type_pred``). This holds for every fixpoint
+    round after the first: the round's input is the previous OWL pass's
+    output, the previous RDFS pass's output was closed, and the OWL
+    pass only ever adds rows under its inverse/symmetric/transitive
+    predicates while passing everything else through.
+
+    Soundness of the restriction: every rhoDF instance rule (rdfs7,
+    rdfs2, rdfs3, rdfs9) consumes exactly ONE instance triple plus
+    schema, so derivations distribute over union — the derivations of
+    the already-closed slice are in ``base`` by the precondition, and
+    only the ``delta_preds`` slice (a pred-pushed filter, no shuffle)
+    needs the rule joins. The schema closures are recomputed (schema-
+    scale, trivially cheap).
+
+    Returns None when the delta derives nothing new is POSSIBLE —
+    precisely, when the rule joins over the delta slice produce zero
+    rows, so ``rdfs(base) == base`` and the caller can skip both the
+    union-distinct and the lineage cut; otherwise returns the full
+    closure ``distinct(base ∪ new_rows)`` (equal, as a set, to
+    ``rdfs_entailment(base)``).
+    """
+    if not delta_preds:
+        return None  # nothing the OWL pass could have added: closed
+    ont = ontology.select("subj", "pred", "obj").distinct()
+    spc, n_spc = _closure_map(
+        ont.where(F.col("pred") == subproperty_pred), max_rounds
+    )
+    scc, n_scc = _closure_map(
+        ont.where(F.col("pred") == subclass_pred), max_rounds
+    )
+    dom = ont.where(F.col("pred") == domain_pred).select(
+        F.col("subj").alias("dpred"), F.col("obj").alias("cls")
+    )
+    rng = ont.where(F.col("pred") == range_pred).select(
+        F.col("subj").alias("rpred"), F.col("obj").alias("cls")
+    )
+    dslice = base.where(
+        F.col("pred").isin(sorted(delta_preds))
+        & (F.col("pred") != type_pred)
+    )
+    new7 = dslice.join(
+        _hint_schema(spc, n_spc), F.col("pred") == F.col("sub")
+    ).select("subj", F.col("super").alias("pred"), "obj")
+    d2 = dslice.unionByName(new7)
+    types_dom = d2.join(
+        _hint_schema(dom, dom.count()), F.col("pred") == F.col("dpred")
+    ).select(F.col("subj").alias("node"), "cls")
+    types_rng = d2.join(
+        _hint_schema(rng, rng.count()), F.col("pred") == F.col("rpred")
+    ).select(F.col("obj").alias("node"), "cls")
+    types1 = types_dom.unionByName(types_rng)
+    inherited = types1.join(
+        _hint_schema(scc, n_scc), F.col("cls") == F.col("sub")
+    ).select("node", F.col("super").alias("cls"))
+    new_stuff = new7.unionByName(
+        types1.unionByName(inherited).select(
+            F.col("node").alias("subj"),
+            F.lit(type_pred).alias("pred"),
+            F.col("cls").alias("obj"),
+        )
+    )
+    if new_stuff.isEmpty():
+        return None
+    return base.unionByName(new_stuff).distinct()
+
+
 def owl_entailment(
     triples: DataFrame,
     ontology: DataFrame,
@@ -463,20 +545,29 @@ def entailment_fixpoint(
     in round 2, and needed round 3 to confirm.
     """
     # saturated transitive-pred set (schema-scale driver pass — the
-    # same saturation owl_entailment applies)
+    # same saturation owl_entailment applies); the full mutable-pred
+    # set (inverse pair members + symmetric + saturated transitive)
+    # bounds which preds an OWL pass can ever ADD rows under, which is
+    # what certifies the delta-restricted RDFS pass below
     orows = owl_ontology.select("subj", "pred", "obj").distinct().collect()
-    inv_pairs, trans = set(), set()
+    inv_pairs, trans, sym = set(), set(), set()
     for s, p, o in orows:
         if p == "inverseOf":
             inv_pairs.add((s, o))
         elif p == type_pred and o == "TransitiveProperty":
             trans.add(s)
+        elif p == type_pred and o == "SymmetricProperty":
+            sym.add(s)
     for a, b in inv_pairs:
         if a in trans:
             trans.add(b)
         if b in trans:
             trans.add(a)
     trans_preds = sorted(trans)
+    mutable = trans | sym | {p for pair in inv_pairs for p in pair}
+    # a pathological ontology mutating type_pred itself would break the
+    # delta precondition — fall back to the full pass in that case
+    use_delta = type_pred not in mutable
     cur = fs.cut_lineage(triples.select("subj", "pred", "obj").distinct())
     n = cur.count()
     hint = None
@@ -486,11 +577,23 @@ def entailment_fixpoint(
         # assume_distinct: cur is distinct by the loop invariant (the
         # initial distinct + every pass emitting a distinct set), so
         # neither pass re-pays the input distinct.
-        rdfs_out = fs.cut_lineage(
-            rdfs_entailment(
-                cur, rdfs_ontology, type_pred=type_pred, assume_distinct=True
+        # From the second round on, cur is the previous OWL output over
+        # an rdfs-closed set — closed except the OWL-mutable preds — so
+        # the delta pass re-derives only that slice, and the common
+        # no-new-derivation case skips the corpus-scale distinct AND
+        # the lineage cut entirely (rdfs_out IS cur, already cut).
+        if i > 0 and use_delta:
+            delta_out = _rdfs_entailment_delta(
+                cur, rdfs_ontology, sorted(mutable), type_pred=type_pred
             )
-        )
+            rdfs_out = cur if delta_out is None else fs.cut_lineage(delta_out)
+        else:
+            rdfs_out = fs.cut_lineage(
+                rdfs_entailment(
+                    cur, rdfs_ontology, type_pred=type_pred,
+                    assume_distinct=True,
+                )
+            )
         owl_df = owl_entailment(
             rdfs_out, owl_ontology, type_pred=type_pred,
             closed_slice_count=hint, assume_distinct=True,

@@ -802,17 +802,22 @@ def lexical_cosine_pairs(
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     if max_df is not None:
-        keep_terms = (
-            tf.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_df)
-            .select("term")
-        )
+        keep_terms = dfreq.where(F.col("_df") <= max_df).select("term")
         tf = tf.join(keep_terms, "term", "left_semi")
     norms = tf.groupBy("_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("s2"))
-    a = tf.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
-    b = tf.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    # the PAIRING side additionally drops df == 1 terms: a term in one
+    # document joins only with itself and the id_a < id_b filter kills
+    # that row, so such terms contribute to norms but never to any dot —
+    # dropping them up front is exact and removes their join fan-in
+    pair_terms = dfreq.where(
+        (F.col("_df") >= 2)
+        & ((F.lit(True) if max_df is None else F.col("_df") <= max_df))
+    ).select("term")
+    tfp = tf.join(pair_terms, "term", "left_semi")
+    a = tfp.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("tf_a"))
+    b = tfp.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
     dots = (
         a.join(b, "term")
         .where(F.col("id_a") < F.col("id_b"))
