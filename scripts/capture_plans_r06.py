@@ -113,6 +113,18 @@ def main():
 
     shapes["transe_epoch"] = transe_epoch
 
+    def embedding_dup_pairs():
+        from spacy_llm_spark.operators import dedup
+
+        base = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return dedup.embedding_dup_pairs(
+            base, threshold=0.95, bands=24, planes_per_band=12, dim=64
+        )
+
+    shapes["embedding_dup_pairs"] = embedding_dup_pairs
+
     def topological_levels():
         from spacy_llm_spark.operators.graph import topological_levels
 

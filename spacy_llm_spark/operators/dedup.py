@@ -198,11 +198,29 @@ def _cap_hot_buckets(
     """
     if max_bucket_size is None:
         return banded
+    # two-pass cap: the row_number window is a full sort shuffle of the
+    # fat banded rows (signatures/vectors ride along), but buckets over
+    # the cap are RARE by design — so find them with one slim aggregate
+    # and sort only their rows; everything else passes through untouched
+    # (same retained set: per-bucket lowest ids). The input is cut
+    # first: three references follow, and the signature kernel feeding
+    # ``banded`` must run once, not three times.
+    banded = cut_lineage(banded)
+    hot = (
+        banded.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket_size)
+        .select("bucket")
+    )
     w = Window.partitionBy("bucket").orderBy(id_col)
-    capped = (
-        banded.withColumn("_rn", F.row_number().over(w))
+    hot_rows = banded.join(hot, "bucket", "left_semi")
+    capped_hot = (
+        hot_rows.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_bucket_size)
         .drop("_rn")
+    )
+    capped = banded.join(hot, "bucket", "left_anti").unionByName(
+        capped_hot.select(*banded.columns)
     )
     if log_drops:
         n_before = banded.count()
@@ -895,9 +913,18 @@ def embedding_dup_pairs(
             planes_per_band=planes_per_band, seed=seed, dim=dim,
             max_bucket_size=max_bucket_size, log_drops=log_drops,
         ))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
+    # the band self-join runs SLIM (id, bucket only): every index row
+    # carries the full vector, so joining the fat rows ships ``bands``
+    # copies of every embedding through the shuffle and re-verifies
+    # each pair once per shared band. Joining ids, deduping the pair
+    # set, then attaching the two vectors from ``df`` (one copy per
+    # side) shuffles bands x 8-byte keys + 2 vector copies instead of
+    # bands x vector copies, and runs the cosine kernel once per pair
+    # (guide §2.3 / §8: decide with small rows, move big rows once).
+    slim = banded.select(id_col, "bucket")
+    left = slim.alias("l")
+    right = slim.alias("r")
+    cand = (
         left.join(
             right,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -906,10 +933,12 @@ def embedding_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("_va"),
-            F.col(f"r.{vec_col}").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
 
     return _cosine_verified(pairs, df.schema[id_col].dataType, threshold)
 
