@@ -125,6 +125,15 @@ def main():
 
     shapes["embedding_dup_pairs"] = embedding_dup_pairs
 
+    def dedup_minhash_lsh():
+        from spacy_llm_spark.operators import dedup
+
+        return dedup.minhash_lsh_dup_pairs(
+            docs, n_hashes=64, bands=16, threshold=0.8
+        )
+
+    shapes["dedup_minhash_lsh"] = dedup_minhash_lsh
+
     def topological_levels():
         from spacy_llm_spark.operators.graph import topological_levels
 

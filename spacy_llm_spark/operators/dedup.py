@@ -232,6 +232,38 @@ def _cap_hot_buckets(
     return capped
 
 
+def _mh_band(
+    sigs: DataFrame, id_col: str, n_hashes: int, bands: int, *,
+    carry_sig: bool = True,
+) -> DataFrame:
+    """Explode a signature frame into one (id[, sig], band, bucket) row
+    per band. The band index is FOLDED INTO the bucket hash, so every
+    candidate join downstream needs only the single `bucket` key — which
+    is what lets a persisted index, written bucketed on `bucket`
+    (sources/bucketed.py), serve probes without ever re-shuffling the
+    index side (a (band, bucket) composite key could never co-partition
+    with a bucketed table layout). ``carry_sig=False`` drops the
+    signature from the banded rows for self-join-only consumers
+    (guide §2.3: project before the exchange).
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.lit(i),
+                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string"),
+            ).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    keep = [F.col(id_col)] + ([F.col("sig")] if carry_sig else [])
+    out = [id_col] + (["sig"] if carry_sig else []) + ["bb.band", "bb.bucket"]
+    return sigs.select(
+        *keep, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(*out)
+
+
 def minhash_lsh_index(
     df: DataFrame,
     *,
@@ -256,26 +288,7 @@ def minhash_lsh_index(
         df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         shingle_k=shingle_k, seed=seed,
     )
-    rows_per_band = n_hashes // bands
-    # the band index is FOLDED INTO the bucket hash, so every candidate
-    # join downstream needs only the single `bucket` key — which is what
-    # lets a persisted index, written bucketed on `bucket`
-    # (sources/bucketed.py), serve probes without ever re-shuffling the
-    # index side (a (band, bucket) composite key could never co-partition
-    # with a bucketed table layout)
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                F.lit(i),
-                F.slice("sig", i * rows_per_band + 1, rows_per_band).cast("string"),
-            ).alias("bucket"),
-        )
-        for i in range(bands)
-    ]
-    banded = sigs.select(
-        F.col(id_col), F.col("sig"), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    banded = _mh_band(sigs, id_col, n_hashes, bands)
     return _cap_hot_buckets(
         banded, id_col, max_bucket_size, log_drops=log_drops, what="minhash_lsh"
     ).withColumn(
@@ -446,24 +459,42 @@ def minhash_lsh_dup_pairs(
     over ``df`` — pass it when the same index also serves
     ``minhash_lsh_probe`` so the corpus-side signature kernel runs once.
     """
+    # the band self-join runs SLIM (id, bucket only): a banded row
+    # carries the 64-long signature, so joining the fat rows ships
+    # ``bands`` copies of every signature through the shuffle and runs
+    # the Jaccard estimate once per shared band. Joining ids, deduping
+    # the pair set, then attaching the two signatures (one copy per
+    # side) shuffles bands x ~16-byte keys + 2 signature copies instead
+    # of bands x signature copies, and estimates once per distinct pair
+    # (guide §2.3 / §8: decide with small rows, move big rows once —
+    # the embedding_dup_pairs discipline).
     if index is not None:
         _check_index_format(
             index, "minhash_lsh_dup_pairs",
             _index_stamp("mh", h=n_hashes, b=bands, k=shingle_k, s=seed),
         )
-        banded = index
+        slim = index.select(id_col, "bucket")
+        sigs = index.select(id_col, "sig").dropDuplicates([id_col])
     else:
-        # materialize once: the self-join would otherwise run the
-        # signature kernel (and the cap shuffle) twice, once per side
-        banded = cut_lineage(minhash_lsh_index(
+        # materialize the signatures once: banding is a cheap native
+        # explode over them, and the pair attach re-reads them per side
+        sigs = cut_lineage(minhash_signatures(
             df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
-            bands=bands, shingle_k=shingle_k, seed=seed,
-            max_bucket_size=max_bucket_size, log_drops=log_drops,
+            shingle_k=shingle_k, seed=seed,
         ))
+        # the cap cuts the banded frame itself (three references follow);
+        # the capped output is cut too — slim rows, and the self-join
+        # below reads it twice (cheap checkpoint scan instead of
+        # re-running the cap's join tree per side)
+        slim = cut_lineage(_cap_hot_buckets(
+            _mh_band(sigs, id_col, n_hashes, bands, carry_sig=False),
+            id_col, max_bucket_size, log_drops=log_drops,
+            what="minhash_lsh",
+        ).select(id_col, "bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
+    left = slim.alias("l")
+    right = slim.alias("r")
+    cand = (
         left.join(
             right,
             (F.col("l.bucket") == F.col("r.bucket"))
@@ -472,11 +503,25 @@ def minhash_lsh_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return _pair_est(pairs, n_hashes, threshold)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / F.lit(n_hashes)
+    ).alias("jaccard_est")
+    # pairs are already distinct — no second dedup shuffle needed
+    return (
+        pairs.select("id_a", "id_b", est)
+        .where(F.col("jaccard_est") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
