@@ -153,21 +153,36 @@ def extract_span_reasons_cot(
     label_dict: Dict[str, str],
     normalizer: Callable[[str], str] | None = None,
 ) -> List[SpanReason]:
-    """Keep well-formed, is_entity=True, known-label reasons (F2 + F7)."""
+    """Keep well-formed, is_entity=True, known-label reasons (F2 + F7).
+
+    Inline parse of the ``SpanReason.from_str`` grammar (same accepted
+    language, pinned by the parser goldens): the per-doc NER hot loop
+    calls this once per response line, so the dataclass round-trip and
+    the strip-all-parts-then-reject flow were ~20% of the fused kernel's
+    profile. Rejection tests (field count, is_entity, label membership)
+    now run before any per-part stripping of accepted fields.
+    """
     norm = normalizer or lowercase_normalizer
     out: List[SpanReason] = []
     for line in response.strip().split("\n"):
-        try:
-            sr = SpanReason.from_str(line)
-        except ValueError:
+        clean = line.strip()
+        dot = clean.find(".")
+        if dot != -1:
+            clean = clean[dot + 1:]
+        parts = clean.split("|")
+        if len(parts) != 4:
             continue
-        if not sr.is_entity:
+        if parts[1].strip().lower() != "true":
             continue
-        norm_label = norm(sr.label)
+        norm_label = norm(parts[2].strip())
         if norm_label not in label_dict:
             continue
-        sr.label = label_dict[norm_label]
-        out.append(sr)
+        out.append(SpanReason(
+            text=parts[0].strip(),
+            is_entity=True,
+            label=label_dict[norm_label],
+            reason=parts[3].strip(),
+        ))
     return out
 
 
