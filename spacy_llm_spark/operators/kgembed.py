@@ -166,11 +166,20 @@ def transe_epoch(
         raise ValueError(f"lr and margin must be > 0, got {lr}, {margin}")
     from pyspark.sql import Observation
 
-    # cut the embedding tables once: ``ent`` feeds THREE scoring joins
-    # plus the final apply join, and callers routinely hand in a lazy
-    # init/distinct plan that would otherwise re-run per reference
+    # cut the ENTITY table once: ``ent`` feeds THREE scoring joins plus
+    # the final apply join, and callers routinely hand in a lazy
+    # init/distinct plan that would otherwise re-run per reference.
+    # ``rel`` is PERSISTED, not checkpointed: checkpointing both tables
+    # trips a Catalyst mis-binding in Spark 4.1
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — a projection over the rel
+    # checkpoint gets bound against an attribute of the shared upstream
+    # pair plan; reproduced deterministically at bench scale, gone with
+    # the rel checkpoint removed). persist() keeps the original plan —
+    # the shape Spark executes reliably here — while still running the
+    # caller's init/distinct once for the two references; the table is
+    # relation-scale, so the pinned storage is trivial.
     ent = fs.cut_lineage(ent)
-    rel = fs.cut_lineage(rel)
+    rel = rel.persist()
     scored = transe_scores(
         pairs, ent, rel,
         subj=subj, pred=pred, obj=obj, neg_obj=neg_obj,
