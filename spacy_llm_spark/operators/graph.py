@@ -619,6 +619,18 @@ def personalized_pagerank(
     d = float(damping)
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("_outdeg"))
 
+    from pyspark.sql import Observation
+
+    # the dangling mass rides each round's lineage-cut materialization
+    # as a df.observe (the connected_components discipline): the old
+    # per-round ``ranks.agg`` + broadcast was ONE extra job per round
+    # re-scanning the rank checkpoint. Same double value either way;
+    # the 10 dp quantization absorbs summation-order ulps exactly as
+    # before.
+    _dm_metric = F.coalesce(
+        F.sum(F.when(F.col("_outdeg").isNull(), F.col("rank"))), F.lit(0.0)
+    ).alias("dm")
+    obs = Observation()
     ranks = fs.cut_lineage(
         nodes.join(out_deg, nodes["vertex"] == out_deg["s"], "left")
         .join(seed_set.withColumn("_is_seed", F.lit(True)), "vertex", "left")
@@ -630,7 +642,9 @@ def personalized_pagerank(
             .alias("_sw"),
         )
         .withColumn("rank", F.round(F.col("_sw"), quantum))
+        .observe(obs, _dm_metric)
     )
+    dm = float(obs.get["dm"] or 0.0)
     for _ in range(iters):
         contrib = (
             ranks.where(F.col("_outdeg").isNotNull())
@@ -639,15 +653,10 @@ def personalized_pagerank(
             .groupBy(F.col("t").alias("vertex"))
             .agg(F.sum("share").alias("contrib"))
         )
-        dangling = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("_outdeg").isNull(), F.col("rank"))), F.lit(0.0)
-            ).alias("dm")
-        )
+        obs = Observation()
         ranks = fs.cut_lineage(
             ranks.select("vertex", "_outdeg", "_sw")
             .join(contrib, "vertex", "left")
-            .crossJoin(broadcast(dangling))
             .select(
                 "vertex",
                 "_outdeg",
@@ -657,12 +666,14 @@ def personalized_pagerank(
                     + F.lit(d)
                     * (
                         F.coalesce("contrib", F.lit(0.0))
-                        + F.col("dm") * F.col("_sw")
+                        + F.lit(dm) * F.col("_sw")
                     ),
                     quantum,
                 ).alias("rank"),
             )
+            .observe(obs, _dm_metric)
         )
+        dm = float(obs.get["dm"] or 0.0)
     return ranks.select("vertex", "rank")
 
 
@@ -717,6 +728,8 @@ def hits(
         nodes.select("vertex", init.alias("hub"), init.alias("authority"))
     )
 
+    from pyspark.sql import Observation
+
     def _half_step(frame: DataFrame, in_col: str, join_on: str, group_to: str,
                    out_col: str) -> DataFrame:
         """One HITS half-step: push ``in_col`` across the edges joined on
@@ -727,35 +740,40 @@ def hits(
         input contributes nothing to any sum (F.sum skips NULLs), and
         the L1 total ignores it identically, so dropping the old
         per-half-step vertex-scale zero-fill join changes no value —
-        zeros are restored once, at the end."""
-        raw = (
+        zeros are restored once, at the end.
+
+        The L1 total rides the half-step's own lineage-cut job as a
+        ``df.observe`` and normalization divides by the observed
+        literal: the old broadcast-scalar-subquery shape evaluated the
+        edge join + aggregate TWICE per half-step (once building the
+        broadcast, once in the main plan) — same double value either
+        way (the quantization discipline absorbs the summation-order
+        ulp exactly as before)."""
+        obs = Observation()
+        raw = fs.cut_lineage(
             e.join(
                 frame.select(F.col("vertex").alias(join_on), in_col), join_on
             )
             .groupBy(F.col(group_to).alias("vertex"))
             .agg(F.sum(in_col).alias("_raw"))
+            .observe(obs, F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot"))
         )
-        tot = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot"))
-        return (
-            raw.crossJoin(broadcast(tot))
-            .select(
-                "vertex",
-                F.round(
-                    F.when(
-                        F.col("_tot") > 0,
-                        F.coalesce("_raw", F.lit(0.0)) / F.col("_tot"),
-                    ).otherwise(F.lit(0.0)),
-                    quantum,
-                ).alias(out_col),
-            )
+        tot = float(obs.get["_tot"] or 0.0)
+        if tot > 0:
+            norm_expr = F.coalesce("_raw", F.lit(0.0)) / F.lit(tot)
+        else:
+            norm_expr = F.lit(0.0)
+        return raw.select(
+            "vertex", F.round(norm_expr, quantum).alias(out_col)
         )
 
     for _ in range(iters):
         auth = _half_step(scores, "hub", "s", "t", "authority")
         hubs = _half_step(auth, "authority", "t", "s", "hub")
         # full outer: hub and authority supports differ on one-sided
-        # vertices; missing/NULL sides mean 0.0 (coalesced at the end)
-        scores = fs.cut_lineage(hubs.join(auth, "vertex", "full"))
+        # vertices; missing/NULL sides mean 0.0 (coalesced at the end);
+        # both halves are checkpoint scans, so the round join stays lazy
+        scores = hubs.join(auth, "vertex", "full")
     if iters == 0:
         return scores.select("vertex", "hub", "authority")
     return nodes.join(scores, "vertex", "left").select(
