@@ -70,14 +70,31 @@ def fuse_facts(
             F.col(pred).alias("p"), F.col(obj).alias("o"),
         ).distinct()
     )
-    trust = c.select("src").distinct().select(
-        "src", F.lit(float(prior)).alias("t")
+    # dictionary-encode data items and sources to longs ONCE (guide
+    # §2.3 "narrower types" — the betweenness discipline): every round
+    # shuffles claims-scale rows keyed alternately by item and by
+    # source, so hashing/moving two longs + one double instead of four
+    # strings cuts each round's bytes severalfold. The codes are an
+    # internal bijection (monotonically_increasing_id over cut distinct
+    # frames); groups, products and averages are unchanged, and the
+    # winners decode through the item map once at the end.
+    imap = fs.cut_lineage(
+        c.select("s", "p", "o").distinct()
+        .withColumn("_iid", F.monotonically_increasing_id())
     )
+    smap = fs.cut_lineage(
+        c.select("src").distinct()
+        .withColumn("_sid", F.monotonically_increasing_id())
+    )
+    c2 = fs.cut_lineage(
+        c.join(smap, "src").join(imap, ["s", "p", "o"]).select("_sid", "_iid")
+    )
+    trust = smap.select("_sid", F.lit(float(prior)).alias("t"))
 
     def fact_conf(tr: DataFrame) -> DataFrame:
         return (
-            c.join(tr, "src")
-            .groupBy("s", "p", "o")
+            c2.join(tr, "_sid")
+            .groupBy("_iid")
             .agg(
                 F.round(1.0 - F.product(1.0 - F.col("t")), quantum).alias("c")
             )
@@ -89,31 +106,29 @@ def fuse_facts(
         if i == iters - 1:
             break  # the final round's trust update would go unread
         trust = fs.cut_lineage(
-            c.join(conf, ["s", "p", "o"])
-            .groupBy("src")
+            c2.join(conf, "_iid")
+            .groupBy("_sid")
             .agg(
                 F.least(
                     F.round(F.avg("c"), quantum), F.lit(_TRUST_CAP)
                 ).alias("t")
             )
         )
-    n_src = c.groupBy("s", "p", "o").agg(F.countDistinct("src").alias("n"))
-    top = conf.groupBy("s", "p").agg(
+    n_src = c2.groupBy("_iid").agg(F.countDistinct("_sid").alias("n"))
+    scored = conf.join(n_src, "_iid").join(imap, "_iid")
+    top = scored.groupBy("s", "p").agg(
         F.min(
-            F.struct((-F.col("c")).alias("negc"), F.col("o").alias("obj"))
+            F.struct(
+                (-F.col("c")).alias("negc"), F.col("o").alias("obj"),
+                F.col("n").alias("n"),
+            )
         ).alias("_t")
     )
-    return (
-        top.select(
-            "s", "p", F.col("_t.obj").alias("o"),
-            F.round(-F.col("_t.negc"), 6).alias("confidence"),
-        )
-        .join(n_src, ["s", "p", "o"])
-        .select(
-            F.col("s").alias(subj), F.col("p").alias(pred),
-            F.col("o").alias(obj), "confidence",
-            F.col("n").alias("n_sources"),
-        )
+    return top.select(
+        F.col("s").alias(subj), F.col("p").alias(pred),
+        F.col("_t.obj").alias(obj),
+        F.round(-F.col("_t.negc"), 6).alias("confidence"),
+        F.col("_t.n").alias("n_sources"),
     )
 
 
