@@ -45,6 +45,39 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _probe_norm_folded(probe_l: list) -> float:
+    """sqrt of the SEQUENTIAL left-fold of squares — the same IEEE op
+    sequence Catalyst constant-folds for ``_norm`` over a literal
+    array, so kernel cosines stay bit-identical to the expression."""
+    import math
+
+    acc = 0.0
+    for x in probe_l:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _seq_probe_cosine(V: np.ndarray, pvec: np.ndarray, pnorm: float):
+    """Vectorized cosine of each row of ``V`` against ``pvec`` with the
+    fold's exact IEEE op order: per dimension one vectorized multiply,
+    accumulated SEQUENTIALLY into float64 (the hard_negatives kernel
+    discipline — np.sum's pairwise order would drift ulps). Returns
+    (cosine ndarray, denominator ndarray) — try_divide semantics (a
+    zero denominator -> NULL) are the caller's to apply from ``den``.
+    """
+    n, dim = V.shape
+    dot = np.zeros(n)
+    nrm = np.zeros(n)
+    for j in range(dim):
+        c = V[:, j]
+        dot = dot + c * pvec[j]
+        nrm = nrm + c * c
+    den = np.sqrt(nrm) * pnorm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / den
+    return cos, den
+
+
 def cosine_vs_probe(
     df: DataFrame,
     probe: Sequence[float],
@@ -52,13 +85,53 @@ def cosine_vs_probe(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, cosine) against a constant probe vector — the probe folds into
-    the plan as a literal array (broadcast-free)."""
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    return df.select(
-        F.col(id_col),
-        cosine_expr(F.col(vec_col).cast("array<double>"), probe_col).alias("cosine"),
-    )
+    """(id, cosine) against a constant probe vector.
+
+    Runs as a vectorized numpy kernel, not the zip_with/aggregate
+    expression: higher-order functions fall out of whole-stage codegen
+    and run row-at-a-time in the interpreter (the measured
+    hard_negatives lesson). Bit-exact by construction — per dimension
+    one vectorized multiply accumulated sequentially into float64, the
+    same IEEE op sequence as the fold, with the probe norm folded
+    identically driver-side. try_divide semantics preserved: a zero
+    denominator (zero vector or zero probe) yields NULL, as does a
+    NULL or length-mismatched vector (zip_with's null padding made the
+    fold NULL there).
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from typing import Iterator
+
+    probe_l = [float(x) for x in probe]
+    dim = len(probe_l)
+    pvec = np.asarray(probe_l, dtype=np.float64)
+    pnorm = _probe_norm_folded(probe_l)
+    schema = StructType([df.schema[id_col], StructField("cosine", DoubleType())])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "cosine": []})
+                continue
+            col = pdf[vec_col]
+            lens = np.fromiter(
+                (len(v) if v is not None else -1 for v in col), dtype=np.int64,
+                count=n,
+            )
+            valid = lens == dim
+            out = np.empty(n, dtype=object)
+            out[:] = None
+            if valid.any():
+                V = np.stack(col[valid].to_numpy()).astype(np.float64)
+                cos, den = _seq_probe_cosine(V, pvec, pnorm)
+                vals = np.empty(len(cos), dtype=object)
+                vals[:] = cos
+                vals[den == 0.0] = None
+                out[valid] = vals
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": out})
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
 def cosine_topk(
@@ -402,23 +475,83 @@ def ann_lsh_topk(
     hyperplane signature is within ``max_hamming`` bits of the probe's.
     Pushdown-friendly: the bucket predicate prunes before any scoring.
     """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from typing import Iterator
+
     probe_arr = np.asarray(probe, dtype=float)
-    planes = _planes(len(probe_arr), n_planes, seed)
+    dim = len(probe_arr)
+    planes = _planes(dim, n_planes, seed)
     probe_sig = 0
     for p in range(n_planes):
         if float(planes[p] @ probe_arr) > 0:
             probe_sig |= 1 << p
 
-    sigs = hyperplane_signature(
-        df, vec_col=vec_col, n_planes=n_planes, seed=seed, dim=len(probe_arr)
+    # signature + Hamming filter + exact cosine in ONE Arrow pass: the
+    # per-plane dots and the cosine previously ran as zip_with/aggregate
+    # folds — interpreter-only, n_planes+1 folds per row. The kernel
+    # replays each fold's exact IEEE op order (sequential per-dimension
+    # accumulation), so the sign bits, the candidate set and the
+    # re-ranked cosines are bit-identical. Rows whose vector is NULL or
+    # length-mismatched got a NULL plane dot -> bit 0 in the native
+    # form; the kernel gives them sig = 0 and a NULL cosine the same
+    # way, and they survive the filter iff popcount(probe_sig) <=
+    # max_hamming, exactly as before.
+    probe_l = [float(x) for x in probe_arr]
+    pvec = np.asarray(probe_l, dtype=np.float64)
+    pnorm = _probe_norm_folded(probe_l)
+    schema = StructType([df.schema[id_col], StructField("cosine", DoubleType())])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], "cosine": []})
+                continue
+            col = pdf[vec_col]
+            lens = np.fromiter(
+                (len(v) if v is not None else -1 for v in col), dtype=np.int64,
+                count=n,
+            )
+            valid = lens == dim
+            sig = np.zeros(n, dtype=np.int64)
+            if valid.any():
+                V = np.stack(col[valid].to_numpy()).astype(np.float64)
+                vsig = np.zeros(V.shape[0], dtype=np.int64)
+                for p in range(n_planes):
+                    pl = planes[p]
+                    acc = np.zeros(V.shape[0])
+                    for j in range(dim):
+                        acc = acc + V[:, j] * pl[j]
+                    vsig |= (acc > 0).astype(np.int64) << p
+                sig[valid] = vsig
+            ham = np.zeros(n, dtype=np.int64)
+            x = sig ^ probe_sig
+            for b in range(n_planes):
+                ham += (x >> b) & 1
+            keep = ham <= max_hamming
+            if not keep.any():
+                yield pd.DataFrame({id_col: pdf[id_col][:0], "cosine": []})
+                continue
+            kept = pdf[keep]
+            kvalid = valid[keep]
+            out = np.empty(len(kept), dtype=object)
+            out[:] = None
+            if kvalid.any():
+                V = np.stack(kept[vec_col][kvalid].to_numpy()).astype(np.float64)
+                cos, den = _seq_probe_cosine(V, pvec, pnorm)
+                vals = np.empty(len(cos), dtype=object)
+                vals[:] = cos
+                vals[den == 0.0] = None
+                out[kvalid] = vals
+            yield pd.DataFrame({id_col: kept[id_col], "cosine": out})
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(kernel, schema=schema)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
     )
-    xor = F.col("lsh_sig").bitwiseXOR(F.lit(probe_sig).cast("long"))
-    hamming = sum(
-        F.when(xor.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(0)
-        for b in range(n_planes)
-    )
-    candidates = sigs.where(hamming <= max_hamming)
-    return cosine_topk(candidates, probe, k, vec_col=vec_col, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------
