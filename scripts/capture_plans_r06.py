@@ -134,6 +134,73 @@ def main():
 
     shapes["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def kg_hits():
+        from spacy_llm_spark.operators.graph import hits
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["subj", "obj"]
+        )
+        return hits(e, iters=2)
+
+    shapes["kg_hits"] = kg_hits
+
+    def kg_ppr():
+        from spacy_llm_spark.operators.graph import personalized_pagerank
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["subj", "obj"]
+        )
+        seeds = spark.createDataFrame([("a",)], ["vertex"])
+        return personalized_pagerank(e, seeds, iters=2)
+
+    shapes["kg_ppr"] = kg_ppr
+
+    def fuse_facts():
+        from spacy_llm_spark.operators.fusion import fuse_facts
+
+        cl = spark.range(10_000).select(
+            F.format_string("s%03d", F.col("id") % 97).alias("source"),
+            F.format_string("i%05d", F.col("id") % 2_000).alias("subj"),
+            F.lit("val").alias("pred"),
+            F.format_string("v%d", F.col("id") % 3).alias("obj"),
+        )
+        return fuse_facts(cl, iters=3)
+
+    shapes["fuse_facts"] = fuse_facts
+
+    def ann_lsh_topk():
+        from spacy_llm_spark.operators.similarity import ann_lsh_topk
+
+        probe = [float(x) for x in range(64)]
+        return ann_lsh_topk(emb, probe, k=10)
+
+    shapes["ann_lsh_topk"] = ann_lsh_topk
+
+    def cosine_topk():
+        from spacy_llm_spark.operators.similarity import cosine_topk
+
+        probe = [float(x) for x in range(64)]
+        return cosine_topk(emb, probe, k=10)
+
+    shapes["cosine_topk"] = cosine_topk
+
+    def embedding_lsh_probe():
+        from spacy_llm_spark.operators import dedup
+
+        base = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        idx = dedup.embedding_lsh_index(base, bands=24, planes_per_band=12, dim=64)
+        batch = base.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        ).limit(50)
+        return dedup.embedding_lsh_probe(
+            batch, idx, bands=24, planes_per_band=12, threshold=0.95, dim=64,
+            include_new_pairs=False,
+        )
+
+    shapes["embedding_lsh_probe"] = embedding_lsh_probe
+
     def topological_levels():
         from spacy_llm_spark.operators.graph import topological_levels
 
