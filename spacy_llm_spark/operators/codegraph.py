@@ -235,10 +235,22 @@ def module_providers(
     residue class j. Any deterministic claim rule works (a real corpus
     derives providers from packaging metadata); what matters is the
     SHAPE: one corpus-scale aggregation down to a module-scale
-    dimension, map-side combined, before any join touches it."""
+    dimension, map-side combined, before any join touches it.
+
+    Claim rule = min(struct(doc_id, repo)) — the SAME deterministic
+    tie-break as ``provider_index`` (ties on a duplicated doc_id break
+    by repo), so the documented bit-equality of ``dependency_edges``
+    vs ``dependency_edges_from_index`` holds on any corpus; the old
+    ``min_by(repo, doc_id)`` was tie-nondeterministic there."""
     return (
         files.groupBy(((F.col(doc_id) % n_modules)).alias("_j"))
-        .agg(F.min_by(repo, F.col(doc_id)).alias("provider_repo"))
+        .agg(
+            F.min(
+                F.struct(F.col(doc_id).alias("_d"), F.col(repo).alias("_r"))
+            ).alias("_m")
+        )
+        .withColumn("provider_repo", F.col("_m._r"))
+        .drop("_m")
         .select(
             F.concat(F.lit("mod"), F.col("_j").cast("string")).alias("module"),
             "provider_repo",

@@ -86,9 +86,12 @@ def transe_scores(
     """Join embeddings onto a ``(subj, pred, obj, neg_obj)`` pair frame
     (``graph.negative_triples`` output) and compute the L1 translation
     distances ``d_pos = |h + r - t|_1`` and ``d_neg = |h + r - t'|_1``
-    as pure array-fold projections. Missing embeddings raise (an inner
-    join would silently drop triples; the caller's init covers every
-    id by construction, so absence is a bug, not data)."""
+    as pure array-fold projections. Left joins: ids with no embedding
+    yield NULL ``_d_pos``/``_d_neg`` here — the missing-id guard (which
+    raises) lives in :func:`transe_epoch`, riding the scored frame's
+    materialization; direct callers feeding e.g.
+    ``scoring.ranking_metrics`` should apply the same check or
+    guarantee coverage (an inner join would silently drop triples)."""
     e = ent.select(F.col(id_col).alias("_eid"), F.col(vec).alias("_evec"))
     r = rel.select(F.col(id_col).alias("_rid"), F.col(vec).alias("_rvec"))
     joined = (
