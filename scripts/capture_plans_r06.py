@@ -212,6 +212,53 @@ def main():
 
     shapes["topological_levels"] = topological_levels
 
+    def kg_bfs_levels():
+        from spacy_llm_spark.operators.graph import bfs_levels
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["subj", "obj"]
+        )
+        seeds = spark.createDataFrame([("a",)], ["vertex"])
+        return bfs_levels(e, seeds, max_hops=2)
+
+    shapes["kg_bfs_levels"] = kg_bfs_levels
+
+    def kg_scc():
+        from spacy_llm_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")],
+            ["subj", "obj"],
+        )
+        return strongly_connected_components(e)
+
+    shapes["kg_scc"] = kg_scc
+
+    def cc_distributed():
+        from spacy_llm_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+        )
+        return connected_components(e, driver_threshold=0)
+
+    shapes["cc_distributed"] = cc_distributed
+
+    def kg_betweenness():
+        from spacy_llm_spark.operators.graph import betweenness
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")], ["subj", "obj"]
+        )
+        seeds = spark.createDataFrame([("a",)], ["vertex"])
+        return betweenness(e, seeds, max_hops=6)
+
+    shapes["kg_betweenness"] = kg_betweenness
+
     for name, fn in shapes.items():
         if only and name not in only:
             continue

@@ -25,9 +25,16 @@ band frames, micro-batch bucketing) call it instead of hard-coding
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Optimization-round diagnostics: SPARK_GRAFT_CUT_PROFILE=1 prints one
+# stderr line per eager lineage cut (wall seconds + call site), making
+# the per-round cost of the iterative operators visible without the UI.
+# Off by default; zero overhead in the normal path.
+_CUT_PROFILE = os.environ.get("SPARK_GRAFT_CUT_PROFILE", "")
 
 # ---------------------------------------------------------------------------
 # Hadoop FileSystem helpers (driver-side metadata I/O)
@@ -196,7 +203,38 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     ``configure_lineage(reliable=True)``: ``checkpoint`` against the
     configured directory, the fault-tolerant option for long iterative
     jobs on real clusters (VERDICT r2 "What's wrong" #3).
+
+    NOTE (r06): a ``partition_by`` mode — hash-partition the frame and
+    materialize it with AQE toggled off so the checkpointed RDD reports
+    its HashPartitioning to Catalyst (under AQE it reports
+    UnknownPartitioning and downstream exchanges reappear) — was built,
+    A/B'd across the iterative graph family, and REVERTED: a pinned
+    layout makes the per-round joins plan as co-partitioned sort-merge
+    joins, which measurably lose to the runtime BROADCAST joins AQE
+    otherwise picks for the frontier/label side (scc 10.0 s -> 18.6 s,
+    betweenness 31 s -> 36 s on the bench shapes). Numbers in
+    OPTIMIZATION_r06.md.
     """
+    return _cut(df, eager)
+
+
+def _cut(df: DataFrame, eager: bool) -> DataFrame:
+    if _CUT_PROFILE and eager:
+        import sys
+        import time
+        import traceback
+
+        caller = traceback.extract_stack(limit=3)[0]
+        t0 = time.perf_counter()
+        out = (
+            df.checkpoint(eager=True)
+            if _LINEAGE["reliable"]
+            else df.localCheckpoint(eager=True)
+        )
+        dt = time.perf_counter() - t0
+        where = f"{caller.filename.rsplit('/', 1)[-1]}:{caller.lineno}"
+        print(f"[cut] {dt:8.3f}s  {where}", file=sys.stderr)
+        return out
     if _LINEAGE["reliable"]:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -264,6 +264,28 @@ def connected_components(
         .distinct()
     )
     all_nodes = cut_lineage(all_nodes)
+    # ORDER-PRESERVING dictionary encoding for the star rounds (guide
+    # §2.3 narrower types): each round's two window sorts and the
+    # bounding distinct hash/sort/shuffle node ids several times, so
+    # arbitrary-width ids are encoded once to longs that are monotone in
+    # the node order (monotonically_increasing_id over the SORTED node
+    # frame: partition index in the high bits, row position in the low
+    # bits; the expression is non-deterministic so Catalyst keeps it
+    # above the sort). Min-label arithmetic commutes with the bijection,
+    # so the decoded labels are bit-identical to the direct-id rounds —
+    # and identical to the driver union-find path's convention.
+    vmap = cut_lineage(
+        all_nodes.orderBy("node").select(
+            "node", F.monotonically_increasing_id().alias("_nid")
+        )
+    )
+    enc_edges = (
+        edges.join(vmap.select(F.col("node").alias("src"),
+                               F.col("_nid").alias("_ns")), "src")
+        .join(vmap.select(F.col("node").alias("dst"),
+                          F.col("_nid").alias("_nd")), "dst")
+        .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"))
+    )
 
     def _cut_with_signature(df: DataFrame):
         """Lineage-cut ``df`` and return (cut_df, fixpoint signature).
@@ -287,10 +309,10 @@ def connected_components(
         # one narrow pass; no global distinct needed — duplicate star
         # rows cannot change a min and the first round's distinct bounds
         # the edge set anyway
-        e0 = _contract_partitions(edges)
+        e0 = _contract_partitions(enc_edges)
     else:
         e0 = (
-            edges.select("src", "dst")
+            enc_edges.select("src", "dst")
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
@@ -310,8 +332,16 @@ def connected_components(
             "the largest component diameter)"
         )
 
-    # fixpoint edge set = stars (node -> component min); roots map to self
-    star_map = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # fixpoint edge set = stars (node -> component min); roots map to
+    # self. Decode the internal codes back to the caller's ids (vmap is
+    # node-scale), then fill roots/singletons from all_nodes as before.
+    star_map = (
+        e.join(vmap.select(F.col("_nid").alias("src"),
+                           F.col("node").alias("_vn")), "src")
+        .join(vmap.select(F.col("_nid").alias("dst"),
+                          F.col("node").alias("_vc")), "dst")
+        .select(F.col("_vn").alias("node"), F.col("_vc").alias("component"))
+    )
     return all_nodes.join(star_map, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )

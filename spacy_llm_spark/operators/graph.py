@@ -294,7 +294,16 @@ def bfs_levels(
         .where(F.col("s") != F.col("t"))
         .distinct()
     )
-    und = de.union(de.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    # cut the symmetrized adjacency ONCE: it is re-joined every hop, and
+    # leaving it lazy re-ran the corpus-scale distinct (a full exchange
+    # of the edge set) max_hops times (guide §2.4 — remove shuffles
+    # outright). NOTE (r06): pinning a hash layout through the cut
+    # (repartition + AQE-off materialization) was A/B'd and REVERTED —
+    # it blocks AQE's runtime broadcast of the frontier side, which
+    # beats a co-partitioned sort-merge join at every measured scale.
+    und = fs.cut_lineage(
+        de.union(de.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    )
 
     visited = fs.cut_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("vertex"))
@@ -1475,11 +1484,35 @@ def strongly_connected_components(
         .where(F.col("s") != F.col("t"))
         .distinct()
     )
-    live_v = fs.cut_lineage(
+    live_raw = fs.cut_lineage(
         edges.select(F.col(src).alias("vertex"))
         .unionByName(edges.select(F.col(dst).alias("vertex")))
         .distinct()
     )
+    # ORDER-PRESERVING dictionary encoding (guide §2.3 narrower types,
+    # the betweenness lesson): every trim/color/extract round keys its
+    # joins and aggregates on vertex ids, so arbitrary-width strings are
+    # hashed and shuffled ~dozens of times. Encode once to longs whose
+    # order matches the vertex order — monotonically_increasing_id over
+    # the SORTED node frame is monotone in that order (partition index
+    # is the high bits, row position the low bits), and the expression
+    # is non-deterministic so Catalyst never reorders it past the sort —
+    # hence min-label coloring picks the same root through the
+    # bijection, and one decode at the end restores the caller's ids
+    # bit-for-bit.
+    vmap = fs.cut_lineage(
+        live_raw.orderBy("vertex").select(
+            "vertex", F.monotonically_increasing_id().alias("_nid")
+        )
+    )
+    de = fs.cut_lineage(
+        de.join(vmap.select(F.col("vertex").alias("s"),
+                            F.col("_nid").alias("_ns")), "s")
+        .join(vmap.select(F.col("vertex").alias("t"),
+                          F.col("_nid").alias("_nt")), "t")
+        .select(F.col("_ns").alias("s"), F.col("_nt").alias("t"))
+    )
+    live_v = vmap.select(F.col("_nid").alias("vertex"))
     n_live = live_v.count()
     done_parts: list[DataFrame] = []
     live_e = de
@@ -1530,19 +1563,29 @@ def strongly_connected_components(
         # -- 2. forward min-label coloring to fixpoint
         colors = fs.cut_lineage(live_v.withColumn("color", F.col("vertex")))
         for _ in range(max_iter):
-            cand = live_e.join(
-                colors.withColumnRenamed("vertex", "s"), "s"
-            ).select(F.col("t").alias("vertex"), "color")
-            nxt = (
-                colors.unionByName(cand)
+            # merge as a co-partitioned left join instead of union +
+            # re-aggregate of the FULL color frame (guide §2.3): only
+            # the propagated candidates cross an exchange; the old color
+            # rides the same row, so the changed-count observe needs no
+            # extra self-join either.
+            cand = (
+                live_e.join(colors.withColumnRenamed("vertex", "s"), "s")
+                .select(F.col("t").alias("vertex"), "color")
                 .groupBy("vertex")
-                .agg(F.min("color").alias("color"))
+                .agg(F.min("color").alias("_cand"))
             )
             obs = Observation()
             nxt = fs.cut_lineage(
-                nxt.join(
-                    colors.withColumnRenamed("color", "_old"), "vertex"
-                ).observe(
+                colors.withColumnRenamed("color", "_old")
+                .join(cand, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.least(
+                        F.col("_old"), F.coalesce("_cand", F.col("_old"))
+                    ).alias("color"),
+                    "_old",
+                )
+                .observe(
                     obs,
                     F.sum(
                         (F.col("color") < F.col("_old")).cast("long")
@@ -1602,11 +1645,19 @@ def strongly_connected_components(
             "the budget); raise max_rounds"
         )
     if not done_parts:  # empty edge frame: typed empty result
-        return live_v.withColumn("scc", F.col("vertex"))
+        return vmap.select("vertex", F.col("vertex").alias("scc")).limit(0)
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
-    return out
+    # decode the internal vertex codes back to the caller's ids (one
+    # join per column; vmap is node-scale)
+    return (
+        out.join(vmap.select(F.col("_nid").alias("vertex"),
+                             F.col("vertex").alias("_v")), "vertex")
+        .join(vmap.select(F.col("_nid").alias("scc"),
+                          F.col("vertex").alias("_c")), "scc")
+        .select(F.col("_v").alias("vertex"), F.col("_c").alias("scc"))
+    )
 
 
 # transitive_closure strategy switch (driver-known INPUT count, so the
@@ -3327,12 +3378,17 @@ def betweenness(
     for hop in range(1, max_hops + 2):
         prev = levels[-1]
         obs = Observation()
+        # aggregate sigma BEFORE the visited anti-join: a visited (s, v)
+        # loses ALL its expanded rows either way, so filtering after the
+        # sum is the same set — but the anti-join input shrinks from
+        # expanded-edge scale to frontier scale and reuses the groupBy's
+        # (s, v) hash partitioning instead of forcing its own exchange.
         nxt = (
             prev.join(adj, prev["v"] == adj["u"])
             .select("s", adj["v"].alias("v"), "sigma")
-            .join(visited, ["s", "v"], "left_anti")
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "v"], "left_anti")
             .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         nxt = fs.cut_lineage(nxt)
@@ -3578,6 +3634,15 @@ def hyperball(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.where(F.col("src") != F.col("dst")).distinct()
+    # NOTE (r06): two restructures were A/B'd here and REVERTED — (a) a
+    # co-partitioned left-join merge of the contribution sketches into
+    # the balls frame (both as sort-merge and as shuffled-hash) and (b)
+    # pre-partitioning e on dst. The union+groupBy merge is already
+    # near-optimal for this shape: hll_union_agg partial-aggregates the
+    # contributions map-side, and the |V|-scale balls frame auto-
+    # broadcasts in the contribution join, so the join variants only
+    # added per-round sorts/hash builds (19.3 s -> 21.6 s SMJ, ~22.5 s
+    # SHJ load-adjusted on the bench shape).
     e = fs.cut_lineage(e)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -4559,6 +4624,11 @@ def minimum_spanning_forest(
 
     from .canonicalize import connected_components
 
+    # NOTE (r06): an order-preserving long encoding of the endpoints was
+    # A/B'd here (the betweenness discipline) and REVERTED — the op runs
+    # only ~log2(V) rounds and its inner connected_components takes the
+    # driver union-find path, so the encode/decode joins cost more than
+    # the rounds saved (8.5 s -> 9.2 s on the bench shape).
     e = fs.cut_lineage(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -4581,7 +4651,13 @@ def minimum_spanning_forest(
             F.col("lo").alias("u"), F.col("hi").alias("v"),
         )
     )
-    empty = e.select("lo", "hi", F.col("w").alias(weight)).limit(0)
+
+    def _decode(parts: list) -> DataFrame:
+        out = e.select("lo", "hi", F.col("w").alias(weight)).limit(0)
+        for part_df in parts:
+            out = out.unionByName(part_df)
+        return out
+
     forest_parts: list[DataFrame] = []
     for _ in range(max_rounds):
         pick = F.struct("w", "lo", "hi", "u", "v")
@@ -4596,10 +4672,7 @@ def minimum_spanning_forest(
         obs = Observation()
         sel = fs.cut_lineage(sel.observe(obs, F.count(F.lit(1)).alias("n")))
         if obs.get["n"] == 0:
-            out = empty
-            for part_df in forest_parts:
-                out = out.unionByName(part_df)
-            return out
+            return _decode(forest_parts)
         forest_parts.append(sel.select("lo", "hi", F.col("w").alias(weight)))
         cc = connected_components(
             sel.select(F.col("u").alias("src"), F.col("v").alias("dst"))
