@@ -373,6 +373,26 @@ def make_targets(spark, sf_dir, cpus, replicate):
 
     T["code_dep_layers"] = code_dep_layers
 
+    def update_where():
+        from spacy_llm_spark.operators.graph import update_where
+
+        return update_where(
+            _bgp_triples(spark).distinct(),
+            [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+             ("?s", "stores", "?t")],
+            delete=[("?s", "stores", "?t")],
+            insert=[("?s", "derivedStores", "?t")],
+        ).count()
+
+    T["update_where"] = update_where
+
+    def bpe_train():
+        from spacy_llm_spark.functions.bpe import train_bpe
+
+        return len(train_bpe(docs(), n_merges=20))
+
+    T["bpe_train"] = bpe_train
+
     # --- embedding / fusion ----------------------------------------------
     def transe():
         from spacy_llm_spark.operators import kgembed

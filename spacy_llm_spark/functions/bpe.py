@@ -150,9 +150,15 @@ def train_bpe(
     parallelism — the property that lets two cluster sizes share one
     tokenizer.
     """
+    # ONE job per round (guide §2.4 — don't run jobs whose only purpose
+    # is materialization): each round's argmax collect is the action
+    # that fills the NEW symbol table's cache, so the explicit per-round
+    # count() is dropped and the PREVIOUS round's cache — which the fold
+    # chain reads while the new cache fills — is unpersisted only after
+    # that collect returns.
     sym = initial_symbols(word_table(df, text_col)).cache()
-    sym.count()  # materialize before the loop
     merges: List[Tuple[str, str]] = []
+    prev: DataFrame | None = None
     try:
         for rank in range(n_merges):
             top = (
@@ -161,6 +167,9 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["n_pairs"] < min_count:
                 break
             a, b = top[0]["a"], top[0]["b"]
@@ -168,15 +177,19 @@ def train_bpe(
             nxt = sym.withColumn("symbols", merge_pair_expr(a, b))
             if (rank + 1) % checkpoint_every == 0:
                 # cut the growing fold-chain lineage; on a real cluster
-                # use a reliable checkpoint dir instead
+                # use a reliable checkpoint dir instead. Eager: the cut
+                # must read the still-cached sym, and it REPLACES the
+                # cache chain, so the old handle can drop immediately.
                 nxt = nxt.localCheckpoint(eager=True)
+                sym.unpersist()
             else:
                 nxt = nxt.cache()
-                nxt.count()
-            sym.unpersist()
+                prev = sym
             sym = nxt
     finally:
         sym.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

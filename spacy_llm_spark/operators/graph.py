@@ -3252,8 +3252,18 @@ def update_where(
     if not delete and not insert:
         raise ValueError("update_where: need delete and/or insert templates")
     graph = triples.select(subj, pred, obj)
-    bindings = match_bgp(
-        triples, patterns, subj=subj, pred=pred, obj=obj, **match_kwargs
+    # cut the solution frame ONCE (guide §2.4): both template
+    # instantiations (delete + insert) pull from ``bindings``, and a
+    # lazy plan re-ran the whole WHERE evaluation — k pattern scans of
+    # the graph plus k-1 joins — per template set (measured 2x on the
+    # bench shape, worse when the input graph is itself a lazy
+    # pipeline). The solution set is solution-scale by the operator's
+    # own contract (templates instantiate row-per-solution), so the
+    # materialization is bounded.
+    bindings = fs.cut_lineage(
+        match_bgp(
+            triples, patterns, subj=subj, pred=pred, obj=obj, **match_kwargs
+        )
     )
     cols = [subj, pred, obj]
     if delete:
