@@ -259,6 +259,24 @@ def main():
 
     shapes["kg_betweenness"] = kg_betweenness
 
+    def kg_update_where():
+        from spacy_llm_spark.operators.graph import update_where
+
+        tri = spark.createDataFrame(
+            [("a", "executes", "b"), ("b", "appliesTo", "c"),
+             ("a", "stores", "c"), ("x", "stores", "y")],
+            ["subj", "pred", "obj"],
+        )
+        return update_where(
+            tri,
+            [("?s", "executes", "?o"), ("?o", "appliesTo", "?t"),
+             ("?s", "stores", "?t")],
+            delete=[("?s", "stores", "?t")],
+            insert=[("?s", "derivedStores", "?t")],
+        )
+
+    shapes["kg_update_where"] = kg_update_where
+
     for name, fn in shapes.items():
         if only and name not in only:
             continue
